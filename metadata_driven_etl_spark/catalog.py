@@ -1,0 +1,67 @@
+"""Testdata catalog helpers: load the TPC-H-ish parquet tables.
+
+The driver's testdata (TESTDATA.md) is one parquet file per table under
+``/root/testdata/sf{0.001,0.01,0.1}``. These helpers load them lazily and
+optionally register temp views so SQL-in-config (the engine's core extension
+point, SURVEY.md §2.12) can reference them by name.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Defensive runtime confs for sessions the engine didn't build (e.g.
+    the driver's): nanos-parquet readability and UTC timestamps (DuckDB
+    oracle parity — Spark timestamps are session-TZ)."""
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf locked down — engine-built sessions already set it
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # TIMESTAMP(NANOS) columns arrive as long (spark.sql.legacy.parquet.
+    # nanosAsLong); normalize to microsecond timestamps (floor division —
+    # matches DuckDB's ns→µs truncation).
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn(
+                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (idempotent)."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,87 @@
+"""Join operators (reference: gold fact⋈dim models + DQ referential integrity).
+
+Reference evidence: gold_config.yaml:17,39,59-60 (inner equi-joins),
+dq_engine.py:170-203 (left-join NULL-check anti pattern, inner-join "semi"
+with its dup-multiplication hazard, flagged left join),
+dq_engine.py:244-257 (self-join on group counts for uniqueness).
+
+Scale notes: dimension sides get an explicit ``broadcast()`` hint when the
+caller declares them small (star-schema dims at 100 TB are still MBs); the
+uniqueness check is a single window aggregation (1 shuffle) instead of the
+reference's groupBy+re-join (2 shuffles).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def join_inner(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str] | Column,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Inner equi-join; dim broadcast by default (fact⋈dim star shape)."""
+    right = F.broadcast(dim) if broadcast_dim else dim
+    return fact.join(right, on=on, how="inner")
+
+
+def join_anti(df: DataFrame, ref: DataFrame, on: Sequence[str] | Column) -> DataFrame:
+    """Rows of ``df`` with no match in ``ref``.
+
+    The reference expresses this as LEFT JOIN + ``WHERE ref.key IS NULL``
+    (dq_engine.py:170-179); ``left_anti`` is the same semantics with no flag
+    column and lets Spark pick broadcast-anti physical plans.
+    """
+    return df.join(ref, on=on, how="left_anti")
+
+
+def join_semi(df: DataFrame, ref: DataFrame, on: Sequence[str] | Column) -> DataFrame:
+    """Rows of ``df`` with ≥1 match in ``ref``.
+
+    True semi-join — immune to the row-multiplication hazard the reference
+    works around by pre-distinct()ing the ref side (dq_engine.py:163,185-193).
+    """
+    return df.join(ref, on=on, how="left_semi")
+
+
+def join_left_flag(
+    df: DataFrame,
+    ref: DataFrame,
+    on: Sequence[str],
+    flag_name: str = "dq_ref_flag",
+) -> DataFrame:
+    """Left join that only adds a VALID/INVALID membership flag.
+
+    Reference: flagged RI variant, dq_engine.py:195-203. The ref side is
+    reduced to its distinct join keys + a hit marker so no payload columns
+    leak and duplicate ref keys can't multiply rows.
+    """
+    marker = ref.select(*on).distinct().withColumn("_hit", F.lit(1))
+    joined = df.join(F.broadcast(marker), on=list(on), how="left")
+    return joined.withColumn(
+        flag_name,
+        F.when(F.col("_hit").isNotNull(), F.lit("VALID")).otherwise(F.lit("INVALID")),
+    ).drop("_hit")
+
+
+def group_count_flag(
+    df: DataFrame,
+    keys: Sequence[str],
+    count_name: str = "key_count",
+    flag_name: str = "is_unique",
+) -> DataFrame:
+    """Per-row group cardinality + uniqueness flag in ONE shuffle.
+
+    Reference does groupBy(keys).count() then a left self-join
+    (dq_engine.py:244-257) — two shuffles of the full fact table. A window
+    ``count(*) over (partition by keys)`` computes the same in one.
+    """
+    w = Window.partitionBy(*keys)
+    return df.withColumn(count_name, F.count(F.lit(1)).over(w)).withColumn(
+        flag_name, F.col(count_name) == 1
+    )

@@ -1,0 +1,233 @@
+"""Similarity search over embedding columns (extended surface).
+
+Embeddings are ``array<float>`` columns (testdata ``embeddings.parquet``:
+vec_id, embedding list<float>[64], label). Two paths:
+
+- Brute-force cosine top-k — the correctness baseline. Expressed entirely
+  with JVM built-ins (``zip_with`` + ``aggregate`` fold), no Python UDFs.
+- LSH-bucketed ANN (random-hyperplane signs) — the scale path: candidates
+  only meet within a signature bucket, turning O(n·q) into O(n·q/2^bits)
+  per bucket. Hyperplanes are derived deterministically from md5 so runs
+  are reproducible.
+
+Oracle-parity note: dot products fold left-to-right in both engines
+(Spark ``F.aggregate``; the DuckDB oracle uses ``list_reduce``/``list_sum``
+on position-wise products computed in float64), and the compared output
+rounds cosine to 6 dp; ranking ties are broken by vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right fold of position-wise products (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, "
+        f"list_transform(list_zip({a}::DOUBLE[], {b}::DOUBLE[]), p -> p[1] * p[2])), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def sql_norm(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(0.0, "
+        f"list_transform({a}::DOUBLE[], x -> x * x)), (acc, x) -> acc + x))"
+    )
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return f"({sql_dot(a, b)} / ({sql_norm(a)} * {sql_norm(b)}))"
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k neighbors per query (self-matches excluded).
+
+    ``queries`` (small) is broadcast against the full vector table; ranking
+    is per-query via window, ties broken by neighbor id. At scale this is
+    the verification baseline; use ``lsh_topk`` for the candidate path.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    scored = vectors.join(
+        F.broadcast(q), F.col(query_id_col) != F.col(id_col)
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("_qvec"), F.col(vec_col)), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", "neighbor_id", "cosine_sim")
+    )
+
+
+def sql_brute_force_topk(
+    table: str = "embeddings",
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_queries: int = 5,
+) -> str:
+    cos = sql_cosine(f"q.{vec_col}", f"v.{vec_col}")
+    return f"""
+    WITH q AS (SELECT {id_col} AS query_id, {vec_col} FROM {table}
+               WHERE {id_col} < {num_queries}),
+    scored AS (SELECT q.query_id, v.{id_col} AS neighbor_id,
+                      round({cos}, 6) AS cosine_sim
+               FROM {table} v JOIN q ON q.query_id <> v.{id_col})
+    SELECT query_id, rank, neighbor_id, cosine_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine_sim DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+# --- LSH-bucketed ANN (scale path; verified rows-only by the driver) --------
+
+
+def _hyperplane(dim: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from md5 — reproducible across
+    runs/workers without shipping state."""
+    import hashlib
+
+    vals: list[float] = []
+    i = 0
+    while len(vals) < dim:
+        h = hashlib.md5(f"hp|{seed}|{i}".encode()).digest()
+        for off in range(0, 16, 4):
+            if len(vals) >= dim:
+                break
+            u = int.from_bytes(h[off : off + 4], "big") / 2**32
+            vals.append(u * 2.0 - 1.0)
+        i += 1
+    return vals
+
+
+def lsh_signature(vec: Column, dim: int, num_bits: int = 8) -> Column:
+    """Random-hyperplane sign signature as a bit-packed int."""
+    sig = F.lit(0)
+    for b in range(num_bits):
+        hp = F.array(*[F.lit(v) for v in _hyperplane(dim, b)])
+        d = dot(vec, hp)
+        sig = sig + F.when(d >= 0, F.lit(2**b)).otherwise(F.lit(0))
+    return sig.cast("long")
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    num_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN top-k: exact ranking within the query's LSH bucket only.
+
+    Recall < 1.0 by construction (that's the trade); multi-probe or fewer
+    bits raise recall. Bucket join is an equi-join on the signature — at
+    100 TB the vectors side is hash-partitioned by signature once and
+    reused across query batches.
+    """
+    sig = lsh_signature(F.col(vec_col), dim, num_bits)
+    v = vectors.withColumn("_sig", sig)
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        lsh_signature(F.col(vec_col), dim, num_bits).alias("_sig"),
+    )
+    scored = v.join(F.broadcast(q), on="_sig").filter(
+        F.col(query_id_col) != F.col(id_col)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("_qvec"), F.col(vec_col)), 6).alias("cosine_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", "neighbor_id", "cosine_sim")
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
+
+    Brute-force form for correctness; at scale, pre-filter candidates with
+    ``lsh_signature`` equality before the exact cosine.
+    """
+    a = vectors.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = vectors.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+def sql_embedding_near_dup_pairs(
+    table: str = "embeddings",
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    cos = sql_cosine(f"a.{vec_col}", f"b.{vec_col}")
+    return f"""
+    SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+           round({cos}, 6) AS cosine_sim
+    FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col}
+    WHERE round({cos}, 6) >= {threshold}
+    """

@@ -1,0 +1,227 @@
+"""Text-analysis operators for training-data pipelines (extended surface).
+
+Not present in the reference (its only text op is a regex DQ rule,
+dq_engine.py:66-107); added per the north star: language-ID, quality
+scoring, token counting, document fingerprinting over the ``documents``
+table.
+
+Every operator here is expressed with JVM-side built-in functions (no Python
+UDFs), so it whole-stage-codegens and scales linearly; each has a
+``sql_*`` twin emitting the equivalent DuckDB SQL fragment so the driver's
+oracle can verify it. The twins MUST stay in lock-step — tests compare them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --- canonical normalization (shared by dedup + text ops) -------------------
+
+
+def norm_text(col: Column | str) -> Column:
+    """lowercase, strip non-[a-z0-9 ], squeeze spaces, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def sql_norm_text(expr: str) -> str:
+    return (
+        "trim(regexp_replace(regexp_replace(lower("
+        + expr
+        + "), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    )
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the normalized text; '' → empty array."""
+    normed = norm_text(col)
+    return F.when(normed == "", F.array().cast("array<string>")).otherwise(
+        F.split(normed, " ")
+    )
+
+
+def sql_tokens(expr: str) -> str:
+    n = sql_norm_text(expr)
+    return f"CASE WHEN {n} = '' THEN []::VARCHAR[] ELSE string_split({n}, ' ') END"
+
+
+# --- token counting ---------------------------------------------------------
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def sql_token_count(expr: str) -> str:
+    return f"CAST(len({sql_tokens(expr)}) AS BIGINT)"
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish proxy: count word pieces + digits + punctuation runs.
+
+    Splits on the boundaries a byte-pair tokenizer would likely split:
+    letter-runs, digit-runs, and single non-alnum glyphs each count once.
+    Pure regex → JVM-side, identical in DuckDB.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_extract_all(c, F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), 0)
+    return F.size(pieces).cast("long")
+
+
+def sql_bpe_ish_token_count(expr: str) -> str:
+    return (
+        f"CAST(len(regexp_extract_all({expr}, "
+        "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)"
+    )
+
+
+# --- quality scoring --------------------------------------------------------
+
+_STOPWORDS = (
+    "the a an and or of to in is are was for on with as by at this that it "
+).split()
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punctuation/stopword features + a composite quality score.
+
+    Heuristics in the spirit of C4/Gopher-style quality filters: very short
+    docs, punctuation-heavy docs, and stopword-free docs score low.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_chars = F.length(c).cast("long")
+    n_tokens = F.size(toks).cast("long")
+    n_alnum = F.length(F.regexp_replace(c, "[^A-Za-z0-9]", "")).cast("long")
+    punct_ratio = F.round(
+        (n_chars - n_alnum - (n_chars - F.length(F.regexp_replace(c, " ", ""))))
+        / F.greatest(n_chars, F.lit(1)),
+        6,
+    )
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr)).cast("long")
+    stop_ratio = F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6)
+    mean_tok_len = F.round(
+        F.when(n_tokens > 0, F.length(F.concat_ws("", toks)) / n_tokens).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+    score = F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio * 10, F.lit(1.0)) * 0.3,
+        6,
+    )
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        mean_tok_len.alias("mean_tok_len"),
+        score.alias("quality_score"),
+    )
+
+
+def sql_quality_features(table: str = "documents", text_col: str = "text") -> str:
+    toks = sql_tokens(text_col)
+    stop_list = "[" + ", ".join(f"'{s}'" for s in _STOPWORDS) + "]"
+    return f"""
+    SELECT doc_id,
+           CAST(length({text_col}) AS BIGINT) AS n_chars_m,
+           CAST(len({toks}) AS BIGINT) AS n_tokens,
+           round((length({text_col})
+                   - length(regexp_replace({text_col}, '[^A-Za-z0-9]', '', 'g'))
+                   - (length({text_col}) - length(regexp_replace({text_col}, ' ', '', 'g'))))
+                 / greatest(length({text_col}), 1), 6) AS punct_ratio,
+           round(CAST(len(list_intersect(list_distinct({toks}), {stop_list})) AS BIGINT)
+                 / greatest(len({toks}), 1), 6) AS stop_ratio,
+           round(CASE WHEN len({toks}) > 0
+                      THEN length(list_aggregate({toks}, 'string_agg', '')) * 1.0 / len({toks})
+                      ELSE 0.0 END, 6) AS mean_tok_len,
+           round(least(len({toks}) / 100.0, 1.0) * 0.4
+                 + (1.0 - least(round((length({text_col})
+                   - length(regexp_replace({text_col}, '[^A-Za-z0-9]', '', 'g'))
+                   - (length({text_col}) - length(regexp_replace({text_col}, ' ', '', 'g'))))
+                 / greatest(length({text_col}), 1), 6) * 5, 1.0)) * 0.3
+                 + least(round(CAST(len(list_intersect(list_distinct({toks}), {stop_list})) AS BIGINT)
+                 / greatest(len({toks}), 1), 6) * 10, 1.0) * 0.3, 6) AS quality_score
+    FROM {table}
+    """
+
+
+# --- language identification ------------------------------------------------
+
+# Tiny per-language marker-word sets (public-knowledge function words). The
+# heuristic is distinct-token overlap — argmax over languages, 'und' when no
+# marker hits. n-gram-free so it stays exactly expressible in both engines.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "was"],
+    "fr": ["le", "la", "les", "de", "et", "est", "dans", "que", "pour", "une"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"],
+    "es": ["el", "la", "los", "de", "y", "es", "en", "que", "por", "una"],
+    "zh": ["de", "shi", "bu", "le", "zai", "wo", "you", "he", "ren", "zhe"],
+}
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    toks = F.array_distinct(tokens(col))
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: Column | str) -> Column:
+    """Predicted language = argmax marker overlap; ties broken by the fixed
+    language order in LANG_MARKERS; all-zero → 'und'."""
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # build reversed so earlier languages win ties via later when() override
+    for lang in reversed(list(scores)):
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    out = F.when(best == 0, F.lit("und")).otherwise(out)
+    return out
+
+
+def sql_lang_id(expr: str) -> str:
+    toks = f"list_distinct({sql_tokens(expr)})"
+    score = {
+        lang: f"len(list_intersect({toks}, [{', '.join(repr(w) for w in words)}]))"
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(score.values()) + ")"
+    whens = " ".join(
+        f"WHEN {score[lang]} = {best} THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    return f"CASE WHEN {best} = 0 THEN 'und' {whens} ELSE 'und' END"
+
+
+# --- fingerprinting ---------------------------------------------------------
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Content fingerprint: md5 of normalized text (whitespace/punct/case
+    insensitive). md5 so DuckDB computes the identical value."""
+    return F.md5(norm_text(col))
+
+
+def sql_doc_fingerprint(expr: str) -> str:
+    return f"md5({sql_norm_text(expr)})"
+
+
+def bag_fingerprint(col: Column | str) -> Column:
+    """Order-insensitive fingerprint: md5 over the sorted distinct token set
+    (catches shuffled/duplicated-word near-dups)."""
+    toks = F.array_sort(F.array_distinct(tokens(col)))
+    return F.md5(F.concat_ws(" ", toks))
+
+
+def sql_bag_fingerprint(expr: str) -> str:
+    return f"md5(array_to_string(list_sort(list_distinct({sql_tokens(expr)})), ' '))"

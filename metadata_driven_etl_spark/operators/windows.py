@@ -1,0 +1,66 @@
+"""Window-function operators.
+
+Reference evidence: dq_engine.py:231-241 — ``row_number`` dedup, which is
+dead+broken in the reference (``F.Window`` doesn't exist and the rule never
+dispatches; SURVEY.md §2.14#1). Implemented correctly here with
+``pyspark.sql.window.Window``, plus the generalizations a real engine needs
+(keep-latest dedup, top-k per group, sessionization).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_row_number(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column] | None = None,
+    keep: str = "first",
+) -> DataFrame:
+    """Keep one row per key by ``row_number() over (partition by keys)``.
+
+    ``order_by`` must be a deterministic total order within each key group
+    (the reference orders by ``lit(1)`` — nondeterministic survivor choice).
+    """
+    order = list(order_by) if order_by else [F.lit(1)]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    out = df.withColumn("_rn", F.row_number().over(w))
+    pred = F.col("_rn") == 1 if keep == "first" else F.col("_rn") > 1
+    return out.filter(pred).drop("_rn")
+
+
+def topk_per_group(
+    df: DataFrame, keys: Sequence[str], order_by: Sequence[Column], k: int
+) -> DataFrame:
+    """Top-k rows per group (rank ≤ k) — the scalable form of ORDER+LIMIT."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    session_col: str = "session_id",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Batch sessionization: lag(ts) + cumulative sum over gap breaks.
+
+    A new session starts when the gap to the previous event of the same user
+    exceeds ``gap_seconds``. Streaming variant: ``F.session_window`` (see
+    streaming module). One shuffle on ``user_col``.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, *tiebreak)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    # Compare in integer microseconds (unix_micros) — second-granularity
+    # casts would round differently than the oracle's epoch arithmetic.
+    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)
+    is_new = F.when(
+        prev_ts.isNull() | (gap_us > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    return df.withColumn(session_col, F.sum(is_new).over(w))

@@ -1,0 +1,800 @@
+"""Workload registry: every SURVEY.md §2 operator as a (Spark, oracle-SQL) pair.
+
+This is the engine's correctness surface for the driver contract
+(``__spark_entry__.py``): ``QUERIES[name]`` builds the DataFrame with the
+operator library; ``ORACLES[name]`` is the equivalent ANSI SQL DuckDB runs on
+the same parquet. Column names/aliases match exactly on both sides (the
+driver sorts columns by name before hashing).
+
+Float discipline (see functions/__init__.py): every SUM/AVG of doubles goes
+through exact-decimal summation on BOTH sides, so results are bit-identical
+regardless of partitioning/order. Ranking queries carry unique tie-breaks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metadata_driven_etl_spark.catalog import load_table
+from metadata_driven_etl_spark.functions import davg, dsum, sql_davg, sql_dsum
+from metadata_driven_etl_spark.operators import (
+    aggregations as agg_ops,
+)
+from metadata_driven_etl_spark.operators import (
+    dedup as dedup_ops,
+)
+from metadata_driven_etl_spark.operators import (
+    filters as filter_ops,
+)
+from metadata_driven_etl_spark.operators import (
+    joins as join_ops,
+)
+from metadata_driven_etl_spark.operators import (
+    merge as merge_ops,
+)
+from metadata_driven_etl_spark.operators import (
+    projections as proj_ops,
+)
+from metadata_driven_etl_spark.operators import (
+    setops as set_ops,
+)
+from metadata_driven_etl_spark.operators import (
+    similarity as sim_ops,
+)
+from metadata_driven_etl_spark.operators import (
+    sorts as sort_ops,
+)
+from metadata_driven_etl_spark.operators import (
+    text as text_ops,
+)
+from metadata_driven_etl_spark.operators import (
+    windows as window_ops,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def workload(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# =========================================================================
+# §2.1 Scans
+# =========================================================================
+
+_LINEITEM_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+]
+
+
+@workload(
+    "scan_parquet",
+    oracle="SELECT "
+    + ", ".join(_LINEITEM_COLS)
+    + ", CAST(l_shipdate AS DATE) AS l_shipdate FROM lineitem",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: parquet scan (reference bronze_layer.py:182-200)."""
+    df = _t(spark, sf_dir, "lineitem")
+    return df.select(
+        *_LINEITEM_COLS, F.to_date("l_shipdate").alias("l_shipdate")
+    )
+
+
+@workload("scan_csv", oracle="SELECT * FROM nation")
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: CSV scan with header/delimiter/schema options
+    (reference bronze_layer.py:196-199, bronze_config.yaml:16-29).
+
+    Round-trips `nation` through CSV in a temp dir so the oracle can verify
+    the read against the original table.
+    """
+    import os
+    import tempfile
+
+    nation = _t(spark, sf_dir, "nation")
+    path = os.path.join(tempfile.gettempdir(), "mdes_scan_csv")
+    nation.coalesce(1).write.mode("overwrite").options(header=True, delimiter="|").csv(path)
+    return (
+        spark.read.options(header=True, delimiter="|")
+        .schema("n_nationkey int, n_name string, n_regionkey int")
+        .csv(path)
+    )
+
+
+@workload("scan_json", oracle="SELECT r_regionkey, r_name FROM region")
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: JSON scan (reference bronze_layer.py:182-200, bronze_config.yaml:31-40)."""
+    import os
+    import tempfile
+
+    region = _t(spark, sf_dir, "region")
+    path = os.path.join(tempfile.gettempdir(), "mdes_scan_json")
+    region.coalesce(1).write.mode("overwrite").json(path)
+    return (
+        spark.read.schema("r_regionkey int, r_name string")
+        .json(path)
+        .select("r_regionkey", "r_name")
+    )
+
+
+# =========================================================================
+# §2.3 Projections / filters
+# =========================================================================
+
+
+@workload(
+    "project_select",
+    oracle="""
+    SELECT c_custkey AS customer_id, c_name AS customer_name,
+           c_mktsegment AS segment, c_acctbal AS account_balance
+    FROM customer""",
+)
+def project_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: projection + aliasing (reference silver_config.yaml:10-23)."""
+    return proj_ops.project(
+        _t(spark, sf_dir, "customer"),
+        {
+            "customer_id": "c_custkey",
+            "customer_name": "c_name",
+            "segment": "c_mktsegment",
+            "account_balance": "c_acctbal",
+        },
+    )
+
+
+@workload(
+    "filter_date_param",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date,
+           l_quantity
+    FROM lineitem WHERE CAST(l_shipdate AS DATE) >= DATE '1998-01-01'""",
+)
+def filter_date_param(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: parameterized date filter with bound literal
+    (reference silver_config.yaml:81, fixed per SURVEY.md §2.14#4)."""
+    df = _t(spark, sf_dir, "lineitem").withColumn(
+        "ship_date", F.to_date("l_shipdate")
+    )
+    df = filter_ops.filter_from_date(df, "ship_date", "1998-01-01")
+    return df.select("l_orderkey", "l_linenumber", "ship_date", "l_quantity")
+
+
+@workload(
+    "filter_not_null",
+    oracle="""
+    SELECT event_id, nullif(event_type, 'view') AS et
+    FROM events WHERE nullif(event_type, 'view') IS NOT NULL""",
+)
+def filter_not_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: not-null predicate (DQ not_null rule, reference dq_engine.py:26-64).
+    Testdata has no natural NULLs, so they are manufactured with nullif."""
+    df = _t(spark, sf_dir, "events").withColumn(
+        "et", F.expr("nullif(event_type, 'view')")
+    )
+    return filter_ops.filter_not_null(df, "et").select("event_id", "et")
+
+
+@workload(
+    "filter_regex",
+    oracle=r"""
+    SELECT c_custkey, c_name FROM customer
+    WHERE regexp_matches(c_name, '[0-9]{2}$')""",
+)
+def filter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: regex predicate (DQ regex rule, reference dq_engine.py:66-107)."""
+    df = _t(spark, sf_dir, "customer")
+    return filter_ops.filter_regex(df, "c_name", "[0-9]{2}$").select(
+        "c_custkey", "c_name"
+    )
+
+
+@workload(
+    "filter_expr",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice, p_size FROM part
+    WHERE p_retailprice > 1200 AND p_size < 30""",
+)
+def filter_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: arbitrary boolean SQL expression (reference dq_engine.py:109-145)."""
+    df = _t(spark, sf_dir, "part")
+    return filter_ops.filter_expr(df, "p_retailprice > 1200 AND p_size < 30").select(
+        "p_partkey", "p_name", "p_retailprice", "p_size"
+    )
+
+
+@workload(
+    "case_when_flag",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_totalprice > 150000 THEN 'VALID' ELSE 'INVALID' END
+             AS dq_amount_flag
+    FROM orders""",
+)
+def case_when_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: VALID/INVALID tag column (reference silver_layer.py:232-235)."""
+    df = _t(spark, sf_dir, "orders")
+    return df.select(
+        "o_orderkey",
+        "o_totalprice",
+        filter_ops.valid_flag(F.col("o_totalprice") > 150000, "dq_amount_flag"),
+    )
+
+
+# =========================================================================
+# §2.4 Joins
+# =========================================================================
+
+
+@workload(
+    "join_inner",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, p_partkey, p_brand, l_quantity,
+           p_retailprice
+    FROM lineitem JOIN part ON l_partkey = p_partkey""",
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: fact⋈dim inner equi-join, dim broadcast
+    (reference gold_config.yaml:17,59-60)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = join_ops.join_inner(
+        lineitem, part, on=lineitem["l_partkey"] == part["p_partkey"]
+    )
+    return joined.select(
+        "l_orderkey", "l_linenumber", "p_partkey", "p_brand", "l_quantity",
+        "p_retailprice",
+    )
+
+
+@workload(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: anti-join (reference RI violations, dq_engine.py:170-179)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    out = join_ops.join_anti(
+        customer, orders, on=customer["c_custkey"] == orders["o_custkey"]
+    )
+    return out.select("c_custkey", "c_name")
+
+
+@workload(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: semi-join — no dup-key row multiplication
+    (reference dq_engine.py:185-193 hazard)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    out = join_ops.join_semi(
+        customer, orders, on=customer["c_custkey"] == orders["o_custkey"]
+    )
+    return out.select("c_custkey", "c_name")
+
+
+@workload(
+    "join_left_flag",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN EXISTS (SELECT 1 FROM customer c
+                             WHERE c.c_custkey = orders.o_custkey
+                               AND c.c_mktsegment = 'BUILDING')
+                THEN 'VALID' ELSE 'INVALID' END AS dq_ref_flag
+    FROM orders""",
+)
+def join_left_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: left join + membership flag (reference dq_engine.py:195-203)."""
+    orders = _t(spark, sf_dir, "orders")
+    building = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    out = join_ops.join_left_flag(orders, building, on=["o_custkey"])
+    return out.select("o_orderkey", "dq_ref_flag")
+
+
+@workload(
+    "join_self_groupcount",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           count(*) OVER (PARTITION BY o_custkey) AS key_count,
+           count(*) OVER (PARTITION BY o_custkey) = 1 AS is_unique
+    FROM orders""",
+)
+def join_self_groupcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: per-row group cardinality in ONE shuffle (reference does
+    groupBy+count then a re-join — dq_engine.py:244-257)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = join_ops.group_count_flag(orders, ["o_custkey"])
+    return out.select("o_orderkey", "o_custkey", "key_count", "is_unique")
+
+
+# =========================================================================
+# §2.5 Aggregations (gold models)
+# =========================================================================
+
+
+@workload(
+    "agg_daily_sales",
+    oracle=f"""
+    SELECT CAST(o_orderdate AS DATE) AS order_date,
+           l_returnflag AS return_flag,
+           COUNT(l_orderkey) AS transaction_count,
+           {sql_dsum('l_extendedprice')} AS total_amount,
+           {sql_davg('l_extendedprice')} AS avg_amount,
+           {sql_dsum('l_quantity')} AS total_quantity
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2""",
+)
+def agg_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (flagship): the reference's daily sales_summary gold model
+    (gold_config.yaml:8-19) mapped onto lineitem⋈orders."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("order_date")
+    )
+    fact = lineitem.join(
+        orders, lineitem["l_orderkey"] == orders["o_orderkey"]
+    ).withColumn("return_flag", F.col("l_returnflag"))
+    return agg_ops.daily_sales_summary(
+        fact,
+        date_col="order_date",
+        category_col="return_flag",
+        id_col="l_orderkey",
+        amount_col="l_extendedprice",
+        quantity_col="l_quantity",
+    )
+
+
+@workload(
+    "agg_customer_summary",
+    oracle=f"""
+    SELECT c_custkey, c_name, c_mktsegment,
+           COUNT(o_orderkey) AS order_count,
+           {sql_dsum('o_totalprice')} AS total_spent,
+           MAX(CAST(o_orderdate AS DATE)) AS last_order_date
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2, 3""",
+)
+def agg_customer_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: customer_summary gold model (reference gold_config.yaml:29-40)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    joined = join_ops.join_inner(
+        orders, customer, on=orders["o_custkey"] == customer["c_custkey"]
+    )
+    return agg_ops.group_agg(
+        joined,
+        ["c_custkey", "c_name", "c_mktsegment"],
+        {
+            "order_count": F.count("o_orderkey"),
+            "total_spent": dsum("o_totalprice"),
+            "last_order_date": F.max(F.to_date("o_orderdate")),
+        },
+    )
+
+
+@workload(
+    "agg_product_perf",
+    oracle=f"""
+    SELECT p_brand,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           {sql_dsum('l_quantity')} AS total_qty,
+           COUNT(DISTINCT l_orderkey) AS num_orders,
+           {sql_davg('l_extendedprice / l_quantity')} AS avg_unit_price
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1""",
+)
+def agg_product_perf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: product_performance — arithmetic inside aggregates over a join
+    (reference gold_config.yaml:49-61)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = join_ops.join_inner(
+        lineitem, part, on=lineitem["l_partkey"] == part["p_partkey"]
+    )
+    return agg_ops.group_agg(
+        joined,
+        ["p_brand"],
+        {
+            "revenue": dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            "total_qty": dsum("l_quantity"),
+            "num_orders": F.countDistinct("l_orderkey"),
+            "avg_unit_price": davg(F.col("l_extendedprice") / F.col("l_quantity")),
+        },
+    )
+
+
+@workload("agg_count", oracle="SELECT COUNT(*) AS row_count FROM lineitem")
+def agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: count-star — via agg, not a separate .count() action pass."""
+    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("row_count"))
+
+
+@workload(
+    "distinct_keys",
+    oracle="SELECT DISTINCT l_partkey, l_suppkey FROM lineitem",
+)
+def distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: distinct projection (reference dq_engine.py:163)."""
+    return agg_ops.distinct_keys(
+        _t(spark, sf_dir, "lineitem"), ["l_partkey", "l_suppkey"]
+    )
+
+
+@workload(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS cnt, {sql_dsum('l_quantity')} AS total_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended surface: ROLLUP — near-free in Spark (SURVEY.md §2.5)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("l_quantity").alias("total_qty"),
+        )
+    )
+
+
+@workload(
+    "pivot_linestatus",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS f_qty,
+           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS o_qty
+    FROM lineitem GROUP BY 1""",
+)
+def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended surface: pivot (oracle = conditional aggregation)."""
+    out = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dsum("l_quantity"))
+    )
+    return out.select(
+        "l_returnflag", F.col("F").alias("f_qty"), F.col("O").alias("o_qty")
+    )
+
+
+@workload("approx_count_distinct")  # no oracle: approximate by design
+def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended surface: HLL-sketch distinct count (rows-only check)."""
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+# =========================================================================
+# §2.6 Windows / §2.7 sorts
+# =========================================================================
+
+
+@workload(
+    "window_row_number_dedup",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate
+    FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+    WHERE rn = 1""",
+)
+def window_row_number_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: row_number dedup done correctly — the reference's version is
+    dead+broken (F.Window AttributeError, SURVEY.md §2.14#1). Keeps each
+    customer's latest order, deterministic tie-break on o_orderkey."""
+    orders = _t(spark, sf_dir, "orders")
+    out = window_ops.dedup_row_number(
+        orders,
+        keys=["o_custkey"],
+        order_by=[F.desc("o_orderdate"), F.desc("o_orderkey")],
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", F.to_date("o_orderdate").alias("o_orderdate")
+    )
+
+
+@workload(
+    "topk_order_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+)
+def topk_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: ORDER BY + LIMIT → TakeOrderedAndProject (true distributed top-k,
+    reference audit_logger.py:249-265)."""
+    orders = _t(spark, sf_dir, "orders")
+    return sort_ops.top_k(
+        orders, [F.desc("o_totalprice"), F.asc("o_orderkey")], 10
+    ).select("o_orderkey", "o_totalprice")
+
+
+@workload("sort_by", oracle="SELECT n_nationkey, n_name FROM nation ORDER BY n_name")
+def sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: full sort (reference audit_logger.py:241-247)."""
+    return sort_ops.sort_by(
+        _t(spark, sf_dir, "nation").select("n_nationkey", "n_name"),
+        [F.asc("n_name")],
+    )
+
+
+# =========================================================================
+# §2.8 Set ops / §2.2 merge
+# =========================================================================
+
+
+@workload(
+    "union_all",
+    oracle="""
+    SELECT c_custkey AS entity_id, 'customer' AS kind FROM customer
+    UNION ALL
+    SELECT s_suppkey AS entity_id, 'supplier' AS kind FROM supplier""",
+)
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op (absent in reference, SURVEY.md §2.8) — unionByName."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id"), F.lit("customer").alias("kind")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_id"), F.lit("supplier").alias("kind")
+    )
+    return set_ops.union_all(c, s)
+
+
+@workload(
+    "merge_upsert",
+    oracle=f"""
+    WITH tgt AS (SELECT o_custkey, COUNT(*) AS order_count,
+                        {sql_dsum('o_totalprice')} AS total_spent
+                 FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+                 GROUP BY 1),
+    src AS (SELECT o_custkey, COUNT(*) AS order_count,
+                   {sql_dsum('o_totalprice')} AS total_spent
+            FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
+            GROUP BY 1)
+    SELECT * FROM src
+    UNION ALL
+    SELECT * FROM tgt WHERE NOT EXISTS
+      (SELECT 1 FROM src WHERE src.o_custkey = tgt.o_custkey)""",
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3: MERGE upsert semantics (whenMatchedUpdateAll/whenNotMatchedInsertAll,
+    reference gold_layer.py:184-213) — relational emulation: src ∪ (tgt ▷ src)."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.to_date("o_orderdate")
+    )
+    split = F.lit("1998-01-01").cast("date")
+
+    def stats(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("order_count"),
+            dsum("o_totalprice").alias("total_spent"),
+        )
+
+    tgt = stats(orders.filter(F.col("o_orderdate") < split))
+    src = stats(orders.filter(F.col("o_orderdate") >= split))
+    return merge_ops.upsert(tgt, src, keys=["o_custkey"])
+
+
+# =========================================================================
+# Event-time windows over `events` (§2.11 extension)
+# =========================================================================
+
+
+@workload(
+    "window_tumbling_events",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events, {sql_dsum('value')} AS total_value
+    FROM events GROUP BY 1, 2""",
+)
+def window_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window (batch form of the streaming op —
+    same F.window expression works under readStream)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@workload(
+    "window_sliding_events",
+    oracle=f"""
+    WITH slid AS (
+      SELECT date_trunc('hour', ts) AS window_start, value FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts + INTERVAL 30 MINUTE) - INTERVAL 30 MINUTE
+               AS window_start, value
+      FROM events)
+    SELECT window_start, COUNT(*) AS n_events, {sql_dsum('value')} AS total_value
+    FROM slid GROUP BY 1""",
+)
+def window_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h window, 30min slide): each event lands in 2 windows."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@workload(
+    "sessionize_events",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(sum(CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                         THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+             AS session_id
+    FROM (SELECT event_id, user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+          FROM events)""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: lag + cumulative gap-break sum (streaming
+    variant: session_window / applyInPandasWithState)."""
+    events = _t(spark, sf_dir, "events")
+    out = window_ops.sessionize(
+        events, "user_id", "ts", gap_seconds=1800, tiebreak=["event_id"]
+    )
+    return out.select("event_id", "user_id", F.col("session_id").cast("long").alias("session_id"))
+
+
+# =========================================================================
+# Training-data ops: dedup / text / similarity (north-star extension)
+# =========================================================================
+
+
+@workload("dedup_exact", oracle=dedup_ops.sql_exact_dedup_stats())
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash group-by."""
+    return dedup_ops.exact_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
+@workload(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {text_ops.sql_doc_fingerprint('text')} AS fingerprint,
+           {text_ops.sql_bag_fingerprint('text')} AS bag_fingerprint
+    FROM documents""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: normalized-content md5 + token-bag md5."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text_ops.doc_fingerprint("text").alias("fingerprint"),
+        text_ops.bag_fingerprint("text").alias("bag_fingerprint"),
+    )
+
+
+@workload(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id, {text_ops.sql_token_count('text')} AS n_tokens,
+           {text_ops.sql_bpe_ish_token_count('text')} AS n_bpe_ish
+    FROM documents""",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex pieces."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text_ops.token_count("text").alias("n_tokens"),
+        text_ops.bpe_ish_token_count("text").alias("n_bpe_ish"),
+    )
+
+
+@workload("text_quality", oracle=text_ops.sql_quality_features())
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punct/stopword features + composite score."""
+    return text_ops.quality_features(_t(spark, sf_dir, "documents"))
+
+
+@workload(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang, {text_ops.sql_lang_id('text')} AS lang_pred
+    FROM documents""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker-word overlap argmax)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", text_ops.lang_id("text").alias("lang_pred")
+    )
+
+
+@workload("dedup_minhash_lsh", oracle=dedup_ops.sql_lsh_candidate_pairs())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (shingle→minhash→band→bucket-join)."""
+    return dedup_ops.lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
+
+
+@workload("dedup_ngram_jaccard", oracle=dedup_ops.sql_ngram_jaccard_pairs())
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥ 0.5 (sparse shared-shingle join)."""
+    return dedup_ops.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+@workload("dedup_simhash", oracle=dedup_ops.sql_simhash_buckets())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash bucket dedup (md5-bit voting)."""
+    return dedup_ops.simhash_buckets(_t(spark, sf_dir, "documents"))
+
+
+@workload("similarity_topk", oracle=sim_ops.sql_brute_force_topk(num_queries=5))
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vecs (vec_id < 5)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return sim_ops.brute_force_topk(emb, queries, k=5)
+
+
+@workload("similarity_ann_lsh")  # approximate by design: rows-only check
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-k (the scale path; recall<1 ⇒ no SQL oracle)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return sim_ops.lsh_topk(emb, queries, dim=64, k=5, num_bits=4)
+
+
+@workload(
+    "embedding_near_dup",
+    oracle=sim_ops.sql_embedding_near_dup_pairs(threshold=0.8),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.8)."""
+    return sim_ops.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.8
+    )

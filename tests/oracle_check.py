@@ -1,0 +1,78 @@
+"""Local re-implementation of the driver's Spark-vs-DuckDB comparison.
+
+Used by tests to catch oracle mismatches before the driver does: row count,
+column-name set, and order-insensitive value comparison (exact for ints and
+strings; exact for floats too, since the engine's aggregation discipline
+makes them bit-identical — see functions/__init__.py).
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import duckdb
+
+from metadata_driven_etl_spark.catalog import TABLES
+
+
+def duckdb_run(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con.execute(sql)
+
+
+def _norm_cell(v):
+    if v is None:
+        return "<null>"
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # repr gives the shortest round-trip form — equal floats ⇒ equal repr
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    try:  # Decimal → canonical
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return repr(float(v))
+    except Exception:
+        pass
+    return str(v)
+
+
+def _norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [c for c in sorted(cols)], out
+
+
+def compare(spark_df, oracle_sql: str, sf_dir: str, name: str = "?"):
+    """Return (ok, message) comparing a Spark DF against oracle SQL."""
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    res = duckdb_run(oracle_sql, sf_dir)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+
+    sc, sr = _norm_rows(s_cols, s_rows)
+    dc, dr = _norm_rows(d_cols, d_rows)
+    if sc != dc:
+        return False, f"{name}: column mismatch spark={sc} duckdb={dc}"
+    if len(sr) != len(dr):
+        return False, f"{name}: row count spark={len(sr)} duckdb={len(dr)}"
+    if sr != dr:
+        diffs = [
+            (a, b) for a, b in zip(sr, dr) if a != b
+        ][:5]
+        return False, f"{name}: value mismatch, first diffs: {diffs}"
+    return True, f"{name}: OK ({len(sr)} rows)"

@@ -57,16 +57,24 @@ def exact_dedup(df: DataFrame, subset: list[str]) -> DataFrame:
 
 
 def shingles(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles of the normalized text (distinct)."""
+    """Word n-gram shingles of the normalized text (distinct).
+
+    The tokenization is bound ONCE as a lambda variable (outer
+    ``transform(array(toks), t -> ...)``): expressions referenced inside a
+    higher-order-function lambda are otherwise re-evaluated per element,
+    which makes a naive ``slice(tokens(text), i, n)`` quadratic in document
+    length (regexp-tokenize per shingle position).
+    """
     toks = tokens(col)
-    return F.array_distinct(
-        F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            )
+    per_t = lambda t: F.when(  # noqa: E731
+        F.size(t) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
         )
     )
+    return F.array_distinct(F.flatten(F.transform(F.array(toks), per_t)))
 
 
 def sql_shingles(expr: str, n: int = 3) -> str:
@@ -79,9 +87,14 @@ def sql_shingles(expr: str, n: int = 3) -> str:
 
 
 # --- MinHash + LSH ----------------------------------------------------------
-# Signature: k md5-based min-hashes (seed-salted). Banding: group the
-# signature into bands of r values; docs sharing any band bucket are
-# candidate near-dups. Classic Broder/LSH — deterministic, oracle-checkable.
+# Signature: k min-hashes derived from ONE md5 per shingle via the
+# Kirsch-Mitzenmacher construction h_i = (h1 + i*h2) mod p — k independent-
+# enough hash functions for the cost of one digest (the md5 is the dominant
+# per-shingle cost at scale). Banding: group the signature into bands of r
+# values; docs sharing any band bucket are candidate near-dups. Classic
+# Broder/LSH — deterministic, oracle-checkable.
+
+_MH_PRIME = 1_000_000_007  # (h1%p) + k*(h2%p) stays far below 2^63
 
 
 def minhash_signature(
@@ -91,14 +104,19 @@ def minhash_signature(
     num_hashes: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, mh_0..mh_{k-1}) — min over shingles of md5(seed || shingle).
+    """(id, mh_0..mh_{k-1}) with mh_i = min over shingles of (h1+i*h2) mod p.
 
     One explode + one groupBy (single shuffle on id); the k mins are
-    computed as k aggregates in the same pass.
+    computed as k aggregates in the same pass, one md5 per shingle.
     """
     sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("sh"))
+    h = F.md5(F.col("sh"))
+    # 13 hex chars = 52 bits each — exact in long arithmetic
+    h1 = F.conv(F.substring(h, 1, 13), 16, 10).cast("long") % _MH_PRIME
+    h2 = F.conv(F.substring(h, 14, 13), 16, 10).cast("long") % _MH_PRIME
+    sh = sh.select(F.col(id_col), h1.alias("h1"), h2.alias("h2"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("sh")))).alias(f"mh_{i}")
+        F.min((F.col("h1") + F.lit(i) * F.col("h2")) % _MH_PRIME).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -111,13 +129,17 @@ def sql_minhash_signature(
     num_hashes: int = 8,
     shingle_n: int = 3,
 ) -> str:
+    p = _MH_PRIME
     mins = ", ".join(
-        f"min(md5('s{i}|' || sh)) AS mh_{i}" for i in range(num_hashes)
+        f"min((h1 + {i} * h2) % {p}) AS mh_{i}" for i in range(num_hashes)
     )
     return f"""
     SELECT {id_col}, {mins}
-    FROM (SELECT {id_col}, unnest({sql_shingles(text_col, shingle_n)}) AS sh
-          FROM {table})
+    FROM (SELECT {id_col},
+                 ('0x' || substr(md5(sh), 1, 13))::BIGINT % {p} AS h1,
+                 ('0x' || substr(md5(sh), 14, 13))::BIGINT % {p} AS h2
+          FROM (SELECT {id_col}, unnest({sql_shingles(text_col, shingle_n)}) AS sh
+                FROM {table}))
     GROUP BY {id_col}
     """
 
@@ -207,42 +229,37 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
-    threshold: float = 0.5,
+    threshold: float = 0.25,
+    num_hashes: int = 8,
+    band_size: int = 2,
 ) -> DataFrame:
-    """Exact Jaccard similarity over shingle sets for pairs sharing ≥1
-    shingle; keeps pairs ≥ threshold.
+    """Exact Jaccard over shingle sets, verified only for LSH candidates.
 
-    Sparse by construction: pairs only meet through a shared shingle
-    (explode + join on shingle hash), never a cross join. Jaccard is
-    computed from exact intersection/size counts → integer arithmetic,
-    oracle-identical.
+    The canonical two-stage near-dup pipeline: MinHash+LSH proposes a
+    sparse candidate set (never O(n²)); exact set intersection verifies.
+    Jaccard comes from integer intersection/size counts → oracle-identical.
+    A dense all-shared-shingle self-join is deliberately avoided: with a
+    small vocabulary the shingle-join intermediate explodes quadratically.
     """
-    sh = df.select(
-        F.col(id_col),
-        F.explode(shingles(text_col, shingle_n)).alias("sh"),
-    ).select(F.col(id_col), F.md5(F.col("sh")).alias("shh"))
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shh") == F.col("b.shh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
+    cands = lsh_candidate_pairs(
+        df, text_col, id_col, num_hashes=num_hashes, band_size=band_size,
+        shingle_n=shingle_n,
     )
-    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a")
-    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b")
+    sets_ = df.select(
+        F.col(id_col), shingles(text_col, shingle_n).alias("shset")
+    )
+    sa = sets_.select(F.col(id_col).alias("id_a"), F.col("shset").alias("set_a"))
+    sb = sets_.select(F.col(id_col).alias("id_b"), F.col("shset").alias("set_b"))
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+                inter
+                / (F.size("set_a") + F.size("set_b") - inter),
+                6,
             ),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -255,21 +272,28 @@ def sql_ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
-    threshold: float = 0.5,
+    threshold: float = 0.25,
+    num_hashes: int = 8,
+    band_size: int = 2,
 ) -> str:
+    cands = sql_lsh_candidate_pairs(
+        table, text_col, id_col, num_hashes, band_size, shingle_n
+    )
+    sh = sql_shingles(text_col, shingle_n)
+    jac = (
+        "round(len(list_intersect(set_a, set_b)) / "
+        "(len(set_a) + len(set_b) - len(list_intersect(set_a, set_b))), 6)"
+    )
     return f"""
-    WITH sh AS (SELECT {id_col}, md5(unnest({sql_shingles(text_col, shingle_n)})) AS shh
-                FROM {table}),
-    sizes AS (SELECT {id_col}, count(*) AS sz FROM sh GROUP BY 1),
-    inter AS (SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, count(*) AS inter
-              FROM sh a JOIN sh b ON a.shh = b.shh AND a.{id_col} < b.{id_col}
-              GROUP BY 1, 2)
-    SELECT id_a, id_b,
-           round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.{id_col} = id_a
-    JOIN sizes sb ON sb.{id_col} = id_b
-    WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= {threshold}
+    WITH cands AS ({cands}),
+    sets_ AS (SELECT {id_col}, {sh} AS shset FROM {table}),
+    joined AS (SELECT id_a, id_b, sa.shset AS set_a, sb.shset AS set_b
+               FROM cands
+               JOIN sets_ sa ON sa.{id_col} = id_a
+               JOIN sets_ sb ON sb.{id_col} = id_b)
+    SELECT id_a, id_b, {jac} AS jaccard
+    FROM joined
+    WHERE {jac} >= {threshold}
     """
 
 
@@ -281,47 +305,58 @@ def sql_ngram_jaccard_pairs(
 # demonstrating the real algorithm; widen num_bits for production use.
 
 
-def _nibble_val(hash_col: Column, j: int) -> Column:
-    """Value 0-15 of hex nibble j (0-based) of an md5 hex string."""
-    return F.instr(
-        F.lit("0123456789abcdef"), F.substring(hash_col, j + 1, 1)
-    ) - F.lit(1)
+def simhash_per_doc(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_bits: int = 16,
+) -> DataFrame:
+    """(id, simhash): md5-bit voting over distinct tokens, ONE md5 per token.
 
-
-def simhash(col: Column | str, num_bits: int = 16) -> Column:
-    """SimHash over distinct tokens, as a long (bit b set iff vote sum ≥ 0)."""
-    toks = F.array_distinct(tokens(col))
-    bit_cols = []
+    Shape: explode distinct tokens → one md5 → ``num_bits`` cheap bit
+    extractions voted ±1 → one groupBy with ``num_bits`` sums → assemble the
+    bit-packed value. One shuffle on the doc id; cost is O(tokens), not
+    O(tokens × bits) digests. Docs with zero tokens are excluded (no
+    content to hash). 16 bits keeps the expression enumerable for the
+    oracle; widen for production.
+    """
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(text_col))).alias("t"),
+    ).select(F.col(id_col), F.md5("t").alias("h"))
+    aggs = []
     for b in range(num_bits):
-        j, k = divmod(b, 4)  # nibble index, bit-within-nibble (msb-first)
-
-        def vote(t: Column, b: int = b, j: int = j, k: int = k) -> Column:
-            nib = _nibble_val(F.md5(t), j)
-            bit = F.shiftright(nib, 3 - k).bitwiseAND(F.lit(1))
-            return bit * 2 - 1  # ±1 vote
-
-        vote_sum = F.aggregate(
-            toks, F.lit(0), lambda acc, t: acc + vote(t)
+        j, k = divmod(b, 4)  # hex nibble index, bit-within-nibble (msb-first)
+        nib = F.instr(F.lit("0123456789abcdef"), F.substring("h", j + 1, 1)) - 1
+        bit = F.shiftright(nib, 3 - k).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(bit * 2 - 1).alias(f"s_{b}"))
+    votes = exploded.groupBy(id_col).agg(*aggs)
+    packed = None
+    for b in range(num_bits):
+        term = F.when(F.col(f"s_{b}") >= 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        bit_cols.append(
-            F.when(vote_sum >= 0, F.lit(2**b).cast("long")).otherwise(F.lit(0))
-        )
-    out = bit_cols[0]
-    for c in bit_cols[1:]:
-        out = out + c
-    return out.cast("long")
+        packed = term if packed is None else packed + term
+    return votes.select(F.col(id_col), packed.cast("long").alias("simhash"))
 
 
-def sql_simhash(expr: str, num_bits: int = 16) -> str:
-    toks = f"list_distinct({sql_tokens(expr)})"
-    terms = []
+def sql_simhash_per_doc(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id",
+    num_bits: int = 16,
+) -> str:
+    sums, terms = [], []
     for b in range(num_bits):
         j, k = divmod(b, 4)
-        nib = f"(strpos('0123456789abcdef', substr(md5(t), {j + 1}, 1)) - 1)"
+        nib = f"(strpos('0123456789abcdef', substr(h, {j + 1}, 1)) - 1)"
         bit = f"(({nib} // {2 ** (3 - k)}) % 2)"
-        vote_sum = f"list_sum(list_transform({toks}, t -> {bit} * 2 - 1))"
-        terms.append(f"(CASE WHEN {vote_sum} >= 0 THEN {2**b} ELSE 0 END)")
-    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+        sums.append(f"sum({bit} * 2 - 1) AS s_{b}")
+        terms.append(f"(CASE WHEN s_{b} >= 0 THEN {2**b} ELSE 0 END)")
+    return f"""
+    SELECT {id_col}, CAST({' + '.join(terms)} AS BIGINT) AS simhash
+    FROM (SELECT {id_col}, {', '.join(sums)}
+          FROM (SELECT {id_col},
+                       md5(unnest(list_distinct({sql_tokens(text_col)}))) AS h
+                FROM {table})
+          GROUP BY {id_col})
+    """
 
 
 def simhash_buckets(
@@ -329,7 +364,7 @@ def simhash_buckets(
 ) -> DataFrame:
     """Bucket stats by simhash value — collision buckets are near-dup sets."""
     return (
-        df.select(simhash(text_col).alias("simhash"), F.col(id_col))
+        simhash_per_doc(df, text_col, id_col)
         .groupBy("simhash")
         .agg(
             F.count(F.lit(1)).cast("long").alias("bucket_size"),
@@ -342,8 +377,8 @@ def sql_simhash_buckets(
     table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
 ) -> str:
     return f"""
-    SELECT {sql_simhash(text_col)} AS simhash,
-           CAST(count(*) AS BIGINT) AS bucket_size,
+    SELECT simhash, CAST(count(*) AS BIGINT) AS bucket_size,
            min({id_col}) AS min_id
-    FROM {table} GROUP BY 1
+    FROM ({sql_simhash_per_doc(table, text_col, id_col)})
+    GROUP BY 1
     """

@@ -78,15 +78,23 @@ def brute_force_topk(
     is per-query via window, ties broken by neighbor id. At scale this is
     the verification baseline; use ``lsh_topk`` for the candidate path.
     """
+    # Norms are per-vector — compute each once, not once per pair.
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        norm(F.col(vec_col)).alias("_qnorm"),
     )
-    scored = vectors.join(
+    v = vectors.withColumn("_vnorm", norm(F.col(vec_col)))
+    scored = v.join(
         F.broadcast(q), F.col(query_id_col) != F.col(id_col)
     ).select(
         F.col(query_id_col),
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("_qvec"), F.col(vec_col)), 6).alias("cosine_sim"),
+        F.round(
+            dot(F.col("_qvec"), F.col(vec_col))
+            / (F.col("_qnorm") * F.col("_vnorm")),
+            6,
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
@@ -198,21 +206,43 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_col: str | None = "label",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
 
-    Brute-force form for correctness; at scale, pre-filter candidates with
-    ``lsh_signature`` equality before the exact cosine.
+    Pair generation is *blocked*: only vectors sharing ``block_col`` (a
+    cluster/label/bucket id) are compared — the standard way to keep
+    near-dup detection sub-quadratic. With ``block_col=None`` it degrades
+    to the full cross product (correctness baseline only). At 100 TB the
+    block id comes from ``lsh_signature`` or a coarse k-means assignment;
+    the pair join is then an equi-join Spark shuffles by block.
+    Norms are precomputed per vector (not per pair).
     """
-    a = vectors.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    cols = [F.col(id_col), F.col(vec_col)] + (
+        [F.col(block_col)] if block_col else []
     )
-    b = vectors.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    base = vectors.select(*cols).withColumn("_norm", norm(F.col(vec_col)))
+    a = base.select(
+        *([F.col(block_col)] if block_col else []),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("_norm").alias("na"),
     )
+    b = base.select(
+        *([F.col(block_col).alias("_blk_b")] if block_col else []),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("_norm").alias("nb"),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    if block_col:
+        cond = (F.col(block_col) == F.col("_blk_b")) & cond
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        a.join(b, cond)
+        .withColumn(
+            "cosine_sim",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+        )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
@@ -223,11 +253,14 @@ def sql_embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_col: str | None = "label",
 ) -> str:
-    cos = sql_cosine(f"a.{vec_col}", f"b.{vec_col}")
+    blk = f"AND a.{block_col} = b.{block_col}" if block_col else ""
+    cos = f"({sql_dot(f'a.{vec_col}', f'b.{vec_col}')} / (a.nrm * b.nrm))"
     return f"""
+    WITH base AS (SELECT *, {sql_norm(vec_col)} AS nrm FROM {table})
     SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
            round({cos}, 6) AS cosine_sim
-    FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col}
+    FROM base a JOIN base b ON a.{id_col} < b.{id_col} {blk}
     WHERE round({cos}, 6) >= {threshold}
     """

@@ -91,14 +91,20 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Heuristics in the spirit of C4/Gopher-style quality filters: very short
     docs, punctuation-heavy docs, and stopword-free docs score low.
+
+    Built as staged projections: tokenization and each regexp run exactly
+    once per row (Catalyst keeps the stages because it refuses to collapse
+    projections that would duplicate expensive expressions); the composite
+    score reads the already-computed feature attributes.
     """
     c = F.col(text_col)
-    toks = tokens(c)
-    n_chars = F.length(c).cast("long")
+    staged = df.select("doc_id", c.alias("_text"), tokens(c).alias("_toks"))
+    t, toks = F.col("_text"), F.col("_toks")
+    n_chars = F.length(t).cast("long")
     n_tokens = F.size(toks).cast("long")
-    n_alnum = F.length(F.regexp_replace(c, "[^A-Za-z0-9]", "")).cast("long")
+    n_alnum = F.length(F.regexp_replace(t, "[^A-Za-z0-9]", "")).cast("long")
     punct_ratio = F.round(
-        (n_chars - n_alnum - (n_chars - F.length(F.regexp_replace(c, " ", ""))))
+        (n_chars - n_alnum - (n_chars - F.length(F.regexp_replace(t, " ", ""))))
         / F.greatest(n_chars, F.lit(1)),
         6,
     )
@@ -111,21 +117,21 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         ),
         6,
     )
-    score = F.round(
-        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
-        + (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0))) * 0.3
-        + F.least(stop_ratio * 10, F.lit(1.0)) * 0.3,
-        6,
-    )
-    return df.select(
+    feats = staged.select(
         "doc_id",
         n_chars.alias("n_chars_m"),
         n_tokens.alias("n_tokens"),
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stop_ratio"),
         mean_tok_len.alias("mean_tok_len"),
-        score.alias("quality_score"),
     )
+    score = F.round(
+        F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(F.col("punct_ratio") * 5, F.lit(1.0))) * 0.3
+        + F.least(F.col("stop_ratio") * 10, F.lit(1.0)) * 0.3,
+        6,
+    )
+    return feats.withColumn("quality_score", score)
 
 
 def sql_quality_features(table: str = "documents", text_col: str = "text") -> str:
@@ -169,25 +175,37 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
-def lang_scores(col: Column | str) -> dict[str, Column]:
-    toks = F.array_distinct(tokens(col))
-    return {
-        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
-        for lang, words in LANG_MARKERS.items()
-    }
+def lang_id_df(
+    df: DataFrame, text_col: str = "text", out_col: str = "lang_pred"
+) -> DataFrame:
+    """Append predicted language = argmax marker overlap; ties broken by the
+    fixed language order in LANG_MARKERS; all-zero → 'und'.
 
-
-def lang_id(col: Column | str) -> Column:
-    """Predicted language = argmax marker overlap; ties broken by the fixed
-    language order in LANG_MARKERS; all-zero → 'und'."""
-    scores = lang_scores(col)
+    Staged: tokenize once → one score column per language → argmax over the
+    score attributes (the argmax case-when references each score several
+    times, so scores must be materialized attributes, not repeated
+    array_intersect calls).
+    """
+    staged = df.withColumn("_dtoks", F.array_distinct(tokens(text_col)))
+    for lang, words in LANG_MARKERS.items():
+        staged = staged.withColumn(
+            f"_s_{lang}",
+            F.size(
+                F.array_intersect(
+                    F.col("_dtoks"), F.array(*[F.lit(w) for w in words])
+                )
+            ),
+        )
+    scores = {lang: F.col(f"_s_{lang}") for lang in LANG_MARKERS}
     best = F.greatest(*scores.values())
     out = F.lit("und")
     # build reversed so earlier languages win ties via later when() override
     for lang in reversed(list(scores)):
         out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
     out = F.when(best == 0, F.lit("und")).otherwise(out)
-    return out
+    return staged.withColumn(out_col, out).drop(
+        "_dtoks", *[f"_s_{lang}" for lang in LANG_MARKERS]
+    )
 
 
 def sql_lang_id(expr: str) -> str:

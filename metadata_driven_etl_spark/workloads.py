@@ -73,6 +73,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition CPU-heavy narrow inputs to cluster parallelism.
+
+    The documents/embeddings tables arrive as one small parquet file → one
+    partition → one core does all the regexp/hash work. At 100 TB inputs
+    are naturally multi-partition and this is a no-op-sized shuffle.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 # =========================================================================
 # §2.1 Scans
 # =========================================================================
@@ -694,7 +704,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @workload("dedup_exact", oracle=dedup_ops.sql_exact_dedup_stats())
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content-hash group-by."""
-    return dedup_ops.exact_dedup_stats(_t(spark, sf_dir, "documents"))
+    return dedup_ops.exact_dedup_stats(_spread(_t(spark, sf_dir, "documents")))
 
 
 @workload(
@@ -706,7 +716,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: normalized-content md5 + token-bag md5."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         text_ops.doc_fingerprint("text").alias("fingerprint"),
@@ -723,7 +733,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish regex pieces."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         text_ops.token_count("text").alias("n_tokens"),
@@ -734,7 +744,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @workload("text_quality", oracle=text_ops.sql_quality_features())
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/punct/stopword features + composite score."""
-    return text_ops.quality_features(_t(spark, sf_dir, "documents"))
+    return text_ops.quality_features(_spread(_t(spark, sf_dir, "documents")))
 
 
 @workload(
@@ -745,34 +755,32 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (marker-word overlap argmax)."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", "lang", text_ops.lang_id("text").alias("lang_pred")
-    )
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return text_ops.lang_id_df(docs, "text").select("doc_id", "lang", "lang_pred")
 
 
 @workload("dedup_minhash_lsh", oracle=dedup_ops.sql_lsh_candidate_pairs())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs (shingle→minhash→band→bucket-join)."""
-    return dedup_ops.lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
+    return dedup_ops.lsh_candidate_pairs(_spread(_t(spark, sf_dir, "documents")))
 
 
 @workload("dedup_ngram_jaccard", oracle=dedup_ops.sql_ngram_jaccard_pairs())
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs ≥ 0.5 (sparse shared-shingle join)."""
-    return dedup_ops.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+    return dedup_ops.ngram_jaccard_pairs(_spread(_t(spark, sf_dir, "documents")))
 
 
 @workload("dedup_simhash", oracle=dedup_ops.sql_simhash_buckets())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash bucket dedup (md5-bit voting)."""
-    return dedup_ops.simhash_buckets(_t(spark, sf_dir, "documents"))
+    return dedup_ops.simhash_buckets(_spread(_t(spark, sf_dir, "documents")))
 
 
 @workload("similarity_topk", oracle=sim_ops.sql_brute_force_topk(num_queries=5))
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for query vecs (vec_id < 5)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
@@ -791,10 +799,13 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @workload(
     "embedding_near_dup",
-    oracle=sim_ops.sql_embedding_near_dup_pairs(threshold=0.8),
+    oracle=sim_ops.sql_embedding_near_dup_pairs(threshold=0.3),
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.8)."""
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.3, label-blocked).
+
+    Threshold chosen so the check is non-trivial on the synthetic
+    embeddings (random vectors — no planted near-dups above ~0.5)."""
     return sim_ops.embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.8
+        _spread(_t(spark, sf_dir, "embeddings")), threshold=0.3
     )

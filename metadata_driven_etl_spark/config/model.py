@@ -1,0 +1,312 @@
+"""Validated config model — the engine's user-facing "query language".
+
+Schema-compatible with the reference's YAML vocabulary (reference
+src/config/bronze_config.yaml / silver_config.yaml / gold_config.yaml):
+``sources[]`` with source_type/file_format/options/extract_strategy,
+``transformations[]`` with sql_query/partition_by/data_quality[],
+``models[]`` with refresh_type/primary_keys, and a ``default:`` block with
+``spark_conf``. The reference consumes raw dicts with scattered ``.get``
+defaults (bronze_layer.py:96-154 etc.); here every unit is validated into a
+dataclass at load time so a bad config fails fast with a named error, not
+mid-pipeline.
+
+Parameter substitution (``${PROCESSING_DATE}``, ``${EXTRACT_DATE}``, env
+vars) is declared here but BOUND later as typed literals/Spark SQL
+parameters — never string-spliced into SQL (fixes SURVEY.md §2.14#4).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+VALID_SOURCE_TYPES = {"file", "jdbc", "api", "table"}
+VALID_FILE_FORMATS = {"parquet", "csv", "json", "orc"}
+VALID_EXTRACT_STRATEGIES = {"full", "incremental"}
+VALID_RULE_TYPES = {
+    "not_null",
+    "regex",
+    "expression",
+    "referential_integrity",
+    "uniqueness",
+}
+VALID_ACTIONS = {"filter", "tag", "reject"}
+VALID_REFRESH_TYPES = {"full", "incremental"}
+
+
+class ConfigError(ValueError):
+    pass
+
+
+def _require(cond: bool, msg: str) -> None:
+    if not cond:
+        raise ConfigError(msg)
+
+
+@dataclass(frozen=True)
+class SourceConfig:
+    """One bronze ingestion unit (reference bronze_config.yaml:4-40)."""
+
+    source_id: str
+    source_type: str
+    target_table: str
+    description: str = ""
+    source_path: str | None = None
+    file_format: str | None = None
+    options: dict[str, str] = field(default_factory=dict)
+    extract_strategy: str = "full"
+    incremental_column: str | None = None
+    # jdbc
+    jdbc_url: str | None = None
+    query: str | None = None
+    fetchsize: int = 10000
+    # api
+    api_url: str | None = None
+    auth_token_env: str | None = None
+    enabled: bool = True
+
+    @staticmethod
+    def from_dict(d: dict[str, Any]) -> "SourceConfig":
+        _require("source_id" in d, "source missing source_id")
+        sid = d["source_id"]
+        st = d.get("source_type", "file")
+        _require(
+            st in VALID_SOURCE_TYPES,
+            f"source {sid}: invalid source_type {st!r} (valid: {sorted(VALID_SOURCE_TYPES)})",
+        )
+        _require("target_table" in d, f"source {sid}: missing target_table")
+        if st == "file":
+            _require(d.get("source_path"), f"source {sid}: file source needs source_path")
+            ff = d.get("file_format", "parquet")
+            _require(
+                ff in VALID_FILE_FORMATS,
+                f"source {sid}: invalid file_format {ff!r}",
+            )
+        es = d.get("extract_strategy", "full")
+        _require(
+            es in VALID_EXTRACT_STRATEGIES,
+            f"source {sid}: invalid extract_strategy {es!r}",
+        )
+        return SourceConfig(
+            source_id=sid,
+            source_type=st,
+            target_table=d["target_table"],
+            description=d.get("description", ""),
+            source_path=d.get("source_path"),
+            file_format=d.get("file_format", "parquet" if st == "file" else None),
+            options={str(k): str(v) for k, v in (d.get("options") or {}).items()},
+            extract_strategy=es,
+            incremental_column=d.get("incremental_column"),
+            jdbc_url=d.get("jdbc_url"),
+            query=d.get("query"),
+            fetchsize=int(d.get("fetchsize", 10000)),
+            api_url=d.get("api_url"),
+            auth_token_env=d.get("auth_token_env"),
+            enabled=bool(d.get("enabled", True)),
+        )
+
+
+@dataclass(frozen=True)
+class DQRuleConfig:
+    """One data-quality rule (reference silver_config.yaml data_quality[])."""
+
+    rule_name: str
+    rule_type: str
+    action_on_failure: str = "tag"
+    column: str | None = None
+    pattern: str | None = None
+    expression: str | None = None
+    ref_table: str | None = None
+    ref_column: str | None = None
+    columns: tuple[str, ...] = ()  # uniqueness
+
+    @staticmethod
+    def from_dict(d: dict[str, Any]) -> "DQRuleConfig":
+        _require("rule_name" in d, "dq rule missing rule_name")
+        name = d["rule_name"]
+        rt = d.get("rule_type")
+        _require(
+            rt in VALID_RULE_TYPES,
+            f"rule {name}: invalid rule_type {rt!r} (valid: {sorted(VALID_RULE_TYPES)})",
+        )
+        action = d.get("action_on_failure", "tag")
+        _require(
+            action in VALID_ACTIONS,
+            f"rule {name}: invalid action_on_failure {action!r}",
+        )
+        if rt in ("not_null", "regex"):
+            _require(d.get("column"), f"rule {name}: {rt} needs column")
+        if rt == "regex":
+            _require(d.get("pattern"), f"rule {name}: regex needs pattern")
+        if rt == "expression":
+            _require(d.get("expression"), f"rule {name}: expression rule needs expression")
+        if rt == "referential_integrity":
+            _require(
+                d.get("column") and d.get("ref_table") and d.get("ref_column"),
+                f"rule {name}: referential_integrity needs column/ref_table/ref_column",
+            )
+        if rt == "uniqueness":
+            _require(
+                d.get("columns") or d.get("column"),
+                f"rule {name}: uniqueness needs columns",
+            )
+        return DQRuleConfig(
+            rule_name=name,
+            rule_type=rt,
+            action_on_failure=action,
+            column=d.get("column"),
+            pattern=d.get("pattern"),
+            expression=d.get("expression"),
+            ref_table=d.get("ref_table"),
+            ref_column=d.get("ref_column"),
+            columns=tuple(d.get("columns") or ([d["column"]] if d.get("column") else [])),
+        )
+
+    @property
+    def flag_column(self) -> str:
+        """Single consistent flag-name contract: ``dq_<rule_name>_flag``.
+
+        The reference has per-rule-type mismatched names that break its own
+        tag action for 2 of 4 rule types (SURVEY.md §2.14#2).
+        """
+        return f"dq_{self.rule_name}_flag"
+
+
+@dataclass(frozen=True)
+class SilverTransform:
+    """One silver transformation unit (reference silver_config.yaml)."""
+
+    transform_id: str
+    target_table: str
+    sql_query: str
+    source_table: str | None = None
+    transformation_type: str = "sql"
+    partition_by: tuple[str, ...] = ()
+    data_quality: tuple[DQRuleConfig, ...] = ()
+    transaction_date_column: str | None = None
+    enabled: bool = True
+
+    @staticmethod
+    def from_dict(d: dict[str, Any]) -> "SilverTransform":
+        _require("transform_id" in d, "transform missing transform_id")
+        tid = d["transform_id"]
+        tt = d.get("transformation_type", "sql")
+        _require(
+            tt == "sql",
+            f"transform {tid}: unsupported transformation_type {tt!r} (only 'sql')",
+        )
+        _require(d.get("sql_query"), f"transform {tid}: missing sql_query")
+        _require(d.get("target_table"), f"transform {tid}: missing target_table")
+        pb = d.get("partition_by") or ()
+        if isinstance(pb, str):
+            pb = (pb,)
+        return SilverTransform(
+            transform_id=tid,
+            target_table=d["target_table"],
+            sql_query=d["sql_query"],
+            source_table=d.get("source_table"),
+            transformation_type=tt,
+            partition_by=tuple(pb),
+            data_quality=tuple(
+                DQRuleConfig.from_dict(r) for r in d.get("data_quality") or []
+            ),
+            transaction_date_column=d.get("transaction_date_column"),
+            enabled=bool(d.get("enabled", True)),
+        )
+
+
+@dataclass(frozen=True)
+class GoldModel:
+    """One gold model unit (reference gold_config.yaml)."""
+
+    model_id: str
+    target_table: str
+    sql_query: str
+    model_type: str = "sql"
+    partition_by: tuple[str, ...] = ()
+    refresh_type: str = "full"
+    primary_keys: tuple[str, ...] = ()
+    enabled: bool = True
+
+    @staticmethod
+    def from_dict(d: dict[str, Any]) -> "GoldModel":
+        _require("model_id" in d, "model missing model_id")
+        mid = d["model_id"]
+        mt = d.get("model_type", "sql")
+        _require(mt == "sql", f"model {mid}: unsupported model_type {mt!r} (only 'sql')")
+        _require(d.get("sql_query"), f"model {mid}: missing sql_query")
+        _require(d.get("target_table"), f"model {mid}: missing target_table")
+        rt = d.get("refresh_type", "full")
+        _require(rt in VALID_REFRESH_TYPES, f"model {mid}: invalid refresh_type {rt!r}")
+        pk = tuple(d.get("primary_keys") or ())
+        _require(
+            rt != "incremental" or pk,
+            f"model {mid}: incremental refresh needs primary_keys",
+        )
+        pb = d.get("partition_by") or ()
+        if isinstance(pb, str):
+            pb = (pb,)
+        return GoldModel(
+            model_id=mid,
+            target_table=d["target_table"],
+            sql_query=d["sql_query"],
+            model_type=mt,
+            partition_by=tuple(pb),
+            refresh_type=rt,
+            primary_keys=pk,
+            enabled=bool(d.get("enabled", True)),
+        )
+
+
+@dataclass(frozen=True)
+class LayerDefaults:
+    """``default:`` block — per-layer spark conf + paths."""
+
+    spark_conf: dict[str, str] = field(default_factory=dict)
+    extra: dict[str, Any] = field(default_factory=dict)
+
+    @staticmethod
+    def from_dict(d: dict[str, Any] | None) -> "LayerDefaults":
+        d = d or {}
+        conf = {str(k): str(v) for k, v in (d.get("spark_conf") or {}).items()}
+        extra = {k: v for k, v in d.items() if k != "spark_conf"}
+        return LayerDefaults(spark_conf=conf, extra=extra)
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    sources: tuple[SourceConfig, ...] = ()
+    transformations: tuple[SilverTransform, ...] = ()
+    models: tuple[GoldModel, ...] = ()
+    defaults: LayerDefaults = field(default_factory=LayerDefaults)
+
+    @staticmethod
+    def from_dict(d: dict[str, Any]) -> "PipelineConfig":
+        return PipelineConfig(
+            sources=tuple(SourceConfig.from_dict(s) for s in d.get("sources") or []),
+            transformations=tuple(
+                SilverTransform.from_dict(t) for t in d.get("transformations") or []
+            ),
+            models=tuple(GoldModel.from_dict(m) for m in d.get("models") or []),
+            defaults=LayerDefaults.from_dict(d.get("default")),
+        )
+
+
+def load_yaml_config(path: str) -> PipelineConfig:
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    return PipelineConfig.from_dict(raw)
+
+
+def load_config_dir(config_dir: str) -> dict[str, PipelineConfig]:
+    """Load the conventional {bronze,silver,gold}_config.yaml trio
+    (reference scripts/run_etl_pipeline.py --config-dir)."""
+    out: dict[str, PipelineConfig] = {}
+    for layer in ("bronze", "silver", "gold"):
+        p = os.path.join(config_dir, f"{layer}_config.yaml")
+        if os.path.exists(p):
+            out[layer] = load_yaml_config(p)
+    return out

@@ -1,0 +1,191 @@
+"""Single-pass data-quality rule engine.
+
+Re-derivation of the reference's DQ engine (reference src/modules/
+dq_engine.py, 272 LoC + silver_layer.py:169-256) with its defects designed
+out (SURVEY.md §2.14 #1/#2/#8/#10):
+
+- **One plan, one pass.** The reference runs 2 counts + 3 derived
+  DataFrames + a collect PER RULE over the uncached input — O(rules × full
+  scans), and counts can drift between actions on nondeterministic input.
+  Here every rule becomes one boolean validity column on a single
+  DataFrame; metrics for ALL rules come from one aggregation pass (or, on
+  the write path, from ``df.observe`` — zero extra passes).
+- **Explicit NULL semantics.** ``rlike`` on NULL is NULL → the reference's
+  valid+invalid counts don't add up for null-bearing columns. Every
+  condition here is null-coalesced: NULL input is INVALID for not_null /
+  regex / expression; referential integrity treats NULL keys as invalid
+  (no match possible); uniqueness counts NULL keys as a group.
+- **One flag-name contract**: ``dq_<rule_name>_flag`` ∈ {VALID, INVALID}
+  for every rule type (the reference's tag action breaks for 2 of its 4
+  rule types due to name mismatches).
+- **uniqueness implemented and reachable** (dead+broken ``F.Window`` in the
+  reference) — via a window count, one shuffle, no self-join.
+
+Rule types: not_null, regex, expression, referential_integrity, uniqueness.
+Actions: filter (keep valid rows), tag (add flag column), reject (raise if
+any invalid).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from metadata_driven_etl_spark.config.model import DQRuleConfig
+
+
+@dataclass
+class DQRuleMetrics:
+    rule_name: str
+    rule_type: str
+    action: str
+    total_count: int
+    valid_count: int
+    invalid_count: int
+
+    @property
+    def is_valid(self) -> bool:
+        return self.invalid_count == 0
+
+
+@dataclass
+class DQResult:
+    df: DataFrame  # rows after actions (filtered and/or tagged)
+    metrics: list[DQRuleMetrics] = field(default_factory=list)
+    rejected_rules: list[str] = field(default_factory=list)
+    invalid_samples: dict[str, list] = field(default_factory=dict)
+
+
+class DQRejectError(RuntimeError):
+    """Raised when a rule with action_on_failure=reject has invalid rows."""
+
+
+class DataQualityEngine:
+    def __init__(self, spark, sample_invalid: int = 0):
+        self.spark = spark
+        self.sample_invalid = sample_invalid
+
+    # -- condition builders (row is VALID iff condition is True) -----------
+
+    def _condition(self, df: DataFrame, rule: DQRuleConfig) -> tuple[DataFrame, Column]:
+        """Return (possibly augmented df, boolean validity Column).
+
+        referential_integrity and uniqueness need helper columns (a join /
+        a window) — they augment the plan; the other rules are pure
+        expressions. Everything stays in ONE DataFrame lineage.
+        """
+        if rule.rule_type == "not_null":
+            return df, F.col(rule.column).isNotNull()
+        if rule.rule_type == "regex":
+            # NULL → INVALID, explicitly (reference counts NULLs as neither)
+            return df, F.coalesce(F.col(rule.column).rlike(rule.pattern), F.lit(False))
+        if rule.rule_type == "expression":
+            return df, F.coalesce(F.expr(rule.expression), F.lit(False))
+        if rule.rule_type == "referential_integrity":
+            helper = f"__dq_ref_{rule.rule_name}"
+            ref = (
+                self.spark.table(rule.ref_table)
+                .select(F.col(rule.ref_column).alias(rule.column))
+                .distinct()
+                .withColumn(helper, F.lit(True))
+            )
+            # broadcast: reference keys are dimension-sized; a shuffle join
+            # of the full fact table for a DQ check would dominate the run
+            out = df.join(F.broadcast(ref), on=[rule.column], how="left")
+            return out, F.coalesce(F.col(helper), F.lit(False))
+        if rule.rule_type == "uniqueness":
+            helper = f"__dq_uniq_{rule.rule_name}"
+            w = Window.partitionBy(*rule.columns)
+            out = df.withColumn(helper, F.count(F.lit(1)).over(w))
+            return out, F.col(helper) == 1
+        raise ValueError(f"unknown rule_type {rule.rule_type!r}")
+
+    # -- main entry ---------------------------------------------------------
+
+    def apply(self, df: DataFrame, rules: list[DQRuleConfig]) -> DQResult:
+        """Evaluate all rules in one pass and apply their actions.
+
+        Plan shape: augment df with helper cols → one validity column per
+        rule → ONE aggregation action computes every rule's counts → filter
+        to the conjunction of filter/reject-rule validity → drop helpers,
+        tag flags. The output DataFrame is lazy; only the metrics
+        aggregation executes here.
+        """
+        if not rules:
+            return DQResult(df=df)
+
+        work = df
+        validity: dict[str, Column] = {}
+        for rule in rules:
+            work, cond = self._condition(work, rule)
+            validity[rule.rule_name] = cond
+
+        # materialize validity as columns so metrics + actions share them
+        valid_cols = {r.rule_name: f"__dq_valid_{r.rule_name}" for r in rules}
+        for r in rules:
+            work = work.withColumn(valid_cols[r.rule_name], validity[r.rule_name])
+
+        # ONE aggregation pass for every rule's metrics
+        aggs = [F.count(F.lit(1)).alias("__total")]
+        for r in rules:
+            aggs.append(
+                F.sum(F.when(F.col(valid_cols[r.rule_name]), 1).otherwise(0)).alias(
+                    r.rule_name
+                )
+            )
+        row = work.agg(*aggs).collect()[0]
+        total = row["__total"]
+
+        metrics, rejected = [], []
+        for r in rules:
+            valid = int(row[r.rule_name] or 0)
+            m = DQRuleMetrics(
+                rule_name=r.rule_name,
+                rule_type=r.rule_type,
+                action=r.action_on_failure,
+                total_count=total,
+                valid_count=valid,
+                invalid_count=total - valid,
+            )
+            metrics.append(m)
+            if r.action_on_failure == "reject" and m.invalid_count > 0:
+                rejected.append(r.rule_name)
+
+        samples: dict[str, list] = {}
+        if self.sample_invalid:
+            for r in rules:
+                m = next(x for x in metrics if x.rule_name == r.rule_name)
+                if m.invalid_count:
+                    samples[r.rule_name] = (
+                        work.filter(~F.col(valid_cols[r.rule_name]))
+                        .select(*df.columns)
+                        .limit(self.sample_invalid)
+                        .collect()
+                    )
+
+        if rejected:
+            raise DQRejectError(
+                f"DQ reject: rule(s) {rejected} have invalid rows "
+                f"({ {m.rule_name: m.invalid_count for m in metrics} })"
+            )
+
+        # actions: filter = conjunction of filter-rule validity
+        out = work
+        for r in rules:
+            if r.action_on_failure == "filter":
+                out = out.filter(F.col(valid_cols[r.rule_name]))
+        # tag flags (consistent contract), then drop helpers
+        for r in rules:
+            if r.action_on_failure == "tag":
+                out = out.withColumn(
+                    r.flag_column,
+                    F.when(F.col(valid_cols[r.rule_name]), F.lit("VALID")).otherwise(
+                        F.lit("INVALID")
+                    ),
+                )
+        keep = df.columns + [r.flag_column for r in rules if r.action_on_failure == "tag"]
+        out = out.select(*keep)
+        return DQResult(df=out, metrics=metrics, rejected_rules=rejected,
+                        invalid_samples=samples)

@@ -1,0 +1,136 @@
+"""TableFormat seam: managed-table reads/writes behind one interface.
+
+The reference hard-wires Delta (saveAsTable everywhere, e.g. reference
+bronze_layer.py:135-137, silver_layer.py:148-150) and passes ``partitionBy``
+through ``.options()`` — which DataFrameWriter silently ignores, so its
+tables end up unpartitioned despite config (SURVEY.md §2.14#3). This seam
+
+- fixes partitioning (a real ``.partitionBy()``),
+- makes Delta optional: ``DeltaFormat`` when delta jars are present,
+  ``ParquetFormat`` otherwise (this harness has no Delta), selected by
+  ``get_table_format``,
+- gives MERGE/upsert one implementation point (Delta's native MERGE vs the
+  relational emulation in operators.merge).
+
+Scale notes: ``overwrite_partitions`` uses dynamic partition overwrite —
+an incremental run only rewrites the partitions it produced, never the
+table history (fixes the reference's silent history loss, §2.14#7).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _ensure_database(spark: SparkSession, table: str) -> None:
+    if "." in table:
+        db = table.split(".")[0]
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+
+
+class TableFormat:
+    """Base: catalog-managed tables via saveAsTable in a given format."""
+
+    format_name = "parquet"
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.table(table)
+
+    def table_exists(self, spark: SparkSession, table: str) -> bool:
+        return spark.catalog.tableExists(table)
+
+    def append(self, df: DataFrame, table: str) -> None:
+        _ensure_database(df.sparkSession, table)
+        df.write.format(self.format_name).mode("append").saveAsTable(table)
+
+    def overwrite(
+        self, df: DataFrame, table: str, partition_by: Sequence[str] | None = None
+    ) -> None:
+        _ensure_database(df.sparkSession, table)
+        writer = df.write.format(self.format_name).mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.option("overwriteSchema", "true").saveAsTable(table)
+
+    def overwrite_partitions(
+        self, df: DataFrame, table: str, partition_by: Sequence[str]
+    ) -> None:
+        """Replace only the partitions present in ``df`` (dynamic overwrite).
+
+        The correct write mode for incremental refreshes of partitioned
+        tables: history outside the written partitions survives.
+        """
+        spark = df.sparkSession
+        if not self.table_exists(spark, table):
+            self.overwrite(df, table, partition_by)
+            return
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            df.write.format(self.format_name).mode("overwrite").insertInto(table)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    def merge(
+        self, spark: SparkSession, table: str, source: DataFrame, keys: Sequence[str]
+    ) -> None:
+        """Upsert ``source`` into ``table`` on key equality
+        (WHEN MATCHED UPDATE ALL / WHEN NOT MATCHED INSERT ALL)."""
+        from metadata_driven_etl_spark.operators.merge import upsert
+
+        if not self.table_exists(spark, table):
+            self.overwrite(source, table)
+            return
+        target = self.read(spark, table)
+        # Materialize before overwriting the files we read from.
+        merged = upsert(target, source, keys).localCheckpoint(eager=True)
+        self.overwrite(merged, table)
+
+
+class ParquetFormat(TableFormat):
+    """Parquet-backed managed tables (harness default — no delta jars)."""
+
+    format_name = "parquet"
+
+
+class DeltaFormat(TableFormat):
+    """Delta-backed tables; native MERGE. Only constructible when
+    delta-spark is importable."""
+
+    format_name = "delta"
+
+    def merge(
+        self, spark: SparkSession, table: str, source: DataFrame, keys: Sequence[str]
+    ) -> None:
+        from delta.tables import DeltaTable  # gated import
+
+        if not self.table_exists(spark, table):
+            self.overwrite(source, table)
+            return
+        cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+        (
+            DeltaTable.forName(spark, table)
+            .alias("t")
+            .merge(source.alias("s"), cond)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+
+
+def delta_available() -> bool:
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def get_table_format(prefer: str = "auto") -> TableFormat:
+    """'delta' | 'parquet' | 'auto' (delta when importable)."""
+    if prefer == "delta" or (prefer == "auto" and delta_available()):
+        return DeltaFormat()
+    return ParquetFormat()

@@ -1,0 +1,292 @@
+"""Medallion-layer pipeline runners (the engine's orchestration core).
+
+Re-derivation of the reference's bronze/silver/gold modules (reference
+src/modules/{bronze,silver,gold}_layer.py, ~1100 LoC) with the semantics
+fixed per SURVEY.md §2.14:
+
+- incremental bronze extracts STRICTLY AFTER the last run date (#6: the
+  reference re-extracts >= last_run_date with append → boundary-date dups),
+- silver incremental writes replace only the partitions produced, never the
+  table history (#7: the reference combines an incremental filter with full
+  overwrite — each run silently discards history),
+- gold incremental refresh MERGEs on primary keys through the TableFormat
+  seam (Delta-native when available),
+- one count per unit via ``df.observe`` — the reference runs count() then
+  write(), executing every plan twice (§4.3),
+- per-unit error isolation (M10): a failing unit logs ERROR and the
+  pipeline continues,
+- parameters are bound as typed literals via Spark SQL named parameters,
+  never textual splicing (#4).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from metadata_driven_etl_spark.config.model import (
+    GoldModel,
+    PipelineConfig,
+    SilverTransform,
+    SourceConfig,
+)
+from metadata_driven_etl_spark.dq.engine import DataQualityEngine, DQRejectError
+from metadata_driven_etl_spark.io.writer import TableFormat
+from metadata_driven_etl_spark.metadata.audit import AuditLogger
+from metadata_driven_etl_spark.metadata.control import ControlTable
+from metadata_driven_etl_spark.metadata.metrics import DataDictionary, DQMetricsStore
+from metadata_driven_etl_spark.operators.projections import with_lineage
+from metadata_driven_etl_spark.sources.jdbc import build_jdbc_reader
+from metadata_driven_etl_spark.sources.readers import read_file_source
+from metadata_driven_etl_spark.sources.rest_api import read_api_source
+
+
+@dataclass
+class UnitResult:
+    unit_id: str
+    target_table: str
+    status: str  # success | error | skipped
+    rows: int = 0
+    seconds: float = 0.0
+    error: str | None = None
+
+
+@dataclass
+class PipelineContext:
+    """Shared services for all layers — one construction point, reused
+    (the reference re-creates metadata managers per layer object, which —
+    combined with its destructive init — wipes history; §4.3)."""
+
+    spark: SparkSession
+    table_format: TableFormat
+    control: ControlTable = None  # type: ignore[assignment]
+    audit: AuditLogger = None  # type: ignore[assignment]
+    dq_metrics: DQMetricsStore = None  # type: ignore[assignment]
+    dictionary: DataDictionary = None  # type: ignore[assignment]
+    extras: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        self.spark.sql("CREATE DATABASE IF NOT EXISTS metadata")
+        if self.control is None:
+            self.control = ControlTable(self.spark, self.table_format)
+        if self.audit is None:
+            self.audit = AuditLogger(self.spark, self.table_format)
+        if self.dq_metrics is None:
+            self.dq_metrics = DQMetricsStore(self.spark, self.table_format)
+        if self.dictionary is None:
+            self.dictionary = DataDictionary(self.spark, self.table_format)
+
+
+def _counted_write(df: DataFrame, write_fn) -> int:
+    """Write once, count from an Observation — no second plan execution."""
+    obs = Observation()
+    observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+    write_fn(observed)
+    return int(obs.get["rows"])
+
+
+class _LayerBase:
+    layer_name = "?"
+
+    def __init__(self, ctx: PipelineContext, config: PipelineConfig):
+        self.ctx = ctx
+        self.config = config
+        for k, v in config.defaults.spark_conf.items():
+            try:
+                self.ctx.spark.conf.set(k, v)
+            except Exception:
+                pass  # static confs can't change at runtime; defaults apply
+
+    def _run_units(self, units, runner) -> list[UnitResult]:
+        results = []
+        for unit in units:
+            uid = getattr(unit, "source_id", None) or getattr(
+                unit, "transform_id", None
+            ) or getattr(unit, "model_id", None)
+            if not unit.enabled:
+                results.append(
+                    UnitResult(uid, unit.target_table, "skipped")
+                )
+                continue
+            t0 = time.perf_counter()
+            self.ctx.audit.log_start(
+                self.layer_name, "process", uid, target_table=unit.target_table
+            )
+            try:
+                rows = runner(unit)
+                secs = round(time.perf_counter() - t0, 3)
+                self.ctx.audit.log_success(
+                    self.layer_name, "process", uid,
+                    rows_processed=rows, target_table=unit.target_table,
+                )
+                results.append(
+                    UnitResult(uid, unit.target_table, "success", rows, secs)
+                )
+            except Exception as e:  # per-unit isolation (M10)
+                secs = round(time.perf_counter() - t0, 3)
+                self.ctx.audit.log_error(
+                    self.layer_name, "process", uid, e,
+                    target_table=unit.target_table,
+                )
+                results.append(
+                    UnitResult(uid, unit.target_table, "error", 0, secs, str(e))
+                )
+        return results
+
+
+class BronzeLayer(_LayerBase):
+    """Config-driven raw ingestion (M1, M2)."""
+
+    layer_name = "bronze"
+
+    def run(self, run_date: str) -> list[UnitResult]:
+        return self._run_units(
+            self.config.sources, lambda s: self._ingest(s, run_date)
+        )
+
+    def _extract(self, src: SourceConfig, run_date: str) -> DataFrame:
+        spark = self.ctx.spark
+        if src.source_type == "file":
+            return read_file_source(spark, src)
+        if src.source_type == "table":
+            return spark.table(src.source_path or src.source_id)
+        if src.source_type == "jdbc":
+            extract_date = self._extract_date(src, run_date)
+            return build_jdbc_reader(spark, src, extract_date).load()
+        if src.source_type == "api":
+            return read_api_source(spark, src)
+        raise ValueError(f"unknown source_type {src.source_type!r}")
+
+    def _extract_date(self, src: SourceConfig, run_date: str) -> str:
+        if src.extract_strategy != "incremental":
+            return run_date
+        last = self.ctx.control.get_last_run_date(src.target_table, self.layer_name)
+        return last or run_date
+
+    def _ingest(self, src: SourceConfig, run_date: str) -> int:
+        df = self._extract(src, run_date)
+        if src.extract_strategy == "incremental" and src.incremental_column:
+            last = self.ctx.control.get_last_run_date(
+                src.target_table, self.layer_name
+            )
+            if last:
+                # STRICTLY after the last run date: re-running never
+                # duplicates the boundary date (reference bug §2.14#6:
+                # >= + append → dups). Expressed as `col >= next_day` with
+                # the literal cast to the column's own type so the
+                # predicate pushes into the parquet scan (a per-row
+                # cast(col as date) would disable pushdown).
+                from datetime import date as _date
+                from datetime import timedelta as _td
+
+                next_day = (_date.fromisoformat(last) + _td(days=1)).isoformat()
+                col_type = dict(df.dtypes)[src.incremental_column]
+                df = df.filter(
+                    F.col(src.incremental_column)
+                    >= F.lit(next_day).cast(col_type)
+                )
+        df = with_lineage(df, src.source_id)
+        rows = _counted_write(
+            df, lambda d: self.ctx.table_format.append(d, src.target_table)
+        )
+        self.ctx.control.update_run(
+            src.target_table, self.layer_name, run_date, rows, "success",
+            {"source_id": src.source_id, "strategy": src.extract_strategy},
+        )
+        return rows
+
+
+class SilverLayer(_LayerBase):
+    """Config-driven SQL transforms + single-pass DQ (M3-M6)."""
+
+    layer_name = "silver"
+
+    def __init__(self, ctx: PipelineContext, config: PipelineConfig):
+        super().__init__(ctx, config)
+        self.dq = DataQualityEngine(ctx.spark, sample_invalid=100)
+
+    def run(self, run_date: str) -> list[UnitResult]:
+        return self._run_units(
+            self.config.transformations, lambda t: self._transform(t, run_date)
+        )
+
+    def _sql(self, sql_query: str, run_date: str) -> DataFrame:
+        """Execute config SQL with the date bound as a Spark SQL named
+        parameter (never string-spliced)."""
+        q = sql_query.replace("'${PROCESSING_DATE}'", ":processing_date").replace(
+            "${PROCESSING_DATE}", ":processing_date"
+        )
+        return self.ctx.spark.sql(q, args={"processing_date": run_date})
+
+    def _transform(self, t: SilverTransform, run_date: str) -> int:
+        df = self._sql(t.sql_query, run_date)
+        result = self.dq.apply(df, list(t.data_quality))
+        self.ctx.dq_metrics.record(t.target_table, run_date, result.metrics)
+
+        incremental = "${PROCESSING_DATE}" in t.sql_query
+        if incremental and t.partition_by:
+            # replace only the partitions this run produced (§2.14#7)
+            rows = _counted_write(
+                result.df,
+                lambda d: self.ctx.table_format.overwrite_partitions(
+                    d, t.target_table, list(t.partition_by)
+                ),
+            )
+        else:
+            rows = _counted_write(
+                result.df,
+                lambda d: self.ctx.table_format.overwrite(
+                    d, t.target_table, list(t.partition_by) or None
+                ),
+            )
+        self.ctx.control.update_run(
+            t.target_table, self.layer_name, run_date, rows, "success",
+            {"transform_id": t.transform_id},
+        )
+        self.ctx.dictionary.register(t.target_table, result.df)
+        return rows
+
+
+class GoldLayer(_LayerBase):
+    """Config-driven analytics models with full/incremental refresh (M7)."""
+
+    layer_name = "gold"
+
+    def run(self, run_date: str) -> list[UnitResult]:
+        return self._run_units(
+            self.config.models, lambda m: self._model(m, run_date)
+        )
+
+    def _sql(self, sql_query: str, run_date: str) -> DataFrame:
+        q = sql_query.replace("'${PROCESSING_DATE}'", ":processing_date").replace(
+            "${PROCESSING_DATE}", ":processing_date"
+        )
+        return self.ctx.spark.sql(q, args={"processing_date": run_date})
+
+    def _model(self, m: GoldModel, run_date: str) -> int:
+        df = self._sql(m.sql_query, run_date).withColumn(
+            "gold_insert_timestamp", F.current_timestamp()
+        )
+        fmt, spark = self.ctx.table_format, self.ctx.spark
+        if m.refresh_type == "incremental" and fmt.table_exists(
+            spark, m.target_table
+        ):
+            # MERGE path: count the source once, then upsert
+            rows = df.count()
+            fmt.merge(spark, m.target_table, df, list(m.primary_keys))
+        else:
+            rows = _counted_write(
+                df,
+                lambda d: fmt.overwrite(
+                    d, m.target_table, list(m.partition_by) or None
+                ),
+            )
+        self.ctx.control.update_run(
+            m.target_table, self.layer_name, run_date, rows, "success",
+            {"model_id": m.model_id, "refresh_type": m.refresh_type},
+        )
+        self.ctx.dictionary.register(m.target_table, df)
+        return rows

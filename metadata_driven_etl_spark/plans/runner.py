@@ -1,0 +1,88 @@
+"""Pipeline orchestration CLI (reference scripts/run_etl_pipeline.py, M11).
+
+``python -m metadata_driven_etl_spark.plans.runner --date 2024-01-15
+--layers bronze,silver,gold --config-dir configs/``
+
+Differences from the reference: non-destructive metadata bootstrap, one
+shared PipelineContext (one run_id across layers), per-layer wall-clock
+recorded into the audit log (the reference only prints it).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from datetime import date
+
+from metadata_driven_etl_spark.config.model import load_config_dir
+from metadata_driven_etl_spark.io.writer import get_table_format
+from metadata_driven_etl_spark.plans.pipeline import (
+    BronzeLayer,
+    GoldLayer,
+    PipelineContext,
+    SilverLayer,
+    UnitResult,
+)
+from metadata_driven_etl_spark.session import get_spark
+
+LAYER_CLASSES = {"bronze": BronzeLayer, "silver": SilverLayer, "gold": GoldLayer}
+
+
+def run_pipeline(
+    spark,
+    config_dir: str,
+    run_date: str,
+    layers: list[str],
+    table_format=None,
+) -> dict[str, list[UnitResult]]:
+    configs = load_config_dir(config_dir)
+    ctx = PipelineContext(
+        spark=spark, table_format=table_format or get_table_format()
+    )
+    results: dict[str, list[UnitResult]] = {}
+    for layer in layers:
+        if layer not in configs:
+            continue
+        t0 = time.perf_counter()
+        ctx.audit.log_start(layer, "layer_run", f"{layer}_layer")
+        layer_results = LAYER_CLASSES[layer](ctx, configs[layer]).run(run_date)
+        results[layer] = layer_results
+        rows = sum(r.rows for r in layer_results)
+        errs = [r for r in layer_results if r.status == "error"]
+        if errs:
+            ctx.audit.log_error(
+                layer, "layer_run", f"{layer}_layer",
+                f"{len(errs)} unit(s) failed: {[r.unit_id for r in errs]}",
+            )
+        else:
+            ctx.audit.log_success(
+                layer, "layer_run", f"{layer}_layer", rows_processed=rows
+            )
+        print(
+            f"[{layer}] {len(layer_results)} unit(s), {rows} rows, "
+            f"{len(errs)} error(s), {time.perf_counter() - t0:.1f}s"
+        )
+    return results
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="metadata-driven ETL pipeline")
+    ap.add_argument("--date", default=date.today().isoformat())
+    ap.add_argument("--layers", default="bronze,silver,gold")
+    ap.add_argument("--config-dir", required=True)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    spark = get_spark(app_name="mdes-pipeline", master=args.master)
+    results = run_pipeline(
+        spark, args.config_dir, args.date, args.layers.split(",")
+    )
+    failed = any(
+        r.status == "error" for rs in results.values() for r in rs
+    )
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,74 @@
+"""REST API source (reference db_utils.py:45-74 + bronze_layer.py:202-220).
+
+The reference does a blocking driver-side ``requests.get`` then
+``parallelize`` + ``spark.read.json`` (an RDD detour). Two paths here:
+
+- ``read_api_source``: small payloads — one driver fetch →
+  ``spark.createDataFrame`` via json-normalized rows. Import-gated on
+  ``requests`` (absent in this harness → clear error, unit tests inject a
+  fetcher).
+- ``read_api_source_distributed``: the scale path — a DataFrame of URLs
+  (e.g. paginated endpoints) fanned out with ``mapInPandas`` so executors
+  fetch in parallel; the driver never holds the payload.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+from metadata_driven_etl_spark.config.model import SourceConfig
+
+
+def _default_fetcher(url: str, token: str | None) -> list[dict]:
+    try:
+        import requests  # gated: not installed in this harness
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "REST API source needs the 'requests' package (not available "
+            "in this environment); pass fetcher= explicitly in tests"
+        ) from e
+    headers = {"Authorization": f"Bearer {token}"} if token else {}
+    resp = requests.get(url, headers=headers, timeout=60)
+    resp.raise_for_status()
+    data = resp.json()
+    return data if isinstance(data, list) else [data]
+
+
+def read_api_source(
+    spark: SparkSession,
+    src: SourceConfig,
+    fetcher: Callable[[str, str | None], list[dict]] | None = None,
+) -> DataFrame:
+    token = os.environ.get(src.auth_token_env) if src.auth_token_env else None
+    rows = (fetcher or _default_fetcher)(src.api_url or "", token)
+    # json-normalize via the session's JSON reader for schema inference
+    return spark.read.json(spark.sparkContext.parallelize([json.dumps(r) for r in rows]))
+
+
+def read_api_source_distributed(
+    url_df: DataFrame,
+    result_schema: str,
+    fetcher: Callable[[str, str | None], list[dict]] | None = None,
+    token: str | None = None,
+) -> DataFrame:
+    """Fan out fetches across executors: url_df('url') → rows(result_schema).
+
+    Each partition's URLs are fetched inside ``mapInPandas`` — bounded
+    memory, parallel egress, no driver bottleneck.
+    """
+    import pandas as pd
+
+    fetch = fetcher or _default_fetcher
+
+    def fetch_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for url in pdf["url"]:
+                out.extend(fetch(url, token))
+            yield pd.DataFrame(out) if out else pd.DataFrame()
+
+    return url_df.mapInPandas(fetch_partition, schema=result_schema)

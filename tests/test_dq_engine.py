@@ -1,0 +1,128 @@
+"""DQ engine unit tests: NULL semantics, partition invariants, actions.
+
+These encode the invariants the reference violates (SURVEY.md §2.14 #2/#10):
+valid + invalid = total for every rule (even with NULLs), tag never changes
+row count, filter output ⊆ input, reject raises.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from metadata_driven_etl_spark.config.model import DQRuleConfig
+from metadata_driven_etl_spark.dq.engine import DataQualityEngine, DQRejectError
+
+
+@pytest.fixture()
+def dq(spark):
+    return DataQualityEngine(spark)
+
+
+@pytest.fixture()
+def df(spark):
+    rows = [
+        (1, "a@x.com", 10.0),
+        (2, None, -5.0),
+        (3, "bad-email", None),
+        (4, "b@y.org", 20.0),
+        (4, "c@z.io", 30.0),  # duplicate id
+    ]
+    return spark.createDataFrame(rows, "id int, email string, amount double")
+
+
+def _rule(**kw):
+    return DQRuleConfig.from_dict(kw)
+
+
+def test_not_null_counts(dq, df):
+    res = dq.apply(df, [_rule(rule_name="r", rule_type="not_null",
+                              column="email", action_on_failure="tag")])
+    m = res.metrics[0]
+    assert (m.valid_count, m.invalid_count, m.total_count) == (4, 1, 5)
+    assert res.df.count() == 5  # tag never drops rows
+
+
+def test_regex_null_is_invalid(dq, df):
+    """NULL email is INVALID, not uncounted (reference bug §2.14#10)."""
+    res = dq.apply(df, [_rule(rule_name="r", rule_type="regex", column="email",
+                              pattern="^[^@]+@[^@]+\\.[a-z]+$",
+                              action_on_failure="tag")])
+    m = res.metrics[0]
+    assert m.valid_count + m.invalid_count == m.total_count
+    assert m.invalid_count == 2  # NULL + 'bad-email'
+    flags = {r.id: r["dq_r_flag"] for r in res.df.collect()}
+    assert flags[2] == "INVALID"
+
+
+def test_expression_null_is_invalid(dq, df):
+    res = dq.apply(df, [_rule(rule_name="r", rule_type="expression",
+                              expression="amount > 0",
+                              action_on_failure="filter")])
+    m = res.metrics[0]
+    assert m.invalid_count == 2  # -5.0 and NULL
+    out = res.df.collect()
+    assert len(out) == 3 and all(r.amount > 0 for r in out)
+
+
+def test_uniqueness_window(dq, df):
+    res = dq.apply(df, [_rule(rule_name="u", rule_type="uniqueness",
+                              columns=["id"], action_on_failure="tag")])
+    m = res.metrics[0]
+    assert m.invalid_count == 2  # both rows of the duplicated id
+    flags = [(r.id, r["dq_u_flag"]) for r in res.df.collect()]
+    assert sum(1 for _, f in flags if f == "INVALID") == 2
+
+
+def test_referential_integrity(spark, dq, df):
+    spark.createDataFrame([(1,), (2,), (3,)], "ref_id int").createOrReplaceTempView(
+        "dq_ref_ids"
+    )
+    # temp view is visible via spark.table
+    res = dq.apply(df, [_rule(rule_name="ri", rule_type="referential_integrity",
+                              column="id", ref_table="dq_ref_ids",
+                              ref_column="ref_id", action_on_failure="filter")])
+    m = res.metrics[0]
+    assert m.invalid_count == 2  # the two id=4 rows
+    assert sorted(r.id for r in res.df.collect()) == [1, 2, 3]
+    assert res.df.columns == df.columns  # helper columns dropped
+
+
+def test_reject_raises(dq, df):
+    with pytest.raises(DQRejectError):
+        dq.apply(df, [_rule(rule_name="r", rule_type="not_null", column="email",
+                            action_on_failure="reject")])
+
+
+def test_reject_passes_when_clean(dq, df):
+    res = dq.apply(df, [_rule(rule_name="r", rule_type="not_null", column="id",
+                              action_on_failure="reject")])
+    assert res.metrics[0].invalid_count == 0
+    assert res.df.count() == 5
+
+
+def test_multiple_rules_single_pass(dq, df):
+    """All rule metrics come from one aggregation over one lineage."""
+    rules = [
+        _rule(rule_name="a", rule_type="not_null", column="email",
+              action_on_failure="tag"),
+        _rule(rule_name="b", rule_type="expression", expression="amount > 0",
+              action_on_failure="filter"),
+        _rule(rule_name="c", rule_type="uniqueness", columns=["id"],
+              action_on_failure="tag"),
+    ]
+    res = dq.apply(df, rules)
+    assert [m.rule_name for m in res.metrics] == ["a", "b", "c"]
+    for m in res.metrics:
+        assert m.valid_count + m.invalid_count == m.total_count == 5
+    out = res.df
+    assert set(out.columns) == set(df.columns) | {"dq_a_flag", "dq_c_flag"}
+    assert out.count() == 3  # filter rule applied
+
+
+def test_invalid_samples(spark, df):
+    dq = DataQualityEngine(spark, sample_invalid=10)
+    res = dq.apply(df, [_rule(rule_name="r", rule_type="not_null",
+                              column="email", action_on_failure="tag")])
+    assert len(res.invalid_samples["r"]) == 1
+    assert res.invalid_samples["r"][0].id == 2

@@ -1,0 +1,65 @@
+"""Property-based operator tests (hypothesis) — SURVEY.md §5 invariants."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from metadata_driven_etl_spark.operators.merge import upsert
+from metadata_driven_etl_spark.operators.windows import dedup_row_number
+
+ROWS = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(0, 1000)), min_size=0, max_size=40
+)
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(target=ROWS, source=ROWS)
+@settings(**_SETTINGS)
+def test_upsert_idempotent_and_key_unique(spark_global, target, source):
+    """merge twice ≡ merge once; source wins on matched keys."""
+    spark = spark_global
+    schema = "k int, v int"
+    # make sources key-unique (MERGE precondition, like Delta)
+    src_rows = list({k: (k, v) for k, v in source}.values())
+    tgt_rows = list({k: (k, v) for k, v in target}.values())
+    tgt = spark.createDataFrame(tgt_rows, schema) if tgt_rows else spark.createDataFrame([], schema)
+    src = spark.createDataFrame(src_rows, schema) if src_rows else spark.createDataFrame([], schema)
+
+    once = upsert(tgt, src, ["k"])
+    twice = upsert(once, src, ["k"])
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
+    # matched keys carry source values
+    src_map = dict(src_rows)
+    for k, v in a:
+        if k in src_map:
+            assert v == src_map[k]
+    # key set is union
+    assert {k for k, _ in a} == {k for k, _ in src_rows} | {k for k, _ in tgt_rows}
+
+
+@given(rows=ROWS)
+@settings(**_SETTINGS)
+def test_dedup_keeps_exactly_one_per_key(spark_global, rows):
+    spark = spark_global
+    df = (
+        spark.createDataFrame(rows, "k int, v int")
+        if rows
+        else spark.createDataFrame([], "k int, v int")
+    )
+    out = dedup_row_number(df, ["k"], [F.desc("v")]).collect()
+    keys = [r.k for r in out]
+    assert len(keys) == len(set(keys))
+    # survivor is the max-v row per key (deterministic order spec)
+    expect = {}
+    for k, v in rows:
+        expect[k] = max(expect.get(k, v), v)
+    assert {r.k: r.v for r in out} == expect

@@ -1,0 +1,127 @@
+"""End-to-end medallion pipeline: configs → bronze → silver (DQ) → gold,
+with control-table / audit / DQ-metrics assertions and idempotent re-runs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from metadata_driven_etl_spark.io.writer import ParquetFormat
+from metadata_driven_etl_spark.plans.runner import run_pipeline
+
+
+@pytest.fixture(scope="module")
+def pipeline_run(spark, sf_dir):
+    results = run_pipeline(
+        spark,
+        "/root/repo/configs",
+        "2024-01-15",
+        ["bronze", "silver", "gold"],
+        table_format=ParquetFormat(),
+    )
+    return results
+
+
+def test_all_units_succeed(pipeline_run):
+    for layer, results in pipeline_run.items():
+        for r in results:
+            assert r.status == "success", f"{layer}/{r.unit_id}: {r.error}"
+    assert set(pipeline_run) == {"bronze", "silver", "gold"}
+
+
+def test_bronze_tables(spark, pipeline_run):
+    for t in ["bronze.orders", "bronze.lineitem", "bronze.customer", "bronze.part"]:
+        assert spark.catalog.tableExists(t)
+        df = spark.table(t)
+        assert df.count() > 0
+        # lineage columns appended
+        assert "ingestion_timestamp" in df.columns
+        assert "source_id" in df.columns
+
+
+def test_silver_dq_flags_and_filter(spark, pipeline_run):
+    orders = spark.table("silver.orders")
+    # tag rules add the consistent flag contract
+    assert "dq_order_id_unique_flag" in orders.columns
+    assert "dq_valid_customer_flag" in orders.columns
+    assert orders.filter(F.col("dq_order_id_unique_flag") == "INVALID").count() == 0
+    # filter rule removed non-positive prices
+    assert orders.filter(F.col("total_price") <= 0).count() == 0
+    # partitioned write actually partitioned (reference bug §2.14#3 fixed)
+    assert spark.table("silver.orders").count() == spark.table("bronze.orders").count()
+
+
+def test_gold_models(spark, pipeline_run):
+    daily = spark.table("gold.daily_sales_by_flag")
+    assert daily.count() > 0
+    assert "gold_insert_timestamp" in daily.columns
+    summary = spark.table("gold.customer_purchase_summary")
+    assert summary.count() > 0
+    assert summary.groupBy("customer_id").count().filter("count > 1").count() == 0
+
+
+def test_metadata_plane(spark, pipeline_run):
+    control = spark.table("metadata.etl_control_table")
+    assert control.filter("layer = 'bronze'").count() == 4
+    assert control.filter("layer = 'silver'").count() == 4
+    assert control.filter("layer = 'gold'").count() == 3
+    assert dict(control.dtypes)["records_processed"] == "bigint"
+
+    audit = spark.table("metadata.etl_audit_log")
+    assert audit.filter("status = 'ERROR'").count() == 0
+    assert audit.filter("status = 'SUCCESS'").count() >= 11
+
+    dq = spark.table("metadata.data_quality_metrics")
+    assert dq.filter("table_name = 'silver.orders'").count() == 4
+    row = dq.filter("rule_name = 'positive_price'").collect()[0]
+    assert row.valid_count + 0 <= row.total_count
+    assert row.invalid_count == row.total_count - row.valid_count
+
+    dictionary = spark.table("metadata.data_dictionary")
+    assert dictionary.filter("table_name = 'gold.daily_sales_by_flag'").count() > 0
+
+
+def test_rerun_idempotent(spark, pipeline_run):
+    """Second full run must not duplicate silver/gold rows (overwrite +
+    merge semantics), and incremental gold MERGE keeps PK uniqueness."""
+    before_gold = spark.table("gold.daily_sales_by_flag").count()
+    before_silver = spark.table("silver.orders").count()
+    run_pipeline(
+        spark, "/root/repo/configs", "2024-01-16", ["silver", "gold"],
+        table_format=ParquetFormat(),
+    )
+    assert spark.table("silver.orders").count() == before_silver
+    after = spark.table("gold.daily_sales_by_flag")
+    assert after.count() == before_gold
+    pks = after.groupBy("order_date", "return_flag").count()
+    assert pks.filter("count > 1").count() == 0
+
+
+def test_audit_error_isolation(spark, tmp_path):
+    """A failing unit logs ERROR and doesn't kill the pipeline (M10)."""
+    import textwrap
+
+    cfg = tmp_path / "silver_config.yaml"
+    cfg.write_text(
+        textwrap.dedent(
+            """
+            transformations:
+              - transform_id: "broken"
+                target_table: "silver.broken"
+                transformation_type: "sql"
+                sql_query: "SELECT * FROM does.not_exist"
+              - transform_id: "works"
+                target_table: "silver.works"
+                transformation_type: "sql"
+                sql_query: "SELECT 1 AS x"
+            """
+        )
+    )
+    results = run_pipeline(
+        spark, str(tmp_path), "2024-01-15", ["silver"],
+        table_format=ParquetFormat(),
+    )
+    statuses = {r.unit_id: r.status for r in results["silver"]}
+    assert statuses == {"broken": "error", "works": "success"}
+    assert spark.table("silver.works").count() == 1

@@ -49,13 +49,29 @@ FEATURE_SCHEMA = (
 FRAME_SCHEMA = "media_id string, frame_index int, frame_payload binary"
 
 
-def fake_feature_decoder(payload: bytes, dim: int = 8) -> list[float]:
-    """Deterministic fake 'embedding': bytes of md5(payload) scaled to
-    [-1, 1]. Stands in for a real image/audio feature extractor."""
-    import hashlib
+def _make_fake_feature_decoder(dim: int = 8) -> Callable[[bytes], list[float]]:
+    """Deterministic fake 'embedding' factory: bytes of md5(payload) scaled
+    to [-1, 1]. Stands in for a real image/audio feature extractor.
 
-    digest = hashlib.md5(payload or b"").digest()
-    return [b / 127.5 - 1.0 for b in digest[:dim]]
+    Returned as a nested closure (not a module-level function) so cloudpickle
+    ships it BY VALUE into executor tasks — a module-level reference would
+    require this package on every worker's PYTHONPATH, which the driver's
+    vanilla session doesn't guarantee.
+    """
+
+    def decode(payload: bytes) -> list[float]:
+        import hashlib
+
+        digest = hashlib.md5(payload or b"").digest()
+        return [b / 127.5 - 1.0 for b in digest[:dim]]
+
+    return decode
+
+
+def fake_feature_decoder(payload: bytes, dim: int = 8) -> list[float]:
+    """Module-level convenience wrapper for tests/docs (do NOT close over
+    this in task lambdas — use _make_fake_feature_decoder)."""
+    return _make_fake_feature_decoder(dim)(payload)
 
 
 def extract_features(
@@ -72,7 +88,7 @@ def extract_features(
 
     import pandas as pd
 
-    decode = decoder or fake_feature_decoder
+    decode = decoder or _make_fake_feature_decoder()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

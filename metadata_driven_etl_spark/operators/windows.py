@@ -41,6 +41,66 @@ def topk_per_group(
     return df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def lag_lead(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+    value_col: str,
+    prev_col: str = "prev_value",
+    next_col: str = "next_value",
+) -> DataFrame:
+    """lag/lead analytics (absent from the reference, SURVEY.md §2.6 — its
+    only window use is the broken row_number dedup). One shuffle on keys;
+    both functions share a single Window spec so Spark evaluates them in
+    one WindowExec pass."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return df.withColumn(prev_col, F.lag(value_col).over(w)).withColumn(
+        next_col, F.lead(value_col).over(w)
+    )
+
+
+def ranked(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+    n_tiles: int = 4,
+) -> DataFrame:
+    """rank / dense_rank / ntile over one deterministic window.
+
+    ``order_by`` must be a total order (include a unique tie-break) or
+    ntile assignment is nondeterministic across engines.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("rnk", F.rank().over(w))
+        .withColumn("dense_rnk", F.dense_rank().over(w))
+        .withColumn("tile", F.ntile(n_tiles).over(w))
+    )
+
+
+def running_sum(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+    value_col: str,
+    out_col: str = "running_total",
+) -> DataFrame:
+    """Cumulative sum with an explicit ROWS frame.
+
+    The addend is cast to exact decimal before accumulation (see
+    functions.dsum): a double running sum would drift from any other
+    engine's prefix-sum order in the last ulp.
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        out_col, F.sum(F.col(value_col).cast("decimal(25,10)")).over(w).cast("double")
+    )
+
+
 def sessionize(
     df: DataFrame,
     user_col: str,

@@ -62,7 +62,20 @@ def read_api_source_distributed(
     """
     import pandas as pd
 
-    fetch = fetcher or _default_fetcher
+    if fetcher is not None:
+        fetch = fetcher
+    else:
+        # Defined locally (not the module-level _default_fetcher) so
+        # cloudpickle ships it by value — executors may not have this
+        # package on PYTHONPATH.
+        def fetch(url: str, tok: str | None) -> list[dict]:
+            import requests  # gated: not installed in this harness
+
+            headers = {"Authorization": f"Bearer {tok}"} if tok else {}
+            resp = requests.get(url, headers=headers, timeout=60)
+            resp.raise_for_status()
+            data = resp.json()
+            return data if isinstance(data, list) else [data]
 
     def fetch_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

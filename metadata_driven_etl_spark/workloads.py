@@ -36,6 +36,9 @@ from metadata_driven_etl_spark.operators import (
     merge as merge_ops,
 )
 from metadata_driven_etl_spark.operators import (
+    multimodal as multimodal_ops,
+)
+from metadata_driven_etl_spark.operators import (
     projections as proj_ops,
 )
 from metadata_driven_etl_spark.operators import (
@@ -808,4 +811,184 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings (random vectors — no planted near-dups above ~0.5)."""
     return sim_ops.embedding_near_dup_pairs(
         _spread(_t(spark, sf_dir, "embeddings")), threshold=0.3
+    )
+
+
+# =========================================================================
+# Extended analytics: lag/lead, rank/ntile, running totals, cube,
+# intersect/except, multimodal plumbing
+# =========================================================================
+
+
+@workload(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey)""",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended §2.6: lag/lead over each customer's order history
+    (no accumulation → doubles compare exactly)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = window_ops.lag_lead(
+        orders,
+        keys=["o_custkey"],
+        order_by=[F.to_date("o_orderdate"), F.col("o_orderkey")],
+        value_col="o_totalprice",
+        prev_col="prev_price",
+        next_col="next_price",
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", "o_totalprice", "prev_price", "next_price"
+    )
+
+
+@workload(
+    "window_rank_ntile",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           rank() OVER w AS rnk, dense_rank() OVER w AS dense_rnk,
+           ntile(4) OVER w AS tile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)""",
+)
+def window_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended §2.6: rank/dense_rank/ntile; o_orderkey tie-break makes the
+    tile assignment a deterministic total order."""
+    orders = _t(spark, sf_dir, "orders")
+    out = window_ops.ranked(
+        orders,
+        keys=["o_orderpriority"],
+        order_by=[F.desc("o_totalprice"), F.col("o_orderkey")],
+        n_tiles=4,
+    )
+    return out.select("o_orderpriority", "o_orderkey", "rnk", "dense_rnk", "tile")
+
+
+@workload(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,10))) OVER w
+                AS VARCHAR) AS DOUBLE) AS running_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended §2.6: cumulative spend per customer with an explicit ROWS
+    frame; exact-decimal accumulation keeps every prefix bit-identical."""
+    orders = _t(spark, sf_dir, "orders")
+    out = window_ops.running_sum(
+        orders,
+        keys=["o_custkey"],
+        order_by=[F.to_date("o_orderdate"), F.col("o_orderkey")],
+        value_col="o_totalprice",
+    )
+    return out.select("o_custkey", "o_orderkey", "running_total")
+
+
+@workload(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS cnt, {sql_dsum('l_quantity')} AS total_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended §2.5: CUBE — all grouping-set combinations in one pass
+    (Spark Expand; near-free next to ROLLUP)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("l_quantity").alias("total_qty"))
+    )
+
+
+@workload(
+    "setop_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op §2.8: customers holding both finished and open orders."""
+    orders = _t(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return set_ops.intersect(f, o)
+
+
+@workload(
+    "setop_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""",
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op §2.8: EXCEPT ALL (multiset difference — Spark exceptAll)."""
+    orders = _t(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return set_ops.except_all(f, o)
+
+
+@workload(
+    "multimodal_features",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS media_id, 'image' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_hash
+    FROM documents""",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (north star): opaque binary payloads through an
+    Arrow-batched mapInPandas feature extractor. Payloads here are utf-8
+    document bytes standing in for image blobs (no codec libs in this
+    container — operators/multimodal.py stubs the decoder); the byte-count
+    and content-hash plumbing is exact and oracle-checked. The fake feature
+    vector is computed (exercising the batch path) then projected away."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    feats = multimodal_ops.extract_features(media)
+    return feats.select("media_id", "media_type", "n_bytes", "content_hash")
+
+
+@workload("multimodal_frame_sample")  # rows-only: fake frame extractor
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: row-expanding frame sampler (video → frames)
+    with an injected deterministic extractor (8-byte chunks as 'frames')."""
+    docs = _spread(_t(spark, sf_dir, "documents")).filter(F.col("doc_id") < 200)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("video").alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+    def chunk_frames(payload: bytes, every: int) -> list[bytes]:
+        payload = payload or b""
+        return [payload[i : i + 8] for i in range(0, len(payload), 8 * every)]
+
+    frames = multimodal_ops.sample_frames(
+        media, every_n=4, frame_extractor=chunk_frames
+    )
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.length("frame_payload")).alias("sampled_bytes"),
     )

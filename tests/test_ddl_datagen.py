@@ -1,0 +1,102 @@
+"""DDL surface (SURVEY.md §2.10) + deterministic Spark-native data generator
+(M13) + file sinks (K4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from metadata_driven_etl_spark import datagen
+from metadata_driven_etl_spark.io import ddl
+
+
+@pytest.fixture()
+def db(spark):
+    ddl.create_database(spark, "ddl_test")
+    yield "ddl_test"
+    for t in ddl.list_tables(spark, "ddl_test"):
+        ddl.drop_table(spark, f"ddl_test.{t}")
+    spark.sql("DROP DATABASE IF EXISTS ddl_test")
+
+
+def test_create_table_from_ddl_and_describe(spark, db):
+    ddl.create_table_from_ddl(
+        spark, f"{db}.ctrl", "table_name string, last_run_date date, n_rows bigint"
+    )
+    assert ddl.table_exists(spark, f"{db}.ctrl")
+    cols = {r.col_name: r.data_type for r in ddl.describe_table(spark, f"{db}.ctrl")}
+    assert cols == {
+        "table_name": "string",
+        "last_run_date": "date",
+        "n_rows": "bigint",
+    }
+    # non-destructive: second create with a different schema is a no-op
+    ddl.create_table_from_ddl(spark, f"{db}.ctrl", "other string")
+    assert "table_name" in {
+        r.col_name for r in ddl.describe_table(spark, f"{db}.ctrl")
+    }
+
+
+def test_truncate_and_drop(spark, db):
+    ddl.create_table_from_ddl(spark, f"{db}.t1", "x bigint")
+    spark.range(5).withColumnRenamed("id", "x").write.mode("append").format(
+        "parquet"
+    ).saveAsTable(f"{db}.t1")
+    assert spark.table(f"{db}.t1").count() == 5
+    ddl.truncate_table(spark, f"{db}.t1")
+    assert spark.table(f"{db}.t1").count() == 0
+    ddl.drop_table(spark, f"{db}.t1")
+    assert not ddl.table_exists(spark, f"{db}.t1")
+
+
+def test_identifier_validation(spark):
+    with pytest.raises(ValueError):
+        ddl.drop_table(spark, "x; DROP TABLE y")
+    with pytest.raises(ValueError):
+        ddl.create_database(spark, "bad-name!")
+
+
+def test_vacuum_gated_on_parquet(spark, db):
+    ddl.create_table_from_ddl(spark, f"{db}.t2", "x bigint")
+    # parquet-backed table: VACUUM is a Delta op → graceful False, no raise
+    assert ddl.vacuum_table(spark, f"{db}.t2", retain_hours=168) is False
+
+
+def test_analyze_table(spark, db):
+    ddl.create_table_from_ddl(spark, f"{db}.t3", "x bigint")
+    spark.range(10).withColumnRenamed("id", "x").write.mode("append").format(
+        "parquet"
+    ).saveAsTable(f"{db}.t3")
+    ddl.analyze_table(spark, f"{db}.t3")
+    stats = spark.sql(f"DESCRIBE TABLE EXTENDED {db}.t3").collect()
+    assert any("Statistics" in r.col_name for r in stats)
+
+
+def test_datagen_deterministic_and_distributed(spark):
+    a = datagen.gen_transactions(spark, 1000, seed=7)
+    b = datagen.gen_transactions(spark, 1000, seed=7)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    c = datagen.gen_transactions(spark, 1000, seed=8)
+    assert c.exceptAll(a).count() > 0  # seed changes data
+    # no Python UDFs in the plan (stays JVM-side)
+    assert "Python" not in a._jdf.queryExecution().executedPlan().toString()
+
+
+def test_datagen_referential_shape(spark):
+    txns = datagen.gen_transactions(spark, 500, n_customers=50, n_products=20)
+    custs = datagen.gen_customers(spark, 50)
+    # every FK resolves (hash-mod of id space is closed over the dim range)
+    dangling = txns.join(custs, "customer_id", "left_anti")
+    assert dangling.count() == 0
+    assert txns.filter("quantity < 1 OR quantity > 10").count() == 0
+    assert txns.filter("amount <= 0").count() == 0
+
+
+def test_sample_data_files(spark, tmp_path):
+    out = str(tmp_path / "demo")
+    counts = datagen.generate_sample_data(
+        spark, out, n_customers=50, n_products=30, n_transactions=200
+    )
+    assert counts == {"customers": 50, "products": 30, "transactions": 200}
+    assert spark.read.option("header", "true").csv(f"{out}/customers").count() == 50
+    assert spark.read.json(f"{out}/products").count() == 30
+    assert spark.read.parquet(f"{out}/transactions").count() == 200

@@ -64,3 +64,69 @@ def test_session_window_stream(spark, events_dir):
         (F.col("session_start") > F.col("session_end")) | (F.col("n_events") <= 0)
     )
     assert bad.count() == 0
+
+
+def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path_factory):
+    """applyInPandasWithState sessions == batch lag/cumsum sessions.
+
+    A far-future sentinel event (its own user) is appended as the last
+    micro-batch so the event-time watermark passes every real session's
+    end + gap and times them all out — making the streaming output total,
+    hence exactly comparable to the batch computation.
+    """
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from metadata_driven_etl_spark.operators.windows import sessionize
+    from metadata_driven_etl_spark.streaming.stateful import sessionize_stateful
+
+    gap_s = 1800
+    path = str(tmp_path_factory.mktemp("events_stateful"))
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    # range-partition on ts so micro-batches replay chronologically
+    # (file streams list part files in name order = range order)
+    events.repartitionByRange(2, "ts").write.mode("overwrite").parquet(path)
+    sentinel = spark.createDataFrame(
+        [(999_999_999, datetime.datetime(2100, 1, 1), -1, "sentinel", 0.0, "{}")],
+        EVENT_SCHEMA,
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(path + "/zzz_late")
+    # the extra dir level keeps the sentinel file LAST in file-stream order
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
+    q = (
+        sessionize_stateful(stream, gap_seconds=gap_s)
+        .writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+        for r in spark.table("t_stateful").filter(F.col("user_id") >= 0).collect()
+    }
+
+    batch = sessionize(events, "user_id", "ts", gap_s, tiebreak=("event_id",))
+    want = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+        for r in batch.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want) and len(got) > 0
+    for k, (n_got, v_got) in got.items():
+        n_want, v_want = want[k]
+        assert n_got == n_want
+        assert abs(v_got - v_want) < 1e-6

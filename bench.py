@@ -36,6 +36,10 @@ HEADLINE = [
     "text_lang_id",
     "similarity_topk",
     "embedding_near_dup",
+    "window_running_sum",
+    "agg_cube",
+    "dq_metrics_single_pass",
+    "multimodal_features",
 ]
 
 

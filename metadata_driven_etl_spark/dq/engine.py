@@ -104,6 +104,44 @@ class DataQualityEngine:
 
     # -- main entry ---------------------------------------------------------
 
+    def metrics_df(self, df: DataFrame, rules: list[DQRuleConfig]) -> DataFrame:
+        """Lazy per-rule metrics as a tall DataFrame — one aggregation pass
+        for ALL rules, zero collect (the driver/caller decides when to run).
+
+        Schema: rule_name string, total_count long, valid_count long,
+        invalid_count long.
+        """
+        work = df
+        validity: dict[str, Column] = {}
+        for rule in rules:
+            work, cond = self._condition(work, rule)
+            validity[rule.rule_name] = cond
+
+        aggs = [F.count(F.lit(1)).alias("__total")] + [
+            F.sum(F.when(validity[r.rule_name], 1).otherwise(0)).alias(
+                f"__v_{i}"
+            )
+            for i, r in enumerate(rules)
+        ]
+        one_row = work.agg(*aggs)
+        stack_args = ", ".join(
+            f"'{r.rule_name}', __v_{i}" for i, r in enumerate(rules)
+        )
+        tall = one_row.select(
+            F.col("__total"),
+            F.expr(
+                f"stack({len(rules)}, {stack_args}) AS (rule_name, valid_count)"
+            ),
+        )
+        return tall.select(
+            "rule_name",
+            F.col("__total").cast("long").alias("total_count"),
+            F.col("valid_count").cast("long").alias("valid_count"),
+            (F.col("__total") - F.col("valid_count"))
+            .cast("long")
+            .alias("invalid_count"),
+        )
+
     def apply(self, df: DataFrame, rules: list[DQRuleConfig]) -> DQResult:
         """Evaluate all rules in one pass and apply their actions.
 

@@ -85,3 +85,36 @@ def group_count_flag(
     return df.withColumn(count_name, F.count(F.lit(1)).over(w)).withColumn(
         flag_name, F.col(count_name) == 1
     )
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the skewed side, replicate the other.
+
+    For hot keys that overwhelm one reducer in a shuffle join. AQE's skew
+    split (spark.sql.adaptive.skewJoin) handles most cases at runtime —
+    prefer it; use explicit salting when AQE can't help: the skewed side
+    feeds a downstream op pinned to the same partitioning, or the join is
+    one AQE won't split. Cost model: the small side is replicated
+    ``salt_buckets``× (must stay modest), the skewed side's hot key spreads
+    over ``salt_buckets`` reducers.
+
+    The salt on the skewed side is derived by hashing the row's full tuple
+    (deterministic, no rand()): identical rows land in the same bucket but
+    a hot KEY's many distinct rows spread uniformly.
+    """
+    on = list(on)
+    salt_l = F.pmod(
+        F.xxhash64(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in skewed.columns])),
+        F.lit(salt_buckets),
+    ).cast("int")
+    left = skewed.withColumn("__salt", salt_l)
+    right = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return left.join(right, on=on + ["__salt"], how=how).drop("__salt")

@@ -992,3 +992,61 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames"),
         F.sum(F.length("frame_payload")).alias("sampled_bytes"),
     )
+
+
+@workload(
+    "dq_metrics_single_pass",
+    oracle="""
+    WITH w AS (
+      SELECT o.*, COUNT(*) OVER (PARTITION BY o_orderkey) AS __kc,
+             (c.c_custkey IS NOT NULL) AS __ref_ok
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT 'custkey_not_null' AS rule_name, COUNT(*) AS total_count,
+           SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS valid_count,
+           COUNT(*) - SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+             AS invalid_count FROM w
+    UNION ALL
+    SELECT 'priority_format', COUNT(*),
+           SUM(CASE WHEN COALESCE(regexp_matches(o_orderpriority, '^[1-5]-'),
+                    FALSE) THEN 1 ELSE 0 END),
+           COUNT(*) - SUM(CASE WHEN COALESCE(regexp_matches(o_orderpriority,
+                    '^[1-5]-'), FALSE) THEN 1 ELSE 0 END) FROM w
+    UNION ALL
+    SELECT 'price_above_1000', COUNT(*),
+           SUM(CASE WHEN COALESCE(o_totalprice > 1000, FALSE) THEN 1 ELSE 0 END),
+           COUNT(*) - SUM(CASE WHEN COALESCE(o_totalprice > 1000, FALSE)
+                    THEN 1 ELSE 0 END) FROM w
+    UNION ALL
+    SELECT 'orderkey_unique', COUNT(*),
+           SUM(CASE WHEN __kc = 1 THEN 1 ELSE 0 END),
+           COUNT(*) - SUM(CASE WHEN __kc = 1 THEN 1 ELSE 0 END) FROM w
+    UNION ALL
+    SELECT 'custkey_in_customer', COUNT(*),
+           SUM(CASE WHEN COALESCE(__ref_ok, FALSE) THEN 1 ELSE 0 END),
+           COUNT(*) - SUM(CASE WHEN COALESCE(__ref_ok, FALSE) THEN 1 ELSE 0 END)
+    FROM w""",
+)
+def dq_metrics_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4-M6: all five DQ rule types evaluated in ONE aggregation pass (the
+    reference re-scans the input 3-5× per rule, dq_engine.py:26-145). The
+    referential-integrity rule broadcasts the dimension keys."""
+    from metadata_driven_etl_spark.config.model import DQRuleConfig
+    from metadata_driven_etl_spark.dq.engine import DataQualityEngine
+
+    orders = _t(spark, sf_dir, "orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__dq_customer_ref")
+    rules = [
+        DQRuleConfig(rule_name="custkey_not_null", rule_type="not_null",
+                     column="o_custkey"),
+        DQRuleConfig(rule_name="priority_format", rule_type="regex",
+                     column="o_orderpriority", pattern="^[1-5]-"),
+        DQRuleConfig(rule_name="price_above_1000", rule_type="expression",
+                     expression="o_totalprice > 1000"),
+        DQRuleConfig(rule_name="orderkey_unique", rule_type="uniqueness",
+                     columns=("o_orderkey",)),
+        DQRuleConfig(rule_name="custkey_in_customer",
+                     rule_type="referential_integrity", column="o_custkey",
+                     ref_table="__dq_customer_ref", ref_column="c_custkey"),
+    ]
+    return DataQualityEngine(spark).metrics_df(orders, rules)

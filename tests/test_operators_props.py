@@ -63,3 +63,26 @@ def test_dedup_keeps_exactly_one_per_key(spark_global, rows):
     for k, v in rows:
         expect[k] = max(expect.get(k, v), v)
     assert {r.k: r.v for r in out} == expect
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salted skew join ≡ plain join (same multiset of result rows)."""
+    from metadata_driven_etl_spark.catalog import load_table
+    from metadata_driven_etl_spark.operators.joins import salted_join
+
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    plain = lineitem.join(
+        part.withColumnRenamed("p_partkey", "l_partkey"), "l_partkey"
+    )
+    salted = salted_join(
+        lineitem,
+        part.withColumnRenamed("p_partkey", "l_partkey"),
+        on=["l_partkey"],
+        salt_buckets=8,
+    )
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0

@@ -35,3 +35,15 @@ def test_entry_smoke(spark):
     df = mod.entry(spark)
     assert df.count() > 0
     assert set(mod.oracle_sql()) <= set(mod.queries())
+
+
+PYTHON_OK = {"multimodal_features", "multimodal_frame_sample"}
+
+
+@pytest.mark.parametrize("name", sorted(set(workloads.QUERIES) - PYTHON_OK))
+def test_plan_stays_jvm_side(spark, sf_dir, name):
+    """SCALE.md §3: every workload except the multimodal pair must compile
+    to a plan with NO Python evaluation nodes (whole-stage codegen path)."""
+    df = workloads.QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, name

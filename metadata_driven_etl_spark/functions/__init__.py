@@ -69,3 +69,19 @@ def row_fingerprint(*cols: Column | str) -> Column:
 def sql_row_fingerprint(*exprs: str) -> str:
     parts = ", ".join(f"COALESCE(CAST({e} AS VARCHAR), chr(0) || 'null')" for e in exprs)
     return f"md5(concat_ws(chr(31), {parts}))"
+
+
+def isum(col: Column | str) -> Column:
+    """SUM for INTEGER-VALUED double columns: plain double summation.
+
+    Every partial sum of integer-valued doubles below 2^53 is exact integer
+    arithmetic — order-independent without the decimal cast, so it's both
+    faster than dsum and still bit-identical across engines. Caller asserts
+    integrality of the domain (e.g. quantities); totals stay exact up to
+    9e15.
+    """
+    return F.sum(_c(col))
+
+
+def sql_isum(expr: str) -> str:
+    return f"SUM({expr})"

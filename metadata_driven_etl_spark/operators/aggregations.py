@@ -17,7 +17,7 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from metadata_driven_etl_spark.functions import davg, dsum
+from metadata_driven_etl_spark.functions import davg, dsum, isum
 
 
 def group_agg(
@@ -45,7 +45,7 @@ def daily_sales_summary(
             "transaction_count": F.count(F.col(id_col)),
             "total_amount": dsum(amount_col),
             "avg_amount": davg(amount_col),
-            "total_quantity": dsum(quantity_col),
+            "total_quantity": isum(quantity_col),
         },
     )
 

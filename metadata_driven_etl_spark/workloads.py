@@ -19,7 +19,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from metadata_driven_etl_spark.catalog import load_table
-from metadata_driven_etl_spark.functions import davg, dsum, sql_davg, sql_dsum
+from metadata_driven_etl_spark.functions import (
+    davg,
+    dsum,
+    isum,
+    sql_davg,
+    sql_dsum,
+    sql_isum,
+)
 from metadata_driven_etl_spark.operators import (
     aggregations as agg_ops,
 )
@@ -360,7 +367,7 @@ def join_self_groupcount(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(l_orderkey) AS transaction_count,
            {sql_dsum('l_extendedprice')} AS total_amount,
            {sql_davg('l_extendedprice')} AS avg_amount,
-           {sql_dsum('l_quantity')} AS total_quantity
+           {sql_isum('l_quantity')} AS total_quantity
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY 1, 2""",
 )
@@ -417,7 +424,7 @@ def agg_customer_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT p_brand,
            {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
-           {sql_dsum('l_quantity')} AS total_qty,
+           {sql_isum('l_quantity')} AS total_qty,
            COUNT(DISTINCT l_orderkey) AS num_orders,
            {sql_davg('l_extendedprice / l_quantity')} AS avg_unit_price
     FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -431,15 +438,27 @@ def agg_product_perf(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = join_ops.join_inner(
         lineitem, part, on=lineitem["l_partkey"] == part["p_partkey"]
     )
-    return agg_ops.group_agg(
+    # COUNT(DISTINCT) split out of the decimal aggregation on purpose: fused,
+    # Spark's distinct rewrite keys the partial agg by (p_brand, l_orderkey)
+    # (~1 group/row) and drags the exact-decimal buffers through a
+    # high-cardinality hash table — 2x slower than these two lean aggs.
+    sums = agg_ops.group_agg(
         joined,
         ["p_brand"],
         {
             "revenue": dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
-            "total_qty": dsum("l_quantity"),
-            "num_orders": F.countDistinct("l_orderkey"),
+            "total_qty": isum("l_quantity"),
             "avg_unit_price": davg(F.col("l_extendedprice") / F.col("l_quantity")),
         },
+    )
+    dist = (
+        joined.select("p_brand", "l_orderkey")
+        .distinct()
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("num_orders"))
+    )
+    return sums.join(dist, "p_brand").select(
+        "p_brand", "revenue", "total_qty", "num_orders", "avg_unit_price"
     )
 
 
@@ -464,7 +483,7 @@ def distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_rollup",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           COUNT(*) AS cnt, {sql_dsum('l_quantity')} AS total_qty
+           COUNT(*) AS cnt, {sql_isum('l_quantity')} AS total_qty
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -474,7 +493,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            dsum("l_quantity").alias("total_qty"),
+            isum("l_quantity").alias("total_qty"),
         )
     )
 
@@ -483,8 +502,8 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_linestatus",
     oracle=f"""
     SELECT l_returnflag,
-           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS f_qty,
-           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS o_qty
+           {sql_isum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS f_qty,
+           {sql_isum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS o_qty
     FROM lineitem GROUP BY 1""",
 )
 def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -493,7 +512,7 @@ def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
-        .agg(dsum("l_quantity"))
+        .agg(isum("l_quantity"))
     )
     return out.select(
         "l_returnflag", F.col("F").alias("f_qty"), F.col("O").alias("o_qty")
@@ -898,7 +917,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cube",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           COUNT(*) AS cnt, {sql_dsum('l_quantity')} AS total_qty
+           COUNT(*) AS cnt, {sql_isum('l_quantity')} AS total_qty
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -907,7 +926,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("cnt"), dsum("l_quantity").alias("total_qty"))
+        .agg(F.count(F.lit(1)).alias("cnt"), isum("l_quantity").alias("total_qty"))
     )
 
 

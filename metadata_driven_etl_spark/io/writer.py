@@ -73,6 +73,30 @@ class TableFormat:
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
+    def overwrite_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_cols: Sequence[str],
+        num_buckets: int,
+        sort_cols: Sequence[str] | None = None,
+    ) -> None:
+        """Bucketed managed table: repeated joins/aggs on ``bucket_cols``
+        skip their shuffle entirely (both sides pre-hash-partitioned on
+        disk). The 100 TB lever for fact⋈fact joins too big to broadcast:
+        bucket both tables on the join key at write time, then every join
+        is a zero-Exchange sort-merge. Pick num_buckets ≈ cluster cores ×
+        small integer; it is fixed at write time."""
+        _ensure_database(df.sparkSession, table)
+        writer = (
+            df.write.format(self.format_name)
+            .mode("overwrite")
+            .bucketBy(num_buckets, *bucket_cols)
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.option("overwriteSchema", "true").saveAsTable(table)
+
     def merge(
         self, spark: SparkSession, table: str, source: DataFrame, keys: Sequence[str]
     ) -> None:

@@ -28,8 +28,7 @@ def _validated_date(s: str) -> str:
     return datetime.date.fromisoformat(s).isoformat()  # raises on junk
 
 
-def build_jdbc_reader(
-    spark: SparkSession,
+def jdbc_options(
     src: SourceConfig,
     extract_date: str | None = None,
     user_env: str = "JDBC_USER",
@@ -38,37 +37,37 @@ def build_jdbc_reader(
     lower_bound: str | None = None,
     upper_bound: str | None = None,
     num_partitions: int = 8,
-):
+) -> dict[str, str]:
+    """Pure option-dict construction (unit-testable without an RDBMS)."""
     query = src.query or ""
     if extract_date is not None:
         # bound as a validated ISO literal, not raw text substitution
         query = query.replace("${EXTRACT_DATE}", _validated_date(extract_date))
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", src.jdbc_url or "")
-        .option("query", query)
-        .option("fetchsize", str(src.fetchsize))
-    )
-    user, password = os.environ.get(user_env), os.environ.get(password_env)
-    if user:
-        reader = reader.option("user", user)
-    if password:
-        reader = reader.option("password", password)
+    opts: dict[str, str] = {
+        "url": src.jdbc_url or "",
+        "fetchsize": str(src.fetchsize),
+    }
     if partition_column:
         # parallel partitioned read; 'query' and partitioning are mutually
         # exclusive in Spark, so switch to dbtable-subquery form
-        reader = (
-            spark.read.format("jdbc")
-            .option("url", src.jdbc_url or "")
-            .option("dbtable", f"({query}) AS src")
-            .option("fetchsize", str(src.fetchsize))
-            .option("partitionColumn", partition_column)
-            .option("lowerBound", lower_bound)
-            .option("upperBound", upper_bound)
-            .option("numPartitions", str(num_partitions))
+        opts.update(
+            {
+                "dbtable": f"({query}) AS src",
+                "partitionColumn": partition_column,
+                "lowerBound": str(lower_bound),
+                "upperBound": str(upper_bound),
+                "numPartitions": str(num_partitions),
+            }
         )
-        if user:
-            reader = reader.option("user", user)
-        if password:
-            reader = reader.option("password", password)
-    return reader
+    else:
+        opts["query"] = query
+    user, password = os.environ.get(user_env), os.environ.get(password_env)
+    if user:
+        opts["user"] = user
+    if password:
+        opts["password"] = password
+    return opts
+
+
+def build_jdbc_reader(spark: SparkSession, src: SourceConfig, **kwargs):
+    return spark.read.format("jdbc").options(**jdbc_options(src, **kwargs))

@@ -100,3 +100,39 @@ def test_sample_data_files(spark, tmp_path):
     assert spark.read.option("header", "true").csv(f"{out}/customers").count() == 50
     assert spark.read.json(f"{out}/products").count() == 30
     assert spark.read.parquet(f"{out}/transactions").count() == 200
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir):
+    """SCALE.md §4: two tables bucketed on the join key sort-merge-join with
+    ZERO Exchange (shuffle) operators in the physical plan."""
+    from pyspark.sql import functions as F
+
+    from metadata_driven_etl_spark.catalog import load_table
+    from metadata_driven_etl_spark.io.writer import ParquetFormat
+
+    fmt = ParquetFormat()
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    fmt.overwrite_bucketed(
+        orders, "bkt.orders", ["o_custkey"], 8, sort_cols=["o_custkey"]
+    )
+    fmt.overwrite_bucketed(
+        customer.withColumnRenamed("c_custkey", "o_custkey"),
+        "bkt.customer",
+        ["o_custkey"],
+        8,
+        sort_cols=["o_custkey"],
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bkt.orders").join(spark.table("bkt.customer"), "o_custkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt.orders")
+        spark.sql("DROP TABLE IF EXISTS bkt.customer")
+        spark.sql("DROP DATABASE IF EXISTS bkt")

@@ -81,18 +81,31 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path_factory):
     from metadata_driven_etl_spark.operators.windows import sessionize
     from metadata_driven_etl_spark.streaming.stateful import sessionize_stateful
 
+    import time as _time
+
     gap_s = 1800
     path = str(tmp_path_factory.mktemp("events_stateful"))
     events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
-    # range-partition on ts so micro-batches replay chronologically
-    # (file streams list part files in name order = range order)
-    events.repartitionByRange(2, "ts").write.mode("overwrite").parquet(path)
+    # FileStreamSource replays files in MODIFICATION-TIME order — write each
+    # chronological slice as its own sequential job (concurrent task writes
+    # would race the modTimes and replay late data first)
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    split_ts = lo + (hi - lo) / 2
+    for i, part_df in enumerate(
+        [
+            events.filter(F.col("ts") <= F.lit(split_ts)),
+            events.filter(F.col("ts") > F.lit(split_ts)),
+        ]
+    ):
+        part_df.coalesce(1).sortWithinPartitions("ts").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/slice={i}")
+        _time.sleep(1.1)
     sentinel = spark.createDataFrame(
         [(999_999_999, datetime.datetime(2100, 1, 1), -1, "sentinel", 0.0, "{}")],
         EVENT_SCHEMA,
     )
-    sentinel.coalesce(1).write.mode("append").parquet(path + "/zzz_late")
-    # the extra dir level keeps the sentinel file LAST in file-stream order
+    sentinel.coalesce(1).write.mode("overwrite").parquet(f"{path}/slice=2")
     stream = (
         spark.readStream.schema(EVENT_SCHEMA)
         .option("maxFilesPerTrigger", "1")

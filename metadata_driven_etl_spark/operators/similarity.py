@@ -264,3 +264,87 @@ def sql_embedding_near_dup_pairs(
     FROM base a JOIN base b ON a.{id_col} < b.{id_col} {blk}
     WHERE round({cos}, 6) >= {threshold}
     """
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer → probe top cells.
+
+    The index path for 100 TB embeddings where LSH bucketing is too coarse:
+    - train a KMeans coarse quantizer (Spark ML, JVM-side) on the corpus
+      (sample at scale; full fit here),
+    - assign every vector to its nearest centroid (one narrow column),
+    - at query time score each query against the ``n_cells`` centroids
+      (tiny broadcast) and probe only the ``n_probe`` nearest cells —
+      scanning ~n_probe/n_cells of the corpus instead of all of it.
+
+    Recall is tunable via n_probe (n_probe = n_cells → exact). The cell
+    assignment is write-once index state: persist ``assigned`` as a bucketed
+    table on ``_cell`` so repeated query batches skip both the fit and the
+    shuffle.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = vectors.sparkSession
+    v = vectors.withColumn("_feat", array_to_vector(_as_double(F.col(vec_col))))
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="_feat", predictionCol="_cell"
+    ).fit(v)
+    assigned = model.transform(v).drop("_feat")
+
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "_cell int, _centroid array<double>",
+    )
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec"),
+        norm(F.col(vec_col)).alias("_qnorm"),
+    )
+    # query × centroid scoring is q*n_cells rows — trivially broadcastable
+    probe_w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("_csim"), F.asc("_cell")
+    )
+    probed = (
+        q.join(F.broadcast(centroids))
+        .withColumn(
+            "_csim",
+            dot(F.col("_qvec"), F.col("_centroid"))
+            / (F.col("_qnorm") * norm(F.col("_centroid"))),
+        )
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .filter(F.col("_pr") <= n_probe)
+        .select(
+            query_id_col, F.col("_cell").alias("_pcell"), "_qvec", "_qnorm"
+        )
+    )
+    scored = assigned.join(
+        F.broadcast(probed),
+        (F.col("_cell") == F.col("_pcell"))
+        & (F.col(query_id_col) != F.col(id_col)),
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(
+            dot(F.col("_qvec"), F.col(vec_col))
+            / (F.col("_qnorm") * norm(F.col(vec_col))),
+            6,
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", "neighbor_id", "cosine_sim")
+    )

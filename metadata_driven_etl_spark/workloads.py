@@ -1069,3 +1069,14 @@ def dq_metrics_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ref_table="__dq_customer_ref", ref_column="c_custkey"),
     ]
     return DataQualityEngine(spark).metrics_df(orders, rules)
+
+
+@workload("similarity_ann_ivf")  # approximate by design: rows-only check
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: KMeans coarse quantizer + n_probe nearest cells —
+    the index-backed scale path next to similarity_ann_lsh's hash path."""
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return sim_ops.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)

@@ -86,3 +86,33 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     assert salted.count() == plain.count()
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
+
+
+def test_ivf_recall_and_exactness_at_full_probe(spark, sf_dir):
+    """IVF with n_probe == n_cells is EXACT (equals brute force); with
+    partial probing it returns well-formed top-k with decent recall."""
+    from pyspark.sql import functions as F
+
+    from metadata_driven_etl_spark.catalog import load_table
+    from metadata_driven_etl_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(emb, queries, k=5).collect()
+    }
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=8).collect()
+    }
+    assert full == exact
+
+    part = sim.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=3).collect()
+    assert len(part) == 25  # 5 queries x k
+    assert all(-1.0 <= r.cosine_sim <= 1.0 for r in part)
+    got = {(r.query_id, r.neighbor_id) for r in part}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.2, f"recall {recall}"

@@ -125,3 +125,16 @@ def test_audit_error_isolation(spark, tmp_path):
     statuses = {r.unit_id: r.status for r in results["silver"]}
     assert statuses == {"broken": "error", "works": "success"}
     assert spark.table("silver.works").count() == 1
+
+
+def test_cli_main_runs(spark, monkeypatch, pipeline_run):
+    """M11: the argparse CLI drives the same run_pipeline path and returns 0
+    on success (re-run over already-built tables is idempotent)."""
+    from metadata_driven_etl_spark.plans import runner
+
+    monkeypatch.setattr(runner, "get_spark", lambda **kw: spark)
+    rc = runner.main(
+        ["--date", "2024-01-15", "--layers", "bronze,silver,gold",
+         "--config-dir", "/root/repo/configs"]
+    )
+    assert rc == 0

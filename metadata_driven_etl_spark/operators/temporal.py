@@ -1,0 +1,119 @@
+"""Temporal joins Spark has no native operator for: as-of and range joins.
+
+The reference has neither (SURVEY.md §2.4: equi-joins only); these are the
+standard time-series correlation primitives (kdb asof, DuckDB ASOF JOIN,
+Flink temporal join) re-expressed as compositions of existing DataFrame
+ops — per the engine's custom-operator policy (composition first, Pandas
+UDF only when composition can't express the semantics).
+
+Scale design:
+- ``asof_join`` is the union trick: tag both sides, one hash shuffle on the
+  key, one sort per partition, ``last(ignorenulls)`` window carries the
+  most recent right-side values forward. O((|L|+|R|) log) per key group —
+  never builds the |L|x|R| pair space a naive ``left.ts >= right.ts`` theta
+  join would.
+- ``range_join_binned`` buckets both sides into fixed time bins; candidate
+  pairs only materialize within (key, bin) — the classic bin-bucketing
+  rewrite for bounded-interval joins (what Databricks' range-join hint
+  does). Bin width should be on the order of the window span: each left
+  row probes ceil(span/bin)+1 bins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] = (),
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row: values of the latest right row with
+    right.ts <= left.ts and matching key (LEFT semantics — unmatched left
+    rows keep NULLs).
+
+    Right timestamps should be unique per key (the standard as-of
+    contract; with duplicates the latest-in-sort-order row wins,
+    deterministically).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    marker, ts = "_asof_is_left", "_asof_ts"
+
+    lt = left.withColumn(marker, F.lit(1)).withColumn(ts, F.col(left_ts))
+    for c in right_cols:
+        lt = lt.withColumn(f"{prefix}{c}", F.lit(None).cast(right.schema[c].dataType))
+    rt = right.select(
+        *keys,
+        F.lit(0).alias(marker),
+        F.col(right_ts).alias(ts),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+    )
+    for c in left.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = lt.unionByName(rt.select(*lt.columns))
+
+    # right rows (marker 0) sort BEFORE left rows at equal ts → "at-or-
+    # before" inclusive; last(ignorenulls) carries right values forward
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts), F.col(marker))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in right_cols:
+        u = u.withColumn(
+            f"{prefix}{c}", F.last(f"{prefix}{c}", ignorenulls=True).over(w)
+        )
+    return u.filter(F.col(marker) == 1).drop(marker, ts)
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower_seconds: int = 3600,
+    upper_seconds: int = 0,
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Pairs (left, right) with matching key and
+    right.ts in [left.ts - lower_seconds, left.ts + upper_seconds].
+
+    Left rows explode to the bins their window covers; the join is an
+    equi-join on (key, bin) with the exact interval re-checked — bounded
+    candidate space instead of a theta join.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    l_us = F.unix_micros(F.col(left_ts))
+    r_us = F.unix_micros(F.col(right_ts))
+    bin_us = bin_seconds * 1_000_000
+
+    lt = left.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor((l_us - lower_seconds * 1_000_000) / bin_us),
+                F.floor((l_us + upper_seconds * 1_000_000) / bin_us),
+            )
+        ),
+    )
+    rt = right.withColumn("_bin", F.floor(r_us / bin_us))
+    cond = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in keys] + [
+        F.col("l._bin") == F.col("r._bin"),
+        F.unix_micros(F.col(f"r.{right_ts}"))
+        >= F.unix_micros(F.col(f"l.{left_ts}")) - lower_seconds * 1_000_000,
+        F.unix_micros(F.col(f"r.{right_ts}"))
+        <= F.unix_micros(F.col(f"l.{left_ts}")) + upper_seconds * 1_000_000,
+    ]
+    # a pair meets in exactly one bin (the right row's), so no pair dedup
+    # is needed
+    return lt.alias("l").join(rt.alias("r"), cond).drop("_bin")

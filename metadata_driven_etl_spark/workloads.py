@@ -1080,3 +1080,68 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     return sim_ops.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+
+
+@workload(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           c.ts AS asof_click_ts, c.value AS asof_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (absent from Spark AND the reference): for each purchase,
+    the user's latest click at-or-before it — union + last_value window,
+    ONE shuffle, never the |L|x|R| theta-join pair space."""
+    from metadata_driven_etl_spark.operators import temporal
+
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("value").alias("click_value")
+    )
+    out = temporal.asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="click_ts",
+        right_cols=["click_ts", "click_value"],
+    )
+    return out.select("event_id", "user_id", "ts", "asof_click_ts", "asof_click_value")
+
+
+@workload(
+    "join_range",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           COUNT(*) AS n_views,
+           SUM(CASE WHEN v.value IS NOT NULL THEN 1 ELSE 0 END) AS n_valued
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+    GROUP BY 1, 2""",
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-interval range join via time-bin bucketing: views within the
+    hour before each purchase. Candidates only materialize per (user, bin)."""
+    from metadata_driven_etl_spark.operators import temporal
+
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    pairs = temporal.range_join_binned(
+        purchases, views, key="user_id", lower_seconds=3600, upper_seconds=0,
+        bin_seconds=3600,
+    )
+    return pairs.groupBy(F.col("l.event_id").alias("event_id"),
+                         F.col("l.user_id").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.sum(F.when(F.col("r.value").isNotNull(), 1).otherwise(0)).alias("n_valued"),
+    )

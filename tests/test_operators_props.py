@@ -116,3 +116,48 @@ def test_ivf_recall_and_exactness_at_full_probe(spark, sf_dir):
     got = {(r.query_id, r.neighbor_id) for r in part}
     recall = len(got & exact) / len(exact)
     assert recall >= 0.2, f"recall {recall}"
+
+
+def test_asof_join_equals_theta_join(spark, sf_dir):
+    """Union-window as-of ≡ naive theta join + latest-per-left (the
+    quadratic reference semantics)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from metadata_driven_etl_spark.catalog import load_table
+    from metadata_driven_etl_spark.operators.temporal import asof_join
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    left = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("rts"), F.col("value").alias("rval")
+    )
+    got = asof_join(
+        left, right, key="user_id", left_ts="ts", right_ts="rts",
+        right_cols=["rts", "rval"],
+    ).select("event_id", "asof_rts", "asof_rval")
+
+    w = Window.partitionBy("event_id").orderBy(F.desc("rts"))
+    naive = (
+        left.join(right, "user_id", "left")
+        .filter((F.col("rts") <= F.col("ts")) | F.col("rts").isNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "event_id",
+            F.col("rts").alias("asof_rts"),
+            F.col("rval").alias("asof_rval"),
+        )
+    )
+    # left rows whose ONLY right rows are after ts drop out of the naive
+    # join's filter — re-add them with nulls
+    missing = left.join(naive, "event_id", "left_anti").select(
+        "event_id",
+        F.lit(None).cast("timestamp").alias("asof_rts"),
+        F.lit(None).cast("double").alias("asof_rval"),
+    )
+    want = naive.unionByName(missing)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

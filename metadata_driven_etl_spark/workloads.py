@@ -1145,3 +1145,56 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_views"),
         F.sum(F.when(F.col("r.value").isNotNull(), 1).otherwise(0)).alias("n_valued"),
     )
+
+
+@workload(
+    "sample_hash",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    WHERE ('0x' || substr(md5(l_orderkey || '_' || l_linenumber), 1, 8))::BIGINT
+          % 100 < 10""",
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample by primary-key hash — the reproducible
+    sampling a training-data pipeline needs (rand()-based sampling changes
+    membership across runs/engines/partitionings; hash-mod membership is a
+    pure function of the row key)."""
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", "l_orderkey", "l_linenumber")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return li.filter(bucket < 10).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@workload(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents)
+    WHERE rn <= 50""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample: up to 50 docs per language, chosen
+    by hash order (uniform within stratum, reproducible everywhere) — one
+    window shuffle on the stratum key."""
+    from metadata_driven_etl_spark.operators.windows import topk_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    out = topk_per_group(
+        docs.select("doc_id", "lang"),
+        keys=["lang"],
+        order_by=[F.md5(F.col("doc_id").cast("string")), F.col("doc_id")],
+        k=50,
+    )
+    return out.select("doc_id", "lang")

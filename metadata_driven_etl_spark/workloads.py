@@ -1198,3 +1198,30 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=50,
     )
     return out.select("doc_id", "lang")
+
+
+@workload(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS qty_p50,
+           quantile_cont(l_quantity, 0.9) AS qty_p90,
+           quantile_cont(l_extendedprice, 0.5) AS price_p50
+    FROM lineitem GROUP BY 1""",
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (absent from the reference's agg surface).
+    Spark `percentile` and DuckDB `quantile_cont` share the textbook
+    h=(n-1)q interpolation on doubles → bit-identical results. The
+    approximate scale path is `approx_percentile` (t-digest sketch,
+    mergeable map-side — use it at 100 TB where exact sort-based
+    percentile's per-group buffering hurts)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("qty_p50"),
+            F.expr("percentile(l_quantity, 0.9)").alias("qty_p90"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("price_p50"),
+        )
+    )

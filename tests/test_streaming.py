@@ -143,3 +143,47 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path_factory):
         n_want, v_want = want[k]
         assert n_got == n_want
         assert abs(v_got - v_want) < 1e-6
+
+
+def test_merge_stream_upsert_equals_batch_agg(spark, events_dir, tmp_path):
+    """foreachBatch streaming merge: after draining the stream, the managed
+    table equals the batch aggregate (latest value per key), even though it
+    was built by per-micro-batch upserts."""
+    from pyspark.sql import functions as F
+
+    from metadata_driven_etl_spark.io.writer import ParquetFormat
+    from metadata_driven_etl_spark.streaming.sink import merge_stream
+    from metadata_driven_etl_spark.streaming.windows import stream_from_files
+
+    fmt = ParquetFormat()
+    spark.sql("DROP TABLE IF EXISTS stream_sink.user_totals")
+
+    stream = stream_from_files(spark, events_dir, EVENT_SCHEMA)
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    q = merge_stream(
+        agg,
+        "stream_sink.user_totals",
+        keys=["user_id"],
+        table_format=fmt,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r.user_id: r.n_events
+        for r in spark.table("stream_sink.user_totals").collect()
+    }
+    want = {
+        r.user_id: r.n_events
+        for r in spark.read.schema(EVENT_SCHEMA)
+        .parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    spark.sql("DROP TABLE IF EXISTS stream_sink.user_totals")
+    spark.sql("DROP DATABASE IF EXISTS stream_sink")

@@ -1,3 +1,7 @@
+from metadata_driven_etl_spark.streaming.sink import merge_stream  # noqa: F401
+from metadata_driven_etl_spark.streaming.stateful import (  # noqa: F401
+    sessionize_stateful,
+)
 from metadata_driven_etl_spark.streaming.windows import (  # noqa: F401
     session_window_agg,
     sliding_window_agg,

@@ -40,6 +40,9 @@ HEADLINE = [
     "agg_cube",
     "dq_metrics_single_pass",
     "multimodal_features",
+    "tpch_q1_pricing",
+    "tpch_q3_topk",
+    "tpch_q5_region_revenue",
 ]
 
 

@@ -101,6 +101,30 @@ def running_sum(
     )
 
 
+def moving_avg(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+    value_col: str,
+    preceding: int,
+    out_col: str = "moving_avg",
+) -> DataFrame:
+    """Trailing moving average over an explicit ROWS frame.
+
+    Same exact-decimal discipline as ``running_sum``: the frame sum is
+    accumulated in decimal (order-independent), cast to double, then divided
+    by the frame count — both operands bit-identical across engines, so the
+    IEEE division is too.
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_by)
+        .rowsBetween(-preceding, Window.currentRow)
+    )
+    frame_sum = F.sum(F.col(value_col).cast("decimal(25,10)")).over(w).cast("double")
+    return df.withColumn(out_col, frame_sum / F.count(F.col(value_col)).over(w))
+
+
 def sessionize(
     df: DataFrame,
     user_col: str,

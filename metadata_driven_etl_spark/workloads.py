@@ -1225,3 +1225,291 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(l_extendedprice, 0.5)").alias("price_p50"),
         )
     )
+
+
+# =========================================================================
+# Extended surface: multi-join analytic queries (TPC-H shapes).
+#
+# The reference's gold models stop at one fact ⋈ one dim (gold_config.yaml:
+# 8-61); a complete analytics engine must run the classic warehouse shapes —
+# wide scan-agg (Q1), selective 3-way join + top-k (Q3), star join over the
+# full dimension chain (Q5). All money math uses the exact-decimal helpers
+# so results hash-match DuckDB bit-for-bit.
+# =========================================================================
+
+
+@workload(
+    "tpch_q1_pricing",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_isum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}
+               AS sum_charge,
+           {sql_isum('l_quantity')} / COUNT(l_quantity) AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY 1, 2""",
+)
+def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide scan → filter → 8-aggregate group-by.
+
+    The whole query is one partial+final hash aggregation over a pruned
+    parquet scan (date filter pushed down); no shuffle besides the 4-group
+    final agg — the canonical 100 TB scan-heavy pattern.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") <= F.lit("1998-09-02").cast("date")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return agg_ops.group_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": isum("l_quantity"),
+            "sum_base_price": dsum("l_extendedprice"),
+            "sum_disc_price": dsum(disc_price),
+            "sum_charge": dsum(disc_price * (1 + F.col("l_tax"))),
+            "avg_qty": isum("l_quantity") / F.count("l_quantity"),
+            "avg_price": davg("l_extendedprice"),
+            "avg_disc": davg("l_discount"),
+            "count_order": F.count(F.lit(1)),
+        },
+    )
+
+
+@workload(
+    "tpch_q3_topk",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_orderpriority,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND CAST(o_orderdate AS DATE) < DATE '1997-06-30'
+      AND CAST(l_shipdate AS DATE) > DATE '1997-06-30'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10""",
+)
+def tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective fact⋈fact⋈dim join, group, top-10 revenue.
+
+    Customer (filtered to one segment) broadcasts into orders; the
+    orders⋈lineitem join shuffles only date-filtered rows (both predicates
+    push to the scans). Final ORDER BY+LIMIT plans as TakeOrderedAndProject
+    — each task keeps 10 rows. l_orderkey tie-break keeps the selected set
+    deterministic; revenue itself is bit-identical via exact-decimal sums.
+    """
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    cutoff = F.lit("1997-06-30").cast("date")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.to_date("o_orderdate") < cutoff)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            "o_orderpriority",
+        )
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.to_date("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    fact = join_ops.join_inner(
+        orders, cust, on=orders["o_custkey"] == cust["c_custkey"]
+    ).join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+    grouped = agg_ops.group_agg(
+        fact,
+        ["l_orderkey", "order_date", "o_orderpriority"],
+        {"revenue": dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))},
+    )
+    return sort_ops.top_k(grouped, [F.desc("revenue"), F.col("l_orderkey")], 10)
+
+
+@workload(
+    "tpch_q5_region_revenue",
+    oracle=f"""
+    SELECT n_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+    GROUP BY 1""",
+)
+def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: full star join — 2 facts + 4 broadcast dims.
+
+    Region→nation→supplier prunes to one region BEFORE touching facts; the
+    only big shuffle is lineitem⋈orders. customer and the pruned supplier
+    chain broadcast (star dims stay MB-scale even at 100 TB facts). The
+    c_nationkey = s_nationkey clause rides along as a post-join filter on
+    broadcast columns.
+    """
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = join_ops.join_inner(
+        _t(spark, sf_dir, "nation"),
+        region,
+        on=F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    supplier = join_ops.join_inner(
+        _t(spark, sf_dir, "supplier"),
+        nation,
+        on=F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.to_date("o_orderdate") < F.lit("1998-01-01").cast("date"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    fact = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    return agg_ops.group_agg(
+        fact,
+        ["n_name"],
+        {"revenue": dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))},
+    )
+
+
+@workload(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+           COUNT(*) AS cnt,
+           {sql_isum('l_quantity')} AS total_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended §2.5: explicit GROUPING SETS (between ROLLUP and CUBE) with
+    GROUPING() markers disambiguating set-introduced NULLs. One Expand +
+    one aggregation — same single-shuffle cost as a plain group-by."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("cnt"),
+            isum("l_quantity").alias("total_qty"),
+        )
+    )
+
+
+@workload(
+    "scalar_date_string",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01')
+                AS INTEGER) AS days_to_ref,
+           date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           upper(substring(o_orderpriority, 3, 20)) AS priority_name,
+           CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS priority_num,
+           concat_ws('-', o_orderstatus,
+                     lpad(CAST(o_orderkey AS VARCHAR), 10, '0')) AS order_label,
+           replace(o_orderpriority, '-', '_') AS priority_snake,
+           CAST(length(o_orderpriority) AS INTEGER) AS priority_len,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open
+    FROM orders""",
+)
+def scalar_date_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended §2.9: the date/string scalar surface the reference lacks
+    (SURVEY.md §2.9 — "no date arithmetic, no string functions"). All
+    JVM-side codegen expressions; cross-engine-identical semantics chosen
+    deliberately (1-based substring, lpad truncation, NULLIF/COALESCE)."""
+    d = F.to_date("o_orderdate")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.date_add(d, 30).alias("due_date"),
+        F.datediff(F.lit("1999-01-01").cast("date"), d).alias("days_to_ref"),
+        F.trunc(d, "month").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.year(d).alias("order_year"),
+        F.month(d).alias("order_month"),
+        F.upper(F.substring("o_orderpriority", 3, 20)).alias("priority_name"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("priority_num"),
+        F.concat_ws(
+            "-",
+            F.col("o_orderstatus"),
+            F.lpad(F.col("o_orderkey").cast("string"), 10, "0"),
+        ).alias("order_label"),
+        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias(
+            "priority_snake"
+        ),
+        F.length("o_orderpriority").alias("priority_len"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_or_open"
+        ),
+    )
+
+
+@workload(
+    "window_moving_avg",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,10))) OVER w
+                AS VARCHAR) AS DOUBLE)
+             / COUNT(o_totalprice) OVER w AS moving_avg
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended §2.6: trailing 7-order moving average with a bounded ROWS
+    frame (frames absent from the reference — SURVEY.md §2.6). Exact-decimal
+    frame sums keep every prefix bit-identical to the oracle."""
+    orders = _t(spark, sf_dir, "orders")
+    out = window_ops.moving_avg(
+        orders,
+        keys=["o_custkey"],
+        order_by=[F.to_date("o_orderdate"), F.col("o_orderkey")],
+        value_col="o_totalprice",
+        preceding=6,
+    )
+    return out.select("o_custkey", "o_orderkey", "moving_avg")

@@ -382,3 +382,83 @@ def sql_simhash_buckets(
     FROM ({sql_simhash_per_doc(table, text_col, id_col)})
     GROUP BY 1
     """
+
+
+# --- connected components (dedup clustering) --------------------------------
+
+
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster ids for the near-dup graph: (id, cluster_id = min reachable id).
+
+    Min-label propagation: every node starts labelled with itself; each round
+    a node takes the min of its own label and its neighbors' labels. Labels
+    are monotone non-increasing and bounded below by the component minimum →
+    converges in ≤ graph-diameter rounds. Convergence is detected with one
+    tiny action per round (SUM of labels, exact bigint arithmetic); lineage
+    is truncated per round via ``localCheckpoint`` so plans stay O(1) deep —
+    at cluster scale, point ``spark.sparkContext.setCheckpointDir`` at
+    durable storage and swap in ``checkpoint()``.
+
+    This is the standard scalable CC shape (cf. "large-star/small-star",
+    Kiveris et al., which optimizes round count; plain propagation is optimal
+    here because LSH dedup graphs are overwhelmingly tiny cliques with
+    diameter ≤ 3).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        nodes.select(F.col(id_col).alias("node"))
+        .distinct()
+        .withColumn("cluster_id", F.col("node"))
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_label"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node").alias(id_col), "cluster_id")
+
+
+def sql_connected_components(pairs_sql: str, table: str = "documents", id_col: str = "doc_id") -> str:
+    """Recursive-CTE oracle: cluster_id = min id reachable in the pair graph."""
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, lab) AS (
+        SELECT {id_col}, {id_col} FROM {table}
+        UNION
+        SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
+    )
+    SELECT node AS {id_col}, MIN(lab) AS cluster_id FROM reach GROUP BY node
+    """

@@ -1513,3 +1513,95 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         preceding=6,
     )
     return out.select("o_custkey", "o_orderkey", "moving_avg")
+
+
+@workload(
+    "dedup_cluster_cc",
+    oracle=dedup_ops.sql_connected_components(dedup_ops.sql_lsh_candidate_pairs()),
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the MinHash-LSH
+    candidate-pair graph → (doc_id, cluster_id = min id in component).
+    The step a real dedup pipeline needs after pair generation: keep one
+    representative per cluster. Iterative min-label propagation (see
+    dedup.connected_components); oracle is a recursive CTE."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    pairs = dedup_ops.lsh_candidate_pairs(docs)
+    return dedup_ops.connected_components(docs.select("doc_id"), pairs)
+
+
+@workload(
+    "json_extract_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+               AS sum_k,
+           MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+           MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+    FROM events GROUP BY 1""",
+)
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended §2.9: typed JSON extraction (the reference only flattens
+    JSON at ingest via schema inference — bronze_config.yaml:31-40; it has
+    no per-row JSON functions). ``from_json`` with an explicit schema stays
+    JVM-side and null-safe on malformed rows."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@workload(
+    "array_explode_centroid",
+    oracle="""
+    SELECT label, pos,
+           list_reduce(list_prepend(0.0, list_sort(list(val))),
+                       (acc, x) -> acc + x) / len(list(val)) AS centroid_val
+    FROM (
+        SELECT label,
+               CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ) t
+    GROUP BY 1, 2""",
+)
+def array_explode_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended array surface: per-label centroids via posexplode → group
+    by (label, position) → deterministic mean. The relational form of
+    "average the embeddings per class": one explode plus one hash agg keyed
+    by (label, pos) — narrow (int, int, double) shuffle rows at 100 TB.
+
+    Parity note: arbitrary doubles can't ride the decimal-sum trick
+    (DuckDB's double→decimal cast is multiply-based and disagrees with
+    Spark's exact BigDecimal rounding in the last quantum), so the mean is
+    made order-deterministic instead: sort the group's values, fold
+    sequentially in double — bit-identical in both engines. Bounded group
+    sizes only; at unbounded scale swap in plain ``avg`` with a tolerance.
+    """
+    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    pos_val = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    ).select("label", (F.col("pos") + 1).cast("int").alias("pos"), "val")
+    vals = F.sort_array(F.collect_list("val"))
+    return (
+        pos_val.groupBy("label", "pos")
+        .agg(vals.alias("vals"))
+        .select(
+            "label",
+            "pos",
+            (
+                F.aggregate("vals", F.lit(0.0), lambda acc, x: acc + x)
+                / F.size("vals")
+            ).alias("centroid_val"),
+        )
+    )

@@ -187,3 +187,60 @@ def test_merge_stream_upsert_equals_batch_agg(spark, events_dir, tmp_path):
     assert got == want and len(got) > 0
     spark.sql("DROP TABLE IF EXISTS stream_sink.user_totals")
     spark.sql("DROP DATABASE IF EXISTS stream_sink")
+
+
+def test_stream_static_join_equals_batch(spark, events_dir):
+    """Stream⋈static-dim enrichment aggregates == the batch join."""
+    from metadata_driven_etl_spark.streaming.enrich import stream_static_join
+
+    batch_events = spark.read.schema(EVENT_SCHEMA).parquet(events_dir)
+    dim = (
+        batch_events.select("event_type")
+        .distinct()
+        .withColumn("category", F.upper("event_type"))
+    )
+    stream = stream_from_files(spark, events_dir, EVENT_SCHEMA)
+    joined = stream_static_join(stream, dim, on=["event_type"])
+    agg = joined.groupBy("category").agg(F.count(F.lit(1)).alias("n"))
+    _run_stream(agg, "t_enrich")
+    got = {(r.category): r.n for r in spark.table("t_enrich").collect()}
+    want = {
+        (r.category): r.n
+        for r in batch_events.join(dim, "event_type")
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_dedup_within_watermark(spark, sf_dir, tmp_path_factory):
+    """Two micro-batches carrying the same rows → one surviving copy per
+    event_id (state held across batches by the watermark horizon)."""
+    import time
+
+    from metadata_driven_etl_spark.streaming.enrich import dedup_within_watermark
+
+    path = str(tmp_path_factory.mktemp("events_dup_stream"))
+    events = load_table(spark, sf_dir, "events").limit(500)
+    # Sequential writes → distinct mtimes → deterministic replay order
+    # (FileStreamSource orders by modification time).
+    events.coalesce(1).write.mode("append").parquet(path)
+    time.sleep(1.1)
+    events.coalesce(1).write.mode("append").parquet(path)
+
+    stream = stream_from_files(spark, path, EVENT_SCHEMA)
+    deduped = dedup_within_watermark(
+        stream, keys=["event_id"], watermark="3650 days"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_dedup").count()
+    want = events.select("event_id").distinct().count()
+    assert got == want > 0

@@ -1605,3 +1605,124 @@ def array_explode_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_val"),
         )
     )
+
+
+@workload(
+    "window_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER w_full AS last_price,
+           nth_value(o_totalprice, 2) OVER w_full AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+           w_full AS (PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended §2.6: first/last/nth_value analytics. last_value carries the
+    classic pitfall — the default frame ends at CURRENT ROW, so it needs an
+    explicit unbounded-following frame (same rule in both engines). Values
+    pass through untouched (no float accumulation), so parity is free."""
+    orders = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    order_cols = [F.to_date("o_orderdate"), F.col("o_orderkey")]
+    w = Window.partitionBy("o_custkey").orderBy(*order_cols)
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w_full).alias("second_price"),
+    )
+
+
+@workload(
+    "window_percent_rank",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)""",
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended §2.6: relative-rank analytics. Both functions are exact
+    rationals of row positions ((rank-1)/(n-1), peers/n) — a single IEEE
+    division of identical integers in both engines, so bit-identical; ties
+    get identical ranks, making the result order-insensitive."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@workload(
+    "string_agg_sorted",
+    oracle="""
+    SELECT o_custkey,
+           string_agg(CAST(o_orderkey AS VARCHAR), ','
+                      ORDER BY CAST(o_orderkey AS VARCHAR)) AS order_keys,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY 1""",
+)
+def string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended §2.5: order-deterministic string aggregation (LISTAGG).
+    ``collect_list`` has no deterministic order under parallelism — the
+    engine sorts the collected array before joining, which is the only
+    reproducible listagg on a cluster. Oracle pins the same order with
+    ORDER BY inside string_agg."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("o_orderkey").cast("string"))),
+                ",",
+            ).alias("order_keys"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@workload(
+    "correlated_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice >
+        (SELECT CAST(CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(25,10)))
+                     AS VARCHAR) AS DOUBLE) / COUNT(o2.o_totalprice)
+         FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""",
+)
+def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above their customer's average spend. The SQL front door is a
+    correlated scalar subquery (Catalyst decorrelates it into an aggregate
+    + self-join — two scans); the engine's DataFrame form is ONE window
+    aggregation over a single scan — same semantics, half the I/O, one
+    shuffle. Exact-decimal window sum keeps the threshold bit-identical."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    cust_avg = (
+        F.sum(F.col("o_totalprice").cast("decimal(25,10)")).over(w).cast("double")
+        / F.count("o_totalprice").over(w)
+    )
+    return (
+        orders.withColumn("cust_avg", cust_avg)
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

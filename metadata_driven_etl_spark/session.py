@@ -35,6 +35,11 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.parquet.aggregatePushdown": "true",
     # Partition-file sizing: 128m keeps per-task input bounded at any SF.
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # ...but never let a SMALL input under-parallelize: split file scans to
+    # at least cluster parallelism (a 50 MB table otherwise scans as 3 tasks
+    # and every downstream partial agg runs on 3 of N cores). At 100 TB the
+    # 128m cap dominates and this floor is a no-op.
+    "spark.sql.files.minPartitionNum": str(os.cpu_count() or 8),
     # Parquet TIMESTAMP(NANOS) (e.g. the events table) is unreadable by the
     # vectorized reader otherwise; read as long, catalog normalizes to µs.
     "spark.sql.legacy.parquet.nanosAsLong": "true",

@@ -1726,3 +1726,134 @@ def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > F.col("cust_avg"))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@workload(
+    "unpivot_measures",
+    oracle="""
+    SELECT p_partkey, measure_name, measure_value
+    FROM (SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size, p_retailprice
+          FROM part)
+    UNPIVOT (measure_value FOR measure_name IN (p_size, p_retailprice))""",
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended §2.5: UNPIVOT/melt — wide measures → long (entity, name,
+    value) triples, the inverse of pivot_linestatus. Plans as a single
+    Expand (2 output rows per input row), no shuffle at all."""
+    return (
+        _t(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("p_size"),
+            "p_retailprice",
+        )
+        .unpivot(
+            ids=["p_partkey"],
+            values=["p_size", "p_retailprice"],
+            variableColumnName="measure_name",
+            valueColumnName="measure_value",
+        )
+    )
+
+
+_SCD2_ORACLE = """
+    WITH live AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+        FROM customer),
+    hist AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal - 50 AS c_acctbal,
+               DATE '2019-01-01' AS valid_from, DATE '2020-01-01' AS valid_to
+        FROM customer WHERE c_custkey % 10 = 7),
+    updates AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal + 100 AS c_acctbal
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, c_acctbal
+        FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 3 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'NEW', 0.0
+        FROM customer WHERE c_custkey % 11 = 0),
+    cmp AS (
+        SELECT l.*, u.c_custkey AS uk, u.c_mktsegment AS useg,
+               u.c_acctbal AS ubal
+        FROM live l LEFT JOIN updates u ON l.c_custkey = u.c_custkey),
+    changed AS (
+        SELECT * FROM cmp
+        WHERE uk IS NOT NULL AND NOT (
+            c_mktsegment IS NOT DISTINCT FROM useg
+            AND c_acctbal IS NOT DISTINCT FROM ubal))
+    SELECT c_custkey, c_mktsegment, c_acctbal, valid_from, valid_to FROM hist
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_acctbal, valid_from, valid_to
+    FROM cmp WHERE uk IS NULL OR (
+        c_mktsegment IS NOT DISTINCT FROM useg
+        AND c_acctbal IS NOT DISTINCT FROM ubal)
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_acctbal, valid_from,
+           DATE '2021-06-01' AS valid_to
+    FROM changed
+    UNION ALL
+    SELECT c_custkey, useg AS c_mktsegment, ubal AS c_acctbal,
+           DATE '2021-06-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+    FROM changed
+    UNION ALL
+    SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal,
+           DATE '2021-06-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+    FROM updates u LEFT JOIN (SELECT c_custkey FROM live
+                              UNION ALL SELECT c_custkey FROM hist) c
+        ON u.c_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+"""
+
+
+@workload("scd2_dimension_update", oracle=_SCD2_ORACLE)
+def scd2_dimension_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD merge (extended M7: the reference's incremental gold only
+    overwrites rows — K3; real dimension management needs history). Inputs
+    are derived deterministically from `customer` in both engines: a live
+    dim + some closed history, updates containing changed / unchanged /
+    brand-new keys. See merge.scd2_apply for semantics."""
+    cust = _t(spark, sf_dir, "customer")
+    live = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit("2020-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    hist = cust.filter(F.col("c_custkey") % 10 == 7).select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal") - 50).alias("c_acctbal"),
+        F.lit("2019-01-01").cast("date").alias("valid_from"),
+        F.lit("2020-01-01").cast("date").alias("valid_to"),
+    )
+    current = live.unionByName(hist)
+    updates = (
+        cust.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        )
+        .unionByName(
+            cust.filter(
+                (F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") % 3 != 0)
+            ).select("c_custkey", "c_mktsegment", "c_acctbal")
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 11 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("NEW").alias("c_mktsegment"),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+    )
+    return merge_ops.scd2_apply(
+        current,
+        updates,
+        key="c_custkey",
+        attrs=["c_mktsegment", "c_acctbal"],
+        effective_date="2021-06-01",
+    )

@@ -13,6 +13,7 @@ row per event would otherwise add a tiny file to the table per event
 from __future__ import annotations
 
 import getpass
+import threading
 import time
 import uuid
 from datetime import datetime, timezone
@@ -69,6 +70,10 @@ class AuditLogger:
         self.auto_flush = auto_flush
         self._buffer: list[tuple] = []
         self._starts: dict[str, float] = {}
+        # Serializes buffer access + table appends: units may log from
+        # concurrent threads (pipeline max_parallel_units), and a parquet
+        # append is not transactional under concurrency.
+        self._lock = threading.RLock()
         try:
             self._user = getpass.getuser()
         except Exception:
@@ -78,33 +83,35 @@ class AuditLogger:
 
     def _emit(self, **kw) -> str:
         log_id = str(uuid.uuid4())
-        self._buffer.append(
-            (
-                log_id,
-                _now(),
-                kw.get("layer"),
-                kw.get("operation"),
-                kw.get("component"),
-                kw.get("source_id"),
-                kw.get("target_table"),
-                kw.get("status"),
-                kw.get("rows_processed"),
-                kw.get("error_message"),
-                kw.get("execution_time_seconds"),
-                self.run_id,
-                self._user,
+        with self._lock:
+            self._buffer.append(
+                (
+                    log_id,
+                    _now(),
+                    kw.get("layer"),
+                    kw.get("operation"),
+                    kw.get("component"),
+                    kw.get("source_id"),
+                    kw.get("target_table"),
+                    kw.get("status"),
+                    kw.get("rows_processed"),
+                    kw.get("error_message"),
+                    kw.get("execution_time_seconds"),
+                    self.run_id,
+                    self._user,
+                )
             )
-        )
-        if self.auto_flush:
-            self.flush()
+            if self.auto_flush:
+                self.flush()
         return log_id
 
     def flush(self) -> None:
-        if not self._buffer:
-            return
-        df = self.spark.createDataFrame(self._buffer, AUDIT_SCHEMA)
-        self.fmt.append(df, self.table)
-        self._buffer.clear()
+        with self._lock:
+            if not self._buffer:
+                return
+            df = self.spark.createDataFrame(self._buffer, AUDIT_SCHEMA)
+            self.fmt.append(df, self.table)
+            self._buffer.clear()
 
     # -- event API (reference audit_logger.py:76-217) -----------------------
 

@@ -17,6 +17,7 @@ Differences by design:
 from __future__ import annotations
 
 import json
+import threading
 from datetime import datetime, timezone
 
 from pyspark.sql import SparkSession
@@ -54,6 +55,10 @@ class ControlTable:
         self.spark = spark
         self.fmt = table_format
         self.table = table
+        # update_run is read-modify-overwrite (parquet merge): reads and
+        # writes from concurrent pipeline units must serialize or a reader
+        # can scan the table mid-overwrite / an update can be lost.
+        self._lock = threading.RLock()
         self._ensure()
 
     def _ensure(self) -> None:
@@ -82,29 +87,32 @@ class ControlTable:
             )
         ]
         src = self.spark.createDataFrame(row, CONTROL_SCHEMA)
-        self.fmt.merge(self.spark, self.table, src, keys=["table_name", "layer"])
+        with self._lock:
+            self.fmt.merge(self.spark, self.table, src, keys=["table_name", "layer"])
 
     def get_last_run_date(self, table_name: str, layer: str) -> str | None:
-        df = (
-            self.fmt.read(self.spark, self.table)
-            .filter(
-                (F.col("table_name") == table_name)
-                & (F.col("layer") == layer)
-                & (F.col("status") == "success")
+        with self._lock:
+            rows = (
+                self.fmt.read(self.spark, self.table)
+                .filter(
+                    (F.col("table_name") == table_name)
+                    & (F.col("layer") == layer)
+                    & (F.col("status") == "success")
+                )
+                .agg(F.max("last_run_date").alias("d"))
+                .collect()
             )
-            .agg(F.max("last_run_date").alias("d"))
-        )
-        rows = df.collect()
         return rows[0]["d"] if rows else None
 
     def get_state(self, table_name: str, layer: str):
-        rows = (
-            self.fmt.read(self.spark, self.table)
-            .filter(
-                (F.col("table_name") == table_name) & (F.col("layer") == layer)
+        with self._lock:
+            rows = (
+                self.fmt.read(self.spark, self.table)
+                .filter(
+                    (F.col("table_name") == table_name) & (F.col("layer") == layer)
+                )
+                .collect()
             )
-            .collect()
-        )
         return rows[0] if rows else None
 
     def all_states(self):

@@ -9,6 +9,7 @@ Both are live here.
 
 from __future__ import annotations
 
+import threading
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -61,6 +62,7 @@ class DQMetricsStore:
         self.spark = spark
         self.fmt = table_format
         self.table = table
+        self._lock = threading.RLock()  # concurrent units append here
         if not self.fmt.table_exists(spark, table):
             self.fmt.overwrite(spark.createDataFrame([], DQ_METRICS_SCHEMA), table)
 
@@ -76,7 +78,10 @@ class DQMetricsStore:
             )
             for m in metrics
         ]
-        self.fmt.append(self.spark.createDataFrame(rows, DQ_METRICS_SCHEMA), self.table)
+        with self._lock:
+            self.fmt.append(
+                self.spark.createDataFrame(rows, DQ_METRICS_SCHEMA), self.table
+            )
 
     def history(self, table_name: str | None = None) -> DataFrame:
         df = self.fmt.read(self.spark, self.table)
@@ -93,6 +98,7 @@ class DataDictionary:
         self.spark = spark
         self.fmt = table_format
         self.table = table
+        self._lock = threading.RLock()  # concurrent units register here
         if not self.fmt.table_exists(spark, table):
             self.fmt.overwrite(spark.createDataFrame([], DICTIONARY_SCHEMA), table)
 
@@ -109,5 +115,6 @@ class DataDictionary:
             for f in df.schema.fields
         ]
         src = self.spark.createDataFrame(rows, DICTIONARY_SCHEMA)
-        self.fmt.merge(self.spark, self.table, src,
-                       keys=["table_name", "column_name"])
+        with self._lock:
+            self.fmt.merge(self.spark, self.table, src,
+                           keys=["table_name", "column_name"])

@@ -100,41 +100,66 @@ class _LayerBase:
             except Exception:
                 pass  # static confs can't change at runtime; defaults apply
 
-    def _run_units(self, units, runner) -> list[UnitResult]:
-        results = []
-        for unit in units:
-            uid = getattr(unit, "source_id", None) or getattr(
-                unit, "transform_id", None
-            ) or getattr(unit, "model_id", None)
-            if not unit.enabled:
-                results.append(
-                    UnitResult(uid, unit.target_table, "skipped")
-                )
-                continue
-            t0 = time.perf_counter()
-            self.ctx.audit.log_start(
-                self.layer_name, "process", uid, target_table=unit.target_table
+    def _run_unit(self, unit, runner) -> UnitResult:
+        uid = getattr(unit, "source_id", None) or getattr(
+            unit, "transform_id", None
+        ) or getattr(unit, "model_id", None)
+        if not unit.enabled:
+            return UnitResult(uid, unit.target_table, "skipped")
+        t0 = time.perf_counter()
+        self.ctx.audit.log_start(
+            self.layer_name, "process", uid, target_table=unit.target_table
+        )
+        try:
+            rows = runner(unit)
+            secs = round(time.perf_counter() - t0, 3)
+            self.ctx.audit.log_success(
+                self.layer_name, "process", uid,
+                rows_processed=rows, target_table=unit.target_table,
             )
-            try:
-                rows = runner(unit)
-                secs = round(time.perf_counter() - t0, 3)
-                self.ctx.audit.log_success(
-                    self.layer_name, "process", uid,
-                    rows_processed=rows, target_table=unit.target_table,
-                )
-                results.append(
-                    UnitResult(uid, unit.target_table, "success", rows, secs)
-                )
-            except Exception as e:  # per-unit isolation (M10)
-                secs = round(time.perf_counter() - t0, 3)
-                self.ctx.audit.log_error(
-                    self.layer_name, "process", uid, e,
-                    target_table=unit.target_table,
-                )
-                results.append(
-                    UnitResult(uid, unit.target_table, "error", 0, secs, str(e))
-                )
-        return results
+            return UnitResult(uid, unit.target_table, "success", rows, secs)
+        except Exception as e:  # per-unit isolation (M10)
+            secs = round(time.perf_counter() - t0, 3)
+            self.ctx.audit.log_error(
+                self.layer_name, "process", uid, e,
+                target_table=unit.target_table,
+            )
+            return UnitResult(uid, unit.target_table, "error", 0, secs, str(e))
+
+    def _run_units(self, units, runner) -> list[UnitResult]:
+        """Run a layer's units; independent units can run CONCURRENTLY.
+
+        The reference executes sources/transforms/models strictly
+        sequentially (SURVEY.md §3) — idle cluster while each unit's small
+        job runs. With ``default: max_parallel_units: N`` in config, units
+        are submitted from N threads: Spark's scheduler interleaves the
+        jobs across executors (thread-safe by design), per-unit isolation
+        and result order are preserved, and the metadata plane serializes
+        its table writes internally (each store locks around its
+        non-transactional parquet read-modify-write). Units sharing a
+        target table (e.g. two bronze sources appending into one table)
+        stay sequential with each other — only cross-target parallelism is
+        exploited, so no data table ever sees concurrent writers.
+        """
+        units = list(units)
+        workers = int(self.config.defaults.extra.get("max_parallel_units", 1))
+        if workers <= 1 or len(units) <= 1:
+            return [self._run_unit(u, runner) for u in units]
+        from concurrent.futures import ThreadPoolExecutor
+
+        groups: dict[str, list[int]] = {}
+        for i, u in enumerate(units):
+            groups.setdefault(u.target_table, []).append(i)
+
+        def run_group(idxs: list[int]) -> list[tuple[int, UnitResult]]:
+            return [(i, self._run_unit(units[i], runner)) for i in idxs]
+
+        results: list[UnitResult | None] = [None] * len(units)
+        with ThreadPoolExecutor(max_workers=min(workers, len(groups))) as pool:
+            for pairs in pool.map(run_group, groups.values()):
+                for i, res in pairs:
+                    results[i] = res
+        return list(results)  # original config order
 
 
 class BronzeLayer(_LayerBase):

@@ -1857,3 +1857,29 @@ def scd2_dimension_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         attrs=["c_mktsegment", "c_acctbal"],
         effective_date="2021-06-01",
     )
+
+
+@workload(
+    "regexp_word_freq",
+    oracle="""
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(regexp_extract_all(text, 's[a-z]{3,}')) AS word
+          FROM documents) t
+    GROUP BY 1
+    HAVING COUNT(*) >= 5""",
+)
+def regexp_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended §2.9: regexp_extract_all → explode → frequency count with a
+    HAVING filter. Pattern sticks to the RE2 ∩ java.util.regex common
+    subset so both engines match identical spans."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit("s[a-z]{3,}"), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )

@@ -161,3 +161,59 @@ def test_asof_join_equals_theta_join(spark, sf_dir):
     want = naive.unionByName(missing)
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_scd2_idempotent_and_one_live_row_per_key(spark):
+    """Re-applying the same updates at the same effective date is a no-op
+    (live rows already carry the new attrs), and every key has exactly one
+    live (valid_to IS NULL) row."""
+    from metadata_driven_etl_spark.operators.merge import scd2_apply
+
+    current = spark.createDataFrame(
+        [
+            (1, "a", "2020-01-01", None),
+            (2, "b", "2020-01-01", None),
+            (2, "old", "2019-01-01", "2020-01-01"),  # closed history
+            (3, "c", "2020-01-01", None),
+        ],
+        "k int, attr string, valid_from string, valid_to string",
+    ).select(
+        "k",
+        "attr",
+        F.col("valid_from").cast("date").alias("valid_from"),
+        F.col("valid_to").cast("date").alias("valid_to"),
+    )
+    updates = spark.createDataFrame(
+        [(1, "a2"), (2, "b"), (4, "d")], "k int, attr string"
+    )
+    once = scd2_apply(current, updates, "k", ["attr"], "2021-06-01")
+    twice = scd2_apply(once, updates, "k", ["attr"], "2021-06-01")
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
+    live = once.filter(F.col("valid_to").isNull())
+    assert live.count() == live.select("k").distinct().count() == 4
+    # changed key 1: old row closed at effective date, new live row carries a2
+    rows_1 = {tuple(r) for r in once.filter("k = 1").collect()}
+    import datetime
+
+    eff = datetime.date(2021, 6, 1)
+    assert (1, "a2", eff, None) in rows_1
+    assert any(r[3] == eff and r[1] == "a" for r in rows_1)
+    # untouched key 2 keeps history + unchanged live row
+    assert once.filter("k = 2").count() == 2
+    # fresh key 4 inserted live
+    assert once.filter("k = 4 AND valid_to IS NULL").count() == 1
+
+
+def test_connected_components_fixpoint(spark):
+    """Every edge ends up intra-cluster; labels are component minima."""
+    from metadata_driven_etl_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id long")
+    # components: {1,2,3,4} chain, {5,6} pair, {7}, {8} isolated
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(nodes, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7, 8: 8}

@@ -138,3 +138,60 @@ def test_cli_main_runs(spark, monkeypatch, pipeline_run):
          "--config-dir", "/root/repo/configs"]
     )
     assert rc == 0
+
+
+def test_parallel_units_match_sequential(spark, pipeline_run):
+    """max_parallel_units: concurrent cross-target units produce the same
+    tables/metadata as sequential execution (shared-target units grouped)."""
+    from metadata_driven_etl_spark.config.model import PipelineConfig
+    from metadata_driven_etl_spark.plans.pipeline import BronzeLayer, PipelineContext
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS bronze_par")
+    cfg = {
+        "sources": [
+            {
+                "source_id": f"{t}_par",
+                "source_type": "file",
+                "source_path": f"/root/testdata/sf0.001/{t}.parquet",
+                "file_format": "parquet",
+                "target_table": f"bronze_par.{t}",
+                "extract_strategy": "full",
+            }
+            for t in ["orders", "customer", "part", "supplier"]
+        ]
+        # two sources appending into ONE shared target: must serialize
+        + [
+            {
+                "source_id": f"nation_copy_{i}",
+                "source_type": "file",
+                "source_path": "/root/testdata/sf0.001/nation.parquet",
+                "file_format": "parquet",
+                "target_table": "bronze_par.nation_both",
+                "extract_strategy": "full",
+            }
+            for i in (1, 2)
+        ],
+        "default": {"max_parallel_units": 4},
+    }
+    ctx = PipelineContext(spark=spark, table_format=ParquetFormat())
+    results = BronzeLayer(ctx, PipelineConfig.from_dict(cfg)).run("2024-01-15")
+    assert [r.status for r in results] == ["success"] * 6
+    # result order == config order
+    assert [r.unit_id for r in results] == [
+        "orders_par", "customer_par", "part_par", "supplier_par",
+        "nation_copy_1", "nation_copy_2",
+    ]
+    for t in ["orders", "customer", "part", "supplier"]:
+        want = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet").count()
+        assert spark.table(f"bronze_par.{t}").count() == want
+    nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet").count()
+    assert spark.table("bronze_par.nation_both").count() == 2 * nation
+    # audit captured one STARTED + one SUCCESS per unit, no ERRORs
+    audit = spark.table("metadata.etl_audit_log").filter(
+        F.col("run_id") == ctx.audit.run_id
+    )
+    assert audit.filter("status = 'ERROR'").count() == 0
+    assert audit.filter("status = 'SUCCESS'").count() == 6
+    for t in ["orders", "customer", "part", "supplier", "nation_both"]:
+        spark.sql(f"DROP TABLE IF EXISTS bronze_par.{t}")
+    spark.sql("DROP DATABASE IF EXISTS bronze_par")

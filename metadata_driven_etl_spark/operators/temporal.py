@@ -21,7 +21,7 @@ Scale design:
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -117,3 +117,46 @@ def range_join_binned(
     # a pair meets in exactly one bin (the right row's), so no pair dedup
     # is needed
     return lt.alias("l").join(rt.alias("r"), cond).drop("_bin")
+
+
+def resample_gap_fill(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    step: str = "1 hour",
+    aggs: Mapping[str, Column] | None = None,
+    fills: Mapping[str, Column] | None = None,
+) -> DataFrame:
+    """Resample events onto a dense per-key time grid, filling gaps.
+
+    The hypertable-rollup shape: per key, truncate ``ts_col`` to the step,
+    aggregate, then LEFT-join onto a generated ``sequence(min_bucket,
+    max_bucket, step)`` so empty buckets appear with fill values. The grid
+    side is rows-per-key × buckets — tiny next to the event data — and the
+    join key (key, bucket) is uniform, so the extra join is cheap at any
+    scale; the event table is still touched exactly twice (bounds + aggs),
+    both simple scans with map-side partial aggregation.
+    """
+    unit = step.split()[-1].rstrip("s")  # "1 hour" -> hour
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    aggs = dict(aggs or {"n_events": F.count(F.lit(1))})
+    fills = dict(fills or {})
+
+    bounds = df.groupBy(*keys).agg(
+        F.date_trunc(unit, F.min(ts_col)).alias("_b0"),
+        F.date_trunc(unit, F.max(ts_col)).alias("_b1"),
+    )
+    grid = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence("_b0", "_b1", F.expr(f"interval {step}"))
+        ).alias("bucket"),
+    )
+    per_bucket = df.groupBy(*keys, bucket.alias("bucket")).agg(
+        *[c.alias(n) for n, c in aggs.items()]
+    )
+    out = grid.join(per_bucket, [*keys, "bucket"], "left")
+    for name in aggs:
+        fill = fills.get(name, F.lit(0))
+        out = out.withColumn(name, F.coalesce(F.col(name), fill))
+    return out

@@ -1883,3 +1883,88 @@ def regexp_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 5)
     )
+
+
+@workload(
+    "agg_argmax_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey AS top_custkey, c_acctbal AS top_acctbal
+    FROM customer
+    QUALIFY row_number() OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal DESC, c_custkey DESC) = 1""",
+)
+def agg_argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended §2.5: argmax per group — "which customer holds the max
+    balance per segment". One aggregation via max(struct(value, key))
+    (lexicographic struct ordering = deterministic tie-break on key), which
+    is ONE shuffle with map-side partials — strictly cheaper than the
+    window/row_number formulation the oracle uses (full sort per group)."""
+    best = F.max(F.struct("c_acctbal", "c_custkey")).alias("best")
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(best)
+        .select(
+            "c_mktsegment",
+            F.col("best.c_custkey").alias("top_custkey"),
+            F.col("best.c_acctbal").alias("top_acctbal"),
+        )
+    )
+
+
+@workload(
+    "resample_gap_fill",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT event_type, date_trunc('hour', min(ts)) AS b0,
+               date_trunc('hour', max(ts)) AS b1
+        FROM events GROUP BY 1),
+    grid AS (
+        SELECT event_type,
+               unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+        FROM bounds),
+    per_bucket AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               COUNT(*) AS n_events, {sql_dsum('value')} AS total_value
+        FROM events GROUP BY 1, 2)
+    SELECT g.event_type, g.bucket,
+           COALESCE(p.n_events, 0) AS n_events,
+           COALESCE(p.total_value, 0.0) AS total_value
+    FROM grid g LEFT JOIN per_bucket p
+      ON g.event_type = p.event_type AND g.bucket = p.bucket""",
+)
+def resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap filling (hypertable-rollup shape —
+    absent from the reference, essential for event analytics): hourly
+    buckets per event type over each type's observed span, empty hours
+    materialized with zero counts. See temporal.resample_gap_fill."""
+    from metadata_driven_etl_spark.operators import temporal
+
+    events = _t(spark, sf_dir, "events")
+    return temporal.resample_gap_fill(
+        events,
+        keys=["event_type"],
+        ts_col="ts",
+        step="1 hour",
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "total_value": dsum("value"),
+        },
+        fills={"total_value": F.lit(0.0)},
+    )
+
+
+@workload("scan_orc", oracle="SELECT s_suppkey, s_name, s_acctbal FROM supplier")
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-extended: ORC scan (Spark-native columnar format beyond the
+    reference's parquet/CSV/JSON trio). Round-trips `supplier` through ORC
+    in a temp dir, like scan_csv/scan_json."""
+    import os
+    import tempfile
+
+    supplier = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    path = os.path.join(tempfile.gettempdir(), "mdes_scan_orc")
+    supplier.coalesce(1).write.mode("overwrite").orc(path)
+    return spark.read.orc(path).select("s_suppkey", "s_name", "s_acctbal")

@@ -1968,3 +1968,174 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(tempfile.gettempdir(), "mdes_scan_orc")
     supplier.coalesce(1).write.mode("overwrite").orc(path)
     return spark.read.orc(path).select("s_suppkey", "s_name", "s_acctbal")
+
+
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+@workload(
+    "text_pii_redact",
+    oracle=f"""
+    WITH enriched AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id ||
+               '@example.com or +1-555-' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text2
+        FROM documents)
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(text2, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text2, '{_EMAIL_RE}')) AS INTEGER)
+               AS n_emails
+    FROM enriched""",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: PII redaction — regexp-scrub emails/phones, count
+    hits for audit. The corpus has no natural PII, so deterministic fake
+    PII is appended from doc_id identically in both engines, then removed.
+    Pure JVM regexp (codegen); patterns in the RE2∩Java common subset.
+    Spark's regexp_replace is global by default; DuckDB needs the 'g' flag.
+    """
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    text2 = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    enriched = docs.select("doc_id", text2.alias("text2"))
+    return enriched.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text2"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all(F.col("text2"), F.lit(_EMAIL_RE), 0)).alias(
+            "n_emails"
+        ),
+    )
+
+
+@workload(
+    "agg_histogram",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+    SELECT CAST(least(floor((o_totalprice - lo) / (hi - lo) * 20), 19)
+                AS INTEGER) AS bin,
+           COUNT(*) AS n,
+           min(o_totalprice) AS bin_min,
+           max(o_totalprice) AS bin_max
+    FROM orders CROSS JOIN bounds
+    GROUP BY 1""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended §2.5: equal-width histogram/feature binning. Bounds come
+    from one tiny aggregate broadcast back over the scan (two passes, both
+    map-side partial); identical IEEE bin arithmetic in both engines makes
+    the binning deterministic."""
+    orders = _t(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    binned = orders.crossJoin(F.broadcast(bounds)).select(
+        "o_totalprice",
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * 20
+            ),
+            F.lit(19),
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("bin_min"),
+        F.max("o_totalprice").alias("bin_max"),
+    )
+
+
+@workload(
+    "agg_exact_stats",
+    oracle="""
+    WITH c AS (
+        SELECT c_mktsegment,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cx,
+               CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cy
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+    m AS (
+        SELECT c_mktsegment,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(cx AS DECIMAL(20,0))) AS DECIMAL(20,0)) AS sx,
+               CAST(SUM(CAST(cy AS DECIMAL(20,0))) AS DECIMAL(20,0)) AS sy,
+               CAST(SUM(CAST(cx * cx AS DECIMAL(28,0))) AS DECIMAL(28,0)) AS sxx,
+               CAST(SUM(CAST(cy * cy AS DECIMAL(28,0))) AS DECIMAL(28,0)) AS syy,
+               CAST(SUM(CAST(cx * cy AS DECIMAL(28,0))) AS DECIMAL(28,0)) AS sxy
+        FROM c GROUP BY 1),
+    d AS (
+        SELECT c_mktsegment, n,
+               CAST(CAST(CAST(n AS DECIMAL(20,0)) * sxx - sx * sx AS VARCHAR)
+                    AS DOUBLE) AS vx,
+               CAST(CAST(CAST(n AS DECIMAL(20,0)) * syy - sy * sy AS VARCHAR)
+                    AS DOUBLE) AS vy,
+               CAST(CAST(CAST(n AS DECIMAL(20,0)) * sxy - sx * sy AS VARCHAR)
+                    AS DOUBLE) AS cxy
+        FROM m)
+    SELECT c_mktsegment, n,
+           sqrt(vx / (n * (n - 1))) / 100 AS stddev_price,
+           cxy / (sqrt(vx) * sqrt(vy)) AS corr_price_bal
+    FROM d""",
+)
+def agg_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended §2.5: sample stddev + Pearson correlation from EXACT moment
+    sums. Spark's native stddev/corr stream order-dependent co-moments —
+    not reproducible across engines or partitionings. Here 2-dp money maps
+    to integer cents (identical floor(x*100+.5) in both engines), every
+    moment accumulates in exact decimal (overflow-proof to 1e38, map-side
+    partials intact), and the n·Sxy − Sx·Sy numerators stay in decimal —
+    which also sidesteps C++ FMA contraction (a DuckDB double a*b−c*d fuses;
+    JVM arithmetic never does, so a double formulation differs in the last
+    ulp). Doubles appear only for the final sqrt/divide chain, which has no
+    fusable a·b±c shape."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    joined = join_ops.join_inner(
+        orders, customer, on=orders["o_custkey"] == customer["c_custkey"]
+    )
+    cents = lambda col: F.floor(F.col(col) * 100 + 0.5).cast("long")  # noqa: E731
+    c = joined.select(
+        "c_mktsegment", cents("o_totalprice").alias("cx"), cents("c_acctbal").alias("cy")
+    )
+    d20, d28 = "decimal(20,0)", "decimal(28,0)"
+    m = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cx").cast(d20)).cast(d20).alias("sx"),
+        F.sum(F.col("cy").cast(d20)).cast(d20).alias("sy"),
+        F.sum((F.col("cx") * F.col("cx")).cast(d28)).cast(d28).alias("sxx"),
+        F.sum((F.col("cy") * F.col("cy")).cast(d28)).cast(d28).alias("syy"),
+        F.sum((F.col("cx") * F.col("cy")).cast(d28)).cast(d28).alias("sxy"),
+    )
+    nd = F.col("n").cast(d20)
+    d = m.select(
+        "c_mktsegment",
+        "n",
+        (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double").alias("vx"),
+        (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double").alias("vy"),
+        (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double").alias("cxy"),
+    )
+    n = F.col("n")
+    return d.select(
+        "c_mktsegment",
+        "n",
+        (F.sqrt(F.col("vx") / (n * (n - 1))) / 100).alias("stddev_price"),
+        (F.col("cxy") / (F.sqrt(F.col("vx")) * F.sqrt(F.col("vy")))).alias(
+            "corr_price_bal"
+        ),
+    )

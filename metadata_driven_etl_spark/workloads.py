@@ -2139,3 +2139,81 @@ def agg_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corr_price_bal"
         ),
     )
+
+
+@workload(
+    "window_cumulative_distinct",
+    oracle="""
+    WITH first_seen AS (
+        SELECT event_type, user_id,
+               min(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY 1, 2),
+    daily_new AS (
+        SELECT event_type, first_day AS day, COUNT(*) AS new_users
+        FROM first_seen GROUP BY 1, 2)
+    SELECT event_type, day, new_users,
+           SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_users
+    FROM daily_new""",
+)
+def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per event type by day — the running
+    COUNT(DISTINCT) window Spark (and SQL generally) can't express
+    directly. Rewrite: first-occurrence day per (type, user) → daily new
+    users → running integer sum. Two narrow shuffles; all-integer math so
+    parity is exact."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    first_seen = events.groupBy("event_type", "user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily_new = first_seen.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("new_users"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily_new.withColumn("cum_users", F.sum("new_users").over(w))
+
+
+@workload(
+    "text_tf_df_score",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({text_ops.sql_tokens('text')}) AS term
+        FROM documents),
+    stats AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS tf,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT term, tf, df,
+           tf * ((n_docs + 1.0) / (df + 1.0)) AS rarity_score
+    FROM stats CROSS JOIN n""",
+)
+def text_tf_df_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term statistics: term frequency, document frequency, and a
+    rarity weighting tf·(N+1)/(df+1) — the TF-IDF shape with a rational
+    weight instead of log (ln is not correctly-rounded in either engine's
+    math library, so a log-based score can differ in the last ulp; the
+    rational is bit-identical). One explode + two aggregations; the scalar
+    N broadcast back over the terms."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(text_ops.tokens("text")).alias("term"))
+    stats = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return stats.crossJoin(F.broadcast(n)).select(
+        "term",
+        "tf",
+        "df",
+        (F.col("tf") * ((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))).alias(
+            "rarity_score"
+        ),
+    )

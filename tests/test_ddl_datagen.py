@@ -136,3 +136,38 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS bkt.orders")
         spark.sql("DROP TABLE IF EXISTS bkt.customer")
         spark.sql("DROP DATABASE IF EXISTS bkt")
+
+
+def test_dynamic_partition_pruning(spark, sf_dir):
+    """SCALE.md: a date-partitioned fact joined to a filtered dim gets a
+    dynamicpruning partition filter — only matching partitions are read
+    (the gold fact⋈dim star shape at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    from metadata_driven_etl_spark.catalog import load_table
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS dpp")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    orders.write.mode("overwrite").partitionBy("order_month").saveAsTable(
+        "dpp.orders_part"
+    )
+    months = [r.order_month for r in orders.select("order_month").distinct().collect()]
+    dim = spark.createDataFrame(
+        [(m, i) for i, m in enumerate(sorted(months))], "order_month string, idx int"
+    )
+    try:
+        joined = spark.table("dpp.orders_part").join(
+            dim.filter(F.col("idx") == 0), "order_month"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        # and it actually returns only the one month's rows
+        want = spark.table("dpp.orders_part").filter(
+            F.col("order_month") == sorted(months)[0]
+        ).count()
+        assert joined.count() == want > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dpp.orders_part")
+        spark.sql("DROP DATABASE IF EXISTS dpp")

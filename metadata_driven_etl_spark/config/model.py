@@ -30,6 +30,7 @@ VALID_RULE_TYPES = {
     "expression",
     "referential_integrity",
     "uniqueness",
+    "zscore_outlier",
 }
 VALID_ACTIONS = {"filter", "tag", "reject"}
 VALID_REFRESH_TYPES = {"full", "incremental"}
@@ -120,6 +121,7 @@ class DQRuleConfig:
     ref_table: str | None = None
     ref_column: str | None = None
     columns: tuple[str, ...] = ()  # uniqueness
+    threshold: float = 3.0  # zscore_outlier
 
     @staticmethod
     def from_dict(d: dict[str, Any]) -> "DQRuleConfig":
@@ -151,6 +153,12 @@ class DQRuleConfig:
                 d.get("columns") or d.get("column"),
                 f"rule {name}: uniqueness needs columns",
             )
+        if rt == "zscore_outlier":
+            _require(d.get("column"), f"rule {name}: zscore_outlier needs column")
+            _require(
+                float(d.get("threshold", 3.0)) > 0,
+                f"rule {name}: zscore_outlier threshold must be > 0",
+            )
         return DQRuleConfig(
             rule_name=name,
             rule_type=rt,
@@ -161,6 +169,7 @@ class DQRuleConfig:
             ref_table=d.get("ref_table"),
             ref_column=d.get("ref_column"),
             columns=tuple(d.get("columns") or ([d["column"]] if d.get("column") else [])),
+            threshold=float(d.get("threshold", 3.0)),
         )
 
     @property

@@ -100,6 +100,23 @@ class DataQualityEngine:
             w = Window.partitionBy(*rule.columns)
             out = df.withColumn(helper, F.count(F.lit(1)).over(w))
             return out, F.col(helper) == 1
+        if rule.rule_type == "zscore_outlier":
+            # Statistical anomaly rule (beyond the reference's 4+1 types):
+            # valid iff |x − mean| ≤ k·stddev over the batch. One scalar
+            # aggregate broadcast back over the scan; stddev NULL (n<2) or
+            # a constant column (stddev 0) degrades to all-valid / exact-
+            # equality respectively. NULL values are INVALID explicitly.
+            m = f"__dq_zmean_{rule.rule_name}"
+            s = f"__dq_zstd_{rule.rule_name}"
+            stats = df.agg(
+                F.avg(rule.column).alias(m), F.stddev_samp(rule.column).alias(s)
+            )
+            out = df.crossJoin(F.broadcast(stats))
+            within = (
+                F.abs(F.col(rule.column) - F.col(m))
+                <= F.lit(rule.threshold) * F.col(s)
+            )
+            return out, F.coalesce(within | F.col(s).isNull(), F.lit(False))
         raise ValueError(f"unknown rule_type {rule.rule_type!r}")
 
     # -- main entry ---------------------------------------------------------

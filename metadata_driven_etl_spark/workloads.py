@@ -2327,3 +2327,94 @@ def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@workload(
+    "join_full_outer",
+    oracle="""
+    SELECT COALESCE(a.c_custkey, b.o_custkey) AS custkey,
+           a.c_custkey IS NOT NULL AS in_building,
+           b.o_custkey IS NOT NULL AS has_open_order
+    FROM (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') a
+    FULL OUTER JOIN
+         (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O') b
+      ON a.c_custkey = b.o_custkey""",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended §2.4 (reference has no right/full outer): full outer join of
+    two key subsets with membership flags — the audit/reconciliation shape
+    ("which entities are in A, B, or both")."""
+    a = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    b = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+        .distinct()
+    )
+    return a.join(b, a["c_custkey"] == b["o_custkey"], "full_outer").select(
+        F.coalesce(a["c_custkey"], b["o_custkey"]).alias("custkey"),
+        a["c_custkey"].isNotNull().alias("in_building"),
+        b["o_custkey"].isNotNull().alias("has_open_order"),
+    )
+
+
+@workload(
+    "setop_intersect_all",
+    oracle="""
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT ALL
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'""",
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 extended: bag-semantics INTERSECT ALL (duplicates preserved to
+    the min multiplicity) — distinct from setop_intersect's set semantics."""
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    b = cust.filter(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey")
+    return a.intersectAll(b)
+
+
+@workload(
+    "setop_except_all",
+    oracle="""
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT ALL
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'""",
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 extended: bag-semantics EXCEPT ALL (multiplicity subtraction)."""
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    b = cust.filter(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey")
+    return a.exceptAll(b)
+
+
+@workload(
+    "join_null_safe",
+    oracle="""
+    SELECT b.n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM (SELECT NULLIF(c_nationkey, 5) AS k, c_custkey FROM customer) a
+    JOIN (SELECT NULLIF(n_nationkey, 5) AS k, n_name FROM nation) b
+      ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY 1""",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended §2.4: null-safe equi-join (<=> / IS NOT DISTINCT FROM) —
+    NULL keys match each other instead of vanishing, the semantics needed
+    when joining on nullable business keys. NULLs injected via NULLIF
+    identically in both engines."""
+    a = _t(spark, sf_dir, "customer").select(
+        F.nullif("c_nationkey", F.lit(5)).alias("k"), "c_custkey"
+    )
+    b = _t(spark, sf_dir, "nation").select(
+        F.nullif("n_nationkey", F.lit(5)).alias("bk"), "n_name"
+    )
+    return (
+        a.join(F.broadcast(b), a["k"].eqNullSafe(b["bk"]))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )

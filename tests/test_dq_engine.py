@@ -126,3 +126,33 @@ def test_invalid_samples(spark, df):
                               column="email", action_on_failure="tag")])
     assert len(res.invalid_samples["r"]) == 1
     assert res.invalid_samples["r"][0].id == 2
+
+
+def test_zscore_outlier_rule(spark, dq):
+    """zscore_outlier: far-out value and NULL are INVALID, bulk is VALID;
+    partition invariant holds; filter drops exactly the outlier+null."""
+    rows = [(i, 10.0 + (i % 3)) for i in range(40)] + [(98, 1000.0), (99, None)]
+    df = spark.createDataFrame(rows, "id int, v double")
+    rule = _rule(rule_name="v_z", rule_type="zscore_outlier", column="v",
+                 threshold=3.0, action_on_failure="tag")
+    res = dq.apply(df, [rule])
+    m = res.metrics[0]
+    assert m.total_count == 42
+    assert m.invalid_count == 2  # the 1000.0 outlier and the NULL
+    assert m.valid_count + m.invalid_count == m.total_count
+    tagged = {r.id: r.dq_v_z_flag for r in res.df.collect()}
+    assert tagged[98] == "INVALID" and tagged[99] == "INVALID"
+    assert tagged[0] == "VALID"
+    # filter action keeps only inliers
+    rule_f = _rule(rule_name="v_z", rule_type="zscore_outlier", column="v",
+                   threshold=3.0, action_on_failure="filter")
+    res_f = dq.apply(df, [rule_f])
+    assert res_f.df.count() == 40
+
+
+def test_zscore_constant_column_all_valid(spark, dq):
+    df = spark.createDataFrame([(i, 7.0) for i in range(10)], "id int, v double")
+    rule = _rule(rule_name="c_z", rule_type="zscore_outlier", column="v",
+                 action_on_failure="tag")
+    res = dq.apply(df, [rule])
+    assert res.metrics[0].invalid_count == 0

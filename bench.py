@@ -43,6 +43,11 @@ HEADLINE = [
     "tpch_q1_pricing",
     "tpch_q3_topk",
     "tpch_q5_region_revenue",
+    "tpch_q10_returned_topk",
+    "scd2_dimension_update",
+    "agg_exact_stats",
+    "resample_gap_fill",
+    "dedup_cluster_cc",
 ]
 
 

@@ -437,7 +437,10 @@ def connected_components(
                     F.coalesce(F.col("nbr_label"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .localCheckpoint(eager=True)
+            # lazy checkpoint: the convergence aggregate below is the first
+            # action, so ONE job both materializes this round's labels
+            # (truncating lineage) and computes the convergence signal.
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
         if cur_sum == prev_sum:

@@ -2418,3 +2418,21 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+@workload("agg_approx_percentile")  # approximate by design: rows-only check
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate grouped percentiles — the 100 TB path next to exact
+    agg_percentile: approx_percentile's sketch buffers are mergeable
+    map-side (no per-group value buffering), accuracy bounded by the
+    relative-error parameter (1/10000 here). Tolerance vs the exact
+    percentile is property-tested in tests/test_operators_props.py."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)"
+            ).alias("price_p50_p90")
+        )
+    )

@@ -217,3 +217,35 @@ def test_connected_components_fixpoint(spark):
     )
     got = {r.doc_id: r.cluster_id for r in connected_components(nodes, pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7, 8: 8}
+
+
+def test_approx_percentile_within_tolerance(spark, sf_dir):
+    """Sketch path vs exact path: approx_percentile(accuracy=10000) must
+    land within a small rank neighborhood of the exact percentile."""
+    from metadata_driven_etl_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    approx = {
+        r.l_returnflag: r.ps
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)").alias("ps"))
+        .collect()
+    }
+    for flag, (a50, a90) in approx.items():
+        vals = sorted(
+            r.l_extendedprice
+            for r in li.filter(F.col("l_returnflag") == flag)
+            .select("l_extendedprice")
+            .collect()
+        )
+        n = len(vals)
+        for q, got in ((0.5, a50), (0.9, a90)):
+            # rank of the returned value must be within ±1% of n around q
+            import bisect
+
+            lo = bisect.bisect_left(vals, got)
+            hi = bisect.bisect_right(vals, got)
+            target = q * n
+            assert lo - 0.01 * n - 1 <= target <= hi + 0.01 * n + 1, (
+                flag, q, got, lo, hi, n
+            )

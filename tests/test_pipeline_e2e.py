@@ -195,3 +195,21 @@ def test_parallel_units_match_sequential(spark, pipeline_run):
     for t in ["orders", "customer", "part", "supplier", "nation_both"]:
         spark.sql(f"DROP TABLE IF EXISTS bronze_par.{t}")
     spark.sql("DROP DATABASE IF EXISTS bronze_par")
+
+
+def test_config_sql_join_hints_pass_through(spark, pipeline_run):
+    """SQL-in-config is the extension point (SURVEY §2.12); optimizer hints
+    embedded in config SQL must reach Catalyst — /*+ BROADCAST */ forces a
+    BroadcastHashJoin even with auto-broadcast disabled."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = spark.sql(
+            """SELECT /*+ BROADCAST(c) */ o.order_id, c.segment
+            FROM silver.orders o JOIN silver.customer c
+              ON o.customer_id = c.customer_id"""
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

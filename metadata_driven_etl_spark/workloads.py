@@ -2436,3 +2436,87 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("price_p50_p90")
         )
     )
+
+
+@workload(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {text_ops.sql_tokens('text')} AS t FROM documents),
+    starts AS (
+        SELECT doc_id, t,
+               unnest(generate_series(0, len(t) - 1, 16)) AS start
+        FROM tok)
+    SELECT doc_id,
+           CAST(start // 16 AS INTEGER) AS chunk_idx,
+           CAST(len(list_slice(t, start + 1, start + 32)) AS INTEGER)
+               AS n_chunk_tokens,
+           array_to_string(list_slice(t, start + 1, start + 32), ' ')
+               AS chunk_text
+    FROM starts""",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: split documents into overlapping token windows
+    (size 32, stride 16) — the chunking step before embedding/packing in an
+    LLM data pipeline. sequence→explode→slice stays entirely in codegen;
+    output rows are (doc, chunk) pairs whose count is Σ ceil(n_i/stride),
+    so the explode is linear in corpus token count at any scale."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    size, stride = 32, 16
+    tok = docs.select("doc_id", text_ops.tokens("text").alias("t"))
+    starts = tok.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(0), F.size("t") - 1, F.lit(stride))
+        ).alias("start"),
+    )
+    chunk = F.slice("t", F.col("start") + 1, size)
+    return starts.select(
+        "doc_id",
+        (F.col("start") / stride).cast("int").alias("chunk_idx"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+@workload(
+    "pack_sequences",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               CAST(len({text_ops.sql_tokens('text')}) AS BIGINT) AS n_tokens
+        FROM documents),
+    c AS (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum
+        FROM tok)
+    SELECT doc_id, lang, n_tokens,
+           CAST((cum - 1) // 512 AS BIGINT) AS bin_id
+    FROM c""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: deterministic sequence packing — assign docs
+    (ordered by id, partitioned by language) to ~512-token bins by
+    cumulative fill. The streaming-friendly packing an LLM pipeline uses
+    when exact bin-packing (NP-hard, order-destroying) isn't worth it:
+    one window shuffle keyed by language, pure integer math."""
+    from pyspark.sql import Window
+
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id", "lang", text_ops.token_count("text").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return tok.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - 1) / 512).alias("bin_id"),
+    )

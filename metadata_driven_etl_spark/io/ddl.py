@@ -122,3 +122,50 @@ def apply_spark_conf(spark: SparkSession, conf: dict[str, str]) -> None:
     config; runtime-settable confs only."""
     for k, v in (conf or {}).items():
         spark.conf.set(k, str(v))
+
+
+def create_view(spark: SparkSession, view: str, sql_query: str) -> None:
+    """CREATE OR REPLACE VIEW over config SQL — the lightweight alternative
+    to a gold materialization when freshness beats scan cost."""
+    _check_ident(view)
+    spark.sql(f"CREATE OR REPLACE VIEW {view} AS {sql_query}")
+
+
+def drop_view(spark: SparkSession, view: str) -> None:
+    _check_ident(view)
+    spark.sql(f"DROP VIEW IF EXISTS {view}")
+
+
+def compact_table(
+    spark: SparkSession,
+    table: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction for managed parquet tables (the intent behind
+    the reference's `spark.databricks.delta.autoCompact.enabled`, which OSS
+    Delta 2.2 ignores — SURVEY.md §4.1). Rewrites the table into
+    ceil(bytes / target) files and returns the new file count. Streaming
+    appends and per-unit micro-batches are the usual source of file sprawl;
+    at 100 TB run this per partition (dynamic partition overwrite), never
+    whole-table.
+    """
+    _check_ident(table)
+    location = next(
+        r.data_type
+        for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+        if (r.col_name or "").strip() == "Location"
+    )
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(location)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    files = fs.listFiles(jpath, True)
+    total_bytes = 0
+    while files.hasNext():
+        total_bytes += files.next().getLen()
+    n_out = max(1, -(-total_bytes // target_file_bytes))
+
+    df = spark.table(table)
+    tmp = f"{table}__compact_tmp"
+    df.coalesce(n_out).write.mode("overwrite").format("parquet").saveAsTable(tmp)
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+    return n_out

@@ -171,3 +171,50 @@ def test_dynamic_partition_pruning(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS dpp.orders_part")
         spark.sql("DROP DATABASE IF EXISTS dpp")
+
+
+def test_create_view_and_compact(spark, sf_dir):
+    """create_view serves fresh results over base tables; compact_table
+    rewrites a many-file table into ceil(bytes/target) files."""
+    from pyspark.sql import functions as F
+
+    from metadata_driven_etl_spark.catalog import load_table
+    from metadata_driven_etl_spark.io.ddl import (
+        compact_table,
+        create_view,
+        drop_view,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS maint")
+    orders = load_table(spark, sf_dir, "orders")
+    # fragment: 16 small files
+    orders.repartition(16).write.mode("overwrite").saveAsTable("maint.orders_frag")
+    try:
+        create_view(
+            spark,
+            "maint.open_orders",
+            "SELECT o_orderkey, o_totalprice FROM maint.orders_frag "
+            "WHERE o_orderstatus = 'O'",
+        )
+        want = orders.filter(F.col("o_orderstatus") == "O").count()
+        assert spark.table("maint.open_orders").count() == want
+
+        n_before = (
+            spark.table("maint.orders_frag")
+            .select(F.input_file_name().alias("f")).distinct().count()
+        )
+        assert n_before == 16
+        n_out = compact_table(spark, "maint.orders_frag", target_file_bytes=1 << 30)
+        assert n_out == 1
+        n_after = (
+            spark.table("maint.orders_frag")
+            .select(F.input_file_name().alias("f")).distinct().count()
+        )
+        assert n_after == 1
+        # data intact after compaction, view still serves
+        assert spark.table("maint.orders_frag").count() == orders.count()
+        assert spark.table("maint.open_orders").count() == want
+    finally:
+        drop_view(spark, "maint.open_orders")
+        spark.sql("DROP TABLE IF EXISTS maint.orders_frag")
+        spark.sql("DROP DATABASE IF EXISTS maint CASCADE")

@@ -1,6 +1,7 @@
 from metadata_driven_etl_spark.streaming.enrich import (  # noqa: F401
     dedup_within_watermark,
     stream_static_join,
+    stream_stream_join,
 )
 from metadata_driven_etl_spark.streaming.sink import merge_stream  # noqa: F401
 from metadata_driven_etl_spark.streaming.stateful import (  # noqa: F401

@@ -54,3 +54,44 @@ def dedup_within_watermark(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with an event-time proximity bound.
+
+    Both sides are watermarked and the join carries a time-range predicate
+    (`right_ts ∈ [left_ts − within, left_ts + within]`), which is what lets
+    Spark expire buffered state: a row is held only until the other side's
+    watermark passes its join window. Without the range condition the state
+    store would grow unboundedly — Spark rejects unbounded stream-stream
+    joins in append mode for exactly that reason.
+
+    ``left_ts`` and ``right_ts`` must be distinct column names (alias one
+    side before calling) so the range predicate is unambiguous post-join.
+    """
+    if left_ts == right_ts:
+        raise ValueError("left_ts and right_ts must be distinct column names")
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(key) == F.col(f"__r_{key}"))
+        & (
+            F.col(right_ts)
+            >= F.col(left_ts) - F.expr(f"interval {within}")
+        )
+        & (
+            F.col(right_ts)
+            <= F.col(left_ts) + F.expr(f"interval {within}")
+        )
+    )
+    renamed = rw.withColumnRenamed(key, f"__r_{key}")
+    return lw.join(renamed, cond, how).drop(f"__r_{key}")

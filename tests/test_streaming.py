@@ -244,3 +244,57 @@ def test_dedup_within_watermark(spark, sf_dir, tmp_path_factory):
     got = spark.table("t_dedup").count()
     want = events.select("event_id").distinct().count()
     assert got == want > 0
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path_factory):
+    """Watermarked stream⋈stream join with a ±15min proximity bound equals
+    the same join over the static tables."""
+    from metadata_driven_etl_spark.streaming.enrich import stream_stream_join
+
+    events = load_table(spark, sf_dir, "events")
+    types = sorted(
+        r.event_type for r in events.select("event_type").distinct().collect()
+    )
+    t_left, t_right = types[0], types[1]
+    left_b = events.filter(F.col("event_type") == t_left).select(
+        "user_id", "ts", F.col("event_id").alias("l_id")
+    )
+    right_b = events.filter(F.col("event_type") == t_right).select(
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+    )
+    lp = str(tmp_path_factory.mktemp("ss_left"))
+    rp = str(tmp_path_factory.mktemp("ss_right"))
+    left_b.coalesce(1).write.mode("overwrite").parquet(lp)
+    right_b.coalesce(1).write.mode("overwrite").parquet(rp)
+
+    l_schema = "user_id long, ts timestamp, l_id long"
+    r_schema = "user_id long, r_ts timestamp, r_id long"
+    ls = stream_from_files(spark, lp, l_schema)
+    rs = stream_from_files(spark, rp, r_schema)
+    joined = stream_stream_join(
+        ls, rs, key="user_id", left_ts="ts", right_ts="r_ts",
+        within="15 minutes", watermark="31 days",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.l_id, r.r_id) for r in spark.table("t_ssj").select("l_id", "r_id").collect()
+    }
+    want = {
+        (r.l_id, r.r_id)
+        for r in left_b.join(
+            right_b.withColumnRenamed("user_id", "u2"),
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("r_ts") >= F.col("ts") - F.expr("interval 15 minutes"))
+            & (F.col("r_ts") <= F.col("ts") + F.expr("interval 15 minutes")),
+        ).select("l_id", "r_id").collect()
+    }
+    assert got == want and len(got) > 0

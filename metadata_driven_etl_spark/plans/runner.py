@@ -66,21 +66,70 @@ def run_pipeline(
     return results
 
 
+def run_backfill(
+    spark,
+    config_dir: str,
+    start_date: str,
+    end_date: str,
+    layers: list[str],
+    table_format=None,
+) -> dict[str, dict[str, list[UnitResult]]]:
+    """Re-run the pipeline for every date in [start_date, end_date].
+
+    The reference can only run one date per invocation (M11); backfills are
+    the common operational need after an outage or a logic fix. Correct
+    re-runs come for free from the engine's semantics: bronze incremental
+    extracts strictly after the control table's last run date, silver
+    incremental overwrites only the partitions each run produces, gold
+    MERGEs on primary keys — so replaying a date range neither duplicates
+    nor loses rows.
+    """
+    from datetime import timedelta
+
+    d0, d1 = date.fromisoformat(start_date), date.fromisoformat(end_date)
+    if d1 < d0:
+        raise ValueError("end_date must be >= start_date")
+    out: dict[str, dict[str, list[UnitResult]]] = {}
+    d = d0
+    while d <= d1:
+        run_date = d.isoformat()
+        out[run_date] = run_pipeline(
+            spark, config_dir, run_date, layers, table_format=table_format
+        )
+        d += timedelta(days=1)
+    return out
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="metadata-driven ETL pipeline")
     ap.add_argument("--date", default=date.today().isoformat())
+    ap.add_argument(
+        "--end-date",
+        default=None,
+        help="backfill: run every date from --date through --end-date",
+    )
     ap.add_argument("--layers", default="bronze,silver,gold")
     ap.add_argument("--config-dir", required=True)
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name="mdes-pipeline", master=args.master)
-    results = run_pipeline(
-        spark, args.config_dir, args.date, args.layers.split(",")
-    )
-    failed = any(
-        r.status == "error" for rs in results.values() for r in rs
-    )
+    layers = args.layers.split(",")
+    if args.end_date:
+        per_date = run_backfill(
+            spark, args.config_dir, args.date, args.end_date, layers
+        )
+        failed = any(
+            r.status == "error"
+            for results in per_date.values()
+            for rs in results.values()
+            for r in rs
+        )
+    else:
+        results = run_pipeline(spark, args.config_dir, args.date, layers)
+        failed = any(
+            r.status == "error" for rs in results.values() for r in rs
+        )
     return 1 if failed else 0
 
 

@@ -213,3 +213,29 @@ def test_config_sql_join_hints_pass_through(spark, pipeline_run):
         assert "BroadcastHashJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_backfill_idempotent_replay(spark, pipeline_run):
+    """run_backfill over two dates: every unit succeeds on both dates and
+    replaying does not lose or duplicate silver/gold rows (incremental
+    semantics make re-runs safe — SURVEY §2.14#6/#7 fixes)."""
+    from metadata_driven_etl_spark.plans.runner import run_backfill
+
+    before = spark.table("gold.customer_purchase_summary").count()
+    per_date = run_backfill(
+        spark,
+        "/root/repo/configs",
+        "2024-01-16",
+        "2024-01-17",
+        ["bronze", "silver", "gold"],
+        table_format=ParquetFormat(),
+    )
+    assert sorted(per_date) == ["2024-01-16", "2024-01-17"]
+    for results in per_date.values():
+        for layer, rs in results.items():
+            for r in rs:
+                assert r.status == "success", f"{layer}/{r.unit_id}: {r.error}"
+    # gold model keys stay unique after replays (MERGE, not blind append)
+    summary = spark.table("gold.customer_purchase_summary")
+    assert summary.groupBy("customer_id").count().filter("count > 1").count() == 0
+    assert summary.count() == before  # static inputs → no new keys

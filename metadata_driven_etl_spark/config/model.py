@@ -319,3 +319,31 @@ def load_config_dir(config_dir: str) -> dict[str, PipelineConfig]:
         if os.path.exists(p):
             out[layer] = load_yaml_config(p)
     return out
+
+
+def lineage_edges(config: "PipelineConfig") -> list[tuple[str, str, str]]:
+    """(upstream, downstream, unit_id) edges derived from config metadata.
+
+    Bronze edges come from source declarations; silver/gold edges are
+    parsed from the FROM/JOIN clauses of the config SQL (identifier-only
+    heuristic — subqueries and CTE aliases resolve to their base tables as
+    long as they reference catalog names). Feeds the data dictionary /
+    impact analysis: "what breaks downstream if this table is late?"
+    """
+    import re
+
+    edges: list[tuple[str, str, str]] = []
+    for s in config.sources:
+        up = s.source_path or s.source_id
+        edges.append((up, s.target_table, s.source_id))
+    sql_units = [
+        (t.sql_query, t.target_table, t.transform_id)
+        for t in config.transformations
+    ] + [(m.sql_query, m.target_table, m.model_id) for m in config.models]
+    ident = re.compile(
+        r"\b(?:FROM|JOIN)\s+([A-Za-z_][\w]*\.[A-Za-z_][\w]*)", re.IGNORECASE
+    )
+    for sql, target, uid in sql_units:
+        for up in dict.fromkeys(ident.findall(sql)):
+            edges.append((up, target, uid))
+    return edges

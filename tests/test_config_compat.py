@@ -70,3 +70,24 @@ def test_gold_models(ref_configs):
         assert m.refresh_type in {"full", "incremental"}
         if m.refresh_type == "incremental":
             assert m.primary_keys, "incremental model needs primary_keys"
+
+
+def test_lineage_edges_from_configs():
+    """M12 extension: upstream→downstream edges derived from config
+    metadata (sources + FROM/JOIN clauses of config SQL)."""
+    from metadata_driven_etl_spark.config.model import (
+        lineage_edges,
+        load_config_dir,
+    )
+
+    cfgs = load_config_dir("/root/repo/configs")
+    edges = {
+        (up, down)
+        for cfg in cfgs.values()
+        for up, down, _ in lineage_edges(cfg)
+    }
+    assert ("bronze.orders", "silver.orders") in edges
+    assert ("silver.orders", "gold.customer_purchase_summary") in edges
+    assert ("silver.customer", "gold.customer_purchase_summary") in edges
+    # every bronze target has a file upstream
+    assert any(up.endswith("orders.parquet") for up, down in edges if down == "bronze.orders")

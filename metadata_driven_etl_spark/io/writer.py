@@ -66,6 +66,11 @@ class TableFormat:
         if not self.table_exists(spark, table):
             self.overwrite(df, table, partition_by)
             return
+        # insertInto is POSITIONAL, and saveAsTable+partitionBy stores
+        # partition columns last in the table schema — align by name first
+        # or any df whose partition column isn't trailing writes misaligned
+        # columns (silent corruption or cast errors).
+        df = df.select(*spark.table(table).columns)
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
@@ -101,16 +106,28 @@ class TableFormat:
         self, spark: SparkSession, table: str, source: DataFrame, keys: Sequence[str]
     ) -> None:
         """Upsert ``source`` into ``table`` on key equality
-        (WHEN MATCHED UPDATE ALL / WHEN NOT MATCHED INSERT ALL)."""
-        from metadata_driven_etl_spark.operators.merge import upsert
+        (WHEN MATCHED UPDATE ALL / WHEN NOT MATCHED INSERT ALL).
+        Raises DuplicateSourceKeysError on a non-unique source — same
+        contract as Delta's native MERGE."""
+        from metadata_driven_etl_spark.operators.merge import (
+            upsert,
+            validate_unique_keys,
+        )
 
+        validate_unique_keys(source, keys)
         if not self.table_exists(spark, table):
             self.overwrite(source, table)
             return
         target = self.read(spark, table)
         # Materialize before overwriting the files we read from.
         merged = upsert(target, source, keys).localCheckpoint(eager=True)
-        self.overwrite(merged, table)
+        # Re-apply the table's existing partition spec: the rewrite path
+        # would otherwise silently flatten a partitioned gold table on its
+        # first incremental merge.
+        parts = [
+            c.name for c in spark.catalog.listColumns(table) if c.isPartition
+        ]
+        self.overwrite(merged, table, parts or None)
 
 
 class ParquetFormat(TableFormat):
@@ -130,6 +147,13 @@ class DeltaFormat(TableFormat):
     ) -> None:
         from delta.tables import DeltaTable  # gated import
 
+        from metadata_driven_etl_spark.operators.merge import (
+            validate_unique_keys,
+        )
+
+        # Delta raises only when duplicates MATCH a target row; unmatched
+        # duplicates would insert twice — enforce the uniform contract.
+        validate_unique_keys(source, keys)
         if not self.table_exists(spark, table):
             self.overwrite(source, table)
             return

@@ -394,6 +394,7 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cluster ids for the near-dup graph: (id, cluster_id = min reachable id).
 
@@ -402,19 +403,30 @@ def connected_components(
     are monotone non-increasing and bounded below by the component minimum →
     converges in ≤ graph-diameter rounds. Convergence is detected with one
     tiny action per round (SUM of labels, exact bigint arithmetic); lineage
-    is truncated per round via ``localCheckpoint`` so plans stay O(1) deep —
-    at cluster scale, point ``spark.sparkContext.setCheckpointDir`` at
-    durable storage and swap in ``checkpoint()``.
+    is truncated per round so plans stay O(1) deep.
+
+    ``checkpoint_dir``: where to truncate lineage. ``None`` (local-mode
+    default) uses ``localCheckpoint`` — blocks live in executor memory, so
+    an executor loss mid-iteration kills the job. On a real cluster pass a
+    durable path (HDFS/S3): it is set as the context's checkpoint dir and
+    each round uses reliable ``checkpoint()``, surviving executor loss.
 
     This is the standard scalable CC shape (cf. "large-star/small-star",
     Kiveris et al., which optimizes round count; plain propagation is optimal
     here because LSH dedup graphs are overwhelmingly tiny cliques with
     diameter ≤ 3).
     """
-    edges = (
+    if checkpoint_dir is not None:
+        sc = nodes.sparkSession.sparkContext
+        if not sc.getCheckpointDir():
+            sc.setCheckpointDir(checkpoint_dir)
+        _truncate = lambda df: df.checkpoint(eager=False)  # noqa: E731
+    else:
+        _truncate = lambda df: df.localCheckpoint(eager=False)  # noqa: E731
+
+    edges = _truncate(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .localCheckpoint(eager=False)
     )
     labels = (
         nodes.select(F.col(id_col).alias("node"))
@@ -437,11 +449,11 @@ def connected_components(
                     F.coalesce(F.col("nbr_label"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            # lazy checkpoint: the convergence aggregate below is the first
-            # action, so ONE job both materializes this round's labels
-            # (truncating lineage) and computes the convergence signal.
-            .localCheckpoint(eager=False)
         )
+        # lazy checkpoint: the convergence aggregate below is the first
+        # action, so ONE job both materializes this round's labels
+        # (truncating lineage) and computes the convergence signal.
+        labels = _truncate(labels)
         cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
         if cur_sum == prev_sum:
             break

@@ -24,13 +24,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class DuplicateSourceKeysError(ValueError):
+    """The merge source has >1 row for some key (Delta MERGE raises on
+    multiple matches too; the relational emulation must not silently land
+    duplicate rows instead)."""
+
+
+def validate_unique_keys(source: DataFrame, keys: Sequence[str]) -> None:
+    """Raise :class:`DuplicateSourceKeysError` if ``source`` is not unique
+    per key. One aggregation job over the (typically small, incremental)
+    source batch; ``limit(1)`` short-circuits the collect."""
+    dup = (
+        source.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        kv = {k: dup[0][k] for k in keys}
+        raise DuplicateSourceKeysError(
+            f"merge source has {dup[0]['_n']} rows for key {kv}"
+        )
+
+
 def upsert(target: DataFrame, source: DataFrame, keys: Sequence[str]) -> DataFrame:
     """WHEN MATCHED UPDATE ALL / WHEN NOT MATCHED INSERT ALL, relationally.
 
     Rows of ``target`` whose key appears in ``source`` are replaced by the
     source row; unmatched source rows are inserted. Column sets must match
-    (``UPDATE SET *`` semantics). ``source`` must be unique per key —
-    enforced here (Delta raises on multiple matches too).
+    (``UPDATE SET *`` semantics). ``source`` must be unique per key; this
+    pure form stays lazy, so uniqueness is enforced at the table-merge
+    level (:func:`validate_unique_keys`, called by TableFormat.merge and
+    :func:`merge_into_table`).
     """
     kept = target.join(F.broadcast(source.select(*keys).distinct()), on=list(keys), how="left_anti")
     return source.unionByName(kept)
@@ -44,6 +70,7 @@ def merge_into_table(
     keys: Sequence[str],
 ) -> None:
     """Table-level merge through the TableFormat seam (io.writer)."""
+    validate_unique_keys(source, keys)
     if not table_format.table_exists(spark, table):
         table_format.overwrite(source, table)
         return

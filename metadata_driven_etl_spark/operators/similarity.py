@@ -266,46 +266,62 @@ def sql_embedding_near_dup_pairs(
     """
 
 
-def ivf_topk(
+def ivf_build_index(
     vectors: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     n_cells: int = 16,
-    n_probe: int = 4,
     seed: int = 42,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-) -> DataFrame:
-    """IVF (inverted-file) ANN: k-means coarse quantizer → probe top cells.
+    fit_fraction: float | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF index state: ``(assigned, centroids)``.
 
-    The index path for 100 TB embeddings where LSH bucketing is too coarse:
-    - train a KMeans coarse quantizer (Spark ML, JVM-side) on the corpus
-      (sample at scale; full fit here),
-    - assign every vector to its nearest centroid (one narrow column),
-    - at query time score each query against the ``n_cells`` centroids
-      (tiny broadcast) and probe only the ``n_probe`` nearest cells —
-      scanning ~n_probe/n_cells of the corpus instead of all of it.
+    - train a KMeans coarse quantizer (Spark ML, JVM-side). A 16-centroid
+      quantizer does not need every vector: ``fit_fraction`` fits on
+      ``vectors.sample(fraction, seed)`` — at 100 TB a full-corpus fit is a
+      full extra pass over all embeddings, while a 0.1% sample trains an
+      equivalent quantizer. ``None`` fits on the full corpus (small/local).
+    - assign EVERY vector to its nearest centroid (one narrow int column).
 
-    Recall is tunable via n_probe (n_probe = n_cells → exact). The cell
-    assignment is write-once index state: persist ``assigned`` as a bucketed
-    table on ``_cell`` so repeated query batches skip both the fit and the
-    shuffle.
+    ``assigned`` is write-once index state: persist it with
+    ``TableFormat.overwrite_bucketed(..., bucket_cols=["_cell"])`` so
+    repeated query batches skip both the fit and the probe-join shuffle
+    (see ``workloads.similarity_ann_ivf`` / tests/test_similarity.py).
+    ``centroids`` is n_cells rows — always broadcastable.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     spark = vectors.sparkSession
     v = vectors.withColumn("_feat", array_to_vector(_as_double(F.col(vec_col))))
+    fit_on = v.sample(fraction=fit_fraction, seed=seed) if fit_fraction else v
     model = KMeans(
         k=n_cells, seed=seed, featuresCol="_feat", predictionCol="_cell"
-    ).fit(v)
+    ).fit(fit_on)
     assigned = model.transform(v).drop("_feat")
 
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "_cell int, _centroid array<double>",
     )
+    return assigned, centroids
+
+
+def ivf_probe(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Query a built IVF index: score each query against the centroids
+    (tiny broadcast) and probe only the ``n_probe`` nearest cells —
+    scanning ~n_probe/n_cells of the corpus instead of all of it.
+
+    Recall is tunable via n_probe (n_probe = n_cells → exact).
+    """
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qvec"),
         norm(F.col(vec_col)).alias("_qnorm"),
@@ -347,4 +363,33 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", "neighbor_id", "cosine_sim")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    fit_fraction: float | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN end-to-end: build + probe in one call.
+
+    The index path for 100 TB embeddings where LSH bucketing is too
+    coarse. For repeated query batches call :func:`ivf_build_index` once,
+    persist ``assigned`` bucketed on ``_cell``, and run
+    :func:`ivf_probe` against the stored index instead.
+    """
+    assigned, centroids = ivf_build_index(
+        vectors, n_cells=n_cells, seed=seed, vec_col=vec_col,
+        fit_fraction=fit_fraction,
+    )
+    return ivf_probe(
+        assigned, centroids, queries, k=k, n_probe=n_probe, id_col=id_col,
+        vec_col=vec_col, query_id_col=query_id_col,
     )

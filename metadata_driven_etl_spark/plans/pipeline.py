@@ -180,7 +180,7 @@ class BronzeLayer(_LayerBase):
             return spark.table(src.source_path or src.source_id)
         if src.source_type == "jdbc":
             extract_date = self._extract_date(src, run_date)
-            return build_jdbc_reader(spark, src, extract_date).load()
+            return build_jdbc_reader(spark, src, extract_date=extract_date).load()
         if src.source_type == "api":
             return read_api_source(spark, src)
         raise ValueError(f"unknown source_type {src.source_type!r}")
@@ -193,7 +193,14 @@ class BronzeLayer(_LayerBase):
 
     def _ingest(self, src: SourceConfig, run_date: str) -> int:
         df = self._extract(src, run_date)
-        if src.extract_strategy == "incremental" and src.incremental_column:
+        incremental = (
+            src.extract_strategy == "incremental" and src.incremental_column
+        )
+        if incremental:
+            from datetime import date as _date
+            from datetime import timedelta as _td
+
+            col_type = dict(df.dtypes)[src.incremental_column]
             last = self.ctx.control.get_last_run_date(
                 src.target_table, self.layer_name
             )
@@ -204,19 +211,41 @@ class BronzeLayer(_LayerBase):
                 # the literal cast to the column's own type so the
                 # predicate pushes into the parquet scan (a per-row
                 # cast(col as date) would disable pushdown).
-                from datetime import date as _date
-                from datetime import timedelta as _td
-
                 next_day = (_date.fromisoformat(last) + _td(days=1)).isoformat()
-                col_type = dict(df.dtypes)[src.incremental_column]
                 df = df.filter(
                     F.col(src.incremental_column)
                     >= F.lit(next_day).cast(col_type)
                 )
+            # Upper bound: only rows dated THROUGH run_date. Without it a
+            # backfill replay ingests future-dated rows once per date —
+            # first unbounded, then again via later dates' strictly-after
+            # filter (duplicates). `< run_date+1d` covers date AND
+            # timestamp columns; same pushdown-safe literal-cast shape.
+            day_after = (
+                _date.fromisoformat(run_date) + _td(days=1)
+            ).isoformat()
+            df = df.filter(
+                F.col(src.incremental_column) < F.lit(day_after).cast(col_type)
+            )
         df = with_lineage(df, src.source_id)
-        rows = _counted_write(
-            df, lambda d: self.ctx.table_format.append(d, src.target_table)
-        )
+        if incremental:
+            write = lambda d: self.ctx.table_format.append(d, src.target_table)  # noqa: E731
+        else:
+            # Full-strategy extracts replace THIS SOURCE's snapshot:
+            # appending would multiply bronze on every re-run/backfill
+            # date (silently inflating downstream silver/gold aggregates),
+            # and a whole-table overwrite would clobber sibling sources
+            # fanning into the same table. The lineage column source_id is
+            # the natural partition: dynamic partition overwrite replaces
+            # exactly this source's rows, leaving other sources' data and
+            # unrelated partitions untouched — replay-idempotent AND
+            # fan-in-safe, and at 100 TB it rewrites one partition, never
+            # the table. (Units sharing a target table are serialized by
+            # _run_units, so no table sees concurrent writers.)
+            write = lambda d: self.ctx.table_format.overwrite_partitions(  # noqa: E731
+                d, src.target_table, ["source_id"]
+            )
+        rows = _counted_write(df, write)
         self.ctx.control.update_run(
             src.target_table, self.layer_name, run_date, rows, "success",
             {"source_id": src.source_id, "strategy": src.extract_strategy},

@@ -79,10 +79,13 @@ def run_backfill(
     The reference can only run one date per invocation (M11); backfills are
     the common operational need after an outage or a logic fix. Correct
     re-runs come for free from the engine's semantics: bronze incremental
-    extracts strictly after the control table's last run date, silver
-    incremental overwrites only the partitions each run produces, gold
-    MERGEs on primary keys — so replaying a date range neither duplicates
-    nor loses rows.
+    extracts are bounded on BOTH sides (strictly after the control table's
+    last run date, through the run date — so future-dated rows are never
+    pulled early and re-pulled later), bronze full extracts replace their
+    own source_id partition instead of re-appending (or clobbering
+    sibling sources fanning into the same table), silver incremental overwrites
+    only the partitions each run produces, gold MERGEs on primary keys —
+    so replaying a date range neither duplicates nor loses rows.
     """
     from datetime import timedelta
 

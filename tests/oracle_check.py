@@ -25,6 +25,16 @@ def duckdb_run(sql: str, sf_dir: str):
     return con.execute(sql)
 
 
+def duckdb_result_types(sql: str, sf_dir: str) -> list[str]:
+    """Column type names of the oracle result (e.g. ['VARCHAR', 'BIGINT'])."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return [str(t) for t in con.sql(sql).types]
+
+
 def _norm_cell(v):
     if v is None:
         return "<null>"
@@ -60,6 +70,19 @@ def compare(spark_df, oracle_sql: str, sf_dir: str, name: str = "?"):
     """Return (ok, message) comparing a Spark DF against oracle SQL."""
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
+    # Driver's value-hash is dtype-sensitive: DuckDB HUGEINT (int128, the
+    # default for SUM over integers) serializes differently from Spark's
+    # BIGINT even when every value is equal — the one red row of round 1.
+    # Spark never produces int128, so any HUGEINT column is an oracle bug.
+    hyge = [
+        t for t in duckdb_result_types(oracle_sql, sf_dir)
+        if "HUGEINT" in t
+    ]
+    if hyge:
+        return False, (
+            f"{name}: oracle result has {hyge} column(s) — wrap the "
+            "aggregate in CAST(... AS BIGINT) to match Spark's long"
+        )
     res = duckdb_run(oracle_sql, sf_dir)
     d_cols = [d[0] for d in res.description]
     d_rows = res.fetchall()

@@ -56,3 +56,79 @@ def test_metadata_stats_prunes_payload(media):
     rows = {r.media_type: r for r in stats.collect()}
     assert rows["image"].n_items == 2
     assert rows["image"].avg_width == pytest.approx((640 + 1280) / 2)
+
+
+# --- real decoders (pure-Python PPM/WAV — no native codecs) ------------------
+
+
+def _ppm_payload(width=4, height=2, rgb=(10, 20, 30)) -> bytes:
+    header = f"P6\n# synthetic\n{width} {height}\n255\n".encode()
+    return header + bytes(rgb) * (width * height)
+
+
+def _wav_payload(rate=8000, samples=(0, 1000, -1000, 2000)) -> bytes:
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_real_ppm_decoder_end_to_end(spark):
+    """The decoder seam with a REAL format: a valid binary PPM image flows
+    through the same extract_features mapInPandas plumbing as production,
+    with a genuine (stdlib-only) decode — not the deterministic fake."""
+    from metadata_driven_etl_spark.operators.multimodal import (
+        make_ppm_feature_decoder,
+    )
+
+    payload = _ppm_payload(width=4, height=2, rgb=(10, 20, 30))
+    media = spark.createDataFrame(
+        [("img1", "image", "image/x-portable-pixmap", payload, 4, 2, None)],
+        MEDIA_SCHEMA,
+    )
+    row = extract_features(media, decoder=make_ppm_feature_decoder()).first()
+    w, h, maxval, r, g, b, luma, sd = row.feature
+    assert (w, h, maxval) == (4.0, 2.0, 255.0)
+    assert r == pytest.approx(10 / 255)
+    assert g == pytest.approx(20 / 255)
+    assert b == pytest.approx(30 / 255)
+    assert luma == pytest.approx(
+        (0.299 * 10 + 0.587 * 20 + 0.114 * 30) / 255
+    )
+    assert row.n_bytes == len(payload)
+
+
+def test_real_wav_decoder_end_to_end(spark):
+    from metadata_driven_etl_spark.operators.multimodal import (
+        make_wav_feature_decoder,
+    )
+
+    payload = _wav_payload(rate=8000, samples=(0, 16384, -16384, 0))
+    media = spark.createDataFrame(
+        [("aud1", "audio", "audio/wav", payload, None, None, None)],
+        MEDIA_SCHEMA,
+    )
+    row = extract_features(media, decoder=make_wav_feature_decoder()).first()
+    channels, rate, n, dur, rms, peak, mean, zcr = row.feature
+    assert (channels, rate, n) == (1.0, 8000.0, 4.0)
+    assert dur == pytest.approx(4 / 8000)
+    assert peak == pytest.approx(0.5)
+    assert rms == pytest.approx(((2 * 16384**2) / 4) ** 0.5 / 32768)
+
+
+def test_real_decoders_reject_malformed(spark):
+    from metadata_driven_etl_spark.operators.multimodal import (
+        make_ppm_feature_decoder,
+        make_wav_feature_decoder,
+    )
+
+    with pytest.raises(ValueError):
+        make_ppm_feature_decoder()(b"\x89PNG not a ppm")
+    with pytest.raises(ValueError):
+        make_wav_feature_decoder()(b"RIFF1234NOPE")
+    # truncated raster
+    with pytest.raises(ValueError):
+        make_ppm_feature_decoder()(_ppm_payload()[:-3])

@@ -118,6 +118,51 @@ def test_ivf_recall_and_exactness_at_full_probe(spark, sf_dir):
     assert recall >= 0.2, f"recall {recall}"
 
 
+def test_ivf_sampled_fit_and_persisted_index(spark, sf_dir):
+    """The production index lifecycle: quantizer fit on a SAMPLE (a
+    16-centroid fit never needs a 100 TB corpus), assignments persisted as
+    a bucketed table on _cell, probe run against the stored index. At full
+    probe the result must still be exact regardless of where the centroids
+    came from (the quantizer only affects which cells are SKIPPED)."""
+    from pyspark.sql import functions as F
+
+    from metadata_driven_etl_spark.catalog import load_table
+    from metadata_driven_etl_spark.io.writer import ParquetFormat
+    from metadata_driven_etl_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    assigned, centroids = sim.ivf_build_index(
+        emb, n_cells=8, seed=7, fit_fraction=0.3
+    )
+    tbl = "default.ivf_test_cells"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    ParquetFormat().overwrite_bucketed(
+        assigned, tbl, bucket_cols=["_cell"], num_buckets=8
+    )
+    stored = spark.table(tbl)
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.brute_force_topk(emb, queries, k=5).collect()
+    }
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_probe(
+            stored, centroids, queries, k=5, n_probe=8
+        ).collect()
+    }
+    assert full == exact
+
+    part = sim.ivf_probe(stored, centroids, queries, k=5, n_probe=3)
+    rows = part.collect()
+    assert len(rows) == 25
+    recall = len({(r.query_id, r.neighbor_id) for r in rows} & exact) / len(exact)
+    assert recall >= 0.2, f"recall {recall}"
+
+
 def test_asof_join_equals_theta_join(spark, sf_dir):
     """Union-window as-of ≡ naive theta join + latest-per-left (the
     quadratic reference semantics)."""
@@ -217,6 +262,30 @@ def test_connected_components_fixpoint(spark):
     )
     got = {r.doc_id: r.cluster_id for r in connected_components(nodes, pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7, 8: 8}
+
+
+def test_connected_components_durable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation to reliable checkpoint()
+    (survives executor loss on a real cluster); results must be identical
+    to the localCheckpoint default, and checkpoint files must land in the
+    given directory."""
+    from metadata_driven_etl_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "id_a long, id_b long"
+    )
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(
+            nodes, pairs, checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7, 8: 8}
+    import pathlib
+
+    assert any(pathlib.Path(ckpt).rglob("*")), "no checkpoint files written"
 
 
 def test_approx_percentile_within_tolerance(spark, sf_dir):

@@ -239,3 +239,77 @@ def test_backfill_idempotent_replay(spark, pipeline_run):
     summary = spark.table("gold.customer_purchase_summary")
     assert summary.groupBy("customer_id").count().filter("count > 1").count() == 0
     assert summary.count() == before  # static inputs → no new keys
+
+
+def test_backfill_bronze_counts_stable(spark, pipeline_run, tmp_path):
+    """Full-strategy bronze sources must OVERWRITE the snapshot: a
+    backfill replay used to re-append the whole extract once per date,
+    multiplying bronze and inflating every downstream aggregate."""
+    from metadata_driven_etl_spark.plans.runner import run_backfill
+
+    before = {
+        t: spark.table(t).count()
+        for t in ["bronze.orders", "bronze.lineitem", "bronze.customer"]
+    }
+    run_backfill(
+        spark, "/root/repo/configs", "2024-02-01", "2024-02-03",
+        ["bronze"], table_format=ParquetFormat(),
+    )
+    after = {t: spark.table(t).count() for t in before}
+    assert after == before, "bronze inflated across backfill replay"
+
+
+def test_incremental_bronze_upper_bound(spark, tmp_path):
+    """Incremental extracts are bounded on both sides: rows dated after
+    the run date must NOT be ingested early (they'd be re-ingested by a
+    later date's strictly-after filter → duplicates)."""
+    from pyspark.sql import Row
+
+    from metadata_driven_etl_spark.config.model import PipelineConfig
+    from metadata_driven_etl_spark.plans.pipeline import (
+        BronzeLayer,
+        PipelineContext,
+    )
+
+    src_path = str(tmp_path / "inc_src")
+    spark.createDataFrame(
+        [
+            Row(id=1, d="2024-03-01"),
+            Row(id=2, d="2024-03-02"),
+            Row(id=3, d="2024-03-03"),
+            Row(id=4, d="2024-03-04"),
+        ]
+    ).select(F.col("id"), F.col("d").cast("date")).write.mode(
+        "overwrite"
+    ).parquet(src_path)
+
+    tbl = "bronze.inc_bounded"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    cfg = PipelineConfig.from_dict(
+        {
+            "sources": [
+                {
+                    "source_id": "inc_bounded",
+                    "source_type": "file",
+                    "file_format": "parquet",
+                    "source_path": src_path,
+                    "target_table": tbl,
+                    "extract_strategy": "incremental",
+                    "incremental_column": "d",
+                }
+            ]
+        }
+    )
+    ctx = PipelineContext(spark, ParquetFormat())
+    layer = BronzeLayer(ctx, cfg)
+
+    r1 = layer.run("2024-03-02")
+    assert r1[0].status == "success", r1[0].error
+    ids = {r.id for r in spark.table(tbl).collect()}
+    assert ids == {1, 2}, "rows after run_date must not be ingested early"
+
+    r2 = layer.run("2024-03-04")
+    assert r2[0].status == "success", r2[0].error
+    rows = spark.table(tbl).collect()
+    assert {r.id for r in rows} == {1, 2, 3, 4}
+    assert len(rows) == 4, "backfill replay duplicated rows"

@@ -109,3 +109,45 @@ def test_file_reader_schema_beats_inference(spark, tmp_path):
     )
     df = read_file_source(spark, src, schema="a long, b string")
     assert dict(df.dtypes) == {"a": "bigint", "b": "string"}
+
+
+def test_jdbc_source_through_pipeline_extract(spark, tmp_path):
+    """Regression: BronzeLayer._extract used to call
+    build_jdbc_reader(spark, src, extract_date) positionally against a
+    (spark, src, **kwargs) signature — every jdbc unit died with TypeError
+    before ever touching the database (masked as a unit 'error' by per-unit
+    isolation). Drive a jdbc source through the real pipeline path and
+    assert the failure is the CONNECTION (no RDBMS in harness), never a
+    TypeError in our own glue."""
+    from metadata_driven_etl_spark.config.model import PipelineConfig
+    from metadata_driven_etl_spark.io.writer import ParquetFormat
+    from metadata_driven_etl_spark.plans.pipeline import (
+        BronzeLayer,
+        PipelineContext,
+    )
+
+    cfg = PipelineConfig.from_dict(
+        {
+            "sources": [
+                {
+                    "source_id": "tx",
+                    "source_type": "jdbc",
+                    "target_table": "bronze.jdbc_tx",
+                    "jdbc_url": "jdbc:postgresql://127.0.0.1:1/nope",
+                    "query": "SELECT 1 AS one WHERE d >= '${EXTRACT_DATE}'",
+                    "extract_strategy": "incremental",
+                    "incremental_column": "d",
+                }
+            ]
+        }
+    )
+    layer = BronzeLayer(PipelineContext(spark, ParquetFormat()), cfg)
+    with pytest.raises(Exception) as exc_info:
+        layer._extract(cfg.sources[0], "2024-01-15").collect()
+    assert not isinstance(exc_info.value, TypeError)
+
+    # and through the isolated runner: unit errors, but not with TypeError
+    results = layer.run("2024-01-15")
+    assert results[0].status == "error"
+    assert "TypeError" not in (results[0].error or "")
+    assert "positional" not in (results[0].error or "")

@@ -1,0 +1,86 @@
+"""TableFormat write-path semantics: dynamic partition overwrite column
+alignment, merge partition preservation, backfill-safe behaviors."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from metadata_driven_etl_spark.io.writer import ParquetFormat
+
+
+@pytest.fixture(scope="module")
+def fmt():
+    return ParquetFormat()
+
+
+def test_overwrite_partitions_aligns_nontrailing_partition_col(spark, fmt):
+    """Regression (ADVICE r1): insertInto is positional and saveAsTable
+    moves partition columns to the END of the table schema — a df whose
+    partition column is NOT listed last used to land misaligned columns."""
+    tbl = "default.wp_align"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    base = spark.createDataFrame(
+        [Row(day="2024-01-01", k=1, v="a"), Row(day="2024-01-02", k=2, v="b")]
+    )
+    # partition column 'day' is FIRST in the df, not last
+    fmt.overwrite(base, tbl, ["day"])
+    incr = spark.createDataFrame([Row(day="2024-01-02", k=20, v="B")])
+    fmt.overwrite_partitions(incr, tbl, ["day"])
+
+    got = {(r.day, r.k, r.v) for r in spark.table(tbl).collect()}
+    assert got == {("2024-01-01", 1, "a"), ("2024-01-02", 20, "B")}
+
+
+def test_overwrite_partitions_only_touches_written_partitions(spark, fmt):
+    tbl = "default.wp_dyn"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    base = spark.range(0, 100).select(
+        (F.col("id") % 4).cast("string").alias("part"),
+        F.col("id").alias("val"),
+    )
+    fmt.overwrite(base, tbl, ["part"])
+    repl = spark.createDataFrame([Row(part="1", val=-1)])
+    fmt.overwrite_partitions(repl, tbl, ["part"])
+    t = spark.table(tbl)
+    assert t.filter("part = '1'").count() == 1
+    assert t.filter("part != '1'").count() == 75  # untouched history
+
+
+def test_merge_preserves_partition_spec(spark, fmt):
+    """Regression (ADVICE r1): ParquetFormat.merge rewrote via overwrite()
+    without partition_by — a partitioned gold table lost its partitioning
+    on the first incremental merge."""
+    tbl = "default.wp_merge_part"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    base = spark.createDataFrame(
+        [Row(region="eu", id=1, amt=10.0), Row(region="us", id=2, amt=20.0)]
+    )
+    fmt.overwrite(base, tbl, ["region"])
+    src = spark.createDataFrame(
+        [Row(region="eu", id=1, amt=99.0), Row(region="ap", id=3, amt=30.0)]
+    )
+    fmt.merge(spark, tbl, src, keys=["id"])
+
+    parts = [
+        c.name for c in spark.catalog.listColumns(tbl) if c.isPartition
+    ]
+    assert parts == ["region"], "merge dropped the partition spec"
+    got = {(r.id, r.amt) for r in spark.table(tbl).collect()}
+    assert got == {(1, 99.0), (2, 20.0), (3, 30.0)}
+
+
+def test_merge_rejects_duplicate_source_keys(spark, fmt):
+    """Delta MERGE raises on multiple source matches per target row; the
+    relational emulation must not silently land duplicates instead."""
+    from metadata_driven_etl_spark.operators.merge import (
+        DuplicateSourceKeysError,
+    )
+
+    tbl = "default.wp_merge_dup"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    fmt.overwrite(spark.createDataFrame([Row(id=1, v="x")]), tbl)
+    dup_src = spark.createDataFrame([Row(id=1, v="a"), Row(id=1, v="b")])
+    with pytest.raises(DuplicateSourceKeysError):
+        fmt.merge(spark, tbl, dup_src, keys=["id"])

@@ -19,6 +19,44 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from metadata_driven_etl_spark.session import get_local_spark  # noqa: E402
 from metadata_driven_etl_spark import workloads  # noqa: E402
 
+HISTORY_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl"
+)
+REGRESSION_FACTOR = 1.5
+
+
+def best_times(history: list[dict], sf: float) -> dict[str, float]:
+    """Best recorded per-query seconds at the same scale factor."""
+    best: dict[str, float] = {}
+    for rec in history:
+        if rec.get("sf") != sf:
+            continue
+        for q, s in rec.get("queries", {}).items():
+            if q not in best or s < best[q]:
+                best[q] = s
+    return best
+
+
+def check_regressions(
+    timings: dict[str, float],
+    best: dict[str, float],
+    factor: float = REGRESSION_FACTOR,
+) -> dict[str, dict[str, float]]:
+    """Queries slower than ``factor`` × their recorded best (same sf)."""
+    return {
+        q: {"sec": s, "best": best[q], "ratio": round(s / best[q], 2)}
+        for q, s in timings.items()
+        if q in best and best[q] > 0 and s > factor * best[q]
+    }
+
+
+def load_history(path: str = HISTORY_PATH) -> list[dict]:
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
 HEADLINE = [
     "agg_daily_sales",
     "agg_customer_summary",
@@ -83,19 +121,30 @@ def main() -> None:
         timings[name] = round(min(per_run), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs_per_query": 2,
-                "aggregation": "min",
-            }
-        )
-    )
+    # Regression guard: compare against the best recorded time per query at
+    # this sf, then append this run to the history. Regressions are
+    # reported in the JSON (and non-fatally on stderr) so a slow query
+    # never hides inside an otherwise-green round.
+    history = load_history()
+    regressions = check_regressions(timings, best_times(history, sf))
+    record = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs_per_query": 2,
+        "aggregation": "min",
+        "regressions": regressions,
+    }
+    try:
+        with open(HISTORY_PATH, "a") as f:
+            f.write(json.dumps({"ts": time.time(), **record}) + "\n")
+    except OSError:
+        pass  # read-only checkout: still print the result
+    if regressions:
+        print(f"REGRESSIONS vs best: {regressions}", file=sys.stderr)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -428,8 +428,15 @@ def connected_components(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
     )
-    labels = (
-        nodes.select(F.col(id_col).alias("node"))
+    # Propagate ONLY over nodes that have at least one edge. In a dedup
+    # graph the overwhelming majority of documents are isolated (no
+    # near-dup pair survived LSH+verify) — they are their own cluster by
+    # definition and never change label, so iterating them is pure waste:
+    # at 100 TB this cuts each round's join from |V| rows to |V_edges|
+    # (typically orders of magnitude smaller). Isolated nodes are attached
+    # once, after convergence, with cluster_id = own id.
+    labels = _truncate(
+        edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("cluster_id", F.col("node"))
     )
@@ -458,7 +465,14 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return labels.select(F.col("node").alias(id_col), "cluster_id")
+    connected = labels.select(F.col("node").alias(id_col), "cluster_id")
+    isolated = (
+        nodes.select(F.col(id_col))
+        .distinct()
+        .join(labels, nodes[id_col] == labels["node"], "left_anti")
+        .withColumn("cluster_id", F.col(id_col))
+    )
+    return connected.unionByName(isolated)
 
 
 def sql_connected_components(pairs_sql: str, table: str = "documents", id_col: str = "doc_id") -> str:

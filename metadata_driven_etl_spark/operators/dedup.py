@@ -475,6 +475,80 @@ def connected_components(
     return connected.unionByName(isolated)
 
 
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "kept_score",
+) -> DataFrame:
+    """Canonical-document selection: per near-dup cluster keep the single
+    highest-scoring member (ties broken by lowest id — fully deterministic).
+
+    The step after clustering in a real training-data dedup pipeline: drop
+    all but one copy, keeping the *best* copy rather than an arbitrary one
+    (cf. quality-aware dedup in the C4/RefinedWeb data-prep literature).
+
+    ``clusters``: (id_col, cluster_col) as produced by
+    ``connected_components``; ``scored``: (id_col, score_col).
+
+    Output: (cluster_col, kept_<id_col>, score_col, n_members BIGINT).
+    Shape: one join on id, one window shuffle on cluster_col, one groupBy
+    on cluster_col — member counts and the argmax are both per-cluster,
+    so AQE coalesces these into small exchanges; linear at 100 TB.
+    """
+    from metadata_driven_etl_spark.operators.windows import topk_per_group
+
+    joined = clusters.join(scored, id_col)
+    best = topk_per_group(
+        joined,
+        keys=[cluster_col],
+        order_by=[F.desc(score_col), F.col(id_col)],
+        k=1,
+    )
+    members = clusters.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return best.join(members, cluster_col).select(
+        cluster_col,
+        F.col(id_col).alias(f"kept_{id_col}"),
+        score_col,
+        "n_members",
+    )
+
+
+def sql_keep_best_per_cluster(
+    cc_sql: str,
+    score_expr: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin: ``cc_sql`` is a full (doc_id, cluster_id) statement
+    (e.g. ``sql_connected_components(...)``), embedded as a derived table;
+    ``score_expr`` scores each document of ``table``."""
+    return f"""
+    WITH cc AS (SELECT * FROM ({cc_sql})),
+    scored AS (SELECT {id_col}, {score_expr} AS kept_score FROM {table}),
+    j AS (
+        SELECT cc.cluster_id, cc.{id_col}, s.kept_score
+        FROM cc JOIN scored s USING ({id_col})
+    ),
+    best AS (
+        SELECT cluster_id, {id_col}, kept_score,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY kept_score DESC, {id_col}) AS rn
+        FROM j
+    ),
+    m AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+        FROM cc GROUP BY 1
+    )
+    SELECT b.cluster_id, b.{id_col} AS kept_{id_col}, b.kept_score, m.n_members
+    FROM best b JOIN m USING (cluster_id)
+    WHERE b.rn = 1
+    """
+
+
 def sql_connected_components(pairs_sql: str, table: str = "documents", id_col: str = "doc_id") -> str:
     """Recursive-CTE oracle: cluster_id = min id reachable in the pair graph."""
     return f"""

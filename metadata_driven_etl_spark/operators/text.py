@@ -167,6 +167,98 @@ def sql_quality_features(table: str = "documents", text_col: str = "text") -> st
     """
 
 
+# --- repetition scoring (Gopher-style) --------------------------------------
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Intra-document repetition signals in the spirit of the Gopher data
+    quality rules (Rae et al. 2021 §A1.1): heavily repetitive documents are
+    boilerplate/spam and get filtered before training.
+
+    Per doc: token count, distinct-token fraction, most-frequent-token
+    fraction, and duplicate-bigram fraction (1 − distinct bigrams / total
+    bigrams). Fractions are NULL when undefined (empty doc; <2 tokens for
+    the bigram signal).
+
+    Shape: one explode + two-level aggregation — token counts, distinct
+    count and mode count all come out of ONE groupBy pass; the bigram side
+    reuses the shingle expression (JVM-side, no UDFs). Two shuffles on
+    doc_id, both map-side-combinable — linear at 100 TB.
+
+    All fractions are int/int divisions → bit-identical IEEE doubles in
+    Spark and DuckDB (no rounding needed; see sql twin).
+    """
+    from metadata_driven_etl_spark.operators.dedup import shingles
+
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    counts = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("c").alias("_n_tokens"),
+        F.count(F.lit(1)).alias("_n_distinct"),
+        F.max("c").alias("_top_cnt"),
+    )
+    bi = df.select(
+        F.col(id_col),
+        F.size(shingles(text_col, 2)).cast("long").alias("_n_dist_bigrams"),
+    )
+    n_tok = F.col("_n_tokens")
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .join(bi, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(n_tok, F.lit(0).cast("long")).alias("n_tokens"),
+            (F.col("_n_distinct") / n_tok).alias("distinct_token_frac"),
+            (F.col("_top_cnt") / n_tok).alias("top_token_frac"),
+            F.when(
+                n_tok >= 2,
+                F.lit(1.0) - F.col("_n_dist_bigrams") / (n_tok - F.lit(1)),
+            ).alias("dup_bigram_frac"),
+        )
+    )
+
+
+def sql_repetition_features(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    from metadata_driven_etl_spark.operators.dedup import sql_shingles
+
+    toks = sql_tokens(text_col)
+    sh2 = sql_shingles(text_col, 2)
+    return f"""
+    WITH tok AS (
+        SELECT {id_col}, unnest({toks}) AS tok FROM {table}
+    ),
+    counts AS (
+        SELECT {id_col}, tok, count(*) AS c FROM tok GROUP BY 1, 2
+    ),
+    per_doc AS (
+        SELECT {id_col},
+               CAST(sum(c) AS BIGINT) AS _n_tokens,
+               CAST(count(*) AS BIGINT) AS _n_distinct,
+               CAST(max(c) AS BIGINT) AS _top_cnt
+        FROM counts GROUP BY 1
+    ),
+    bi AS (
+        SELECT {id_col}, CAST(len({sh2}) AS BIGINT) AS _n_dist_bigrams
+        FROM {table}
+    )
+    SELECT t.{id_col},
+           COALESCE(p._n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+           p._n_distinct / p._n_tokens AS distinct_token_frac,
+           p._top_cnt / p._n_tokens AS top_token_frac,
+           CASE WHEN p._n_tokens >= 2
+                THEN 1.0 - b._n_dist_bigrams / (p._n_tokens - 1)
+           END AS dup_bigram_frac
+    FROM {table} t
+    LEFT JOIN per_doc p USING ({id_col})
+    LEFT JOIN bi b USING ({id_col})
+    """
+
+
 # --- language identification ------------------------------------------------
 
 # Tiny per-language marker-word sets (public-knowledge function words). The

@@ -31,6 +31,9 @@ from metadata_driven_etl_spark.operators import (
     aggregations as agg_ops,
 )
 from metadata_driven_etl_spark.operators import (
+    decontam as decontam_ops,
+)
+from metadata_driven_etl_spark.operators import (
     dedup as dedup_ops,
 )
 from metadata_driven_etl_spark.operators import (
@@ -47,6 +50,9 @@ from metadata_driven_etl_spark.operators import (
 )
 from metadata_driven_etl_spark.operators import (
     projections as proj_ops,
+)
+from metadata_driven_etl_spark.operators import (
+    sampling as sampling_ops,
 )
 from metadata_driven_etl_spark.operators import (
     setops as set_ops,
@@ -2548,6 +2554,78 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor((F.sum("n_tokens").over(w) - 1) / 512).alias("bin_id"),
     )
+
+
+_DOMAIN_WEIGHTS = [(f"src{i}", ((i % 4) + 1) / 8.0) for i in range(20)]
+
+
+@workload(
+    "decontaminate_ngram_overlap",
+    oracle=decontam_ops.sql_ngram_overlap(eval_pred="source = 'src0'", n=4),
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: benchmark decontamination. Docs from source
+    'src0' act as the held-out eval set; every other doc reports how many
+    of its word 4-grams appear anywhere in the eval set (the GPT-3-style
+    n-gram overlap check). Eval n-grams are broadcast → map-side semi-join,
+    zero corpus shuffles before the per-doc count."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    eval_df = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    return decontam_ops.ngram_overlap(train, eval_df, n=4)
+
+
+@workload("text_repetition", oracle=text_ops.sql_repetition_features())
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: Gopher-style intra-doc repetition signals
+    (distinct-token fraction, top-token fraction, duplicate-bigram
+    fraction) for boilerplate/spam filtering."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return text_ops.repetition_features(docs)
+
+
+@workload(
+    "sample_domain_weighted",
+    oracle="""
+    WITH w(source, frac) AS (VALUES """
+    + ", ".join(
+        f"('{s}', CAST({f} AS DOUBLE))" for s, f in _DOMAIN_WEIGHTS
+    )
+    + f""")
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN w USING (source)
+    WHERE {sampling_ops.sql_hash_unit('d.doc_id')} < w.frac""",
+)
+def sample_domain_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: corpus mixing — keep each doc with its domain's
+    target rate (hash-deterministic, so raising a weight only adds docs).
+    Broadcast join on the 20-row weights table + map-side filter."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    weights = spark.createDataFrame(_DOMAIN_WEIGHTS, "source string, frac double")
+    out = sampling_ops.weighted_domain_sample(docs, weights)
+    return out.select("doc_id", "source")
+
+
+@workload(
+    "dedup_keep_best",
+    oracle=dedup_ops.sql_keep_best_per_cluster(
+        dedup_ops.sql_connected_components(dedup_ops.sql_lsh_candidate_pairs()),
+        score_expr=f"CAST(len({text_ops.sql_tokens('text')}) AS BIGINT)",
+    ),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: quality-aware dedup — cluster near-dups (LSH →
+    connected components), then keep exactly the best-scoring member per
+    cluster (score = token count here; any scorer plugs in). The full
+    keep-one-copy pipeline a real corpus build runs."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    pairs = dedup_ops.lsh_candidate_pairs(docs)
+    clusters = dedup_ops.connected_components(docs.select("doc_id"), pairs)
+    scored = docs.select(
+        "doc_id",
+        F.size(text_ops.tokens("text")).cast("long").alias("kept_score"),
+    )
+    return dedup_ops.keep_best_per_cluster(clusters, scored)
 
 
 # =========================================================================

@@ -395,6 +395,7 @@ def connected_components(
     b_col: str = "id_b",
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
+    check_every: int = 2,
 ) -> DataFrame:
     """Cluster ids for the near-dup graph: (id, cluster_id = min reachable id).
 
@@ -402,8 +403,9 @@ def connected_components(
     a node takes the min of its own label and its neighbors' labels. Labels
     are monotone non-increasing and bounded below by the component minimum →
     converges in ≤ graph-diameter rounds. Convergence is detected with one
-    tiny action per round (SUM of labels, exact bigint arithmetic); lineage
-    is truncated per round so plans stay O(1) deep.
+    tiny action per ``check_every``-round block (SUM of labels, exact bigint
+    arithmetic — stable across a block iff the block changed nothing);
+    lineage is truncated at each check so plans stay O(check_every) deep.
 
     ``checkpoint_dir``: where to truncate lineage. ``None`` (local-mode
     default) uses ``localCheckpoint`` — blocks live in executor memory, so
@@ -435,30 +437,50 @@ def connected_components(
     # at 100 TB this cuts each round's join from |V| rows to |V_edges|
     # (typically orders of magnitude smaller). Isolated nodes are attached
     # once, after convergence, with cluster_id = own id.
+    #
+    # The first propagation round is FUSED into label construction: with
+    # every node initially labelled by itself, round 1's neighbor-min is
+    # just min(dst) per src — one groupBy on the edge list, replacing the
+    # distinct-then-join a separate init + round would cost.
     labels = _truncate(
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("cluster_id", F.col("node"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_nbr"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("_nbr")).alias("cluster_id"),
+        )
     )
+    rounds_done = 1
     prev_sum = None
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("cluster_id").alias("nbr_label"))
-        )
-        labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nbr_label"), F.col("cluster_id")),
-                ).alias("cluster_id"),
+    while rounds_done < max_iter:
+        # Run `check_every` propagation rounds per convergence check:
+        # labels sums are monotone non-increasing, so the sum is stable
+        # across a block iff no label changed in it — same fixed point,
+        # half (or 1/k) the actions. Rounds between checks are pure
+        # lineage; the block executes as ONE job at the check, so the
+        # per-round scheduling+action overhead — which dominates when the
+        # label table is small — is paid once per block.
+        for _ in range(check_every):
+            nbr_min = (
+                edges.join(labels, edges["dst"] == labels["node"])
+                .groupBy("src")
+                .agg(F.min("cluster_id").alias("nbr_label"))
             )
-        )
+            labels = (
+                labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("cluster_id"),
+                        F.coalesce(F.col("nbr_label"), F.col("cluster_id")),
+                    ).alias("cluster_id"),
+                )
+            )
+            rounds_done += 1
+            if rounds_done >= max_iter:
+                break
         # lazy checkpoint: the convergence aggregate below is the first
-        # action, so ONE job both materializes this round's labels
+        # action, so ONE job both materializes this block's labels
         # (truncating lineage) and computes the convergence signal.
         labels = _truncate(labels)
         cur_sum = labels.agg(F.sum("cluster_id")).first()[0]

@@ -2629,6 +2629,501 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# TPC-H completion (every spec query expressible on this schema — the
+# testdata has no partsupp table, so Q2/Q9/Q11/Q16/Q20 are out of scope;
+# Q1/Q3/Q5/Q10/Q12/Q14 are defined earlier; predicates are adapted to the
+# slimmed columns where the spec needs l_commitdate/l_receiptdate/
+# o_comment/c_phone/p_container, keeping each query's plan SHAPE intact)
+# =========================================================================
+
+
+@workload(
+    "tpch_q4_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND CAST(l_shipdate AS DATE)
+                        > CAST(o_orderdate AS DATE) + 90)
+    GROUP BY 1""",
+)
+def tpch_q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS → semi join (lateness adapted to
+    shipdate vs orderdate+90 — no l_commitdate in this schema). The semi
+    join shuffles only the quarter's orders; lineitem carries two columns."""
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.to_date("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.to_date("o_orderdate") < F.lit("1997-04-01").cast("date"))
+        )
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+    )
+    late = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sem = orders.join(
+        late,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.to_date("l_shipdate")
+            > F.date_add(F.to_date("o_orderdate"), 90)
+        ),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@workload(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24""",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-aggregate — the canonical pushdown probe
+    (date + discount band + quantity all reach the parquet scan)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue")
+    )
+
+
+@workload(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {sql_dsum('volume')} AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1998-01-01')
+    GROUP BY 1, 2, 3""",
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the same dimension joined twice under different
+    roles (supplier nation vs customer nation). Nation filters prune the
+    supplier and customer sides BEFORE the facts join, so the disjunctive
+    pair predicate only sees pre-filtered broadcast rows."""
+    nations = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    fact = (
+        li.join(
+            _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return fact.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year(F.to_date("l_shipdate")).alias("l_year"),
+    ).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        )
+    )
+
+
+@workload(
+    "tpch_q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           {sql_dsum("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END")}
+             / {sql_dsum('volume')} AS mkt_share
+    FROM (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               sn.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'EUROPE'
+          AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(o_orderdate AS DATE) < DATE '1998-01-01')
+    GROUP BY 1""",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — conditional share of a
+    doubly-joined dimension attribute. Both aggregates ride ONE hash-agg
+    pass (numerator is a CASE inside the same exact-decimal sum); the
+    division of two dsum doubles is IEEE-identical across engines."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cn = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .select("c_custkey")
+    )
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    fact = (
+        _t(spark, sf_dir, "lineitem")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return fact.groupBy(
+        F.year(F.to_date("o_orderdate")).alias("o_year")
+    ).agg(
+        (
+            dsum(
+                F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(
+                    F.lit(0.0)
+                )
+            )
+            / dsum(volume)
+        ).alias("mkt_share")
+    )
+
+
+@workload(
+    "tpch_q13_custdist",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY 1)
+    GROUP BY 1""",
+)
+def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count distribution — left join preserving
+    order-less customers, then a second aggregation over the first's
+    output (the o_comment NOT LIKE filter has no column here). The second
+    groupBy input is |customers| rows, so AQE shrinks its exchange."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@workload(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey,
+               {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+          AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+        GROUP BY 1)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: top supplier by quarterly revenue — aggregate,
+    then keep the rows equal to the aggregate's own max (the spec's view +
+    scalar subquery, expressed as one global-window max over the tiny
+    per-supplier revenue table; exact-decimal sums make the double
+    equality deterministic)."""
+    from pyspark.sql import Window
+
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.to_date("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.to_date("l_shipdate") < F.lit("1997-04-01").cast("date"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+    )
+    top = rev.withColumn(
+        "_mx", F.max("total_revenue").over(Window.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("_mx"))
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(top), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@workload(
+    "tpch_q17_small_qty_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice')} / 7.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS pk, {sql_davg('l_quantity')} AS aq
+          FROM lineitem GROUP BY 1) a ON l_partkey = a.pk
+    WHERE p_brand = 'Brand#3' AND p_size < 10
+      AND l_quantity < 0.2 * aq""",
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part average → de-correlated into a
+    groupBy + re-join (Catalyst's own strategy for this subquery; p_size
+    stands in for p_container). The per-part averages join on the same key
+    as the part filter, so one shuffle serves both."""
+    li = _t(spark, sf_dir, "lineitem")
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#3") & (F.col("p_size") < 10))
+        .select("p_partkey")
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        davg("l_quantity").alias("aq")
+    )
+    j = (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("aq"))
+    )
+    return j.agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+
+
+@workload(
+    "tpch_q18_large_orders",
+    oracle=f"""
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
+           {sql_isum('l_quantity')} AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY 1 HAVING sum(l_quantity) >= 220)
+    GROUP BY 1, 2, 3, 4, 5""",
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — HAVING-filtered IN subquery
+    as a semi join on the order key, then the detail re-aggregation. The
+    big-orders set and the final agg share the l_orderkey shuffle key."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(isum("l_quantity").alias("_s"))
+        .filter(F.col("_s") >= 220)
+        .select(F.col("l_orderkey").alias("_bk"))
+    )
+    orders = _t(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == F.col("_bk"), "left_semi"
+    )
+    j = li.join(
+        orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).join(
+        F.broadcast(_t(spark, sf_dir, "customer").select("c_custkey", "c_name")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    return j.groupBy(
+        "c_name",
+        "c_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("o_orderdate"),
+        "o_totalprice",
+    ).agg(isum("l_quantity").alias("total_qty"))
+
+
+@workload(
+    "tpch_q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)""",
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    bands across a join (p_size/l_quantity stand in for p_container/
+    l_shipmode). Catalyst extracts the common l_quantity ≤ 30 / p_size ≥ 1
+    bounds for pushdown; the full disjunction evaluates post-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((brand == "Brand#1") & size.between(1, 5) & qty.between(1, 11))
+        | ((brand == "Brand#2") & size.between(1, 10) & qty.between(10, 20))
+        | ((brand == "Brand#3") & size.between(1, 15) & qty.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        )
+    )
+
+
+@workload(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND CAST(l3.l_shipdate AS DATE)
+                            > CAST(l1.l_shipdate AS DATE))
+    GROUP BY 1""",
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS self-correlations on the fact
+    table → one semi and one anti join, both keyed on l_orderkey (lateness
+    adapted to shipdate — no l_receiptdate here: the supplier whose line
+    shipped strictly last among multi-supplier finished orders). All three
+    lineitem scans shuffle on the same key, so AQE reuses the exchange."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.to_date("l_shipdate").alias("l_sd")
+    )
+    ord_f = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l1 = li.join(ord_f, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey", "l_suppkey", "l_sd"
+    )
+    l2 = li.select(F.col("l_orderkey").alias("_o2"), F.col("l_suppkey").alias("_s2"))
+    sem = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("_o2"))
+        & (F.col("l_suppkey") != F.col("_s2")),
+        "left_semi",
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("_o3"),
+        F.col("l_suppkey").alias("_s3"),
+        F.col("l_sd").alias("_sd3"),
+    )
+    anti = sem.join(
+        l3,
+        (F.col("l_orderkey") == F.col("_o3"))
+        & (F.col("l_suppkey") != F.col("_s3"))
+        & (F.col("_sd3") > F.col("l_sd")),
+        "left_anti",
+    )
+    return (
+        anti.join(
+            F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@workload(
+    "tpch_q22_idle_customers",
+    oracle=f"""
+    SELECT c_nationkey AS cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           {sql_dsum('c_acctbal')} AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT {sql_davg('c_acctbal')} FROM customer
+                       WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND CAST(o_orderdate AS DATE) >= DATE '1999-01-01')
+    GROUP BY 1""",
+)
+def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders (nationkey stands in for the phone country code; 'no orders at
+    all' never fires on this data, so recency-bounded). Scalar-subquery
+    average → one-row broadcast cross join; NOT EXISTS → anti join against
+    the recent-orders keys."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_row = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal").alias("_avg")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.to_date("o_orderdate") >= F.lit("1999-01-01").cast("date"))
+        .select("o_custkey")
+    )
+    sel = (
+        cust.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return sel.groupBy(F.col("c_nationkey").alias("cntrycode")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        dsum("c_acctbal").alias("totacctbal"),
+    )
+
+
+# =========================================================================
 # Driver-facing registry order
 # =========================================================================
 #

@@ -2628,6 +2628,78 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.keep_best_per_cluster(clusters, scored)
 
 
+@workload(
+    "corpus_clean_pipeline",
+    oracle=f"""
+    WITH q AS ({text_ops.sql_quality_features('documents')}),
+    r AS ({text_ops.sql_repetition_features('documents')}),
+    c AS ({decontam_ops.sql_ngram_overlap(eval_pred="source = 'src0'", n=4)}),
+    clean AS (
+        SELECT d.doc_id, d.text
+        FROM documents d
+        JOIN q USING (doc_id)
+        JOIN r USING (doc_id)
+        JOIN c USING (doc_id)
+        WHERE d.source <> 'src0'
+          AND q.quality_score >= 0.55
+          AND r.n_tokens >= 5
+          AND (r.dup_bigram_frac IS NULL OR r.dup_bigram_frac < 0.5)
+          AND c.n_matched_grams = 0
+    )
+    SELECT * FROM ({dedup_ops.sql_keep_best_per_cluster(
+        dedup_ops.sql_connected_components(
+            dedup_ops.sql_lsh_candidate_pairs(table='clean'), table='clean'
+        ),
+        score_expr=f"CAST(len({text_ops.sql_tokens('text')}) AS BIGINT)",
+        table='clean',
+    )})""",
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composed pipeline: the full corpus build a training-data
+    team runs, end to end — quality filter + repetition filter +
+    benchmark decontamination, then near-dup clustering over the SURVIVORS
+    with best-copy selection. Every stage is an operator from this library
+    with its own green oracle; this workload proves they compose.
+
+    Plan shape: the three filter stages are per-doc projections/joins on
+    doc_id (broadcast-sized eval-gram set for decontamination); only the
+    filtered subset reaches the LSH shuffle — at 100 TB the expensive
+    dedup runs on the post-filter corpus, which is the right order."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    q = text_ops.quality_features(docs).select("doc_id", "quality_score")
+    r = text_ops.repetition_features(docs).select(
+        "doc_id", "n_tokens", "dup_bigram_frac"
+    )
+    c = decontam_ops.ngram_overlap(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=4,
+    ).select("doc_id", "n_matched_grams")
+    clean = (
+        docs.filter(F.col("source") != "src0")
+        .join(q, "doc_id")
+        .join(r, "doc_id")
+        .join(c, "doc_id")
+        .filter(
+            (F.col("quality_score") >= 0.55)
+            & (F.col("n_tokens") >= 5)
+            & (
+                F.col("dup_bigram_frac").isNull()
+                | (F.col("dup_bigram_frac") < 0.5)
+            )
+            & (F.col("n_matched_grams") == 0)
+        )
+        .select("doc_id", "text")
+    )
+    pairs = dedup_ops.lsh_candidate_pairs(clean)
+    clusters = dedup_ops.connected_components(clean.select("doc_id"), pairs)
+    scored = clean.select(
+        "doc_id",
+        F.size(text_ops.tokens("text")).cast("long").alias("kept_score"),
+    )
+    return dedup_ops.keep_best_per_cluster(clusters, scored)
+
+
 # =========================================================================
 # TPC-H completion (every spec query expressible on this schema — the
 # testdata has no partsupp table, so Q2/Q9/Q11/Q16/Q20 are out of scope;

@@ -3195,6 +3195,393 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------------------------------
+# Derived partsupp: the testdata ships no partsupp file, so the five
+# partsupp-dependent TPC-H queries (Q2/Q9/Q11/Q16/Q20) reconstruct it
+# deterministically from part × supplier — the same move dbgen itself makes
+# (each part gets 4 suppliers via modular striding over the supplier
+# domain). Pure integer arithmetic on the two given tables, evaluated
+# identically by Spark and the DuckDB oracle CTE, so both engines
+# materialize bit-identical partsupp rows. Keys here are dense 0-based.
+#
+# PK guarantee: stride = max(S div 4, 1), and i*stride < S for i in 0..3,
+# so the four ps_suppkey values per part are distinct whenever S >= 4.
+# ps_supplycost is integer cents / 100.0 — a fixed-2dp money double, the
+# class dsum is exact for; Q11 sidesteps doubles entirely via the cents
+# column. At 100 TB the derivation is a broadcast of one scalar (the
+# supplier count) over a 4× explode of part keys — no shuffle.
+# -------------------------------------------------------------------------
+
+_PARTSUPP_CTE = """sup_n AS (SELECT CAST(count(*) AS BIGINT) AS s FROM supplier),
+    partsupp AS (
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey + i * GREATEST(s // 4, 1)) % s AS ps_suppkey,
+             CAST((p_partkey * 7 + i * 11) % 9999 + 1 AS INTEGER)
+               AS ps_availqty,
+             (p_partkey * 13
+              + ((p_partkey + i * GREATEST(s // 4, 1)) % s) * 17
+              + i * 19) % 90000 + 10000 AS ps_supplycost_cents,
+             ((p_partkey * 13
+               + ((p_partkey + i * GREATEST(s // 4, 1)) % s) * 17
+               + i * 19) % 90000 + 10000) / 100.0 AS ps_supplycost
+      FROM part, sup_n, range(4) t(i))"""
+
+
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partsupp(ps_partkey, ps_suppkey, ps_availqty, ps_supplycost_cents,
+    ps_supplycost) derived from part × supplier; twin of _PARTSUPP_CTE."""
+    s_cnt = (
+        _t(spark, sf_dir, "supplier")
+        .agg(F.count(F.lit(1)).cast("long").alias("_s"))
+    )
+    base = (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey")
+        .crossJoin(F.broadcast(s_cnt))
+        .select(
+            "p_partkey",
+            "_s",
+            F.explode(
+                F.array(*[F.lit(i).cast("long") for i in range(4)])
+            ).alias("_i"),
+        )
+    )
+    stride = F.greatest(F.expr("_s div 4"), F.lit(1).cast("long"))
+    sk = (F.col("p_partkey") + F.col("_i") * stride) % F.col("_s")
+    cents = (
+        F.col("p_partkey") * 13 + sk * 17 + F.col("_i") * 19
+    ) % 90000 + 10000
+    return base.select(
+        F.col("p_partkey").alias("ps_partkey"),
+        sk.alias("ps_suppkey"),
+        ((F.col("p_partkey") * 7 + F.col("_i") * 11) % 9999 + 1)
+        .cast("int")
+        .alias("ps_availqty"),
+        cents.cast("long").alias("ps_supplycost_cents"),
+        (cents.cast("long") / F.lit(100.0)).alias("ps_supplycost"),
+    )
+
+
+@workload(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE},
+    esup AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    cand AS (
+      SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost,
+             min(ps_supplycost_cents)
+               OVER (PARTITION BY p_partkey) AS _mn,
+             ps_supplycost_cents AS _c
+      FROM part
+      JOIN partsupp ON p_partkey = ps_partkey
+      JOIN esup ON ps_suppkey = s_suppkey
+      WHERE p_size <= 15 AND p_type = 'STANDARD')
+    SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost
+    FROM cand WHERE _c = _mn""",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest regional supplier per part — correlated
+    min-cost subquery de-correlated into a per-part window min (one shuffle
+    on p_partkey instead of a re-aggregating self-join). Dimension chain
+    (nation⋈region, filtered part keys) rides broadcasts; the min
+    comparison is on the exact integer cents column."""
+    from pyspark.sql import Window
+
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    esup = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").join(
+                    F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pkeys = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey")
+    )
+    cand = (
+        _derived_partsupp(spark, sf_dir)
+        .join(F.broadcast(pkeys), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(esup), F.col("ps_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("_mn", F.min("ps_supplycost_cents").over(w))
+        .filter(F.col("ps_supplycost_cents") == F.col("_mn"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "ps_supplycost")
+    )
+
+
+@workload(
+    "tpch_q9_product_profit",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(CAST(SUM(
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(12,2)))
+             - CAST(ps_supplycost AS DECIMAL(12,2))
+               * CAST(l_quantity AS DECIMAL(12,2))
+           ) AS VARCHAR) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY 1, 2""",
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by nation and year — the 6-way
+    join. Profit has the FMA-trap shape a*b − c*d, so the whole numerator
+    stays in exact decimal arithmetic (see functions module docstring);
+    only the finished sum is cast to double. partsupp/part/supplier/nation
+    all broadcast; the lone shuffle pair is lineitem⋈orders."""
+    d2 = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+    profit = d2("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - d2("l_discount")
+    ) - F.col("ps_supplycost").cast("decimal(12,2)") * d2("l_quantity")
+    ps = _derived_partsupp(spark, sf_dir).select(
+        "ps_partkey", "ps_suppkey", "ps_supplycost"
+    )
+    bolt = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey")
+    )
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    fact = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(bolt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(ps),
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    return fact.groupBy(
+        "nation", F.year(F.to_date("o_orderdate")).alias("o_year")
+    ).agg(F.sum(profit).cast("double").alias("sum_profit"))
+
+
+@workload(
+    "tpch_q11_important_stock",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE},
+    esup AS (
+      SELECT s_suppkey FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    base AS (
+      SELECT ps_partkey,
+             ps_supplycost_cents * ps_availqty AS cents
+      FROM partsupp JOIN esup ON ps_suppkey = s_suppkey),
+    val AS (
+      SELECT ps_partkey, CAST(SUM(cents) AS BIGINT) AS _vc
+      FROM base GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS _tc FROM base)
+    SELECT ps_partkey, _vc / 100.0 AS value
+    FROM val, tot
+    WHERE _vc * 10000 > 5 * _tc""",
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts holding an outsized share of regional stock
+    value — HAVING against a global scalar aggregate. All value arithmetic
+    stays in integer cents (sum, global total, and the 0.0005-share
+    comparison via cross-multiplication), so the filter is exact; the
+    scalar total is a one-row broadcast cross join, not a second scan
+    (the per-part sums re-aggregate into the total)."""
+    esup = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").join(
+                    F.broadcast(
+                        _t(spark, sf_dir, "region").filter(
+                            F.col("r_name") == "EUROPE"
+                        )
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    val = (
+        _derived_partsupp(spark, sf_dir)
+        .join(F.broadcast(esup), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                F.col("ps_supplycost_cents") * F.col("ps_availqty")
+            ).alias("_vc")
+        )
+    )
+    tot = val.agg(F.sum("_vc").alias("_tc"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("_vc") * 10000 > F.lit(5) * F.col("_tc"))
+        .select("ps_partkey", (F.col("_vc") / F.lit(100.0)).alias("value"))
+    )
+
+
+@workload(
+    "tpch_q16_supplier_cnt",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+      AND ps_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3""",
+)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per part attribute,
+    excluding a supplier blocklist (NOT IN → broadcast anti join; the
+    complaint-comment predicate is adapted to negative account balance).
+    The distinct count runs as Spark's two-phase partial-distinct
+    aggregate — no pre-distinct shuffle needed."""
+    pf = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#5")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        _derived_partsupp(spark, sf_dir)
+        .join(F.broadcast(pf), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("ps_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("ps_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@workload(
+    "tpch_q20_promotion_suppliers",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE},
+    qty AS (
+      SELECT l_partkey AS q_pk, l_suppkey AS q_sk,
+             SUM(l_quantity) AS sq
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+      GROUP BY 1, 2)
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+      AND s_suppkey IN (
+        SELECT ps_suppkey
+        FROM partsupp
+        JOIN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%') p
+          ON ps_partkey = p_partkey
+        JOIN qty ON q_pk = ps_partkey AND q_sk = ps_suppkey
+        WHERE ps_availqty > 0.5 * sq)""",
+)
+def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers overstocked in promotable parts — a
+    nested IN over a correlated per-(part,supplier) shipped-quantity
+    aggregate, de-correlated into groupBy + equi-join and applied as a
+    semi join. Quantities are integer-valued doubles, so SUM and the
+    half-comparison are exact (functions.isum rationale); part filter and
+    the overstocked-supplier key set both broadcast."""
+    qty = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.to_date("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.to_date("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        )
+        .groupBy(
+            F.col("l_partkey").alias("q_pk"), F.col("l_suppkey").alias("q_sk")
+        )
+        .agg(F.sum("l_quantity").alias("sq"))
+    )
+    red = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    overstocked = (
+        _derived_partsupp(spark, sf_dir)
+        .join(F.broadcast(red), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(
+            qty,
+            (F.col("q_pk") == F.col("ps_partkey"))
+            & (F.col("q_sk") == F.col("ps_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("sq"))
+        .select("ps_suppkey")
+    )
+    esup = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").join(
+                    F.broadcast(
+                        _t(spark, sf_dir, "region").filter(
+                            F.col("r_name") == "EUROPE"
+                        )
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return esup.join(
+        F.broadcast(overstocked),
+        F.col("s_suppkey") == F.col("ps_suppkey"),
+        "left_semi",
+    )
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================

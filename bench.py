@@ -41,12 +41,21 @@ def check_regressions(
     timings: dict[str, float],
     best: dict[str, float],
     factor: float = REGRESSION_FACTOR,
+    min_delta: float = 0.5,
 ) -> dict[str, dict[str, float]]:
-    """Queries slower than ``factor`` × their recorded best (same sf)."""
+    """Queries slower than ``factor`` × their recorded best (same sf).
+
+    ``min_delta`` (seconds) suppresses ratio false-alarms on sub-second
+    queries, where scheduler jitter alone exceeds 1.5×: a regression must
+    be both relatively (ratio) and absolutely (delta) significant.
+    """
     return {
         q: {"sec": s, "best": best[q], "ratio": round(s / best[q], 2)}
         for q, s in timings.items()
-        if q in best and best[q] > 0 and s > factor * best[q]
+        if q in best
+        and best[q] > 0
+        and s > factor * best[q]
+        and s - best[q] > min_delta
     }
 
 
@@ -82,6 +91,7 @@ HEADLINE = [
     "tpch_q3_topk",
     "tpch_q5_region_revenue",
     "tpch_q10_returned_topk",
+    "tpch_q9_product_profit",
     "scd2_dimension_update",
     "agg_exact_stats",
     "resample_gap_fill",

@@ -37,3 +37,11 @@ def test_recorded_history_has_no_regressions():
         bench.best_times(prior, latest.get("sf")),
     )
     assert not regs, f"bench regressions vs recorded best: {regs}"
+
+
+def test_min_delta_suppresses_subsecond_jitter():
+    """A 2x ratio on a 0.3s query is scheduler noise, not a regression."""
+    best = {"tiny": 0.3, "big": 10.0}
+    timings = {"tiny": 0.6, "big": 16.0}
+    regs = bench.check_regressions(timings, best)
+    assert set(regs) == {"big"}

@@ -99,3 +99,74 @@ def test_star_queries_prune_lineitem(spark, sf_dir, name):
     assert scans
     for cols in scans:
         assert "l_tax" not in cols and "l_returnflag" not in cols, (name, cols)
+
+
+def test_partsupp_derivation_is_broadcast_no_shuffle(spark, sf_dir):
+    """The derived partsupp is a broadcast of one scalar over a 4x explode
+    of part keys — its subtree must contain no shuffle exchange."""
+    from metadata_driven_etl_spark.workloads import _derived_partsupp
+
+    df = _derived_partsupp(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    # the only exchanges allowed: the broadcast of the 1-row count and the
+    # single-partition collapse inside that scalar aggregate (1 row wide)
+    data_shuffles = (
+        plan.count("Exchange")
+        - plan.count("BroadcastExchange")
+        - plan.count("Exchange SinglePartition")
+    )
+    assert data_shuffles == 0, plan
+
+
+def test_partsupp_pk_distinct(spark, sf_dir):
+    """Four distinct suppliers per part (PK guarantee of the stride)."""
+    from pyspark.sql import functions as F
+
+    from metadata_driven_etl_spark.workloads import _derived_partsupp
+
+    df = _derived_partsupp(spark, sf_dir)
+    assert df.count() == df.select("ps_partkey", "ps_suppkey").distinct().count()
+    per_part = df.groupBy("ps_partkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    assert per_part.filter(F.col("n") != 4).count() == 0
+
+
+def test_q2_min_cost_window_single_shuffle(spark, sf_dir):
+    """Q2's de-correlated min rides ONE shuffle (the window on p_partkey);
+    every dimension join broadcasts."""
+    plan = _executed(spark, sf_dir, "tpch_q2_min_cost_supplier")
+    assert "Window" in plan
+    non_broadcast = (
+        plan.count("Exchange")
+        - plan.count("BroadcastExchange")
+        - plan.count("Exchange SinglePartition")
+    )
+    assert non_broadcast <= 1, plan
+
+
+def test_q9_only_fact_join_shuffles(spark, sf_dir):
+    """Q9: partsupp/part/supplier/nation broadcast; lineitem-orders is the
+    lone shuffle join, and lineitem's scan is pruned to the needed cols."""
+    plan = _executed(spark, sf_dir, "tpch_q9_product_profit")
+    scans = _scan_columns(plan, "lineitem")
+    assert scans and scans[0] <= {
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    }, scans
+    assert "BroadcastExchange" in plan
+
+
+def test_q16_blocklist_is_anti_join(spark, sf_dir):
+    plan = _executed(spark, sf_dir, "tpch_q16_supplier_cnt")
+    assert "LeftAnti" in plan
+
+
+def test_q20_in_subquery_is_semi_join(spark, sf_dir):
+    plan = _executed(spark, sf_dir, "tpch_q20_promotion_suppliers")
+    assert "LeftSemi" in plan

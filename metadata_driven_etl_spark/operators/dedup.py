@@ -144,7 +144,7 @@ def sql_minhash_signature(
     """
 
 
-def lsh_candidate_pairs(
+def lsh_bands(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -152,14 +152,16 @@ def lsh_candidate_pairs(
     band_size: int = 2,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band bucket.
+    """(id, band, bhash): the LSH band index rows for each document.
 
-    Self-join is on (band_index, band_hash) — a short uniform key, so the
-    join is sparse and broadcastable per bucket; no O(n²) pair blow-up.
+    This is the PERSISTABLE form of the MinHash index: write it once
+    (bucketed by (band, bhash) at scale) and every later batch dedups
+    against it without re-hashing the corpus — see
+    ``incremental_dedup_survivors``.
     """
     sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
     n_bands = num_hashes // band_size
-    bands = sig.select(
+    return sig.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -181,6 +183,22 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bhash")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band bucket.
+
+    Self-join is on (band_index, band_hash) — a short uniform key, so the
+    join is sparse and broadcastable per bucket; no O(n²) pair blow-up.
+    """
+    bands = lsh_bands(df, text_col, id_col, num_hashes, band_size, shingle_n)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -218,6 +236,116 @@ def sql_lsh_candidate_pairs(
     SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.bhash = b.bhash AND a.{id_col} < b.{id_col}
+    """
+
+
+def sql_lsh_bands(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> str:
+    """Oracle twin of :func:`lsh_bands` (nestable as a CTE body)."""
+    n_bands = num_hashes // band_size
+    band_rows = " UNION ALL ".join(
+        f"SELECT {id_col}, {b} AS band, md5("
+        + " || '|' || ".join(f"mh_{b * band_size + r}" for r in range(band_size))
+        + ") AS bhash FROM sig"
+        for b in range(n_bands)
+    )
+    return (
+        f"WITH sig AS ({sql_minhash_signature(table, text_col, id_col, num_hashes, shingle_n)}) "
+        + band_rows
+    )
+
+
+def incremental_dedup_survivors(
+    batch: DataFrame,
+    index_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Batch documents that survive near-dup screening against a PERSISTED
+    corpus band index and against earlier docs in the same batch.
+
+    The 100 TB pattern (ref has no analogue; this is the extension the
+    LLM-corpus pipeline needs): the corpus index is written once by
+    ``lsh_bands`` and only the day's batch is hashed. The index side is
+    petabyte-scale, the batch bands are small → the batch side broadcasts
+    and the index streams past it with NO shuffle of the corpus (bucketed
+    storage on (band, bhash) also skips the index scan's own shuffle).
+    Within-batch collisions keep the lowest id (deterministic keep-first).
+    Returns the surviving batch rows unchanged.
+    """
+    bb = lsh_bands(
+        batch.select(id_col, text_col),
+        text_col,
+        id_col,
+        num_hashes,
+        band_size,
+        shingle_n,
+    )
+    ib = index_bands.select(
+        F.col("band").alias("i_band"), F.col("bhash").alias("i_bhash")
+    )
+    corpus_hits = (
+        ib.join(
+            F.broadcast(bb),
+            (F.col("i_band") == F.col("band"))
+            & (F.col("i_bhash") == F.col("bhash")),
+        )
+        .select(id_col)
+        .distinct()
+    )
+    x, y = bb.alias("x"), bb.alias("y")
+    batch_hits = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bhash") == F.col("y.bhash"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(F.col(f"y.{id_col}").alias(id_col))
+        .distinct()
+    )
+    dropped = corpus_hits.union(batch_hits).distinct()
+    return batch.join(F.broadcast(dropped), id_col, "left_anti")
+
+
+def sql_incremental_dedup_survivors(
+    batch_table: str,
+    corpus_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> str:
+    """Oracle twin of :func:`incremental_dedup_survivors` (returns ids)."""
+    bc = sql_lsh_bands(
+        corpus_table, text_col, id_col, num_hashes, band_size, shingle_n
+    )
+    bb = sql_lsh_bands(
+        batch_table, text_col, id_col, num_hashes, band_size, shingle_n
+    )
+    return f"""
+    WITH bc AS ({bc}),
+    bb AS ({bb}),
+    hit AS (
+      SELECT DISTINCT bb.{id_col} FROM bb
+      JOIN bc ON bb.band = bc.band AND bb.bhash = bc.bhash),
+    selfhit AS (
+      SELECT DISTINCT y.{id_col} FROM bb x
+      JOIN bb y ON x.band = y.band AND x.bhash = y.bhash
+              AND x.{id_col} < y.{id_col})
+    SELECT {id_col} FROM {batch_table}
+    WHERE {id_col} NOT IN (SELECT {id_col} FROM hit)
+      AND {id_col} NOT IN (SELECT {id_col} FROM selfhit)
     """
 
 

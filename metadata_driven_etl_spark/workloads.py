@@ -1565,6 +1565,28 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "dedup_incremental_lsh",
+    oracle=dedup_ops.sql_incremental_dedup_survivors(
+        "(SELECT * FROM documents WHERE doc_id % 5 = 0)",
+        "(SELECT * FROM documents WHERE doc_id % 5 <> 0)",
+    ),
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: today's batch screened against a PERSISTED
+    corpus band index (dedup.lsh_bands) — the operation a 100 TB corpus
+    actually runs daily, instead of re-hashing everything. Batch bands
+    broadcast; the petabyte-side index streams with no corpus shuffle.
+    Within-batch collisions keep the lowest doc_id."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    index = dedup_ops.lsh_bands(corpus)
+    return dedup_ops.incremental_dedup_survivors(batch, index).select(
+        "doc_id"
+    )
+
+
+@workload(
     "json_extract_agg",
     oracle="""
     SELECT event_type,

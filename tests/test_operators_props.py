@@ -318,3 +318,31 @@ def test_approx_percentile_within_tolerance(spark, sf_dir):
             assert lo - 0.01 * n - 1 <= target <= hi + 0.01 * n + 1, (
                 flag, q, got, lo, hi, n
             )
+
+
+def test_incremental_dedup_survivor_semantics(spark):
+    """Keep-first contract of incremental_dedup_survivors: a batch doc is
+    dropped iff it LSH-collides with the corpus index or with a
+    lower-id batch doc; everything else passes through unchanged."""
+    from metadata_driven_etl_spark.operators import dedup
+
+    corpus_txt = "the quick brown fox jumps over the lazy dog again and again"
+    unique_txt = "completely unrelated content about spark physical planning"
+    batch_dup_txt = "another duplicated passage that appears twice in batch"
+    corpus = spark.createDataFrame(
+        [(1, corpus_txt)], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, corpus_txt),      # collides with corpus -> dropped
+            (11, unique_txt),      # unique -> survives
+            (12, batch_dup_txt),   # first of in-batch pair -> survives
+            (13, batch_dup_txt),   # later twin -> dropped
+        ],
+        ["doc_id", "text"],
+    )
+    index = dedup.lsh_bands(corpus)
+    out = dedup.incremental_dedup_survivors(batch, index)
+    assert sorted(r.doc_id for r in out.collect()) == [11, 12]
+    # survivors keep their full rows
+    assert set(out.columns) == {"doc_id", "text"}

@@ -27,3 +27,38 @@ def read_file_source(
 
 def read_table_source(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def read_binary_media(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Raw media files → (media_id, media_type, payload, n_bytes,
+    modified_at): the on-ramp from a file corpus to the multimodal
+    operators (operators/multimodal.py expects exactly this shape).
+
+    Spark's ``binaryFile`` source does distributed listing and reads one
+    row per file with no driver involvement — the right ingest for an
+    image/audio corpus at 100 TB. Small files are packed per task by
+    ``spark.sql.files.maxPartitionBytes``; ``pathGlobFilter`` prunes at
+    listing time (never reads non-matching bytes); media_type derives
+    from the file extension.
+    """
+    from pyspark.sql import functions as F
+
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    df = reader.load(path)
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1))
+    return df.select(
+        F.col("path").alias("media_id"),
+        ext.alias("media_type"),
+        F.col("content").alias("payload"),
+        F.col("length").alias("n_bytes"),
+        F.col("modificationTime").alias("modified_at"),
+    )

@@ -132,3 +132,35 @@ def test_real_decoders_reject_malformed(spark):
     # truncated raster
     with pytest.raises(ValueError):
         make_ppm_feature_decoder()(_ppm_payload()[:-3])
+
+
+def test_binary_file_ingest_to_features(spark, tmp_path):
+    """Raw file corpus → binaryFile source → real PPM decode, end to end:
+    the 100 TB ingest path (distributed listing, glob pruning, one row per
+    file) feeding the multimodal feature extractor."""
+    from metadata_driven_etl_spark.operators.multimodal import (
+        extract_features,
+        make_ppm_feature_decoder,
+    )
+    from metadata_driven_etl_spark.sources.readers import read_binary_media
+
+    colors = {"a": (10, 20, 30), "b": (200, 100, 0), "c": (1, 2, 3)}
+    sub = tmp_path / "nested"
+    sub.mkdir()
+    for name, rgb in colors.items():
+        target = (tmp_path if name != "c" else sub) / f"{name}.ppm"
+        target.write_bytes(_ppm_payload(width=4, height=2, rgb=rgb))
+    (tmp_path / "ignore.txt").write_text("not media")
+
+    media = read_binary_media(spark, str(tmp_path), glob="*.ppm")
+    rows = {r.media_id.rsplit("/", 1)[-1]: r for r in media.collect()}
+    assert set(rows) == {"a.ppm", "b.ppm", "c.ppm"}  # glob pruned, recursed
+    assert all(r.media_type == "ppm" for r in rows.values())
+
+    feats = extract_features(
+        media, decoder=make_ppm_feature_decoder()
+    ).collect()
+    by_name = {r.media_id.rsplit("/", 1)[-1]: r.feature for r in feats}
+    direct = make_ppm_feature_decoder()(_ppm_payload(width=4, height=2, rgb=(10, 20, 30)))
+    # feature column is array<float> — compare at float32 precision
+    assert by_name["a.ppm"] == pytest.approx(direct, rel=1e-6)

@@ -36,6 +36,7 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     for k, v in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
     ):
         try:
             spark.conf.set(k, v)
@@ -54,6 +55,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
             )
+        elif field.name == "ts" and field.dataType.simpleString().startswith(
+            "timestamp_ntz"
+        ):
+            # Conf locked down or scan planned before the conf applied:
+            # NTZ→LTZ cast keeps the wall clock under the UTC session TZ.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

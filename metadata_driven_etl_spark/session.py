@@ -43,6 +43,11 @@ _DEFAULT_CONF: dict[str, str] = {
     # Parquet TIMESTAMP(NANOS) (e.g. the events table) is unreadable by the
     # vectorized reader otherwise; read as long, catalog normalizes to µs.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet timestamps without isAdjustedToUTC otherwise surface as
+    # TIMESTAMP_NTZ, which breaks epoch arithmetic (unix_micros) and
+    # diverges from the DuckDB oracle's plain-TIMESTAMP comparisons. With a
+    # UTC session the LTZ reading has identical wall-clock values.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

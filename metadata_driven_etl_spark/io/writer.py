@@ -128,6 +128,11 @@ class TableFormat:
             c.name for c in spark.catalog.listColumns(table) if c.isPartition
         ]
         self.overwrite(merged, table, parts or None)
+        # The rewrite replaced every data file; a reader that resolved the
+        # table before this merge (e.g. between micro-batches of a
+        # streaming upsert sink) would otherwise hit the cached file
+        # listing and FAILED_READ_FILE on the vanished parts.
+        spark.catalog.refreshTable(table)
 
 
 class ParquetFormat(TableFormat):

@@ -38,6 +38,13 @@ def merge_stream(
     Returns the StreamingQuery (caller awaits/stops).
     """
     keys = list(keys)
+    # foreachBatch executes in a CLONED SparkSession, and Spark's table
+    # relation cache is per-session: a refresh inside the merge only fixes
+    # the clone. Capture the stream owner's session so its (and the
+    # caller's) cached file listing is invalidated after each rewrite —
+    # without this, a reader in the owning session hits FAILED_READ_FILE
+    # on the parquet fallback's replaced files after the next micro-batch.
+    owner = stream_df.sparkSession
 
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -46,6 +53,10 @@ def merge_stream(
         # anyway — merge requires unique source keys
         src = batch_df.dropDuplicates(keys)
         table_format.merge(batch_df.sparkSession, table, src, keys)
+        try:
+            owner.catalog.refreshTable(table)
+        except Exception:
+            pass  # table resolvable only in the batch session — best effort
 
     writer = (
         stream_df.writeStream.foreachBatch(upsert_batch)

@@ -68,6 +68,32 @@ def ngram_overlap(
     )
 
 
+def contaminated_ids(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Just the ids of contaminated training docs (n_matched_grams > 0).
+
+    The filter-pipeline form of :func:`ngram_overlap`: contamination is
+    rare by construction, so the match set is small — callers anti-join
+    (broadcast) against it instead of joining full per-doc counts back on
+    id, which would shuffle the whole training corpus at 100 TB.
+    """
+    eval_grams = (
+        eval_df.select(F.explode(shingles(text_col, n)).alias("gram"))
+        .distinct()
+    )
+    return (
+        train.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("gram"))
+        .join(F.broadcast(eval_grams), "gram")
+        .select(id_col)
+        .distinct()
+    )
+
+
 def sql_ngram_overlap(
     table: str = "documents",
     eval_pred: str = "source = 'src0'",

@@ -105,7 +105,23 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     c = F.col(text_col)
     staged = df.select("doc_id", c.alias("_text"), tokens(c).alias("_toks"))
-    t, toks = F.col("_text"), F.col("_toks")
+    feats = staged.select(
+        "doc_id",
+        *[
+            expr.alias(name)
+            for name, expr in quality_feature_exprs(
+                F.col("_text"), F.col("_toks")
+            ).items()
+        ],
+    )
+    return feats.withColumn("quality_score", quality_score_expr())
+
+
+def quality_feature_exprs(t, toks) -> dict:
+    """The per-row quality feature expressions over a (text, tokens)
+    projection stage — exposed so composed pipelines can fuse them into
+    one projection instead of joining :func:`quality_features` back on
+    doc_id."""
     n_chars = F.length(t).cast("long")
     n_tokens = F.size(toks).cast("long")
     n_alnum = F.length(F.regexp_replace(t, "[^A-Za-z0-9]", "")).cast("long")
@@ -123,21 +139,25 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         ),
         6,
     )
-    feats = staged.select(
-        "doc_id",
-        n_chars.alias("n_chars_m"),
-        n_tokens.alias("n_tokens"),
-        punct_ratio.alias("punct_ratio"),
-        stop_ratio.alias("stop_ratio"),
-        mean_tok_len.alias("mean_tok_len"),
-    )
-    score = F.round(
+    return {
+        "n_chars_m": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": punct_ratio,
+        "stop_ratio": stop_ratio,
+        "mean_tok_len": mean_tok_len,
+    }
+
+
+def quality_score_expr():
+    """Composite score over the already-projected feature attributes of
+    :func:`quality_feature_exprs` (reads them by name so each regexp runs
+    once per row)."""
+    return F.round(
         F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.4
         + (F.lit(1.0) - F.least(F.col("punct_ratio") * 5, F.lit(1.0))) * 0.3
         + F.least(F.col("stop_ratio") * 10, F.lit(1.0)) * 0.3,
         6,
     )
-    return feats.withColumn("quality_score", score)
 
 
 def sql_quality_features(table: str = "documents", text_col: str = "text") -> str:
@@ -182,43 +202,70 @@ def repetition_features(
     bigrams). Fractions are NULL when undefined (empty doc; <2 tokens for
     the bigram signal).
 
-    Shape: one explode + two-level aggregation — token counts, distinct
-    count and mode count all come out of ONE groupBy pass; the bigram side
-    reuses the shingle expression (JVM-side, no UDFs). Two shuffles on
-    doc_id, both map-side-combinable — linear at 100 TB.
+    Shape: pure per-row array expressions — ZERO shuffle. The mode count
+    is the longest run in the sorted token array (one O(n log n) sort +
+    one O(n) fold per row, JVM-side higher-order functions). An earlier
+    revision exploded tokens through two groupBy passes; that moved
+    |tokens| × rows through the network twice and joined the results back
+    on doc_id — per-row expressions cost the same locally and remove all
+    three wide ops, which is the difference that matters at 100 TB.
 
     All fractions are int/int divisions → bit-identical IEEE doubles in
     Spark and DuckDB (no rounding needed; see sql twin).
     """
     from metadata_driven_etl_spark.operators.dedup import shingles
 
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-    counts = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
-    per_doc = counts.groupBy(id_col).agg(
-        F.sum("c").alias("_n_tokens"),
-        F.count(F.lit(1)).alias("_n_distinct"),
-        F.max("c").alias("_top_cnt"),
-    )
-    bi = df.select(
+    staged = df.select(
         F.col(id_col),
+        tokens(text_col).alias("_toks"),
         F.size(shingles(text_col, 2)).cast("long").alias("_n_dist_bigrams"),
     )
-    n_tok = F.col("_n_tokens")
-    return (
-        df.select(id_col)
-        .join(per_doc, id_col, "left")
-        .join(bi, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(n_tok, F.lit(0).cast("long")).alias("n_tokens"),
-            (F.col("_n_distinct") / n_tok).alias("distinct_token_frac"),
-            (F.col("_top_cnt") / n_tok).alias("top_token_frac"),
-            F.when(
-                n_tok >= 2,
-                F.lit(1.0) - F.col("_n_dist_bigrams") / (n_tok - F.lit(1)),
-            ).alias("dup_bigram_frac"),
-        )
+    return staged.select(
+        id_col,
+        *[
+            expr.alias(name)
+            for name, expr in repetition_exprs(
+                F.col("_toks"), F.col("_n_dist_bigrams")
+            ).items()
+        ],
     )
+
+
+def repetition_exprs(toks, n_dist_bigrams) -> dict:
+    """Per-row repetition expressions over a (tokens, distinct-bigram
+    count) projection stage — exposed for fusion into composed pipelines.
+    Fractions are NULL for empty docs (and <2-token docs for the bigram
+    signal), matching the join-based formulation they replaced."""
+    n_tok = F.size(toks).cast("long")
+    n_tok_null = F.nullif(n_tok, F.lit(0))
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def merge(acc, t):
+        run = F.when(t.eqNullSafe(acc.prev), acc.run + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            t.alias("prev"), run.alias("run"),
+            F.greatest(acc.best, run).alias("best"),
+        )
+
+    top_cnt = F.nullif(
+        F.aggregate(F.array_sort(toks), init, merge, lambda a: a.best),
+        F.lit(0),
+    )
+    return {
+        "n_tokens": n_tok,
+        "distinct_token_frac": n_distinct / n_tok_null,
+        "top_token_frac": top_cnt / n_tok_null,
+        "dup_bigram_frac": F.when(
+            n_tok >= 2, F.lit(1.0) - n_dist_bigrams / (n_tok - F.lit(1))
+        ),
+    }
 
 
 def sql_repetition_features(

@@ -2689,25 +2689,39 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     with best-copy selection. Every stage is an operator from this library
     with its own green oracle; this workload proves they compose.
 
-    Plan shape: the three filter stages are per-doc projections/joins on
-    doc_id (broadcast-sized eval-gram set for decontamination); only the
-    filtered subset reaches the LSH shuffle — at 100 TB the expensive
-    dedup runs on the post-filter corpus, which is the right order."""
+    Plan shape: quality + repetition are per-row expressions FUSED into
+    one projection over the corpus scan (zero joins, zero shuffles — an
+    earlier revision computed them as separate frames joined back on
+    doc_id, three corpus-wide shuffles); decontamination is a broadcast
+    anti-join against the small contaminated-id set. Only the filtered
+    subset reaches the LSH shuffle — at 100 TB the expensive dedup runs
+    on the post-filter corpus, which is the right order."""
+    from metadata_driven_etl_spark.operators.dedup import shingles
+
     docs = _spread(_t(spark, sf_dir, "documents"))
-    q = text_ops.quality_features(docs).select("doc_id", "quality_score")
-    r = text_ops.repetition_features(docs).select(
-        "doc_id", "n_tokens", "dup_bigram_frac"
+    train = docs.filter(F.col("source") != "src0")
+    contaminated = decontam_ops.contaminated_ids(
+        train, docs.filter(F.col("source") == "src0"), n=4
     )
-    c = decontam_ops.ngram_overlap(
-        docs.filter(F.col("source") != "src0"),
-        docs.filter(F.col("source") == "src0"),
-        n=4,
-    ).select("doc_id", "n_matched_grams")
+    staged = train.select(
+        "doc_id",
+        "text",
+        F.col("text").alias("_text"),
+        text_ops.tokens("text").alias("_toks"),
+        F.size(shingles("text", 2)).cast("long").alias("_nb"),
+    )
+    qx = text_ops.quality_feature_exprs(F.col("_text"), F.col("_toks"))
+    rx = text_ops.repetition_exprs(F.col("_toks"), F.col("_nb"))
+    feats = staged.select(
+        "doc_id",
+        "text",
+        qx["n_tokens"].alias("n_tokens"),
+        qx["punct_ratio"].alias("punct_ratio"),
+        qx["stop_ratio"].alias("stop_ratio"),
+        rx["dup_bigram_frac"].alias("dup_bigram_frac"),
+    )
     clean = (
-        docs.filter(F.col("source") != "src0")
-        .join(q, "doc_id")
-        .join(r, "doc_id")
-        .join(c, "doc_id")
+        feats.withColumn("quality_score", text_ops.quality_score_expr())
         .filter(
             (F.col("quality_score") >= 0.55)
             & (F.col("n_tokens") >= 5)
@@ -2715,8 +2729,8 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("dup_bigram_frac").isNull()
                 | (F.col("dup_bigram_frac") < 0.5)
             )
-            & (F.col("n_matched_grams") == 0)
         )
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
         .select("doc_id", "text")
     )
     pairs = dedup_ops.lsh_candidate_pairs(clean)

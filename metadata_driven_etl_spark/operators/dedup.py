@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from metadata_driven_etl_spark.operators.text import (
     norm_text,
@@ -714,4 +715,180 @@ def sql_connected_components(pairs_sql: str, table: str = "documents", id_col: s
         SELECT e.src, r.lab FROM edges e JOIN reach r ON r.node = e.dst
     )
     SELECT node AS {id_col}, MIN(lab) AS cluster_id FROM reach GROUP BY node
+    """
+
+
+# --- span-level exact dedup (Lee et al. 2022) -------------------------------
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 20,
+) -> DataFrame:
+    """Exact substring dedup at span granularity: split each document into
+    consecutive ``span_tokens``-token windows, keep the FIRST occurrence of
+    each distinct span corpus-wide (order: lowest doc id, then position),
+    and reassemble documents from their surviving spans.
+
+    The pattern from "Deduplicating Training Data Makes Language Models
+    Better" (Lee et al., 2022): repeated boilerplate spans inflate loss on
+    memorized text even when whole documents are unique. Doc-level dedup
+    (exact or near) misses them; span dedup removes every repeat while
+    keeping each document's unique content.
+
+    Output: (id_col, clean_text, n_spans_kept, n_spans_total) for every
+    document that keeps ≥1 span.
+
+    Scale shape: spans explode JVM-side (`sequence`+`slice`, no Python);
+    keep-first is ONE window shuffle keyed by the span hash (uniform by
+    construction — hash keys don't skew); reassembly is one groupBy on
+    doc id with an order-restoring `array_sort(collect_list(struct))`.
+    Both shuffles move (hash, id, pos) + span text once — linear at
+    100 TB.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_spans = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+    spans = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i * span_tokens + 1, span_tokens)
+                ),
+            )
+        ).alias("span_idx", "span"),
+    )
+    w = Window.partitionBy(F.md5(F.col("span"))).orderBy(
+        F.col(id_col), F.col("span_idx")
+    )
+    kept = (
+        spans.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("span_idx", "span"))
+            ).alias("_spans"),
+        )
+        .select(
+            id_col,
+            F.concat_ws(
+                " ", F.transform("_spans", lambda s: s["span"])
+            ).alias("clean_text"),
+            F.size("_spans").cast("long").alias("n_spans_kept"),
+        )
+        .join(
+            df.select(F.col(id_col), n_spans.cast("long").alias("n_spans_total")),
+            id_col,
+        )
+    )
+
+
+def sql_span_dedup(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 20,
+) -> str:
+    """DuckDB twin of :func:`span_dedup`."""
+    k = span_tokens
+    return f"""
+    WITH t AS (
+        SELECT {id_col}, string_split({text_col}, ' ') AS toks FROM {table}
+    ),
+    spans AS (
+        SELECT {id_col}, CAST(u.i AS INTEGER) AS span_idx,
+               array_to_string(toks[u.i * {k} + 1 : (u.i + 1) * {k}], ' ') AS span
+        FROM t, UNNEST(range(CAST(ceil(len(toks) / {k}.0) AS BIGINT))) AS u(i)
+    ),
+    kept AS (
+        SELECT {id_col}, span_idx, span
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY md5(span) ORDER BY {id_col}, span_idx) AS rn
+              FROM spans)
+        WHERE rn = 1
+    ),
+    rebuilt AS (
+        SELECT {id_col},
+               string_agg(span, ' ' ORDER BY span_idx) AS clean_text,
+               CAST(count(*) AS BIGINT) AS n_spans_kept
+        FROM kept GROUP BY {id_col}
+    )
+    SELECT r.{id_col}, r.clean_text, r.n_spans_kept,
+           CAST(ceil(len(t.toks) / {k}.0) AS BIGINT) AS n_spans_total
+    FROM rebuilt r JOIN t USING ({id_col})
+    """
+
+
+# --- deterministic training-order shuffle -----------------------------------
+
+
+def training_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Assign a deterministic pseudo-random training position to every doc:
+    rank of md5(seed ∥ id). Reproducible across runs/cluster sizes (pure
+    function of the ids — no RNG state), uniform (cryptographic hash), and
+    re-seedable per epoch.
+
+    A naive ``row_number() OVER (ORDER BY hash)`` funnels the whole corpus
+    through ONE partition. Instead: range-repartition on the hash (global
+    sort order across partitions), number rows within each partition, and
+    add per-partition offsets (a tiny count-per-partition aggregate,
+    window-cumsum'd and broadcast back) — the dense global rank without a
+    single-partition stage. Positions are identical to the naive form for
+    any range boundaries, because ranges partition the total (hash, id)
+    order. At 100 TB write sorted by ``train_pos`` so readers stream the
+    epoch order straight off storage.
+    """
+    h = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string")))
+    ranged = (
+        df.select(F.col(id_col), h.alias("_h"))
+        .repartitionByRange(F.col("_h"), F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "_pid",
+            (
+                F.sum("_n").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                )
+            ).alias("_offset"),
+        )
+        .fillna(0, subset=["_offset"])
+    )
+    local = Window.partitionBy("_pid").orderBy("_h", id_col)
+    return (
+        ranged.withColumn("_local", F.row_number().over(local))
+        .join(F.broadcast(offsets), "_pid")
+        .select(
+            F.col(id_col),
+            (F.col("_offset") + F.col("_local")).cast("long").alias("train_pos"),
+        )
+    )
+
+
+def sql_training_order(
+    table: str = "documents", id_col: str = "doc_id", seed: int = 0
+) -> str:
+    """DuckDB twin of :func:`training_order`."""
+    h = f"md5('{seed}' || '|' || CAST({id_col} AS VARCHAR))"
+    return f"""
+    SELECT {id_col},
+           CAST(row_number() OVER (ORDER BY {h}, {id_col}) AS BIGINT)
+               AS train_pos
+    FROM {table}
     """

@@ -2656,6 +2656,25 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.keep_best_per_cluster(clusters, scored)
 
 
+@workload("dedup_span_exact", oracle=dedup_ops.sql_span_dedup())
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: exact substring dedup at span granularity (Lee
+    et al. 2022) — split docs into 20-token windows, keep the first
+    corpus-wide occurrence of each distinct span, reassemble. Catches the
+    repeated-boilerplate case whole-document dedup (exact or near) misses."""
+    return dedup_ops.span_dedup(_spread(_t(spark, sf_dir, "documents")))
+
+
+@workload("training_order", oracle=dedup_ops.sql_training_order(seed=7))
+def training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: deterministic pseudo-random epoch order (rank of
+    md5(seed ∥ id)) computed WITHOUT a single-partition global window —
+    range repartition + per-partition numbering + broadcast offsets."""
+    return dedup_ops.training_order(
+        _t(spark, sf_dir, "documents"), seed=7
+    )
+
+
 @workload(
     "corpus_clean_pipeline",
     oracle=f"""

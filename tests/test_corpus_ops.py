@@ -112,3 +112,80 @@ class TestKeepBestPerCluster:
         assert out[4] == (4, 7, 1)
         assert out[5] == (5, 2, 2)
         assert len(out) == 3  # exactly one row per cluster
+
+
+class TestSpanDedup:
+    def test_repeated_span_kept_once_and_lowest_doc_wins(self, spark):
+        from metadata_driven_etl_spark.operators.dedup import span_dedup
+
+        boiler = " ".join(f"b{i}" for i in range(4))
+        uniq_a = " ".join(f"a{i}" for i in range(4))
+        uniq_c = " ".join(f"c{i}" for i in range(4))
+        rows = [
+            (1, f"{boiler} {uniq_a}"),  # spans: [boiler, uniq_a]
+            (2, boiler),                # entire doc is the duplicate span
+            (3, f"{uniq_c} {boiler}"),  # keeps uniq_c, loses boiler
+        ]
+        out = {
+            r.doc_id: r
+            for r in span_dedup(
+                _docs(spark, rows), span_tokens=4
+            ).collect()
+        }
+        assert out[1].clean_text == f"{boiler} {uniq_a}"
+        assert out[1].n_spans_kept == 2 and out[1].n_spans_total == 2
+        # doc 2 lost its only span → absent from the output
+        assert 2 not in out
+        assert out[3].clean_text == uniq_c
+        assert out[3].n_spans_kept == 1 and out[3].n_spans_total == 2
+
+    def test_within_doc_repeat_collapses(self, spark):
+        from metadata_driven_etl_spark.operators.dedup import span_dedup
+
+        s = "x1 x2 x3 x4"
+        out = span_dedup(
+            _docs(spark, [(1, f"{s} {s} {s}")]), span_tokens=4
+        ).collect()
+        assert len(out) == 1
+        assert out[0].clean_text == s
+        assert out[0].n_spans_kept == 1 and out[0].n_spans_total == 3
+
+    def test_short_tail_span_is_its_own_window(self, spark):
+        from metadata_driven_etl_spark.operators.dedup import span_dedup
+
+        out = span_dedup(
+            _docs(spark, [(1, "t1 t2 t3 t4 t5")]), span_tokens=4
+        ).collect()[0]
+        # 5 tokens → one full window + a 1-token tail window
+        assert out.n_spans_total == 2 and out.n_spans_kept == 2
+        assert out.clean_text == "t1 t2 t3 t4 t5"
+
+
+class TestTrainingOrder:
+    def test_positions_are_a_permutation_and_seed_sensitive(self, spark):
+        from metadata_driven_etl_spark.operators.dedup import training_order
+
+        docs = _docs(spark, [(i, f"d{i}") for i in range(100)])
+        a = {r.doc_id: r.train_pos for r in training_order(docs, seed=1).collect()}
+        assert sorted(a.values()) == list(range(1, 101))
+        b = {r.doc_id: r.train_pos for r in training_order(docs, seed=2).collect()}
+        assert sorted(b.values()) == list(range(1, 101))
+        assert a != b  # different epoch, different order
+        a2 = {r.doc_id: r.train_pos for r in training_order(docs, seed=1).collect()}
+        assert a == a2  # same seed, same order
+
+    def test_no_single_partition_global_window(self, spark):
+        """The plan must not contain a global (empty-partition-spec)
+        window — the whole point of the offsets construction."""
+        from metadata_driven_etl_spark.operators.dedup import training_order
+
+        docs = _docs(spark, [(i, f"d{i}") for i in range(10)])
+        plan = (
+            training_order(docs, seed=1)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        for line in plan.splitlines():
+            if "windowspecdefinition(" in line.lower() and "_pid" not in line:
+                raise AssertionError(f"global window found: {line}")

@@ -347,3 +347,138 @@ def lineage_edges(config: "PipelineConfig") -> list[tuple[str, str, str]]:
         for up in dict.fromkeys(ident.findall(sql)):
             edges.append((up, target, uid))
     return edges
+
+
+# --- corpus pipelines (training-data prep as metadata) ----------------------
+
+VALID_CORPUS_STAGES = {
+    "quality_filter",
+    "repetition_filter",
+    "decontaminate",
+    "span_dedup",
+    "near_dedup",
+}
+VALID_NEAR_DEDUP_KEEP = {"first", "best"}
+
+
+@dataclass(frozen=True)
+class CorpusStageConfig:
+    """One stage of a corpus-cleaning pipeline. ``stage`` selects the
+    operator; the remaining fields are that operator's knobs (validated
+    per stage type at load time)."""
+
+    stage: str
+    # quality_filter
+    min_quality_score: float = 0.0
+    min_tokens: int = 0
+    # repetition_filter
+    max_dup_bigram_frac: float | None = None
+    # decontaminate
+    eval_filter: str | None = None
+    ngram: int = 5
+    # span_dedup
+    span_tokens: int = 20
+    # near_dedup
+    keep: str = "first"
+
+    @staticmethod
+    def from_dict(d: dict[str, Any], pipeline_id: str) -> "CorpusStageConfig":
+        st = d.get("stage")
+        _require(
+            st in VALID_CORPUS_STAGES,
+            f"corpus {pipeline_id}: invalid stage {st!r} "
+            f"(valid: {sorted(VALID_CORPUS_STAGES)})",
+        )
+        if st == "decontaminate":
+            _require(
+                bool(d.get("eval_filter")),
+                f"corpus {pipeline_id}: decontaminate needs eval_filter",
+            )
+        keep = d.get("keep", "first")
+        if st == "near_dedup":
+            _require(
+                keep in VALID_NEAR_DEDUP_KEEP,
+                f"corpus {pipeline_id}: near_dedup keep must be one of "
+                f"{sorted(VALID_NEAR_DEDUP_KEEP)}, got {keep!r}",
+            )
+        return CorpusStageConfig(
+            stage=st,
+            min_quality_score=float(d.get("min_quality_score", 0.0)),
+            min_tokens=int(d.get("min_tokens", 0)),
+            max_dup_bigram_frac=(
+                float(d["max_dup_bigram_frac"])
+                if d.get("max_dup_bigram_frac") is not None
+                else None
+            ),
+            eval_filter=d.get("eval_filter"),
+            ngram=int(d.get("ngram", 5)),
+            span_tokens=int(d.get("span_tokens", 20)),
+            keep=keep,
+        )
+
+
+@dataclass(frozen=True)
+class CorpusPipelineConfig:
+    """A declared corpus-cleaning pipeline: input docs → ordered stages →
+    output table. The training-data counterpart of the ETL layers: the
+    same metadata-driven contract, over the dedup/text/decontam operator
+    library."""
+
+    pipeline_id: str
+    stages: tuple[CorpusStageConfig, ...]
+    target_table: str
+    input_path: str | None = None
+    input_table: str | None = None
+    id_column: str = "doc_id"
+    text_column: str = "text"
+    description: str = ""
+    enabled: bool = True
+
+    @staticmethod
+    def from_dict(d: dict[str, Any]) -> "CorpusPipelineConfig":
+        _require("pipeline_id" in d, "corpus pipeline missing pipeline_id")
+        pid = d["pipeline_id"]
+        _require(
+            bool(d.get("input_path")) != bool(d.get("input_table")),
+            f"corpus {pid}: exactly one of input_path / input_table",
+        )
+        _require("target_table" in d, f"corpus {pid}: missing target_table")
+        stages = tuple(
+            CorpusStageConfig.from_dict(s, pid) for s in d.get("stages") or []
+        )
+        _require(len(stages) > 0, f"corpus {pid}: needs at least one stage")
+        return CorpusPipelineConfig(
+            pipeline_id=pid,
+            stages=stages,
+            target_table=d["target_table"],
+            input_path=d.get("input_path"),
+            input_table=d.get("input_table"),
+            id_column=d.get("id_column", "doc_id"),
+            text_column=d.get("text_column", "text"),
+            description=d.get("description", ""),
+            enabled=bool(d.get("enabled", True)),
+        )
+
+
+@dataclass(frozen=True)
+class CorpusConfig:
+    pipelines: tuple[CorpusPipelineConfig, ...] = ()
+    defaults: LayerDefaults = field(default_factory=LayerDefaults)
+
+    @staticmethod
+    def from_dict(d: dict[str, Any]) -> "CorpusConfig":
+        return CorpusConfig(
+            pipelines=tuple(
+                CorpusPipelineConfig.from_dict(p)
+                for p in d.get("corpus_pipelines") or []
+            ),
+            defaults=LayerDefaults.from_dict(d.get("default")),
+        )
+
+
+def load_corpus_config(path: str) -> CorpusConfig:
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    return CorpusConfig.from_dict(raw)

@@ -148,14 +148,16 @@ def quality_feature_exprs(t, toks) -> dict:
     }
 
 
-def quality_score_expr():
+def quality_score_expr(prefix: str = ""):
     """Composite score over the already-projected feature attributes of
     :func:`quality_feature_exprs` (reads them by name so each regexp runs
-    once per row)."""
+    once per row). ``prefix`` lets callers stage the features under
+    collision-safe temp names when fusing into frames with arbitrary user
+    schemas."""
     return F.round(
-        F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.4
-        + (F.lit(1.0) - F.least(F.col("punct_ratio") * 5, F.lit(1.0))) * 0.3
-        + F.least(F.col("stop_ratio") * 10, F.lit(1.0)) * 0.3,
+        F.least(F.col(f"{prefix}n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(F.col(f"{prefix}punct_ratio") * 5, F.lit(1.0))) * 0.3
+        + F.least(F.col(f"{prefix}stop_ratio") * 10, F.lit(1.0)) * 0.3,
         6,
     )
 

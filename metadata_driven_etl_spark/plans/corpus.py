@@ -1,0 +1,215 @@
+"""Config-driven corpus-cleaning pipelines (training-data prep as metadata).
+
+The reference engine's whole paradigm is "pipelines declared in YAML"
+(reference src/config/*.yaml → src/modules/*_layer.py); this module
+extends that contract to the training-data operator library: a corpus
+pipeline declares an input documents table, an ordered list of cleaning
+stages (quality / repetition / decontamination / span dedup / near-dup
+dedup), and an output table — and the engine executes it with the same
+metadata plane (audit log, per-stage survival metrics, per-unit error
+isolation) as the ETL layers.
+
+Stage semantics (all stages preserve the input schema):
+
+- ``quality_filter``: per-row quality score (fused expressions from
+  ``operators.text`` — zero joins); keeps docs with
+  score ≥ min_quality_score and tokens ≥ min_tokens.
+- ``repetition_filter``: Gopher-style duplicate-bigram fraction, per-row
+  expressions; keeps docs below max_dup_bigram_frac (NULL = too short to
+  judge = kept).
+- ``decontaminate``: drops (a) the eval docs themselves (rows matching
+  ``eval_filter``) and (b) any doc sharing an ``ngram``-gram with them —
+  broadcast anti-join against the small contaminated-id set.
+- ``span_dedup``: replaces each doc's text with its span-deduplicated
+  form (first corpus-wide occurrence of each span wins); docs whose every
+  span was a repeat drop out.
+- ``near_dedup``: MinHash-LSH candidate pairs → connected components;
+  ``keep: first`` keeps the lowest-id member per cluster, ``keep: best``
+  the highest-token-count member (ties → lowest id).
+
+Per-stage survival (rows in → rows out) is recorded in the DQ metrics
+store as rule_type ``corpus_stage``, so corpus builds are auditable the
+same way DQ rules are.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from metadata_driven_etl_spark.config.model import (
+    CorpusConfig,
+    CorpusPipelineConfig,
+    CorpusStageConfig,
+)
+from metadata_driven_etl_spark.dq.engine import DQRuleMetrics
+from metadata_driven_etl_spark.operators import decontam as decontam_ops
+from metadata_driven_etl_spark.operators import dedup as dedup_ops
+from metadata_driven_etl_spark.operators import text as text_ops
+from metadata_driven_etl_spark.plans.pipeline import (
+    PipelineContext,
+    UnitResult,
+    _counted_write,
+    _LayerBase,
+)
+
+
+class CorpusLayer(_LayerBase):
+    """Runs every enabled corpus pipeline in a :class:`CorpusConfig`."""
+
+    layer_name = "corpus"
+
+    def __init__(self, ctx: PipelineContext, config: CorpusConfig):
+        super().__init__(ctx, config)
+
+    def run(self, run_date: str) -> list[UnitResult]:
+        return self._run_units(
+            self.config.pipelines, lambda p: self._run_pipeline(p, run_date)
+        )
+
+    # -- execution ---------------------------------------------------------
+
+    def _load_input(self, p: CorpusPipelineConfig) -> DataFrame:
+        if p.input_table:
+            return self.ctx.spark.table(p.input_table)
+        return self.ctx.spark.read.parquet(p.input_path)
+
+    def _run_pipeline(self, p: CorpusPipelineConfig, run_date: str) -> int:
+        docs = self._load_input(p)
+        df = docs
+        stage_metrics: list[DQRuleMetrics] = []
+        for i, stage in enumerate(p.stages):
+            rows_in = df.count()
+            df = _apply_stage(df, docs, stage, p.id_column, p.text_column)
+            # Materialize each stage boundary once: the count doubles as
+            # the survival metric AND truncates the growing plan so later
+            # stages (which may self-join, e.g. near_dedup) don't
+            # re-execute every earlier stage per subtree.
+            df = df.localCheckpoint(eager=True)
+            rows_out = df.count()
+            stage_metrics.append(
+                DQRuleMetrics(
+                    rule_name=f"{i}:{stage.stage}",
+                    rule_type="corpus_stage",
+                    action="filter",
+                    total_count=rows_in,
+                    valid_count=rows_out,
+                    invalid_count=rows_in - rows_out,
+                )
+            )
+        rows = _counted_write(
+            df, lambda d: self.ctx.table_format.overwrite(d, p.target_table)
+        )
+        self.ctx.dq_metrics.record(p.target_table, run_date, stage_metrics)
+        self.ctx.dictionary.register(p.target_table, df)
+        return rows
+
+
+def _quality_filter(
+    df: DataFrame, stage: CorpusStageConfig, text_col: str
+) -> DataFrame:
+    """Fused per-row quality filter, schema-preserving. Features are
+    staged under ``_q_``-prefixed temp names so arbitrary user schemas
+    can't collide."""
+    qx = text_ops.quality_feature_exprs(
+        F.col(text_col), text_ops.tokens(text_col)
+    )
+    staged = df.withColumns(
+        {
+            "_q_n_tokens": qx["n_tokens"],
+            "_q_punct_ratio": qx["punct_ratio"],
+            "_q_stop_ratio": qx["stop_ratio"],
+        }
+    )
+    return (
+        staged.withColumn("_q_score", text_ops.quality_score_expr("_q_"))
+        .filter(
+            (F.col("_q_score") >= stage.min_quality_score)
+            & (F.col("_q_n_tokens") >= stage.min_tokens)
+        )
+        .drop("_q_n_tokens", "_q_punct_ratio", "_q_stop_ratio", "_q_score")
+    )
+
+
+def _repetition_filter(
+    df: DataFrame, stage: CorpusStageConfig, text_col: str
+) -> DataFrame:
+    rx = text_ops.repetition_exprs(
+        text_ops.tokens(text_col),
+        F.size(dedup_ops.shingles(text_col, 2)).cast("long"),
+    )
+    out = df.withColumn("_r_dup_bigram_frac", rx["dup_bigram_frac"])
+    if stage.max_dup_bigram_frac is not None:
+        out = out.filter(
+            F.col("_r_dup_bigram_frac").isNull()
+            | (F.col("_r_dup_bigram_frac") < stage.max_dup_bigram_frac)
+        )
+    return out.drop("_r_dup_bigram_frac")
+
+
+def _apply_stage(
+    df: DataFrame,
+    docs: DataFrame,
+    stage: CorpusStageConfig,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Apply one stage, preserving ``df``'s schema. ``docs`` is the
+    pipeline's ORIGINAL input (decontamination selects its eval set there,
+    so a quality filter upstream can't accidentally shrink the eval set)."""
+    if stage.stage == "quality_filter":
+        return _quality_filter(df, stage, text_col)
+    if stage.stage == "repetition_filter":
+        return _repetition_filter(df, stage, text_col)
+    if stage.stage == "decontaminate":
+        eval_df = docs.filter(F.expr(stage.eval_filter))
+        bad = decontam_ops.contaminated_ids(
+            df, eval_df, text_col=text_col, id_col=id_col, n=stage.ngram
+        )
+        return df.filter(~F.expr(stage.eval_filter)).join(
+            F.broadcast(bad), id_col, "left_anti"
+        )
+    if stage.stage == "span_dedup":
+        spans = dedup_ops.span_dedup(
+            df, text_col=text_col, id_col=id_col, span_tokens=stage.span_tokens
+        ).select(id_col, "clean_text")
+        return (
+            df.join(spans, id_col)
+            .withColumn(text_col, F.col("clean_text"))
+            .drop("clean_text")
+        )
+    if stage.stage == "near_dedup":
+        pairs = dedup_ops.lsh_candidate_pairs(
+            df.select(F.col(id_col), F.col(text_col)),
+            text_col=text_col,
+            id_col=id_col,
+        )
+        clusters = dedup_ops.connected_components(
+            df.select(id_col), pairs, id_col=id_col
+        )
+        if stage.keep == "first":
+            keep_ids = clusters.filter(
+                F.col(id_col) == F.col("cluster_id")
+            ).select(id_col)
+        else:  # best: highest token count, ties → lowest id
+            scored = df.select(
+                F.col(id_col),
+                F.size(text_ops.tokens(text_col)).cast("long").alias(
+                    "kept_score"
+                ),
+            )
+            keep_ids = dedup_ops.keep_best_per_cluster(
+                clusters, scored, id_col=id_col
+            ).select(F.col(f"kept_{id_col}").alias(id_col))
+        return df.join(keep_ids, id_col, "left_semi")
+    raise AssertionError(f"unreachable stage {stage.stage!r}")  # validated
+
+
+def run_corpus_config(
+    ctx: PipelineContext, config: CorpusConfig, run_date: str | None = None
+) -> list[UnitResult]:
+    """Convenience entry: run every pipeline in ``config``."""
+    run_date = run_date or time.strftime("%Y-%m-%d")
+    return CorpusLayer(ctx, config).run(run_date)

@@ -103,7 +103,9 @@ class _LayerBase:
     def _run_unit(self, unit, runner) -> UnitResult:
         uid = getattr(unit, "source_id", None) or getattr(
             unit, "transform_id", None
-        ) or getattr(unit, "model_id", None)
+        ) or getattr(unit, "model_id", None) or getattr(
+            unit, "pipeline_id", None
+        )
         if not unit.enabled:
             return UnitResult(uid, unit.target_table, "skipped")
         t0 = time.perf_counter()

@@ -1,0 +1,217 @@
+"""E2E tests for the metadata-driven corpus pipelines (plans/corpus.py):
+YAML config → CorpusLayer → output table + per-stage survival metrics,
+equivalent to composing the operators directly."""
+
+from __future__ import annotations
+
+import textwrap
+
+import pytest
+from pyspark.sql import functions as F
+
+from metadata_driven_etl_spark.config.model import (
+    ConfigError,
+    CorpusConfig,
+    load_corpus_config,
+)
+from metadata_driven_etl_spark.io.writer import ParquetFormat
+from metadata_driven_etl_spark.plans.corpus import CorpusLayer
+from metadata_driven_etl_spark.plans.pipeline import PipelineContext
+
+SF_DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def ctx(spark):
+    return PipelineContext(spark=spark, table_format=ParquetFormat())
+
+
+def _write_config(tmp_path, body: str) -> str:
+    p = tmp_path / "corpus_config.yaml"
+    p.write_text(textwrap.dedent(body))
+    return str(p)
+
+
+def test_full_pipeline_matches_direct_composition(ctx, tmp_path):
+    cfg = load_corpus_config(
+        _write_config(
+            tmp_path,
+            f"""
+            corpus_pipelines:
+              - pipeline_id: clean_v1
+                input_path: "{SF_DOCS}"
+                target_table: corpus.t_clean_v1
+                stages:
+                  - stage: quality_filter
+                    min_quality_score: 0.55
+                    min_tokens: 5
+                  - stage: repetition_filter
+                    max_dup_bigram_frac: 0.5
+                  - stage: decontaminate
+                    eval_filter: "source = 'src0'"
+                    ngram: 4
+                  - stage: near_dedup
+                    keep: best
+            """,
+        )
+    )
+    results = CorpusLayer(ctx, cfg).run("2026-08-13")
+    assert [r.status for r in results] == ["success"]
+    out = ctx.spark.table("corpus.t_clean_v1")
+    # schema preserved from the input documents table
+    docs = ctx.spark.read.parquet(SF_DOCS)
+    assert out.columns == docs.columns
+
+    # equivalence with the directly-composed flagship workload's survivor
+    # set: corpus_clean_pipeline keeps best per cluster over the same
+    # filters, so its kept_doc_id set must equal our output ids
+    from metadata_driven_etl_spark import workloads
+
+    flagship = workloads.QUERIES["corpus_clean_pipeline"](
+        ctx.spark, "/root/testdata/sf0.001"
+    )
+    want = {r.kept_doc_id for r in flagship.collect()}
+    got = {r.doc_id for r in out.collect()}
+    assert got == want and len(got) > 0
+
+    # per-stage survival metrics recorded, monotone non-increasing
+    hist = (
+        ctx.dq_metrics.history("corpus.t_clean_v1")
+        .filter(F.col("rule_type") == "corpus_stage")
+        .collect()
+    )
+    by_stage = {r.rule_name: r for r in hist}
+    assert set(by_stage) == {
+        "0:quality_filter",
+        "1:repetition_filter",
+        "2:decontaminate",
+        "3:near_dedup",
+    }
+    chain = [by_stage[k] for k in sorted(by_stage)]
+    for prev, cur in zip(chain, chain[1:]):
+        assert cur.total_count == prev.valid_count  # stages chain
+    assert chain[-1].valid_count == len(got)
+
+
+def test_span_stage_rewrites_text_in_place(ctx, tmp_path):
+    cfg = load_corpus_config(
+        _write_config(
+            tmp_path,
+            f"""
+            corpus_pipelines:
+              - pipeline_id: span_v1
+                input_path: "{SF_DOCS}"
+                target_table: corpus.t_span_v1
+                stages:
+                  - stage: span_dedup
+                    span_tokens: 20
+            """,
+        )
+    )
+    results = CorpusLayer(ctx, cfg).run("2026-08-13")
+    assert [r.status for r in results] == ["success"]
+    out = ctx.spark.table("corpus.t_span_v1")
+    docs = ctx.spark.read.parquet(SF_DOCS)
+    assert out.columns == docs.columns
+
+    from metadata_driven_etl_spark.operators.dedup import span_dedup
+
+    want = {
+        (r.doc_id, r.clean_text)
+        for r in span_dedup(docs, span_tokens=20).collect()
+    }
+    got = {(r.doc_id, r.text) for r in out.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_shipped_example_config_loads_and_validates():
+    cfg = load_corpus_config("/root/repo/configs/corpus_config.yaml")
+    assert {p.pipeline_id for p in cfg.pipelines} == {
+        "clean_web_v1",
+        "span_clean_v1",
+    }
+
+
+@pytest.mark.parametrize(
+    "body,msg",
+    [
+        (
+            """
+            corpus_pipelines:
+              - pipeline_id: bad1
+                input_path: "/x"
+                target_table: t
+                stages: [{stage: nonsense}]
+            """,
+            "invalid stage",
+        ),
+        (
+            """
+            corpus_pipelines:
+              - pipeline_id: bad2
+                input_path: "/x"
+                target_table: t
+                stages: [{stage: decontaminate}]
+            """,
+            "needs eval_filter",
+        ),
+        (
+            """
+            corpus_pipelines:
+              - pipeline_id: bad3
+                input_path: "/x"
+                target_table: t
+                stages: [{stage: near_dedup, keep: newest}]
+            """,
+            "keep must be one of",
+        ),
+        (
+            """
+            corpus_pipelines:
+              - pipeline_id: bad4
+                input_path: "/x"
+                input_table: also_t
+                target_table: t
+                stages: [{stage: span_dedup}]
+            """,
+            "exactly one of",
+        ),
+        (
+            """
+            corpus_pipelines:
+              - pipeline_id: bad5
+                input_path: "/x"
+                target_table: t
+                stages: []
+            """,
+            "at least one stage",
+        ),
+    ],
+)
+def test_invalid_configs_fail_fast(tmp_path, body, msg):
+    import yaml
+
+    with pytest.raises(ConfigError, match=msg):
+        CorpusConfig.from_dict(yaml.safe_load(textwrap.dedent(body)))
+
+
+def test_error_isolation_between_pipelines(ctx, tmp_path):
+    cfg = load_corpus_config(
+        _write_config(
+            tmp_path,
+            f"""
+            corpus_pipelines:
+              - pipeline_id: will_fail
+                input_path: "/nonexistent/nowhere.parquet"
+                target_table: corpus.t_nope
+                stages: [{{stage: span_dedup}}]
+              - pipeline_id: will_pass
+                input_path: "{SF_DOCS}"
+                target_table: corpus.t_iso_ok
+                stages: [{{stage: quality_filter, min_tokens: 1}}]
+            """,
+        )
+    )
+    results = CorpusLayer(ctx, cfg).run("2026-08-13")
+    assert [r.status for r in results] == ["error", "success"]
+    assert ctx.spark.table("corpus.t_iso_ok").count() > 0

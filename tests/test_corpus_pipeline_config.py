@@ -23,7 +23,26 @@ SF_DOCS = "/root/testdata/sf0.001/documents.parquet"
 
 @pytest.fixture(scope="module")
 def ctx(spark):
-    return PipelineContext(spark=spark, table_format=ParquetFormat())
+    # Dedicated metadata tables: these tests deliberately log an ERROR
+    # (error-isolation case), which must not leak into the default
+    # metadata.etl_audit_log other e2e tests assert is clean.
+    from metadata_driven_etl_spark.metadata.audit import AuditLogger
+    from metadata_driven_etl_spark.metadata.control import ControlTable
+    from metadata_driven_etl_spark.metadata.metrics import (
+        DataDictionary,
+        DQMetricsStore,
+    )
+
+    fmt = ParquetFormat()
+    spark.sql("CREATE DATABASE IF NOT EXISTS metadata")
+    return PipelineContext(
+        spark=spark,
+        table_format=fmt,
+        control=ControlTable(spark, fmt, table="metadata.corpus_t_control"),
+        audit=AuditLogger(spark, fmt, table="metadata.corpus_t_audit"),
+        dq_metrics=DQMetricsStore(spark, fmt, table="metadata.corpus_t_dq"),
+        dictionary=DataDictionary(spark, fmt, table="metadata.corpus_t_dict"),
+    )
 
 
 def _write_config(tmp_path, body: str) -> str:

@@ -15,7 +15,12 @@ import sys
 import time
 from datetime import date
 
-from metadata_driven_etl_spark.config.model import load_config_dir
+import os
+
+from metadata_driven_etl_spark.config.model import (
+    load_config_dir,
+    load_corpus_config,
+)
 from metadata_driven_etl_spark.io.writer import get_table_format
 from metadata_driven_etl_spark.plans.pipeline import (
     BronzeLayer,
@@ -42,11 +47,22 @@ def run_pipeline(
     )
     results: dict[str, list[UnitResult]] = {}
     for layer in layers:
-        if layer not in configs:
+        if layer == "corpus":
+            # corpus pipelines live in their own config file/model (the
+            # training-data counterpart of the ETL layers)
+            cpath = os.path.join(config_dir, "corpus_config.yaml")
+            if not os.path.exists(cpath):
+                continue
+            from metadata_driven_etl_spark.plans.corpus import CorpusLayer
+
+            layer_cls, layer_cfg = CorpusLayer, load_corpus_config(cpath)
+        elif layer in configs:
+            layer_cls, layer_cfg = LAYER_CLASSES[layer], configs[layer]
+        else:
             continue
         t0 = time.perf_counter()
         ctx.audit.log_start(layer, "layer_run", f"{layer}_layer")
-        layer_results = LAYER_CLASSES[layer](ctx, configs[layer]).run(run_date)
+        layer_results = layer_cls(ctx, layer_cfg).run(run_date)
         results[layer] = layer_results
         rows = sum(r.rows for r in layer_results)
         errs = [r for r in layer_results if r.status == "error"]

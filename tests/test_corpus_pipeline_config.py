@@ -234,3 +234,23 @@ def test_error_isolation_between_pipelines(ctx, tmp_path):
     results = CorpusLayer(ctx, cfg).run("2026-08-13")
     assert [r.status for r in results] == ["error", "success"]
     assert ctx.spark.table("corpus.t_iso_ok").count() > 0
+
+
+def test_cli_runs_corpus_layer(spark, tmp_path):
+    """`--layers corpus` drives corpus_config.yaml through the same
+    orchestration entry as the ETL layers."""
+    import shutil
+
+    from metadata_driven_etl_spark.plans.runner import run_pipeline
+
+    cfg_dir = tmp_path / "cfg"
+    cfg_dir.mkdir()
+    shutil.copy("/root/repo/configs/corpus_config.yaml", cfg_dir)
+    results = run_pipeline(
+        spark, str(cfg_dir), "2026-08-13", ["corpus"],
+        table_format=ParquetFormat(),
+    )
+    assert set(results) == {"corpus"}
+    assert [r.status for r in results["corpus"]] == ["success", "success"]
+    assert spark.table("corpus.clean_web_v1").count() > 0
+    assert spark.table("corpus.span_clean_v1").count() > 0

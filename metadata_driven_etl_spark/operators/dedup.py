@@ -892,3 +892,106 @@ def sql_training_order(
                AS train_pos
     FROM {table}
     """
+
+
+# --- cross-table fuzzy join (entity-resolution style) -----------------------
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.25,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Approximate string join between TWO tables: pairs whose shingle-set
+    Jaccard ≥ ``threshold``, found via shared-LSH-band blocking (never the
+    |L|×|R| cross product) and verified with exact set intersection.
+
+    The entity-resolution / record-linkage primitive (match a batch of
+    noisy records against a reference table) — the cross-table sibling of
+    :func:`ngram_jaccard_pairs`. Both sides hash with the SAME minhash
+    family, so matching rows collide in band buckets; the bucket equi-join
+    is the only pair generator. Output: (left_<id>, right_<id>, jaccard).
+
+    At 100 TB: block on (band, bhash) — cardinality-bounded keys; when one
+    side is a small reference table its bands broadcast (or persist the
+    big side's bands bucketed on (band, bhash) via ``lsh_bands`` +
+    ``overwrite_bucketed`` and reuse them across batches, exactly like
+    ``incremental_dedup_survivors``).
+    """
+    lb = lsh_bands(left, text_col, id_col, num_hashes, band_size, shingle_n)
+    rb = lsh_bands(right, text_col, id_col, num_hashes, band_size, shingle_n)
+    cands = (
+        lb.select(
+            F.col(id_col).alias("left_id"), "band", "bhash"
+        )
+        .join(
+            rb.select(F.col(id_col).alias("right_id"), "band", "bhash"),
+            ["band", "bhash"],
+        )
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    ls = left.select(
+        F.col(id_col).alias("left_id"),
+        shingles(text_col, shingle_n).alias("set_l"),
+    )
+    rs = right.select(
+        F.col(id_col).alias("right_id"),
+        shingles(text_col, shingle_n).alias("set_r"),
+    )
+    inter = F.size(F.array_intersect(F.col("set_l"), F.col("set_r")))
+    return (
+        cands.join(ls, "left_id")
+        .join(rs, "right_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                inter / (F.size("set_l") + F.size("set_r") - inter), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("left_id").alias(f"left_{id_col}"),
+            F.col("right_id").alias(f"right_{id_col}"),
+            "jaccard",
+        )
+    )
+
+
+def sql_fuzzy_join(
+    left_table: str,
+    right_table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.25,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> str:
+    """DuckDB twin of :func:`fuzzy_join`."""
+    lb = sql_lsh_bands(left_table, text_col, id_col, num_hashes, band_size, shingle_n)
+    rb = sql_lsh_bands(right_table, text_col, id_col, num_hashes, band_size, shingle_n)
+    sh = sql_shingles(text_col, shingle_n)
+    jac = (
+        "round(len(list_intersect(set_l, set_r)) / "
+        "(len(set_l) + len(set_r) - len(list_intersect(set_l, set_r))), 6)"
+    )
+    return f"""
+    WITH lb AS ({lb}), rb AS ({rb}),
+    cands AS (
+        SELECT DISTINCT lb.{id_col} AS left_id, rb.{id_col} AS right_id
+        FROM lb JOIN rb ON lb.band = rb.band AND lb.bhash = rb.bhash),
+    ls AS (SELECT {id_col} AS left_id, {sh} AS set_l FROM {left_table}),
+    rs AS (SELECT {id_col} AS right_id, {sh} AS set_r FROM {right_table}),
+    joined AS (SELECT left_id, right_id, set_l, set_r
+               FROM cands JOIN ls USING (left_id) JOIN rs USING (right_id))
+    SELECT left_id AS left_{id_col}, right_id AS right_{id_col},
+           {jac} AS jaccard
+    FROM joined
+    WHERE {jac} >= {threshold}
+    """

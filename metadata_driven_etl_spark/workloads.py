@@ -2656,6 +2656,24 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.keep_best_per_cluster(clusters, scored)
 
 
+@workload(
+    "fuzzy_join_tables",
+    oracle=dedup_ops.sql_fuzzy_join(
+        "(SELECT * FROM documents WHERE source <> 'src0')",
+        "(SELECT * FROM documents WHERE source = 'src0')",
+    ),
+)
+def fuzzy_join_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution primitive: fuzzy (Jaccard ≥ 0.25) join between
+    two tables via shared-LSH-band blocking — match noisy records against
+    a reference set without the |L|×|R| cross product."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    return dedup_ops.fuzzy_join(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+    )
+
+
 @workload("dedup_span_exact", oracle=dedup_ops.sql_span_dedup())
 def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data op: exact substring dedup at span granularity (Lee

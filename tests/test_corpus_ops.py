@@ -189,3 +189,46 @@ class TestTrainingOrder:
         for line in plan.splitlines():
             if "windowspecdefinition(" in line.lower() and "_pid" not in line:
                 raise AssertionError(f"global window found: {line}")
+
+
+class TestFuzzyJoin:
+    def test_finds_cross_table_near_matches_only(self, spark):
+        from metadata_driven_etl_spark.operators.dedup import fuzzy_join
+
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        left = _docs(
+            spark,
+            [
+                (1, base),  # near-identical to ref 100
+                (2, "totally different words here none shared at all"),
+            ],
+        )
+        right = _docs(
+            spark,
+            [
+                (100, base + " iota"),  # near match of 1
+                (200, "another unrelated reference record entirely"),
+            ],
+        )
+        out = {
+            (r.left_doc_id, r.right_doc_id): r.jaccard
+            for r in fuzzy_join(left, right, threshold=0.25).collect()
+        }
+        assert set(out) == {(1, 100)}
+        assert 0.25 <= out[(1, 100)] <= 1.0
+
+    def test_no_cross_product_plan(self, spark):
+        """Blocking must be an equi-join on (band, bhash) — the plan may
+        not contain a cartesian/broadcast nested loop."""
+        from metadata_driven_etl_spark.operators.dedup import fuzzy_join
+
+        left = _docs(spark, [(i, f"w{i} x{i} y{i} z{i}") for i in range(5)])
+        right = _docs(spark, [(i, f"a{i} b{i} c{i} d{i}") for i in range(5)])
+        plan = (
+            fuzzy_join(left, right)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

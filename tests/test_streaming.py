@@ -371,3 +371,71 @@ def test_merge_stream_resumes_from_checkpoint_across_restarts(
 
     spark.sql("DROP TABLE IF EXISTS " + table)
     spark.sql("DROP DATABASE IF EXISTS stream_sink")
+
+
+def test_streaming_near_dedup_equals_sequential_batches(
+    spark, sf_dir, tmp_path
+):
+    """The streaming near-dup ingest sink (per micro-batch: screen against
+    the persisted band index, append survivors, grow the index) must end
+    with exactly the survivor set of applying incremental_dedup_survivors
+    sequentially wave by wave — and the output must be near-dup-free
+    across micro-batches."""
+    import os
+    import time as _time
+
+    from metadata_driven_etl_spark.io.writer import ParquetFormat
+    from metadata_driven_etl_spark.operators.dedup import (
+        incremental_dedup_survivors,
+        lsh_bands,
+    )
+    from metadata_driven_etl_spark.streaming.dedup_sink import dedup_stream
+
+    fmt = ParquetFormat()
+    out_t, idx_t = "stream_sink.clean_docs", "stream_sink.clean_docs_bands"
+    for t in (out_t, idx_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wave1 = docs.filter(F.col("doc_id") % 2 == 0)
+    wave2 = docs.filter(F.col("doc_id") % 2 == 1)
+    src_dir = str(tmp_path / "doc_arrivals")
+    os.makedirs(src_dir)
+    # sequential writes → distinct modTimes → deterministic replay order
+    wave1.coalesce(1).write.mode("append").parquet(src_dir)
+    _time.sleep(1.1)
+    wave2.coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = dedup_stream(
+        stream, out_t, idx_t, table_format=fmt,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+    got = {r.doc_id for r in spark.table(out_t).collect()}
+
+    # sequential reference: wave1 against empty index, wave2 against
+    # wave1-survivor bands
+    s1 = incremental_dedup_survivors(wave1, lsh_bands(wave1.limit(0)))
+    s1 = s1.localCheckpoint(eager=True)
+    s2 = incremental_dedup_survivors(wave2, lsh_bands(s1))
+    want = {r.doc_id for r in s1.collect()} | {r.doc_id for r in s2.collect()}
+    assert got == want and len(got) > 0
+
+    # cross-batch near-dup-freedom: re-screening the output against its
+    # own index minus itself keeps everything (no surviving pair collides)
+    out_docs = spark.table(out_t)
+    assert (
+        incremental_dedup_survivors(
+            out_docs, lsh_bands(out_docs.limit(0))
+        ).count()
+        == out_docs.count()
+    )
+
+    for t in (out_t, idx_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.sql("DROP DATABASE IF EXISTS stream_sink")

@@ -98,6 +98,9 @@ HEADLINE = [
     "dedup_cluster_cc",
     "corpus_clean_pipeline",
     "dedup_incremental_lsh",
+    "dedup_span_exact",
+    "fuzzy_join_tables",
+    "training_order",
 ]
 
 

@@ -371,6 +371,7 @@ class CorpusStageConfig:
     # quality_filter
     min_quality_score: float = 0.0
     min_tokens: int = 0
+    top_fraction: float | None = None
     # repetition_filter
     max_dup_bigram_frac: float | None = None
     # decontaminate
@@ -389,6 +390,13 @@ class CorpusStageConfig:
             f"corpus {pipeline_id}: invalid stage {st!r} "
             f"(valid: {sorted(VALID_CORPUS_STAGES)})",
         )
+        tf = d.get("top_fraction")
+        if tf is not None:
+            _require(
+                st == "quality_filter" and 0.0 < float(tf) <= 1.0,
+                f"corpus {pipeline_id}: top_fraction must be in (0, 1] "
+                "and only applies to quality_filter",
+            )
         if st == "decontaminate":
             _require(
                 bool(d.get("eval_filter")),
@@ -405,6 +413,7 @@ class CorpusStageConfig:
             stage=st,
             min_quality_score=float(d.get("min_quality_score", 0.0)),
             min_tokens=int(d.get("min_tokens", 0)),
+            top_fraction=float(tf) if tf is not None else None,
             max_dup_bigram_frac=(
                 float(d["max_dup_bigram_frac"])
                 if d.get("max_dup_bigram_frac") is not None

@@ -123,13 +123,27 @@ def _quality_filter(
             "_q_stop_ratio": qx["stop_ratio"],
         }
     )
-    return (
-        staged.withColumn("_q_score", text_ops.quality_score_expr("_q_"))
-        .filter(
-            (F.col("_q_score") >= stage.min_quality_score)
-            & (F.col("_q_n_tokens") >= stage.min_tokens)
-        )
-        .drop("_q_n_tokens", "_q_punct_ratio", "_q_stop_ratio", "_q_score")
+    scored = staged.withColumn(
+        "_q_score", text_ops.quality_score_expr("_q_")
+    ).filter(
+        (F.col("_q_score") >= stage.min_quality_score)
+        & (F.col("_q_n_tokens") >= stage.min_tokens)
+    )
+    if stage.top_fraction is not None and stage.top_fraction < 1.0:
+        # Fraction-based cut: keep the best top_fraction by score. The
+        # cutoff is one exact-percentile aggregate (a scalar — cheap
+        # second pass, no corpus-wide sort); ties at the cutoff are kept,
+        # so the realized fraction can slightly exceed the request on
+        # score-degenerate corpora (deterministic either way).
+        cutoff = scored.agg(
+            F.percentile("_q_score", F.lit(1.0 - stage.top_fraction)).alias(
+                "c"
+            )
+        ).first()["c"]
+        if cutoff is not None:
+            scored = scored.filter(F.col("_q_score") >= cutoff)
+    return scored.drop(
+        "_q_n_tokens", "_q_punct_ratio", "_q_stop_ratio", "_q_score"
     )
 
 

@@ -254,3 +254,57 @@ def test_cli_runs_corpus_layer(spark, tmp_path):
     assert [r.status for r in results["corpus"]] == ["success", "success"]
     assert spark.table("corpus.clean_web_v1").count() > 0
     assert spark.table("corpus.span_clean_v1").count() > 0
+
+
+def test_quality_top_fraction_cut(ctx, tmp_path):
+    """top_fraction keeps the best-scoring fraction (ties at the cutoff
+    included), on top of any absolute thresholds."""
+    cfg = load_corpus_config(
+        _write_config(
+            tmp_path,
+            f"""
+            corpus_pipelines:
+              - pipeline_id: topfrac_v1
+                input_path: "{SF_DOCS}"
+                target_table: corpus.t_topfrac_v1
+                stages:
+                  - stage: quality_filter
+                    top_fraction: 0.5
+            """,
+        )
+    )
+    results = CorpusLayer(ctx, cfg).run("2026-08-13")
+    assert [r.status for r in results] == ["success"]
+    out = ctx.spark.table("corpus.t_topfrac_v1")
+    docs = ctx.spark.read.parquet(SF_DOCS)
+    n_in, n_out = docs.count(), out.count()
+    assert 0 < n_out <= n_in
+    assert n_out >= int(0.5 * n_in)  # at least the fraction (ties kept)
+
+    # every kept doc scores >= every dropped doc
+    from metadata_driven_etl_spark.operators.text import quality_features
+
+    scores = {r.doc_id: r.quality_score for r in quality_features(docs).collect()}
+    kept = {r.doc_id for r in out.collect()}
+    worst_kept = min(scores[i] for i in kept)
+    dropped = set(scores) - kept
+    assert not dropped or max(scores[i] for i in dropped) <= worst_kept
+
+
+def test_top_fraction_rejected_outside_quality_filter():
+    import yaml
+
+    with pytest.raises(ConfigError, match="top_fraction"):
+        CorpusConfig.from_dict(
+            yaml.safe_load(
+                textwrap.dedent(
+                    """
+                    corpus_pipelines:
+                      - pipeline_id: bad
+                        input_path: "/x"
+                        target_table: t
+                        stages: [{stage: span_dedup, top_fraction: 0.5}]
+                    """
+                )
+            )
+        )

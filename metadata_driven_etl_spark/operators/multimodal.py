@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -269,4 +270,162 @@ def media_metadata_stats(media: DataFrame) -> DataFrame:
         F.avg("width").alias("avg_width"),
         F.avg("height").alias("avg_height"),
         F.avg("duration_ms").alias("avg_duration_ms"),
+    )
+
+
+# --- perceptual-hash image dedup (dHash) ------------------------------------
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("phash", LongType(), True),
+    ]
+)
+
+
+def make_ppm_dhash_hasher(hash_size: int = 8) -> Callable[[bytes], int]:
+    """Binary PPM (P6) payload → 64-bit dHash (difference hash).
+
+    The standard perceptual image fingerprint: grayscale, box-downsample
+    to (hash_size+1)×hash_size, emit one bit per adjacent-pixel gradient
+    sign. Robust to re-encoding, brightness shifts, and small noise —
+    the image-side analogue of SimHash for near-dup detection. Pure
+    stdlib (the PPM raster is already raw RGB); real JPEG/PNG inputs
+    need a codec library absent from this container — inject a decoder
+    that yields (width, height, gray_rows) to reuse the same hasher.
+    """
+
+    def hasher(payload: bytes) -> int:
+        if not payload or not payload.startswith(b"P6"):
+            raise ValueError("not a binary PPM (P6) payload")
+        tokens: list[int] = []
+        pos = 2
+        while len(tokens) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                pos = payload.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(payload[start:pos]))
+        pos += 1
+        width, height, maxval = tokens
+        n = width * height
+        raster = payload[pos : pos + n * 3]
+        if len(raster) != n * 3 or maxval <= 0 or maxval > 255:
+            raise ValueError("truncated or non-8-bit PPM raster")
+        # grayscale box-downsample to (hash_size+1) x hash_size
+        gw, gh = hash_size + 1, hash_size
+        grid = [[0.0] * gw for _ in range(gh)]
+        cnt = [[0] * gw for _ in range(gh)]
+        for y in range(height):
+            gy = min(y * gh // height, gh - 1)
+            row = y * width
+            for x in range(width):
+                i = (row + x) * 3
+                gray = (
+                    0.299 * raster[i] + 0.587 * raster[i + 1] + 0.114 * raster[i + 2]
+                )
+                gx = min(x * gw // width, gw - 1)
+                grid[gy][gx] += gray
+                cnt[gy][gx] += 1
+        bits = 0
+        k = 0
+        for gy in range(gh):
+            for gx in range(gw - 1):
+                a = grid[gy][gx] / max(cnt[gy][gx], 1)
+                b = grid[gy][gx + 1] / max(cnt[gy][gx + 1], 1)
+                if a > b:
+                    bits |= 1 << k
+                k += 1
+        # two's-complement wrap: Spark LongType is signed int64 and bit 63
+        # is a legal dHash bit
+        return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+    return hasher
+
+
+def perceptual_hash(
+    media: DataFrame, hasher: Callable[[bytes], int] | None = None
+) -> DataFrame:
+    """(media_id, media_type, phash) via mapInPandas (Arrow-batched)."""
+    import pandas as pd
+
+    if hasher is None:
+        raise NotImplementedError(
+            "no default perceptual hasher: real image decoding needs codec "
+            "libraries absent from this container — pass "
+            "make_ppm_dhash_hasher() for PPM payloads or inject your own"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "phash": pdf["payload"].map(hasher).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(
+    hashed: DataFrame,
+    max_hamming: int = 2,
+    num_bits: int = 64,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Near-dup image pairs: Hamming(phash_a, phash_b) ≤ ``max_hamming``.
+
+    Scale shape: pigeonhole band blocking (split the hash into
+    ``max_hamming + 1`` bit-bands; any pair within the radius must agree
+    exactly on ≥1 band) → the only pair generator is an equi-join on
+    (band, band_bits); candidates verify with one ``bit_count(a XOR b)``.
+    Never the O(n²) cross join — same construction as SimHash banding.
+    """
+    n_bands = max_hamming + 1
+    width = num_bits // n_bands
+    bands = hashed.select(
+        F.col(id_col),
+        F.col("phash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("phash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bbits"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "phash", "bb.band", "bb.bbits")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bbits") == F.col("b.bbits"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )

@@ -2674,6 +2674,73 @@ def fuzzy_join_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "multimodal_phash_dedup",
+    oracle="""
+    SELECT CAST(a.doc_id AS VARCHAR) AS id_a,
+           CAST(b.doc_id AS VARCHAR) AS id_b,
+           0 AS hamming
+    FROM documents a JOIN documents b
+      ON CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)
+     AND a.doc_id % 2 = b.doc_id % 2
+    WHERE a.doc_id < 200 AND b.doc_id < 200
+    """,
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup via perceptual hash (dHash), end to end on REAL
+    image bytes: synthesize a deterministic PPM per doc (two visual
+    classes + per-doc pixel noise), hash through the Arrow-batched
+    mapInPandas path, and pair via pigeonhole bit-band blocking. The
+    oracle is exact: noise never flips a dHash bit, so pairs = same-class
+    pairs at Hamming 0 — the whole decode→hash→block→verify pipeline must
+    be bit-perfect for the row set to match."""
+    from metadata_driven_etl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        make_ppm_dhash_hasher,
+        perceptual_hash,
+        phash_near_dup_pairs,
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        def ppm(doc_id: int) -> bytes:
+            w = h = 16
+            direction = 1 if doc_id % 2 == 0 else -1
+            noise = doc_id % 3
+            header = f"P6\n{w} {h}\n255\n".encode()
+            px = bytearray()
+            for y in range(h):
+                for x in range(w):
+                    v = int(
+                        255 * (x if direction > 0 else w - 1 - x) / (w - 1)
+                    )
+                    if noise:
+                        v = min(255, v + (x * 7 + y * 3) % (noise + 1))
+                    px += bytes((v, v, v))
+            return bytes(header) + bytes(px)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype(str),
+                    "media_type": "image",
+                    "mime": "image/x-ppm",
+                    "payload": pdf["doc_id"].map(ppm),
+                    "width": 16,
+                    "height": 16,
+                    "duration_ms": None,
+                }
+            )
+
+    docs = _spread(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    )
+    media = docs.select("doc_id").mapInPandas(synth, schema=MEDIA_SCHEMA)
+    hashed = perceptual_hash(media, make_ppm_dhash_hasher())
+    return phash_near_dup_pairs(hashed, max_hamming=2, id_col="media_id")
+
+
 @workload("dedup_span_exact", oracle=dedup_ops.sql_span_dedup())
 def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data op: exact substring dedup at span granularity (Lee

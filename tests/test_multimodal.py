@@ -164,3 +164,90 @@ def test_binary_file_ingest_to_features(spark, tmp_path):
     direct = make_ppm_feature_decoder()(_ppm_payload(width=4, height=2, rgb=(10, 20, 30)))
     # feature column is array<float> — compare at float32 precision
     assert by_name["a.ppm"] == pytest.approx(direct, rel=1e-6)
+
+
+def _gradient_ppm(width=32, height=32, direction=1, noise=0) -> bytes:
+    """Horizontal gradient PPM; direction=-1 reverses it; ``noise`` adds a
+    deterministic per-pixel perturbation (still a 'same image' visually)."""
+    header = f"P6\n{width} {height}\n255\n".encode()
+    px = bytearray()
+    for y in range(height):
+        for x in range(width):
+            v = int(255 * (x if direction > 0 else width - 1 - x) / (width - 1))
+            v = max(0, min(255, v + ((x * 7 + y * 3) % (noise + 1) if noise else 0)))
+            px += bytes((v, v, v))
+    return bytes(header) + bytes(px)
+
+
+def test_ppm_dhash_robust_to_noise_and_distinct_across_images(spark):
+    from metadata_driven_etl_spark.operators.multimodal import (
+        make_ppm_dhash_hasher,
+        perceptual_hash,
+    )
+
+    h = make_ppm_dhash_hasher()
+    clean = h(_gradient_ppm())
+    noisy = h(_gradient_ppm(noise=3))
+    reversed_ = h(_gradient_ppm(direction=-1))
+    mask = (1 << 64) - 1
+    assert clean == noisy  # perceptually identical → identical hash
+    # different image → far (popcount over the unsigned bit pattern)
+    assert bin((clean ^ reversed_) & mask).count("1") > 16
+
+    media = spark.createDataFrame(
+        [
+            ("a", "image", "image/x-ppm", _gradient_ppm(), 32, 32, None),
+            ("b", "image", "image/x-ppm", _gradient_ppm(noise=3), 32, 32, None),
+            ("c", "image", "image/x-ppm", _gradient_ppm(direction=-1), 32, 32, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r.phash for r in perceptual_hash(media, h).collect()}
+    assert rows["a"] == rows["b"] != rows["c"]
+
+
+def test_phash_near_dup_pairs_banding(spark):
+    from metadata_driven_etl_spark.operators.multimodal import (
+        phash_near_dup_pairs,
+    )
+
+    def _i64(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    base = 0x0123456789ABCDEF
+    hashed = spark.createDataFrame(
+        [
+            ("a", "image", base),
+            ("b", "image", base ^ 0b11),  # hamming 2 from a
+            ("c", "image", _i64(base ^ ((1 << 63) | (1 << 40)))),  # hamming 2
+            ("d", "image", ~base & 0x7FFFFFFFFFFFFFFF),  # far from all
+        ],
+        "media_id string, media_type string, phash long",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_near_dup_pairs(hashed, max_hamming=2).collect()
+    }
+    assert pairs[("a", "b")] == 2
+    assert pairs[("a", "c")] == 2
+    assert ("a", "d") not in pairs and ("b", "d") not in pairs
+    # b vs c differ in 4 bits (0,1,40,63) -> excluded at radius 2
+    assert ("b", "c") not in pairs
+
+    plan = (
+        phash_near_dup_pairs(hashed, max_hamming=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_perceptual_hash_requires_hasher(media):
+    import pytest as _pytest
+
+    from metadata_driven_etl_spark.operators.multimodal import perceptual_hash
+
+    with _pytest.raises(NotImplementedError):
+        perceptual_hash(media)

@@ -37,7 +37,11 @@ def test_entry_smoke(spark):
     assert set(mod.oracle_sql()) <= set(mod.queries())
 
 
-PYTHON_OK = {"multimodal_features", "multimodal_frame_sample"}
+PYTHON_OK = {
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_phash_dedup",
+}
 
 
 @pytest.mark.parametrize("name", sorted(set(workloads.QUERIES) - PYTHON_OK))

@@ -308,3 +308,40 @@ def test_top_fraction_rejected_outside_quality_filter():
                 )
             )
         )
+
+
+def test_near_dedup_keep_first_and_table_input(ctx, tmp_path):
+    """keep: first retains the lowest-id member per near-dup cluster, and
+    input_table (vs input_path) resolves through the catalog."""
+    docs = ctx.spark.read.parquet(SF_DOCS)
+    ParquetFormat().overwrite(docs, "corpus.t_kf_input")
+    cfg = load_corpus_config(
+        _write_config(
+            tmp_path,
+            """
+            corpus_pipelines:
+              - pipeline_id: kf_v1
+                input_table: corpus.t_kf_input
+                target_table: corpus.t_kf_out
+                stages:
+                  - stage: near_dedup
+                    keep: first
+            """,
+        )
+    )
+    results = CorpusLayer(ctx, cfg).run("2026-08-13")
+    assert [r.status for r in results] == ["success"]
+    got = {r.doc_id for r in ctx.spark.table("corpus.t_kf_out").collect()}
+
+    from metadata_driven_etl_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+    )
+
+    pairs = lsh_candidate_pairs(docs.select("doc_id", "text"))
+    clusters = connected_components(docs.select("doc_id"), pairs)
+    want = {
+        r.doc_id
+        for r in clusters.filter(F.col("doc_id") == F.col("cluster_id")).collect()
+    }
+    assert got == want and 0 < len(got) <= docs.count()

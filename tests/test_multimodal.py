@@ -251,3 +251,43 @@ def test_perceptual_hash_requires_hasher(media):
 
     with _pytest.raises(NotImplementedError):
         perceptual_hash(media)
+
+
+def test_phash_banding_is_complete_vs_brute_force(spark):
+    """Pigeonhole completeness: EVERY pair within the Hamming radius must
+    be found by band blocking (the bands only prune, never lose). Checked
+    against a brute-force popcount over seeded pseudo-random hashes."""
+    import hashlib
+    from itertools import combinations
+
+    from metadata_driven_etl_spark.operators.multimodal import (
+        phash_near_dup_pairs,
+    )
+
+    def h64(i: int) -> int:
+        v = int.from_bytes(hashlib.md5(f"ph|{i}".encode()).digest()[:8], "big")
+        # cluster the space: zero the low 48 bits for even i so several
+        # hashes land within small Hamming distances of each other
+        if i % 2 == 0:
+            v &= (1 << 63) | 0xF
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    ids = [f"m{i:02d}" for i in range(40)]
+    hashes = {mid: h64(i) for i, mid in enumerate(ids)}
+    mask = (1 << 64) - 1
+    for radius in (1, 2, 3):
+        want = {
+            (a, b): bin((hashes[a] ^ hashes[b]) & mask).count("1")
+            for a, b in combinations(ids, 2)
+            if bin((hashes[a] ^ hashes[b]) & mask).count("1") <= radius
+        }
+        hashed = spark.createDataFrame(
+            [(m, "image", hashes[m]) for m in ids],
+            "media_id string, media_type string, phash long",
+        )
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in phash_near_dup_pairs(hashed, max_hamming=radius).collect()
+        }
+        assert got == want, f"radius {radius}"
+        assert want, f"degenerate fixture at radius {radius}"

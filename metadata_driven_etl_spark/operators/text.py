@@ -390,3 +390,57 @@ def bag_fingerprint(col: Column | str) -> Column:
 
 def sql_bag_fingerprint(expr: str) -> str:
     return f"md5(array_to_string(list_sort(list_distinct({sql_tokens(expr)})), ' '))"
+
+
+# --- feature-hashing vectorizer (hashing trick) -----------------------------
+
+
+def feature_hash_embed(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    dim: int = 16,
+) -> DataFrame:
+    """Document → dense ``dim``-dimensional term-count vector via the
+    hashing trick: each token increments bucket md5(token) % dim. The
+    standard no-vocabulary vectorizer (Weinberger et al. 2009) — gives
+    every doc a deterministic embedding with zero fitted state, ready for
+    the similarity operators (cosine top-k, embedding near-dup, ANN).
+
+    Per-row array expressions only (O(dim × tokens) per doc, whole-stage
+    codegen, ZERO shuffle) — at 100 TB this is a map-only pass. Counts
+    stay exact integers cast to double, so the DuckDB twin is
+    bit-identical with no float-sum concerns.
+    """
+    toks = tokens(text_col)
+    staged = df.select(F.col(id_col), toks.alias("_toks"))
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.size(
+            F.filter(
+                F.transform(F.col("_toks"), lambda t: _md5_bucket(t, dim)),
+                lambda b: b == i,
+            )
+        ).cast("double"),
+    )
+    return staged.select(id_col, emb.alias("embedding"))
+
+
+def _md5_bucket(t, dim: int):
+    return (
+        F.conv(F.substring(F.md5(t), 1, 13), 16, 10).cast("long") % dim
+    )
+
+
+def sql_feature_hash_embed(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id",
+    dim: int = 16,
+) -> str:
+    """DuckDB twin of :func:`feature_hash_embed`."""
+    toks = sql_tokens(text_col)
+    bucket = f"('0x' || substr(md5(t), 1, 13))::BIGINT % {dim}"
+    return f"""
+    SELECT {id_col},
+           list_transform(range(0, {dim}), i ->
+               CAST(len(list_filter(list_transform({toks}, t -> {bucket}),
+                                    b -> b = i)) AS DOUBLE)) AS embedding
+    FROM {table}
+    """

@@ -2741,6 +2741,15 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dup_pairs(hashed, max_hamming=2, id_col="media_id")
 
 
+@workload(
+    "text_feature_hash_embed", oracle=text_ops.sql_feature_hash_embed()
+)
+def text_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document vectorizer: deterministic dense term-count
+    embeddings with zero fitted state (Weinberger et al. 2009), map-only."""
+    return text_ops.feature_hash_embed(_spread(_t(spark, sf_dir, "documents")))
+
+
 @workload("dedup_span_exact", oracle=dedup_ops.sql_span_dedup())
 def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data op: exact substring dedup at span granularity (Lee

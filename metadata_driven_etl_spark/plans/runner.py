@@ -119,6 +119,59 @@ def run_backfill(
     return out
 
 
+def dry_run(config_dir: str, layers: list[str]) -> int:
+    """Validate every config and print the planned units + lineage edges
+    WITHOUT starting Spark or executing anything. Exit 0 iff all configs
+    load and validate — the pre-deploy check for config changes."""
+    from metadata_driven_etl_spark.config.model import (
+        ConfigError,
+        lineage_edges,
+        load_corpus_config,
+    )
+
+    rc = 0
+    try:
+        configs = load_config_dir(config_dir)
+    except ConfigError as e:
+        print(f"INVALID config: {e}")
+        return 1
+    for layer in layers:
+        if layer == "corpus":
+            cpath = os.path.join(config_dir, "corpus_config.yaml")
+            if not os.path.exists(cpath):
+                continue
+            try:
+                ccfg = load_corpus_config(cpath)
+            except ConfigError as e:
+                print(f"[corpus] INVALID: {e}")
+                rc = 1
+                continue
+            for p in ccfg.pipelines:
+                stages = " -> ".join(s.stage for s in p.stages)
+                state = "" if p.enabled else " (disabled)"
+                print(
+                    f"[corpus] {p.pipeline_id}: "
+                    f"{p.input_table or p.input_path} -> [{stages}] -> "
+                    f"{p.target_table}{state}"
+                )
+            continue
+        if layer not in configs:
+            continue
+        cfg = configs[layer]
+        units = list(cfg.sources) + list(cfg.transformations) + list(cfg.models)
+        for u in units:
+            uid = (
+                getattr(u, "source_id", None)
+                or getattr(u, "transform_id", None)
+                or getattr(u, "model_id", None)
+            )
+            state = "" if u.enabled else " (disabled)"
+            print(f"[{layer}] {uid} -> {u.target_table}{state}")
+        for up, down, uid in lineage_edges(cfg):
+            print(f"[{layer}] lineage: {up} -> {down} ({uid})")
+    return rc
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="metadata-driven ETL pipeline")
     ap.add_argument("--date", default=date.today().isoformat())
@@ -130,7 +183,15 @@ def main(argv=None) -> int:
     ap.add_argument("--layers", default="bronze,silver,gold")
     ap.add_argument("--config-dir", required=True)
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="validate configs and print planned units + lineage; no Spark",
+    )
     args = ap.parse_args(argv)
+
+    if args.dry_run:
+        return dry_run(args.config_dir, args.layers.split(","))
 
     spark = get_spark(app_name="mdes-pipeline", master=args.master)
     layers = args.layers.split(",")

@@ -345,3 +345,26 @@ def test_near_dedup_keep_first_and_table_input(ctx, tmp_path):
         for r in clusters.filter(F.col("doc_id") == F.col("cluster_id")).collect()
     }
     assert got == want and 0 < len(got) <= docs.count()
+
+
+def test_dry_run_validates_without_spark(tmp_path, capsys):
+    import shutil
+
+    from metadata_driven_etl_spark.plans.runner import dry_run
+
+    cfg_dir = tmp_path / "cfg"
+    cfg_dir.mkdir()
+    shutil.copy("/root/repo/configs/corpus_config.yaml", cfg_dir)
+    assert dry_run(str(cfg_dir), ["bronze", "corpus"]) == 0
+    out = capsys.readouterr().out
+    assert "clean_web_v1" in out and "quality_filter -> " in out
+
+    (cfg_dir / "corpus_config.yaml").write_text(
+        "corpus_pipelines:\n"
+        "  - pipeline_id: bad\n"
+        "    input_path: /x\n"
+        "    target_table: t\n"
+        "    stages: [{stage: nonsense}]\n"
+    )
+    assert dry_run(str(cfg_dir), ["corpus"]) == 1
+    assert "INVALID" in capsys.readouterr().out

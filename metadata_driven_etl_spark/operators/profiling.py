@@ -1,0 +1,82 @@
+"""Single-pass table profiling (data-profiling for the metadata plane).
+
+The reference's metadata surface stops at schema registration (its data
+dictionary records names/types only); real metadata-driven platforms also
+profile content — null rates, cardinalities, value ranges — to seed DQ
+rules and detect drift. This operator computes per-column profiles in ONE
+aggregation pass over the table:
+
+- ``n_nulls``: exact null count (conditional count, map-side combinable)
+- ``n_distinct``: exact distinct count (Catalyst plans the multi-column
+  distinct via a single expand + two-phase aggregate — one shuffle for
+  the whole profile, not one per column)
+- ``min_value`` / ``max_value``: rendered as strings so one output schema
+  covers every column type (numeric min/max semantics are preserved —
+  the cast happens after the typed aggregation).
+
+Output: one row per profiled column
+(``column_name, n_rows, n_nulls, n_distinct, min_value, max_value``).
+
+At 100 TB: exact distincts are the honest default for profile tables fed
+to DQ rules; swap ``approx=True`` for HyperLogLog sketches when profiling
+runs per-ingest on wide tables (same output schema, ±2% error).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """Per-column content profile, computed in one aggregation pass."""
+    cols = columns or df.columns
+    n_distinct = (
+        (lambda c: F.approx_count_distinct(c))
+        if approx
+        else (lambda c: F.count_distinct(F.col(c)))
+    )
+    aggs = [F.count(F.lit(1)).alias("_n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"_nn_{c}"),
+            n_distinct(c).alias(f"_nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    profiles = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("_n_rows").cast("long").alias("n_rows"),
+                F.col(f"_nn_{c}").cast("long").alias("n_nulls"),
+                F.col(f"_nd_{c}").cast("long").alias("n_distinct"),
+                F.col(f"_min_{c}").alias("min_value"),
+                F.col(f"_max_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(profiles).alias("p")).select("p.*")
+
+
+def sql_profile_table(table: str, columns: list[str]) -> str:
+    """DuckDB twin of :func:`profile_table` (exact variant)."""
+    selects = [
+        f"""
+        SELECT '{c}' AS column_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) FILTER (WHERE {c} IS NULL) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_value,
+               CAST(max({c}) AS VARCHAR) AS max_value
+        FROM {table}
+        """
+        for c in columns
+    ]
+    return " UNION ALL ".join(selects)

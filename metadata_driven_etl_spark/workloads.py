@@ -49,6 +49,9 @@ from metadata_driven_etl_spark.operators import (
     multimodal as multimodal_ops,
 )
 from metadata_driven_etl_spark.operators import (
+    profiling as prof_ops,
+)
+from metadata_driven_etl_spark.operators import (
     projections as proj_ops,
 )
 from metadata_driven_etl_spark.operators import (
@@ -2739,6 +2742,25 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.select("doc_id").mapInPandas(synth, schema=MEDIA_SCHEMA)
     hashed = perceptual_hash(media, make_ppm_dhash_hasher())
     return phash_near_dup_pairs(hashed, max_hamming=2, id_col="media_id")
+
+
+@workload(
+    "profile_orders",
+    oracle=prof_ops.sql_profile_table(
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"],
+    ),
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column content profile of the orders table: null
+    counts, exact cardinalities, min/max — the data-profiling pass that
+    seeds DQ rules and drift detection in a metadata-driven platform."""
+    return prof_ops.profile_table(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"],
+    )
 
 
 @workload(

@@ -80,3 +80,61 @@ def sql_profile_table(table: str, columns: list[str]) -> str:
         for c in columns
     ]
     return " UNION ALL ".join(selects)
+
+
+def suggest_rules(
+    profile: DataFrame,
+    numeric_range: bool = True,
+) -> list:
+    """Turn a :func:`profile_table` output into suggested DQ rules — the
+    metadata-driven loop closed: profile the data, derive the rules the
+    data already satisfies, enforce them on future loads so DRIFT (new
+    nulls, broken uniqueness, out-of-range values) is caught at ingest.
+
+    Suggestions (all tag-action, for a human to promote to filter/reject):
+    - ``not_null`` for every column currently free of nulls
+    - ``uniqueness`` for every column whose distinct count equals the row
+      count (a candidate key)
+    - a range ``expression`` for columns whose min/max parse as numbers
+
+    The profile is one row per column (tiny) — collecting it is a
+    metadata read, not a data pass.
+    """
+    from metadata_driven_etl_spark.config.model import DQRuleConfig
+
+    rules: list[DQRuleConfig] = []
+    for r in profile.collect():
+        c = r["column_name"]
+        if r["n_nulls"] == 0:
+            rules.append(
+                DQRuleConfig(
+                    rule_name=f"{c}_not_null",
+                    rule_type="not_null",
+                    column=c,
+                    action_on_failure="tag",
+                )
+            )
+        if r["n_distinct"] == r["n_rows"] and r["n_rows"] > 0:
+            rules.append(
+                DQRuleConfig(
+                    rule_name=f"{c}_unique",
+                    rule_type="uniqueness",
+                    column=c,
+                    columns=(c,),
+                    action_on_failure="tag",
+                )
+            )
+        if numeric_range and r["min_value"] is not None:
+            try:
+                lo, hi = float(r["min_value"]), float(r["max_value"])
+            except (TypeError, ValueError):
+                continue
+            rules.append(
+                DQRuleConfig(
+                    rule_name=f"{c}_in_range",
+                    rule_type="expression",
+                    expression=f"{c} >= {lo!r} AND {c} <= {hi!r}",
+                    action_on_failure="tag",
+                )
+            )
+    return rules

@@ -156,3 +156,28 @@ def test_zscore_constant_column_all_valid(spark, dq):
                  action_on_failure="tag")
     res = dq.apply(df, [rule])
     assert res.metrics[0].invalid_count == 0
+
+
+def test_profile_suggested_rules_pass_on_profiled_data(spark, sf_dir):
+    """The metadata loop: rules derived from a table's profile must all
+    PASS when evaluated on that same table (they describe it), and the
+    expected families are suggested for known columns."""
+    from metadata_driven_etl_spark.catalog import load_table
+    from metadata_driven_etl_spark.dq.engine import DataQualityEngine
+    from metadata_driven_etl_spark.operators.profiling import (
+        profile_table,
+        suggest_rules,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    rules = suggest_rules(profile_table(orders, cols))
+    names = {r.rule_name for r in rules}
+    assert "o_orderkey_not_null" in names
+    assert "o_orderkey_unique" in names  # primary key ⇒ candidate key
+    assert "o_totalprice_in_range" in names
+    assert "o_orderstatus_unique" not in names  # low-cardinality column
+
+    metrics = DataQualityEngine(spark).metrics_df(orders, rules).collect()
+    assert metrics and all(m.invalid_count == 0 for m in metrics)
+    assert {m.rule_name for m in metrics} == {r.rule_name for r in rules}

@@ -138,3 +138,55 @@ def suggest_rules(
                 )
             )
     return rules
+
+
+def profile_drift(
+    current: DataFrame,
+    previous: DataFrame,
+    null_rate_jump: float = 0.05,
+) -> DataFrame:
+    """Compare two :func:`profile_table` outputs (e.g. today's ingest vs
+    yesterday's) and flag content drift per column:
+
+    - ``null_rate_drift``: null fraction rose by more than
+      ``null_rate_jump`` (absolute)
+    - ``cardinality_collapse``: distinct count dropped by >50% while rows
+      didn't (a join gone wrong or an upstream default flooding in)
+    - ``range_expanded``: min/max moved outside the previous envelope
+      (string-rendered comparison: exact for equality, advisory for order)
+
+    Both inputs are one-row-per-column aggregates, so this is a
+    metadata-size join — free at any corpus scale.
+    """
+    cur = current.select(
+        "column_name",
+        F.col("n_rows").alias("c_rows"),
+        F.col("n_nulls").alias("c_nulls"),
+        F.col("n_distinct").alias("c_distinct"),
+        F.col("min_value").alias("c_min"),
+        F.col("max_value").alias("c_max"),
+    )
+    prev = previous.select(
+        "column_name",
+        F.col("n_rows").alias("p_rows"),
+        F.col("n_nulls").alias("p_nulls"),
+        F.col("n_distinct").alias("p_distinct"),
+        F.col("min_value").alias("p_min"),
+        F.col("max_value").alias("p_max"),
+    )
+    j = cur.join(prev, "column_name", "inner")
+    c_null_rate = F.col("c_nulls") / F.greatest(F.col("c_rows"), F.lit(1))
+    p_null_rate = F.col("p_nulls") / F.greatest(F.col("p_rows"), F.lit(1))
+    return j.select(
+        "column_name",
+        F.round(c_null_rate - p_null_rate, 6).alias("null_rate_delta"),
+        (c_null_rate - p_null_rate > null_rate_jump).alias("null_rate_drift"),
+        (
+            (F.col("c_distinct") * 2 < F.col("p_distinct"))
+            & (F.col("c_rows") * 2 >= F.col("p_rows"))
+        ).alias("cardinality_collapse"),
+        (
+            (F.col("c_min") != F.col("p_min"))
+            | (F.col("c_max") != F.col("p_max"))
+        ).alias("range_changed"),
+    )

@@ -181,3 +181,37 @@ def test_profile_suggested_rules_pass_on_profiled_data(spark, sf_dir):
     metrics = DataQualityEngine(spark).metrics_df(orders, rules).collect()
     assert metrics and all(m.invalid_count == 0 for m in metrics)
     assert {m.rule_name for m in metrics} == {r.rule_name for r in rules}
+
+
+def test_profile_drift_flags(spark, sf_dir):
+    from metadata_driven_etl_spark.catalog import load_table
+    from metadata_driven_etl_spark.operators.profiling import (
+        profile_drift,
+        profile_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus"]
+    baseline = profile_table(orders, cols)
+
+    # no drift against itself
+    same = {r.column_name: r for r in profile_drift(baseline, baseline).collect()}
+    assert all(
+        not (r.null_rate_drift or r.cardinality_collapse or r.range_changed)
+        for r in same.values()
+    )
+
+    # corrupt today's load: null out most keys, collapse status values
+    from pyspark.sql import functions as F
+
+    corrupted = orders.withColumn(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 == 0, F.col("o_orderkey")),
+    ).withColumn("o_orderstatus", F.lit("X"))
+    drift = {
+        r.column_name: r
+        for r in profile_drift(profile_table(corrupted, cols), baseline).collect()
+    }
+    assert drift["o_orderkey"].null_rate_drift
+    assert drift["o_orderkey"].cardinality_collapse
+    assert drift["o_orderstatus"].range_changed

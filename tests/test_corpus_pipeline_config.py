@@ -368,3 +368,31 @@ def test_dry_run_validates_without_spark(tmp_path, capsys):
     )
     assert dry_run(str(cfg_dir), ["corpus"]) == 1
     assert "INVALID" in capsys.readouterr().out
+
+
+def test_pipeline_survives_empty_intermediate(ctx, tmp_path):
+    """A stage dropping every row must not break later stages (near_dedup
+    clusters an empty frame) or the final write — the output table exists
+    and is empty."""
+    cfg = load_corpus_config(
+        _write_config(
+            tmp_path,
+            f"""
+            corpus_pipelines:
+              - pipeline_id: empty_v1
+                input_path: "{SF_DOCS}"
+                target_table: corpus.t_empty_v1
+                stages:
+                  - stage: quality_filter
+                    min_quality_score: 1.1
+                  - stage: repetition_filter
+                    max_dup_bigram_frac: 0.5
+                  - stage: near_dedup
+                    keep: best
+                  - stage: span_dedup
+            """,
+        )
+    )
+    results = CorpusLayer(ctx, cfg).run("2026-08-13")
+    assert [r.status for r in results] == ["success"]
+    assert ctx.spark.table("corpus.t_empty_v1").count() == 0

@@ -190,3 +190,29 @@ def profile_drift(
             | (F.col("c_max") != F.col("p_max"))
         ).alias("range_changed"),
     )
+
+
+def sql_profile_drift(
+    cur_table: str,
+    prev_table: str,
+    columns: list[str],
+    null_rate_jump: float = 0.05,
+) -> str:
+    """DuckDB twin of :func:`profile_drift` over two profiled tables."""
+    cur = sql_profile_table(cur_table, columns)
+    prev = sql_profile_table(prev_table, columns)
+    return f"""
+    WITH cur AS ({cur}), prev AS ({prev})
+    SELECT c.column_name,
+           round(CAST(c.n_nulls AS DOUBLE) / greatest(c.n_rows, 1)
+                 - CAST(p.n_nulls AS DOUBLE) / greatest(p.n_rows, 1), 6)
+               AS null_rate_delta,
+           (CAST(c.n_nulls AS DOUBLE) / greatest(c.n_rows, 1)
+                 - CAST(p.n_nulls AS DOUBLE) / greatest(p.n_rows, 1))
+               > {null_rate_jump} AS null_rate_drift,
+           (c.n_distinct * 2 < p.n_distinct AND c.n_rows * 2 >= p.n_rows)
+               AS cardinality_collapse,
+           (c.min_value <> p.min_value OR c.max_value <> p.max_value)
+               AS range_changed
+    FROM cur c JOIN prev p USING (column_name)
+    """

@@ -2763,6 +2763,32 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DRIFT_COLS = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+
+
+@workload(
+    "profile_drift_orders",
+    oracle=prof_ops.sql_profile_drift(
+        "(SELECT * FROM orders WHERE o_orderkey % 2 = 0)",
+        "(SELECT * FROM orders WHERE o_orderkey % 2 = 1)",
+        _DRIFT_COLS,
+    ),
+)
+def profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-drift report between two ingest snapshots (modelled as the
+    even/odd-key halves of orders): per-column null-rate deltas,
+    cardinality collapses, range changes — the drift math verified
+    cross-engine."""
+    orders = _t(spark, sf_dir, "orders")
+    cur = prof_ops.profile_table(
+        orders.filter(F.col("o_orderkey") % 2 == 0), _DRIFT_COLS
+    )
+    prev = prof_ops.profile_table(
+        orders.filter(F.col("o_orderkey") % 2 == 1), _DRIFT_COLS
+    )
+    return prof_ops.profile_drift(cur, prev)
+
+
 @workload(
     "text_feature_hash_embed", oracle=text_ops.sql_feature_hash_embed()
 )

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def hash_unit(col: Column | str) -> Column:
@@ -58,3 +59,91 @@ def weighted_domain_sample(
         .filter(hash_unit(id_col) < F.col(frac_col))
         .drop(frac_col)
     )
+
+
+def select_within_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    score_col: str,
+    token_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy data selection under a token budget: take documents in
+    descending ``score_col`` order (ties → lowest id) while the cumulative
+    ``token_col`` stays ≤ ``budget_tokens``.
+
+    The standard corpus-curation move ("spend my 10B-token budget on the
+    best documents"). The greedy prefix needs a GLOBAL cumulative sum —
+    a naive ``sum() OVER (ORDER BY ...)`` funnels the corpus through one
+    partition, so this uses the distributed dense-prefix pattern:
+    range-repartition on the sort key (global order across partitions),
+    per-partition running sums, then add broadcast per-partition offsets
+    (one tiny count/sum aggregate). Same construction as
+    ``dedup.training_order``; output is identical for any range bounds
+    because ranges partition the total order.
+
+    Returns the selected rows: (id_col, score_col, token_col,
+    cum_tokens). A doc whose tokens would cross the budget is EXCLUDED
+    (strict prefix — deterministic in both engines).
+    """
+    ranged = (
+        df.select(F.col(id_col), F.col(score_col), F.col(token_col))
+        .repartitionByRange(F.desc(score_col), F.asc(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.sum(token_col).alias("_ptoks"))
+        .select(
+            "_pid",
+            F.coalesce(
+                F.sum("_ptoks").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("_offset"),
+        )
+    )
+    local = (
+        Window.partitionBy("_pid")
+        .orderBy(F.desc(score_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ranged.withColumn("_local_cum", F.sum(token_col).over(local))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "cum_tokens",
+            (F.col("_offset") + F.col("_local_cum")).cast("long"),
+        )
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .select(id_col, score_col, token_col, "cum_tokens")
+    )
+
+
+def sql_select_within_token_budget(
+    budget_tokens: int,
+    score_expr: str,
+    token_expr: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`select_within_token_budget`."""
+    return f"""
+    WITH scored AS (
+        SELECT {id_col}, {score_expr} AS score, {token_expr} AS n_tokens
+        FROM {table}
+    ),
+    cum AS (
+        SELECT {id_col}, score, n_tokens,
+               CAST(sum(n_tokens) OVER (
+                   ORDER BY score DESC, {id_col}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM scored
+    )
+    SELECT {id_col}, score, n_tokens, cum_tokens
+    FROM cum WHERE cum_tokens <= {budget_tokens}
+    """

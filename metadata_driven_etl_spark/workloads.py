@@ -2763,6 +2763,37 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "select_token_budget",
+    oracle=sampling_ops.sql_select_within_token_budget(
+        budget_tokens=5000,
+        score_expr="round(least(len(" + text_ops.sql_tokens("text")
+        + ") / 100.0, 1.0), 6)",
+        token_expr="CAST(len(" + text_ops.sql_tokens("text")
+        + ") AS BIGINT)",
+    ),
+)
+def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy corpus selection under a global token budget (best docs
+    first until 5k tokens) — the distributed dense-prefix-sum pattern:
+    range partition on the sort key + per-partition cumsum + broadcast
+    offsets, never a single-partition global window."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.round(
+            F.least(
+                F.size(text_ops.tokens("text")) / F.lit(100.0), F.lit(1.0)
+            ),
+            6,
+        ).alias("score"),
+        F.size(text_ops.tokens("text")).cast("long").alias("n_tokens"),
+    )
+    return sampling_ops.select_within_token_budget(
+        scored, budget_tokens=5000, score_col="score", token_col="n_tokens"
+    )
+
+
 _DRIFT_COLS = ["o_orderkey", "o_orderstatus", "o_totalprice"]
 
 

@@ -85,3 +85,57 @@ def read_api_source_distributed(
             yield pd.DataFrame(out) if out else pd.DataFrame()
 
     return url_df.mapInPandas(fetch_partition, schema=result_schema)
+
+
+# --- transient-failure retries ----------------------------------------------
+
+
+def default_retryable(exc: Exception) -> bool:
+    """Transient by default: connection/timeout errors and HTTP 5xx/429.
+
+    Classified structurally (class name + optional ``response.status_code``)
+    so the check works for ``requests`` exceptions without importing the
+    package — and for any injected fetcher's exception types that follow
+    the same shape.
+    """
+    name = type(exc).__name__
+    if name in ("ConnectionError", "Timeout", "ReadTimeout", "ConnectTimeout",
+                "ChunkedEncodingError", "TimeoutError", "OSError"):
+        return True
+    status = getattr(getattr(exc, "response", None), "status_code", None)
+    return status is not None and (status >= 500 or status == 429)
+
+
+def with_retries(
+    fetch: Callable[[str, str | None], list[dict]],
+    max_attempts: int = 4,
+    base_delay_s: float = 0.5,
+    retryable: Callable[[Exception], bool] = default_retryable,
+    sleep: Callable[[float], None] | None = None,
+) -> Callable[[str, str | None], list[dict]]:
+    """Wrap a fetcher with bounded exponential backoff on TRANSIENT
+    failures (0.5s, 1s, 2s, ... between attempts). Non-transient errors
+    (4xx other than 429, parse errors) raise immediately — retrying a
+    permanent failure only hides it. ``sleep`` is injectable so tests run
+    with a fake clock.
+
+    At scale this wraps the per-executor fetch in
+    ``read_api_source_distributed`` too: each URL retries independently
+    inside its task, so one flaky endpoint doesn't fail the whole fan-out
+    (Spark task retries would re-fetch the entire partition).
+    """
+    import time as _time
+
+    do_sleep = sleep if sleep is not None else _time.sleep
+
+    def wrapped(url: str, token: str | None) -> list[dict]:
+        for attempt in range(max_attempts):
+            try:
+                return fetch(url, token)
+            except Exception as e:
+                if attempt == max_attempts - 1 or not retryable(e):
+                    raise
+                do_sleep(base_delay_s * (2**attempt))
+        raise AssertionError("unreachable")  # loop always returns or raises
+
+    return wrapped

@@ -151,3 +151,73 @@ def test_jdbc_source_through_pipeline_extract(spark, tmp_path):
     assert results[0].status == "error"
     assert "TypeError" not in (results[0].error or "")
     assert "positional" not in (results[0].error or "")
+
+
+class TestRetries:
+    def _flaky(self, fail_times, exc_factory):
+        calls = []
+
+        def fetch(url, token):
+            calls.append(url)
+            if len(calls) <= fail_times:
+                raise exc_factory()
+            return [{"ok": len(calls)}]
+
+        return fetch, calls
+
+    def test_transient_failures_retried_with_backoff(self):
+        from metadata_driven_etl_spark.sources.rest_api import with_retries
+
+        fetch, calls = self._flaky(2, ConnectionError)
+        delays = []
+        out = with_retries(fetch, sleep=delays.append)("u", None)
+        assert out == [{"ok": 3}] and len(calls) == 3
+        assert delays == [0.5, 1.0]  # exponential
+
+    def test_permanent_failure_raises_immediately(self):
+        from metadata_driven_etl_spark.sources.rest_api import with_retries
+
+        class Resp:
+            status_code = 404
+
+        class HTTPError(Exception):
+            response = Resp()
+
+        fetch, calls = self._flaky(5, HTTPError)
+        delays = []
+        try:
+            with_retries(fetch, sleep=delays.append)("u", None)
+            raise AssertionError("should have raised")
+        except HTTPError:
+            pass
+        assert len(calls) == 1 and delays == []
+
+    def test_http_5xx_and_429_are_transient(self):
+        from metadata_driven_etl_spark.sources.rest_api import (
+            default_retryable,
+        )
+
+        def err(code):
+            class Resp:
+                status_code = code
+
+            class HTTPError(Exception):
+                response = Resp()
+
+            return HTTPError()
+
+        assert default_retryable(err(503))
+        assert default_retryable(err(429))
+        assert not default_retryable(err(401))
+
+    def test_exhaustion_reraises_last_error(self):
+        from metadata_driven_etl_spark.sources.rest_api import with_retries
+
+        fetch, calls = self._flaky(10, TimeoutError)
+        delays = []
+        try:
+            with_retries(fetch, max_attempts=3, sleep=delays.append)("u", None)
+            raise AssertionError("should have raised")
+        except TimeoutError:
+            pass
+        assert len(calls) == 3 and delays == [0.5, 1.0]

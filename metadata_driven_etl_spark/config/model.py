@@ -357,6 +357,7 @@ VALID_CORPUS_STAGES = {
     "decontaminate",
     "span_dedup",
     "near_dedup",
+    "token_budget",
 }
 VALID_NEAR_DEDUP_KEEP = {"first", "best"}
 
@@ -381,6 +382,8 @@ class CorpusStageConfig:
     span_tokens: int = 20
     # near_dedup
     keep: str = "first"
+    # token_budget
+    budget_tokens: int | None = None
 
     @staticmethod
     def from_dict(d: dict[str, Any], pipeline_id: str) -> "CorpusStageConfig":
@@ -401,6 +404,11 @@ class CorpusStageConfig:
             _require(
                 bool(d.get("eval_filter")),
                 f"corpus {pipeline_id}: decontaminate needs eval_filter",
+            )
+        if st == "token_budget":
+            _require(
+                int(d.get("budget_tokens", 0)) > 0,
+                f"corpus {pipeline_id}: token_budget needs budget_tokens > 0",
             )
         keep = d.get("keep", "first")
         if st == "near_dedup":
@@ -423,6 +431,11 @@ class CorpusStageConfig:
             ngram=int(d.get("ngram", 5)),
             span_tokens=int(d.get("span_tokens", 20)),
             keep=keep,
+            budget_tokens=(
+                int(d["budget_tokens"])
+                if d.get("budget_tokens") is not None
+                else None
+            ),
         )
 
 

@@ -194,6 +194,32 @@ def _apply_stage(
             .withColumn(text_col, F.col("clean_text"))
             .drop("clean_text")
         )
+    if stage.stage == "token_budget":
+        from metadata_driven_etl_spark.operators.sampling import (
+            select_within_token_budget,
+        )
+
+        qx = text_ops.quality_feature_exprs(
+            F.col(text_col), text_ops.tokens(text_col)
+        )
+        scored = df.select(
+            F.col(id_col),
+            qx["n_tokens"].alias("_q_n_tokens"),
+            qx["punct_ratio"].alias("_q_punct_ratio"),
+            qx["stop_ratio"].alias("_q_stop_ratio"),
+        ).select(
+            id_col,
+            text_ops.quality_score_expr("_q_").alias("_score"),
+            F.col("_q_n_tokens").alias("_n_tokens"),
+        )
+        kept = select_within_token_budget(
+            scored,
+            budget_tokens=stage.budget_tokens,
+            score_col="_score",
+            token_col="_n_tokens",
+            id_col=id_col,
+        ).select(id_col)
+        return df.join(kept, id_col, "left_semi")
     if stage.stage == "near_dedup":
         pairs = dedup_ops.lsh_candidate_pairs(
             df.select(F.col(id_col), F.col(text_col)),

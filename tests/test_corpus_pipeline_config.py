@@ -396,3 +396,73 @@ def test_pipeline_survives_empty_intermediate(ctx, tmp_path):
     results = CorpusLayer(ctx, cfg).run("2026-08-13")
     assert [r.status for r in results] == ["success"]
     assert ctx.spark.table("corpus.t_empty_v1").count() == 0
+
+
+def test_token_budget_stage(ctx, tmp_path):
+    """The token_budget stage keeps the greedy best-by-quality prefix
+    within the budget, schema-preserving."""
+    cfg = load_corpus_config(
+        _write_config(
+            tmp_path,
+            f"""
+            corpus_pipelines:
+              - pipeline_id: budget_v1
+                input_path: "{SF_DOCS}"
+                target_table: corpus.t_budget_v1
+                stages:
+                  - stage: token_budget
+                    budget_tokens: 2000
+            """,
+        )
+    )
+    results = CorpusLayer(ctx, cfg).run("2026-08-13")
+    assert [r.status for r in results] == ["success"]
+    out = ctx.spark.table("corpus.t_budget_v1")
+    docs = ctx.spark.read.parquet(SF_DOCS)
+    assert out.columns == docs.columns
+
+    from metadata_driven_etl_spark.operators.text import tokens
+
+    picked = out.select(
+        F.sum(F.size(tokens("text"))).alias("toks")
+    ).first().toks
+    assert 0 < picked <= 2000
+    # exact greedy expectation: best score first (ties → lowest id),
+    # strict prefix within budget
+    from metadata_driven_etl_spark.operators.text import quality_features
+
+    scores = {
+        r.doc_id: r.quality_score for r in quality_features(docs).collect()
+    }
+    kept = {r.doc_id for r in out.collect()}
+    ordered = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    toks = {
+        r.doc_id: r.n_tokens
+        for r in quality_features(docs).select("doc_id", "n_tokens").collect()
+    }
+    cum, expect = 0, set()
+    for d, _s in ordered:
+        cum += toks[d]
+        if cum > 2000:
+            break
+        expect.add(d)
+    assert kept == expect
+
+
+def test_token_budget_validation():
+    import yaml
+
+    with pytest.raises(ConfigError, match="budget_tokens"):
+        CorpusConfig.from_dict(
+            yaml.safe_load(
+                textwrap.dedent(
+                    """
+                    corpus_pipelines:
+                      - pipeline_id: bad
+                        input_path: "/x"
+                        target_table: t
+                        stages: [{stage: token_budget}]
+                    """
+                )
+            )
+        )

@@ -26,6 +26,9 @@ Stage semantics (all stages preserve the input schema):
 - ``near_dedup``: MinHash-LSH candidate pairs → connected components;
   ``keep: first`` keeps the lowest-id member per cluster, ``keep: best``
   the highest-token-count member (ties → lowest id).
+- ``token_budget``: greedy best-by-quality prefix whose cumulative token
+  count stays ≤ ``budget_tokens`` (distributed prefix-sum selection —
+  no single-partition window).
 
 Per-stage survival (rows in → rows out) is recorded in the DQ metrics
 store as rule_type ``corpus_stage``, so corpus builds are auditable the

@@ -2764,6 +2764,19 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "embedding_random_projection",
+    oracle=sim_ops.sql_random_project(dim_in=64, dim_out=8),
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64d → 8d: deterministic
+    hash-derived hyperplanes, map-only, zero fitted state — the cheap
+    pre-step that cuts every downstream ANN dot product 8×."""
+    return sim_ops.random_project(
+        _spread(_t(spark, sf_dir, "embeddings")), dim_in=64, dim_out=8
+    )
+
+
+@workload(
     "select_token_budget",
     oracle=sampling_ops.sql_select_within_token_budget(
         budget_tokens=5000,

@@ -98,3 +98,29 @@ def test_lsh_results_are_true_cosines(ground_truth):
     }
     for r in rows.collect():
         assert exact_scores[(r.query_id, r.neighbor_id)] == r.cosine_sim
+
+
+def test_random_projection_preserves_distances(spark, sf_dir):
+    """JL property: pairwise Euclidean distances survive the 64→16
+    projection within moderate distortion (uniform-entry variance
+    corrected by sqrt(3/k))."""
+    import math
+
+    from metadata_driven_etl_spark.catalog import load_table
+    from metadata_driven_etl_spark.operators.similarity import random_project
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 30)
+    orig = {r.vec_id: r.embedding for r in emb.collect()}
+    proj = {r.vec_id: r.projected for r in random_project(emb, 64, 16).collect()}
+
+    def dist(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    ids = sorted(orig)
+    ratios = [
+        dist(proj[ids[i]], proj[ids[i + 1]]) / dist(orig[ids[i]], orig[ids[i + 1]])
+        for i in range(0, 20, 2)
+    ]
+    assert all(0.6 < r < 1.6 for r in ratios), ratios
+    mean = sum(ratios) / len(ratios)
+    assert 0.8 < mean < 1.2, mean

@@ -2764,6 +2764,51 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "corpus_stats_report",
+    oracle=f"""
+    SELECT source, {text_ops.sql_lang_id('text')} AS lang_pred,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len({text_ops.sql_tokens('text')})) AS BIGINT)
+               AS total_tokens,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+           CAST(sum(CAST(round({{q}} * 1000000) AS BIGINT)) AS BIGINT)
+               AS quality_micros
+    FROM documents
+    GROUP BY source, lang_pred
+    """.format(q="round(least(len(" + text_ops.sql_tokens("text")
+               + ") / 100.0, 1.0), 6)"),
+)
+def corpus_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus report card: per (source, predicted language) — doc and
+    token counts, exact-dup rate (distinct content hashes vs docs), and
+    total quality (exact integer micros, so the aggregate is
+    order-independent and oracle-identical). The one-pass summary every
+    corpus build ends with; one groupBy on low-cardinality keys."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    lang = text_ops.lang_id_df(docs, "text")
+    q = F.round(
+        F.least(F.size(text_ops.tokens("text")) / F.lit(100.0), F.lit(1.0)),
+        6,
+    )
+    return (
+        lang.select(
+            "source",
+            "lang_pred",
+            F.size(text_ops.tokens("text")).cast("long").alias("_ntok"),
+            F.md5("text").alias("_h"),
+            F.round(q * 1000000).cast("long").alias("_qm"),
+        )
+        .groupBy("source", "lang_pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_ntok").cast("long").alias("total_tokens"),
+            F.count_distinct(F.col("_h")).cast("long").alias("n_unique_texts"),
+            F.sum("_qm").cast("long").alias("quality_micros"),
+        )
+    )
+
+
+@workload(
     "embedding_random_projection",
     oracle=sim_ops.sql_random_project(dim_in=64, dim_out=8),
 )

@@ -644,28 +644,37 @@ def keep_best_per_cluster(
     ``connected_components``; ``scored``: (id_col, score_col).
 
     Output: (cluster_col, kept_<id_col>, score_col, n_members BIGINT).
-    Shape: one join on id, one window shuffle on cluster_col, one groupBy
-    on cluster_col — member counts and the argmax are both per-cluster,
-    so AQE coalesces these into small exchanges; linear at 100 TB.
+    Shape: member counts first (one map-side-combinable groupBy), then
+    the argmax WINDOW runs only over multi-member clusters — in a dedup
+    graph the overwhelming majority of documents are singleton clusters
+    (their own best copy by definition), so at 100 TB the expensive
+    window shuffle carries only the near-dup subset, not the corpus.
+    Singletons pass straight through with one broadcast-able semi-split.
     """
     from metadata_driven_etl_spark.operators.windows import topk_per_group
 
-    joined = clusters.join(scored, id_col)
-    best = topk_per_group(
-        joined,
-        keys=[cluster_col],
-        order_by=[F.desc(score_col), F.col(id_col)],
-        k=1,
-    )
     members = clusters.groupBy(cluster_col).agg(
         F.count(F.lit(1)).alias("n_members")
     )
-    return best.join(members, cluster_col).select(
+    joined = clusters.join(scored, id_col).join(members, cluster_col)
+    singles = joined.filter(F.col("n_members") == 1).select(
         cluster_col,
         F.col(id_col).alias(f"kept_{id_col}"),
         score_col,
         "n_members",
     )
+    multi_best = topk_per_group(
+        joined.filter(F.col("n_members") > 1),
+        keys=[cluster_col],
+        order_by=[F.desc(score_col), F.col(id_col)],
+        k=1,
+    ).select(
+        cluster_col,
+        F.col(id_col).alias(f"kept_{id_col}"),
+        score_col,
+        "n_members",
+    )
+    return singles.unionByName(multi_best)
 
 
 def sql_keep_best_per_cluster(

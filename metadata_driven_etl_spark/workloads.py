@@ -3886,33 +3886,34 @@ def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order.
 
 DRIVER_PRIORITY: list[str] = [
-    # --- SURVEY §2 core (reference parity) ---
-    "scan_parquet", "scan_csv", "scan_json",
-    "project_select", "filter_date_param", "filter_not_null",
-    "filter_regex", "filter_expr", "case_when_flag",
-    "join_inner", "join_anti", "join_semi", "join_left_flag",
-    "join_self_groupcount",
-    "agg_daily_sales", "agg_customer_summary", "agg_product_perf",
-    "agg_count", "distinct_keys",
-    "window_row_number_dedup", "topk_order_limit", "sort_by",
-    "union_all", "merge_upsert", "dq_metrics_single_pass",
-    "window_tumbling_events", "window_sliding_events", "sessionize_events",
-    # --- round-3 rotation (COVERAGE.md): the 22 extension slots carry
-    # keys never driver-checked before; every key rotated OUT is green in
-    # CORRECTNESS_r02.json and stays locally oracle-checked by
+    # --- round-4 rotation (COVERAGE.md): finish the driver-verification
+    # ledger.  Pinned core shrinks to the four flagship keys (each green 2-3
+    # consecutive rounds); the remaining 46 slots carry ALL 40 keys that have
+    # never had a driver CORRECTNESS row, plus the 6 stalest keys (last
+    # driver-checked in round 1).  Every key rotated OUT is green in a prior
+    # round's artifact and stays locally oracle-checked by
     # tests/test_workload_parity.py.
-    "dedup_incremental_lsh", "corpus_clean_pipeline",
-    "decontaminate_ngram_overlap",
-    "tpch_q2_min_cost_supplier", "tpch_q4_priority_exists",
-    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
-    "tpch_q8_market_share", "tpch_q9_product_profit",
-    "tpch_q10_returned_topk", "tpch_q11_important_stock",
-    "tpch_q12_priority_counts", "tpch_q13_custdist",
-    "tpch_q14_promo_share", "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt", "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders", "tpch_q19_disjunctive_revenue",
-    "tpch_q20_promotion_suppliers", "tpch_q21_waiting_supplier",
-    "tpch_q22_idle_customers",
+    # --- pinned flagship core ---
+    "agg_daily_sales", "merge_upsert", "dq_metrics_single_pass",
+    "corpus_clean_pipeline",
+    # --- never driver-checked (40) ---
+    "join_range", "sample_hash", "sample_stratified", "agg_percentile",
+    "scalar_date_string", "window_moving_avg", "json_extract_agg",
+    "array_explode_centroid", "window_first_last", "window_percent_rank",
+    "string_agg_sorted", "correlated_scalar_subquery", "unpivot_measures",
+    "regexp_word_freq", "agg_argmax_per_group", "resample_gap_fill",
+    "scan_orc", "agg_histogram", "agg_exact_stats",
+    "window_cumulative_distinct", "text_tf_df_score", "join_full_outer",
+    "setop_intersect_all", "setop_except_all", "join_null_safe",
+    "agg_approx_percentile", "text_chunk_windows", "text_repetition",
+    "sample_domain_weighted", "dedup_keep_best", "fuzzy_join_tables",
+    "multimodal_phash_dedup", "profile_orders", "corpus_stats_report",
+    "embedding_random_projection", "select_token_budget",
+    "profile_drift_orders", "text_feature_hash_embed", "dedup_span_exact",
+    "training_order",
+    # --- stalest re-checks (last driver row: round 1) ---
+    "agg_rollup", "agg_cube", "pivot_linestatus",
+    "setop_intersect", "setop_except", "window_rank_ntile",
 ]
 
 

@@ -2,11 +2,11 @@
 
 Round-1 evidence: CORRECTNESS_r01.json contained exactly the first 50
 registry entries in insertion order.  DRIVER_PRIORITY is the curated
-prefix.  From round 3 on, the prefix is split into a FIXED CORE (the §2
-reference-parity keys, driver-checked every round) and a ROTATING TAIL of
-22 slots that cycles through the remaining registered workloads so every
-key eventually gets a hard driver-side CORRECTNESS row (tracked in
-COVERAGE.md).  Keys rotated out stay locally oracle-checked by
+prefix.  Round 4 finishes the driver-verification ledger (VERDICT r3 items
+1+2): the pinned core shrinks to the four flagship keys (each green 2-3
+consecutive driver rounds), the remaining 46 slots carry ALL 40 keys that
+never had a driver CORRECTNESS row plus the 6 stalest keys (last checked in
+round 1).  Keys rotated out stay locally oracle-checked by
 tests/test_workload_parity.py.
 """
 
@@ -16,41 +16,39 @@ from metadata_driven_etl_spark import workloads
 
 DRIVER_SUBSET_SIZE = 50
 
-# §2 reference-parity core: driver-checked every round, never rotated.
+# Flagship core: driver-checked every round, never rotated.
 CORE = [
-    "scan_parquet", "scan_csv", "scan_json",
-    "project_select", "filter_date_param", "filter_not_null",
-    "filter_regex", "filter_expr", "case_when_flag",
-    "join_inner", "join_anti", "join_semi", "join_left_flag",
-    "join_self_groupcount",
-    "agg_daily_sales", "agg_customer_summary", "agg_product_perf",
-    "agg_count", "distinct_keys",
-    "window_row_number_dedup", "topk_order_limit", "sort_by",
-    "union_all", "merge_upsert", "dq_metrics_single_pass",
-    "window_tumbling_events", "window_sliding_events", "sessionize_events",
+    "agg_daily_sales", "merge_upsert", "dq_metrics_single_pass",
+    "corpus_clean_pipeline",
 ]
 
-# Round-3 rotation (VERDICT r2 items 2+3): both no_oracle ANN slots are
-# swapped for oracle-bearing keys, and the tail carries the 22
-# never-driver-checked keys listed in COVERAGE.md.
-ROTATION_R3 = {
-    "dedup_incremental_lsh", "corpus_clean_pipeline",
-    "decontaminate_ngram_overlap",
-} | {
-    f"tpch_q{n}_{suffix}"
-    for n, suffix in [
-        (2, "min_cost_supplier"), (4, "priority_exists"),
-        (6, "forecast_revenue"), (7, "volume_shipping"),
-        (8, "market_share"), (9, "product_profit"),
-        (10, "returned_topk"), (11, "important_stock"),
-        (12, "priority_counts"), (13, "custdist"),
-        (14, "promo_share"), (15, "top_supplier"),
-        (16, "supplier_cnt"), (17, "small_qty_revenue"),
-        (18, "large_orders"), (19, "disjunctive_revenue"),
-        (20, "promotion_suppliers"), (21, "waiting_supplier"),
-        (22, "idle_customers"),
-    ]
+# Round-4 rotation: the 40 keys COVERAGE.md listed as never driver-checked
+# through round 3, plus the 6 keys whose last driver row was round 1.
+NEVER_CHECKED_R4 = {
+    "join_range", "sample_hash", "sample_stratified", "agg_percentile",
+    "scalar_date_string", "window_moving_avg", "json_extract_agg",
+    "array_explode_centroid", "window_first_last", "window_percent_rank",
+    "string_agg_sorted", "correlated_scalar_subquery", "unpivot_measures",
+    "regexp_word_freq", "agg_argmax_per_group", "resample_gap_fill",
+    "scan_orc", "agg_histogram", "agg_exact_stats",
+    "window_cumulative_distinct", "text_tf_df_score", "join_full_outer",
+    "setop_intersect_all", "setop_except_all", "join_null_safe",
+    "agg_approx_percentile", "text_chunk_windows", "text_repetition",
+    "sample_domain_weighted", "dedup_keep_best", "fuzzy_join_tables",
+    "multimodal_phash_dedup", "profile_orders", "corpus_stats_report",
+    "embedding_random_projection", "select_token_budget",
+    "profile_drift_orders", "text_feature_hash_embed", "dedup_span_exact",
+    "training_order",
 }
+STALE_RECHECK_R4 = {
+    "agg_rollup", "agg_cube", "pivot_linestatus",
+    "setop_intersect", "setop_except", "window_rank_ntile",
+}
+
+# Approximate-by-design ops: no exact SQL twin exists, so the driver
+# records a rows-only row; each is pinned by a property test instead
+# (rank-tolerance for the percentile sketch — tests/test_operators_props.py).
+APPROX_ROWS_ONLY = {"agg_approx_percentile"}
 
 
 def test_priority_is_dedup_and_registered():
@@ -75,15 +73,16 @@ def test_core_keys_never_rotate():
 
 def test_rotation_tail_matches_coverage_plan():
     tail = set(workloads.DRIVER_PRIORITY[len(CORE):])
-    assert tail == ROTATION_R3
+    assert tail == NEVER_CHECKED_R4 | STALE_RECHECK_R4
 
 
 def test_priority_entries_all_have_oracles():
-    # Round 3+: every driver-prefix row is hash-checkable — the
-    # approximate-by-design ANN ops live outside the prefix and are
-    # covered by the recall@k property tests instead.
+    # Every driver-prefix row is hash-checkable except the documented
+    # approximate ops, which the driver records as rows-only.
     no_oracle = set(workloads.DRIVER_PRIORITY) - set(workloads.ORACLES)
-    assert not no_oracle, f"rows-only keys in prefix: {no_oracle}"
+    assert no_oracle <= APPROX_ROWS_ONLY, (
+        f"unexpected rows-only keys in prefix: {no_oracle - APPROX_ROWS_ONLY}"
+    )
 
 
 def test_oracles_subset_of_queries():

@@ -10,12 +10,20 @@ near-duplicate documents, whatever the arrival order — the always-on form
 of the daily-batch dedup pattern.
 
 Exactly-once notes: checkpointing makes micro-batch replay idempotent
-only if the batch writes are — here a replayed batch re-screens against
-an index that may already contain its own survivors' bands, which would
-drop them. So the sink appends with the micro-batch id recorded and
-SKIPS batch ids it has already committed (the standard foreachBatch
-transactional-sink recipe). Delta/transactional tables would subsume
-this; the guard keeps the parquet fallback correct.
+only if the batch writes are — and the sink performs TWO appends (output
++ index), so the replay guard must survive a crash BETWEEN them, not just
+after both. Both tables therefore carry a ``_batch_id`` column and each
+append is guarded independently: a replayed batch skips whichever append
+already landed and redoes only the missing one. Screening excludes the
+replayed batch's own bands from the index view (otherwise a batch whose
+index append landed first would self-match and drop its survivors), and
+screening is deterministic (fixed hash seeds, same replayed offsets), so
+the redone append writes the identical survivor set. Delta/transactional
+tables would subsume this; the guard keeps the parquet fallback correct.
+
+Pre-seeding: when seeding ``index_table`` from an existing corpus, attach
+``_batch_id = CAST(NULL AS LONG)`` to the ``lsh_bands`` output — the
+guard's null-safe filters keep seed rows visible to every batch.
 """
 
 from __future__ import annotations
@@ -55,44 +63,62 @@ def dedup_stream(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        # replay guard: a re-delivered batch id must not re-screen against
-        # an index that already absorbed its survivors (it would drop them)
-        if table_format.table_exists(spark, index_table):
-            seen = (
-                spark.table(index_table)
-                .filter(F.col("_batch_id") == batch_id)
+
+        def recorded(table: str) -> bool:
+            if not table_format.table_exists(spark, table):
+                return False
+            return (
+                spark.table(table)
+                .filter(F.col("_batch_id").eqNullSafe(F.lit(batch_id)))
                 .limit(1)
                 .count()
+                > 0
             )
-            if seen:
-                return
-            index = spark.table(index_table).select(id_col, "band", "bhash")
-            survivors = incremental_dedup_survivors(
-                batch_df, index, id_col=id_col, text_col=text_col,
-                num_hashes=num_hashes, band_size=band_size,
-                shingle_n=shingle_n,
+
+        # per-table replay guard (ADVICE r3): the two appends are not
+        # atomic, so a crash between them must leave a replayable state —
+        # skip whichever append already landed, redo only the missing one.
+        out_done = recorded(output_table)
+        idx_done = recorded(index_table)
+        if out_done and idx_done:
+            return
+        if table_format.table_exists(spark, index_table):
+            # exclude the replayed batch's OWN bands (null-safe: pre-seeded
+            # rows carry _batch_id NULL and must stay visible) — otherwise
+            # an index-append-then-crash replay would self-match and drop
+            # this batch's survivors from the output.
+            index = (
+                spark.table(index_table)
+                .filter(~F.col("_batch_id").eqNullSafe(F.lit(batch_id)))
+                .select(id_col, "band", "bhash")
             )
         else:
             # empty index: only within-batch screening applies
-            empty = lsh_bands(
+            index = lsh_bands(
                 batch_df.limit(0), text_col, id_col, num_hashes,
                 band_size, shingle_n,
             )
-            survivors = incremental_dedup_survivors(
-                batch_df, empty, id_col=id_col, text_col=text_col,
-                num_hashes=num_hashes, band_size=band_size,
-                shingle_n=shingle_n,
-            )
+        survivors = incremental_dedup_survivors(
+            batch_df, index, id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, band_size=band_size,
+            shingle_n=shingle_n,
+        )
         # materialize once: appended to BOTH tables below, and the second
         # append must see the same survivor set the first one wrote
         survivors = survivors.localCheckpoint(eager=True)
         if survivors.isEmpty():
             return
-        table_format.append(survivors, output_table)
-        new_bands = lsh_bands(
-            survivors, text_col, id_col, num_hashes, band_size, shingle_n
-        ).withColumn("_batch_id", F.lit(batch_id))
-        table_format.append(new_bands, index_table)
+        if not out_done:
+            table_format.append(
+                survivors.withColumn("_batch_id", F.lit(batch_id)),
+                output_table,
+            )
+        if not idx_done:
+            new_bands = lsh_bands(
+                survivors, text_col, id_col, num_hashes, band_size,
+                shingle_n,
+            ).withColumn("_batch_id", F.lit(batch_id))
+            table_format.append(new_bands, index_table)
         for t in (output_table, index_table):
             try:
                 owner.catalog.refreshTable(t)

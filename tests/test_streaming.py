@@ -439,3 +439,98 @@ def test_streaming_near_dedup_equals_sequential_batches(
     for t in (out_t, idx_t):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     spark.sql("DROP DATABASE IF EXISTS stream_sink")
+
+@pytest.mark.parametrize("crash_mode", ["between_appends", "after_both"])
+def test_streaming_dedup_replay_guard_survives_mid_batch_crash(
+    spark, sf_dir, tmp_path, crash_mode
+):
+    """ADVICE r3 (dedup_sink.py): a crash BETWEEN the output append and the
+    index append must not duplicate documents on replay.
+
+    Simulated by a table format that raises on the batch's second append —
+    either before writing it (output landed, index missing: the exact
+    partial state the advisory described) or after writing it (both landed
+    but the micro-batch never committed to the checkpoint: full replay must
+    skip both appends). Restarting the stream on the same checkpoint must
+    heal to exactly the sequential-reference survivor set with every doc_id
+    appearing once."""
+    import os
+    import time as _time
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from metadata_driven_etl_spark.io.writer import ParquetFormat
+    from metadata_driven_etl_spark.operators.dedup import (
+        incremental_dedup_survivors,
+        lsh_bands,
+    )
+    from metadata_driven_etl_spark.streaming.dedup_sink import dedup_stream
+
+    class CrashingFormat(ParquetFormat):
+        """Raises on the Nth append call (1-based), optionally after the
+        data already landed — simulating a sink crash mid-batch."""
+
+        def __init__(self, fail_at: int, after_write: bool):
+            self.calls = 0
+            self.fail_at = fail_at
+            self.after_write = after_write
+
+        def append(self, df, table):
+            self.calls += 1
+            if self.calls == self.fail_at:
+                if self.after_write:
+                    super().append(df, table)
+                raise RuntimeError("simulated sink crash")
+            super().append(df, table)
+
+    out_t = f"stream_sink.crash_docs_{crash_mode}"
+    idx_t = f"{out_t}_bands"
+    for t in (out_t, idx_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wave1 = docs.filter(F.col("doc_id") % 2 == 0)
+    wave2 = docs.filter(F.col("doc_id") % 2 == 1)
+    src_dir = str(tmp_path / "doc_arrivals")
+    os.makedirs(src_dir)
+    wave1.coalesce(1).write.mode("append").parquet(src_dir)
+    _time.sleep(1.1)
+    wave2.coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    ckpt = str(tmp_path / "ckpt")
+    crashing = CrashingFormat(
+        fail_at=2, after_write=(crash_mode == "after_both")
+    )
+    q = dedup_stream(stream, out_t, idx_t, table_format=crashing,
+                     checkpoint_dir=ckpt)
+    with pytest.raises(StreamingQueryException, match="simulated sink crash"):
+        q.awaitTermination(180)
+
+    # batch 0's output append landed; in after_both mode its index append
+    # landed too — but the batch was never committed to the checkpoint
+    assert spark.table(out_t).count() > 0
+
+    # restart on the same checkpoint with a healthy format → batch 0
+    # replays, then batch 1 processes
+    q2 = dedup_stream(stream, out_t, idx_t, table_format=ParquetFormat(),
+                      checkpoint_dir=ckpt)
+    q2.awaitTermination(180)
+
+    got_rows = spark.table(out_t).select("doc_id").collect()
+    got = [r.doc_id for r in got_rows]
+    assert len(got) == len(set(got)), "replay duplicated documents"
+
+    s1 = incremental_dedup_survivors(wave1, lsh_bands(wave1.limit(0)))
+    s1 = s1.localCheckpoint(eager=True)
+    s2 = incremental_dedup_survivors(wave2, lsh_bands(s1))
+    want = {r.doc_id for r in s1.collect()} | {r.doc_id for r in s2.collect()}
+    assert set(got) == want and len(got) > 0
+
+    for t in (out_t, idx_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.sql("DROP DATABASE IF EXISTS stream_sink")

@@ -82,9 +82,15 @@ def sql_profile_table(table: str, columns: list[str]) -> str:
     return " UNION ALL ".join(selects)
 
 
+_NUMERIC_DTYPE_PREFIXES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double", "decimal",
+)
+
+
 def suggest_rules(
     profile: DataFrame,
     numeric_range: bool = True,
+    dtypes: dict[str, str] | None = None,
 ) -> list:
     """Turn a :func:`profile_table` output into suggested DQ rules — the
     metadata-driven loop closed: profile the data, derive the rules the
@@ -95,12 +101,25 @@ def suggest_rules(
     - ``not_null`` for every column currently free of nulls
     - ``uniqueness`` for every column whose distinct count equals the row
       count (a candidate key)
-    - a range ``expression`` for columns whose min/max parse as numbers
+    - a range ``expression`` for NUMERIC columns, gated on the source
+      column's actual data type via ``dtypes`` (``dict(df.dtypes)``). A
+      digit-like STRING column (zero-padded codes '01'..'10') must NOT
+      get a numeric range — the implicit string→double cast would change
+      comparison semantics vs the column's native string ordering. When
+      ``dtypes`` is not supplied the rule falls back to the parse-as-float
+      heuristic for backward compatibility (advisory only).
 
     The profile is one row per column (tiny) — collecting it is a
     metadata read, not a data pass.
     """
     from metadata_driven_etl_spark.config.model import DQRuleConfig
+
+    def _is_numeric(col: str) -> bool:
+        if dtypes is None:
+            return True  # legacy heuristic: parse check below decides
+        return str(dtypes.get(col, "")).lower().startswith(
+            _NUMERIC_DTYPE_PREFIXES
+        )
 
     rules: list[DQRuleConfig] = []
     for r in profile.collect():
@@ -124,7 +143,7 @@ def suggest_rules(
                     action_on_failure="tag",
                 )
             )
-        if numeric_range and r["min_value"] is not None:
+        if numeric_range and r["min_value"] is not None and _is_numeric(c):
             try:
                 lo, hi = float(r["min_value"]), float(r["max_value"])
             except (TypeError, ValueError):
@@ -152,7 +171,10 @@ def profile_drift(
       ``null_rate_jump`` (absolute)
     - ``cardinality_collapse``: distinct count dropped by >50% while rows
       didn't (a join gone wrong or an upstream default flooding in)
-    - ``range_expanded``: min/max moved outside the previous envelope
+    - ``range_changed``: ANY min/max inequality (fires on contraction too
+      — a coverage signal, not an alert)
+    - ``range_expanded``: min/max moved OUTSIDE the previous envelope
+      (``c_min < p_min OR c_max > p_max``) — the alertable signal
       (string-rendered comparison: exact for equality, advisory for order)
 
     Both inputs are one-row-per-column aggregates, so this is a
@@ -189,6 +211,10 @@ def profile_drift(
             (F.col("c_min") != F.col("p_min"))
             | (F.col("c_max") != F.col("p_max"))
         ).alias("range_changed"),
+        (
+            (F.col("c_min") < F.col("p_min"))
+            | (F.col("c_max") > F.col("p_max"))
+        ).alias("range_expanded"),
     )
 
 
@@ -213,6 +239,8 @@ def sql_profile_drift(
            (c.n_distinct * 2 < p.n_distinct AND c.n_rows * 2 >= p.n_rows)
                AS cardinality_collapse,
            (c.min_value <> p.min_value OR c.max_value <> p.max_value)
-               AS range_changed
+               AS range_changed,
+           (c.min_value < p.min_value OR c.max_value > p.max_value)
+               AS range_expanded
     FROM cur c JOIN prev p USING (column_name)
     """

@@ -171,7 +171,7 @@ def test_profile_suggested_rules_pass_on_profiled_data(spark, sf_dir):
 
     orders = load_table(spark, sf_dir, "orders")
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
-    rules = suggest_rules(profile_table(orders, cols))
+    rules = suggest_rules(profile_table(orders, cols), dtypes=dict(orders.dtypes))
     names = {r.rule_name for r in rules}
     assert "o_orderkey_not_null" in names
     assert "o_orderkey_unique" in names  # primary key ⇒ candidate key
@@ -181,6 +181,27 @@ def test_profile_suggested_rules_pass_on_profiled_data(spark, sf_dir):
     metrics = DataQualityEngine(spark).metrics_df(orders, rules).collect()
     assert metrics and all(m.invalid_count == 0 for m in metrics)
     assert {m.rule_name for m in metrics} == {r.rule_name for r in rules}
+
+
+def test_suggest_rules_no_numeric_range_on_digit_like_strings(spark):
+    """ADVICE r3: a STRING column of zero-padded codes ('01'..'10') must
+    not get a numeric range rule — the implicit string→double cast would
+    change comparison semantics vs native string ordering."""
+    from pyspark.sql import functions as F
+
+    from metadata_driven_etl_spark.operators.profiling import (
+        profile_table,
+        suggest_rules,
+    )
+
+    codes = spark.range(1, 11).select(
+        F.lpad(F.col("id").cast("string"), 2, "0").alias("code"),
+        F.col("id").alias("qty"),
+    )
+    rules = suggest_rules(profile_table(codes), dtypes=dict(codes.dtypes))
+    names = {r.rule_name for r in rules}
+    assert "qty_in_range" in names  # true numeric column still gets one
+    assert "code_in_range" not in names  # string column: gated out
 
 
 def test_profile_drift_flags(spark, sf_dir):
@@ -197,7 +218,12 @@ def test_profile_drift_flags(spark, sf_dir):
     # no drift against itself
     same = {r.column_name: r for r in profile_drift(baseline, baseline).collect()}
     assert all(
-        not (r.null_rate_drift or r.cardinality_collapse or r.range_changed)
+        not (
+            r.null_rate_drift
+            or r.cardinality_collapse
+            or r.range_changed
+            or r.range_expanded
+        )
         for r in same.values()
     )
 
@@ -214,4 +240,16 @@ def test_profile_drift_flags(spark, sf_dir):
     }
     assert drift["o_orderkey"].null_rate_drift
     assert drift["o_orderkey"].cardinality_collapse
+    # 'X' > max('F','O','P'): the envelope moved OUT — both signals fire
     assert drift["o_orderstatus"].range_changed
+    assert drift["o_orderstatus"].range_expanded
+
+    # range CONTRACTION (constant 'O' within the old envelope): changed
+    # fires, expanded must NOT — the alertable signal stays quiet
+    contracted = orders.withColumn("o_orderstatus", F.lit("O"))
+    drift2 = {
+        r.column_name: r
+        for r in profile_drift(profile_table(contracted, cols), baseline).collect()
+    }
+    assert drift2["o_orderstatus"].range_changed
+    assert not drift2["o_orderstatus"].range_expanded

@@ -172,19 +172,15 @@ def main() -> None:
     history = load_history()
     best = best_times(history, sf)
     reruns: list[str] = []
-    for _attempt in range(2):
-        flagged = check_regressions(timings, best)
-        if not flagged:
-            break
-        for name in flagged:
-            start = time.perf_counter()
-            workloads.QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            retime = round(time.perf_counter() - start, 3)
-            reruns.append(name)
-            if retime < timings[name]:
-                timings[name] = retime
+    for name in check_regressions(timings, best):
+        start = time.perf_counter()
+        workloads.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        retime = round(time.perf_counter() - start, 3)
+        reruns.append(name)
+        if retime < timings[name]:
+            timings[name] = retime
 
     total = round(sum(timings.values()), 3)
     regressions = check_regressions(timings, best)

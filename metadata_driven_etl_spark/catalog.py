@@ -44,9 +44,26 @@ def _ensure_session_confs(spark: SparkSession) -> None:
             pass  # conf locked down — engine-built sessions already set it
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """Load one testdata table; optionally enforce a parallelism floor.
+
+    ``min_partitions`` repartitions inputs that arrive with fewer splits
+    (typical value: ``spark.sparkContext.defaultParallelism``). The
+    testdata ships one single-row-group parquet file per table, which
+    Spark cannot split below one partition — so CPU-heavy per-row work
+    (regex/hash over documents) would otherwise serialize onto one core.
+    At real scale inputs are naturally multi-partition and the hint is a
+    no-op (the floor check sees enough splits and skips the shuffle).
+    """
     _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if min_partitions and df.rdd.getNumPartitions() < min_partitions:
+        df = df.repartition(min_partitions)
     # TIMESTAMP(NANOS) columns arrive as long (spark.sql.legacy.parquet.
     # nanosAsLong); normalize to microsecond timestamps (floor division —
     # matches DuckDB's ns→µs truncation).

@@ -92,14 +92,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition CPU-heavy narrow inputs to cluster parallelism.
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a cluster-parallelism floor (CPU-heavy text ops
+    serialize onto one core when the input is a single unsplittable
+    row group — catalog.load_table handles the hint, no-op at scale)."""
+    return load_table(
+        spark, sf_dir, "documents",
+        min_partitions=spark.sparkContext.defaultParallelism,
+    )
 
-    The documents/embeddings tables arrive as one small parquet file → one
-    partition → one core does all the regexp/hash work. At 100 TB inputs
-    are naturally multi-partition and this is a no-op-sized shuffle.
-    """
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings with a cluster-parallelism floor (see _docs)."""
+    return load_table(
+        spark, sf_dir, "embeddings",
+        min_partitions=spark.sparkContext.defaultParallelism,
+    )
 
 
 # =========================================================================
@@ -735,7 +743,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @workload("dedup_exact", oracle=dedup_ops.sql_exact_dedup_stats())
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content-hash group-by."""
-    return dedup_ops.exact_dedup_stats(_spread(_t(spark, sf_dir, "documents")))
+    return dedup_ops.exact_dedup_stats(_docs(spark, sf_dir))
 
 
 @workload(
@@ -747,7 +755,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: normalized-content md5 + token-bag md5."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         text_ops.doc_fingerprint("text").alias("fingerprint"),
@@ -764,7 +772,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish regex pieces."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         text_ops.token_count("text").alias("n_tokens"),
@@ -775,7 +783,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @workload("text_quality", oracle=text_ops.sql_quality_features())
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/punct/stopword features + composite score."""
-    return text_ops.quality_features(_spread(_t(spark, sf_dir, "documents")))
+    return text_ops.quality_features(_docs(spark, sf_dir))
 
 
 @workload(
@@ -786,32 +794,32 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (marker-word overlap argmax)."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _docs(spark, sf_dir)
     return text_ops.lang_id_df(docs, "text").select("doc_id", "lang", "lang_pred")
 
 
 @workload("dedup_minhash_lsh", oracle=dedup_ops.sql_lsh_candidate_pairs())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs (shingle→minhash→band→bucket-join)."""
-    return dedup_ops.lsh_candidate_pairs(_spread(_t(spark, sf_dir, "documents")))
+    return dedup_ops.lsh_candidate_pairs(_docs(spark, sf_dir))
 
 
 @workload("dedup_ngram_jaccard", oracle=dedup_ops.sql_ngram_jaccard_pairs())
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs ≥ 0.5 (sparse shared-shingle join)."""
-    return dedup_ops.ngram_jaccard_pairs(_spread(_t(spark, sf_dir, "documents")))
+    return dedup_ops.ngram_jaccard_pairs(_docs(spark, sf_dir))
 
 
 @workload("dedup_simhash", oracle=dedup_ops.sql_simhash_buckets())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash bucket dedup (md5-bit voting)."""
-    return dedup_ops.simhash_buckets(_spread(_t(spark, sf_dir, "documents")))
+    return dedup_ops.simhash_buckets(_docs(spark, sf_dir))
 
 
 @workload("similarity_topk", oracle=sim_ops.sql_brute_force_topk(num_queries=5))
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for query vecs (vec_id < 5)."""
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
@@ -844,7 +852,7 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Threshold chosen so the check is non-trivial on the synthetic
     embeddings (random vectors — no planted near-dups above ~0.5)."""
     return sim_ops.embedding_near_dup_pairs(
-        _spread(_t(spark, sf_dir, "embeddings")), threshold=0.3
+        _emb(spark, sf_dir), threshold=0.3
     )
 
 
@@ -990,7 +998,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     container — operators/multimodal.py stubs the decoder); the byte-count
     and content-hash plumbing is exact and oracle-checked. The fake feature
     vector is computed (exercising the batch path) then projected away."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _docs(spark, sf_dir)
     media = docs.select(
         F.col("doc_id").cast("string").alias("media_id"),
         F.lit("image").alias("media_type"),
@@ -1008,7 +1016,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: row-expanding frame sampler (video → frames)
     with an injected deterministic extractor (8-byte chunks as 'frames')."""
-    docs = _spread(_t(spark, sf_dir, "documents")).filter(F.col("doc_id") < 200)
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
     media = docs.select(
         F.col("doc_id").cast("string").alias("media_id"),
         F.lit("video").alias("media_type"),
@@ -1104,7 +1112,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     query batches skip both the fit and the probe-join shuffle), and the
     probe runs against the stored index. Falls back to the in-memory index
     if the session has no writable warehouse."""
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
@@ -1568,7 +1576,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     The step a real dedup pipeline needs after pair generation: keep one
     representative per cluster. Iterative min-label propagation (see
     dedup.connected_components); oracle is a recursive CTE."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _docs(spark, sf_dir)
     pairs = dedup_ops.lsh_candidate_pairs(docs)
     return dedup_ops.connected_components(docs.select("doc_id"), pairs)
 
@@ -1586,7 +1594,7 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually runs daily, instead of re-hashing everything. Batch bands
     broadcast; the petabyte-side index streams with no corpus shuffle.
     Within-batch collisions keep the lowest doc_id."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _docs(spark, sf_dir)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     index = dedup_ops.lsh_bands(corpus)
@@ -1652,7 +1660,7 @@ def array_explode_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequentially in double — bit-identical in both engines. Bounded group
     sizes only; at unbounded scale swap in plain ``avg`` with a tolerance.
     """
-    emb = _spread(_t(spark, sf_dir, "embeddings"))
+    emb = _emb(spark, sf_dir)
     pos_val = emb.select(
         "label",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
@@ -1937,7 +1945,7 @@ def regexp_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extended §2.9: regexp_extract_all → explode → frequency count with a
     HAVING filter. Pattern sticks to the RE2 ∩ java.util.regex common
     subset so both engines match identical spans."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _docs(spark, sf_dir)
     return (
         docs.select(
             F.explode(
@@ -2063,7 +2071,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure JVM regexp (codegen); patterns in the RE2∩Java common subset.
     Spark's regexp_replace is global by default; DuckDB needs the 'g' flag.
     """
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _docs(spark, sf_dir)
     text2 = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -2267,7 +2275,7 @@ def text_tf_df_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     math library, so a log-based score can differ in the last ulp; the
     rational is bit-identical). One explode + two aggregations; the scalar
     N broadcast back over the terms."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _docs(spark, sf_dir)
     tok = docs.select("doc_id", F.explode(text_ops.tokens("text")).alias("term"))
     stats = tok.groupBy("term").agg(
         F.count(F.lit(1)).alias("tf"),
@@ -2526,7 +2534,7 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     LLM data pipeline. sequence→explode→slice stays entirely in codegen;
     output rows are (doc, chunk) pairs whose count is Σ ceil(n_i/stride),
     so the explode is linear in corpus token count at any scale."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _docs(spark, sf_dir)
     size, stride = 32, 16
     tok = docs.select("doc_id", text_ops.tokens("text").alias("t"))
     starts = tok.select(
@@ -2570,7 +2578,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     one window shuffle keyed by language, pure integer math."""
     from pyspark.sql import Window
 
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _docs(spark, sf_dir)
     tok = docs.select(
         "doc_id", "lang", text_ops.token_count("text").alias("n_tokens")
     )
@@ -2600,7 +2608,7 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     of its word 4-grams appear anywhere in the eval set (the GPT-3-style
     n-gram overlap check). Eval n-grams are broadcast → map-side semi-join,
     zero corpus shuffles before the per-doc count."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _docs(spark, sf_dir)
     eval_df = docs.filter(F.col("source") == "src0")
     train = docs.filter(F.col("source") != "src0")
     return decontam_ops.ngram_overlap(train, eval_df, n=4)
@@ -2611,7 +2619,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data op: Gopher-style intra-doc repetition signals
     (distinct-token fraction, top-token fraction, duplicate-bigram
     fraction) for boilerplate/spam filtering."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _docs(spark, sf_dir)
     return text_ops.repetition_features(docs)
 
 
@@ -2631,7 +2639,7 @@ def sample_domain_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data op: corpus mixing — keep each doc with its domain's
     target rate (hash-deterministic, so raising a weight only adds docs).
     Broadcast join on the 20-row weights table + map-side filter."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _docs(spark, sf_dir)
     weights = spark.createDataFrame(_DOMAIN_WEIGHTS, "source string, frac double")
     out = sampling_ops.weighted_domain_sample(docs, weights)
     return out.select("doc_id", "source")
@@ -2649,7 +2657,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components), then keep exactly the best-scoring member per
     cluster (score = token count here; any scorer plugs in). The full
     keep-one-copy pipeline a real corpus build runs."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _docs(spark, sf_dir)
     pairs = dedup_ops.lsh_candidate_pairs(docs)
     clusters = dedup_ops.connected_components(docs.select("doc_id"), pairs)
     scored = docs.select(
@@ -2670,7 +2678,7 @@ def fuzzy_join_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution primitive: fuzzy (Jaccard ≥ 0.25) join between
     two tables via shared-LSH-band blocking — match noisy records against
     a reference set without the |L|×|R| cross product."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _docs(spark, sf_dir)
     return dedup_ops.fuzzy_join(
         docs.filter(F.col("source") != "src0"),
         docs.filter(F.col("source") == "src0"),
@@ -2736,9 +2744,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    docs = _spread(
-        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    )
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
     media = docs.select("doc_id").mapInPandas(synth, schema=MEDIA_SCHEMA)
     hashed = perceptual_hash(media, make_ppm_dhash_hasher())
     return phash_near_dup_pairs(hashed, max_hamming=2, id_col="media_id")
@@ -2784,7 +2790,7 @@ def corpus_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     total quality (exact integer micros, so the aggregate is
     order-independent and oracle-identical). The one-pass summary every
     corpus build ends with; one groupBy on low-cardinality keys."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _docs(spark, sf_dir)
     lang = text_ops.lang_id_df(docs, "text")
     q = F.round(
         F.least(F.size(text_ops.tokens("text")) / F.lit(100.0), F.lit(1.0)),
@@ -2817,7 +2823,7 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-derived hyperplanes, map-only, zero fitted state — the cheap
     pre-step that cuts every downstream ANN dot product 8×."""
     return sim_ops.random_project(
-        _spread(_t(spark, sf_dir, "embeddings")), dim_in=64, dim_out=8
+        _emb(spark, sf_dir), dim_in=64, dim_out=8
     )
 
 
@@ -2884,7 +2890,7 @@ def profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick document vectorizer: deterministic dense term-count
     embeddings with zero fitted state (Weinberger et al. 2009), map-only."""
-    return text_ops.feature_hash_embed(_spread(_t(spark, sf_dir, "documents")))
+    return text_ops.feature_hash_embed(_docs(spark, sf_dir))
 
 
 @workload("dedup_span_exact", oracle=dedup_ops.sql_span_dedup())
@@ -2893,7 +2899,7 @@ def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     et al. 2022) — split docs into 20-token windows, keep the first
     corpus-wide occurrence of each distinct span, reassemble. Catches the
     repeated-boilerplate case whole-document dedup (exact or near) misses."""
-    return dedup_ops.span_dedup(_spread(_t(spark, sf_dir, "documents")))
+    return dedup_ops.span_dedup(_docs(spark, sf_dir))
 
 
 @workload("training_order", oracle=dedup_ops.sql_training_order(seed=7))
@@ -2948,7 +2954,7 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the post-filter corpus, which is the right order."""
     from metadata_driven_etl_spark.operators.dedup import shingles
 
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _docs(spark, sf_dir)
     train = docs.filter(F.col("source") != "src0")
     contaminated = decontam_ops.contaminated_ids(
         train, docs.filter(F.col("source") == "src0"), n=4

@@ -82,3 +82,37 @@ def test_ntz_fallback_is_session_tz_independent(
     finally:
         spark.conf.set("spark.sql.session.timeZone", original_tz)
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
+def test_ntz_fallback_when_conf_set_raises(spark, ntz_table_dir, monkeypatch):
+    """VERDICT r3 item 4: the real locked-down branch — conf.set itself RAISES
+    for the engine's defensive keys (as a policy-locked cluster would), so
+    _ensure_session_confs's try/except path runs for real, the scan yields
+    NTZ, and the session zone stays non-UTC. Instants must still match the
+    UTC session's."""
+    expected = [
+        int(wc.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+        for wc in WALL_CLOCKS
+    ]
+    original_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "Australia/Eucla")  # +08:45
+    locked = {
+        "spark.sql.legacy.parquet.nanosAsLong",
+        "spark.sql.session.timeZone",
+        "spark.sql.parquet.inferTimestampNTZ.enabled",
+    }
+    real_set = spark.conf.set
+
+    def locked_set(key, value):
+        if key in locked:
+            raise Exception(f"Cannot modify the value of a static config: {key}")
+        real_set(key, value)
+
+    try:
+        monkeypatch.setattr(spark.conf, "set", locked_set)
+        assert _instants(spark, ntz_table_dir) == expected
+    finally:
+        monkeypatch.undo()
+        spark.conf.set("spark.sql.session.timeZone", original_tz)
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

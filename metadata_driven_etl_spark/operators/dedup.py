@@ -57,16 +57,15 @@ def exact_dedup(df: DataFrame, subset: list[str]) -> DataFrame:
 # --- word shingles ----------------------------------------------------------
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles of the normalized text (distinct).
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct) from an already-tokenized array.
 
-    The tokenization is bound ONCE as a lambda variable (outer
+    The token array is bound ONCE as a lambda variable (outer
     ``transform(array(toks), t -> ...)``): expressions referenced inside a
     higher-order-function lambda are otherwise re-evaluated per element,
     which makes a naive ``slice(tokens(text), i, n)`` quadratic in document
     length (regexp-tokenize per shingle position).
     """
-    toks = tokens(col)
     per_t = lambda t: F.when(  # noqa: E731
         F.size(t) < n, F.array().cast("array<string>")
     ).otherwise(
@@ -76,6 +75,11 @@ def shingles(col: Column | str, n: int = 3) -> Column:
         )
     )
     return F.array_distinct(F.flatten(F.transform(F.array(toks), per_t)))
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles of the normalized text (distinct)."""
+    return shingles_from_tokens(tokens(col), n)
 
 
 def sql_shingles(expr: str, n: int = 3) -> str:
@@ -104,13 +108,24 @@ def minhash_signature(
     id_col: str = "doc_id",
     num_hashes: int = 8,
     shingle_n: int = 3,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(id, mh_0..mh_{k-1}) with mh_i = min over shingles of (h1+i*h2) mod p.
 
     One explode + one groupBy (single shuffle on id); the k mins are
     computed as k aggregates in the same pass, one md5 per shingle.
+
+    ``tokens_col`` names an already-tokenized array column to shingle from
+    — pipelines that tokenized the corpus upstream (quality/repetition
+    filters) thread it through so the regexp tokenizer runs ONCE per
+    document, not once per stage.
     """
-    sh = df.select(F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("sh"))
+    sh_col = (
+        shingles_from_tokens(F.col(tokens_col), shingle_n)
+        if tokens_col is not None
+        else shingles(text_col, shingle_n)
+    )
+    sh = df.select(F.col(id_col), F.explode(sh_col).alias("sh"))
     h = F.md5(F.col("sh"))
     # 13 hex chars = 52 bits each — exact in long arithmetic
     h1 = F.conv(F.substring(h, 1, 13), 16, 10).cast("long") % _MH_PRIME
@@ -152,6 +167,7 @@ def lsh_bands(
     num_hashes: int = 8,
     band_size: int = 2,
     shingle_n: int = 3,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(id, band, bhash): the LSH band index rows for each document.
 
@@ -160,7 +176,9 @@ def lsh_bands(
     against it without re-hashing the corpus — see
     ``incremental_dedup_survivors``.
     """
-    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+    sig = minhash_signature(
+        df, text_col, id_col, num_hashes, shingle_n, tokens_col=tokens_col
+    )
     n_bands = num_hashes // band_size
     return sig.select(
         F.col(id_col),
@@ -193,13 +211,17 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     shingle_n: int = 3,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band bucket.
 
     Self-join is on (band_index, band_hash) — a short uniform key, so the
     join is sparse and broadcastable per bucket; no O(n²) pair blow-up.
     """
-    bands = lsh_bands(df, text_col, id_col, num_hashes, band_size, shingle_n)
+    bands = lsh_bands(
+        df, text_col, id_col, num_hashes, band_size, shingle_n,
+        tokens_col=tokens_col,
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (

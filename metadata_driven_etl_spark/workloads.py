@@ -2971,11 +2971,15 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = staged.select(
         "doc_id",
         "text",
+        "_toks",
         qx["n_tokens"].alias("n_tokens"),
         qx["punct_ratio"].alias("punct_ratio"),
         qx["stop_ratio"].alias("stop_ratio"),
         rx["dup_bigram_frac"].alias("dup_bigram_frac"),
     )
+    # survivors keep their token array: the LSH stage shingles from it and
+    # keep-best scores from it, so the regexp tokenizer runs once per doc
+    # for the whole pipeline (VERDICT r3 item 5)
     clean = (
         feats.withColumn("quality_score", text_ops.quality_score_expr())
         .filter(
@@ -2987,13 +2991,20 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .join(F.broadcast(contaminated), "doc_id", "left_anti")
-        .select("doc_id", "text")
+        .select("doc_id", "text", "_toks")
     )
-    pairs = dedup_ops.lsh_candidate_pairs(clean)
+    # clean feeds THREE consumers (pair generation, the CC vertex set, and
+    # keep-best scoring) — materialize it once instead of recomputing the
+    # scan→tokenize→filter→anti-join chain per branch. localCheckpoint
+    # stores executor-local blocks (freed when the frame is GC'd); a real
+    # cluster run would use the durable checkpoint-dir seam
+    # connected_components already exposes.
+    clean = clean.localCheckpoint(eager=False)
+    pairs = dedup_ops.lsh_candidate_pairs(clean, tokens_col="_toks")
     clusters = dedup_ops.connected_components(clean.select("doc_id"), pairs)
     scored = clean.select(
         "doc_id",
-        F.size(text_ops.tokens("text")).cast("long").alias("kept_score"),
+        F.size(F.col("_toks")).cast("long").alias("kept_score"),
     )
     return dedup_ops.keep_best_per_cluster(clusters, scored)
 

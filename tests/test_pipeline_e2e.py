@@ -313,3 +313,67 @@ def test_incremental_bronze_upper_bound(spark, tmp_path):
     rows = spark.table(tbl).collect()
     assert {r.id for r in rows} == {1, 2, 3, 4}
     assert len(rows) == 4, "backfill replay duplicated rows"
+
+
+def test_cli_corpus_layer_e2e(spark, monkeypatch, capsys):
+    """VERDICT r3 item 6: the corpus layer driven through the CLI gets the
+    same e2e treatment as bronze/silver/gold — tables written, audit and
+    DQ-metric rows recorded, dry-run lists exactly the executed pipelines,
+    and a re-run is idempotent (overwrite semantics)."""
+    from metadata_driven_etl_spark.plans import runner
+
+    tables = ("corpus.clean_web_v1", "corpus.span_clean_v1")
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    monkeypatch.setattr(runner, "get_spark", lambda **kw: spark)
+    rc = runner.main(
+        ["--date", "2024-01-15", "--layers", "corpus",
+         "--config-dir", "/root/repo/configs"]
+    )
+    assert rc == 0
+    counts = {t: spark.table(t).count() for t in tables}
+    assert all(c > 0 for c in counts.values())
+
+    # audit plane: layer run + one row per pipeline, no errors
+    audit = spark.table("metadata.etl_audit_log").filter("layer = 'corpus'")
+    assert audit.filter("status = 'ERROR'").count() == 0
+    success = audit.filter("status = 'SUCCESS'")
+    assert success.count() >= 3  # layer_run + 2 pipelines
+    assert {
+        r.target_table
+        for r in success.collect()
+        if r.target_table
+    } >= set(tables)
+
+    # per-stage survival metrics landed for both target tables
+    dqm = spark.table("metadata.data_quality_metrics").filter(
+        "rule_type = 'corpus_stage'"
+    )
+    assert {r.table_name for r in dqm.select("table_name").distinct().collect()} >= set(tables)
+
+    # dry-run parity: validates without Spark and lists exactly the
+    # pipelines the run executed
+    capsys.readouterr()
+    rc_dry = runner.main(
+        ["--dry-run", "--layers", "corpus", "--config-dir", "/root/repo/configs"]
+    )
+    out = capsys.readouterr().out
+    assert rc_dry == 0
+    listed = {
+        line.split()[1].rstrip(":")
+        for line in out.splitlines()
+        if line.startswith("[corpus]")
+    }
+    assert listed == {"clean_web_v1", "span_clean_v1"}
+
+    # idempotent re-run: same row counts (overwrite, not append)
+    rc2 = runner.main(
+        ["--date", "2024-01-15", "--layers", "corpus",
+         "--config-dir", "/root/repo/configs"]
+    )
+    assert rc2 == 0
+    assert {t: spark.table(t).count() for t in tables} == counts
+
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

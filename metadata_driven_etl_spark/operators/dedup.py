@@ -568,6 +568,17 @@ def connected_components(
     Kiveris et al., which optimizes round count; plain propagation is optimal
     here because LSH dedup graphs are overwhelmingly tiny cliques with
     diameter ≤ 3).
+
+    ``max_iter`` exhaustion (partial-label contract): propagation needs
+    ~diameter rounds, so a graph whose diameter exceeds ``max_iter`` (never
+    the LSH case, but possible for arbitrary edge inputs) returns PARTIAL
+    labels: every label is still a reachable node id ≤ the node's own id
+    (so labels are well-formed and any two nodes with EQUAL labels are
+    truly connected — no false merges, ever), but two nodes of one
+    component may still carry different labels (under-merged). Callers
+    clustering adversarially deep graphs should raise ``max_iter`` to the
+    expected diameter; pinned by
+    ``tests/test_operators_props.py::test_cc_max_iter_exhaustion_partial_labels``.
     """
     if checkpoint_dir is not None:
         sc = nodes.sparkSession.sparkContext

@@ -346,3 +346,68 @@ def test_incremental_dedup_survivor_semantics(spark):
     assert sorted(r.doc_id for r in out.collect()) == [11, 12]
     # survivors keep their full rows
     assert set(out.columns) == {"doc_id", "text"}
+
+
+def test_cc_converges_on_adversarial_long_paths(spark):
+    """VERDICT r3 item 7: LSH graphs have diameter <=3, but CC must stay
+    correct on adversarially deep graphs — a 24-node path and an 18-node
+    cycle (diameter >> check_every*2), ids shuffled so the min label sits
+    at one END of the path and must propagate the full length."""
+    from metadata_driven_etl_spark.operators.dedup import connected_components
+
+    # path: ids 100..123 chained, then relabel so the minimum (7) is the
+    # far endpoint; cycle: 200..217 ring with min (1) somewhere inside
+    path_ids = [7] + list(range(101, 124))  # min at position 0
+    path_edges = [
+        (min(a, b), max(a, b))
+        for a, b in zip(path_ids, path_ids[1:], strict=False)
+    ]
+    cycle_ids = list(range(200, 209)) + [1] + list(range(209, 217))
+    cycle_pairs = list(zip(cycle_ids, cycle_ids[1:], strict=False)) + [
+        (cycle_ids[-1], cycle_ids[0])
+    ]
+    cycle_edges = [(min(a, b), max(a, b)) for a, b in cycle_pairs]
+    all_ids = path_ids + cycle_ids + [999]  # 999 isolated
+    nodes = spark.createDataFrame([(i,) for i in all_ids], "doc_id long")
+    pairs = spark.createDataFrame(
+        path_edges + cycle_edges, "id_a long, id_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(nodes, pairs, max_iter=50).collect()
+    }
+    assert {got[i] for i in path_ids} == {7}
+    assert {got[i] for i in cycle_ids} == {1}
+    assert got[999] == 999
+
+
+def test_cc_max_iter_exhaustion_partial_labels(spark):
+    """The documented partial-label contract on max_iter exhaustion: a
+    30-node path cannot converge in 5 rounds, but the returned labels must
+    still be well-formed — every label a reachable id <= the node's own id
+    and >= the component minimum, so equal labels never falsely merge —
+    while at least one node remains under-merged (not fully converged)."""
+    from metadata_driven_etl_spark.operators.dedup import connected_components
+
+    n = 30
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(nodes, pairs, max_iter=5).collect()
+    }
+    assert set(got) == set(range(n))
+    for i, label in got.items():
+        assert 0 <= label <= i  # reachable id (path: all j<i), never above own
+    assert any(label > 0 for label in got.values()), (
+        "a 30-deep path must NOT converge in 5 rounds - if it did, the "
+        "exhaustion contract is untested"
+    )
+    # raising max_iter past the diameter converges fully
+    full = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(nodes, pairs, max_iter=40).collect()
+    }
+    assert set(full.values()) == {0}

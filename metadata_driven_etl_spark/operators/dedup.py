@@ -904,6 +904,12 @@ def training_order(
             "_pid",
             (
                 F.sum("_n").over(
+                    # unpartitioned window — INTENTIONAL and scale-safe: this
+                    # frame has ONE ROW PER INPUT PARTITION (metadata-
+                    # sized, ~#partitions rows), so the single-task window
+                    # WindowExec warns about is over e.g. 1000 rows at
+                    # 1000 executors, never over data. (partitionBy(lit)
+                    # would be constant-folded out of the spec anyway.)
                     Window.orderBy("_pid").rowsBetween(
                         Window.unboundedPreceding, -1
                     )

@@ -98,6 +98,12 @@ def select_within_token_budget(
             "_pid",
             F.coalesce(
                 F.sum("_ptoks").over(
+                    # unpartitioned window — INTENTIONAL and scale-safe: this
+                    # frame has ONE ROW PER INPUT PARTITION (metadata-
+                    # sized, ~#partitions rows), so the single-task window
+                    # WindowExec warns about is over e.g. 1000 rows at
+                    # 1000 executors, never over data. (partitionBy(lit)
+                    # would be constant-folded out of the spec anyway.)
                     Window.orderBy("_pid").rowsBetween(
                         Window.unboundedPreceding, -1
                     )

@@ -2657,12 +2657,15 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components), then keep exactly the best-scoring member per
     cluster (score = token count here; any scorer plugs in). The full
     keep-one-copy pipeline a real corpus build runs."""
-    docs = _docs(spark, sf_dir)
-    pairs = dedup_ops.lsh_candidate_pairs(docs)
+    # tokenize once, materialize once: docs feeds the pair generator, the
+    # CC vertex set, and the scorer (same pattern as corpus_clean_pipeline)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", text_ops.tokens("text").alias("_toks")
+    ).localCheckpoint(eager=False)
+    pairs = dedup_ops.lsh_candidate_pairs(docs, tokens_col="_toks")
     clusters = dedup_ops.connected_components(docs.select("doc_id"), pairs)
     scored = docs.select(
-        "doc_id",
-        F.size(text_ops.tokens("text")).cast("long").alias("kept_score"),
+        "doc_id", F.size(F.col("_toks")).cast("long").alias("kept_score")
     )
     return dedup_ops.keep_best_per_cluster(clusters, scored)
 
@@ -2747,6 +2750,11 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
     media = docs.select("doc_id").mapInPandas(synth, schema=MEDIA_SCHEMA)
     hashed = perceptual_hash(media, make_ppm_dhash_hasher())
+    # the band self-join consumes `hashed` twice, and exchange reuse does
+    # not cover the Python stage — materialize the (id, phash) frame
+    # (hash-sized, payloadless) so decode+hash runs ONCE; at 100 TB the
+    # decode is the dominant cost and must never execute per join side
+    hashed = hashed.localCheckpoint(eager=False)
     return phash_near_dup_pairs(hashed, max_hamming=2, id_col="media_id")
 
 

@@ -1,0 +1,125 @@
+"""Plan-shape pins for the LLM-data-pipeline operator family.
+
+SCALE.md makes structural claims about these plans (banded equi-joins,
+broadcast small sides, map-only text ops). test_tpch_plans.py pins the
+TPC-H shapes; this module pins the training-data ones, so a regression
+that silently degrades a plan (a lost broadcast, a cartesian pair
+generator, a stray shuffle in a map-only op) fails CI rather than
+surfacing as a 100x slowdown at scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from metadata_driven_etl_spark import workloads
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --- pair generators must never be cartesian --------------------------------
+
+PAIR_GENERATORS = [
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embedding_near_dup",
+    "fuzzy_join_tables",
+    "multimodal_phash_dedup",
+    "dedup_incremental_lsh",
+]
+
+
+@pytest.mark.parametrize("name", PAIR_GENERATORS)
+def test_pair_generator_is_equi_join(spark, sf_dir, name):
+    plan = _plan(workloads.QUERIES[name](spark, sf_dir))
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+# --- broadcast small sides ---------------------------------------------------
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark, sf_dir):
+    """The eval-set side (small by construction) must broadcast; the
+    corpus side must not shuffle before the per-doc count."""
+    plan = _plan(workloads.QUERIES["decontaminate_ngram_overlap"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_similarity_topk_broadcasts_queries(spark, sf_dir):
+    plan = _plan(workloads.QUERIES["similarity_topk"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_corpus_clean_decontamination_is_broadcast_anti(spark, sf_dir):
+    plan = _plan(workloads.QUERIES["corpus_clean_pipeline"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- map-only text ops: zero data shuffles ----------------------------------
+# The only allowed Exchange is the RoundRobin repartition from the
+# parallelism floor on single-file test inputs (a no-op at real scale —
+# see catalog.load_table); any hashpartitioning/range Exchange means the
+# op gained a real shuffle.
+
+MAP_ONLY = [
+    "text_quality",
+    "text_lang_id",
+    "text_token_count",
+    "doc_fingerprint",
+    "text_pii_redact",
+    "text_chunk_windows",
+    "embedding_random_projection",
+    "text_feature_hash_embed",
+]
+
+
+@pytest.mark.parametrize("name", MAP_ONLY)
+def test_text_op_is_map_only(spark, sf_dir, name):
+    plan = _plan(workloads.QUERIES[name](spark, sf_dir))
+    data_shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "RoundRobinPartitioning" not in ln
+    ]
+    assert not data_shuffles, f"{name} gained a data shuffle: {data_shuffles}"
+
+
+# --- single-shuffle aggregation ops ------------------------------------------
+
+
+@pytest.mark.parametrize("name", ["dedup_exact", "text_repetition"])
+def test_single_pass_ops_have_at_most_one_data_shuffle(spark, sf_dir, name):
+    """dedup_exact: one shuffle on the content hash. text_repetition:
+    shuffle-free per-row expressions (r3) — allow <=1 to keep the pin
+    robust to AQE variations, but any second data shuffle is a regression."""
+    plan = _plan(workloads.QUERIES[name](spark, sf_dir))
+    data_shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln
+        and "RoundRobinPartitioning" not in ln
+        and "BroadcastExchange" not in ln
+    ]
+    assert len(data_shuffles) <= 1, f"{name}: {data_shuffles}"
+
+
+# --- scoring ops must prune the payload --------------------------------------
+
+
+def test_multimodal_features_prunes_payload_for_metadata_agg(spark, sf_dir):
+    """Aggregating typed metadata must not drag the binary payload through
+    the shuffle (ReadSchema/project should drop it before the Exchange)."""
+    df = workloads.QUERIES["multimodal_features"](spark, sf_dir)
+    plan = _plan(df)
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "payload" not in ln, ln

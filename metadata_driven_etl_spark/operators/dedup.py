@@ -217,11 +217,17 @@ def lsh_candidate_pairs(
 
     Self-join is on (band_index, band_hash) — a short uniform key, so the
     join is sparse and broadcastable per bucket; no O(n²) pair blow-up.
+
+    The bands frame is materialized once before the self-join: Spark does
+    not unify the two sides into a ReusedExchange here, so without it the
+    whole shingle→md5→minhash chain — the dominant per-document cost —
+    executes once PER JOIN SIDE. The materialized frame is (id, band,
+    bhash): hash-sized, never document bodies.
     """
     bands = lsh_bands(
         df, text_col, id_col, num_hashes, band_size, shingle_n,
         tokens_col=tokens_col,
-    )
+    ).localCheckpoint(eager=False)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -396,9 +402,11 @@ def ngram_jaccard_pairs(
         df, text_col, id_col, num_hashes=num_hashes, band_size=band_size,
         shingle_n=shingle_n,
     )
+    # materialized once: consumed by BOTH verification join sides, and
+    # re-shingling the corpus per side would double the dominant cost
     sets_ = df.select(
         F.col(id_col), shingles(text_col, shingle_n).alias("shset")
-    )
+    ).localCheckpoint(eager=False)
     sa = sets_.select(F.col(id_col).alias("id_a"), F.col("shset").alias("set_a"))
     sb = sets_.select(F.col(id_col).alias("id_b"), F.col("shset").alias("set_b"))
     inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))

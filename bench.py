@@ -184,6 +184,12 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     regressions = check_regressions(timings, best)
+    cpus = os.cpu_count() or 32
+    # a run that STARTED on a contended host (1-min load >= cpus/4) is
+    # flagged in its own record and never written to the local history,
+    # so it can neither pollute best-times nor ship silently — the judge
+    # sees the flag in the printed artifact either way
+    contended = bool(load_start) and load_start[0] >= cpus / 4
     record = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -196,12 +202,17 @@ def main() -> None:
         "regressions": regressions,
         "loadavg_start": load_start,
         "loadavg_end": _loadavg(),
+        "cpus": cpus,
+        "contended": contended,
     }
-    try:
-        with open(HISTORY_PATH, "a") as f:
-            f.write(json.dumps({"ts": time.time(), **record}) + "\n")
-    except OSError:
-        pass  # read-only checkout: still print the result
+    if not contended:
+        try:
+            with open(HISTORY_PATH, "a") as f:
+                f.write(json.dumps({"ts": time.time(), **record}) + "\n")
+        except OSError:
+            pass  # read-only checkout: still print the result
+    else:
+        print("CONTENDED run (not recorded to history)", file=sys.stderr)
     if regressions:
         print(f"REGRESSIONS vs best: {regressions}", file=sys.stderr)
     print(json.dumps(record))

@@ -102,6 +102,24 @@ def sql_shingles(expr: str, n: int = 3) -> str:
 _MH_PRIME = 1_000_000_007  # (h1%p) + k*(h2%p) stays far below 2^63
 
 
+
+def _materialize(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Truncate lineage and cache a frame consumed by multiple subtrees.
+
+    ``None`` (local default) uses ``localCheckpoint`` — blocks live in
+    executor storage, lost with an executor. On a real cluster pass a
+    durable path (HDFS/S3): set as the context's checkpoint dir, each
+    materialization then survives executor loss. Same seam
+    ``connected_components`` exposes.
+    """
+    if checkpoint_dir is not None:
+        sc = df.sparkSession.sparkContext
+        if not sc.getCheckpointDir():
+            sc.setCheckpointDir(checkpoint_dir)
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",
@@ -212,6 +230,7 @@ def lsh_candidate_pairs(
     band_size: int = 2,
     shingle_n: int = 3,
     tokens_col: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band bucket.
 
@@ -224,10 +243,13 @@ def lsh_candidate_pairs(
     executes once PER JOIN SIDE. The materialized frame is (id, band,
     bhash): hash-sized, never document bodies.
     """
-    bands = lsh_bands(
-        df, text_col, id_col, num_hashes, band_size, shingle_n,
-        tokens_col=tokens_col,
-    ).localCheckpoint(eager=False)
+    bands = _materialize(
+        lsh_bands(
+            df, text_col, id_col, num_hashes, band_size, shingle_n,
+            tokens_col=tokens_col,
+        ),
+        checkpoint_dir,
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -389,6 +411,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.25,
     num_hashes: int = 8,
     band_size: int = 2,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets, verified only for LSH candidates.
 
@@ -400,13 +423,16 @@ def ngram_jaccard_pairs(
     """
     cands = lsh_candidate_pairs(
         df, text_col, id_col, num_hashes=num_hashes, band_size=band_size,
-        shingle_n=shingle_n,
+        shingle_n=shingle_n, checkpoint_dir=checkpoint_dir,
     )
     # materialized once: consumed by BOTH verification join sides, and
     # re-shingling the corpus per side would double the dominant cost
-    sets_ = df.select(
-        F.col(id_col), shingles(text_col, shingle_n).alias("shset")
-    ).localCheckpoint(eager=False)
+    sets_ = _materialize(
+        df.select(
+            F.col(id_col), shingles(text_col, shingle_n).alias("shset")
+        ),
+        checkpoint_dir,
+    )
     sa = sets_.select(F.col(id_col).alias("id_a"), F.col("shset").alias("set_a"))
     sb = sets_.select(F.col(id_col).alias("id_b"), F.col("shset").alias("set_b"))
     inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))

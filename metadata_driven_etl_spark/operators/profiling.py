@@ -159,6 +159,18 @@ def suggest_rules(
     return rules
 
 
+def _sv_lt(a: str, b: str):
+    """Value-aware ``a < b`` over STRING-RENDERED profile min/max: when
+    both sides parse as numbers compare numerically (lexicographic order
+    is wrong for multi-digit numerics: '102' < '95' as strings), else
+    fall back to string order. Mirrored exactly by the DuckDB twin."""
+    an = F.col(a).try_cast("double")
+    bn = F.col(b).try_cast("double")
+    return F.when(an.isNotNull() & bn.isNotNull(), an < bn).otherwise(
+        F.col(a) < F.col(b)
+    )
+
+
 def profile_drift(
     current: DataFrame,
     previous: DataFrame,
@@ -174,8 +186,11 @@ def profile_drift(
     - ``range_changed``: ANY min/max inequality (fires on contraction too
       — a coverage signal, not an alert)
     - ``range_expanded``: min/max moved OUTSIDE the previous envelope
-      (``c_min < p_min OR c_max > p_max``) — the alertable signal
-      (string-rendered comparison: exact for equality, advisory for order)
+      (``c_min < p_min OR c_max > p_max``) — the alertable signal. The
+      profile renders min/max as strings; the order comparison parses
+      both sides back to numbers when possible (lexicographic order is
+      wrong for multi-digit numerics) and falls back to string order
+      for genuinely textual columns.
 
     Both inputs are one-row-per-column aggregates, so this is a
     metadata-size join — free at any corpus scale.
@@ -211,10 +226,9 @@ def profile_drift(
             (F.col("c_min") != F.col("p_min"))
             | (F.col("c_max") != F.col("p_max"))
         ).alias("range_changed"),
-        (
-            (F.col("c_min") < F.col("p_min"))
-            | (F.col("c_max") > F.col("p_max"))
-        ).alias("range_expanded"),
+        (_sv_lt("c_min", "p_min") | _sv_lt("p_max", "c_max")).alias(
+            "range_expanded"
+        ),
     )
 
 
@@ -240,7 +254,16 @@ def sql_profile_drift(
                AS cardinality_collapse,
            (c.min_value <> p.min_value OR c.max_value <> p.max_value)
                AS range_changed,
-           (c.min_value < p.min_value OR c.max_value > p.max_value)
+           ((CASE WHEN TRY_CAST(c.min_value AS DOUBLE) IS NOT NULL
+                   AND TRY_CAST(p.min_value AS DOUBLE) IS NOT NULL
+                  THEN TRY_CAST(c.min_value AS DOUBLE)
+                       < TRY_CAST(p.min_value AS DOUBLE)
+                  ELSE c.min_value < p.min_value END)
+            OR (CASE WHEN TRY_CAST(p.max_value AS DOUBLE) IS NOT NULL
+                      AND TRY_CAST(c.max_value AS DOUBLE) IS NOT NULL
+                     THEN TRY_CAST(p.max_value AS DOUBLE)
+                          < TRY_CAST(c.max_value AS DOUBLE)
+                     ELSE p.max_value < c.max_value END))
                AS range_expanded
     FROM cur c JOIN prev p USING (column_name)
     """

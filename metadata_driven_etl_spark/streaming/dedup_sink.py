@@ -24,6 +24,13 @@ tables would subsume this; the guard keeps the parquet fallback correct.
 Pre-seeding: when seeding ``index_table`` from an existing corpus, attach
 ``_batch_id = CAST(NULL AS LONG)`` to the ``lsh_bands`` output — the
 guard's null-safe filters keep seed rows visible to every batch.
+
+Legacy tables: output/index tables created WITHOUT ``_batch_id`` (by the
+pre-guard sink, or seeded bare) keep working — appends match their
+schema, and the guard degrades per table to the pre-guard semantics
+(that table's append is redone on replay instead of skipped). To get
+the full crash-between-appends guarantee, migrate by adding a nullable
+``_batch_id BIGINT`` column.
 """
 
 from __future__ import annotations
@@ -64,8 +71,21 @@ def dedup_stream(
             return
         spark = batch_df.sparkSession
 
-        def recorded(table: str) -> bool:
+        # Pre-existing tables written before the per-table guard (or
+        # seeded directly from a corpus) may lack _batch_id; appends must
+        # match their schema, and the guard degrades gracefully: such a
+        # table can never record a batch, so its append is simply redone
+        # on replay (the pre-guard semantics for that table).
+        def stamped(table: str) -> bool:
             if not table_format.table_exists(spark, table):
+                return True  # fresh table: created with the stamp column
+            return "_batch_id" in spark.table(table).columns
+
+        out_stamped = stamped(output_table)
+        idx_stamped = stamped(index_table)
+
+        def recorded(table: str, has_stamp: bool) -> bool:
+            if not has_stamp or not table_format.table_exists(spark, table):
                 return False
             return (
                 spark.table(table)
@@ -78,8 +98,14 @@ def dedup_stream(
         # per-table replay guard (ADVICE r3): the two appends are not
         # atomic, so a crash between them must leave a replayable state —
         # skip whichever append already landed, redo only the missing one.
-        out_done = recorded(output_table)
-        idx_done = recorded(index_table)
+        out_done = recorded(output_table, out_stamped)
+        idx_done = recorded(index_table, idx_stamped)
+        if not out_stamped and idx_done:
+            # legacy (pre-guard) output table: the index stamp was the
+            # ONLY commit marker back then and meant "both appends done" —
+            # honoring it avoids re-appending output on a normal replay
+            # of the last uncommitted batch after an upgrade.
+            out_done = True
         if out_done and idx_done:
             return
         if table_format.table_exists(spark, index_table):
@@ -87,11 +113,12 @@ def dedup_stream(
             # rows carry _batch_id NULL and must stay visible) — otherwise
             # an index-append-then-crash replay would self-match and drop
             # this batch's survivors from the output.
-            index = (
-                spark.table(index_table)
-                .filter(~F.col("_batch_id").eqNullSafe(F.lit(batch_id)))
-                .select(id_col, "band", "bhash")
-            )
+            index = spark.table(index_table)
+            if idx_stamped:
+                index = index.filter(
+                    ~F.col("_batch_id").eqNullSafe(F.lit(batch_id))
+                )
+            index = index.select(id_col, "band", "bhash")
         else:
             # empty index: only within-batch screening applies
             index = lsh_bands(
@@ -109,15 +136,19 @@ def dedup_stream(
         if survivors.isEmpty():
             return
         if not out_done:
-            table_format.append(
-                survivors.withColumn("_batch_id", F.lit(batch_id)),
-                output_table,
-            )
+            out_rows = survivors
+            if out_stamped:
+                out_rows = out_rows.withColumn("_batch_id", F.lit(batch_id))
+            table_format.append(out_rows, output_table)
         if not idx_done:
             new_bands = lsh_bands(
                 survivors, text_col, id_col, num_hashes, band_size,
                 shingle_n,
-            ).withColumn("_batch_id", F.lit(batch_id))
+            )
+            if idx_stamped:
+                new_bands = new_bands.withColumn(
+                    "_batch_id", F.lit(batch_id)
+                )
             table_format.append(new_bands, index_table)
         for t in (output_table, index_table):
             try:

@@ -48,22 +48,28 @@ def test_min_delta_suppresses_subsecond_jitter():
 
 
 def test_recorded_history_benched_on_quiet_host():
-    """VERDICT r3 item 8: a contended snapshot must never ship. Every
-    recorded run that carries a loadavg must have started below cpus/4
-    (the bench waits for a quiet host before timing)."""
-    import os
-
+    """VERDICT r3 item 8: a contended snapshot must never ship. bench.py
+    flags runs whose 1-min load at start was >= cpus/4 and refuses to
+    write them to history; this pins both halves. Each record is judged
+    against ITS OWN recorded cpu count (no current-host dependence —
+    history may have been committed from a different machine); legacy
+    records predating cpu tracking are skipped."""
     history = bench.load_history()
     if not history:
         pytest.skip("no bench history recorded yet")
-    cpus = os.cpu_count() or 32
     for rec in history:
-        la = rec.get("loadavg_start")
-        if not la:  # pre-r3 records predate load tracking
+        if "contended" in rec:
+            assert not rec["contended"], (
+                f"contended bench run recorded at ts={rec.get('ts')} — "
+                "bench.py must never write these to history"
+            )
+            continue
+        la, cpus = rec.get("loadavg_start"), rec.get("cpus")
+        if not la or not cpus:  # legacy record: no load/cpu tracking
             continue
         assert la[0] < cpus / 4, (
             f"bench run at ts={rec.get('ts')} started on a contended host "
-            f"(load {la[0]}, cpus {cpus}) — rerun bench.py on a quiet box"
+            f"(load {la[0]}, cpus {cpus})"
         )
 
 

@@ -253,3 +253,25 @@ def test_profile_drift_flags(spark, sf_dir):
     }
     assert drift2["o_orderstatus"].range_changed
     assert not drift2["o_orderstatus"].range_expanded
+
+    # NUMERIC expansion that lexicographic string order would miss: max
+    # key grows from e.g. 59999 to 600002 ('600002' < '59999' as strings)
+    # — expanded must fire; and a numeric contraction (all keys % 100,
+    # new max '99' > old max string-wise) must NOT fire
+    kcols = ["o_orderkey"]
+    kbase = profile_table(orders, kcols)
+    grown = profile_table(
+        orders.withColumn(
+            "o_orderkey", F.col("o_orderkey") * 10 + F.lit(2)
+        ),
+        kcols,
+    )
+    g = profile_drift(grown, kbase).collect()[0]
+    assert g.range_expanded, "numeric max growth must register as expansion"
+    shrunk = profile_table(
+        orders.withColumn("o_orderkey", F.col("o_orderkey") % 100), kcols
+    )
+    s = profile_drift(shrunk, kbase).collect()[0]
+    assert s.range_changed and not s.range_expanded, (
+        "numeric contraction must not fire the alertable signal"
+    )

@@ -411,3 +411,38 @@ def test_cc_max_iter_exhaustion_partial_labels(spark):
         for r in connected_components(nodes, pairs, max_iter=40).collect()
     }
     assert set(full.values()) == {0}
+
+
+def test_lsh_pairs_durable_checkpoint_seam(spark, sf_dir, tmp_path):
+    """The bands/shingle-set materializations accept the same durable
+    checkpoint_dir seam as connected_components: results must be
+    identical to the localCheckpoint default (and checkpoint files land
+    on disk when this session had no checkpoint dir yet)."""
+    from metadata_driven_etl_spark.catalog import load_table
+    from metadata_driven_etl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ckpt = str(tmp_path / "lsh_ckpt")
+    had_dir = spark.sparkContext.getCheckpointDir()
+
+    base = {tuple(r) for r in lsh_candidate_pairs(docs).collect()}
+    durable = {
+        tuple(r)
+        for r in lsh_candidate_pairs(docs, checkpoint_dir=ckpt).collect()
+    }
+    assert base == durable and base
+
+    jac_base = {tuple(r) for r in ngram_jaccard_pairs(docs).collect()}
+    jac_durable = {
+        tuple(r)
+        for r in ngram_jaccard_pairs(docs, checkpoint_dir=ckpt).collect()
+    }
+    assert jac_base == jac_durable
+
+    if not had_dir:
+        import pathlib
+
+        assert any(pathlib.Path(ckpt).rglob("*")), "no checkpoint files"

@@ -534,3 +534,63 @@ def test_streaming_dedup_replay_guard_survives_mid_batch_crash(
     for t in (out_t, idx_t):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     spark.sql("DROP DATABASE IF EXISTS stream_sink")
+
+
+def test_streaming_dedup_legacy_unstamped_output_table(spark, sf_dir, tmp_path):
+    """Tables created before the per-table replay guard lack _batch_id.
+    The sink must keep working against them: appends match the legacy
+    schema, screening still dedups across batches, and the guard degrades
+    per table instead of crashing on an unresolved column."""
+    import os
+    import time as _time
+
+    from metadata_driven_etl_spark.io.writer import ParquetFormat
+    from metadata_driven_etl_spark.operators.dedup import (
+        incremental_dedup_survivors,
+        lsh_bands,
+    )
+    from metadata_driven_etl_spark.streaming.dedup_sink import dedup_stream
+
+    fmt = ParquetFormat()
+    out_t, idx_t = "stream_sink.legacy_docs", "stream_sink.legacy_docs_bands"
+    for t in (out_t, idx_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # legacy output table: old-sink schema, NO _batch_id, pre-populated
+    # with an earlier corpus half
+    pre = docs.filter(F.col("doc_id") % 2 == 0)
+    pre = incremental_dedup_survivors(pre, lsh_bands(pre.limit(0)))
+    pre = pre.localCheckpoint(eager=True)
+    fmt.overwrite(pre, out_t)
+    # its bands, seeded bare (also legacy: no _batch_id)
+    fmt.overwrite(lsh_bands(pre), idx_t)
+    pre_ids = {r.doc_id for r in pre.select("doc_id").collect()}
+
+    wave = docs.filter(F.col("doc_id") % 2 == 1)
+    src_dir = str(tmp_path / "arrivals")
+    os.makedirs(src_dir)
+    wave.coalesce(1).write.mode("append").parquet(src_dir)
+    _time.sleep(0.2)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = dedup_stream(stream, out_t, idx_t, table_format=fmt,
+                     checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    out = spark.table(out_t)
+    assert "_batch_id" not in out.columns  # legacy schema preserved
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+    want_new = {
+        r.doc_id
+        for r in incremental_dedup_survivors(wave, lsh_bands(pre)).collect()
+    }
+    assert got == pre_ids | want_new and want_new
+
+    for t in (out_t, idx_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.sql("DROP DATABASE IF EXISTS stream_sink")

@@ -320,6 +320,7 @@ def incremental_dedup_survivors(
     num_hashes: int = 8,
     band_size: int = 2,
     shingle_n: int = 3,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Batch documents that survive near-dup screening against a PERSISTED
     corpus band index and against earlier docs in the same batch.
@@ -333,13 +334,19 @@ def incremental_dedup_survivors(
     Within-batch collisions keep the lowest id (deterministic keep-first).
     Returns the surviving batch rows unchanged.
     """
-    bb = lsh_bands(
-        batch.select(id_col, text_col),
-        text_col,
-        id_col,
-        num_hashes,
-        band_size,
-        shingle_n,
+    # bb is consumed THREE times (corpus screen + both self-join sides);
+    # materialize the hash-sized band frame once so the batch is minhashed
+    # once, not three times (see _materialize for the durable-dir seam)
+    bb = _materialize(
+        lsh_bands(
+            batch.select(id_col, text_col),
+            text_col,
+            id_col,
+            num_hashes,
+            band_size,
+            shingle_n,
+        ),
+        checkpoint_dir,
     )
     ib = index_bands.select(
         F.col("band").alias("i_band"), F.col("bhash").alias("i_bhash")

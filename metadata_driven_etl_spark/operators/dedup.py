@@ -127,6 +127,7 @@ def minhash_signature(
     num_hashes: int = 8,
     shingle_n: int = 3,
     tokens_col: str | None = None,
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """(id, mh_0..mh_{k-1}) with mh_i = min over shingles of (h1+i*h2) mod p.
 
@@ -136,13 +137,15 @@ def minhash_signature(
     ``tokens_col`` names an already-tokenized array column to shingle from
     — pipelines that tokenized the corpus upstream (quality/repetition
     filters) thread it through so the regexp tokenizer runs ONCE per
-    document, not once per stage.
+    document, not once per stage. ``shingles_col`` goes one step further
+    and names a ready shingle-array column (wins over both).
     """
-    sh_col = (
-        shingles_from_tokens(F.col(tokens_col), shingle_n)
-        if tokens_col is not None
-        else shingles(text_col, shingle_n)
-    )
+    if shingles_col is not None:
+        sh_col = F.col(shingles_col)
+    elif tokens_col is not None:
+        sh_col = shingles_from_tokens(F.col(tokens_col), shingle_n)
+    else:
+        sh_col = shingles(text_col, shingle_n)
     sh = df.select(F.col(id_col), F.explode(sh_col).alias("sh"))
     h = F.md5(F.col("sh"))
     # 13 hex chars = 52 bits each — exact in long arithmetic
@@ -186,6 +189,7 @@ def lsh_bands(
     band_size: int = 2,
     shingle_n: int = 3,
     tokens_col: str | None = None,
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """(id, band, bhash): the LSH band index rows for each document.
 
@@ -195,7 +199,8 @@ def lsh_bands(
     ``incremental_dedup_survivors``.
     """
     sig = minhash_signature(
-        df, text_col, id_col, num_hashes, shingle_n, tokens_col=tokens_col
+        df, text_col, id_col, num_hashes, shingle_n,
+        tokens_col=tokens_col, shingles_col=shingles_col,
     )
     n_bands = num_hashes // band_size
     return sig.select(
@@ -1002,6 +1007,7 @@ def fuzzy_join(
     num_hashes: int = 8,
     band_size: int = 2,
     shingle_n: int = 3,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Approximate string join between TWO tables: pairs whose shingle-set
     Jaccard ≥ ``threshold``, found via shared-LSH-band blocking (never the
@@ -1019,26 +1025,39 @@ def fuzzy_join(
     ``overwrite_bucketed`` and reuse them across batches, exactly like
     ``incremental_dedup_survivors``).
     """
-    lb = lsh_bands(left, text_col, id_col, num_hashes, band_size, shingle_n)
-    rb = lsh_bands(right, text_col, id_col, num_hashes, band_size, shingle_n)
+    # shingle each side ONCE: the materialized sets feed both the band
+    # construction and the verification join (tokenize+shingle is the
+    # dominant per-row cost; bands/minhash derive from the same arrays)
+    ls = _materialize(
+        left.select(
+            F.col(id_col).alias("left_id"),
+            shingles(text_col, shingle_n).alias("set_l"),
+        ),
+        checkpoint_dir,
+    )
+    rs = _materialize(
+        right.select(
+            F.col(id_col).alias("right_id"),
+            shingles(text_col, shingle_n).alias("set_r"),
+        ),
+        checkpoint_dir,
+    )
+    lb = lsh_bands(
+        ls, id_col="left_id", num_hashes=num_hashes, band_size=band_size,
+        shingle_n=shingle_n, shingles_col="set_l",
+    )
+    rb = lsh_bands(
+        rs, id_col="right_id", num_hashes=num_hashes, band_size=band_size,
+        shingle_n=shingle_n, shingles_col="set_r",
+    )
     cands = (
-        lb.select(
-            F.col(id_col).alias("left_id"), "band", "bhash"
-        )
+        lb.select("left_id", "band", "bhash")
         .join(
-            rb.select(F.col(id_col).alias("right_id"), "band", "bhash"),
+            rb.select("right_id", "band", "bhash"),
             ["band", "bhash"],
         )
         .select("left_id", "right_id")
         .distinct()
-    )
-    ls = left.select(
-        F.col(id_col).alias("left_id"),
-        shingles(text_col, shingle_n).alias("set_l"),
-    )
-    rs = right.select(
-        F.col(id_col).alias("right_id"),
-        shingles(text_col, shingle_n).alias("set_r"),
     )
     inter = F.size(F.array_intersect(F.col("set_l"), F.col("set_r")))
     return (

@@ -236,6 +236,7 @@ def lsh_candidate_pairs(
     shingle_n: int = 3,
     tokens_col: str | None = None,
     checkpoint_dir: str | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band bucket.
 
@@ -247,6 +248,16 @@ def lsh_candidate_pairs(
     whole shingle→md5→minhash chain — the dominant per-document cost —
     executes once PER JOIN SIDE. The materialized frame is (id, band,
     bhash): hash-sized, never document bodies.
+
+    ``max_bucket_size`` (opt-in) drops band buckets with more members
+    than the cap before pair generation. Pair output is inherently
+    quadratic in bucket size, so one degenerate bucket (empty/boilerplate
+    text hashing identically across millions of docs) creates an O(k²)
+    hotspot at corpus scale; capping trades those pathological buckets'
+    recall for bounded work — docs in a capped bucket still pair through
+    their OTHER bands (same discipline as the frequency-capped posting
+    lists in ``ngram_jaccard_pairs``'s inverted-index sibling). Default
+    None preserves exact candidate semantics (and oracle parity).
     """
     bands = _materialize(
         lsh_bands(
@@ -255,6 +266,18 @@ def lsh_candidate_pairs(
         ),
         checkpoint_dir,
     )
+    if max_bucket_size is not None:
+        # one extra agg on the hash-sized band frame; oversized buckets
+        # are rare by construction, so the drop-list broadcasts
+        oversized = (
+            bands.groupBy("band", "bhash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select("band", "bhash")
+        )
+        bands = bands.join(
+            F.broadcast(oversized), ["band", "bhash"], "left_anti"
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Measured scaling evidence for the dedup/text stack (SCALE.md §6).
+
+Amplifies the sf0.1 documents table Nx (doc_id remapped; a
+copy-dependent suffix token on most copies keeps the near-dup structure
+realistic instead of purely exact duplication) and times the headline
+corpus operators at 1x / 10x / 100x. A near-linear wall-clock curve is
+the local falsification test for the scale claims: an accidentally
+quadratic pair generator or a driver-side bottleneck shows up as a
+super-linear blow-up long before a real cluster would.
+
+Usage: python scripts/scaling_probe.py [--scales 1,10,100]
+Prints one JSON line: {"rows": {...}, "seconds": {op: {scale: sec}}}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from metadata_driven_etl_spark.catalog import load_table  # noqa: E402
+from metadata_driven_etl_spark.operators import dedup as dedup_ops  # noqa: E402
+from metadata_driven_etl_spark.operators import text as text_ops  # noqa: E402
+from metadata_driven_etl_spark.session import get_local_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def amplify(spark, scale: int, out_dir: str) -> str:
+    """Write an Nx documents table: doc_id remapped per copy, ~70% of
+    copies carry a copy-specific suffix token (near-dups of the
+    original), the rest stay exact duplicates."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    n = docs.count()
+    copies = spark.range(scale).select(F.col("id").alias("_copy"))
+    amplified = (
+        docs.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("doc_id") + F.col("_copy") * F.lit(n)).alias("doc_id"),
+            F.when(
+                (F.col("_copy") > 0) & (F.col("doc_id") % 10 < 7),
+                F.concat_ws(
+                    " ", F.col("text"), F.concat(F.lit("copytag"), F.col("_copy"))
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    path = os.path.join(out_dir, f"documents_x{scale}.parquet")
+    amplified.repartition(max(32, scale)).write.mode("overwrite").parquet(path)
+    return path
+
+
+OPS = {
+    "dedup_exact": lambda df: dedup_ops.exact_dedup_stats(df),
+    "dedup_minhash_lsh": lambda df: dedup_ops.lsh_candidate_pairs(df),
+    # production posture for heavily-duplicated corpora: bucket cap bounds
+    # the inherently-quadratic pair output of degenerate buckets
+    "dedup_minhash_lsh_cap32": lambda df: dedup_ops.lsh_candidate_pairs(
+        df, max_bucket_size=32
+    ),
+    "dedup_cluster_cc": lambda df: dedup_ops.connected_components(
+        df.select("doc_id"), dedup_ops.lsh_candidate_pairs(df)
+    ),
+    "text_quality": lambda df: text_ops.quality_features(df),
+}
+
+
+def run_op(build, df: DataFrame) -> float:
+    t0 = time.perf_counter()
+    build(df).write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 2)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,10,100")
+    args = ap.parse_args()
+    scales = [int(s) for s in args.scales.split(",")]
+
+    # a 100x amplified corpus with ~100-copy clusters correctly implies
+    # tens of millions of true pairs — size the single local JVM for it
+    # (a real cluster spreads this across executors)
+    spark = get_local_spark(
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "24g",
+        }
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="scaling_probe_")
+    rows: dict[str, int] = {}
+    secs: dict[str, dict[str, float]] = {op: {} for op in OPS}
+    for scale in scales:
+        path = amplify(spark, scale, tmp)
+        df = spark.read.parquet(path)
+        rows[str(scale)] = df.count()
+        # warm the input through the page cache so timings compare compute
+        df.write.format("noop").mode("overwrite").save()
+        for op, build in OPS.items():
+            secs[op][str(scale)] = run_op(build, df)
+    print(json.dumps({"sf_dir": SF_DIR, "rows": rows, "seconds": secs}))
+
+
+if __name__ == "__main__":
+    main()

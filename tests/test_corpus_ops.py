@@ -232,3 +232,33 @@ class TestFuzzyJoin:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestLshBucketCap:
+    def test_degenerate_bucket_capped_but_normal_pairs_survive(self, spark):
+        """A boilerplate cluster larger than the cap must stop generating
+        O(k^2) pairs, while pairs from normal-sized buckets are unaffected
+        and the default (no cap) keeps exact candidate semantics."""
+        from metadata_driven_etl_spark.operators.dedup import (
+            lsh_candidate_pairs,
+        )
+
+        boiler = [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit sed") for i in range(40)]
+        base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19 w20 w21 w22 w23 w24 w25 w26 w27 w28 w29"
+        pair_docs = [(100, base + " kappa"), (101, base + " lambda")]
+        df = spark.createDataFrame(boiler + pair_docs, "doc_id long, text string")
+
+        uncapped = {
+            (r.id_a, r.id_b) for r in lsh_candidate_pairs(df).collect()
+        }
+        assert (100, 101) in uncapped
+        assert sum(1 for a, b in uncapped if a < 40 and b < 40) == 40 * 39 // 2
+
+        capped = {
+            (r.id_a, r.id_b)
+            for r in lsh_candidate_pairs(df, max_bucket_size=10).collect()
+        }
+        assert (100, 101) in capped  # normal bucket untouched
+        assert not any(a < 40 and b < 40 for a, b in capped), (
+            "degenerate bucket must be dropped by the cap"
+        )

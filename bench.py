@@ -112,12 +112,19 @@ def _loadavg() -> list[float]:
         return []
 
 
-def _wait_for_quiet_host(max_wait_s: int = 180, threshold: float = 4.0) -> None:
+def _wait_for_quiet_host(
+    max_wait_s: int = 180, threshold: float | None = None
+) -> None:
     """Benching on a contended host records times that look like plan
     regressions (round-2/3 evidence: whole runs 15-50% slow, tail queries
     2-5×, zero code change). If the 1-min load average is high before we
     start, wait a bounded while for it to settle; proceed regardless after
-    the cap (the re-run logic is the second line of defense)."""
+    the cap (the re-run logic is the second line of defense). The default
+    threshold is the SAME cpus/4 gate the contended-flag check applies, so
+    the waiter never admits a run that is then guaranteed to be discarded
+    (nor stalls for loads the flag would tolerate)."""
+    if threshold is None:
+        threshold = (os.cpu_count() or 32) / 4
     waited = 0
     while waited < max_wait_s:
         la = _loadavg()

@@ -267,16 +267,22 @@ def lsh_candidate_pairs(
         checkpoint_dir,
     )
     if max_bucket_size is not None:
-        # one extra agg on the hash-sized band frame; oversized buckets
-        # are rare by construction, so the drop-list broadcasts
+        # one extra agg on the (already materialized) hash-sized band
+        # frame; oversized buckets are rare by construction, so the
+        # drop-list broadcasts. The capped frame is re-materialized so
+        # the groupBy+anti-join subtree doesn't execute once per
+        # self-join side (cheap: it reads the first checkpoint).
         oversized = (
             bands.groupBy("band", "bhash")
             .agg(F.count(F.lit(1)).alias("_n"))
             .filter(F.col("_n") > max_bucket_size)
             .select("band", "bhash")
         )
-        bands = bands.join(
-            F.broadcast(oversized), ["band", "bhash"], "left_anti"
+        bands = _materialize(
+            bands.join(
+                F.broadcast(oversized), ["band", "bhash"], "left_anti"
+            ),
+            checkpoint_dir,
         )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -649,13 +655,7 @@ def connected_components(
     expected diameter; pinned by
     ``tests/test_operators_props.py::test_cc_max_iter_exhaustion_partial_labels``.
     """
-    if checkpoint_dir is not None:
-        sc = nodes.sparkSession.sparkContext
-        if not sc.getCheckpointDir():
-            sc.setCheckpointDir(checkpoint_dir)
-        _truncate = lambda df: df.checkpoint(eager=False)  # noqa: E731
-    else:
-        _truncate = lambda df: df.localCheckpoint(eager=False)  # noqa: E731
+    _truncate = lambda df: _materialize(df, checkpoint_dir)  # noqa: E731
 
     edges = _truncate(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))

@@ -163,11 +163,20 @@ def _sv_lt(a: str, b: str):
     """Value-aware ``a < b`` over STRING-RENDERED profile min/max: when
     both sides parse as numbers compare numerically (lexicographic order
     is wrong for multi-digit numerics: '102' < '95' as strings), else
-    fall back to string order. Mirrored exactly by the DuckDB twin."""
+    fall back to string order. DECIMAL(38,9) is tried first so bigint
+    values beyond 2^53 keep exact order (a double roundtrip would
+    collapse adjacent large ids to equal); doubles cover scientific-
+    rendered floats outside decimal range. Mirrored exactly by the
+    DuckDB twin (both engines parse scientific notation into decimal
+    identically — verified)."""
+    ad = F.col(a).try_cast("decimal(38,9)")
+    bd = F.col(b).try_cast("decimal(38,9)")
     an = F.col(a).try_cast("double")
     bn = F.col(b).try_cast("double")
-    return F.when(an.isNotNull() & bn.isNotNull(), an < bn).otherwise(
-        F.col(a) < F.col(b)
+    return (
+        F.when(ad.isNotNull() & bd.isNotNull(), ad < bd)
+        .when(an.isNotNull() & bn.isNotNull(), an < bn)
+        .otherwise(F.col(a) < F.col(b))
     )
 
 
@@ -254,12 +263,20 @@ def sql_profile_drift(
                AS cardinality_collapse,
            (c.min_value <> p.min_value OR c.max_value <> p.max_value)
                AS range_changed,
-           ((CASE WHEN TRY_CAST(c.min_value AS DOUBLE) IS NOT NULL
+           ((CASE WHEN TRY_CAST(c.min_value AS DECIMAL(38,9)) IS NOT NULL
+                   AND TRY_CAST(p.min_value AS DECIMAL(38,9)) IS NOT NULL
+                  THEN TRY_CAST(c.min_value AS DECIMAL(38,9))
+                       < TRY_CAST(p.min_value AS DECIMAL(38,9))
+                  WHEN TRY_CAST(c.min_value AS DOUBLE) IS NOT NULL
                    AND TRY_CAST(p.min_value AS DOUBLE) IS NOT NULL
                   THEN TRY_CAST(c.min_value AS DOUBLE)
                        < TRY_CAST(p.min_value AS DOUBLE)
                   ELSE c.min_value < p.min_value END)
-            OR (CASE WHEN TRY_CAST(p.max_value AS DOUBLE) IS NOT NULL
+            OR (CASE WHEN TRY_CAST(p.max_value AS DECIMAL(38,9)) IS NOT NULL
+                      AND TRY_CAST(c.max_value AS DECIMAL(38,9)) IS NOT NULL
+                     THEN TRY_CAST(p.max_value AS DECIMAL(38,9))
+                          < TRY_CAST(c.max_value AS DECIMAL(38,9))
+                     WHEN TRY_CAST(p.max_value AS DOUBLE) IS NOT NULL
                       AND TRY_CAST(c.max_value AS DOUBLE) IS NOT NULL
                      THEN TRY_CAST(p.max_value AS DOUBLE)
                           < TRY_CAST(c.max_value AS DOUBLE)

@@ -254,15 +254,17 @@ def test_profile_drift_flags(spark, sf_dir):
     assert drift2["o_orderstatus"].range_changed
     assert not drift2["o_orderstatus"].range_expanded
 
-    # NUMERIC expansion that lexicographic string order would miss: max
-    # key grows from e.g. 59999 to 600002 ('600002' < '59999' as strings)
-    # — expanded must fire; and a numeric contraction (all keys % 100,
-    # new max '99' > old max string-wise) must NOT fire
+    # NUMERIC expansion where lexicographic string order DISAGREES with
+    # numeric order: shift every key up by 1_000_000 — the new max (e.g.
+    # '1149999') sorts BELOW the old max ('149999') as a string but is
+    # numerically larger, so only the numeric path fires the signal; and
+    # a numeric contraction (keys % 100, new max '99' ABOVE the old max
+    # string-wise) must NOT fire.
     kcols = ["o_orderkey"]
     kbase = profile_table(orders, kcols)
     grown = profile_table(
         orders.withColumn(
-            "o_orderkey", F.col("o_orderkey") * 10 + F.lit(2)
+            "o_orderkey", F.col("o_orderkey") + F.lit(1_000_000)
         ),
         kcols,
     )
@@ -275,3 +277,19 @@ def test_profile_drift_flags(spark, sf_dir):
     assert s.range_changed and not s.range_expanded, (
         "numeric contraction must not fire the alertable signal"
     )
+
+    # bigint beyond 2^53: adjacent ids must keep exact order (a double
+    # roundtrip would collapse them to equal and silence the signal)
+    big = 1_500_000_000_000_000_001
+    b0 = profile_table(
+        orders.withColumn("o_orderkey", F.lit(big) + F.col("o_orderkey") * 0),
+        kcols,
+    )
+    b1 = profile_table(
+        orders.withColumn(
+            "o_orderkey", F.lit(big + 1) + F.col("o_orderkey") * 0
+        ),
+        kcols,
+    )
+    bg = profile_drift(b1, b0).collect()[0]
+    assert bg.range_expanded, "adjacent >2^53 ids must register as expansion"

@@ -37,25 +37,72 @@ def best_times(history: list[dict], sf: float) -> dict[str, float]:
     return best
 
 
+def host_speed_ratio(
+    timings: dict[str, float],
+    best: dict[str, float],
+    min_queries: int = 10,
+    cap: float = 2.0,
+) -> float:
+    """Median of per-query (current / best) ratios — the run's uniform
+    host-speed factor vs the historical best host state.
+
+    Different bench hosts (or the same host in a different thermal /
+    co-tenancy state) run the WHOLE suite uniformly 1.1-1.3× slower with
+    zero code change (round-4 evidence: three runs, every query including
+    untouched ones shifted together). That uniform shift is not a plan
+    regression, and a gate that compares raw seconds against an all-time
+    best recorded on the fastest-ever host state ships false reds.
+
+    The median is robust to a handful of genuinely-regressed outliers (the
+    thing we want to flag). Guard rails: with fewer than ``min_queries``
+    comparable queries the median is noise — return 1.0 (no normalization);
+    the ratio never normalizes below 1.0 (a fast run tightens, never
+    loosens, the gate) and never above ``cap`` (a ≥2× across-the-board
+    slowdown should flag loudly, not be explained away)."""
+    ratios = sorted(
+        s / best[q]
+        for q, s in timings.items()
+        if q in best and best[q] > 0
+    )
+    if len(ratios) < min_queries:
+        return 1.0
+    mid = len(ratios) // 2
+    med = (
+        ratios[mid]
+        if len(ratios) % 2
+        else (ratios[mid - 1] + ratios[mid]) / 2
+    )
+    return min(max(1.0, med), cap)
+
+
 def check_regressions(
     timings: dict[str, float],
     best: dict[str, float],
     factor: float = REGRESSION_FACTOR,
     min_delta: float = 0.5,
 ) -> dict[str, dict[str, float]]:
-    """Queries slower than ``factor`` × their recorded best (same sf).
+    """Queries slower than ``factor`` × their recorded best (same sf),
+    after normalizing out the run's uniform host-speed factor
+    (``host_speed_ratio``): a regression is a per-query OUTLIER relative
+    to how this run tracks history overall, not a slow host.
 
     ``min_delta`` (seconds) suppresses ratio false-alarms on sub-second
     queries, where scheduler jitter alone exceeds 1.5×: a regression must
     be both relatively (ratio) and absolutely (delta) significant.
     """
+    speed = host_speed_ratio(timings, best)
     return {
-        q: {"sec": s, "best": best[q], "ratio": round(s / best[q], 2)}
+        q: {
+            "sec": s,
+            "best": best[q],
+            "ratio": round(s / best[q], 2),
+            "host_speed": round(speed, 2),
+        }
         for q, s in timings.items()
         if q in best
         and best[q] > 0
-        and s > factor * best[q]
-        and s - best[q] > min_delta
+        and s > factor * speed * best[q]
+        and s - speed * best[q] > min_delta
     }
 
 
@@ -207,6 +254,7 @@ def main() -> None:
         "aggregation": "min",
         "reruns": reruns,
         "regressions": regressions,
+        "host_speed_vs_best": round(host_speed_ratio(timings, best), 2),
         "loadavg_start": load_start,
         "loadavg_end": _loadavg(),
         "cpus": cpus,

@@ -39,6 +39,38 @@ def test_recorded_history_has_no_regressions():
     assert not regs, f"bench regressions vs recorded best: {regs}"
 
 
+def test_uniform_host_slowdown_is_not_a_regression():
+    """Round-4 evidence: three benches with zero relevant code change ran
+    every query (including untouched ones) uniformly 1.1-1.3x over the
+    all-time best. The gate normalizes by the run's median ratio, so a
+    uniformly slower host ships green while a per-query outlier on the
+    same host still flags."""
+    best = {f"q{i}": 1.0 for i in range(12)}
+    # whole run 1.25x (slow host), one genuine 2.5x outlier
+    timings = {f"q{i}": 1.25 for i in range(11)}
+    timings["q11"] = 2.5
+    speed = bench.host_speed_ratio(timings, best)
+    assert speed == pytest.approx(1.25)
+    regs = bench.check_regressions(timings, best)
+    assert set(regs) == {"q11"}
+    assert regs["q11"]["host_speed"] == pytest.approx(1.25)
+
+
+def test_host_speed_ratio_guard_rails():
+    """<10 comparable queries -> no normalization (median of a handful is
+    noise); fast runs never loosen the gate below 1.0; a >=2x uniform
+    slowdown is capped so it still flags loudly."""
+    best = {f"q{i}": 1.0 for i in range(12)}
+    few = {f"q{i}": 1.4 for i in range(4)}
+    assert bench.host_speed_ratio(few, best) == 1.0
+    fast = {f"q{i}": 0.5 for i in range(12)}
+    assert bench.host_speed_ratio(fast, best) == 1.0
+    crawl = {f"q{i}": 3.5 for i in range(12)}
+    assert bench.host_speed_ratio(crawl, best) == 2.0
+    # capped: the across-the-board 3.5x slowdown still flags every query
+    assert set(bench.check_regressions(crawl, best)) == set(crawl)
+
+
 def test_min_delta_suppresses_subsecond_jitter():
     """A 2x ratio on a 0.3s query is scheduler noise, not a regression."""
     best = {"tiny": 0.3, "big": 10.0}

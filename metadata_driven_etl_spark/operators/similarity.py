@@ -533,3 +533,58 @@ def sql_random_project(
         comps.append(f"round({sql_dot(vec_col, hp)} * {scale!r}, 6)")
     arr = "[" + ", ".join(comps) + "]"
     return f"SELECT {id_col}, {arr} AS projected FROM {table}"
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``q_i = round_half_up(
+    x_i * 127 / max_j |x_j|)`` — the standard storage/serving compression
+    for embedding corpora (4x smaller than float32, recall loss <1% for
+    cosine retrieval at this precision).
+
+    Exactness contract (oracle parity): every arithmetic step is a single
+    correctly-rounded IEEE-754 double op in both engines — float→double
+    widening (exact), ``x*127`` (exact: 24-bit mantissa + 7 bits), one
+    division, one addition, ``floor`` — and the mul-add pair is separated
+    by the division so neither engine can FMA-contract it. Half-up
+    rounding is spelled ``floor(v + 0.5)`` because the engines' ``round``
+    disagree on ties (HALF_UP vs banker's) — floor is unambiguous.
+
+    Scale shape: pure per-row array expressions (whole-stage codegen, zero
+    shuffles, zero Python); map-only at any corpus size.
+    """
+    xd = _as_double(F.col(vec_col))
+    scale = F.array_max(F.transform(xd, lambda x: F.abs(x)))
+    q = F.when(
+        scale > 0,
+        F.transform(
+            xd,
+            lambda x: F.floor(x * F.lit(127.0) / scale + F.lit(0.5)).cast(
+                "long"
+            ),
+        ),
+    ).otherwise(F.transform(xd, lambda x: F.lit(0).cast("long")))
+    return df.select(
+        F.col(id_col), scale.alias("scale"), q.alias("qvec")
+    )
+
+
+def sql_quantize_int8(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of ``quantize_int8`` (same op order — see docstring)."""
+    xd = f"list_transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    return f"""
+    SELECT {id_col}, scale,
+           CASE WHEN scale > 0
+                THEN list_transform(xd,
+                     x -> CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT))
+                ELSE list_transform(xd, x -> CAST(0 AS BIGINT))
+           END AS qvec
+    FROM (SELECT {id_col}, {xd} AS xd,
+                 list_max(list_transform({xd}, x -> abs(x))) AS scale
+          FROM {table})
+    """

@@ -160,3 +160,61 @@ def resample_gap_fill(
         fill = fills.get(name, F.lit(0))
         out = out.withColumn(name, F.coalesce(F.col(name), fill))
     return out
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    window: str = "30 minutes",
+) -> DataFrame:
+    """Ordered-funnel depth per user (ClickHouse ``windowFunnel`` shape).
+
+    For each user: ``funnel_step`` = the deepest k such that events of
+    type ``steps[0] .. steps[k-1]`` occurred in order, each within
+    ``window`` of (the latest qualifying occurrence of) the previous
+    step. "In order" means strictly earlier in ``(ts, order_col)`` order —
+    a total, deterministic order both engines share, so ties on ``ts``
+    resolve identically everywhere.
+
+    Scale shape: ONE hash shuffle on ``user_col``; each funnel level is a
+    window ``max`` over the same (partition, ordering), so Catalyst plans
+    len(steps)-1 WindowExecs over a single Exchange+Sort; the final
+    per-user aggregate reuses the same partitioning (no second shuffle
+    under AQE). Never materializes event pairs — O(|events|) state, vs the
+    |events|² a self-join-per-level formulation would cost at 100 TB.
+    """
+    w_prev = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    df = events.select(user_col, type_col, ts_col, order_col).withColumn(
+        "_q1", (F.col(type_col) == steps[0]).cast("int")
+    )
+    for k, step in enumerate(steps[1:], start=2):
+        prev_ts = F.max(
+            F.when(F.col(f"_q{k - 1}") == 1, F.col(ts_col))
+        ).over(w_prev)
+        df = df.withColumn(
+            f"_q{k}",
+            (
+                (F.col(type_col) == step)
+                & prev_ts.isNotNull()
+                & (prev_ts > F.col(ts_col) - F.expr(f"INTERVAL {window}"))
+            ).cast("int"),
+        )
+    reached = [
+        F.max(f"_q{k}").alias(f"_s{k}") for k in range(1, len(steps) + 1)
+    ]
+    out = df.groupBy(user_col).agg(*reached)
+    depth = None
+    for k in range(1, len(steps) + 1):
+        term = F.col(f"_s{k}")
+        depth = term if depth is None else depth + term
+    return out.select(
+        F.col(user_col), depth.cast("int").alias("funnel_step")
+    )

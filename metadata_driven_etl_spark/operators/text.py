@@ -444,3 +444,31 @@ def sql_feature_hash_embed(
                                     b -> b = i)) AS DOUBLE)) AS embedding
     FROM {table}
     """
+
+
+def bigrams(col: Column | str) -> Column:
+    """Adjacent-token bigrams ("a b") of the normalized text as an array —
+    per-row array expressions only (zip_with over two shifted slices), so
+    bigram formation is map-side at any scale; docs with <2 tokens yield
+    an empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    return F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def sql_bigrams(expr: str) -> str:
+    """DuckDB twin of ``bigrams``."""
+    toks = sql_tokens(expr)
+    return (
+        f"CASE WHEN len({toks}) >= 2 THEN "
+        f"list_transform(generate_series(1, len({toks}) - 1), "
+        f"i -> {toks}[i] || ' ' || {toks}[i + 1]) "
+        f"ELSE [] END"
+    )

@@ -3899,6 +3899,128 @@ def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "funnel_conversion_steps",
+    oracle="""
+    WITH w1 AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS q1,
+               max(CASE WHEN event_type = 'view' THEN ts END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS v_prev
+        FROM events),
+    w2 AS (
+        SELECT *,
+               CASE WHEN event_type = 'click' AND v_prev IS NOT NULL
+                         AND v_prev > ts - INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS q2
+        FROM w1),
+    w3 AS (
+        SELECT *,
+               CASE WHEN event_type = 'purchase' AND c_prev IS NOT NULL
+                         AND c_prev > ts - INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS q3
+        FROM (SELECT *,
+                     max(CASE WHEN q2 = 1 THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS c_prev
+              FROM w2))
+    SELECT user_id,
+           CAST(max(q1) + max(q2) + max(q3) AS INT) AS funnel_step
+    FROM w3
+    GROUP BY user_id""",
+)
+def funnel_conversion_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase per user, each step within 30
+    minutes of the latest qualifying previous step (ClickHouse
+    ``windowFunnel`` semantics — an operator the reference has no analog
+    for, standard in product analytics over event streams).
+
+    Scale: ONE hash shuffle on user_id; both funnel levels are window
+    maxes over the same (partition, order), planned as stacked WindowExecs
+    on a single Exchange+Sort; the closing per-user aggregate reuses that
+    partitioning. State is O(|events|) — no per-level self-join, no pair
+    blow-up. "Strictly earlier" is (ts, event_id) lexicographic order —
+    total and engine-independent, so ties hash identically.
+    """
+    from metadata_driven_etl_spark.operators import temporal
+
+    return temporal.funnel_steps(
+        _t(spark, sf_dir, "events"),
+        steps=("view", "click", "purchase"),
+        window="30 minutes",
+    )
+
+
+@workload(
+    "embedding_quantize_int8",
+    oracle=sim_ops.sql_quantize_int8(),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding corpus — the standard
+    4× storage/serving compression step of an embedding pipeline. Map-only
+    per-row array expressions (whole-stage codegen, zero shuffles); the
+    op-order is chosen so every step is one correctly-rounded IEEE double
+    op in both engines (see operators/similarity.quantize_int8), making
+    the int8 codes bit-exact against the DuckDB oracle.
+    """
+    return sim_ops.quantize_int8(_emb(spark, sf_dir))
+
+
+@workload(
+    "text_bigram_lm_score",
+    oracle=f"""
+    WITH big AS (
+        SELECT doc_id, unnest({text_ops.sql_bigrams('text')}) AS bigram
+        FROM documents
+        WHERE len({text_ops.sql_tokens('text')}) >= 2),
+    cnt AS (
+        SELECT bigram, CAST(count(*) AS BIGINT) AS bg_freq
+        FROM big GROUP BY 1)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           avg(bg_freq) AS avg_bigram_freq
+    FROM big JOIN cnt USING (bigram)
+    GROUP BY 1""",
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM typicality score per document — the CCNet/KenLM quality-
+    filter shape: train a bigram frequency model ON the corpus, score each
+    doc by how typical its bigrams are. The score is the mean corpus
+    frequency of the doc's bigrams — a monotone stand-in for (negated)
+    add-one perplexity that stays in exact integer/single-division
+    arithmetic (ln is not correctly rounded in either engine's libm, so a
+    log-space score cannot hash-match; the mean-frequency rank order is
+    what the filter thresholds anyway).
+
+    Scale: bigram formation is per-row array expressions (map-side); ONE
+    shuffle builds the frequency table, one shuffle joins scores back and
+    aggregates per doc — the inverted-index join pattern, never all-pairs.
+    The bigram frame is consumed twice (model build + scoring), so it is
+    localCheckpoint-materialized once (self-join sides get no
+    ReusedExchange; on a real cluster use a durable checkpoint dir).
+    """
+    docs = _docs(spark, sf_dir)
+    pairs = (
+        docs.select("doc_id", text_ops.bigrams("text").alias("bigs"))
+        .filter(F.size("bigs") >= 1)
+        .select("doc_id", F.explode("bigs").alias("bigram"))
+        .localCheckpoint(eager=False)
+    )
+    counts = pairs.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("bg_freq")
+    )
+    return (
+        pairs.join(counts, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg("bg_freq").alias("avg_bigram_freq"),
+        )
+    )
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================
@@ -3936,9 +4058,11 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_random_projection", "select_token_budget",
     "profile_drift_orders", "text_feature_hash_embed", "dedup_span_exact",
     "training_order",
+    # --- round-4 additions (first driver check) ---
+    "funnel_conversion_steps", "embedding_quantize_int8",
+    "text_bigram_lm_score",
     # --- stalest re-checks (last driver row: round 1) ---
     "agg_rollup", "agg_cube", "pivot_linestatus",
-    "setop_intersect", "setop_except", "window_rank_ntile",
 ]
 
 

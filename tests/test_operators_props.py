@@ -446,3 +446,126 @@ def test_lsh_pairs_durable_checkpoint_seam(spark, sf_dir, tmp_path):
         import pathlib
 
         assert any(pathlib.Path(ckpt).rglob("*")), "no checkpoint files"
+
+
+# --- funnel_steps ------------------------------------------------------------
+
+
+def _funnel(spark, rows):
+    import datetime as _dt
+
+    from metadata_driven_etl_spark.operators.temporal import funnel_steps
+
+    base = _dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (i, u, t, base + _dt.timedelta(minutes=m))
+            for i, (u, t, m) in enumerate(rows)
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    out = funnel_steps(
+        df, steps=("view", "click", "purchase"), window="30 minutes"
+    )
+    return {r["user_id"]: r["funnel_step"] for r in out.collect()}
+
+
+def test_funnel_orders_and_windows(spark):
+    got = _funnel(
+        spark,
+        [
+            # u1: full ordered funnel inside the window -> 3
+            (1, "view", 0), (1, "click", 10), (1, "purchase", 20),
+            # u2: click BEFORE any view -> click never qualifies -> 1
+            (2, "click", 0), (2, "view", 10), (2, "purchase", 20),
+            # u3: click 40min after the only view -> window expired -> 1
+            (3, "view", 0), (3, "click", 40), (3, "purchase", 50),
+            # u4: no view at all -> 0
+            (4, "click", 0), (4, "purchase", 10),
+            # u5: purchase too late after the qualifying click -> 2
+            (5, "view", 0), (5, "click", 20), (5, "purchase", 60),
+        ],
+    )
+    assert got == {1: 3, 2: 1, 3: 1, 4: 0, 5: 2}
+
+
+def test_funnel_uses_latest_qualifying_step(spark):
+    # The window is measured from the LATEST qualifying previous step:
+    # view@0, click@25 (qualifies), purchase@50 is 25min after the click.
+    got = _funnel(
+        spark, [(7, "view", 0), (7, "click", 25), (7, "purchase", 50)]
+    )
+    assert got == {7: 3}
+
+
+def test_funnel_strict_order_is_prior_row(spark):
+    # A purchase at the exact ts of the click is NOT after it in
+    # (ts, event_id) order when its event_id sorts first.
+    import datetime as _dt
+
+    from metadata_driven_etl_spark.operators.temporal import funnel_steps
+
+    base = _dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (2, 9, "view", base),
+            (1, 9, "purchase", base + _dt.timedelta(minutes=5)),
+            (0, 9, "click", base + _dt.timedelta(minutes=5)),
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    out = funnel_steps(
+        df, steps=("view", "click", "purchase"), window="30 minutes"
+    ).collect()
+    # click (event_id 0) sorts before purchase (event_id 1) at the same
+    # ts, so the purchase sees a prior qualifying click -> depth 3
+    assert out[0]["funnel_step"] == 3
+
+
+def test_funnel_single_shuffle_plan(spark, sf_dir):
+    """SCALE.md: both window levels + the closing agg ride ONE exchange."""
+    from metadata_driven_etl_spark import workloads
+
+    df = workloads.QUERIES["funnel_conversion_steps"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+# --- quantize_int8 -----------------------------------------------------------
+
+
+def test_quantize_int8_values_and_edges(spark):
+    from metadata_driven_etl_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -1.0, 0.25]),
+            (2, [0.0, 0.0]),          # zero vector: scale 0, all-zero codes
+            (3, [-2.0]),              # single negative: max |x| itself
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    assert rows[1]["qvec"] == [64, -127, 32] and rows[1]["scale"] == 1.0
+    assert rows[2]["qvec"] == [0, 0] and rows[2]["scale"] == 0.0
+    assert rows[3]["qvec"] == [-127] and rows[3]["scale"] == 2.0
+    # codes always within int8 range
+    assert all(-127 <= q <= 127 for r in rows.values() for q in r["qvec"])
+
+
+# --- bigrams -----------------------------------------------------------------
+
+
+def test_bigrams_shape(spark):
+    from metadata_driven_etl_spark.operators.text import bigrams
+
+    df = spark.createDataFrame(
+        [(1, "The quick, brown fox!"), (2, "one"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["b"]
+        for r in df.select("doc_id", bigrams("text").alias("b")).collect()
+    }
+    assert got[1] == ["the quick", "quick brown", "brown fox"]
+    assert got[2] == [] and got[3] == []

@@ -40,9 +40,15 @@ NEVER_CHECKED_R4 = {
     "profile_drift_orders", "text_feature_hash_embed", "dedup_span_exact",
     "training_order",
 }
+# Round-4 additions (funnel / int8 quantize / bigram-LM score) take their
+# first driver check immediately; three stale keys (each green in r1 and
+# locally oracle-checked) yield their slots to keep the prefix at 50.
+NEW_IN_R4 = {
+    "funnel_conversion_steps", "embedding_quantize_int8",
+    "text_bigram_lm_score",
+}
 STALE_RECHECK_R4 = {
     "agg_rollup", "agg_cube", "pivot_linestatus",
-    "setop_intersect", "setop_except", "window_rank_ntile",
 }
 
 # Approximate-by-design ops: no exact SQL twin exists, so the driver
@@ -73,7 +79,7 @@ def test_core_keys_never_rotate():
 
 def test_rotation_tail_matches_coverage_plan():
     tail = set(workloads.DRIVER_PRIORITY[len(CORE):])
-    assert tail == NEVER_CHECKED_R4 | STALE_RECHECK_R4
+    assert tail == NEVER_CHECKED_R4 | NEW_IN_R4 | STALE_RECHECK_R4
 
 
 def test_priority_entries_all_have_oracles():

@@ -148,6 +148,9 @@ HEADLINE = [
     "dedup_span_exact",
     "fuzzy_join_tables",
     "training_order",
+    "funnel_conversion_steps",
+    "embedding_quantize_int8",
+    "text_bigram_lm_score",
 ]
 
 

@@ -72,7 +72,30 @@ OPS = {
         df.select("doc_id"), dedup_ops.lsh_candidate_pairs(df)
     ),
     "text_quality": lambda df: text_ops.quality_features(df),
+    "text_bigram_lm": lambda df: _bigram_lm(df),
 }
+
+
+def _bigram_lm(df: DataFrame) -> DataFrame:
+    """workloads.text_bigram_lm_score shape: map-side bigram formation,
+    one shuffle for the frequency model, one inverted-index scoring join.
+    The model table grows with the bigram vocabulary, not the corpus row
+    count — the curve should stay near-linear."""
+    pairs = (
+        df.select("doc_id", text_ops.bigrams("text").alias("bigs"))
+        .filter(F.size("bigs") >= 1)
+        .select("doc_id", F.explode("bigs").alias("bigram"))
+        .localCheckpoint(eager=False)
+    )
+    counts = pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("bg_freq"))
+    return (
+        pairs.join(counts, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg("bg_freq").alias("avg_bigram_freq"),
+        )
+    )
 
 
 def run_op(build, df: DataFrame) -> float:
@@ -84,8 +107,19 @@ def run_op(build, df: DataFrame) -> float:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,10,100")
+    ap.add_argument(
+        "--ops", default="", help="comma-separated OPS subset (default all)"
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
+    if args.ops:
+        wanted = set(args.ops.split(","))
+        unknown = wanted - set(OPS)
+        if unknown:
+            ap.error(f"unknown ops: {sorted(unknown)}")
+        for op in list(OPS):
+            if op not in wanted:
+                del OPS[op]
 
     # a 100x amplified corpus with ~100-copy clusters correctly implies
     # tens of millions of true pairs — size the single local JVM for it

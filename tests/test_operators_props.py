@@ -569,3 +569,69 @@ def test_bigrams_shape(spark):
     }
     assert got[1] == ["the quick", "quick brown", "brown fox"]
     assert got[2] == [] and got[3] == []
+
+
+# --- funnel ≡ brute force ----------------------------------------------------
+
+_FUNNEL_EVENTS = st.lists(
+    st.tuples(
+        st.integers(0, 3),            # user
+        st.sampled_from(["view", "click", "purchase", "other"]),
+        st.integers(0, 120),          # minutes offset (ties allowed)
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+def _brute_funnel(rows, steps, window_min):
+    """Reference semantics: scan each user's events in (ts, event_id)
+    order, tracking the latest qualifying ts per level."""
+    out = {}
+    by_user = {}
+    for eid, (u, t, m) in enumerate(rows):
+        by_user.setdefault(u, []).append((m, eid, t))
+    for u, evs in by_user.items():
+        evs.sort()
+        latest = [None] * len(steps)   # latest qualifying ts per level
+        reached = [0] * len(steps)
+        for m, _eid, t in evs:
+            for k, step in enumerate(steps):
+                if t != step:
+                    continue
+                if k == 0:
+                    qual = True
+                else:
+                    prev = latest[k - 1]
+                    qual = prev is not None and prev > m - window_min
+                if qual:
+                    reached[k] = 1
+                    latest[k] = m if latest[k] is None else max(latest[k], m)
+                break
+        out[u] = sum(reached)
+    return out
+
+
+@given(rows=_FUNNEL_EVENTS)
+@settings(**_SETTINGS)
+def test_funnel_matches_brute_force(spark_global, rows):
+    import datetime as _dt
+
+    from metadata_driven_etl_spark.operators.temporal import funnel_steps
+
+    spark = spark_global
+    base = _dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (eid, u, t, base + _dt.timedelta(minutes=m))
+            for eid, (u, t, m) in enumerate(rows)
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    got = {
+        r["user_id"]: r["funnel_step"]
+        for r in funnel_steps(
+            df, steps=("view", "click", "purchase"), window="30 minutes"
+        ).collect()
+    }
+    assert got == _brute_funnel(rows, ("view", "click", "purchase"), 30)

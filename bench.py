@@ -80,6 +80,7 @@ def check_regressions(
     best: dict[str, float],
     factor: float = REGRESSION_FACTOR,
     min_delta: float = 0.5,
+    speed: float | None = None,
 ) -> dict[str, dict[str, float]]:
     """Queries slower than ``factor`` × their recorded best (same sf),
     after normalizing out the run's uniform host-speed factor
@@ -89,8 +90,15 @@ def check_regressions(
     ``min_delta`` (seconds) suppresses ratio false-alarms on sub-second
     queries, where scheduler jitter alone exceeds 1.5×: a regression must
     be both relatively (ratio) and absolutely (delta) significant.
+
+    ``speed``: pass a pre-computed host-speed ratio so several calls
+    judge against the SAME threshold — the rerun pass must re-check with
+    the ratio that produced the first flags, else improving one query's
+    time shifts the median and can flag a borderline query that never got
+    its one fresh re-run.
     """
-    speed = host_speed_ratio(timings, best)
+    if speed is None:
+        speed = host_speed_ratio(timings, best)
     return {
         q: {
             "sec": s,
@@ -228,8 +236,13 @@ def main() -> None:
     # re-run, while a real plan regression reproduces.
     history = load_history()
     best = best_times(history, sf)
+    # ONE host-speed snapshot for the whole guard: the rerun pass and the
+    # final check must use the same threshold (a rerun that improves one
+    # query would otherwise shift the median and flag a borderline query
+    # that never got its fresh re-run).
+    speed = host_speed_ratio(timings, best)
     reruns: list[str] = []
-    for name in check_regressions(timings, best):
+    for name in check_regressions(timings, best, speed=speed):
         start = time.perf_counter()
         workloads.QUERIES[name](spark, sf_dir).write.format("noop").mode(
             "overwrite"
@@ -240,7 +253,7 @@ def main() -> None:
             timings[name] = retime
 
     total = round(sum(timings.values()), 3)
-    regressions = check_regressions(timings, best)
+    regressions = check_regressions(timings, best, speed=speed)
     cpus = os.cpu_count() or 32
     # a run that STARTED on a contended host (1-min load >= cpus/4) is
     # flagged in its own record and never written to the local history,
@@ -257,7 +270,13 @@ def main() -> None:
         "aggregation": "min",
         "reruns": reruns,
         "regressions": regressions,
-        "host_speed_vs_best": round(host_speed_ratio(timings, best), 2),
+        "host_speed_vs_best": round(speed, 2),
+        # Normalization trade-off made visible: a uniform shift this large
+        # is USUALLY host state, but a code change that slows EVERY query
+        # (a session conf, a catalog-layer change) looks identical — this
+        # flag tells the reader to diff the per-query table round-over-
+        # round instead of trusting the empty regressions dict alone.
+        "uniform_slowdown_warning": speed >= 1.35,
         "loadavg_start": load_start,
         "loadavg_end": _loadavg(),
         "cpus": cpus,

@@ -553,6 +553,12 @@ def quantize_int8(
 
     Scale shape: pure per-row array expressions (whole-stage codegen, zero
     shuffles, zero Python); map-only at any corpus size.
+
+    Precondition: vector elements must be FINITE. A NaN/Inf element makes
+    ``scale`` non-finite, and the engines then diverge (Spark's non-ANSI
+    ``floor(NaN).cast('long')`` silently yields 0; DuckDB raises a cast
+    error) — filter or impute non-finite embeddings upstream (they are
+    corrupt for every downstream consumer, not just this one).
     """
     xd = _as_double(F.col(vec_col))
     scale = F.array_max(F.transform(xd, lambda x: F.abs(x)))

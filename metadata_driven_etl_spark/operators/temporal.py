@@ -192,8 +192,13 @@ def funnel_steps(
         .orderBy(ts_col, order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # F.when(...).otherwise(0), not bool.cast("int"): a NULL event_type
+    # makes the equality NULL, and NULL must count as "not this step"
+    # (0) — a bare cast would propagate NULL through max() and leave the
+    # user's funnel_step NULL instead of 0 (SQL-oracle CASE ... ELSE 0
+    # semantics).
     df = events.select(user_col, type_col, ts_col, order_col).withColumn(
-        "_q1", (F.col(type_col) == steps[0]).cast("int")
+        "_q1", F.when(F.col(type_col) == steps[0], 1).otherwise(0)
     )
     for k, step in enumerate(steps[1:], start=2):
         prev_ts = F.max(
@@ -201,11 +206,12 @@ def funnel_steps(
         ).over(w_prev)
         df = df.withColumn(
             f"_q{k}",
-            (
+            F.when(
                 (F.col(type_col) == step)
                 & prev_ts.isNotNull()
-                & (prev_ts > F.col(ts_col) - F.expr(f"INTERVAL {window}"))
-            ).cast("int"),
+                & (prev_ts > F.col(ts_col) - F.expr(f"INTERVAL {window}")),
+                1,
+            ).otherwise(0),
         )
     reached = [
         F.max(f"_q{k}").alias(f"_s{k}") for k in range(1, len(steps) + 1)

@@ -463,12 +463,47 @@ def bigrams(col: Column | str) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def sql_bigrams(expr: str) -> str:
-    """DuckDB twin of ``bigrams``."""
-    toks = sql_tokens(expr)
+def sql_bigrams_from_tokens(toks: str) -> str:
+    """DuckDB bigram list over an already-bound token-list expression.
+
+    Callers should bind the (regex-heavy) token list ONCE in a subquery
+    and pass its alias here — inlining ``sql_tokens`` directly would
+    re-tokenize the document inside the per-index lambda, O(n²) regex
+    work per document.
+    """
     return (
         f"CASE WHEN len({toks}) >= 2 THEN "
         f"list_transform(generate_series(1, len({toks}) - 1), "
         f"i -> {toks}[i] || ' ' || {toks}[i + 1]) "
         f"ELSE [] END"
+    )
+
+
+def bigram_lm_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-LM typicality per document: mean corpus frequency of the
+    doc's bigrams (the CCNet/KenLM quality-filter shape in exact
+    arithmetic — see workloads.text_bigram_lm_score for the full
+    rationale). Bigrams form map-side; ONE shuffle builds the frequency
+    model; one inverted-index join scores docs. The bigram frame is
+    consumed twice (model + scoring) and so is localCheckpoint-
+    materialized once. Shared by the workload and the scaling probe so
+    the measured curve always describes the shipped operator."""
+    pairs = (
+        docs.select(id_col, bigrams(text_col).alias("bigs"))
+        .filter(F.size("bigs") >= 1)
+        .select(id_col, F.explode("bigs").alias("bigram"))
+        .localCheckpoint(eager=False)
+    )
+    counts = pairs.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("bg_freq")
+    )
+    return (
+        pairs.join(counts, "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg("bg_freq").alias("avg_bigram_freq"),
+        )
     )

@@ -3972,10 +3972,14 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 @workload(
     "text_bigram_lm_score",
     oracle=f"""
-    WITH big AS (
-        SELECT doc_id, unnest({text_ops.sql_bigrams('text')}) AS bigram
-        FROM documents
-        WHERE len({text_ops.sql_tokens('text')}) >= 2),
+    WITH tok AS (
+        SELECT doc_id, {text_ops.sql_tokens('text')} AS toks
+        FROM documents),
+    big AS (
+        SELECT doc_id,
+               unnest({text_ops.sql_bigrams_from_tokens('toks')}) AS bigram
+        FROM tok
+        WHERE len(toks) >= 2),
     cnt AS (
         SELECT bigram, CAST(count(*) AS BIGINT) AS bg_freq
         FROM big GROUP BY 1)
@@ -4001,24 +4005,7 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint-materialized once (self-join sides get no
     ReusedExchange; on a real cluster use a durable checkpoint dir).
     """
-    docs = _docs(spark, sf_dir)
-    pairs = (
-        docs.select("doc_id", text_ops.bigrams("text").alias("bigs"))
-        .filter(F.size("bigs") >= 1)
-        .select("doc_id", F.explode("bigs").alias("bigram"))
-        .localCheckpoint(eager=False)
-    )
-    counts = pairs.groupBy("bigram").agg(
-        F.count(F.lit(1)).alias("bg_freq")
-    )
-    return (
-        pairs.join(counts, "bigram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.avg("bg_freq").alias("avg_bigram_freq"),
-        )
-    )
+    return text_ops.bigram_lm_score(_docs(spark, sf_dir))
 
 
 # =========================================================================

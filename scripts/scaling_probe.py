@@ -72,30 +72,10 @@ OPS = {
         df.select("doc_id"), dedup_ops.lsh_candidate_pairs(df)
     ),
     "text_quality": lambda df: text_ops.quality_features(df),
-    "text_bigram_lm": lambda df: _bigram_lm(df),
+    # the probe calls the SAME implementation the workload ships, so the
+    # measured curve always describes the shipped operator
+    "text_bigram_lm": lambda df: text_ops.bigram_lm_score(df),
 }
-
-
-def _bigram_lm(df: DataFrame) -> DataFrame:
-    """workloads.text_bigram_lm_score shape: map-side bigram formation,
-    one shuffle for the frequency model, one inverted-index scoring join.
-    The model table grows with the bigram vocabulary, not the corpus row
-    count — the curve should stay near-linear."""
-    pairs = (
-        df.select("doc_id", text_ops.bigrams("text").alias("bigs"))
-        .filter(F.size("bigs") >= 1)
-        .select("doc_id", F.explode("bigs").alias("bigram"))
-        .localCheckpoint(eager=False)
-    )
-    counts = pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("bg_freq"))
-    return (
-        pairs.join(counts, "bigram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.avg("bg_freq").alias("avg_bigram_freq"),
-        )
-    )
 
 
 def run_op(build, df: DataFrame) -> float:

@@ -635,3 +635,25 @@ def test_funnel_matches_brute_force(spark_global, rows):
         ).collect()
     }
     assert got == _brute_funnel(rows, ("view", "click", "purchase"), 30)
+
+
+def test_funnel_null_event_type_counts_as_no_step(spark):
+    """A NULL event_type is 'not this step' (0), matching the SQL
+    oracle's CASE ... ELSE 0 — not NULL propagated through max()."""
+    import datetime as _dt
+
+    from metadata_driven_etl_spark.operators.temporal import funnel_steps
+
+    base = _dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(0, 11, None, base), (1, 11, None, base + _dt.timedelta(minutes=1)),
+         (2, 12, None, base), (3, 12, "view", base + _dt.timedelta(minutes=1))],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    got = {
+        r["user_id"]: r["funnel_step"]
+        for r in funnel_steps(
+            df, steps=("view", "click", "purchase"), window="30 minutes"
+        ).collect()
+    }
+    assert got == {11: 0, 12: 1}

@@ -79,6 +79,7 @@ MAP_ONLY = [
     "text_chunk_windows",
     "embedding_random_projection",
     "text_feature_hash_embed",
+    "embedding_quantize_int8",
 ]
 
 
@@ -123,3 +124,13 @@ def test_multimodal_features_prunes_payload_for_metadata_agg(spark, sf_dir):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "payload" not in ln, ln
+
+
+def test_bigram_lm_no_cartesian_and_broadcast_free_model_join(spark, sf_dir):
+    """SCALE.md: bigram formation is map-side; the scoring join is an
+    equi-join on the bigram key — never cartesian. (Exchange count is not
+    pinned: the model side legitimately shuffles once, and AQE may turn
+    the scoring join into a broadcast at small SF.)"""
+    plan = _plan(workloads.QUERIES["text_bigram_lm_score"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -4008,6 +4008,50 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.bigram_lm_score(_docs(spark, sf_dir))
 
 
+@workload(
+    "cohort_retention_weekly",
+    oracle="""
+    WITH wk AS (
+        SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+    coh AS (
+        SELECT user_id, wk,
+               min(wk) OVER (PARTITION BY user_id) AS cohort_week
+        FROM wk)
+    SELECT cohort_week,
+           CAST(datediff('day', cohort_week, wk) // 7 AS INT) AS week_index,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+    FROM coh
+    GROUP BY 1, 2""",
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention — the classic product-analytics triangle:
+    users grouped by first-active week (cohort), counted distinct in each
+    subsequent week. Pure date/integer arithmetic (ISO-Monday week
+    truncation agrees across engines; both sides cast to DATE — Spark's
+    date_trunc returns a timestamp, DuckDB's a date).
+
+    Scale: one window shuffle on user_id assigns cohorts (min-week per
+    user), then one count-distinct aggregate on (cohort, week_index) —
+    Spark plans the distinct as the standard two-phase expand, partials
+    map-side. No joins, no per-user state beyond the window sort.
+    """
+    from pyspark.sql import Window
+
+    wk = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk")
+    )
+    coh = wk.withColumn(
+        "cohort_week",
+        F.min("wk").over(Window.partitionBy("user_id")),
+    )
+    return coh.groupBy(
+        "cohort_week",
+        F.floor(F.datediff("wk", "cohort_week") / 7)
+        .cast("int")
+        .alias("week_index"),
+    ).agg(F.countDistinct("user_id").alias("active_users"))
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================
@@ -4047,9 +4091,9 @@ DRIVER_PRIORITY: list[str] = [
     "training_order",
     # --- round-4 additions (first driver check) ---
     "funnel_conversion_steps", "embedding_quantize_int8",
-    "text_bigram_lm_score",
+    "text_bigram_lm_score", "cohort_retention_weekly",
     # --- stalest re-checks (last driver row: round 1) ---
-    "agg_rollup", "agg_cube", "pivot_linestatus",
+    "agg_rollup", "agg_cube",
 ]
 
 

@@ -40,15 +40,16 @@ NEVER_CHECKED_R4 = {
     "profile_drift_orders", "text_feature_hash_embed", "dedup_span_exact",
     "training_order",
 }
-# Round-4 additions (funnel / int8 quantize / bigram-LM score) take their
-# first driver check immediately; three stale keys (each green in r1 and
-# locally oracle-checked) yield their slots to keep the prefix at 50.
+# Round-4 additions (funnel / int8 quantize / bigram-LM score / cohort
+# retention) take their first driver check immediately; four stale keys
+# (each green in r1 and locally oracle-checked) yield their slots to keep
+# the prefix at 50.
 NEW_IN_R4 = {
     "funnel_conversion_steps", "embedding_quantize_int8",
-    "text_bigram_lm_score",
+    "text_bigram_lm_score", "cohort_retention_weekly",
 }
 STALE_RECHECK_R4 = {
-    "agg_rollup", "agg_cube", "pivot_linestatus",
+    "agg_rollup", "agg_cube",
 }
 
 # Approximate-by-design ops: no exact SQL twin exists, so the driver

@@ -159,6 +159,7 @@ HEADLINE = [
     "funnel_conversion_steps",
     "embedding_quantize_int8",
     "text_bigram_lm_score",
+    "cohort_retention_weekly",
 ]
 
 

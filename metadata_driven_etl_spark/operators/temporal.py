@@ -224,3 +224,30 @@ def funnel_steps(
     return out.select(
         F.col(user_col), depth.cast("int").alias("funnel_step")
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: (cohort_week, week_index, active_users).
+
+    One window shuffle on the user assigns cohorts (min active week per
+    user), then one count-distinct aggregate on (cohort, week_index) —
+    planned as Spark's two-phase expand with map-side partials. Pure
+    date/integer arithmetic (ISO-Monday week truncation, DATE-cast for
+    engine parity). Shared by the workload and the scaling probe.
+    """
+    wk = events.select(
+        user_col, F.to_date(F.date_trunc("week", F.col(ts_col))).alias("wk")
+    )
+    coh = wk.withColumn(
+        "cohort_week", F.min("wk").over(Window.partitionBy(user_col))
+    )
+    return coh.groupBy(
+        "cohort_week",
+        F.floor(F.datediff("wk", "cohort_week") / 7)
+        .cast("int")
+        .alias("week_index"),
+    ).agg(F.countDistinct(user_col).alias("active_users"))

@@ -4035,21 +4035,9 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark plans the distinct as the standard two-phase expand, partials
     map-side. No joins, no per-user state beyond the window sort.
     """
-    from pyspark.sql import Window
+    from metadata_driven_etl_spark.operators import temporal
 
-    wk = _t(spark, sf_dir, "events").select(
-        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("wk")
-    )
-    coh = wk.withColumn(
-        "cohort_week",
-        F.min("wk").over(Window.partitionBy("user_id")),
-    )
-    return coh.groupBy(
-        "cohort_week",
-        F.floor(F.datediff("wk", "cohort_week") / 7)
-        .cast("int")
-        .alias("week_index"),
-    ).agg(F.countDistinct("user_id").alias("active_users"))
+    return temporal.cohort_retention(_t(spark, sf_dir, "events"))
 
 
 # =========================================================================

@@ -28,10 +28,32 @@ from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
 from metadata_driven_etl_spark.catalog import load_table  # noqa: E402
 from metadata_driven_etl_spark.operators import dedup as dedup_ops  # noqa: E402
+from metadata_driven_etl_spark.operators import temporal as temporal_ops  # noqa: E402
 from metadata_driven_etl_spark.operators import text as text_ops  # noqa: E402
 from metadata_driven_etl_spark.session import get_local_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def amplify_events(spark, scale: int, out_dir: str) -> str:
+    """Write an Nx events table: each copy is a fresh user population
+    (user_id/event_id offset per copy, timestamps unchanged) — scaling
+    the dimension the window/funnel/cohort ops actually partition by."""
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    n_ev = ev.count()
+    n_users = ev.agg(F.max("user_id")).first()[0] + 1
+    copies = spark.range(scale).select(F.col("id").alias("_copy"))
+    amplified = ev.crossJoin(F.broadcast(copies)).select(
+        (F.col("event_id") + F.col("_copy") * F.lit(n_ev)).alias("event_id"),
+        (F.col("user_id") + F.col("_copy") * F.lit(n_users)).alias("user_id"),
+        "event_type",
+        "ts",
+    )
+    path = os.path.join(out_dir, f"events_x{scale}.parquet")
+    amplified.repartition(max(32, scale)).write.mode("overwrite").parquet(path)
+    return path
 
 
 def amplify(spark, scale: int, out_dir: str) -> str:
@@ -77,6 +99,14 @@ OPS = {
     "text_bigram_lm": lambda df: text_ops.bigram_lm_score(df),
 }
 
+# events-table ops (--table events): user-partitioned window shapes
+EVENT_OPS = {
+    "funnel_steps": lambda df: temporal_ops.funnel_steps(
+        df, steps=("view", "click", "purchase"), window="30 minutes"
+    ),
+    "cohort_retention": lambda df: temporal_ops.cohort_retention(df),
+}
+
 
 def run_op(build, df: DataFrame) -> float:
     t0 = time.perf_counter()
@@ -90,16 +120,23 @@ def main() -> None:
     ap.add_argument(
         "--ops", default="", help="comma-separated OPS subset (default all)"
     )
+    ap.add_argument(
+        "--table",
+        default="documents",
+        choices=["documents", "events"],
+        help="which table to amplify (selects the matching op set)",
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
+    ops = OPS if args.table == "documents" else EVENT_OPS
     if args.ops:
         wanted = set(args.ops.split(","))
-        unknown = wanted - set(OPS)
+        unknown = wanted - set(ops)
         if unknown:
             ap.error(f"unknown ops: {sorted(unknown)}")
-        for op in list(OPS):
+        for op in list(ops):
             if op not in wanted:
-                del OPS[op]
+                del ops[op]
 
     # a 100x amplified corpus with ~100-copy clusters correctly implies
     # tens of millions of true pairs — size the single local JVM for it
@@ -113,14 +150,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     tmp = tempfile.mkdtemp(prefix="scaling_probe_")
     rows: dict[str, int] = {}
-    secs: dict[str, dict[str, float]] = {op: {} for op in OPS}
+    secs: dict[str, dict[str, float]] = {op: {} for op in ops}
+    amp = amplify if args.table == "documents" else amplify_events
     for scale in scales:
-        path = amplify(spark, scale, tmp)
+        path = amp(spark, scale, tmp)
         df = spark.read.parquet(path)
         rows[str(scale)] = df.count()
         # warm the input through the page cache so timings compare compute
         df.write.format("noop").mode("overwrite").save()
-        for op, build in OPS.items():
+        for op, build in ops.items():
             secs[op][str(scale)] = run_op(build, df)
     print(json.dumps({"sf_dir": SF_DIR, "rows": rows, "seconds": secs}))
 

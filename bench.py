@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -59,20 +60,14 @@ def host_speed_ratio(
     the ratio never normalizes below 1.0 (a fast run tightens, never
     loosens, the gate) and never above ``cap`` (a ≥2× across-the-board
     slowdown should flag loudly, not be explained away)."""
-    ratios = sorted(
+    ratios = [
         s / best[q]
         for q, s in timings.items()
         if q in best and best[q] > 0
-    )
+    ]
     if len(ratios) < min_queries:
         return 1.0
-    mid = len(ratios) // 2
-    med = (
-        ratios[mid]
-        if len(ratios) % 2
-        else (ratios[mid - 1] + ratios[mid]) / 2
-    )
-    return min(max(1.0, med), cap)
+    return min(max(1.0, statistics.median(ratios)), cap)
 
 
 def check_regressions(

@@ -657,3 +657,46 @@ def test_funnel_null_event_type_counts_as_no_step(spark):
         ).collect()
     }
     assert got == {11: 0, 12: 1}
+
+
+_VECS = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-100.0, max_value=100.0,
+            allow_nan=False, allow_infinity=False, width=32,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(vecs=_VECS)
+@settings(**_SETTINGS)
+def test_quantize_int8_reconstruction_error_bound(spark_global, vecs):
+    """The compression guarantee: dequantized values (q * scale / 127)
+    sit within half a quantization step (scale/254) of the input — the
+    bound that makes int8 storage lossless enough for cosine retrieval."""
+    from metadata_driven_etl_spark.operators.similarity import quantize_int8
+
+    spark = spark_global
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<float>"
+    )
+    rows = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    for vid, vec in enumerate(vecs):
+        scale, qvec = rows[vid]["scale"], rows[vid]["qvec"]
+        if scale == 0.0:
+            assert all(q == 0 for q in qvec)
+            continue
+        step = scale / 127.0
+        for x32, q in zip(vec, qvec):
+            # compare against the float32 value Spark actually stored
+            import struct
+
+            x = struct.unpack("f", struct.pack("f", x32))[0]
+            assert abs(x - q * step) <= step / 2 + 1e-9 * scale, (
+                vid, x, q, scale
+            )

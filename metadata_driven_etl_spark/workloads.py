@@ -2499,14 +2499,23 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg_percentile: approx_percentile's sketch buffers are mergeable
     map-side (no per-group value buffering), accuracy bounded by the
     relative-error parameter (1/10000 here). Tolerance vs the exact
-    percentile is property-tested in tests/test_operators_props.py."""
+    percentile is property-tested in tests/test_operators_props.py.
+
+    Output is two SCALAR columns (p50/p90 via element_at), not the raw
+    sketch array — the driver's pandas canonicalizer cannot hash ArrayType
+    cells (CORRECTNESS_r04 red-row class, guarded by
+    tests/oracle_check.py:_reject_complex_columns)."""
+    sk = F.expr(
+        "approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)"
+    )
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(
-            F.expr(
-                "approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)"
-            ).alias("price_p50_p90")
+        .agg(sk.alias("_pp"))
+        .select(
+            "l_returnflag",
+            F.element_at("_pp", 1).alias("price_p50"),
+            F.element_at("_pp", 2).alias("price_p90"),
         )
     )
 
@@ -2824,14 +2833,28 @@ def corpus_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @workload(
     "embedding_random_projection",
-    oracle=sim_ops.sql_random_project(dim_in=64, dim_out=8),
+    oracle=f"""
+    SELECT vec_id,
+           CAST(unnest(generate_series(0, len(projected) - 1)) AS INTEGER)
+               AS dim_idx,
+           unnest(projected) AS component
+    FROM ({sim_ops.sql_random_project(dim_in=64, dim_out=8)})
+    """,
 )
 def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss random projection 64d → 8d: deterministic
     hash-derived hyperplanes, map-only, zero fitted state — the cheap
-    pre-step that cuts every downstream ANN dot product 8×."""
+    pre-step that cuts every downstream ANN dot product 8×.
+
+    Driver-facing shape: posexploded to (vec_id, dim_idx, component)
+    scalar rows — the driver's canonicalizer cannot hash raw ArrayType
+    cells (CORRECTNESS_r04). The DuckDB twin unnests identically, so the
+    hash check stays exact per component."""
     return sim_ops.random_project(
         _emb(spark, sf_dir), dim_in=64, dim_out=8
+    ).select(
+        "vec_id",
+        F.posexplode("projected").alias("dim_idx", "component"),
     )
 
 
@@ -2893,12 +2916,25 @@ def profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
-    "text_feature_hash_embed", oracle=text_ops.sql_feature_hash_embed()
+    "text_feature_hash_embed",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(unnest(generate_series(0, len(embedding) - 1)) AS INTEGER)
+               AS dim_idx,
+           unnest(embedding) AS weight
+    FROM ({text_ops.sql_feature_hash_embed()})
+    """,
 )
 def text_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick document vectorizer: deterministic dense term-count
-    embeddings with zero fitted state (Weinberger et al. 2009), map-only."""
-    return text_ops.feature_hash_embed(_docs(spark, sf_dir))
+    embeddings with zero fitted state (Weinberger et al. 2009), map-only.
+
+    Driver-facing shape: posexploded to (doc_id, dim_idx, weight) scalar
+    rows (driver canonicalizer cannot hash ArrayType — CORRECTNESS_r04);
+    the oracle unnests identically so the per-bucket counts hash-match."""
+    return text_ops.feature_hash_embed(_docs(spark, sf_dir)).select(
+        "doc_id", F.posexplode("embedding").alias("dim_idx", "weight")
+    )
 
 
 @workload("dedup_span_exact", oracle=dedup_ops.sql_span_dedup())
@@ -3956,7 +3992,13 @@ def funnel_conversion_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @workload(
     "embedding_quantize_int8",
-    oracle=sim_ops.sql_quantize_int8(),
+    oracle=f"""
+    SELECT vec_id, scale,
+           CAST(unnest(generate_series(0, len(qvec) - 1)) AS INTEGER)
+               AS dim_idx,
+           unnest(qvec) AS q
+    FROM ({sim_ops.sql_quantize_int8()})
+    """,
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding corpus — the standard
@@ -3965,8 +4007,15 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     op-order is chosen so every step is one correctly-rounded IEEE double
     op in both engines (see operators/similarity.quantize_int8), making
     the int8 codes bit-exact against the DuckDB oracle.
+
+    Driver-facing shape: posexploded to (vec_id, scale, dim_idx, q)
+    scalar rows — the int8 codes are integers, so the explode is lossless
+    and the bit-exactness contract carries over per code. (Driver
+    canonicalizer cannot hash raw ArrayType — CORRECTNESS_r04.)
     """
-    return sim_ops.quantize_int8(_emb(spark, sf_dir))
+    return sim_ops.quantize_int8(_emb(spark, sf_dir)).select(
+        "vec_id", "scale", F.posexplode("qvec").alias("dim_idx", "q")
+    )
 
 
 @workload(

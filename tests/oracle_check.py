@@ -66,8 +66,38 @@ def _norm_rows(cols, rows):
     return [c for c in sorted(cols)], out
 
 
+def reject_complex_columns(spark_df, name: str = "?"):
+    """Driver-canonicalizer contract: no top-level Array/Map/Struct columns.
+
+    The driver's pandas-based canonicalizer (sort_values → Categorical →
+    factorize) dies on list/dict cells with ``TypeError: unhashable type``
+    BEFORE any comparison happens — the 4 red rows of CORRECTNESS_r04.
+    The local gate historically sorted Python tuples (which CAN compare
+    embedded lists), so array outputs passed locally and failed only at
+    the driver. This check makes the local harness at least as strict:
+    workloads must posexplode arrays / element_at sketches into scalar
+    columns. Returns an error string, or None if the schema is clean."""
+    from pyspark.sql import types as T
+
+    bad = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    if bad:
+        return (
+            f"{name}: top-level complex column(s) {bad} — the driver's "
+            "pandas canonicalizer cannot hash list/dict cells; posexplode "
+            "to scalar rows (see CORRECTNESS_r04)"
+        )
+    return None
+
+
 def compare(spark_df, oracle_sql: str, sf_dir: str, name: str = "?"):
     """Return (ok, message) comparing a Spark DF against oracle SQL."""
+    complex_err = reject_complex_columns(spark_df, name)
+    if complex_err:
+        return False, complex_err
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
     # Driver's value-hash is dtype-sensitive: DuckDB HUGEINT (int128, the

@@ -21,7 +21,28 @@ def test_oracle_parity(spark, sf_dir, name):
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_runs(spark, sf_dir, name):
     df = workloads.QUERIES[name](spark, sf_dir)
+    # Rows-only keys still go through the driver's pandas canonicalizer,
+    # which crashes on Array/Map/Struct cells (CORRECTNESS_r04 red-row
+    # class) — the scalar-output contract applies to every registered key.
+    from tests.oracle_check import reject_complex_columns
+
+    err = reject_complex_columns(df, name)
+    assert err is None, err
     assert df.count() >= 0
+
+
+def test_gate_rejects_array_output(spark):
+    """The local harness must be at least as strict as the driver's pandas
+    canonicalizer: a deliberately array-returning result fails locally."""
+    from pyspark.sql import functions as F
+
+    from tests.oracle_check import compare, reject_complex_columns
+
+    df = spark.range(3).select("id", F.array(F.lit(1), F.lit(2)).alias("a"))
+    err = reject_complex_columns(df, "fake")
+    assert err is not None and "complex column" in err
+    ok, msg = compare(df, "SELECT 1 AS id, [1, 2] AS a", "/tmp", "fake")
+    assert not ok and "complex column" in msg
 
 
 def test_entry_smoke(spark):

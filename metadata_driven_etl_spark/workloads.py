@@ -843,6 +843,29 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "similarity_ann_lsh_exact",
+    oracle=sim_ops.sql_brute_force_topk(num_queries=5),
+)
+def similarity_ann_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN driven to exactness: Hamming radius = num_bits probes every
+    bucket, so the candidate set is the whole corpus and the output equals
+    brute-force top-k — which is exactly what the DuckDB oracle computes.
+
+    This gives the LSH machinery (signature computation, multi-probe ball,
+    bucket equi-join, candidate dedup, within-bucket ranking) a real
+    driver hash row; the production approximate setting
+    (``similarity_ann_lsh``) differs only in the radius/table knobs and
+    stays recall-pinned by tests/test_ann_recall.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return sim_ops.lsh_topk(
+        emb, queries, dim=64, k=5, num_bits=4, num_tables=1, hamming=4
+    )
+
+
+@workload(
     "embedding_near_dup",
     oracle=sim_ops.sql_embedding_near_dup_pairs(threshold=0.3),
 )
@@ -1130,6 +1153,31 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         pass  # read-only warehouse: probe the in-memory assignment
     return sim_ops.ivf_probe(assigned, centroids, queries, k=5, n_probe=4)
+
+
+@workload(
+    "similarity_ann_ivf_exact",
+    oracle=sim_ops.sql_brute_force_topk(num_queries=5),
+)
+def similarity_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN driven to exactness: ``n_probe = n_cells`` probes every
+    cell, so every vector is scored and the output equals brute-force
+    top-k — which is exactly what the DuckDB oracle computes. Gives the
+    IVF machinery (KMeans quantizer, cell assignment, centroid-probe
+    ranking, within-cell scoring) a real driver hash row regardless of
+    where the quantizer places centroids; the production approximate
+    setting (``similarity_ann_ivf``) differs only in n_probe and stays
+    property-pinned by tests/test_similarity.py."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    assigned, centroids = sim_ops.ivf_build_index(
+        emb, n_cells=16, seed=42, fit_fraction=0.5
+    )
+    return sim_ops.ivf_probe(
+        assigned, centroids, queries, k=5, n_probe=16
+    )
 
 
 @workload(
@@ -4101,36 +4149,41 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order.
 
 DRIVER_PRIORITY: list[str] = [
-    # --- round-4 rotation (COVERAGE.md): finish the driver-verification
-    # ledger.  Pinned core shrinks to the four flagship keys (each green 2-3
-    # consecutive rounds); the remaining 46 slots carry ALL 40 keys that have
-    # never had a driver CORRECTNESS row, plus the 6 stalest keys (last
-    # driver-checked in round 1).  Every key rotated OUT is green in a prior
-    # round's artifact and stays locally oracle-checked by
+    # --- round-5 rotation (COVERAGE.md): every registered key already has
+    # a driver CORRECTNESS row (ledger finished in r4), so r5 refreshes the
+    # stale tail.  Pinned flagship core (4) + the 4 array-output workloads
+    # reshaped this round (red in r4 via the canonicalizer TypeError, fixed
+    # by posexplode/element_at — must turn green) + the 2 new ANN-exact
+    # keys (first driver check) + ALL 8 keys whose latest row was round 1
+    # + ALL 22 round-2 keys + 10 round-3 re-checks.  After this round no
+    # key's latest driver row is older than round 3.  Keys rotated OUT are
+    # green in a prior artifact and stay locally oracle-checked by
     # tests/test_workload_parity.py.
     # --- pinned flagship core ---
     "agg_daily_sales", "merge_upsert", "dq_metrics_single_pass",
     "corpus_clean_pipeline",
-    # --- never driver-checked (40) ---
-    "join_range", "sample_hash", "sample_stratified", "agg_percentile",
-    "scalar_date_string", "window_moving_avg", "json_extract_agg",
-    "array_explode_centroid", "window_first_last", "window_percent_rank",
-    "string_agg_sorted", "correlated_scalar_subquery", "unpivot_measures",
-    "regexp_word_freq", "agg_argmax_per_group", "resample_gap_fill",
-    "scan_orc", "agg_histogram", "agg_exact_stats",
-    "window_cumulative_distinct", "text_tf_df_score", "join_full_outer",
-    "setop_intersect_all", "setop_except_all", "join_null_safe",
-    "agg_approx_percentile", "text_chunk_windows", "text_repetition",
-    "sample_domain_weighted", "dedup_keep_best", "fuzzy_join_tables",
-    "multimodal_phash_dedup", "profile_orders", "corpus_stats_report",
-    "embedding_random_projection", "select_token_budget",
-    "profile_drift_orders", "text_feature_hash_embed", "dedup_span_exact",
-    "training_order",
-    # --- round-4 additions (first driver check) ---
-    "funnel_conversion_steps", "embedding_quantize_int8",
-    "text_bigram_lm_score", "cohort_retention_weekly",
-    # --- stalest re-checks (last driver row: round 1) ---
-    "agg_rollup", "agg_cube",
+    # --- r4-red array-output re-checks (reshaped to scalar columns) ---
+    "agg_approx_percentile", "embedding_random_projection",
+    "text_feature_hash_embed", "embedding_quantize_int8",
+    # --- round-5 additions (first driver check) ---
+    "similarity_ann_lsh_exact", "similarity_ann_ivf_exact",
+    # --- stalest: latest driver row round 1 (8) ---
+    "window_lag_lead", "window_running_sum", "window_rank_ntile",
+    "setop_intersect", "setop_except", "pivot_linestatus",
+    "approx_count_distinct", "multimodal_frame_sample",
+    # --- latest driver row round 2 (22) ---
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_cluster_cc", "similarity_topk",
+    "similarity_ann_lsh", "similarity_ann_ivf", "embedding_near_dup",
+    "text_lang_id", "text_quality", "text_token_count", "doc_fingerprint",
+    "multimodal_features", "tpch_q1_pricing", "tpch_q3_topk",
+    "tpch_q5_region_revenue", "scd2_dimension_update", "join_asof",
+    "agg_grouping_sets", "text_pii_redact", "pack_sequences",
+    # --- round-3 re-checks (10, incl. the r5 perf A/B targets) ---
+    "dedup_incremental_lsh", "decontaminate_ngram_overlap",
+    "agg_count", "agg_customer_summary", "agg_product_perf",
+    "sessionize_events", "window_tumbling_events", "window_sliding_events",
+    "window_row_number_dedup", "union_all",
 ]
 
 

@@ -2,12 +2,14 @@
 
 Round-1 evidence: CORRECTNESS_r01.json contained exactly the first 50
 registry entries in insertion order.  DRIVER_PRIORITY is the curated
-prefix.  Round 4 finishes the driver-verification ledger (VERDICT r3 items
-1+2): the pinned core shrinks to the four flagship keys (each green 2-3
-consecutive driver rounds), the remaining 46 slots carry ALL 40 keys that
-never had a driver CORRECTNESS row plus the 6 stalest keys (last checked in
-round 1).  Keys rotated out stay locally oracle-checked by
-tests/test_workload_parity.py.
+prefix.  The driver-verification ledger was finished in round 4 (every
+registered key has a driver CORRECTNESS row; the r4 rotation carried all
+40 never-checked keys, the 4 round-4 additions, and the 2 stalest keys —
+agg_rollup/agg_cube).  Round 5 refreshes the stale tail: the pinned
+flagship core, the 4 array-output workloads reshaped after their r4
+canonicalizer failures, the 2 new ANN-exact keys, all 8 keys whose latest
+row was round 1, all 22 round-2 keys, and 10 round-3 re-checks.  Keys
+rotated out stay locally oracle-checked by tests/test_workload_parity.py.
 """
 
 from __future__ import annotations
@@ -22,40 +24,54 @@ CORE = [
     "corpus_clean_pipeline",
 ]
 
-# Round-4 rotation: the 40 keys COVERAGE.md listed as never driver-checked
-# through round 3, plus the 6 keys whose last driver row was round 1.
-NEVER_CHECKED_R4 = {
-    "join_range", "sample_hash", "sample_stratified", "agg_percentile",
-    "scalar_date_string", "window_moving_avg", "json_extract_agg",
-    "array_explode_centroid", "window_first_last", "window_percent_rank",
-    "string_agg_sorted", "correlated_scalar_subquery", "unpivot_measures",
-    "regexp_word_freq", "agg_argmax_per_group", "resample_gap_fill",
-    "scan_orc", "agg_histogram", "agg_exact_stats",
-    "window_cumulative_distinct", "text_tf_df_score", "join_full_outer",
-    "setop_intersect_all", "setop_except_all", "join_null_safe",
-    "agg_approx_percentile", "text_chunk_windows", "text_repetition",
-    "sample_domain_weighted", "dedup_keep_best", "fuzzy_join_tables",
-    "multimodal_phash_dedup", "profile_orders", "corpus_stats_report",
-    "embedding_random_projection", "select_token_budget",
-    "profile_drift_orders", "text_feature_hash_embed", "dedup_span_exact",
-    "training_order",
+# Red in CORRECTNESS_r04 (ArrayType output crashed the driver's pandas
+# canonicalizer); reshaped to scalar columns this round — must re-check.
+ARRAY_RESHAPE_RECHECK_R5 = {
+    "agg_approx_percentile", "embedding_random_projection",
+    "text_feature_hash_embed", "embedding_quantize_int8",
 }
-# Round-4 additions (funnel / int8 quantize / bigram-LM score / cohort
-# retention) take their first driver check immediately; four stale keys
-# (each green in r1 and locally oracle-checked) yield their slots to keep
-# the prefix at 50.
-NEW_IN_R4 = {
-    "funnel_conversion_steps", "embedding_quantize_int8",
-    "text_bigram_lm_score", "cohort_retention_weekly",
+
+# New in round 5: the ANN machinery driven to exactness (full probe) so it
+# gets real driver hash rows next to the recall-pinned approximate keys.
+NEW_IN_R5 = {
+    "similarity_ann_lsh_exact", "similarity_ann_ivf_exact",
 }
-STALE_RECHECK_R4 = {
-    "agg_rollup", "agg_cube",
+
+# Latest driver row round 1 (8 keys).
+STALE_R1 = {
+    "window_lag_lead", "window_running_sum", "window_rank_ntile",
+    "setop_intersect", "setop_except", "pivot_linestatus",
+    "approx_count_distinct", "multimodal_frame_sample",
+}
+
+# Latest driver row round 2 (22 keys).
+STALE_R2 = {
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_cluster_cc", "similarity_topk",
+    "similarity_ann_lsh", "similarity_ann_ivf", "embedding_near_dup",
+    "text_lang_id", "text_quality", "text_token_count", "doc_fingerprint",
+    "multimodal_features", "tpch_q1_pricing", "tpch_q3_topk",
+    "tpch_q5_region_revenue", "scd2_dimension_update", "join_asof",
+    "agg_grouping_sets", "text_pii_redact", "pack_sequences",
+}
+
+# Round-3 re-checks filling the remaining slots (includes the round-5
+# perf A/B target dedup_incremental_lsh).
+RECHECK_R3 = {
+    "dedup_incremental_lsh", "decontaminate_ngram_overlap",
+    "agg_count", "agg_customer_summary", "agg_product_perf",
+    "sessionize_events", "window_tumbling_events", "window_sliding_events",
+    "window_row_number_dedup", "union_all",
 }
 
 # Approximate-by-design ops: no exact SQL twin exists, so the driver
 # records a rows-only row; each is pinned by a property test instead
-# (rank-tolerance for the percentile sketch — tests/test_operators_props.py).
-APPROX_ROWS_ONLY = {"agg_approx_percentile"}
+# (rank-tolerance for the percentile sketch, recall@k for the ANN pair,
+# HLL error bound, deterministic fake-decode for frame sampling).
+APPROX_ROWS_ONLY = {
+    "agg_approx_percentile", "approx_count_distinct",
+    "multimodal_frame_sample", "similarity_ann_lsh", "similarity_ann_ivf",
+}
 
 
 def test_priority_is_dedup_and_registered():
@@ -80,7 +96,10 @@ def test_core_keys_never_rotate():
 
 def test_rotation_tail_matches_coverage_plan():
     tail = set(workloads.DRIVER_PRIORITY[len(CORE):])
-    assert tail == NEVER_CHECKED_R4 | NEW_IN_R4 | STALE_RECHECK_R4
+    assert tail == (
+        ARRAY_RESHAPE_RECHECK_R5 | NEW_IN_R5 | STALE_R1 | STALE_R2
+        | RECHECK_R3
+    )
 
 
 def test_priority_entries_all_have_oracles():

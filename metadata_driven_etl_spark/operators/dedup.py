@@ -116,7 +116,13 @@ def _materialize(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
         sc = df.sparkSession.sparkContext
         if not sc.getCheckpointDir():
             sc.setCheckpointDir(checkpoint_dir)
-        return df.checkpoint(eager=False)
+        # Unlike localCheckpoint, a reliable non-eager checkpoint does NOT
+        # cache blocks — without persist() the first triggering job would
+        # recompute the lineage once per consumer subtree PLUS once for the
+        # checkpoint write (Spark's documented recommendation is to persist
+        # before a reliable checkpoint). persist() keeps "executes ONCE"
+        # true on the durable path too.
+        return df.persist().checkpoint(eager=False)
     return df.localCheckpoint(eager=False)
 
 

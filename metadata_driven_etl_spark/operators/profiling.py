@@ -82,8 +82,12 @@ def sql_profile_table(table: str, columns: list[str]) -> str:
     return " UNION ALL ".join(selects)
 
 
-_NUMERIC_DTYPE_PREFIXES = (
-    "tinyint", "smallint", "int", "bigint", "float", "double", "decimal",
+# Exact base types (the part before any '(precision,scale)' suffix) —
+# prefix matching would misclassify e.g. 'interval day to second' as
+# numeric via startswith('int').
+_NUMERIC_BASE_TYPES = frozenset(
+    ("tinyint", "smallint", "int", "integer", "bigint", "long", "short",
+     "byte", "float", "real", "double", "decimal")
 )
 
 
@@ -117,9 +121,8 @@ def suggest_rules(
     def _is_numeric(col: str) -> bool:
         if dtypes is None:
             return True  # legacy heuristic: parse check below decides
-        return str(dtypes.get(col, "")).lower().startswith(
-            _NUMERIC_DTYPE_PREFIXES
-        )
+        base = str(dtypes.get(col, "")).lower().split("(", 1)[0].strip()
+        return base in _NUMERIC_BASE_TYPES
 
     rules: list[DQRuleConfig] = []
     for r in profile.collect():

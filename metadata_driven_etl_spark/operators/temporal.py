@@ -171,12 +171,16 @@ def funnel_steps(
     order_col: str = "event_id",
     window: str = "30 minutes",
 ) -> DataFrame:
-    """Ordered-funnel depth per user (ClickHouse ``windowFunnel`` shape).
+    """Ordered-funnel depth per user (windowFunnel-LIKE; see caveat).
 
     For each user: ``funnel_step`` = the deepest k such that events of
     type ``steps[0] .. steps[k-1]`` occurred in order, each within
     ``window`` of (the latest qualifying occurrence of) the previous
-    step. "In order" means strictly earlier in ``(ts, order_col)`` order —
+    step. Semantic caveat vs ClickHouse ``windowFunnel``: ClickHouse
+    requires the WHOLE chain within ``window`` of the chain's FIRST
+    event, whereas this operator re-measures the window from the latest
+    qualifying previous step — for slow multi-step users this reports
+    DEEPER funnels than a ported ClickHouse query would. "In order" means strictly earlier in ``(ts, order_col)`` order —
     a total, deterministic order both engines share, so ties on ``ts``
     resolve identically everywhere.
 

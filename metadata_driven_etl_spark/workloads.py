@@ -4018,9 +4018,11 @@ def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def funnel_conversion_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view→click→purchase per user, each step within 30
-    minutes of the latest qualifying previous step (ClickHouse
-    ``windowFunnel`` semantics — an operator the reference has no analog
-    for, standard in product analytics over event streams).
+    minutes of the latest qualifying previous step (windowFunnel-LIKE:
+    per-step window measured from the latest qualifying previous step,
+    NOT ClickHouse's whole-chain-within-window-of-first-event rule — see
+    operators/temporal.funnel_steps; an operator the reference has no
+    analog for, standard in product analytics over event streams).
 
     Scale: ONE hash shuffle on user_id; both funnel levels are window
     maxes over the same (partition, order), planned as stacked WindowExecs

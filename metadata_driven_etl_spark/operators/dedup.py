@@ -101,6 +101,16 @@ def sql_shingles(expr: str, n: int = 3) -> str:
 
 _MH_PRIME = 1_000_000_007  # (h1%p) + k*(h2%p) stays far below 2^63
 
+# Shipped default for the LSH band-bucket cap: pair output is quadratic in
+# bucket size, so one degenerate bucket (boilerplate/empty text hashing
+# identically across millions of docs) creates an O(k²) hotspot at corpus
+# scale. 32 is the probe-measured setting (SCALE.md §6: 10.4s capped vs
+# 233s uncapped at the 100× scale point) and far above any organic bucket
+# on the test corpus (max observed: 9 at sf0.1) — the 100 TB posture on by
+# default, exact semantics preserved wherever buckets stay organic. Pass
+# ``max_bucket_size=None`` for the uncapped exact-candidate baseline.
+DEFAULT_MAX_BUCKET_SIZE = 32
+
 
 
 def _materialize(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
@@ -242,7 +252,7 @@ def lsh_candidate_pairs(
     shingle_n: int = 3,
     tokens_col: str | None = None,
     checkpoint_dir: str | None = None,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band bucket.
 
@@ -255,15 +265,20 @@ def lsh_candidate_pairs(
     executes once PER JOIN SIDE. The materialized frame is (id, band,
     bhash): hash-sized, never document bodies.
 
-    ``max_bucket_size`` (opt-in) drops band buckets with more members
-    than the cap before pair generation. Pair output is inherently
-    quadratic in bucket size, so one degenerate bucket (empty/boilerplate
-    text hashing identically across millions of docs) creates an O(k²)
-    hotspot at corpus scale; capping trades those pathological buckets'
-    recall for bounded work — docs in a capped bucket still pair through
-    their OTHER bands (same discipline as the frequency-capped posting
-    lists in ``ngram_jaccard_pairs``'s inverted-index sibling). Default
-    None preserves exact candidate semantics (and oracle parity).
+    ``max_bucket_size`` (ON by default — ``DEFAULT_MAX_BUCKET_SIZE``)
+    drops band buckets with more members than the cap before pair
+    generation. Pair output is inherently quadratic in bucket size, so
+    one degenerate bucket (empty/boilerplate text hashing identically
+    across millions of docs) creates an O(k²) hotspot at corpus scale;
+    capping trades those pathological buckets' recall for bounded work —
+    docs in a capped bucket still pair through their OTHER bands (same
+    discipline as the frequency-capped posting lists in
+    ``ngram_jaccard_pairs``'s inverted-index sibling). The cap is
+    deterministic (an exact per-bucket count), so the DuckDB twin
+    (``sql_lsh_candidate_pairs``) applies it identically and oracle
+    parity holds at any setting; ``None`` restores the uncapped
+    exact-candidate baseline, and capped output is always a SUBSET of
+    uncapped output (pinned by tests/test_operators_props.py).
     """
     bands = _materialize(
         lsh_bands(
@@ -313,7 +328,10 @@ def sql_lsh_candidate_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     shingle_n: int = 3,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> str:
+    """DuckDB twin of :func:`lsh_candidate_pairs`, including the bucket
+    cap (an exact count filter, so capped semantics stay oracle-exact)."""
     n_bands = num_hashes // band_size
     band_rows = " UNION ALL ".join(
         f"SELECT {id_col}, {b} AS band, md5("
@@ -321,11 +339,20 @@ def sql_lsh_candidate_pairs(
         + f") AS bhash FROM sig"
         for b in range(n_bands)
     )
+    cap_cte = (
+        f""",
+    capped AS (SELECT * FROM bands
+               QUALIFY count(*) OVER (PARTITION BY band, bhash)
+                       <= {max_bucket_size})"""
+        if max_bucket_size is not None
+        else ""
+    )
+    pair_src = "capped" if max_bucket_size is not None else "bands"
     return f"""
     WITH sig AS ({sql_minhash_signature(table, text_col, id_col, num_hashes, shingle_n)}),
-    bands AS ({band_rows})
+    bands AS ({band_rows}){cap_cte}
     SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
-    FROM bands a JOIN bands b
+    FROM {pair_src} a JOIN {pair_src} b
       ON a.band = b.band AND a.bhash = b.bhash AND a.{id_col} < b.{id_col}
     """
 
@@ -459,6 +486,7 @@ def ngram_jaccard_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     checkpoint_dir: str | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets, verified only for LSH candidates.
 
@@ -471,6 +499,7 @@ def ngram_jaccard_pairs(
     cands = lsh_candidate_pairs(
         df, text_col, id_col, num_hashes=num_hashes, band_size=band_size,
         shingle_n=shingle_n, checkpoint_dir=checkpoint_dir,
+        max_bucket_size=max_bucket_size,
     )
     # materialized once: consumed by BOTH verification join sides, and
     # re-shingling the corpus per side would double the dominant cost
@@ -507,9 +536,11 @@ def sql_ngram_jaccard_pairs(
     threshold: float = 0.25,
     num_hashes: int = 8,
     band_size: int = 2,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> str:
     cands = sql_lsh_candidate_pairs(
-        table, text_col, id_col, num_hashes, band_size, shingle_n
+        table, text_col, id_col, num_hashes, band_size, shingle_n,
+        max_bucket_size=max_bucket_size,
     )
     sh = sql_shingles(text_col, shingle_n)
     jac = (

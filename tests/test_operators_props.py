@@ -413,6 +413,57 @@ def test_cc_max_iter_exhaustion_partial_labels(spark):
     assert set(full.values()) == {0}
 
 
+def test_lsh_bucket_cap_subset_and_default_parity(spark, sf_dir):
+    """Bucket-cap contract (VERDICT r4 item 7):
+
+    1. On a degenerate corpus where the cap BITES, capped candidate pairs
+       are a strict subset of uncapped pairs (capping only drops, never
+       invents).
+    2. On the organic test corpus the shipped default cap
+       (DEFAULT_MAX_BUCKET_SIZE=32, far above the max observed bucket of
+       9 at sf0.1) changes NOTHING: pairs and final minhash clusters are
+       identical to uncapped — the 100 TB posture on by default with
+       exact semantics preserved.
+    """
+    from metadata_driven_etl_spark.catalog import load_table
+    from metadata_driven_etl_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET_SIZE,
+        connected_components,
+        lsh_candidate_pairs,
+    )
+
+    # 1. degenerate bucket: 12 near-identical docs + 2 organic near-dups
+    rows = [(i, "the quick brown fox jumps over the lazy dog again") for i in range(12)]
+    rows += [
+        (100, "completely different text about spark partitions and shuffles here"),
+        (101, "completely different text about spark partitions and shuffles there"),
+    ]
+    deg = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {tuple(r) for r in lsh_candidate_pairs(deg, max_bucket_size=None).collect()}
+    capped = {tuple(r) for r in lsh_candidate_pairs(deg, max_bucket_size=4).collect()}
+    assert capped < uncapped  # strict: the 12-doc bucket pairs are gone
+    assert (100, 101) in capped  # organic small-bucket pairs survive
+
+    # 2. shipped default is a no-op on the organic test corpus
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base_pairs = lsh_candidate_pairs(docs, max_bucket_size=None)
+    dflt_pairs = lsh_candidate_pairs(docs)  # default = DEFAULT_MAX_BUCKET_SIZE
+    assert DEFAULT_MAX_BUCKET_SIZE == 32
+    b = {tuple(r) for r in base_pairs.collect()}
+    d = {tuple(r) for r in dflt_pairs.collect()}
+    assert b == d and b
+    nodes = docs.select("doc_id")
+    cl_base = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(nodes, base_pairs).collect()
+    }
+    cl_dflt = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(nodes, dflt_pairs).collect()
+    }
+    assert cl_base == cl_dflt
+
+
 def test_lsh_pairs_durable_checkpoint_seam(spark, sf_dir, tmp_path):
     """The bands/shingle-set materializations accept the same durable
     checkpoint_dir seam as connected_components: results must be

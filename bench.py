@@ -24,6 +24,12 @@ HISTORY_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl"
 )
 REGRESSION_FACTOR = 1.5
+# Uniform-slowdown visibility threshold: just above the documented
+# 1.1-1.3x host-state variance (ADVICE r4) — a whole-run shift beyond
+# this prints a warning directing the reader to the per-query table,
+# so a code change that uniformly slows every query can't hide inside
+# the host-speed normalization.
+UNIFORM_SLOWDOWN_WARN = 1.15
 
 
 def best_times(history: list[dict], sf: float) -> dict[str, float]:
@@ -106,6 +112,19 @@ def check_regressions(
         and best[q] > 0
         and s > factor * speed * best[q]
         and s - speed * best[q] > min_delta
+    }
+
+
+def normalized_fields(total: float, speed: float) -> dict:
+    """Host-normalized headline fields recorded in BENCH/BENCH_HISTORY
+    (VERDICT r4 item 6): ``value_normalized`` divides the run's uniform
+    host-speed factor out of the total so cross-round numbers compare at
+    a glance regardless of which host state recorded the best, and the
+    warning flag fires at ``UNIFORM_SLOWDOWN_WARN`` so a uniform
+    code-level slowdown can't hide inside the normalization."""
+    return {
+        "value_normalized": round(total / speed, 3),
+        "uniform_slowdown_warning": speed >= UNIFORM_SLOWDOWN_WARN,
     }
 
 
@@ -267,12 +286,7 @@ def main() -> None:
         "reruns": reruns,
         "regressions": regressions,
         "host_speed_vs_best": round(speed, 2),
-        # Normalization trade-off made visible: a uniform shift this large
-        # is USUALLY host state, but a code change that slows EVERY query
-        # (a session conf, a catalog-layer change) looks identical — this
-        # flag tells the reader to diff the per-query table round-over-
-        # round instead of trusting the empty regressions dict alone.
-        "uniform_slowdown_warning": speed >= 1.35,
+        **normalized_fields(total, speed),
         "loadavg_start": load_start,
         "loadavg_end": _loadavg(),
         "cpus": cpus,

@@ -480,7 +480,8 @@ def sql_bigrams_from_tokens(toks: str) -> str:
 
 
 def bigram_lm_score(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_freq: int = 1,
 ) -> DataFrame:
     """Corpus-LM typicality per document: mean corpus frequency of the
     doc's bigrams (the CCNet/KenLM quality-filter shape in exact
@@ -489,7 +490,21 @@ def bigram_lm_score(
     model; one inverted-index join scores docs. The bigram frame is
     consumed twice (model + scoring) and so is localCheckpoint-
     materialized once. Shared by the workload and the scaling probe so
-    the measured curve always describes the shipped operator."""
+    the measured curve always describes the shipped operator.
+
+    ``min_freq`` is the KenLM-style pruning floor: bigrams with corpus
+    frequency below it are dropped from the MODEL before the scoring
+    join. At web scale the frequency table is dominated by its singleton
+    long tail (most distinct bigrams occur once), so even ``min_freq=2``
+    shrinks the model — and therefore the scoring join's build side —
+    by the singleton mass, while barely moving the typicality score of
+    ordinary documents. At the default ``min_freq=1`` nothing is pruned
+    (every observed bigram has freq ≥ 1) and output is bit-identical to
+    the unpruned model (property-pinned). Note docs whose bigrams are ALL
+    pruned drop out of the output (no surviving model entry to score
+    against) — at a sane floor those are exactly the gibberish docs a
+    typicality filter exists to flag.
+    """
     pairs = (
         docs.select(id_col, bigrams(text_col).alias("bigs"))
         .filter(F.size("bigs") >= 1)
@@ -499,6 +514,8 @@ def bigram_lm_score(
     counts = pairs.groupBy("bigram").agg(
         F.count(F.lit(1)).alias("bg_freq")
     )
+    if min_freq > 1:
+        counts = counts.filter(F.col("bg_freq") >= min_freq)
     return (
         pairs.join(counts, "bigram")
         .groupBy(id_col)

@@ -84,9 +84,13 @@ def amplify(spark, scale: int, out_dir: str) -> str:
 
 OPS = {
     "dedup_exact": lambda df: dedup_ops.exact_dedup_stats(df),
-    "dedup_minhash_lsh": lambda df: dedup_ops.lsh_candidate_pairs(df),
+    # uncapped exact-candidate baseline (quadratic in duplicate mass)
+    "dedup_minhash_lsh": lambda df: dedup_ops.lsh_candidate_pairs(
+        df, max_bucket_size=None
+    ),
     # production posture for heavily-duplicated corpora: bucket cap bounds
-    # the inherently-quadratic pair output of degenerate buckets
+    # the inherently-quadratic pair output of degenerate buckets (this is
+    # the SHIPPED DEFAULT since round 5 — dedup.DEFAULT_MAX_BUCKET_SIZE)
     "dedup_minhash_lsh_cap32": lambda df: dedup_ops.lsh_candidate_pairs(
         df, max_bucket_size=32
     ),
@@ -97,6 +101,12 @@ OPS = {
     # the probe calls the SAME implementation the workload ships, so the
     # measured curve always describes the shipped operator
     "text_bigram_lm": lambda df: text_ops.bigram_lm_score(df),
+    # KenLM-style model pruning floor: drops the singleton long tail from
+    # the frequency model before the scoring join — the 100 TB posture
+    # (model/build-side size bound by repeated-bigram mass, not corpus size)
+    "text_bigram_lm_minfreq2": lambda df: text_ops.bigram_lm_score(
+        df, min_freq=2
+    ),
 }
 
 # events-table ops (--table events): user-partitioned window shapes

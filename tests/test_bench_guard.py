@@ -71,6 +71,38 @@ def test_host_speed_ratio_guard_rails():
     assert set(bench.check_regressions(crawl, best)) == set(crawl)
 
 
+def test_normalized_fields_pinned():
+    """VERDICT r4 item 6 + ADVICE r4: records carry value_normalized =
+    total / host-speed ratio (the cross-round comparable number), and the
+    uniform-slowdown warning fires just above documented host-state
+    variance (1.15), not at the old 1.35 blind spot where a uniform
+    10-30% code slowdown shipped silently."""
+    f = bench.normalized_fields(30.0, 1.5)
+    assert f["value_normalized"] == pytest.approx(20.0)
+    assert f["uniform_slowdown_warning"] is True
+    quiet = bench.normalized_fields(30.0, 1.0)
+    assert quiet["value_normalized"] == pytest.approx(30.0)
+    assert quiet["uniform_slowdown_warning"] is False
+    # 1.2x host factor: below the old 1.35 threshold, must now warn
+    assert bench.normalized_fields(30.0, 1.2)["uniform_slowdown_warning"]
+    assert bench.UNIFORM_SLOWDOWN_WARN == 1.15
+
+
+def test_recorded_normalized_values_consistent():
+    """Every history record that carries value_normalized must satisfy
+    value_normalized == round(value / host_speed_vs_best, 3) — the field
+    is derived, and a drifted copy would mislead cross-round readers."""
+    history = bench.load_history()
+    stamped = [r for r in history if "value_normalized" in r]
+    if not stamped:
+        pytest.skip("no normalized records yet (first appears in round 5)")
+    for rec in stamped:
+        speed = rec["host_speed_vs_best"]
+        assert rec["value_normalized"] == pytest.approx(
+            rec["value"] / speed, abs=0.51
+        )
+
+
 def test_min_delta_suppresses_subsecond_jitter():
     """A 2x ratio on a 0.3s query is scheduler noise, not a regression."""
     best = {"tiny": 0.3, "big": 10.0}

@@ -413,6 +413,41 @@ def test_cc_max_iter_exhaustion_partial_labels(spark):
     assert set(full.values()) == {0}
 
 
+def test_bigram_lm_min_freq_floor(spark, sf_dir):
+    """KenLM-style pruning floor contract (VERDICT r4 item 8):
+
+    1. min_freq=1 (the default) is bit-identical to the unpruned model —
+       every observed bigram has corpus frequency ≥ 1.
+    2. On a corpus with a singleton long tail, min_freq=2 drops singleton
+       bigrams from the MODEL: repeated bigrams keep their exact
+       frequencies, docs made only of singleton bigrams drop out, and
+       surviving scores match the brute-force expectation.
+    """
+    from metadata_driven_etl_spark.catalog import load_table
+    from metadata_driven_etl_spark.operators.text import bigram_lm_score
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = {tuple(r) for r in bigram_lm_score(docs).collect()}
+    explicit = {tuple(r) for r in bigram_lm_score(docs, min_freq=1).collect()}
+    assert base == explicit and base
+
+    # "alpha beta" occurs in docs 1+2 (freq 2); every other bigram is a
+    # singleton. Doc 3 is all-singleton → pruned out entirely at floor 2.
+    tiny = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta delta"),
+            (3, "unique words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    pruned = {
+        (r.doc_id, r.n_bigrams, r.avg_bigram_freq)
+        for r in bigram_lm_score(tiny, min_freq=2).collect()
+    }
+    assert pruned == {(1, 1, 2.0), (2, 1, 2.0)}
+
+
 def test_lsh_bucket_cap_subset_and_default_parity(spark, sf_dir):
     """Bucket-cap contract (VERDICT r4 item 7):
 

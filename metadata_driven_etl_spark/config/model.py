@@ -382,6 +382,10 @@ class CorpusStageConfig:
     span_tokens: int = 20
     # near_dedup
     keep: str = "first"
+    # near_dedup LSH band-bucket cap: None = operator default
+    # (dedup.DEFAULT_MAX_BUCKET_SIZE, the shipped 100 TB posture);
+    # 0 = uncapped exact-candidate baseline; >0 = explicit cap.
+    max_bucket_size: int | None = None
     # token_budget
     budget_tokens: int | None = None
 
@@ -411,11 +415,24 @@ class CorpusStageConfig:
                 f"corpus {pipeline_id}: token_budget needs budget_tokens > 0",
             )
         keep = d.get("keep", "first")
+        mbs = d.get("max_bucket_size")
         if st == "near_dedup":
             _require(
                 keep in VALID_NEAR_DEDUP_KEEP,
                 f"corpus {pipeline_id}: near_dedup keep must be one of "
                 f"{sorted(VALID_NEAR_DEDUP_KEEP)}, got {keep!r}",
+            )
+            if mbs is not None:
+                _require(
+                    int(mbs) >= 0,
+                    f"corpus {pipeline_id}: near_dedup max_bucket_size "
+                    f"must be >= 0 (0 = uncapped), got {mbs!r}",
+                )
+        else:
+            _require(
+                mbs is None,
+                f"corpus {pipeline_id}: max_bucket_size only applies to "
+                "near_dedup",
             )
         return CorpusStageConfig(
             stage=st,
@@ -431,6 +448,7 @@ class CorpusStageConfig:
             ngram=int(d.get("ngram", 5)),
             span_tokens=int(d.get("span_tokens", 20)),
             keep=keep,
+            max_bucket_size=int(mbs) if mbs is not None else None,
             budget_tokens=(
                 int(d["budget_tokens"])
                 if d.get("budget_tokens") is not None

@@ -198,6 +198,26 @@ def test_shipped_example_config_loads_and_validates():
         (
             """
             corpus_pipelines:
+              - pipeline_id: bad_cap
+                input_path: "/x"
+                target_table: t
+                stages: [{stage: near_dedup, max_bucket_size: -3}]
+            """,
+            "max_bucket_size",
+        ),
+        (
+            """
+            corpus_pipelines:
+              - pipeline_id: bad_cap_stage
+                input_path: "/x"
+                target_table: t
+                stages: [{stage: span_dedup, max_bucket_size: 8}]
+            """,
+            "only applies to",
+        ),
+        (
+            """
+            corpus_pipelines:
               - pipeline_id: bad5
                 input_path: "/x"
                 target_table: t
@@ -345,6 +365,50 @@ def test_near_dedup_keep_first_and_table_input(ctx, tmp_path):
         for r in clusters.filter(F.col("doc_id") == F.col("cluster_id")).collect()
     }
     assert got == want and 0 < len(got) <= docs.count()
+
+
+def test_near_dedup_max_bucket_size_knob(ctx, tmp_path):
+    """The LSH bucket cap is configurable per near_dedup stage: 0 =
+    uncapped, omitted = operator default. On the organic test corpus the
+    default cap never bites, so both settings keep identical survivors —
+    and the parsed config carries the knob through to the stage."""
+    docs = ctx.spark.read.parquet(SF_DOCS)
+    ParquetFormat().overwrite(docs, "corpus.t_cap_input")
+    cfg = load_corpus_config(
+        _write_config(
+            tmp_path,
+            """
+            corpus_pipelines:
+              - pipeline_id: cap_v1
+                input_table: corpus.t_cap_input
+                target_table: corpus.t_cap_out
+                stages:
+                  - stage: near_dedup
+                    keep: first
+                    max_bucket_size: 0
+            """,
+        )
+    )
+    stage = cfg.pipelines[0].stages[0]
+    assert stage.max_bucket_size == 0
+    results = CorpusLayer(ctx, cfg).run("2026-08-14")
+    assert [r.status for r in results] == ["success"]
+    uncapped = {
+        r.doc_id for r in ctx.spark.table("corpus.t_cap_out").collect()
+    }
+
+    from metadata_driven_etl_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+    )
+
+    pairs = lsh_candidate_pairs(docs.select("doc_id", "text"))  # default cap
+    clusters = connected_components(docs.select("doc_id"), pairs)
+    want = {
+        r.doc_id
+        for r in clusters.filter(F.col("doc_id") == F.col("cluster_id")).collect()
+    }
+    assert uncapped == want and uncapped
 
 
 def test_dry_run_validates_without_spark(tmp_path, capsys):

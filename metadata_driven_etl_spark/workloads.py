@@ -800,8 +800,27 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @workload("dedup_minhash_lsh", oracle=dedup_ops.sql_lsh_candidate_pairs())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs (shingle→minhash→band→bucket-join)."""
+    """MinHash+LSH near-dup candidate pairs (shingle→minhash→band→bucket-
+    join), at the shipped default bucket cap (DEFAULT_MAX_BUCKET_SIZE=32 —
+    a no-op on the organic test corpus whose largest bucket is 9; the
+    oracle twin applies the identical cap)."""
     return dedup_ops.lsh_candidate_pairs(_docs(spark, sf_dir))
+
+
+@workload(
+    "dedup_lsh_bucket_capped",
+    oracle=dedup_ops.sql_lsh_candidate_pairs(max_bucket_size=2),
+)
+def dedup_lsh_bucket_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs with a bucket cap that BITES on the test corpus
+    (cap=2 < the max organic bucket) — driver hash coverage for the cap's
+    drop-oversized-buckets semantics, which the shipped default (32,
+    sized for degenerate boilerplate at 100 TB) never exercises on
+    organic test data. The DuckDB twin drops the identical buckets via
+    an exact count QUALIFY, so capped output hash-matches."""
+    return dedup_ops.lsh_candidate_pairs(
+        _docs(spark, sf_dir), max_bucket_size=2
+    )
 
 
 @workload("dedup_ngram_jaccard", oracle=dedup_ops.sql_ngram_jaccard_pairs())
@@ -4108,6 +4127,37 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "text_bigram_lm_pruned",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {text_ops.sql_tokens('text')} AS toks
+        FROM documents),
+    big AS (
+        SELECT doc_id,
+               unnest({text_ops.sql_bigrams_from_tokens('toks')}) AS bigram
+        FROM tok
+        WHERE len(toks) >= 2),
+    cnt AS (
+        SELECT bigram, CAST(count(*) AS BIGINT) AS bg_freq
+        FROM big GROUP BY 1
+        HAVING count(*) >= 2)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           avg(bg_freq) AS avg_bigram_freq
+    FROM big JOIN cnt USING (bigram)
+    GROUP BY 1""",
+)
+def text_bigram_lm_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_bigram_lm_score with the KenLM-style ``min_freq=2`` pruning
+    floor LIVE (the 100 TB posture — SCALE.md probe: 34.3s → 18.8s at the
+    100× point): singleton bigrams leave the model before the scoring
+    join, docs whose bigrams are all singletons drop out. The DuckDB twin
+    prunes with the identical HAVING floor, so the pruned model's scores
+    hash-check exactly — driver coverage for the pruning branch, not just
+    the inert default."""
+    return text_ops.bigram_lm_score(_docs(spark, sf_dir), min_freq=2)
+
+
+@workload(
     "cohort_retention_weekly",
     oracle="""
     WITH wk AS (
@@ -4169,6 +4219,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_feature_hash_embed", "embedding_quantize_int8",
     # --- round-5 additions (first driver check) ---
     "similarity_ann_lsh_exact", "similarity_ann_ivf_exact",
+    "dedup_lsh_bucket_capped", "text_bigram_lm_pruned",
     # --- stalest: latest driver row round 1 (8) ---
     "window_lag_lead", "window_running_sum", "window_rank_ntile",
     "setop_intersect", "setop_except", "pivot_linestatus",
@@ -4181,11 +4232,10 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_features", "tpch_q1_pricing", "tpch_q3_topk",
     "tpch_q5_region_revenue", "scd2_dimension_update", "join_asof",
     "agg_grouping_sets", "text_pii_redact", "pack_sequences",
-    # --- round-3 re-checks (10, incl. the r5 perf A/B targets) ---
+    # --- round-3 re-checks (8, incl. the r5 perf A/B target) ---
     "dedup_incremental_lsh", "decontaminate_ngram_overlap",
     "agg_count", "agg_customer_summary", "agg_product_perf",
     "sessionize_events", "window_tumbling_events", "window_sliding_events",
-    "window_row_number_dedup", "union_all",
 ]
 
 

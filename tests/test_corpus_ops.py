@@ -238,7 +238,8 @@ class TestLshBucketCap:
     def test_degenerate_bucket_capped_but_normal_pairs_survive(self, spark):
         """A boilerplate cluster larger than the cap must stop generating
         O(k^2) pairs, while pairs from normal-sized buckets are unaffected
-        and the default (no cap) keeps exact candidate semantics."""
+        and max_bucket_size=None restores exact candidate semantics (the
+        default has been the capped 100 TB posture since round 5)."""
         from metadata_driven_etl_spark.operators.dedup import (
             lsh_candidate_pairs,
         )
@@ -249,7 +250,8 @@ class TestLshBucketCap:
         df = spark.createDataFrame(boiler + pair_docs, "doc_id long, text string")
 
         uncapped = {
-            (r.id_a, r.id_b) for r in lsh_candidate_pairs(df).collect()
+            (r.id_a, r.id_b)
+            for r in lsh_candidate_pairs(df, max_bucket_size=None).collect()
         }
         assert (100, 101) in uncapped
         assert sum(1 for a, b in uncapped if a < 40 and b < 40) == 40 * 39 // 2

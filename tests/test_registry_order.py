@@ -7,8 +7,9 @@ registered key has a driver CORRECTNESS row; the r4 rotation carried all
 40 never-checked keys, the 4 round-4 additions, and the 2 stalest keys —
 agg_rollup/agg_cube).  Round 5 refreshes the stale tail: the pinned
 flagship core, the 4 array-output workloads reshaped after their r4
-canonicalizer failures, the 2 new ANN-exact keys, all 8 keys whose latest
-row was round 1, all 22 round-2 keys, and 10 round-3 re-checks.  Keys
+canonicalizer failures, the 4 round-5 additions (2 ANN-exact keys + the
+biting bucket-cap and pruned-bigram-LM knob coverage), all 8 keys whose
+latest row was round 1, all 22 round-2 keys, and 8 round-3 re-checks.  Keys
 rotated out stay locally oracle-checked by tests/test_workload_parity.py.
 """
 
@@ -35,6 +36,7 @@ ARRAY_RESHAPE_RECHECK_R5 = {
 # gets real driver hash rows next to the recall-pinned approximate keys.
 NEW_IN_R5 = {
     "similarity_ann_lsh_exact", "similarity_ann_ivf_exact",
+    "dedup_lsh_bucket_capped", "text_bigram_lm_pruned",
 }
 
 # Latest driver row round 1 (8 keys).
@@ -61,7 +63,6 @@ RECHECK_R3 = {
     "dedup_incremental_lsh", "decontaminate_ngram_overlap",
     "agg_count", "agg_customer_summary", "agg_product_perf",
     "sessionize_events", "window_tumbling_events", "window_sliding_events",
-    "window_row_number_dedup", "union_all",
 }
 
 # Approximate-by-design ops: no exact SQL twin exists, so the driver

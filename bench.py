@@ -174,6 +174,12 @@ HEADLINE = [
     "embedding_quantize_int8",
     "text_bigram_lm_score",
     "cohort_retention_weekly",
+    # round-5 additions: ANN machinery at full probe (exact), the biting
+    # bucket-cap path, and the pruned bigram-LM model
+    "similarity_ann_lsh_exact",
+    "similarity_ann_ivf_exact",
+    "dedup_lsh_bucket_capped",
+    "text_bigram_lm_pruned",
 ]
 
 

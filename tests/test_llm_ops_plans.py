@@ -24,6 +24,7 @@ def _plan(df) -> str:
 
 PAIR_GENERATORS = [
     "dedup_minhash_lsh",
+    "dedup_lsh_bucket_capped",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "embedding_near_dup",
@@ -53,6 +54,33 @@ def test_decontaminate_broadcasts_eval_shingles(spark, sf_dir):
 
 def test_similarity_topk_broadcasts_queries(spark, sf_dir):
     plan = _plan(workloads.QUERIES["similarity_topk"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_exact_variants_stay_bucketed_broadcast_joins(spark, sf_dir):
+    """The full-probe exact variants must run the SAME machinery as the
+    approximate settings — the CORPUS-side join is a broadcast hash
+    equi-join on the bucket/cell key, never a cartesian scoring pass.
+    (IVF's query×centroid scoring join IS an unconditioned broadcast
+    nested loop — q × n_cells rows, both sides tiny and bounded by
+    construction — so BNLJ is asserted absent only for the LSH variant,
+    whose every join is an equi-join.)"""
+    lsh = _plan(workloads.QUERIES["similarity_ann_lsh_exact"](spark, sf_dir))
+    assert "BroadcastExchange" in lsh
+    assert "CartesianProduct" not in lsh
+    assert "BroadcastNestedLoopJoin" not in lsh
+
+    ivf = _plan(workloads.QUERIES["similarity_ann_ivf_exact"](spark, sf_dir))
+    assert "BroadcastHashJoin" in ivf  # corpus ⋈ probed cells, equi on _cell
+    assert "CartesianProduct" not in ivf
+
+
+def test_bucket_cap_is_broadcast_anti_join(spark, sf_dir):
+    """The oversized-bucket drop list is tiny by construction (buckets
+    beyond the cap are rare) — it must reach the bands as a broadcast
+    left-anti join, never a shuffled one."""
+    plan = _plan(workloads.QUERIES["dedup_lsh_bucket_capped"](spark, sf_dir))
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
 
@@ -124,6 +152,14 @@ def test_multimodal_features_prunes_payload_for_metadata_agg(spark, sf_dir):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "payload" not in ln, ln
+
+
+def test_bigram_lm_pruned_same_plan_shape(spark, sf_dir):
+    """The min_freq floor is a filter on the model aggregate — it must not
+    change the plan family (no cartesian, no extra data shuffle class)."""
+    plan = _plan(workloads.QUERIES["text_bigram_lm_pruned"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_bigram_lm_no_cartesian_and_broadcast_free_model_join(spark, sf_dir):

@@ -1186,13 +1186,19 @@ def similarity_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking, within-cell scoring) a real driver hash row regardless of
     where the quantizer places centroids; the production approximate
     setting (``similarity_ann_ivf``) differs only in n_probe and stays
-    property-pinned by tests/test_similarity.py."""
+    property-pinned by tests/test_similarity.py.
+
+    fit_fraction is deliberately small (0.1): at full probe the output is
+    exact REGARDLESS of where the quantizer puts centroids (every cell is
+    scanned), so the expensive part of the fit buys nothing here — the
+    same reason a 100 TB corpus never fits its coarse quantizer on more
+    than a sliver."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     assigned, centroids = sim_ops.ivf_build_index(
-        emb, n_cells=16, seed=42, fit_fraction=0.5
+        emb, n_cells=16, seed=42, fit_fraction=0.1
     )
     return sim_ops.ivf_probe(
         assigned, centroids, queries, k=5, n_probe=16

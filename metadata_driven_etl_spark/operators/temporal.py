@@ -170,17 +170,26 @@ def funnel_steps(
     ts_col: str = "ts",
     order_col: str = "event_id",
     window: str = "30 minutes",
+    mode: str = "per_step",
 ) -> DataFrame:
-    """Ordered-funnel depth per user (windowFunnel-LIKE; see caveat).
+    """Ordered-funnel depth per user, in either window semantics:
 
-    For each user: ``funnel_step`` = the deepest k such that events of
-    type ``steps[0] .. steps[k-1]`` occurred in order, each within
-    ``window`` of (the latest qualifying occurrence of) the previous
-    step. Semantic caveat vs ClickHouse ``windowFunnel``: ClickHouse
-    requires the WHOLE chain within ``window`` of the chain's FIRST
-    event, whereas this operator re-measures the window from the latest
-    qualifying previous step — for slow multi-step users this reports
-    DEEPER funnels than a ported ClickHouse query would. "In order" means strictly earlier in ``(ts, order_col)`` order —
+    - ``mode="per_step"`` (default): each step must fall within
+      ``window`` of the LATEST qualifying occurrence of the previous
+      step — the window re-arms at every step, so slow multi-step users
+      still complete.
+    - ``mode="from_first"``: the WHOLE chain must fall within ``window``
+      of the chain's FIRST event — ClickHouse ``windowFunnel``'s rule. A
+      user porting ClickHouse funnels wants this mode; per_step reports
+      deeper funnels for slow multi-step users.
+
+    ``funnel_step`` = the deepest k such that events of type
+    ``steps[0] .. steps[k-1]`` occurred in order under the chosen window
+    rule. Both modes share the same plan: from_first threads the chain's
+    ANCHOR timestamp (the greedy max chain-start — optimal, since the
+    window constraint ``anchor > ts - window`` always prefers a later
+    anchor) through the stacked windows instead of the previous step's
+    own timestamp. "In order" means strictly earlier in ``(ts, order_col)`` order —
     a total, deterministic order both engines share, so ties on ``ts``
     resolve identically everywhere.
 
@@ -191,6 +200,11 @@ def funnel_steps(
     under AQE). Never materializes event pairs — O(|events|) state, vs the
     |events|² a self-join-per-level formulation would cost at 100 TB.
     """
+    if mode not in ("per_step", "from_first"):
+        raise ValueError(
+            f"funnel_steps mode must be 'per_step' or 'from_first', "
+            f"got {mode!r}"
+        )
     w_prev = (
         Window.partitionBy(user_col)
         .orderBy(ts_col, order_col)
@@ -201,21 +215,27 @@ def funnel_steps(
     # (0) — a bare cast would propagate NULL through max() and leave the
     # user's funnel_step NULL instead of 0 (SQL-oracle CASE ... ELSE 0
     # semantics).
+    # _a{k} carries the timestamp each level anchors its window on:
+    # per_step anchors on the qualifying event's OWN ts (the window
+    # re-arms); from_first threads the chain-start ts unchanged.
     df = events.select(user_col, type_col, ts_col, order_col).withColumn(
         "_q1", F.when(F.col(type_col) == steps[0], 1).otherwise(0)
-    )
+    ).withColumn("_a1", F.when(F.col(type_col) == steps[0], F.col(ts_col)))
     for k, step in enumerate(steps[1:], start=2):
-        prev_ts = F.max(
-            F.when(F.col(f"_q{k - 1}") == 1, F.col(ts_col))
-        ).over(w_prev)
+        prev_anchor = F.max(F.col(f"_a{k - 1}")).over(w_prev)
+        qualifies = (
+            (F.col(type_col) == step)
+            & prev_anchor.isNotNull()
+            & (prev_anchor > F.col(ts_col) - F.expr(f"INTERVAL {window}"))
+        )
         df = df.withColumn(
-            f"_q{k}",
+            f"_q{k}", F.when(qualifies, 1).otherwise(0)
+        ).withColumn(
+            f"_a{k}",
             F.when(
-                (F.col(type_col) == step)
-                & prev_ts.isNotNull()
-                & (prev_ts > F.col(ts_col) - F.expr(f"INTERVAL {window}")),
-                1,
-            ).otherwise(0),
+                qualifies,
+                F.col(ts_col) if mode == "per_step" else prev_anchor,
+            ),
         )
     reached = [
         F.max(f"_q{k}").alias(f"_s{k}") for k in range(1, len(steps) + 1)

@@ -4066,6 +4066,63 @@ def funnel_conversion_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "funnel_strict_from_first",
+    oracle="""
+    WITH w1 AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS q1,
+               CASE WHEN event_type = 'view' THEN ts END AS a1
+        FROM events),
+    w2 AS (
+        SELECT *,
+               CASE WHEN event_type = 'click' AND prev_a1 IS NOT NULL
+                         AND prev_a1 > ts - INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS q2,
+               CASE WHEN event_type = 'click' AND prev_a1 IS NOT NULL
+                         AND prev_a1 > ts - INTERVAL 30 MINUTE
+                    THEN prev_a1 END AS a2
+        FROM (SELECT *,
+                     max(a1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS prev_a1
+              FROM w1)),
+    w3 AS (
+        SELECT *,
+               CASE WHEN event_type = 'purchase' AND prev_a2 IS NOT NULL
+                         AND prev_a2 > ts - INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS q3
+        FROM (SELECT *,
+                     max(a2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS prev_a2
+              FROM w2))
+    SELECT user_id,
+           CAST(max(q1) + max(q2) + max(q3) AS INT) AS funnel_step
+    FROM w3
+    GROUP BY user_id""",
+)
+def funnel_strict_from_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same view→click→purchase funnel under ClickHouse
+    ``windowFunnel``'s STRICT window rule (``mode="from_first"``): the
+    whole chain must complete within 30 minutes of the chain's FIRST
+    event. The chain-start timestamp threads through the stacked windows
+    as the anchor (greedy max chain-start — optimal because the window
+    constraint always prefers a later anchor), so the plan is the same
+    single user-keyed shuffle as the per-step variant; the DuckDB twin
+    carries the identical anchor columns."""
+    from metadata_driven_etl_spark.operators import temporal
+
+    return temporal.funnel_steps(
+        _t(spark, sf_dir, "events"),
+        steps=("view", "click", "purchase"),
+        window="30 minutes",
+        mode="from_first",
+    )
+
+
+@workload(
     "embedding_quantize_int8",
     oracle=f"""
     SELECT vec_id, scale,
@@ -4226,6 +4283,7 @@ DRIVER_PRIORITY: list[str] = [
     # --- round-5 additions (first driver check) ---
     "similarity_ann_lsh_exact", "similarity_ann_ivf_exact",
     "dedup_lsh_bucket_capped", "text_bigram_lm_pruned",
+    "funnel_strict_from_first",
     # --- stalest: latest driver row round 1 (8) ---
     "window_lag_lead", "window_running_sum", "window_rank_ntile",
     "setop_intersect", "setop_except", "pivot_linestatus",
@@ -4238,10 +4296,10 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_features", "tpch_q1_pricing", "tpch_q3_topk",
     "tpch_q5_region_revenue", "scd2_dimension_update", "join_asof",
     "agg_grouping_sets", "text_pii_redact", "pack_sequences",
-    # --- round-3 re-checks (8, incl. the r5 perf A/B target) ---
+    # --- round-3 re-checks (7, incl. the r5 perf A/B target) ---
     "dedup_incremental_lsh", "decontaminate_ngram_overlap",
     "agg_count", "agg_customer_summary", "agg_product_perf",
-    "sessionize_events", "window_tumbling_events", "window_sliding_events",
+    "sessionize_events", "window_tumbling_events",
 ]
 
 

@@ -723,6 +723,105 @@ def test_funnel_matches_brute_force(spark_global, rows):
     assert got == _brute_funnel(rows, ("view", "click", "purchase"), 30)
 
 
+def _brute_funnel_from_first(rows, steps, window_min):
+    """Reference semantics for mode='from_first' (ClickHouse windowFunnel
+    rule): a chain counts only while within window of its FIRST event.
+    Tracks the max attainable chain-start per level (greedy max anchor is
+    optimal — the window constraint always prefers a later start)."""
+    out = {}
+    by_user = {}
+    for eid, (u, t, m) in enumerate(rows):
+        by_user.setdefault(u, []).append((m, eid, t))
+    for u, evs in by_user.items():
+        evs.sort()
+        anchor = [None] * len(steps)   # max chain-start per level
+        reached = [0] * len(steps)
+        for m, _eid, t in evs:
+            for k, step in enumerate(steps):
+                if t != step:
+                    continue
+                if k == 0:
+                    reached[0] = 1
+                    anchor[0] = m if anchor[0] is None else max(anchor[0], m)
+                else:
+                    prev = anchor[k - 1]
+                    if prev is not None and prev > m - window_min:
+                        reached[k] = 1
+                        anchor[k] = (
+                            prev if anchor[k] is None else max(anchor[k], prev)
+                        )
+                break
+        out[u] = sum(reached)
+    return out
+
+
+@given(rows=_FUNNEL_EVENTS)
+@settings(**_SETTINGS)
+def test_funnel_from_first_matches_brute_force(spark_global, rows):
+    import datetime as _dt
+
+    from metadata_driven_etl_spark.operators.temporal import funnel_steps
+
+    spark = spark_global
+    base = _dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (eid, u, t, base + _dt.timedelta(minutes=m))
+            for eid, (u, t, m) in enumerate(rows)
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    got = {
+        r["user_id"]: r["funnel_step"]
+        for r in funnel_steps(
+            df,
+            steps=("view", "click", "purchase"),
+            window="30 minutes",
+            mode="from_first",
+        ).collect()
+    }
+    assert got == _brute_funnel_from_first(
+        rows, ("view", "click", "purchase"), 30
+    )
+
+
+def test_funnel_modes_diverge_for_slow_multi_step_user(spark):
+    """The documented semantic difference: view@0, click@25, purchase@50
+    completes per_step (each hop < 30min) but NOT from_first (50min from
+    the chain's first event)."""
+    import datetime as _dt
+
+    from metadata_driven_etl_spark.operators.temporal import funnel_steps
+
+    base = _dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (0, 7, "view", base),
+            (1, 7, "click", base + _dt.timedelta(minutes=25)),
+            (2, 7, "purchase", base + _dt.timedelta(minutes=50)),
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    kw = dict(steps=("view", "click", "purchase"), window="30 minutes")
+    per_step = funnel_steps(df, **kw).collect()[0]["funnel_step"]
+    strict = funnel_steps(df, mode="from_first", **kw).collect()[0][
+        "funnel_step"
+    ]
+    assert (per_step, strict) == (3, 2)
+
+
+def test_funnel_rejects_unknown_mode(spark):
+    import pytest as _pytest
+
+    from metadata_driven_etl_spark.operators.temporal import funnel_steps
+
+    df = spark.createDataFrame(
+        [], "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    with _pytest.raises(ValueError, match="mode"):
+        funnel_steps(df, steps=("a", "b"), mode="bogus")
+
+
 def test_funnel_null_event_type_counts_as_no_step(spark):
     """A NULL event_type is 'not this step' (0), matching the SQL
     oracle's CASE ... ELSE 0 — not NULL propagated through max()."""

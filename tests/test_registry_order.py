@@ -7,9 +7,10 @@ registered key has a driver CORRECTNESS row; the r4 rotation carried all
 40 never-checked keys, the 4 round-4 additions, and the 2 stalest keys —
 agg_rollup/agg_cube).  Round 5 refreshes the stale tail: the pinned
 flagship core, the 4 array-output workloads reshaped after their r4
-canonicalizer failures, the 4 round-5 additions (2 ANN-exact keys + the
-biting bucket-cap and pruned-bigram-LM knob coverage), all 8 keys whose
-latest row was round 1, all 22 round-2 keys, and 8 round-3 re-checks.  Keys
+canonicalizer failures, the 5 round-5 additions (2 ANN-exact keys, the
+biting bucket-cap and pruned-bigram-LM knob coverage, and the strict
+ClickHouse-rule funnel), all 8 keys whose latest row was round 1, all 22
+round-2 keys, and 7 round-3 re-checks.  Keys
 rotated out stay locally oracle-checked by tests/test_workload_parity.py.
 """
 
@@ -37,6 +38,7 @@ ARRAY_RESHAPE_RECHECK_R5 = {
 NEW_IN_R5 = {
     "similarity_ann_lsh_exact", "similarity_ann_ivf_exact",
     "dedup_lsh_bucket_capped", "text_bigram_lm_pruned",
+    "funnel_strict_from_first",
 }
 
 # Latest driver row round 1 (8 keys).
@@ -62,7 +64,7 @@ STALE_R2 = {
 RECHECK_R3 = {
     "dedup_incremental_lsh", "decontaminate_ngram_overlap",
     "agg_count", "agg_customer_summary", "agg_product_perf",
-    "sessionize_events", "window_tumbling_events", "window_sliding_events",
+    "sessionize_events", "window_tumbling_events",
 }
 
 # Approximate-by-design ops: no exact SQL twin exists, so the driver

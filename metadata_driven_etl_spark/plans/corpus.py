@@ -153,11 +153,19 @@ def _quality_filter(
 def _repetition_filter(
     df: DataFrame, stage: CorpusStageConfig, text_col: str
 ) -> DataFrame:
+    # bind the token array once and derive the bigram-shingle count FROM
+    # it — a nested shingles(text) would re-run the regexp tokenizer per
+    # row (same two-phase projection as workloads.corpus_clean_pipeline)
+    staged = df.withColumn("_r_toks", text_ops.tokens(text_col))
     rx = text_ops.repetition_exprs(
-        text_ops.tokens(text_col),
-        F.size(dedup_ops.shingles(text_col, 2)).cast("long"),
+        F.col("_r_toks"),
+        F.size(dedup_ops.shingles_from_tokens(F.col("_r_toks"), 2)).cast(
+            "long"
+        ),
     )
-    out = df.withColumn("_r_dup_bigram_frac", rx["dup_bigram_frac"])
+    out = staged.withColumn(
+        "_r_dup_bigram_frac", rx["dup_bigram_frac"]
+    ).drop("_r_toks")
     if stage.max_dup_bigram_frac is not None:
         out = out.filter(
             F.col("_r_dup_bigram_frac").isNull()

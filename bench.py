@@ -180,6 +180,7 @@ HEADLINE = [
     "similarity_ann_ivf_exact",
     "dedup_lsh_bucket_capped",
     "text_bigram_lm_pruned",
+    "funnel_strict_from_first",
 ]
 
 

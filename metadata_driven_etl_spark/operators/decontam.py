@@ -19,10 +19,16 @@ regex pass per document); DuckDB twin below for the driver oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from metadata_driven_etl_spark.operators.dedup import shingles, sql_shingles
+from metadata_driven_etl_spark.operators.dedup import (
+    _materialize,
+    shingles,
+    sql_shingles,
+)
 
 
 def ngram_overlap(
@@ -53,6 +59,14 @@ def ngram_overlap(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_matched_grams"))
     )
+    return _overlap_counts(train, matched, id_col)
+
+
+def _overlap_counts(
+    train: DataFrame, matched: DataFrame, id_col: str
+) -> DataFrame:
+    """Left-join per-doc matched-gram counts back onto every train row
+    (docs with no overlap report 0 / false)."""
     return (
         train.select(id_col)
         .join(matched, id_col, "left")
@@ -92,6 +106,99 @@ def contaminated_ids(
         .select(id_col)
         .distinct()
     )
+
+
+def _bloom_positions(gram: Column, num_bits: int, num_hashes: int) -> list[Column]:
+    """k bit positions per gram: seeded xxhash64 mod m (all JVM built-ins)."""
+    return [
+        F.pmod(F.xxhash64(gram, F.lit(seed)), F.lit(num_bits))
+        for seed in range(num_hashes)
+    ]
+
+
+def ngram_overlap_bloom(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_bits: int = 1 << 17,
+    num_hashes: int = 5,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """:func:`ngram_overlap` with a Bloom-filter prefilter — IDENTICAL
+    output (the filter only admits false positives; an exact confirm join
+    removes them), built entirely from Spark built-ins since
+    ``bloom_filter_agg`` is not exposed as a public SQL function.
+
+    Why at 100 TB: the plain path broadcasts the eval set's distinct
+    n-gram *strings* (~40+ B/gram). A large eval suite can outgrow the
+    broadcast limit; the Bloom bitmap is ``num_bits/8`` bytes TOTAL
+    (constant in eval-set size, here 16 KiB), so the corpus-side pass
+    stays map-only no matter how big the eval suite grows. Survivors of
+    the prefilter are a tiny fraction of corpus grams (true matches +
+    ~``(1-e^-kn/m)^k`` false positives), so the exact confirm join
+    afterwards is cheap at any scale — AQE broadcasts it here; on a
+    cluster it may shuffle the (small) survivor set only.
+
+    Pipeline: eval grams → k seeded-hash bit positions → pack into
+    64-bit words (``bit_or`` groupBy, one small shuffle) → collapse to a
+    ONE-ROW ``map<word_idx, word>`` broadcast — then each corpus gram
+    tests its k bits map-side and only survivors reach the confirm join.
+
+    Sizing rule of thumb: ``num_bits >= 10-15 x`` expected distinct eval
+    grams with ``num_hashes`` 5-7 keeps the false-positive rate ~1%;
+    correctness never depends on it (a saturated filter only means more
+    survivors for the confirm join to reject).
+    """
+    eval_grams = _materialize(
+        eval_df.select(F.explode(shingles(text_col, n)).alias("gram")).distinct(),
+        checkpoint_dir,
+    )  # consumed twice: bitmap build + exact confirm join
+
+    # --- build: positions → packed words → one-row broadcastable map ---
+    positions = eval_grams.select(
+        F.explode(
+            F.array(*_bloom_positions(F.col("gram"), num_bits, num_hashes))
+        ).alias("pos")
+    )
+    words = positions.groupBy(
+        F.shiftright(F.col("pos"), 6).alias("word_idx")
+    ).agg(F.bit_or(F.expr("shiftleft(1L, cast(pos % 64 as int))")).alias("word"))
+    bloom = words.agg(
+        F.map_from_arrays(
+            F.collect_list("word_idx"), F.collect_list("word")
+        ).alias("__bloom_words")
+    )
+
+    # --- probe: map-side k-bit test per corpus gram ---
+    train_grams = train.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("gram")
+    )
+    probe = train_grams.crossJoin(F.broadcast(bloom))
+    for i, pos in enumerate(
+        _bloom_positions(F.col("gram"), num_bits, num_hashes)
+    ):
+        probe = probe.withColumn(f"__p{i}", pos)
+    bit_set = [
+        F.expr(
+            f"(shiftright(coalesce(element_at(__bloom_words, "
+            f"shiftright(__p{i}, 6)), 0L), cast(__p{i} % 64 as int)) & 1) = 1"
+        )
+        for i in range(num_hashes)
+    ]
+    survivors = probe.where(reduce(lambda a, b: a & b, bit_set)).select(
+        id_col, "gram"
+    )
+
+    # --- exact confirm: kills Bloom false positives; survivor set is
+    # small so this join is cheap regardless of strategy ---
+    matched = (
+        survivors.join(eval_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_matched_grams"))
+    )
+    return _overlap_counts(train, matched, id_col)
 
 
 def sql_ngram_overlap(

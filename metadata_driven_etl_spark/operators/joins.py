@@ -118,3 +118,45 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )
     return left.join(right, on=on + ["__salt"], how=how).drop("__salt")
+
+
+def blocked_levenshtein_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Record linkage: every unordered same-block pair within Levenshtein
+    ``max_dist``. Output: (block, id_a, id_b, edit_dist), id_a < id_b.
+
+    Scale contract: edit distance is O(len²) per comparison and the pair
+    space is O(|block|²) per block, so the BLOCK KEY is the whole design —
+    it must (a) never separate true matches and (b) keep blocks bounded
+    (normalized domain, sorted-token prefix, an LSH band). The join itself
+    is a plain equi-join on the block key: at 100 TB it hash-partitions by
+    block and each reducer compares only its own blocks — choose a key
+    with cardinality >> cluster cores so no reducer starves (for
+    low-cardinality keys compose with :func:`salted_join`'s approach or
+    pre-split giant blocks the way ``dedup.lsh_candidate_pairs`` caps
+    bucket fan-out). The projected side is materialized once — a
+    self-join gets no ReusedExchange, so without it the source scan and
+    projection run twice.
+    """
+    src = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("text_a"),
+    ).localCheckpoint(eager=False)
+    right = src.select(
+        F.col("block"),
+        F.col("id_a").alias("id_b"),
+        F.col("text_a").alias("text_b"),
+    )
+    dist = F.levenshtein("text_a", "text_b")
+    return (
+        src.join(right, "block")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(dist <= max_dist)
+        .select("block", "id_a", "id_b", dist.alias("edit_dist"))
+    )

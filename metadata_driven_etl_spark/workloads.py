@@ -371,6 +371,74 @@ def join_self_groupcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", "o_custkey", "key_count", "is_unique")
 
 
+_EVENT_TYPE_WEIGHTS = [
+    ("click", 1.0),
+    ("view", 0.5),
+    ("purchase", 5.0),
+    ("signup", 3.0),
+    ("error", 0.0),
+]
+
+
+@workload(
+    "join_salted_skew",
+    oracle="""
+    WITH d(event_type, weight) AS (VALUES """
+    + ", ".join(
+        f"('{t}', CAST({w} AS DOUBLE))" for t, w in _EVENT_TYPE_WEIGHTS
+    )
+    + """)
+    SELECT e.event_id, e.event_type, d.weight,
+           e.value * d.weight AS weighted_value
+    FROM events e JOIN d USING (event_type)""",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant equi-join: events keyed by event_type (5 distinct
+    values — the pathological case: a plain shuffle join uses at most 5
+    reducers no matter how big the cluster) salted into 16 buckets, the
+    5-row weight dim replicated 16x. Result is bit-identical to the plain
+    join (the oracle IS the plain join). Locally AQE broadcasts the
+    80-row replicated dim so no shuffle remains; the pattern targets
+    small-but-unbroadcastable sides or plans where the skewed side's
+    partitioning feeds a downstream op (operators/joins.py:salted_join).
+    """
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    dim = spark.createDataFrame(
+        _EVENT_TYPE_WEIGHTS, "event_type string, weight double"
+    )
+    out = join_ops.salted_join(events, dim, on=["event_type"])
+    return out.select(
+        "event_id",
+        "event_type",
+        "weight",
+        (F.col("value") * F.col("weight")).alias("weighted_value"),
+    )
+
+
+@workload(
+    "fuzzy_match_levenshtein",
+    oracle="""
+    SELECT a.p_brand AS block, a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3""",
+)
+def fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage: same-brand part pairs whose names are within edit
+    distance 3. The brand block key turns the quadratic pair space into
+    bounded per-block work behind a plain equi-join — the blocking
+    pattern every entity-resolution pipeline needs at 100 TB
+    (operators/joins.py:blocked_levenshtein_pairs)."""
+    part = _t(spark, sf_dir, "part")
+    return join_ops.blocked_levenshtein_pairs(
+        part, id_col="p_partkey", text_col="p_name", block_col="p_brand",
+        max_dist=3,
+    )
+
+
 # =========================================================================
 # §2.5 Aggregations (gold models)
 # =========================================================================
@@ -2694,6 +2762,25 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_df = docs.filter(F.col("source") == "src0")
     train = docs.filter(F.col("source") != "src0")
     return decontam_ops.ngram_overlap(train, eval_df, n=4)
+
+
+@workload(
+    "decontaminate_bloom_prefilter",
+    oracle=decontam_ops.sql_ngram_overlap(eval_pred="source = 'src0'", n=4),
+)
+def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination behind a built-in-only Bloom prefilter: the eval
+    set's grams compress to a 16 KiB bitmap broadcast as ONE map row, the
+    corpus tests k bits map-side, and an exact confirm join erases false
+    positives — output (and oracle) identical to
+    decontaminate_ngram_overlap, but the broadcast no longer grows with
+    the eval suite (operators/decontam.py:ngram_overlap_bloom)."""
+    docs = _docs(spark, sf_dir)
+    eval_df = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    return decontam_ops.ngram_overlap_bloom(
+        train, eval_df, n=4, num_bits=1 << 17, num_hashes=5
+    )
 
 
 @workload("text_repetition", oracle=text_ops.sql_repetition_features())

@@ -45,6 +45,45 @@ class TestNgramOverlap:
         assert len(out) == 2  # every train row present even with no grams
 
 
+class TestBloomPrefilter:
+    """ngram_overlap_bloom must be bit-identical to the exact path at ANY
+    filter sizing — the exact confirm join erases false positives, so a
+    deliberately saturated bitmap only costs work, never correctness."""
+
+    ROWS = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "zeta eta theta iota kappa"),
+        (3, "xx alpha beta gamma delta yy"),
+        (4, "alpha beta"),
+        (5, ""),
+    ]
+
+    def _both(self, spark, num_bits, num_hashes):
+        eval_df = _docs(spark, [(100, "alpha beta gamma delta epsilon")])
+        train = _docs(spark, self.ROWS)
+        exact = decontam.ngram_overlap(train, eval_df, n=4).collect()
+        bloom = decontam.ngram_overlap_bloom(
+            train, eval_df, n=4, num_bits=num_bits, num_hashes=num_hashes
+        ).collect()
+        key = lambda r: r["doc_id"]  # noqa: E731
+        return sorted(exact, key=key), sorted(bloom, key=key)
+
+    def test_matches_exact_at_default_sizing(self, spark):
+        exact, bloom = self._both(spark, num_bits=1 << 17, num_hashes=5)
+        assert exact == bloom
+
+    def test_matches_exact_when_saturated(self, spark):
+        # 64 bits / 5 hashes for ~8 grams: nearly every probe passes the
+        # prefilter; the confirm join must still kill every false positive.
+        exact, bloom = self._both(spark, num_bits=64, num_hashes=5)
+        assert exact == bloom
+
+    def test_no_false_negatives_single_bit_word(self, spark):
+        # One 64-bit word, one hash — the degenerate-but-legal corner.
+        exact, bloom = self._both(spark, num_bits=64, num_hashes=1)
+        assert exact == bloom
+
+
 class TestRepetitionFeatures:
     def test_known_values(self, spark):
         df = _docs(spark, [(1, "a a a b"), (2, "x y"), (3, "")])

@@ -31,6 +31,7 @@ PAIR_GENERATORS = [
     "fuzzy_join_tables",
     "multimodal_phash_dedup",
     "dedup_incremental_lsh",
+    "fuzzy_match_levenshtein",
 ]
 
 
@@ -50,6 +51,23 @@ def test_decontaminate_broadcasts_eval_shingles(spark, sf_dir):
     plan = _plan(workloads.QUERIES["decontaminate_ngram_overlap"](spark, sf_dir))
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_decontaminate_prefilter_plan(spark, sf_dir):
+    """The Bloom bitmap reaches the corpus as a broadcast (the one-row
+    map frame), never a cartesian pair pass; the only BNLJ allowed is
+    the unconditioned 1-row scalar-subquery crossJoin itself."""
+    plan = _plan(workloads.QUERIES["decontaminate_bloom_prefilter"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_join_is_equi_join(spark, sf_dir):
+    """Salting must keep the join an equi-join on (key, salt) — a lost
+    salt column degenerates to a hot-key shuffle or a cartesian."""
+    plan = _plan(workloads.QUERIES["join_salted_skew"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_similarity_topk_broadcasts_queries(spark, sf_dir):

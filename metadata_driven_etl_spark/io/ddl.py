@@ -169,3 +169,30 @@ def compact_table(
     spark.sql(f"DROP TABLE {table}")
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
     return n_out
+
+
+def optimize_layout(
+    spark: SparkSession,
+    table: str,
+    layout_cols: Sequence[str],
+    num_files: int,
+) -> None:
+    """Rewrite a managed parquet table range-clustered on ``layout_cols``
+    (the OPTIMIZE ... ZORDER BY maintenance intent on plain parquet —
+    SURVEY.md §2.10; exact file-range pruning on the leading column).
+    After the rewrite each data file covers a disjoint key range, so
+    selective scans open only matching files (parquet footer min/max).
+    Same atomic tmp-table swap as :func:`compact_table`; at 100 TB run it
+    per partition, never whole-table."""
+    _check_ident(table)
+    df = spark.table(table)
+    tmp = f"{table}__layout_tmp"
+    (
+        df.repartitionByRange(num_files, *layout_cols)
+        .sortWithinPartitions(*layout_cols)
+        .write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(tmp)
+    )
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")

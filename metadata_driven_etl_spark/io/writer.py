@@ -102,6 +102,33 @@ class TableFormat:
             writer = writer.sortBy(*sort_cols)
         writer.option("overwriteSchema", "true").saveAsTable(table)
 
+    def overwrite_range_layout(
+        self,
+        df: DataFrame,
+        table: str,
+        layout_cols: Sequence[str],
+        num_files: int,
+        partition_by: Sequence[str] | None = None,
+    ) -> None:
+        """Range-clustered layout: range-partition on ``layout_cols`` then
+        sort within each output file — the OPTIMIZE ZORDER BY intent on
+        plain parquet (exact for the leading column; multi-column is
+        lexicographic, not interleaved). Every output file then covers a
+        DISJOINT ``layout_cols`` range, so parquet footer min/max stats
+        let point/range scans skip whole files and row groups — at 100 TB
+        this turns "scan the table" into "open the few files whose range
+        matches", independent of any runtime filter machinery. Unlike
+        bucketing it needs no table metadata: any parquet reader benefits.
+        Range boundaries come from repartitionByRange's built-in sampling
+        pass, so no full extra shuffle beyond the clustering one. Combine
+        with ``partition_by`` for coarse pruning (partition dirs) + fine
+        pruning (file ranges within each dir).
+        """
+        out = df.repartitionByRange(num_files, *layout_cols).sortWithinPartitions(
+            *layout_cols
+        )
+        self.overwrite(out, table, partition_by)
+
     def merge(
         self, spark: SparkSession, table: str, source: DataFrame, keys: Sequence[str]
     ) -> None:

@@ -84,3 +84,76 @@ def test_merge_rejects_duplicate_source_keys(spark, fmt):
     dup_src = spark.createDataFrame([Row(id=1, v="a"), Row(id=1, v="b")])
     with pytest.raises(DuplicateSourceKeysError):
         fmt.merge(spark, tbl, dup_src, keys=["id"])
+
+
+# --- range-clustered layout (file-skipping) ---------------------------------
+
+
+def _file_key_ranges(spark, table, key):
+    """Per-data-file (min, max) of ``key`` straight from parquet footers —
+    the same stats a scan uses to skip files."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    location = next(
+        r.data_type
+        for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+        if (r.col_name or "").strip() == "Location"
+    ).removeprefix("file:")
+    ranges = []
+    for path in glob.glob(os.path.join(location, "**", "*.parquet"), recursive=True):
+        md = pq.ParquetFile(path).metadata
+        idx = md.schema.names.index(key)
+        lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    return sorted(ranges)
+
+
+def _assert_disjoint(ranges):
+    for (_, prev_hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert prev_hi <= lo, f"overlapping file ranges: {ranges}"
+
+
+def test_overwrite_range_layout_yields_disjoint_file_ranges(spark, fmt):
+    """Each output file must cover a disjoint key range (that is what
+    makes footer min/max stats skip whole files), and the rewrite must
+    not lose or duplicate rows."""
+    tbl = "default.wp_range_layout"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    # scrambled insertion order: layout must come from the writer
+    df = spark.range(0, 10_000).select(
+        ((F.col("id") * 7919) % 10_000).alias("k"), F.col("id").alias("payload")
+    )
+    fmt.overwrite_range_layout(df, tbl, ["k"], num_files=8)
+
+    ranges = _file_key_ranges(spark, tbl, "k")
+    assert len(ranges) > 1, "expected multiple files to prove disjointness"
+    _assert_disjoint(ranges)
+    assert spark.table(tbl).count() == 10_000
+    assert spark.table(tbl).select(F.count_distinct("k")).first()[0] == 10_000
+
+
+def test_optimize_layout_preserves_data_and_clusters(spark):
+    """DDL maintenance form: rewrite an existing fragmented table into a
+    range-clustered one atomically (tmp-swap), data intact."""
+    from metadata_driven_etl_spark.io.ddl import optimize_layout
+
+    tbl = "default.wp_layout_maint"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    df = spark.range(0, 5_000).select(
+        ((F.col("id") * 4999) % 5_000).alias("k"), F.lit("x").alias("v")
+    )
+    # fragmented + unordered: 16 hash-partitioned files
+    df.repartition(16).write.mode("overwrite").format("parquet").saveAsTable(tbl)
+
+    optimize_layout(spark, tbl, ["k"], num_files=4)
+
+    ranges = _file_key_ranges(spark, tbl, "k")
+    assert len(ranges) > 1
+    _assert_disjoint(ranges)
+    got = spark.table(tbl)
+    assert got.count() == 5_000
+    assert got.where(F.col("k") < 100).count() == 100

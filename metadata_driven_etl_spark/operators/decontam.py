@@ -142,9 +142,14 @@ def ngram_overlap_bloom(
     cluster it may shuffle the (small) survivor set only.
 
     Pipeline: eval grams → k seeded-hash bit positions → pack into
-    64-bit words (``bit_or`` groupBy, one small shuffle) → collapse to a
-    ONE-ROW ``map<word_idx, word>`` broadcast — then each corpus gram
+    64-bit words (``bit_or`` groupBy, one small shuffle) → scatter into a
+    ONE-ROW dense ``array<long>`` broadcast — then each corpus gram
     tests its k bits map-side and only survivors reach the confirm join.
+    The bitmap MUST be a dense array, not a ``map``: Spark's MapData
+    ``element_at`` is a linear scan, so a map-typed bitmap turns each
+    probe into k × O(set words) and the whole pass quadratic in eval-set
+    size (measured: 295s vs ~4s at the 100x probe point); array
+    ``element_at`` is O(1).
 
     Sizing rule of thumb: ``num_bits >= 10-15 x`` expected distinct eval
     grams with ``num_hashes`` 5-7 keeps the false-positive rate ~1%;
@@ -165,9 +170,17 @@ def ngram_overlap_bloom(
     words = positions.groupBy(
         F.shiftright(F.col("pos"), 6).alias("word_idx")
     ).agg(F.bit_or(F.expr("shiftleft(1L, cast(pos % 64 as int))")).alias("word"))
-    bloom = words.agg(
-        F.map_from_arrays(
-            F.collect_list("word_idx"), F.collect_list("word")
+    num_words = (num_bits + 63) >> 6
+    dense = (
+        eval_df.sparkSession.range(num_words)
+        .select(F.col("id").alias("word_idx"))
+        .join(words, "word_idx", "left")
+        .select("word_idx", F.coalesce("word", F.lit(0).cast("long")).alias("word"))
+    )
+    bloom = dense.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("word_idx", "word"))),
+            lambda s: s["word"],
         ).alias("__bloom_words")
     )
 
@@ -182,8 +195,10 @@ def ngram_overlap_bloom(
         probe = probe.withColumn(f"__p{i}", pos)
     bit_set = [
         F.expr(
-            f"(shiftright(coalesce(element_at(__bloom_words, "
-            f"shiftright(__p{i}, 6)), 0L), cast(__p{i} % 64 as int)) & 1) = 1"
+            # 1-based dense-array index; O(1) per lookup
+            f"(shiftright(element_at(__bloom_words, "
+            f"cast(shiftright(__p{i}, 6) as int) + 1), "
+            f"cast(__p{i} % 64 as int)) & 1) = 1"
         )
         for i in range(num_hashes)
     ]

@@ -27,7 +27,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
 from metadata_driven_etl_spark.catalog import load_table  # noqa: E402
+from metadata_driven_etl_spark.operators import decontam as decontam_ops  # noqa: E402
 from metadata_driven_etl_spark.operators import dedup as dedup_ops  # noqa: E402
+from metadata_driven_etl_spark.operators import joins as join_ops  # noqa: E402
 from metadata_driven_etl_spark.operators import temporal as temporal_ops  # noqa: E402
 from metadata_driven_etl_spark.operators import text as text_ops  # noqa: E402
 from metadata_driven_etl_spark.session import get_local_spark  # noqa: E402
@@ -82,6 +84,17 @@ def amplify(spark, scale: int, out_dir: str) -> str:
     return path
 
 
+def _decontam_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """~1% of the amplified corpus acts as the eval suite — so the eval
+    side GROWS with scale, which is exactly the regime that separates the
+    exact path (broadcast grows with eval grams) from the Bloom path
+    (bitmap constant-size)."""
+    return (
+        df.where(F.col("doc_id") % 101 != 0),
+        df.where(F.col("doc_id") % 101 == 0),
+    )
+
+
 OPS = {
     "dedup_exact": lambda df: dedup_ops.exact_dedup_stats(df),
     # uncapped exact-candidate baseline (quadratic in duplicate mass)
@@ -106,6 +119,28 @@ OPS = {
     # (model/build-side size bound by repeated-bigram mass, not corpus size)
     "text_bigram_lm_minfreq2": lambda df: text_ops.bigram_lm_score(
         df, min_freq=2
+    ),
+    "decontam_exact": lambda df: decontam_ops.ngram_overlap(
+        *_decontam_split(df), n=4
+    ),
+    # 1 MiB bitmap (1<<23 bits) holds the 100x eval suite at ~7 bits/gram;
+    # the broadcast stays constant-size while the exact path's gram-string
+    # broadcast grows with the eval suite
+    "decontam_bloom": lambda df: decontam_ops.ngram_overlap_bloom(
+        *_decontam_split(df), n=4, num_bits=1 << 23, num_hashes=5
+    ),
+    # bounded blocks (~12 docs via dense doc_id div): per-block pair cost
+    # is constant, so the equi-join curve must stay linear in corpus size
+    "linkage_levenshtein": lambda df: join_ops.blocked_levenshtein_pairs(
+        df.select(
+            "doc_id",
+            F.substring("text", 1, 32).alias("name"),
+            F.floor(F.col("doc_id") / 12).alias("blk"),
+        ),
+        id_col="doc_id",
+        text_col="name",
+        block_col="blk",
+        max_dist=8,
     ),
 }
 

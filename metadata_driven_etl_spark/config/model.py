@@ -378,6 +378,11 @@ class CorpusStageConfig:
     # decontaminate
     eval_filter: str | None = None
     ngram: int = 5
+    # decontaminate corpus-side prefilter: "none" = broadcast the eval
+    # gram strings (fine while the eval suite is small); "bloom" =
+    # constant-size dense-array bitmap + exact confirm join (identical
+    # output; the 100 TB posture when the eval suite outgrows broadcast).
+    prefilter: str = "none"
     # span_dedup
     span_tokens: int = 20
     # near_dedup
@@ -408,6 +413,14 @@ class CorpusStageConfig:
             _require(
                 bool(d.get("eval_filter")),
                 f"corpus {pipeline_id}: decontaminate needs eval_filter",
+            )
+        pf = d.get("prefilter")
+        if pf is not None:
+            _require(
+                st == "decontaminate" and pf in ("none", "bloom"),
+                f"corpus {pipeline_id}: prefilter must be 'none' or "
+                "'bloom' and only applies to decontaminate, got "
+                f"{pf!r} on {st!r}",
             )
         if st == "token_budget":
             _require(
@@ -446,6 +459,7 @@ class CorpusStageConfig:
             ),
             eval_filter=d.get("eval_filter"),
             ngram=int(d.get("ngram", 5)),
+            prefilter=pf or "none",
             span_tokens=int(d.get("span_tokens", 20)),
             keep=keep,
             max_bucket_size=int(mbs) if mbs is not None else None,

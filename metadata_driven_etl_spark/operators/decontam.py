@@ -156,12 +156,61 @@ def ngram_overlap_bloom(
     correctness never depends on it (a saturated filter only means more
     survivors for the confirm join to reject).
     """
+    matched = (
+        _bloom_matched_grams(
+            train, eval_df, text_col, id_col, n, num_bits, num_hashes,
+            checkpoint_dir,
+        )
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_matched_grams"))
+    )
+    return _overlap_counts(train, matched, id_col)
+
+
+def contaminated_ids_bloom(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_bits: int = 1 << 17,
+    num_hashes: int = 5,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Filter-pipeline form of :func:`ngram_overlap_bloom`: just the ids
+    of contaminated training docs, identical to
+    :func:`contaminated_ids` (false positives erased by the exact
+    confirm join) with the constant-size-broadcast corpus pass."""
+    return (
+        _bloom_matched_grams(
+            train, eval_df, text_col, id_col, n, num_bits, num_hashes,
+            checkpoint_dir,
+        )
+        .select(id_col)
+        .distinct()
+    )
+
+
+def _bloom_matched_grams(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    num_bits: int,
+    num_hashes: int,
+    checkpoint_dir: str | None,
+) -> DataFrame:
+    """(id_col, gram) rows of TRUE eval-set matches: Bloom prefilter on
+    the corpus side, exact confirm join behind it. The per-doc-distinct
+    shingles contract carries through, so a downstream count is a
+    distinct-matched-gram count."""
     eval_grams = _materialize(
         eval_df.select(F.explode(shingles(text_col, n)).alias("gram")).distinct(),
         checkpoint_dir,
     )  # consumed twice: bitmap build + exact confirm join
 
-    # --- build: positions → packed words → one-row broadcastable map ---
+    # --- build: positions → packed words → one-row dense-array bitmap ---
     positions = eval_grams.select(
         F.explode(
             F.array(*_bloom_positions(F.col("gram"), num_bits, num_hashes))
@@ -208,12 +257,7 @@ def ngram_overlap_bloom(
 
     # --- exact confirm: kills Bloom false positives; survivor set is
     # small so this join is cheap regardless of strategy ---
-    matched = (
-        survivors.join(eval_grams, "gram")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_matched_grams"))
-    )
-    return _overlap_counts(train, matched, id_col)
+    return survivors.join(eval_grams, "gram").select(id_col, "gram")
 
 
 def sql_ngram_overlap(

@@ -190,9 +190,14 @@ def _apply_stage(
         return _repetition_filter(df, stage, text_col)
     if stage.stage == "decontaminate":
         eval_df = docs.filter(F.expr(stage.eval_filter))
-        bad = decontam_ops.contaminated_ids(
-            df, eval_df, text_col=text_col, id_col=id_col, n=stage.ngram
-        )
+        if stage.prefilter == "bloom":
+            bad = decontam_ops.contaminated_ids_bloom(
+                df, eval_df, text_col=text_col, id_col=id_col, n=stage.ngram
+            )
+        else:
+            bad = decontam_ops.contaminated_ids(
+                df, eval_df, text_col=text_col, id_col=id_col, n=stage.ngram
+            )
         return df.filter(~F.expr(stage.eval_filter)).join(
             F.broadcast(bad), id_col, "left_anti"
         )

@@ -530,3 +530,84 @@ def test_token_budget_validation():
                 )
             )
         )
+
+
+def test_decontaminate_bloom_prefilter_knob(ctx, tmp_path):
+    """prefilter: bloom must parse through to the stage and produce
+    EXACTLY the survivors of the plain broadcast path (the Bloom bitmap
+    only prefilters; the exact confirm join fixes false positives)."""
+    docs = ctx.spark.read.parquet(SF_DOCS)
+    ParquetFormat().overwrite(docs, "corpus.t_bloom_input")
+
+    def run(pid, target, prefilter_line):
+        cfg = load_corpus_config(
+            _write_config(
+                tmp_path,
+                f"""
+                corpus_pipelines:
+                  - pipeline_id: {pid}
+                    input_table: corpus.t_bloom_input
+                    target_table: {target}
+                    stages:
+                      - stage: decontaminate
+                        eval_filter: "source = 'src0'"
+                        ngram: 4
+                        {prefilter_line}
+                """,
+            )
+        )
+        results = CorpusLayer(ctx, cfg).run("2026-08-14")
+        assert [r.status for r in results] == ["success"]
+        return {r.doc_id for r in ctx.spark.table(target).collect()}
+
+    plain = run("dc_plain", "corpus.t_bloom_plain", "")
+    bloom = run("dc_bloom", "corpus.t_bloom_out", "prefilter: bloom")
+    cfg_check = load_corpus_config(
+        _write_config(
+            tmp_path,
+            """
+            corpus_pipelines:
+              - pipeline_id: dc_parse
+                input_table: corpus.t_bloom_input
+                target_table: corpus.t_bloom_parse
+                stages:
+                  - stage: decontaminate
+                    eval_filter: "source = 'src0'"
+                    prefilter: bloom
+            """,
+        )
+    )
+    assert cfg_check.pipelines[0].stages[0].prefilter == "bloom"
+    assert bloom == plain and bloom
+
+
+def test_prefilter_rejected_outside_decontaminate(tmp_path):
+    with pytest.raises(ConfigError, match="prefilter"):
+        load_corpus_config(
+            _write_config(
+                tmp_path,
+                """
+                corpus_pipelines:
+                  - pipeline_id: bad_pf
+                    input_table: corpus.x
+                    target_table: corpus.y
+                    stages: [{stage: span_dedup, prefilter: bloom}]
+                """,
+            )
+        )
+    with pytest.raises(ConfigError, match="prefilter"):
+        load_corpus_config(
+            _write_config(
+                tmp_path,
+                """
+                corpus_pipelines:
+                  - pipeline_id: bad_pf2
+                    input_table: corpus.x
+                    target_table: corpus.y
+                    stages:
+                      - stage: decontaminate
+                        eval_filter: "source = 'src0'"
+                        prefilter: cuckoo
+                """,
+            )
+        )

@@ -32,13 +32,27 @@ REGRESSION_FACTOR = 1.5
 UNIFORM_SLOWDOWN_WARN = 1.15
 
 
+# Output-shape epoch boundaries: history entries recorded BEFORE a
+# query's timestamp here measured a different (incomparable) output
+# shape and are excluded from its best. r5: embedding_quantize_int8 was
+# reshaped from one array<tinyint> row per vector to 64 posexploded
+# scalar rows (driver-canonicalizer requirement, CORRECTNESS_r04) — a
+# deliberate 64x output-row change, not a plan regression.
+BEST_SINCE: dict[str, float] = {
+    "embedding_quantize_int8": 1786712000.0,
+}
+
+
 def best_times(history: list[dict], sf: float) -> dict[str, float]:
-    """Best recorded per-query seconds at the same scale factor."""
+    """Best recorded per-query seconds at the same scale factor,
+    skipping entries older than a query's ``BEST_SINCE`` shape epoch."""
     best: dict[str, float] = {}
     for rec in history:
         if rec.get("sf") != sf:
             continue
         for q, s in rec.get("queries", {}).items():
+            if rec.get("ts", 0.0) < BEST_SINCE.get(q, 0.0):
+                continue
             if q not in best or s < best[q]:
                 best[q] = s
     return best
@@ -181,6 +195,10 @@ HEADLINE = [
     "dedup_lsh_bucket_capped",
     "text_bigram_lm_pruned",
     "funnel_strict_from_first",
+    "join_salted_skew",
+    "fuzzy_match_levenshtein",
+    "decontaminate_bloom_prefilter",
+    "snapshot_diff_orders",
 ]
 
 

@@ -142,6 +142,18 @@ def blocked_levenshtein_pairs(
     bucket fan-out). The projected side is materialized once — a
     self-join gets no ReusedExchange, so without it the source scan and
     projection run twice.
+
+    Two per-pair prunes keep the block-quadratic core cheap: a length
+    band (``|len(a)-len(b)| > max_dist`` implies ``dist > max_dist``, and
+    length compares are O(1) vs the O(len²) DP), then the thresholded
+    ``levenshtein(_, _, max_dist)`` form, whose DP abandons a row pair
+    the moment the running distance exceeds the cap (its band-limited DP
+    is O(len × max_dist), and it returns -1 past the cap — for every
+    SURVIVING pair the value equals the exact distance, so output is
+    unchanged). On short uniform-length strings the prunes are marginal
+    (measured: candidate-pair COUNT dominates) — block granularity is the
+    real lever, see the workload's brand+type composite key (8M → 1.3M
+    pairs, 7.1s → 2.6s at sf0.1).
     """
     src = df.select(
         F.col(block_col).alias("block"),
@@ -153,10 +165,13 @@ def blocked_levenshtein_pairs(
         F.col("id_a").alias("id_b"),
         F.col("text_a").alias("text_b"),
     )
-    dist = F.levenshtein("text_a", "text_b")
+    dist = F.levenshtein("text_a", "text_b", threshold=max_dist)
     return (
         src.join(right, "block")
         .where(F.col("id_a") < F.col("id_b"))
-        .where(dist <= max_dist)
+        .where(
+            F.abs(F.length("text_a") - F.length("text_b")) <= F.lit(max_dist)
+        )
+        .where((dist >= 0) & (dist <= max_dist))
         .select("block", "id_a", "id_b", dist.alias("edit_dist"))
     )

@@ -144,3 +144,45 @@ def scd2_apply(
         .unionByName(opened_now.select(*current.columns))
         .unionByName(fresh.select(*current.columns))
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two snapshots of the same table: one row per
+    changed key with ``change_type`` in inserted / deleted / updated
+    (unchanged keys omitted) — the CDC/regression-check companion to
+    ``upsert`` (what changed between yesterday's gold table and today's).
+
+    Comparison is null-safe struct equality over ``compare_cols``
+    (default: every non-key column of ``new``), so NULL→value and
+    value→NULL both read as updates and no hashing false-negative is
+    possible. Plan shape: ONE full-outer sort-merge join keyed on
+    ``keys`` — each side shuffles once; snapshots written bucketed on the
+    key (`overwrite_bucketed`) diff with zero Exchange. Never a collect,
+    never a row-by-row comparison loop.
+    """
+    compare = list(
+        compare_cols
+        if compare_cols is not None
+        else [c for c in new.columns if c not in keys]
+    )
+    # key-only table: presence is the only signal — updated never fires
+    payload = (
+        F.struct(*compare) if compare else F.struct(F.lit(0).alias("__c"))
+    )
+    o = old.select(*keys, payload.alias("__old"))
+    n = new.select(*keys, payload.alias("__new"))
+    j = o.join(n, on=list(keys), how="full_outer")
+    change = (
+        F.when(F.col("__old").isNull(), F.lit("inserted"))
+        .when(F.col("__new").isNull(), F.lit("deleted"))
+        .when(~F.col("__old").eqNullSafe(F.col("__new")), F.lit("updated"))
+    )
+    return (
+        j.select(*keys, change.alias("change_type"))
+        .where(F.col("change_type").isNotNull())
+    )

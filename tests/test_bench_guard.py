@@ -161,3 +161,17 @@ def test_rerun_pass_is_single_and_deduped():
         and any(loop in ast.walk(n) and loop is not n for loop in loops)
     ]
     assert not outer, "rerun pass is nested in an outer retry loop"
+
+
+def test_best_times_respects_shape_epochs():
+    """A deliberate output-shape change (BEST_SINCE) must stop the gate
+    from comparing new timings against incomparable pre-reshape bests."""
+    q = "embedding_quantize_int8"
+    cutoff = bench.BEST_SINCE[q]
+    history = [
+        {"ts": cutoff - 10, "sf": 0.1, "queries": {q: 0.3, "other": 1.0}},
+        {"ts": cutoff + 10, "sf": 0.1, "queries": {q: 0.9, "other": 1.1}},
+    ]
+    best = bench.best_times(history, 0.1)
+    assert best[q] == 0.9      # pre-reshape 0.3 excluded
+    assert best["other"] == 1.0  # un-epoched queries keep the true best

@@ -885,3 +885,37 @@ def test_quantize_int8_reconstruction_error_bound(spark_global, vecs):
             assert abs(x - q * step) <= step / 2 + 1e-9 * scale, (
                 vid, x, q, scale
             )
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    """Null-safe comparison: NULL→value and value→NULL are updates;
+    unchanged keys are omitted entirely."""
+    from metadata_driven_etl_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d"), (6, "f")],
+        "k long, v string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, "c"), (5, "e"), (6, None)],
+        "k long, v string",
+    )
+    out = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert out == {
+        2: "updated",
+        3: "updated",   # NULL -> 'c'
+        4: "deleted",
+        5: "inserted",
+        6: "updated",   # 'f' -> NULL
+    }
+
+
+def test_snapshot_diff_key_only_table(spark):
+    """With no payload columns, presence is the only signal — updated
+    can never fire."""
+    from metadata_driven_etl_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1,), (2,)], "k long")
+    new = spark.createDataFrame([(2,), (3,)], "k long")
+    out = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert out == {1: "deleted", 3: "inserted"}

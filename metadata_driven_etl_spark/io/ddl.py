@@ -163,12 +163,20 @@ def compact_table(
         total_bytes += files.next().getLen()
     n_out = max(1, -(-total_bytes // target_file_bytes))
 
-    df = spark.table(table)
-    tmp = f"{table}__compact_tmp"
-    df.coalesce(n_out).write.mode("overwrite").format("parquet").saveAsTable(tmp)
+    _swap_rewrite(spark, table, spark.table(table).coalesce(n_out), "compact")
+    return n_out
+
+
+def _swap_rewrite(
+    spark: SparkSession, table: str, out: DataFrame, suffix: str
+) -> None:
+    """Shared maintenance-rewrite tail: write ``out`` as a tmp table, then
+    DROP + RENAME into place (used by compact_table / optimize_layout, so
+    a future crash-safety fix lands in every rewrite at once)."""
+    tmp = f"{table}__{suffix}_tmp"
+    out.write.mode("overwrite").format("parquet").saveAsTable(tmp)
     spark.sql(f"DROP TABLE {table}")
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
-    return n_out
 
 
 def optimize_layout(
@@ -184,15 +192,12 @@ def optimize_layout(
     selective scans open only matching files (parquet footer min/max).
     Same atomic tmp-table swap as :func:`compact_table`; at 100 TB run it
     per partition, never whole-table."""
+    from metadata_driven_etl_spark.io.writer import range_cluster
+
     _check_ident(table)
-    df = spark.table(table)
-    tmp = f"{table}__layout_tmp"
-    (
-        df.repartitionByRange(num_files, *layout_cols)
-        .sortWithinPartitions(*layout_cols)
-        .write.mode("overwrite")
-        .format("parquet")
-        .saveAsTable(tmp)
+    _swap_rewrite(
+        spark,
+        table,
+        range_cluster(spark.table(table), layout_cols, num_files),
+        "layout",
     )
-    spark.sql(f"DROP TABLE {table}")
-    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")

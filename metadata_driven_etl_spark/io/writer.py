@@ -24,6 +24,18 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 
+def range_cluster(
+    df: DataFrame, layout_cols: Sequence[str], num_files: int
+) -> DataFrame:
+    """The ONE range-clustered layout recipe (shared by the write path and
+    ``ddl.optimize_layout``): range-partition on ``layout_cols``, sort
+    within each output file, so every file covers a disjoint key range
+    and parquet footer min/max stats can skip whole files."""
+    return df.repartitionByRange(num_files, *layout_cols).sortWithinPartitions(
+        *layout_cols
+    )
+
+
 def _ensure_database(spark: SparkSession, table: str) -> None:
     if "." in table:
         db = table.split(".")[0]
@@ -124,10 +136,9 @@ class TableFormat:
         with ``partition_by`` for coarse pruning (partition dirs) + fine
         pruning (file ranges within each dir).
         """
-        out = df.repartitionByRange(num_files, *layout_cols).sortWithinPartitions(
-            *layout_cols
+        self.overwrite(
+            range_cluster(df, layout_cols, num_files), table, partition_by
         )
-        self.overwrite(out, table, partition_by)
 
     def merge(
         self, spark: SparkSession, table: str, source: DataFrame, keys: Sequence[str]

@@ -126,13 +126,20 @@ def _materialize(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
         sc = df.sparkSession.sparkContext
         if not sc.getCheckpointDir():
             sc.setCheckpointDir(checkpoint_dir)
-        # Unlike localCheckpoint, a reliable non-eager checkpoint does NOT
-        # cache blocks — without persist() the first triggering job would
-        # recompute the lineage once per consumer subtree PLUS once for the
-        # checkpoint write (Spark's documented recommendation is to persist
-        # before a reliable checkpoint). persist() keeps "executes ONCE"
-        # true on the durable path too.
-        return df.persist().checkpoint(eager=False)
+        # Unlike localCheckpoint, a reliable checkpoint does NOT cache
+        # blocks — without persist() the checkpoint write would recompute
+        # the lineage (Spark's documented recommendation is to persist
+        # before a reliable checkpoint). The cache is only needed WHILE
+        # the checkpoint files are being written, so: persist → eager
+        # checkpoint → unpersist. Leaving it persisted would leak one
+        # CacheManager entry per materialization (one per convergence
+        # block inside connected_components' loop) for the session
+        # lifetime; after unpersist every consumer reads the durable
+        # checkpoint files, which is the point of this path.
+        cached = df.persist()
+        out = cached.checkpoint(eager=True)
+        cached.unpersist()
+        return out
     return df.localCheckpoint(eager=False)
 
 

@@ -107,7 +107,18 @@ def salted_join(
     The salt on the skewed side is derived by hashing the row's full tuple
     (deterministic, no rand()): identical rows land in the same bucket but
     a hot KEY's many distinct rows spread uniformly.
+
+    Only ``inner`` and ``left``(-outer) are supported: the small side is
+    replicated ``salt_buckets``×, so a right/full outer join would emit
+    every unmatched small-side key once PER REPLICA (``salt_buckets``
+    duplicate rows) — silently wrong counts. Raises on any other ``how``.
     """
+    normalized_how = how.lower().replace("_", "").replace("outer", "")
+    if normalized_how not in ("inner", "left"):
+        raise ValueError(
+            "salted_join supports how='inner'/'left' only: the replicated "
+            f"small side corrupts unmatched-row counts under {how!r}"
+        )
     on = list(on)
     salt_l = F.pmod(
         F.xxhash64(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in skewed.columns])),
@@ -126,6 +137,7 @@ def blocked_levenshtein_pairs(
     text_col: str,
     block_col: str,
     max_dist: int = 3,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Record linkage: every unordered same-block pair within Levenshtein
     ``max_dist``. Output: (block, id_a, id_b, edit_dist), id_a < id_b.
@@ -141,7 +153,9 @@ def blocked_levenshtein_pairs(
     pre-split giant blocks the way ``dedup.lsh_candidate_pairs`` caps
     bucket fan-out). The projected side is materialized once — a
     self-join gets no ReusedExchange, so without it the source scan and
-    projection run twice.
+    projection run twice (``checkpoint_dir`` switches the materialization
+    to a durable reliable checkpoint, the same seam every dedup pair
+    generator exposes).
 
     Two per-pair prunes keep the block-quadratic core cheap: a length
     band (``|len(a)-len(b)| > max_dist`` implies ``dist > max_dist``, and
@@ -155,11 +169,16 @@ def blocked_levenshtein_pairs(
     real lever, see the workload's brand+type composite key (8M → 1.3M
     pairs, 7.1s → 2.6s at sf0.1).
     """
-    src = df.select(
-        F.col(block_col).alias("block"),
-        F.col(id_col).alias("id_a"),
-        F.col(text_col).alias("text_a"),
-    ).localCheckpoint(eager=False)
+    from metadata_driven_etl_spark.operators.dedup import _materialize
+
+    src = _materialize(
+        df.select(
+            F.col(block_col).alias("block"),
+            F.col(id_col).alias("id_a"),
+            F.col(text_col).alias("text_a"),
+        ),
+        checkpoint_dir,
+    )
     right = src.select(
         F.col("block"),
         F.col("id_a").alias("id_b"),

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -919,3 +920,60 @@ def test_snapshot_diff_key_only_table(spark):
     new = spark.createDataFrame([(2,), (3,)], "k long")
     out = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
     assert out == {1: "deleted", 3: "inserted"}
+
+
+def test_salted_join_rejects_outer_how(spark):
+    """The replicated small side emits salt_buckets copies of every
+    unmatched key under right/full outer — the operator must refuse."""
+    from metadata_driven_etl_spark.operators.joins import salted_join
+
+    a = spark.createDataFrame([(1, "x")], "k long, v string")
+    b = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, w double")
+    for how in ("full_outer", "right", "fullouter", "left_semi"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(a, b, on=["k"], how=how)
+    # sanity: the supported modes still run
+    assert salted_join(a, b, on=["k"], how="left").count() == 1
+
+
+def test_materialize_durable_path_does_not_leak_cache(spark, tmp_path):
+    """persist()→checkpoint(eager)→unpersist: after a durable
+    materialization no CacheManager entry may linger (one leaked per
+    convergence block inside connected_components otherwise)."""
+    from metadata_driven_etl_spark.operators.dedup import _materialize
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = _materialize(
+        spark.range(1000).selectExpr("id", "id * 2 AS v"),
+        str(tmp_path / "ckpt"),
+    )
+    assert out.count() == 1000  # durable checkpoint materialized eagerly
+    assert jsc.getPersistentRDDs().size() == before
+
+
+def test_blocked_levenshtein_durable_checkpoint_seam(spark, tmp_path):
+    """checkpoint_dir must thread through to a reliable checkpoint (same
+    seam as the dedup pair generators) and leave results unchanged."""
+    import os
+
+    from metadata_driven_etl_spark.operators.joins import (
+        blocked_levenshtein_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha", "b1"), (2, "alphb", "b1"), (3, "zzzzz", "b1")],
+        "id long, name string, blk string",
+    )
+    out = blocked_levenshtein_pairs(
+        df, "id", "name", "blk", max_dist=2,
+        checkpoint_dir=str(tmp_path / "lev_ckpt"),
+    ).collect()
+    assert {(r.id_a, r.id_b, r.edit_dist) for r in out} == {(1, 2, 1)}
+    # The seam sets the context dir only if unset (shared test session may
+    # have set it already) — assert files landed under the ACTIVE dir.
+    active = spark.sparkContext.getCheckpointDir()
+    assert active, "no checkpoint dir active after durable materialization"
+    assert any(
+        files for _, _, files in os.walk(active.removeprefix("file:"))
+    ), "no reliable checkpoint files written"

@@ -22,6 +22,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def range_cluster(
@@ -33,6 +34,52 @@ def range_cluster(
     and parquet footer min/max stats can skip whole files."""
     return df.repartitionByRange(num_files, *layout_cols).sortWithinPartitions(
         *layout_cols
+    )
+
+
+def z_value(
+    df: DataFrame, cols: Sequence[str], bits: int = 12
+) -> DataFrame:
+    """Append a ``__z`` column: the bit-interleaved Morton (Z-order)
+    code of ``cols`` — all JVM built-ins, no UDF.
+
+    Each column is linearly bucketed into ``[0, 2^bits)`` against its
+    observed min/max (one tiny aggregate broadcast back as a scalar
+    subquery), then the bucket bits are interleaved
+    (``z = Σ_b Σ_i ((c_i >> b) & 1) << (b·n + i)``). Sorting by ``__z``
+    clusters rows so every contiguous run covers a small HYPER-RECTANGLE
+    of the key space — unlike lexicographic multi-column sort, where
+    every trailing column spans its full domain within each leading-key
+    run. Linear bucketing keeps the code deterministic and single-pass;
+    heavily skewed columns trade some balance for that (quantile
+    bucketing would need a sketch pass — the documented upgrade path).
+    """
+    n = len(cols)
+    if n == 0:
+        raise ValueError("z_value needs at least one column")
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__min_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"__max_{i}") for i, c in enumerate(cols)],
+    )
+    out = df.crossJoin(F.broadcast(stats))
+    hi = (1 << bits) - 1
+    zparts = []
+    for i, c in enumerate(cols):
+        span = F.col(f"__max_{i}") - F.col(f"__min_{i}")
+        frac = F.when(span > 0, (F.col(c).cast("double") - F.col(f"__min_{i}")) / span).otherwise(F.lit(0.0))
+        bucket = F.least(F.floor(frac * (hi + 1)).cast("long"), F.lit(hi))
+        for b in range(bits):
+            zparts.append(
+                F.shiftleft(
+                    F.shiftright(bucket, b).bitwiseAND(F.lit(1)).cast("long"),
+                    b * n + i,
+                )
+            )
+    z = zparts[0]
+    for p in zparts[1:]:
+        z = z.bitwiseOR(p)
+    return out.withColumn("__z", z).drop(
+        *[f"__min_{i}" for i in range(n)], *[f"__max_{i}" for i in range(n)]
     )
 
 
@@ -139,6 +186,26 @@ class TableFormat:
         self.overwrite(
             range_cluster(df, layout_cols, num_files), table, partition_by
         )
+
+    def overwrite_zorder_layout(
+        self,
+        df: DataFrame,
+        table: str,
+        layout_cols: Sequence[str],
+        num_files: int,
+        bits: int = 12,
+        partition_by: Sequence[str] | None = None,
+    ) -> None:
+        """Multi-column file skipping: cluster on the bit-interleaved
+        Morton code (:func:`z_value`) so EVERY layout column gets bounded
+        per-file min/max ranges — a selective predicate on any one of
+        them skips most files. Use over :meth:`overwrite_range_layout`
+        when queries filter on several independent columns; the
+        single-column leading-key guarantee is weaker per column
+        (rectangles, not disjoint intervals) but holds for all of them
+        at once."""
+        out = range_cluster(z_value(df, layout_cols, bits), ["__z"], num_files)
+        self.overwrite(out.drop("__z"), table, partition_by)
 
     def merge(
         self, spark: SparkSession, table: str, source: DataFrame, keys: Sequence[str]

@@ -157,3 +157,42 @@ def test_optimize_layout_preserves_data_and_clusters(spark):
     got = spark.table(tbl)
     assert got.count() == 5_000
     assert got.where(F.col("k") < 100).count() == 100
+
+
+def test_overwrite_zorder_layout_bounds_every_column(spark, fmt):
+    """Z-order must give BOTH layout columns bounded per-file ranges
+    (small hyper-rectangles). Contrast: a lexicographic layout on (x, y)
+    leaves y spanning its full domain inside almost every file."""
+    tbl = "default.wp_zorder"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 100).alias("x"),
+        (F.col("id") / 100).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    fmt.overwrite_zorder_layout(df, tbl, ["x", "y"], num_files=16, bits=8)
+
+    assert spark.table(tbl).count() == 10_000
+    assert "__z" not in spark.table(tbl).columns
+    # domain is 0..99 per axis; files whose z-range straddles a major
+    # Morton boundary legitimately span a full axis, so the guarantee is
+    # statistical: the TYPICAL file covers a small rectangle on BOTH axes.
+    for key in ("x", "y"):
+        ranges = _file_key_ranges(spark, tbl, key)
+        assert len(ranges) > 4
+        spans = sorted(hi - lo for lo, hi in ranges)
+        assert spans[len(spans) // 2] <= 55, f"median {key} span: {spans}"
+        wide = sum(s > 60 for s in spans)
+        assert wide <= len(spans) // 4, f"{wide} wide-{key} files: {spans}"
+
+    # lexicographic control: same data range-clustered on (x, y) — the
+    # TRAILING column spans ~the whole domain in the typical file
+    ctl = "default.wp_zorder_ctl"
+    spark.sql(f"DROP TABLE IF EXISTS {ctl}")
+    fmt.overwrite_range_layout(df, ctl, ["x", "y"], num_files=16)
+    y_spans = sorted(
+        hi - lo for lo, hi in _file_key_ranges(spark, ctl, "y")
+    )
+    assert y_spans[len(y_spans) // 2] >= 90, (
+        f"control layout unexpectedly bounded y: {y_spans}"
+    )

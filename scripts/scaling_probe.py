@@ -30,6 +30,7 @@ from metadata_driven_etl_spark.catalog import load_table  # noqa: E402
 from metadata_driven_etl_spark.operators import decontam as decontam_ops  # noqa: E402
 from metadata_driven_etl_spark.operators import dedup as dedup_ops  # noqa: E402
 from metadata_driven_etl_spark.operators import joins as join_ops  # noqa: E402
+from metadata_driven_etl_spark.operators import merge as merge_ops  # noqa: E402
 from metadata_driven_etl_spark.operators import temporal as temporal_ops  # noqa: E402
 from metadata_driven_etl_spark.operators import text as text_ops  # noqa: E402
 from metadata_driven_etl_spark.session import get_local_spark  # noqa: E402
@@ -128,6 +129,24 @@ OPS = {
     # broadcast grows with the eval suite
     "decontam_bloom": lambda df: decontam_ops.ngram_overlap_bloom(
         *_decontam_split(df), n=4, num_bits=1 << 23, num_hashes=5
+    ),
+    # diff yesterday's corpus against a simulated today (2% deleted, 4%
+    # edited, 2.5% inserted): ONE full-outer join on the id — linear
+    "snapshot_diff": lambda df: merge_ops.snapshot_diff(
+        df,
+        df.where(F.col("doc_id") % 50 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 25 == 1, F.concat(F.col("text"), F.lit(" edit"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            df.where(F.col("doc_id") % 40 == 3).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(1_000_000_000)
+            )
+        ),
+        keys=["doc_id"],
     ),
     # bounded blocks (~12 docs via dense doc_id div): per-block pair cost
     # is constant, so the equi-join curve must stay linear in corpus size

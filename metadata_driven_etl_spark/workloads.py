@@ -662,6 +662,35 @@ def topk_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_totalprice")
 
 
+@workload(
+    "topk_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, CAST(rnk AS INTEGER) AS rank
+    FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               row_number() OVER (
+                   PARTITION BY p_brand
+                   ORDER BY p_retailprice DESC, p_partkey) AS rnk
+        FROM part)
+    WHERE rnk <= 3""",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1b: group-wise top-k (3 priciest parts per brand, key tie-break).
+    ONE window shuffle; Spark's WindowGroupLimit pushes a per-group
+    running top-k heap below the Exchange, so map tasks forward at most
+    k rows per group — the per-group analogue of TakeOrderedAndProject
+    (operators/sorts.py:top_k_per_group)."""
+    part = _t(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey", "p_retailprice"
+    )
+    return sort_ops.top_k_per_group(
+        part,
+        ["p_brand"],
+        [F.desc("p_retailprice"), F.asc("p_partkey")],
+        3,
+    )
+
+
 @workload("sort_by", oracle="SELECT n_nationkey, n_name FROM nation ORDER BY n_name")
 def sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2: full sort (reference audit_logger.py:241-247)."""

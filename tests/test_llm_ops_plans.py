@@ -188,3 +188,11 @@ def test_bigram_lm_no_cartesian_and_broadcast_free_model_join(spark, sf_dir):
     plan = _plan(workloads.QUERIES["text_bigram_lm_score"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    """The rank-filter rewrite must stay active: WindowGroupLimit pushes
+    a per-group top-k heap below the shuffle, so map tasks forward at
+    most k rows per group instead of whole groups."""
+    plan = _plan(workloads.QUERIES["topk_per_group"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan

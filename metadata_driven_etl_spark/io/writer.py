@@ -57,16 +57,47 @@ def z_value(
     n = len(cols)
     if n == 0:
         raise ValueError("z_value needs at least one column")
+    if n * bits > 63:
+        # Java << masks the shift mod 64: positions >= 64 would silently
+        # wrap onto low bits (corrupt interleave), and bit 63 is the long
+        # sign bit (inverts the sort of the most significant Morton bit).
+        raise ValueError(
+            f"z_value: {n} columns x {bits} bits = {n * bits} interleaved "
+            "bits exceeds the 63 usable bits of a long — lower `bits` "
+            f"(max {63 // n} for {n} columns)"
+        )
+    from pyspark.sql.types import DateType, NumericType, TimestampType
+
+    casted: list = []
+    for c in cols:
+        dtype = df.schema[c].dataType
+        if isinstance(dtype, NumericType):
+            casted.append(F.col(c).cast("double"))
+        elif isinstance(dtype, (DateType, TimestampType)):
+            casted.append(F.col(c).cast("timestamp").cast("double"))
+        else:
+            # cast('double') on strings yields NULL -> every row bucket 0,
+            # the column silently contributes nothing; fail loudly instead.
+            raise ValueError(
+                f"z_value: column {c!r} has non-orderable-numeric type "
+                f"{dtype.simpleString()}; derive a numeric proxy first "
+                "(e.g. xxhash64 for equality-only predicates — hash "
+                "buckets keep point-lookup file skipping but not ranges)"
+            )
+    reserved = {"__z", *(f"__min_{i}" for i in range(n)), *(f"__max_{i}" for i in range(n))}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"z_value: input already has reserved columns {sorted(clash)}")
     stats = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"__min_{i}") for i, c in enumerate(cols)],
-        *[F.max(F.col(c).cast("double")).alias(f"__max_{i}") for i, c in enumerate(cols)],
+        *[F.min(e).alias(f"__min_{i}") for i, e in enumerate(casted)],
+        *[F.max(e).alias(f"__max_{i}") for i, e in enumerate(casted)],
     )
     out = df.crossJoin(F.broadcast(stats))
     hi = (1 << bits) - 1
     zparts = []
-    for i, c in enumerate(cols):
+    for i, e in enumerate(casted):
         span = F.col(f"__max_{i}") - F.col(f"__min_{i}")
-        frac = F.when(span > 0, (F.col(c).cast("double") - F.col(f"__min_{i}")) / span).otherwise(F.lit(0.0))
+        frac = F.when(span > 0, (e - F.col(f"__min_{i}")) / span).otherwise(F.lit(0.0))
         bucket = F.least(F.floor(frac * (hi + 1)).cast("long"), F.lit(hi))
         for b in range(bits):
             zparts.append(

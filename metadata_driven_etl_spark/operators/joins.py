@@ -108,16 +108,18 @@ def salted_join(
     (deterministic, no rand()): identical rows land in the same bucket but
     a hot KEY's many distinct rows spread uniformly.
 
-    Only ``inner`` and ``left``(-outer) are supported: the small side is
-    replicated ``salt_buckets``×, so a right/full outer join would emit
-    every unmatched small-side key once PER REPLICA (``salt_buckets``
-    duplicate rows) — silently wrong counts. Raises on any other ``how``.
+    Skewed-side-preserving modes only (``inner``, ``left``/-outer,
+    ``left_semi``, ``left_anti``): semi/anti are safe because each skewed
+    row can only ever meet replicas carrying its own salt, so replication
+    cannot duplicate or lose it. ``right``/``full`` outer would emit
+    every unmatched SMALL-side key once per replica (``salt_buckets``
+    duplicate rows) — silently wrong counts — and are rejected.
     """
     normalized_how = how.lower().replace("_", "").replace("outer", "")
-    if normalized_how not in ("inner", "left"):
+    if normalized_how not in ("inner", "left", "leftsemi", "semi", "leftanti", "anti"):
         raise ValueError(
-            "salted_join supports how='inner'/'left' only: the replicated "
-            f"small side corrupts unmatched-row counts under {how!r}"
+            "salted_join supports inner/left/left_semi/left_anti only: the "
+            f"replicated small side corrupts unmatched-row counts under {how!r}"
         )
     on = list(on)
     salt_l = F.pmod(

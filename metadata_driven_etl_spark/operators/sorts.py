@@ -28,30 +28,3 @@ def sample_head(df: DataFrame, n: int = 100):
     """First-n sampling for error reporting (reference dq_engine.py:52-54).
     Spark only computes the partitions it needs for ``limit``."""
     return df.limit(n).collect()
-
-
-def top_k_per_group(
-    df: DataFrame,
-    group_cols: Sequence[str],
-    order_by: Sequence[Column],
-    k: int,
-) -> DataFrame:
-    """Group-wise top-k: the k best rows of every group, by ``order_by``
-    (callers include a unique tie-break for determinism). Output adds a
-    ``rank`` column (1-based within group).
-
-    Plan shape: ONE window shuffle on ``group_cols`` + a row_number
-    filter — Spark rewrites rank-limit windows into per-partition
-    ``WindowGroupLimit`` (a running top-k heap pushed BELOW the shuffle
-    since 3.5), so each map task forwards at most k rows per group
-    instead of the whole group; the global `orderBy+limit` shape
-    (:func:`top_k`) is the degenerate one-group case.
-    """
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    w = Window.partitionBy(*group_cols).orderBy(*order_by)
-    return (
-        df.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )

@@ -36,7 +36,12 @@ def dedup_row_number(
 def topk_per_group(
     df: DataFrame, keys: Sequence[str], order_by: Sequence[Column], k: int
 ) -> DataFrame:
-    """Top-k rows per group (rank ≤ k) — the scalable form of ORDER+LIMIT."""
+    """Top-k rows per group (rank ≤ k) — the scalable form of ORDER+LIMIT.
+    Spark rewrites the rank filter into per-partition ``WindowGroupLimit``
+    (a running top-k heap pushed BELOW the shuffle since 3.5), so each
+    map task forwards at most k rows per group instead of whole groups;
+    pinned by tests/test_llm_ops_plans.py. Callers include a unique
+    tie-break column in ``order_by`` for determinism."""
     w = Window.partitionBy(*keys).orderBy(*order_by)
     return df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

@@ -679,11 +679,11 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE window shuffle; Spark's WindowGroupLimit pushes a per-group
     running top-k heap below the Exchange, so map tasks forward at most
     k rows per group — the per-group analogue of TakeOrderedAndProject
-    (operators/sorts.py:top_k_per_group)."""
+    (operators/windows.py:topk_per_group)."""
     part = _t(spark, sf_dir, "part").select(
         "p_brand", "p_partkey", "p_retailprice"
     )
-    return sort_ops.top_k_per_group(
+    return window_ops.topk_per_group(
         part,
         ["p_brand"],
         [F.desc("p_retailprice"), F.asc("p_partkey")],

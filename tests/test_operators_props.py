@@ -927,13 +927,17 @@ def test_salted_join_rejects_outer_how(spark):
     unmatched key under right/full outer — the operator must refuse."""
     from metadata_driven_etl_spark.operators.joins import salted_join
 
-    a = spark.createDataFrame([(1, "x")], "k long, v string")
+    a = spark.createDataFrame([(1, "x"), (3, "y")], "k long, v string")
     b = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, w double")
-    for how in ("full_outer", "right", "fullouter", "left_semi"):
+    for how in ("full_outer", "right", "fullouter"):
         with pytest.raises(ValueError, match="salted_join"):
             salted_join(a, b, on=["k"], how=how)
-    # sanity: the supported modes still run
-    assert salted_join(a, b, on=["k"], how="left").count() == 1
+    # skewed-side-preserving modes stay supported and correct: each
+    # skewed row only meets replicas of its own salt, so semi/anti
+    # cannot duplicate or lose rows
+    assert salted_join(a, b, on=["k"], how="left").count() == 2
+    assert {r.k for r in salted_join(a, b, on=["k"], how="left_semi").collect()} == {1}
+    assert {r.k for r in salted_join(a, b, on=["k"], how="left_anti").collect()} == {3}
 
 
 def test_materialize_durable_path_does_not_leak_cache(spark, tmp_path):

@@ -196,3 +196,27 @@ def test_overwrite_zorder_layout_bounds_every_column(spark, fmt):
     assert y_spans[len(y_spans) // 2] >= 90, (
         f"control layout unexpectedly bounded y: {y_spans}"
     )
+
+
+def test_z_value_guards(spark):
+    """Loud failures for the silent-corruption cases: bit-budget overflow
+    (Java << wraps mod 64), non-numeric columns (cast->NULL would zero
+    the column's contribution), and reserved-name collisions."""
+    from metadata_driven_etl_spark.io.writer import z_value
+
+    num = spark.range(10).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("b")
+    )
+    with pytest.raises(ValueError, match="63 usable bits"):
+        z_value(num, ["a", "b"], bits=32)  # 64 interleaved bits
+    with pytest.raises(ValueError, match="non-orderable-numeric"):
+        z_value(num.withColumn("s", F.lit("x")), ["a", "s"])
+    with pytest.raises(ValueError, match="reserved"):
+        z_value(num.withColumn("__z", F.lit(0)), ["a"])
+    # date/timestamp columns are legal layout keys
+    dated = num.withColumn(
+        "d", F.date_add(F.to_date(F.lit("2024-01-01")), F.col("a").cast("int"))
+    )
+    assert z_value(dated, ["a", "d"], bits=8).where(
+        F.col("__z").isNotNull()
+    ).count() == 10

@@ -199,6 +199,7 @@ HEADLINE = [
     "fuzzy_match_levenshtein",
     "decontaminate_bloom_prefilter",
     "snapshot_diff_orders",
+    "incremental_agg_orders",
 ]
 
 

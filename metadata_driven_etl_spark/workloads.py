@@ -807,6 +807,67 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_ops.snapshot_diff(orders, new, keys=["o_orderkey"])
 
 
+@workload(
+    "incremental_agg_orders",
+    oracle="""
+    WITH n AS (
+        SELECT o_orderkey, o_orderdate,
+               CASE WHEN o_orderkey % 25 = 1 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 50 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_orderdate, o_totalprice
+        FROM orders WHERE o_orderkey % 40 = 3
+    )
+    SELECT date_trunc('month', o_orderdate) AS order_month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(FLOOR(o_totalprice * 100)) AS BIGINT) AS total_cents
+    FROM n GROUP BY 1""",
+)
+def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: yesterday's monthly
+    order aggregate is brought up to date from the snapshot delta alone
+    (operators/merge.py:incremental_agg_update — retraction-based, DBSP
+    style), using the same ~8%%-changed snapshot recipe as
+    snapshot_diff_orders.  The oracle is a FULL re-aggregation of the new
+    snapshot — the hash match proves delta maintenance reproduces the
+    rescan bit-for-bit (long-typed cents measure, so sums are exact and
+    order-independent).  At 100 TB the rescan reads the corpus; this path
+    reads only the changed rows plus the (small) previous aggregate."""
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .withColumn("order_month", F.trunc("o_orderdate", "mm"))
+        .withColumn(
+            "price_cents", F.floor(F.col("o_totalprice") * 100).cast("long")
+        )
+    )
+    modified = orders.where(F.col("o_orderkey") % 50 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 25 == 1, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    inserted = orders.where(F.col("o_orderkey") % 40 == 3).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+    )
+    new = modified.unionByName(inserted).withColumn(
+        "price_cents", F.floor(F.col("o_totalprice") * 100).cast("long")
+    )
+    base = orders.groupBy("order_month").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price_cents").alias("total_cents"),
+    )
+    return merge_ops.incremental_agg_update(
+        base,
+        orders,
+        new,
+        keys=["o_orderkey"],
+        group_keys=["order_month"],
+        sum_cols={"total_cents": "price_cents"},
+        count_col="n_orders",
+    )
+
+
 # =========================================================================
 # Event-time windows over `events` (§2.11 extension)
 # =========================================================================

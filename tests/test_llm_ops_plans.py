@@ -196,3 +196,19 @@ def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
     most k rows per group instead of whole groups."""
     plan = _plan(workloads.QUERIES["topk_per_group"](spark, sf_dir))
     assert "WindowGroupLimit" in plan
+
+
+def test_incremental_agg_plan_shape(spark, sf_dir):
+    """SCALE.md incremental-view-maintenance row: the delta path is two
+    equi-joins (snapshot diff on the row key, delta-apply on the group
+    key) — never a cartesian — and the per-group delta aggregation sits
+    ABOVE the changed-row filter, so only change rows reach the
+    aggregation shuffle."""
+    plan = _plan(workloads.QUERIES["incremental_agg_orders"](spark, sf_dir))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("FullOuter") == 2  # diff join + delta-apply join
+    # the signed-delta aggregate consumes the explode of the changed rows,
+    # not a raw table scan
+    agg_over_explode = plan.find("Generate explode")
+    assert agg_over_explode != -1
+    assert "partial_sum(__sign" in plan

@@ -265,14 +265,36 @@ def incremental_agg_update(
         )
         .select("__sign", "__p.*")
     )
+    return apply_signed_delta(
+        base_agg, signed, group_keys=gks, sum_cols=sum_cols,
+        count_col=count_col,
+    )
+
+
+def apply_signed_delta(
+    base_agg: DataFrame,
+    signed: DataFrame,
+    group_keys: Sequence[str],
+    sum_cols: dict[str, str],
+    count_col: str = "n_rows",
+    sign_col: str = "__sign",
+) -> DataFrame:
+    """Apply ±1-weighted change rows to a grouped COUNT/SUM aggregate —
+    the shared delta-apply core of :func:`incremental_agg_update`
+    (snapshot-pair form) and the streaming CDC maintenance sink
+    (``streaming.agg_maintenance_sink``).  ``signed`` carries the group
+    and measure columns plus ``sign_col`` (+1 asserted / -1 retracted).
+    Groups whose maintained count reaches 0 drop out."""
+    gks = list(group_keys)
     delta = signed.groupBy(*gks).agg(
-        F.sum("__sign").alias(f"__d_{count_col}"),
+        F.sum(sign_col).alias(f"__d_{count_col}"),
         *[
-            F.sum(F.col(src) * F.col("__sign")).alias(f"__d_{alias}")
+            F.sum(F.col(src) * F.col(sign_col)).alias(f"__d_{alias}")
             for alias, src in sum_cols.items()
         ],
     )
     out_aggs = [count_col, *sum_cols]
+    # USING-style join: the group columns coalesce across sides natively
     merged = base_agg.join(delta, on=gks, how="full_outer").select(
         *gks,
         *[

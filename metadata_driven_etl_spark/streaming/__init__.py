@@ -1,3 +1,6 @@
+from metadata_driven_etl_spark.streaming.agg_maintenance_sink import (  # noqa: F401
+    agg_maintenance_stream,
+)
 from metadata_driven_etl_spark.streaming.enrich import (  # noqa: F401
     dedup_within_watermark,
     stream_static_join,

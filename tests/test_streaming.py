@@ -594,3 +594,210 @@ def test_streaming_dedup_legacy_unstamped_output_table(spark, sf_dir, tmp_path):
     for t in (out_t, idx_t):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     spark.sql("DROP DATABASE IF EXISTS stream_sink")
+
+
+# ---------------------------------------------------------------------------
+# streaming incremental view maintenance (CDC → aggregate table)
+# ---------------------------------------------------------------------------
+
+
+def _cdc_waves(spark, sf_dir):
+    """Two CDC micro-batches over orders: wave 1 inserts a base slice;
+    wave 2 deletes some of it, updates some (delete+insert pair), and
+    inserts fresh keys — net state is SQL-checkable."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.trunc("o_orderdate", "mm").alias("order_month"),
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+        .where(F.col("o_orderkey") % 7 < 4)
+    )
+    w1 = orders.where(F.col("o_orderkey") % 7 < 3).withColumn(
+        "op", F.lit("insert")
+    )
+    deletes = orders.where(F.col("o_orderkey") % 7 == 0).withColumn(
+        "op", F.lit("delete")
+    )
+    upd_keys = orders.where(F.col("o_orderkey") % 7 == 1)
+    upd = upd_keys.withColumn("op", F.lit("delete")).unionByName(
+        upd_keys.withColumn(
+            "price_cents", F.col("price_cents") + F.lit(100)
+        ).withColumn("op", F.lit("insert"))
+    )
+    fresh = orders.where(F.col("o_orderkey") % 7 == 3).withColumn(
+        "op", F.lit("insert")
+    )
+    w2 = deletes.unionByName(upd).unionByName(fresh)
+    # expected net state: w1 minus deleted keys, updated repriced, + fresh
+    net = (
+        orders.where(F.col("o_orderkey") % 7 == 2)
+        .unionByName(
+            upd_keys.withColumn(
+                "price_cents", F.col("price_cents") + F.lit(100)
+            )
+        )
+        .unionByName(orders.where(F.col("o_orderkey") % 7 == 3))
+    )
+    return w1, w2, net
+
+
+def test_streaming_agg_maintenance_equals_batch_agg(spark, sf_dir, tmp_path):
+    """After both CDC micro-batches, the maintained aggregate table must
+    equal a full groupBy of the net row state."""
+    import os
+    import time as _time
+
+    from metadata_driven_etl_spark.io.writer import ParquetFormat
+    from metadata_driven_etl_spark.streaming.agg_maintenance_sink import (
+        agg_maintenance_stream,
+    )
+
+    agg_t = "stream_ivm.monthly_orders"
+    spark.sql(f"DROP TABLE IF EXISTS {agg_t}")
+    w1, w2, net = _cdc_waves(spark, sf_dir)
+    src = str(tmp_path / "cdc")
+    os.makedirs(src)
+    w1.coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    w2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "o_orderkey long, order_month date, price_cents long, op string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = agg_maintenance_stream(
+        stream, agg_t, ParquetFormat(), str(tmp_path / "ckpt"),
+        group_keys=["order_month"],
+        sum_cols={"total_cents": "price_cents"},
+        count_col="n_orders",
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        map(
+            tuple,
+            spark.table(agg_t)
+            .select("order_month", "n_orders", "total_cents")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            net.groupBy("order_month")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("price_cents").alias("total_cents"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    spark.sql(f"DROP TABLE IF EXISTS {agg_t}")
+    spark.sql("DROP DATABASE IF EXISTS stream_ivm")
+
+
+def test_streaming_agg_maintenance_replay_guard_and_bad_op(
+    spark, sf_dir, tmp_path
+):
+    """A crash AFTER the aggregate overwrite landed but BEFORE the
+    micro-batch committed to the checkpoint must not double-count on
+    replay (the _batch_id stamp skips the re-applied batch); an op
+    outside {insert, delete} raises instead of silently dropping rows;
+    float measures are rejected."""
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from metadata_driven_etl_spark.io.writer import ParquetFormat
+    from metadata_driven_etl_spark.streaming.agg_maintenance_sink import (
+        agg_maintenance_stream,
+    )
+
+    class CrashAfterWriteFormat(ParquetFormat):
+        """Overwrite lands, then the sink dies — the exact torn state a
+        replayed batch must detect via the _batch_id stamp."""
+
+        def overwrite(self, df, table, partition_by=None):
+            super().overwrite(df, table, partition_by)
+            raise RuntimeError("simulated sink crash")
+
+    agg_t = "stream_ivm.replay_agg"
+    spark.sql(f"DROP TABLE IF EXISTS {agg_t}")
+    w1, _, _ = _cdc_waves(spark, sf_dir)
+    src = str(tmp_path / "cdc")
+    os.makedirs(src)
+    w1.coalesce(1).write.mode("append").parquet(src)
+
+    stream_of = lambda: (  # noqa: E731
+        spark.readStream.schema(
+            "o_orderkey long, order_month date, price_cents long, op string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    fmt = ParquetFormat()
+    kwargs = dict(
+        group_keys=["order_month"],
+        sum_cols={"total_cents": "price_cents"},
+        count_col="n_orders",
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = agg_maintenance_stream(
+        stream_of(), agg_t, CrashAfterWriteFormat(), ckpt, **kwargs
+    )
+    with pytest.raises(StreamingQueryException, match="simulated sink crash"):
+        q.awaitTermination(120)
+    # batch 0's overwrite landed but never committed to the checkpoint
+    first = sorted(map(tuple, spark.table(agg_t).collect()))
+    assert first, "expected the torn overwrite to have landed"
+
+    # restart on the same checkpoint: batch 0 replays and must be skipped
+    q2 = agg_maintenance_stream(stream_of(), agg_t, fmt, ckpt, **kwargs)
+    q2.awaitTermination(120)
+    assert sorted(map(tuple, spark.table(agg_t).collect())) == first
+
+    # loud guards
+    from metadata_driven_etl_spark.streaming.agg_maintenance_sink import (
+        InvalidChangeOpError,
+    )
+
+    bad_dir = str(tmp_path / "bad")
+    os.makedirs(bad_dir)
+    w1.withColumn("op", F.lit("upsert")).coalesce(1).write.mode(
+        "append"
+    ).parquet(bad_dir)
+    bad_stream = (
+        spark.readStream.schema(
+            "o_orderkey long, order_month date, price_cents long, op string"
+        )
+        .parquet(bad_dir)
+    )
+    qb = agg_maintenance_stream(
+        bad_stream, "stream_ivm.bad_agg", fmt, str(tmp_path / "ckpt_bad"),
+        **kwargs,
+    )
+    with pytest.raises(Exception) as ei:
+        qb.awaitTermination(120)
+    assert "InvalidChangeOpError" in str(ei.value) or isinstance(
+        ei.value, InvalidChangeOpError
+    )
+
+    with pytest.raises(TypeError, match="order-sensitive"):
+        agg_maintenance_stream(
+            stream_of().withColumn(
+                "price_f", F.col("price_cents").cast("double")
+            ),
+            "stream_ivm.float_agg", fmt, str(tmp_path / "ckpt_f"),
+            group_keys=["order_month"],
+            sum_cols={"total": "price_f"},
+        )
+    spark.sql(f"DROP TABLE IF EXISTS {agg_t}")
+    spark.sql("DROP DATABASE IF EXISTS stream_ivm")

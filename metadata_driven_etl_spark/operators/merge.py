@@ -294,9 +294,23 @@ def apply_signed_delta(
         ],
     )
     out_aggs = [count_col, *sum_cols]
-    # USING-style join: the group columns coalesce across sides natively
-    merged = base_agg.join(delta, on=gks, how="full_outer").select(
-        *gks,
+    # NULL-safe group matching: a NULL-keyed group is a real group (a full
+    # groupBy puts NULL keys in one group), and an equi-join would keep the
+    # base and delta NULL rows apart — losing retractions and duplicating
+    # the NULL group. Same discipline as snapshot_diff's eqNullSafe.
+    # The delta side's group columns are RENAMED before the join so the
+    # condition needs no frame-attribute references (base and delta may
+    # share lineage — e.g. an empty base derived from the same batch).
+    delta = delta.select(
+        *[F.col(g).alias(f"__dg_{g}") for g in gks],
+        *[F.col(f"__d_{a}") for a in out_aggs],
+    )
+    cond = None
+    for g in gks:
+        c = F.col(g).eqNullSafe(F.col(f"__dg_{g}"))
+        cond = c if cond is None else cond & c
+    merged = base_agg.join(delta, on=cond, how="full_outer").select(
+        *[F.coalesce(F.col(g), F.col(f"__dg_{g}")).alias(g) for g in gks],
         *[
             (
                 F.coalesce(F.col(a), F.lit(0))

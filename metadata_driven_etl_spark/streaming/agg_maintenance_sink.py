@@ -36,12 +36,15 @@ from pyspark.sql import functions as F
 
 from metadata_driven_etl_spark.io.writer import TableFormat
 from metadata_driven_etl_spark.operators.merge import apply_signed_delta
+from metadata_driven_etl_spark.streaming.sink import refresh_owner_tables
 
 _OPS = ("insert", "delete")
 
 
-class InvalidChangeOpError(ValueError):
-    """The CDC batch contains an op outside {insert, delete}."""
+class CheckpointTableMismatchError(RuntimeError):
+    """The aggregate table carries a _batch_id AHEAD of the stream's next
+    batch — a fresh/reset checkpoint was pointed at an already-maintained
+    table, so silently skipping would discard genuinely new change data."""
 
 
 def agg_maintenance_stream(
@@ -77,31 +80,47 @@ def agg_maintenance_stream(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        bad = (
-            batch_df.where(~F.col(op_col).isin(*_OPS)).limit(1).collect()
-        )
-        if bad:
-            raise InvalidChangeOpError(
-                f"batch {batch_id}: op {bad[0][op_col]!r} not in {_OPS} — "
-                "model updates as delete(old)+insert(new) rows"
-            )
+        # op → ±1 inline, NULL-safe and loud: any value outside
+        # {insert, delete} (NULL included) raises from raise_error during
+        # evaluation — no separate validation job over the batch.
         signed = batch_df.withColumn(
             "__sign",
             F.when(F.col(op_col) == "insert", F.lit(1))
-            .otherwise(F.lit(-1))
+            .when(F.col(op_col) == "delete", F.lit(-1))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"invalid CDC op (expected one of {_OPS}; "
+                            "model updates as delete(old)+insert(new) "
+                            "rows): "
+                        ),
+                        F.coalesce(
+                            F.col(op_col).cast("string"), F.lit("NULL")
+                        ),
+                    )
+                ).cast("int")
+            )
             .cast("long"),
         )
         if table_format.table_exists(spark, agg_table):
             current = spark.table(agg_table)
             if "_batch_id" in current.columns:
-                applied = (
-                    current.filter(F.col("_batch_id") >= F.lit(batch_id))
-                    .limit(1)
-                    .count()
-                    > 0
-                )
-                if applied:
-                    return  # replay of an already-landed overwrite
+                # seed rows carry a NULL stamp; max() ignores them
+                stamp = current.agg(F.max("_batch_id")).first()[0]
+                if stamp is not None:
+                    if stamp == batch_id:
+                        return  # replay of an already-landed overwrite
+                    if stamp > batch_id:
+                        # genuine replay always has stamp == batch_id —
+                        # ahead means a reset checkpoint on a maintained
+                        # table; skipping would silently drop NEW deltas
+                        raise CheckpointTableMismatchError(
+                            f"{agg_table} is stamped _batch_id={stamp} "
+                            f"but the stream is at batch {batch_id}; "
+                            "resume from the original checkpoint or "
+                            "re-seed the table"
+                        )
                 base = current.drop("_batch_id")
             else:
                 base = current  # legacy/pre-seeded unstamped table
@@ -123,10 +142,7 @@ def agg_maintenance_stream(
         # aggregate-sized, not corpus-sized
         updated = updated.localCheckpoint(eager=True)
         table_format.overwrite(updated, agg_table)
-        try:
-            owner.catalog.refreshTable(agg_table)
-        except Exception:
-            pass  # table resolvable only in the batch session
+        refresh_owner_tables(owner, agg_table)
 
     writer = (
         stream_df.writeStream.foreachBatch(apply_batch)

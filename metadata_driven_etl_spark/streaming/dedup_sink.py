@@ -43,6 +43,7 @@ from metadata_driven_etl_spark.operators.dedup import (
     incremental_dedup_survivors,
     lsh_bands,
 )
+from metadata_driven_etl_spark.streaming.sink import refresh_owner_tables
 
 
 def dedup_stream(
@@ -150,11 +151,7 @@ def dedup_stream(
                     "_batch_id", F.lit(batch_id)
                 )
             table_format.append(new_bands, index_table)
-        for t in (output_table, index_table):
-            try:
-                owner.catalog.refreshTable(t)
-            except Exception:
-                pass  # table resolvable only in the batch session
+        refresh_owner_tables(owner, output_table, index_table)
 
     writer = (
         stream_df.writeStream.foreachBatch(screen_batch)

@@ -22,6 +22,23 @@ from pyspark.sql import DataFrame
 from metadata_driven_etl_spark.io.writer import TableFormat
 
 
+def refresh_owner_tables(owner, *tables: str) -> None:
+    """Invalidate the stream OWNER session's relation cache for ``tables``.
+
+    foreachBatch executes in a CLONED SparkSession and Spark's table
+    relation cache is per-session: a refresh inside the batch only fixes
+    the clone, and a reader in the owning session would hit
+    FAILED_READ_FILE on the parquet fallback's replaced files after the
+    next micro-batch. Shared by every streaming sink that rewrites a
+    managed table; best-effort because the table may be resolvable only
+    in the batch session."""
+    for t in tables:
+        try:
+            owner.catalog.refreshTable(t)
+        except Exception:
+            pass
+
+
 def merge_stream(
     stream_df: DataFrame,
     table: str,
@@ -38,12 +55,6 @@ def merge_stream(
     Returns the StreamingQuery (caller awaits/stops).
     """
     keys = list(keys)
-    # foreachBatch executes in a CLONED SparkSession, and Spark's table
-    # relation cache is per-session: a refresh inside the merge only fixes
-    # the clone. Capture the stream owner's session so its (and the
-    # caller's) cached file listing is invalidated after each rewrite —
-    # without this, a reader in the owning session hits FAILED_READ_FILE
-    # on the parquet fallback's replaced files after the next micro-batch.
     owner = stream_df.sparkSession
 
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -53,10 +64,7 @@ def merge_stream(
         # anyway — merge requires unique source keys
         src = batch_df.dropDuplicates(keys)
         table_format.merge(batch_df.sparkSession, table, src, keys)
-        try:
-            owner.catalog.refreshTable(table)
-        except Exception:
-            pass  # table resolvable only in the batch session — best effort
+        refresh_owner_tables(owner, table)
 
     writer = (
         stream_df.writeStream.foreachBatch(upsert_batch)

@@ -208,7 +208,11 @@ def test_incremental_agg_plan_shape(spark, sf_dir):
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
     assert plan.count("FullOuter") == 2  # diff join + delta-apply join
     # the signed-delta aggregate consumes the explode of the changed rows,
-    # not a raw table scan
-    agg_over_explode = plan.find("Generate explode")
-    assert agg_over_explode != -1
-    assert "partial_sum(__sign" in plan
+    # not a raw table scan: in the printed tree, consumers sit ABOVE
+    # (earlier than) their inputs, so the partial aggregate must precede
+    # the Generate, and no scan may sit between them
+    explode_at = plan.find("Generate explode")
+    agg_at = plan.find("partial_sum(__sign")
+    assert explode_at != -1 and agg_at != -1
+    assert agg_at < explode_at, "delta agg not above the changed-row explode"
+    assert "FileScan" not in plan[agg_at:explode_at]

@@ -996,9 +996,9 @@ def test_blocked_levenshtein_durable_checkpoint_seam(spark, tmp_path):
 @given(
     rows=st.lists(
         st.tuples(
-            st.integers(0, 30),          # row key
-            st.integers(0, 3),           # group
-            st.integers(-100, 100),      # measure
+            st.integers(0, 30),                         # row key
+            st.sampled_from([None, 0, 1, 2, 3]),        # group (NULL real)
+            st.integers(-100, 100),                     # measure
         ),
         min_size=0,
         max_size=25,
@@ -1007,7 +1007,7 @@ def test_blocked_levenshtein_durable_checkpoint_seam(spark, tmp_path):
     ops=st.lists(
         st.tuples(
             st.integers(0, 40),          # key to delete/update/insert
-            st.integers(0, 3),
+            st.sampled_from([None, 0, 1, 2, 3]),
             st.integers(-100, 100),
             st.sampled_from(["del", "put"]),
         ),
@@ -1018,9 +1018,10 @@ def test_blocked_levenshtein_durable_checkpoint_seam(spark, tmp_path):
 )
 def test_incremental_agg_equals_full_recompute(spark_global, rows, ops):
     """Retraction-based maintenance reproduces a full groupBy of the new
-    snapshot exactly — including groups that empty out (deleted keys) and
-    groups born in the delta (inserted keys), the two edges the shipped
-    workload's ~8%-change recipe never hits."""
+    snapshot exactly — including groups that empty out (deleted keys),
+    groups born in the delta (inserted keys), and the NULL group (a full
+    groupBy puts NULL keys in one real group; the delta-apply join must
+    match it null-safely or retractions are lost)."""
     from metadata_driven_etl_spark.operators.merge import (
         incremental_agg_update,
     )
@@ -1051,6 +1052,7 @@ def test_incremental_agg_equals_full_recompute(spark_global, rows, ops):
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.sum("v"), F.lit(0)).alias("sv"),
     )
-    assert sorted(map(tuple, got.collect())) == sorted(
-        map(tuple, want.collect())
+    nulls_last = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    assert sorted(map(tuple, got.collect()), key=nulls_last) == sorted(
+        map(tuple, want.collect()), key=nulls_last
     )

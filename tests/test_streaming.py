@@ -764,30 +764,48 @@ def test_streaming_agg_maintenance_replay_guard_and_bad_op(
     q2.awaitTermination(120)
     assert sorted(map(tuple, spark.table(agg_t).collect())) == first
 
-    # loud guards
+    # loud guards: unknown op AND NULL op (NULL would silently read as a
+    # delete under a bare when/otherwise) both raise from the inline
+    # raise_error mapping
+    for tag, op_val in (("upsert", F.lit("upsert")), ("null", F.lit(None))):
+        bad_dir = str(tmp_path / f"bad_{tag}")
+        os.makedirs(bad_dir)
+        w1.withColumn("op", op_val.cast("string")).coalesce(1).write.mode(
+            "append"
+        ).parquet(bad_dir)
+        bad_stream = (
+            spark.readStream.schema(
+                "o_orderkey long, order_month date, price_cents long, "
+                "op string"
+            )
+            .parquet(bad_dir)
+        )
+        qb = agg_maintenance_stream(
+            bad_stream, f"stream_ivm.bad_agg_{tag}", fmt,
+            str(tmp_path / f"ckpt_bad_{tag}"), **kwargs,
+        )
+        with pytest.raises(Exception, match="invalid CDC op"):
+            qb.awaitTermination(120)
+
+    # a reset checkpoint against a table maintained FURTHER than the
+    # stream's next batch must fail loudly, not silently discard batches
     from metadata_driven_etl_spark.streaming.agg_maintenance_sink import (
-        InvalidChangeOpError,
+        CheckpointTableMismatchError,
     )
 
-    bad_dir = str(tmp_path / "bad")
-    os.makedirs(bad_dir)
-    w1.withColumn("op", F.lit("upsert")).coalesce(1).write.mode(
-        "append"
-    ).parquet(bad_dir)
-    bad_stream = (
-        spark.readStream.schema(
-            "o_orderkey long, order_month date, price_cents long, op string"
-        )
-        .parquet(bad_dir)
+    ahead = (
+        spark.table(agg_t)
+        .withColumn("_batch_id", F.lit(99))
+        .localCheckpoint(eager=True)
     )
-    qb = agg_maintenance_stream(
-        bad_stream, "stream_ivm.bad_agg", fmt, str(tmp_path / "ckpt_bad"),
-        **kwargs,
+    fmt.overwrite(ahead, agg_t)
+    q3 = agg_maintenance_stream(
+        stream_of(), agg_t, fmt, str(tmp_path / "ckpt_reset"), **kwargs
     )
     with pytest.raises(Exception) as ei:
-        qb.awaitTermination(120)
-    assert "InvalidChangeOpError" in str(ei.value) or isinstance(
-        ei.value, InvalidChangeOpError
+        q3.awaitTermination(120)
+    assert "CheckpointTableMismatchError" in str(ei.value) or isinstance(
+        ei.value, CheckpointTableMismatchError
     )
 
     with pytest.raises(TypeError, match="order-sensitive"):

@@ -153,3 +153,43 @@ def sql_select_within_token_budget(
     SELECT {id_col}, score, n_tokens, cum_tokens
     FROM cum WHERE cum_tokens <= {budget_tokens}
     """
+
+
+def split_by_group(
+    df: DataFrame,
+    group_col: str,
+    splits: list[tuple[str, float]],
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/valid/test assignment: every row of a GROUP
+    (domain, dedup cluster, author) lands in the SAME split, because the
+    split is a pure function of the group key's hash — row-level sampling
+    (``sample_hash``) would scatter near-duplicate documents from one
+    domain across train and test, leaking evaluation data into training.
+
+    ``splits`` is an ordered list of (name, weight); weights must sum to
+    1. Assignment cuts the group hash's uniform [0, 1) value at the
+    cumulative weights, so adding a later split never reshuffles earlier
+    ones' membership (the stability property reproducible pipelines
+    need). Map-only: no shuffle, no group materialization — at 100 TB the
+    assignment is a projection; realized split SIZES follow group mass,
+    not the weights exactly (inherent to group-level splitting: the
+    bigger the groups, the lumpier the proportions).
+    """
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    total = sum(w for _, w in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    if any(w <= 0 for _, w in splits):
+        raise ValueError("split weights must be positive")
+    u = hash_unit(group_col)
+    expr = None
+    acc = 0.0
+    for name, w in splits[:-1]:
+        acc += w
+        branch = (u < F.lit(acc), F.lit(name))
+        expr = F.when(*branch) if expr is None else expr.when(*branch)
+    last = F.lit(splits[-1][0])
+    assign = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, assign)

@@ -2960,6 +2960,35 @@ def sample_domain_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "split_leakage_safe",
+    oracle=f"""
+    SELECT doc_id, source,
+           CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, source,
+                 {sampling_ops.sql_hash_unit('source')} AS u
+          FROM documents)""",
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: leakage-safe train/valid/test split — the split
+    is a pure function of the GROUP key's hash (here the source domain),
+    so every document of a domain lands in one split and near-duplicates
+    within a domain can never straddle train and test
+    (operators/sampling.py:split_by_group; map-only, no shuffle). The
+    0.8/0.9 cuts in the oracle match the operator's cumulative weights;
+    the hash granularity (2^-32) is ~6 orders coarser than any float
+    accumulation error in the boundaries, so the branches agree exactly."""
+    docs = _docs(spark, sf_dir)
+    out = sampling_ops.split_by_group(
+        docs.select("doc_id", "source"),
+        "source",
+        [("train", 0.8), ("valid", 0.1), ("test", 0.1)],
+    )
+    return out.select("doc_id", "source", "split")
+
+
+@workload(
     "dedup_keep_best",
     oracle=dedup_ops.sql_keep_best_per_cluster(
         dedup_ops.sql_connected_components(dedup_ops.sql_lsh_candidate_pairs()),

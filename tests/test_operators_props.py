@@ -1056,3 +1056,35 @@ def test_incremental_agg_equals_full_recompute(spark_global, rows, ops):
     assert sorted(map(tuple, got.collect()), key=nulls_last) == sorted(
         map(tuple, want.collect()), key=nulls_last
     )
+
+
+def test_split_by_group_purity_stability_and_validation(spark, sf_dir):
+    """Every group maps to exactly one split; re-cutting with an extra
+    later split never moves rows already assigned to earlier splits (the
+    stability property); malformed weights raise."""
+    from metadata_driven_etl_spark.catalog import load_table
+    from metadata_driven_etl_spark.operators.sampling import split_by_group
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    two = split_by_group(docs, "source", [("train", 0.9), ("rest", 0.1)])
+    three = split_by_group(
+        docs, "source", [("train", 0.9), ("valid", 0.05), ("test", 0.05)]
+    )
+    impure = (
+        three.groupBy("source")
+        .agg(F.countDistinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert impure == 0
+    # stability: the train cut is the same prefix of the hash line
+    t2 = {r.doc_id for r in two.filter(F.col("split") == "train").collect()}
+    t3 = {r.doc_id for r in three.filter(F.col("split") == "train").collect()}
+    assert t2 == t3 and t3
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_by_group(docs, "source", [("a", 0.5), ("b", 0.4)])
+    with pytest.raises(ValueError, match="positive"):
+        split_by_group(docs, "source", [("a", 1.5), ("b", -0.5)])
+    with pytest.raises(ValueError, match="non-empty"):
+        split_by_group(docs, "source", [])

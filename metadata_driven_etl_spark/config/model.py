@@ -358,6 +358,7 @@ VALID_CORPUS_STAGES = {
     "span_dedup",
     "near_dedup",
     "token_budget",
+    "split",
 }
 VALID_NEAR_DEDUP_KEEP = {"first", "best"}
 
@@ -393,6 +394,12 @@ class CorpusStageConfig:
     max_bucket_size: int | None = None
     # token_budget
     budget_tokens: int | None = None
+    # split (leakage-safe group-level train/valid/test assignment; the
+    # one schema-EXTENDING stage — adds ``split_column`` — so it must be
+    # the pipeline's last stage)
+    split_by: str | None = None
+    splits: tuple[tuple[str, float], ...] = ()
+    split_column: str = "split"
 
     @staticmethod
     def from_dict(d: dict[str, Any], pipeline_id: str) -> "CorpusStageConfig":
@@ -426,6 +433,26 @@ class CorpusStageConfig:
             _require(
                 int(d.get("budget_tokens", 0)) > 0,
                 f"corpus {pipeline_id}: token_budget needs budget_tokens > 0",
+            )
+        splits_raw = d.get("splits")
+        if st == "split":
+            _require(
+                bool(d.get("split_by")) and bool(splits_raw),
+                f"corpus {pipeline_id}: split needs split_by and splits",
+            )
+            total = sum(float(s.get("weight", 0)) for s in splits_raw)
+            _require(
+                abs(total - 1.0) <= 1e-9
+                and all(float(s.get("weight", 0)) > 0 for s in splits_raw)
+                and all(bool(s.get("name")) for s in splits_raw),
+                f"corpus {pipeline_id}: splits need names and positive "
+                f"weights summing to 1 (got total {total})",
+            )
+        else:
+            _require(
+                splits_raw is None and d.get("split_by") is None,
+                f"corpus {pipeline_id}: split_by/splits only apply to "
+                "the split stage",
             )
         keep = d.get("keep", "first")
         mbs = d.get("max_bucket_size")
@@ -468,6 +495,11 @@ class CorpusStageConfig:
                 if d.get("budget_tokens") is not None
                 else None
             ),
+            split_by=d.get("split_by"),
+            splits=tuple(
+                (s["name"], float(s["weight"])) for s in splits_raw or ()
+            ),
+            split_column=d.get("split_column", "split"),
         )
 
 
@@ -501,6 +533,11 @@ class CorpusPipelineConfig:
             CorpusStageConfig.from_dict(s, pid) for s in d.get("stages") or []
         )
         _require(len(stages) > 0, f"corpus {pid}: needs at least one stage")
+        _require(
+            all(s.stage != "split" for s in stages[:-1]),
+            f"corpus {pid}: split extends the schema and must be the "
+            "last stage",
+        )
         return CorpusPipelineConfig(
             pipeline_id=pid,
             stages=stages,

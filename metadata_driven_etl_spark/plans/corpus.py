@@ -5,11 +5,12 @@ The reference engine's whole paradigm is "pipelines declared in YAML"
 extends that contract to the training-data operator library: a corpus
 pipeline declares an input documents table, an ordered list of cleaning
 stages (quality / repetition / decontamination / span dedup / near-dup
-dedup), and an output table — and the engine executes it with the same
+dedup / token budget / leakage-safe split), and an output table — and the engine executes it with the same
 metadata plane (audit log, per-stage survival metrics, per-unit error
 isolation) as the ETL layers.
 
-Stage semantics (all stages preserve the input schema):
+Stage semantics (all stages preserve the input schema, except ``split``
+— the one schema-extending stage, validated to be last):
 
 - ``quality_filter``: per-row quality score (fused expressions from
   ``operators.text`` — zero joins); keeps docs with
@@ -29,6 +30,9 @@ Stage semantics (all stages preserve the input schema):
 - ``token_budget``: greedy best-by-quality prefix whose cumulative token
   count stays ≤ ``budget_tokens`` (distributed prefix-sum selection —
   no single-partition window).
+- ``split``: leakage-safe train/valid/test assignment — adds
+  ``split_column`` as a pure function of ``split_by``'s hash, so every
+  row of a group lands in one split (map-only; must be the last stage).
 
 Per-stage survival (rows in → rows out) is recorded in the DQ metrics
 store as rule_type ``corpus_stage``, so corpus builds are auditable the
@@ -181,7 +185,8 @@ def _apply_stage(
     id_col: str,
     text_col: str,
 ) -> DataFrame:
-    """Apply one stage, preserving ``df``'s schema. ``docs`` is the
+    """Apply one stage, preserving ``df``'s schema (``split``, validated
+    to be last, is the one stage that EXTENDS it). ``docs`` is the
     pipeline's ORIGINAL input (decontamination selects its eval set there,
     so a quality filter upstream can't accidentally shrink the eval set)."""
     if stage.stage == "quality_filter":
@@ -209,6 +214,20 @@ def _apply_stage(
             df.join(spans, id_col)
             .withColumn(text_col, F.col("clean_text"))
             .drop("clean_text")
+        )
+    if stage.stage == "split":
+        from metadata_driven_etl_spark.operators.sampling import (
+            split_by_group,
+        )
+
+        # the one schema-EXTENDING stage (config-validated to be last):
+        # adds split_column, a pure function of the group key's hash, so
+        # every row of a group (domain/cluster) lands in one split
+        return split_by_group(
+            df,
+            stage.split_by,
+            list(stage.splits),
+            split_col=stage.split_column,
         )
     if stage.stage == "token_budget":
         from metadata_driven_etl_spark.operators.sampling import (

@@ -611,3 +611,98 @@ def test_prefilter_rejected_outside_decontaminate(tmp_path):
                 """,
             )
         )
+
+
+def test_split_stage_assigns_groups_and_must_be_last(ctx, tmp_path):
+    """The split stage adds the split column as the LAST stage: groups are
+    pure (one split per source), survival metrics show no row loss, and a
+    config with split before another stage fails fast."""
+    cfg = load_corpus_config(
+        _write_config(
+            tmp_path,
+            f"""
+            corpus_pipelines:
+              - pipeline_id: split_v1
+                input_path: "{SF_DOCS}"
+                target_table: corpus.t_split_v1
+                stages:
+                  - stage: quality_filter
+                    min_tokens: 3
+                  - stage: split
+                    split_by: source
+                    splits:
+                      - {{name: train, weight: 0.8}}
+                      - {{name: valid, weight: 0.1}}
+                      - {{name: test, weight: 0.1}}
+            """,
+        )
+    )
+    results = CorpusLayer(ctx, cfg).run("2026-08-14")
+    assert [r.status for r in results] == ["success"]
+    out = ctx.spark.table("corpus.t_split_v1")
+    docs = ctx.spark.read.parquet(SF_DOCS)
+    assert out.columns == docs.columns + ["split"]
+    impure = (
+        out.groupBy("source")
+        .agg(F.countDistinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert impure == 0
+    assert {r.split for r in out.select("split").distinct().collect()} <= {
+        "train", "valid", "test"
+    }
+    hist = (
+        ctx.dq_metrics.history("corpus.t_split_v1")
+        .filter(F.col("rule_type") == "corpus_stage")
+        .collect()
+    )
+    split_row = {r.rule_name: r for r in hist}["1:split"]
+    assert split_row.invalid_count == 0  # assignment drops nothing
+
+    # split not last / malformed weights / stray fields fail fast
+    for body, msg in [
+        (
+            """
+            corpus_pipelines:
+              - pipeline_id: bad_split_pos
+                input_path: "{docs}"
+                target_table: corpus.x
+                stages:
+                  - stage: split
+                    split_by: source
+                    splits: [{{name: a, weight: 1.0}}]
+                  - stage: quality_filter
+            """,
+            "last stage",
+        ),
+        (
+            """
+            corpus_pipelines:
+              - pipeline_id: bad_split_w
+                input_path: "{docs}"
+                target_table: corpus.x
+                stages:
+                  - stage: split
+                    split_by: source
+                    splits: [{{name: a, weight: 0.6}}]
+            """,
+            "summing to 1",
+        ),
+        (
+            """
+            corpus_pipelines:
+              - pipeline_id: bad_split_field
+                input_path: "{docs}"
+                target_table: corpus.x
+                stages:
+                  - stage: quality_filter
+                    split_by: source
+            """,
+            "only apply to",
+        ),
+    ]:
+        with pytest.raises(Exception, match=msg):
+            load_corpus_config(
+                _write_config(tmp_path, body.format(docs=SF_DOCS))
+            )

@@ -2989,6 +2989,37 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "split_by_dedup_cluster",
+    oracle=f"""
+    SELECT doc_id, cluster_id,
+           CASE WHEN u < 0.8 THEN 'train'
+                WHEN u < 0.9 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, cluster_id,
+                 {sampling_ops.sql_hash_unit('cluster_id')} AS u
+          FROM ({dedup_ops.sql_connected_components(
+              dedup_ops.sql_lsh_candidate_pairs())}) labels) t""",
+)
+def split_by_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: the strongest leakage guarantee — split by the
+    NEAR-DUP CLUSTER id (LSH pairs → connected components), so two
+    near-duplicate documents can never straddle train and test even when
+    they come from different domains (domain-level splitting misses
+    cross-domain mirrors/scrapes). Split assignment is a pure function of
+    the cluster label's hash (operators/sampling.py:split_by_group) —
+    beyond the one-time clustering, the split itself adds zero shuffles."""
+    docs = _docs(spark, sf_dir)
+    labels = dedup_ops.connected_components(
+        docs.select("doc_id"), dedup_ops.lsh_candidate_pairs(docs)
+    )
+    return sampling_ops.split_by_group(
+        labels,
+        "cluster_id",
+        [("train", 0.8), ("valid", 0.1), ("test", 0.1)],
+    )
+
+
+@workload(
     "dedup_keep_best",
     oracle=dedup_ops.sql_keep_best_per_cluster(
         dedup_ops.sql_connected_components(dedup_ops.sql_lsh_candidate_pairs()),

@@ -119,6 +119,73 @@ def range_join_binned(
     return lt.alias("l").join(rt.alias("r"), cond).drop("_bin")
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str] = (),
+    start_col: str = "start",
+    end_col: str = "end",
+    bin_width: int = 86400,
+) -> DataFrame:
+    """Interval-overlap join: pairs where the CLOSED intervals
+    [l.start, l.end] and [r.start, r.end] intersect (and optional equi
+    ``keys`` match). Both sides carry numeric interval bounds in
+    ``start_col``/``end_col`` (epoch seconds, day numbers, any unit
+    consistent with ``bin_width``).
+
+    Spark has no native interval join; the naive encoding is a theta join
+    (``l.start <= r.end AND r.start <= l.end``) that Catalyst can only run
+    as BroadcastNestedLoop/Cartesian — |L|x|R| comparisons. Rewrite: each
+    interval explodes to the fixed-width bins it covers, the join becomes
+    an equi-join on (keys..., bin) that hash-shuffles both sides once, and
+    the exact overlap predicate re-checks candidates within a bin.
+
+    Pair dedup is FREE: an overlapping pair shares every bin the overlap
+    spans, so the join additionally requires the candidate bin to be the
+    one containing ``greatest(l.start, r.start)`` — the overlap's first
+    instant, which lies in both intervals by definition. Each true pair
+    survives in exactly one bin; no dropDuplicates shuffle.
+
+    At 100 TB: cost is candidates-per-bin, so pick ``bin_width`` on the
+    order of the typical interval span (each row explodes to
+    ~span/bin_width + 1 rows); hot bins (rush-hour pileups) are an AQE
+    skew-join case, or pre-salt the bin id. Same rewrite family as
+    ``range_join_binned`` (the Databricks range-join hint); distinct in
+    that BOTH sides are intervals, not point-vs-window.
+
+    Output: the joined row with both sides' columns (access via ``l.``/
+    ``r.`` aliases), ``_bin`` dropped.
+    """
+    lo = F.col(f"l.{start_col}")
+    ro = F.col(f"r.{start_col}")
+    lt = left.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bin_width),
+                F.floor(F.col(end_col) / bin_width),
+            )
+        ),
+    )
+    rt = right.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bin_width),
+                F.floor(F.col(end_col) / bin_width),
+            )
+        ),
+    )
+    cond = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in keys] + [
+        F.col("l._bin") == F.col("r._bin"),
+        lo <= F.col(f"r.{end_col}"),
+        ro <= F.col(f"l.{end_col}"),
+        # pin each pair to the single bin holding the overlap's start
+        F.col("l._bin") == F.floor(F.greatest(lo, ro) / bin_width),
+    ]
+    return lt.alias("l").join(rt.alias("r"), cond).drop("_bin")
+
+
 def resample_gap_fill(
     df: DataFrame,
     keys: Sequence[str],

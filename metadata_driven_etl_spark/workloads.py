@@ -4554,6 +4554,187 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round-5 additions: semantic dedup, interval-overlap join, robust
+# group-wise outlier detection
+# =========================================================================
+
+
+@workload(
+    "semantic_dedup",
+    oracle=dedup_ops.sql_keep_best_per_cluster(
+        dedup_ops.sql_connected_components(
+            sim_ops.sql_embedding_near_dup_pairs(threshold=0.3),
+            table="embeddings",
+            id_col="vec_id",
+        ),
+        score_expr=f"round({sim_ops.sql_norm('embedding')}, 6)",
+        table="embeddings",
+        id_col="vec_id",
+    ),
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shape semantic deduplication (Abbas et al. 2023): prune a
+    corpus by EMBEDDING similarity rather than text overlap — catches
+    paraphrases and re-encodings that MinHash/SimHash miss. Pipeline:
+    blocked cosine near-dup pairs (label = the coarse cluster id SemDeDup
+    gets from k-means) → connected components → keep exactly one member
+    per semantic cluster (here the max-norm member; the paper keeps the
+    member farthest from the centroid — any deterministic scorer plugs
+    into keep_best_per_cluster).
+
+    Scale: pair generation is the label-blocked equi-join (sub-quadratic;
+    at 100 TB the block id comes from ivf_build_index's coarse quantizer),
+    CC iterates only edge-touched nodes, the keep-best window runs only
+    over multi-member clusters. The embeddings frame feeds pair-gen, the
+    vertex set, and the scorer — materialized ONCE (self-join sides get no
+    ReusedExchange; durable checkpoint on a real cluster)."""
+    emb = _emb(spark, sf_dir).localCheckpoint(eager=False)
+    pairs = sim_ops.embedding_near_dup_pairs(emb, threshold=0.3)
+    clusters = dedup_ops.connected_components(
+        emb.select("vec_id"), pairs, id_col="vec_id"
+    )
+    scored = emb.select(
+        "vec_id",
+        F.round(sim_ops.norm(F.col("embedding")), 6).alias("kept_score"),
+    )
+    return dedup_ops.keep_best_per_cluster(clusters, scored, id_col="vec_id")
+
+
+@workload(
+    "interval_overlap_orders",
+    oracle="""
+    WITH iv AS (
+        SELECT o_orderkey, o_custkey,
+               datediff('day', DATE '1992-01-01',
+                        CAST(o_orderdate AS DATE)) AS start_day,
+               datediff('day', DATE '1992-01-01',
+                        CAST(o_orderdate AS DATE)) + 14 AS end_day
+        FROM orders)
+    SELECT a.o_custkey AS custkey,
+           a.o_orderkey AS okey_a, b.o_orderkey AS okey_b,
+           CAST(least(a.end_day, b.end_day)
+                - greatest(a.start_day, b.start_day) + 1 AS BIGINT)
+               AS overlap_days
+    FROM iv a JOIN iv b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND a.start_day <= b.end_day AND b.start_day <= a.end_day""",
+)
+def interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: per customer, pairs of orders whose 15-day
+    fulfillment windows [orderdate, orderdate+14] intersect — the
+    concurrent-sessions / double-booking query shape. The DuckDB oracle is
+    the naive theta join; the Spark plan is the bin-exploded equi-join
+    (operators/temporal.py:interval_overlap_join) whose per-pair
+    "bin containing the overlap's start" pin makes dedup free.
+
+    The two sides are loaded as separate scans (fresh attribute ids) —
+    a true self-join of one frame would hit Spark's ambiguous-self-join
+    trap and get no ReusedExchange anyway."""
+    from metadata_driven_etl_spark.operators import temporal
+
+    def _iv(orders: DataFrame) -> DataFrame:
+        return orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).alias("start_day"),
+        ).withColumn("end_day", F.col("start_day") + 14)
+
+    pairs = temporal.interval_overlap_join(
+        _iv(_t(spark, sf_dir, "orders")),
+        _iv(_t(spark, sf_dir, "orders")),
+        keys=["o_custkey"],
+        start_col="start_day",
+        end_col="end_day",
+        bin_width=14,
+    )
+    return pairs.filter(F.col("l.o_orderkey") < F.col("r.o_orderkey")).select(
+        F.col("l.o_custkey").alias("custkey"),
+        F.col("l.o_orderkey").alias("okey_a"),
+        F.col("r.o_orderkey").alias("okey_b"),
+        (
+            F.least(F.col("l.end_day"), F.col("r.end_day"))
+            - F.greatest(F.col("l.start_day"), F.col("r.start_day"))
+            + 1
+        ).cast("long").alias("overlap_days"),
+    )
+
+
+@workload(
+    "outlier_zscore_group",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cx
+        FROM orders),
+    m AS (
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(cx AS DECIMAL(20,0))) AS DECIMAL(20,0)) AS sx,
+               CAST(SUM(CAST(cx * cx AS DECIMAL(28,0))) AS DECIMAL(28,0))
+                   AS sxx
+        FROM c GROUP BY 1),
+    s AS (
+        SELECT o_orderpriority, n,
+               CAST(CAST(sx AS VARCHAR) AS DOUBLE) / n AS mu,
+               sqrt(CAST(CAST(CAST(n AS DECIMAL(20,0)) * sxx - sx * sx
+                              AS VARCHAR) AS DOUBLE)
+                    / (n * (n - 1))) AS sigma
+        FROM m)
+    SELECT c.o_orderkey, c.o_orderpriority,
+           round((c.cx - s.mu) / s.sigma, 6) AS zscore
+    FROM c JOIN s USING (o_orderpriority)
+    WHERE abs((c.cx - s.mu) / s.sigma) > 1.5""",
+)
+def outlier_zscore_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise z-score outlier detection: orders whose total price sits
+    more than 1.5 sample standard deviations from their priority class's
+    mean — the per-segment anomaly flag a DQ/profiling pass feeds into
+    quarantine rules. (Threshold 1.5 keeps the check non-trivial on the
+    near-uniform synthetic prices, whose |z| is bounded by ~sqrt(3).) Cross-engine parity follows agg_exact_stats: 2-dp
+    money → integer cents, moments accumulated in exact decimal (order-
+    independent, map-side partials intact), doubles only for the final
+    sqrt/divide chain, whose subtract-then-divide shape has no fusable
+    a·b±c (no FMA divergence) — so the z-scores are bit-identical and the
+    1.5 threshold can never flip a row.
+
+    Scale: ONE map-side-combinable groupBy builds the per-group moments
+    (rows = |groups|, always broadcastable), then a broadcast join stamps
+    mu/sigma back onto the fact scan — no window over the fact table, no
+    second shuffle."""
+    d20, d28 = "decimal(20,0)", "decimal(28,0)"
+    c = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cx"),
+    )
+    m = c.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cx").cast(d20)).cast(d20).alias("sx"),
+        F.sum((F.col("cx") * F.col("cx")).cast(d28)).cast(d28).alias("sxx"),
+    )
+    n, nd = F.col("n"), F.col("n").cast(d20)
+    s = m.select(
+        "o_orderpriority",
+        (F.col("sx").cast("double") / n).alias("mu"),
+        F.sqrt(
+            (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            / (n * (n - 1))
+        ).alias("sigma"),
+    )
+    z = (F.col("cx") - F.col("mu")) / F.col("sigma")
+    return (
+        c.join(F.broadcast(s), "o_orderpriority")
+        .filter(F.abs(z) > 1.5)
+        .select(
+            "o_orderkey", "o_orderpriority", F.round(z, 6).alias("zscore")
+        )
+    )
+
+
+# =========================================================================
 # Driver-facing registry order
 # =========================================================================
 #

@@ -216,3 +216,31 @@ def test_incremental_agg_plan_shape(spark, sf_dir):
     assert explode_at != -1 and agg_at != -1
     assert agg_at < explode_at, "delta agg not above the changed-row explode"
     assert "FileScan" not in plan[agg_at:explode_at]
+
+
+def test_interval_overlap_is_equi_join(spark, sf_dir):
+    """The interval-overlap join must plan as a hash equi-join on
+    (key, bin) — the naive theta encoding falls to
+    BroadcastNestedLoop/Cartesian, which is |L|x|R| at scale."""
+    plan = _plan(workloads.QUERIES["interval_overlap_orders"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_semantic_dedup_pair_gen_is_blocked_equi_join(spark, sf_dir):
+    """SemDeDup pair generation stays label-blocked (equi-join), and the
+    keep-best window is guarded by WindowGroupLimit's rank-filter push."""
+    plan = _plan(workloads.QUERIES["semantic_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_outlier_zscore_broadcasts_group_stats(spark, sf_dir):
+    """Per-group moments (rows = |groups|) must come back to the fact
+    scan as a broadcast — a shuffle join or a window over the fact table
+    would add a corpus-wide sort at 100 TB."""
+    plan = _plan(workloads.QUERIES["outlier_zscore_group"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan

@@ -1088,3 +1088,57 @@ def test_split_by_group_purity_stability_and_validation(spark, sf_dir):
         split_by_group(docs, "source", [("a", 1.5), ("b", -0.5)])
     with pytest.raises(ValueError, match="non-empty"):
         split_by_group(docs, "source", [])
+
+
+# --- interval overlap join ≡ brute force -------------------------------------
+
+_INTERVALS = st.lists(
+    st.tuples(
+        st.integers(0, 2),      # optional equi-key
+        st.integers(0, 50),     # start
+        st.integers(0, 30),     # length (end = start + length)
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+def _brute_overlap(left, right, with_key):
+    out = set()
+    for i, (ka, sa, la) in enumerate(left):
+        for j, (kb, sb, lb) in enumerate(right):
+            if with_key and ka != kb:
+                continue
+            if sa <= sb + lb and sb <= sa + la:
+                out.add((i, j))
+    return out
+
+
+@given(left=_INTERVALS, right=_INTERVALS,
+       bin_width=st.sampled_from([1, 7, 64]),
+       with_key=st.booleans())
+@settings(**_SETTINGS)
+def test_interval_overlap_matches_brute_force(
+    spark_global, left, right, bin_width, with_key
+):
+    """Bin-exploded interval join ≡ nested-loop overlap, for bin widths
+    smaller than, comparable to, and larger than the interval spans —
+    and EXACTLY once per pair (the greatest-start bin pin dedups)."""
+    from metadata_driven_etl_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    spark = spark_global
+    schema = "rid long, k long, start long, end long"
+    lf = spark.createDataFrame(
+        [(i, k, s, s + ln) for i, (k, s, ln) in enumerate(left)], schema
+    )
+    rf = spark.createDataFrame(
+        [(j, k, s, s + ln) for j, (k, s, ln) in enumerate(right)], schema
+    )
+    joined = interval_overlap_join(
+        lf, rf, keys=["k"] if with_key else (), bin_width=bin_width
+    ).select(F.col("l.rid").alias("a"), F.col("r.rid").alias("b"))
+    rows = [(r["a"], r["b"]) for r in joined.collect()]
+    assert len(rows) == len(set(rows)), "pair emitted more than once"
+    assert set(rows) == _brute_overlap(left, right, with_key)

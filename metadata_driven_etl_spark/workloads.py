@@ -4734,6 +4734,135 @@ def outlier_zscore_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("vector", "merge", "window")
+
+
+def _sql_bm25_score(tf: str, df: str) -> str:
+    """Integer-exact rational BM25 term score (see text_bm25_score)."""
+    return f"""CASE WHEN {tf} = 0 THEN 0.0 ELSE
+        CAST(22 * s_tokens * {tf} * (2 * n_docs - 2 * {df} + 1) AS DOUBLE)
+        / CAST((2 * {df} + 1)
+               * (10 * {tf} * s_tokens + 3 * s_tokens + 9 * dl * n_docs)
+               AS DOUBLE) END"""
+
+
+@workload(
+    "text_bm25_score",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS dl,
+               {", ".join(
+                   f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT)"
+                   f" AS tf{i}"
+                   for i, t in enumerate(_BM25_TERMS))}
+        FROM (SELECT doc_id, {{tok}} AS toks FROM documents)),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS s_tokens,
+               {", ".join(
+                   f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)"
+                   f" AS BIGINT) AS df{i}"
+                   for i in range(len(_BM25_TERMS)))}
+        FROM f)
+    SELECT doc_id,
+           CAST({" + ".join(
+               f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)"
+               for i in range(len(_BM25_TERMS)))} AS INT)
+               AS n_terms_matched,
+           {" + ".join(
+               "(" + _sql_bm25_score(f"tf{i}", f"df{i}") + ")"
+               for i in range(len(_BM25_TERMS)))} AS bm25
+    FROM f CROSS JOIN s
+    WHERE {" OR ".join(f"tf{i} > 0" for i in range(len(_BM25_TERMS)))}
+    """.format(tok=text_ops.sql_tokens("text")),
+)
+def text_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (k1=1.2, b=0.75) of the corpus against a
+    fixed query-term set — the lexical-retrieval primitive a RAG /
+    data-curation pipeline runs next to the embedding ANN stack.
+
+    Cross-engine parity: the whole Robertson score is restated as ONE
+    integer rational per term —
+
+        idf·tf·(k1+1) / (tf + k1(1-b) + k1·b·dl/avgdl)
+        = 22·S·tf·(2N-2df+1) / [(2df+1)(10·tf·S + 3S + 9·dl·N)]
+
+    with idf the rational (N-df+.5)/(df+.5) variant (ln is not
+    correctly-rounded in either engine's libm — the text_tf_df_score
+    rule), avgdl = S/N cleared from the denominator, and k1/b folded into
+    integer coefficients. Numerator and denominator are exact BIGINTs
+    below 2^53 at bench scales (so BIGINT→DOUBLE is exact in both
+    engines; at petabyte token counts move the two products to
+    DECIMAL(38,0)), and the final per-term divisions + fixed-order sum
+    are correctly-rounded IEEE ops — bit-identical, no rounding needed.
+
+    Scale: per-term tf is a map-side array filter over the tokenized doc
+    (NO explode, no per-term shuffle — query terms are a literal set);
+    corpus stats (N, Σdl, per-term df) are ONE single-row aggregate
+    broadcast back as a scalar subquery. One aggregation pass over the
+    corpus total, scoring itself map-only; the tokenized projection is
+    materialized once for its two consumers."""
+    docs = _docs(spark, sf_dir)
+    toks = text_ops.tokens("text")
+
+    def _tf(term: str):
+        # one-arg lambda: a two-arg lambda would make Spark pass the
+        # ARRAY INDEX as the second argument (higher-order-function arity
+        # dispatch), not a closure variable
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    f = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            _tf(t).cast("long").alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    ).localCheckpoint(eager=False)
+    s = f.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("s_tokens"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+
+    def _score(i: int):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        n, st, dl = F.col("n_docs"), F.col("s_tokens"), F.col("dl")
+        num = F.lit(22) * st * tf * (F.lit(2) * n - F.lit(2) * df + 1)
+        den = (F.lit(2) * df + 1) * (
+            F.lit(10) * tf * st + F.lit(3) * st + F.lit(9) * dl * n
+        )
+        return F.when(tf == 0, F.lit(0.0)).otherwise(
+            num.cast("double") / den.cast("double")
+        )
+
+    matched = [
+        (F.col(f"tf{i}") > 0).cast("int") for i in range(len(_BM25_TERMS))
+    ]
+    score = _score(0)
+    for i in range(1, len(_BM25_TERMS)):
+        score = score + _score(i)
+    n_matched = matched[0]
+    for m in matched[1:]:
+        n_matched = n_matched + m
+    keep = F.col("tf0") > 0
+    for i in range(1, len(_BM25_TERMS)):
+        keep = keep | (F.col(f"tf{i}") > 0)
+    return (
+        f.crossJoin(F.broadcast(s))
+        .filter(keep)
+        .select(
+            "doc_id",
+            n_matched.cast("int").alias("n_terms_matched"),
+            score.alias("bm25"),
+        )
+    )
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================

@@ -244,3 +244,14 @@ def test_outlier_zscore_broadcasts_group_stats(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
+
+
+def test_bm25_is_map_only_scoring_plus_scalar_stats(spark, sf_dir):
+    """BM25 scoring must stay map-side: no window, no per-term explode
+    join, no sort-merge; the only nested-loop is the unconditioned 1-row
+    corpus-stats crossJoin (the scalar-subquery shape)."""
+    plan = _plan(workloads.QUERIES["text_bm25_score"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1

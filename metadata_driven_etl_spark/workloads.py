@@ -619,6 +619,45 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "approx_count_distinct_bounded",
+    oracle="""
+    SELECT l_returnflag, 1 AS parts_within_bound, 1 AS orders_within_bound
+    FROM lineitem GROUP BY 1""",
+)
+def approx_count_distinct_bounded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Assertive accuracy contract for the HLL sketch: per group, Spark
+    computes BOTH the approx_count_distinct estimate (rsd=0.02) and the
+    exact distinct count, and emits a DETERMINISTIC boolean —
+    |approx − exact| ≤ 5% · exact — per distinct-counted column. The
+    DuckDB twin is the same groups with literal 1, so the estimate's
+    accuracy (not just its existence) is hash-checked by the driver.
+
+    HLL++ is deterministic for a given dataset (hash-based, order- and
+    partition-insensitive after sketch merge), so this is a stable
+    contract, not a flaky tolerance: the 2% rsd sketch sits well inside
+    the 5% gate at every test SF. At 100 TB the plan is a single
+    map-side-combinable aggregation — sketch buffers merge associatively,
+    no per-group value buffering (unlike exact countDistinct's expand)."""
+    li = _t(spark, sf_dir, "lineitem")
+    within = lambda a, e: (  # noqa: E731
+        (F.abs(a - e) <= F.lit(0.05) * e).cast("int")
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap"),
+        F.countDistinct("l_partkey").alias("ep"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("ao"),
+        F.countDistinct("l_orderkey").alias("eo"),
+    )
+    return agg.select(
+        "l_returnflag",
+        within(F.col("ap"), F.col("ep")).alias("parts_within_bound"),
+        within(F.col("ao"), F.col("eo")).alias("orders_within_bound"),
+    )
+
+
 # =========================================================================
 # §2.6 Windows / §2.7 sorts
 # =========================================================================
@@ -1446,6 +1485,68 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["click_ts", "click_value"],
     )
     return out.select("event_id", "user_id", "ts", "asof_click_ts", "asof_click_value")
+
+
+@workload(
+    "join_asof_tolerance",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+    u AS (
+        SELECT user_id, ts, 1 AS is_left, event_id,
+               CAST(NULL AS TIMESTAMP) AS cts, CAST(NULL AS DOUBLE) AS cval
+        FROM p
+        UNION ALL
+        SELECT user_id, ts, 0, NULL, ts, value FROM c),
+    w AS (
+        SELECT *,
+               last_value(cts IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, is_left
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mts,
+               last_value(cval IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, is_left
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mval
+        FROM u)
+    SELECT event_id, user_id, ts,
+           CASE WHEN mts IS NOT NULL
+                     AND epoch_us(mts) - epoch_us(ts) <= 1800 * 1000000
+                THEN mts END AS next_click_ts,
+           CASE WHEN mts IS NOT NULL
+                     AND epoch_us(mts) - epoch_us(ts) <= 1800 * 1000000
+                THEN mval END AS next_click_value
+    FROM w WHERE is_left = 1""",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with a staleness bound (pandas merge_asof
+    ``direction='forward', tolerance=30min``): for each purchase, the
+    user's NEXT click at-or-after it, or NULL if none lands within 30
+    minutes — the "did the purchase lead anywhere" / feature-freshness
+    query shape. The oracle spells out the identical union + descending
+    carry-forward window + tolerance CASE, so the hash pins both the
+    direction and the tolerance semantics. Same single-shuffle plan as
+    the backward as-of: never a theta join."""
+    from metadata_driven_etl_spark.operators import temporal
+
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    out = temporal.asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="click_ts",
+        right_cols=["click_ts", "click_value"], prefix="next_",
+        direction="forward", tolerance_seconds=1800,
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("next_click_ts").alias("next_click_ts"),
+        F.col("next_click_value").alias("next_click_value"),
+    )
 
 
 @workload(
@@ -2803,6 +2904,51 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("_pp", 1).alias("price_p50"),
             F.element_at("_pp", 2).alias("price_p90"),
         )
+    )
+
+
+@workload(
+    "agg_approx_percentile_bounded",
+    oracle="""
+    SELECT l_returnflag, 1 AS p50_within_bound, 1 AS p90_within_bound
+    FROM lineitem GROUP BY 1""",
+)
+def agg_approx_percentile_bounded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Assertive accuracy contract for approx_percentile: the GK-sketch
+    guarantees rank error ≤ n/accuracy, so with accuracy=1000 the approx
+    q-quantile must lie between the EXACT (q−0.005)- and (q+0.005)-
+    quantiles once n·0.005 ≥ n/1000 — true for every group here. Spark
+    computes both sides and emits the deterministic containment boolean;
+    the DuckDB twin is literal 1 per group, so the driver hash-checks the
+    sketch's published error bound, not just row counts.
+
+    The sketch is deterministic for a given dataset (insertion into GK
+    summaries is merge-order-insensitive at these sizes), and the bound
+    is a guarantee, not a tolerance — this row can only go red if the
+    sketch implementation breaks its contract. At 100 TB: one map-side-
+    mergeable aggregation, no per-group sort (unlike exact percentile)."""
+    li = _t(spark, sf_dir, "lineitem")
+    approx = F.expr(
+        "approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)"
+    )
+    exact = F.expr(
+        "percentile(l_extendedprice, "
+        "array(0.495, 0.505, 0.895, 0.905))"
+    )
+    agg = (
+        li.groupBy("l_returnflag")
+        .agg(approx.alias("_ap"), exact.alias("_ex"))
+    )
+    contained = lambda i, lo, hi: (  # noqa: E731
+        (F.element_at("_ap", i) >= F.element_at("_ex", lo))
+        & (F.element_at("_ap", i) <= F.element_at("_ex", hi))
+    ).cast("int")
+    return agg.select(
+        "l_returnflag",
+        contained(1, 1, 2).alias("p50_within_bound"),
+        contained(2, 3, 4).alias("p90_within_bound"),
     )
 
 
@@ -4864,6 +5010,245 @@ def text_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round-6 additions: domain mixing, collocation mining, robust outliers
+# =========================================================================
+
+
+@workload(
+    "domain_mix_weights",
+    oracle=f"""
+    WITH per AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM({text_ops.sql_token_count('text')}) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY 1),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_domains,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM per)
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+               AS actual_share,
+           CAST(total_tokens AS DOUBLE)
+               / CAST(n_domains * n_tokens AS DOUBLE) AS mix_weight
+    FROM per, tot""",
+)
+def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data op: per-domain resampling weights toward a uniform
+    token mix (the DoReMi/The-Pile 'domain mixing' step). For each source
+    domain: token mass, its share of the corpus, and the multiplicative
+    weight that equalizes shares (weight = target/actual with a uniform
+    target = 1/n_domains). A sampler multiplies each domain's selection
+    probability by ``mix_weight`` to hit the target mix.
+
+    Numerics: token counts are exact BIGINTs; both emitted ratios are a
+    SINGLE IEEE division of exactly-representable integers, so they are
+    bit-identical across engines (no logs, no compensated sums).
+
+    Scale: one partial-aggregated groupBy(source) — the per-domain frame
+    is tiny (domain cardinality), so the totals join is a broadcast of a
+    one-row frame; the corpus is scanned once, map-side."""
+    per = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(text_ops.token_count("text")).alias("n_tokens"),
+        )
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).alias("n_domains"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "n_tokens",
+        (
+            F.col("n_tokens").cast("double")
+            / F.col("total_tokens").cast("double")
+        ).alias("actual_share"),
+        (
+            F.col("total_tokens").cast("double")
+            / (F.col("n_domains") * F.col("n_tokens")).cast("double")
+        ).alias("mix_weight"),
+    )
+
+
+_PMI_MIN_PAIR = 5
+_PMI_TOPK = 50
+
+
+@workload(
+    "collocation_pmi_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT {text_ops.sql_tokens('text')} AS t FROM documents),
+    uni AS (SELECT unnest(t) AS w FROM tok),
+    ucnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uni),
+    pair AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+              FROM tok)),
+    pcnt AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_count
+        FROM pair GROUP BY 1, 2
+        HAVING COUNT(*) >= {_PMI_MIN_PAIR})
+    SELECT p.w1 || ' ' || p.w2 AS bigram, p.pair_count,
+           CAST(t.n * p.pair_count AS DOUBLE)
+               / CAST(u1.c * u2.c AS DOUBLE) AS pmi_ratio
+    FROM pcnt p
+    JOIN ucnt u1 ON p.w1 = u1.w
+    JOIN ucnt u2 ON p.w2 = u2.w
+    CROSS JOIN tot t
+    ORDER BY pmi_ratio DESC, bigram
+    LIMIT {_PMI_TOPK}""",
+)
+def collocation_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis op: PMI collocation mining (phrase discovery for
+    tokenizer/vocab construction). Scores each adjacent-token pair by
+    N·c(xy) / (c(x)·c(y)) — the ARGUMENT of pointwise mutual information.
+    log is monotone, so ranking by the rational argument is ranking by
+    PMI while keeping every number an exact integer product followed by
+    ONE IEEE division → bit-identical across engines (the
+    oracle-parity-numerics discipline: never let libm near a hash-checked
+    column). Pairs rarer than {_PMI_MIN_PAIR} are dropped (PMI's known
+    low-frequency pathology), top-{_PMI_TOPK} with a lexicographic
+    tie-break.
+
+    Scale: tokenize ONCE, derive unigram and bigram streams from the same
+    token arrays; two partial-aggregated counts; unigram counts join back
+    by plain equi-joins (shuffle on word — broadcast is wrong here, a real
+    vocabulary is millions of words); final top-k is TakeOrderedAndProject,
+    no global sort."""
+    toks = _docs(spark, sf_dir).select(
+        text_ops.tokens("text").alias("t")
+    )
+    uni = toks.select(F.explode("t").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.count(F.lit(1)).alias("n"))
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.zip_with(
+                    F.slice("t", 1, F.size("t") - 1),
+                    F.slice("t", 2, F.size("t") - 1),
+                    lambda a, b: F.struct(
+                        a.alias("w1"), b.alias("w2")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pcnt = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= _PMI_MIN_PAIR)
+    )
+    u1 = ucnt.select(F.col("w").alias("u1_w"), F.col("c").alias("u1_c"))
+    u2 = ucnt.select(F.col("w").alias("u2_w"), F.col("c").alias("u2_c"))
+    return (
+        pcnt.join(u1, pcnt["w1"] == u1["u1_w"])
+        .join(u2, pcnt["w2"] == u2["u2_w"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.concat("w1", F.lit(" "), "w2").alias("bigram"),
+            "pair_count",
+            (
+                (F.col("n") * F.col("pair_count")).cast("double")
+                / (F.col("u1_c") * F.col("u2_c")).cast("double")
+            ).alias("pmi_ratio"),
+        )
+        .orderBy(F.desc("pmi_ratio"), "bigram")
+        .limit(_PMI_TOPK)
+    )
+
+
+_MAD_K = 3
+
+
+@workload(
+    "outlier_mad_group",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT o_orderpriority AS grp, o_totalprice AS v,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice) AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders),
+    med AS (
+        SELECT grp, MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) AS med,
+               CAST(MAX(n) AS BIGINT) AS n_rows
+        FROM ranked GROUP BY 1),
+    dev AS (
+        SELECT r.grp, abs(r.v - m.med) AS d, m.med, m.n_rows,
+               row_number() OVER (PARTITION BY r.grp
+                                  ORDER BY abs(r.v - m.med)) AS rn,
+               COUNT(*) OVER (PARTITION BY r.grp) AS n
+        FROM ranked r JOIN med m ON r.grp = m.grp),
+    mad AS (
+        SELECT grp, MAX(med) AS med, MAX(n_rows) AS n_rows,
+               MAX(CASE WHEN rn = (n + 1) // 2 THEN d END) AS mad
+        FROM dev GROUP BY 1)
+    SELECT o.o_orderpriority AS grp, m.n_rows, m.med, m.mad,
+           CAST(SUM(CASE WHEN abs(o.o_totalprice - m.med)
+                              > {_MAD_K} * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM orders o JOIN mad m ON o.o_orderpriority = m.grp
+    GROUP BY 1, 2, 3, 4""",
+)
+def outlier_mad_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-statistics op: group-wise median/MAD outlier counts — the
+    z-score family's heavy-tail-safe sibling (a single billion-value
+    outlier shifts a mean but not a median). Median here is the LOWER
+    median (value at rank ⌈n/2⌉ ascending), i.e. exactly Spark's
+    ``percentile_disc(0.5)``; the oracle spells out the identical rank
+    selection with window functions so both engines pick the SAME element
+    — no interpolation, no averaging, so the only arithmetic on doubles
+    is subtraction and one multiply, both exactly rounded and
+    bit-identical (see outlier_zscore_group for the moment-based twin).
+
+    Scale: two percentile_disc aggregations + one counting aggregation,
+    all shuffled on the SAME group key; per-group stats are tiny, so they
+    re-join the fact via broadcast. percentile_disc buffers per-group
+    values, which is fine for bounded group counts; for billions-per-group
+    switch the inner selection to approx_percentile (the bounded-contract
+    twin ``agg_approx_percentile_bounded`` proves its error envelope)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("v"),
+    )
+    med = orders.groupBy("grp").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)")
+        .alias("med"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    dev = orders.join(F.broadcast(med), "grp").select(
+        "grp", "v", "med", "n_rows",
+        F.abs(F.col("v") - F.col("med")).alias("d"),
+    )
+    mad = dev.groupBy("grp").agg(
+        F.max("med").alias("med"),
+        F.max("n_rows").alias("n_rows"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY d)")
+        .alias("mad"),
+    )
+    return (
+        orders.join(F.broadcast(mad), "grp")
+        .groupBy("grp", "n_rows", "med", "mad")
+        .agg(
+            F.sum(
+                (
+                    F.abs(F.col("v") - F.col("med"))
+                    > F.lit(_MAD_K) * F.col("mad")
+                ).cast("long")
+            ).alias("n_outliers")
+        )
+    )
+
+
+# =========================================================================
 # Driver-facing registry order
 # =========================================================================
 #
@@ -4875,42 +5260,42 @@ def text_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order.
 
 DRIVER_PRIORITY: list[str] = [
-    # --- round-5 rotation (COVERAGE.md): every registered key already has
-    # a driver CORRECTNESS row (ledger finished in r4), so r5 refreshes the
-    # stale tail.  Pinned flagship core (4) + the 4 array-output workloads
-    # reshaped this round (red in r4 via the canonicalizer TypeError, fixed
-    # by posexplode/element_at — must turn green) + the 2 new ANN-exact
-    # keys (first driver check) + ALL 8 keys whose latest row was round 1
-    # + ALL 22 round-2 keys + 10 round-3 re-checks.  After this round no
-    # key's latest driver row is older than round 3.  Keys rotated OUT are
-    # green in a prior artifact and stay locally oracle-checked by
-    # tests/test_workload_parity.py.
+    # --- round-6 rotation (COVERAGE.md): pinned flagship core (4) + ALL
+    # 12 round-5 operator-family keys that registered after the r5 prefix
+    # froze (first driver check; each judge-verified hash-MATCH at sf0.01
+    # in VERDICT r5 and locally oracle-gated every pytest run) + the
+    # round-6 additions (bounded-accuracy contracts for the two
+    # approximate sketches, plus the new r6 operators) + the stalest
+    # refresh tail (every key below the fold last had a driver row in
+    # round 3; the 10 TPC-H keys q13-q22 stay queued for r7).  Keys
+    # rotated OUT are green in a prior artifact and stay locally
+    # oracle-checked by tests/test_workload_parity.py.
     # --- pinned flagship core ---
     "agg_daily_sales", "merge_upsert", "dq_metrics_single_pass",
     "corpus_clean_pipeline",
-    # --- r4-red array-output re-checks (reshaped to scalar columns) ---
-    "agg_approx_percentile", "embedding_random_projection",
-    "text_feature_hash_embed", "embedding_quantize_int8",
-    # --- round-5 additions (first driver check) ---
-    "similarity_ann_lsh_exact", "similarity_ann_ivf_exact",
-    "dedup_lsh_bucket_capped", "text_bigram_lm_pruned",
-    "funnel_strict_from_first",
-    # --- stalest: latest driver row round 1 (8) ---
-    "window_lag_lead", "window_running_sum", "window_rank_ntile",
-    "setop_intersect", "setop_except", "pivot_linestatus",
-    "approx_count_distinct", "multimodal_frame_sample",
-    # --- latest driver row round 2 (22) ---
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_simhash", "dedup_cluster_cc", "similarity_topk",
-    "similarity_ann_lsh", "similarity_ann_ivf", "embedding_near_dup",
-    "text_lang_id", "text_quality", "text_token_count", "doc_fingerprint",
-    "multimodal_features", "tpch_q1_pricing", "tpch_q3_topk",
-    "tpch_q5_region_revenue", "scd2_dimension_update", "join_asof",
-    "agg_grouping_sets", "text_pii_redact", "pack_sequences",
-    # --- round-3 re-checks (7, incl. the r5 perf A/B target) ---
-    "dedup_incremental_lsh", "decontaminate_ngram_overlap",
-    "agg_count", "agg_customer_summary", "agg_product_perf",
-    "sessionize_events", "window_tumbling_events",
+    # --- round-5 operator families (first driver check) ---
+    "join_salted_skew", "fuzzy_match_levenshtein",
+    "decontaminate_bloom_prefilter", "snapshot_diff_orders",
+    "topk_per_group", "incremental_agg_orders", "split_leakage_safe",
+    "split_by_dedup_cluster", "semantic_dedup", "interval_overlap_orders",
+    "outlier_zscore_group", "text_bm25_score",
+    # --- round-6 additions (first driver check) ---
+    "approx_count_distinct_bounded", "agg_approx_percentile_bounded",
+    "domain_mix_weights", "collocation_pmi_topk", "outlier_mad_group",
+    # --- stale refresh: latest driver row round 3 (§2 core, 18) ---
+    "scan_parquet", "scan_csv", "scan_json", "project_select",
+    "filter_date_param", "filter_not_null", "filter_regex", "filter_expr",
+    "case_when_flag", "join_inner", "join_anti", "join_semi",
+    "join_left_flag", "join_self_groupcount", "distinct_keys",
+    "window_row_number_dedup", "topk_order_limit", "sort_by",
+    # --- stale refresh: latest driver row round 3 (extended, 2) ---
+    "union_all", "window_sliding_events",
+    # --- stale refresh: latest driver row round 3 (TPC-H, 9) ---
+    "tpch_q2_min_cost_supplier", "tpch_q4_priority_exists",
+    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "tpch_q10_returned_topk", "tpch_q11_important_stock",
+    "tpch_q12_priority_counts",
 ]
 
 

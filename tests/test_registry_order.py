@@ -3,15 +3,14 @@
 Round-1 evidence: CORRECTNESS_r01.json contained exactly the first 50
 registry entries in insertion order.  DRIVER_PRIORITY is the curated
 prefix.  The driver-verification ledger was finished in round 4 (every
-registered key has a driver CORRECTNESS row; the r4 rotation carried all
-40 never-checked keys, the 4 round-4 additions, and the 2 stalest keys —
-agg_rollup/agg_cube).  Round 5 refreshes the stale tail: the pinned
-flagship core, the 4 array-output workloads reshaped after their r4
-canonicalizer failures, the 5 round-5 additions (2 ANN-exact keys, the
-biting bucket-cap and pruned-bigram-LM knob coverage, and the strict
-ClickHouse-rule funnel), all 8 keys whose latest row was round 1, all 22
-round-2 keys, and 7 round-3 re-checks.  Keys
-rotated out stay locally oracle-checked by tests/test_workload_parity.py.
+registered key has a driver CORRECTNESS row).  The round-6 rotation:
+pinned flagship core, ALL 12 round-5 operator-family keys that registered
+after the r5 prefix froze (first driver check), the 5 round-6 additions
+(two bounded-accuracy contracts for the approximate sketches, domain-mix
+weights, PMI collocations, MAD outliers), and a 29-key stale-refresh tail
+(every key whose latest driver row was round 3, minus TPC-H q13-q22 which
+stay queued for r7).  Keys rotated out stay locally oracle-checked by
+tests/test_workload_parity.py.
 """
 
 from __future__ import annotations
@@ -26,51 +25,50 @@ CORE = [
     "corpus_clean_pipeline",
 ]
 
-# Red in CORRECTNESS_r04 (ArrayType output crashed the driver's pandas
-# canonicalizer); reshaped to scalar columns this round — must re-check.
-ARRAY_RESHAPE_RECHECK_R5 = {
-    "agg_approx_percentile", "embedding_random_projection",
-    "text_feature_hash_embed", "embedding_quantize_int8",
+# Round-5 operator families: registered after the r5 prefix froze, so
+# round 6 is their first driver check (each pre-verified green at sf0.01
+# by the local oracle gate and the round-5 judge's independent run).
+R5_FAMILIES = {
+    "join_salted_skew", "fuzzy_match_levenshtein",
+    "decontaminate_bloom_prefilter", "snapshot_diff_orders",
+    "topk_per_group", "incremental_agg_orders", "split_leakage_safe",
+    "split_by_dedup_cluster", "semantic_dedup", "interval_overlap_orders",
+    "outlier_zscore_group", "text_bm25_score",
 }
 
-# New in round 5: the ANN machinery driven to exactness (full probe) so it
-# gets real driver hash rows next to the recall-pinned approximate keys.
-NEW_IN_R5 = {
-    "similarity_ann_lsh_exact", "similarity_ann_ivf_exact",
-    "dedup_lsh_bucket_capped", "text_bigram_lm_pruned",
-    "funnel_strict_from_first",
+# New in round 6: deterministic accuracy contracts for the two
+# approximate sketches (the estimate's error bound is hash-checked, not
+# just its existence) plus the round-6 operators.
+NEW_IN_R6 = {
+    "approx_count_distinct_bounded", "agg_approx_percentile_bounded",
+    "domain_mix_weights", "collocation_pmi_topk", "outlier_mad_group",
 }
 
-# Latest driver row round 1 (8 keys).
-STALE_R1 = {
-    "window_lag_lead", "window_running_sum", "window_rank_ntile",
-    "setop_intersect", "setop_except", "pivot_linestatus",
-    "approx_count_distinct", "multimodal_frame_sample",
+# Stale refresh: latest driver row round 3 (§2 core + extended).
+STALE_R3_CORE = {
+    "scan_parquet", "scan_csv", "scan_json", "project_select",
+    "filter_date_param", "filter_not_null", "filter_regex", "filter_expr",
+    "case_when_flag", "join_inner", "join_anti", "join_semi",
+    "join_left_flag", "join_self_groupcount", "distinct_keys",
+    "window_row_number_dedup", "topk_order_limit", "sort_by",
+    "union_all", "window_sliding_events",
 }
 
-# Latest driver row round 2 (22 keys).
-STALE_R2 = {
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_simhash", "dedup_cluster_cc", "similarity_topk",
-    "similarity_ann_lsh", "similarity_ann_ivf", "embedding_near_dup",
-    "text_lang_id", "text_quality", "text_token_count", "doc_fingerprint",
-    "multimodal_features", "tpch_q1_pricing", "tpch_q3_topk",
-    "tpch_q5_region_revenue", "scd2_dimension_update", "join_asof",
-    "agg_grouping_sets", "text_pii_redact", "pack_sequences",
-}
-
-# Round-3 re-checks filling the remaining slots (includes the round-5
-# perf A/B target dedup_incremental_lsh).
-RECHECK_R3 = {
-    "dedup_incremental_lsh", "decontaminate_ngram_overlap",
-    "agg_count", "agg_customer_summary", "agg_product_perf",
-    "sessionize_events", "window_tumbling_events",
+# Stale refresh: latest driver row round 3 (TPC-H; q13-q22 queued for r7).
+STALE_R3_TPCH = {
+    "tpch_q2_min_cost_supplier", "tpch_q4_priority_exists",
+    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "tpch_q10_returned_topk", "tpch_q11_important_stock",
+    "tpch_q12_priority_counts",
 }
 
 # Approximate-by-design ops: no exact SQL twin exists, so the driver
 # records a rows-only row; each is pinned by a property test instead
 # (rank-tolerance for the percentile sketch, recall@k for the ANN pair,
-# HLL error bound, deterministic fake-decode for frame sampling).
+# HLL error bound, deterministic fake-decode for frame sampling) — and
+# since round 6 the two sketch aggregates ALSO have hash-checked bounded
+# contracts (approx_count_distinct_bounded / agg_approx_percentile_bounded).
 APPROX_ROWS_ONLY = {
     "agg_approx_percentile", "approx_count_distinct",
     "multimodal_frame_sample", "similarity_ann_lsh", "similarity_ann_ivf",
@@ -100,17 +98,17 @@ def test_core_keys_never_rotate():
 def test_rotation_tail_matches_coverage_plan():
     tail = set(workloads.DRIVER_PRIORITY[len(CORE):])
     assert tail == (
-        ARRAY_RESHAPE_RECHECK_R5 | NEW_IN_R5 | STALE_R1 | STALE_R2
-        | RECHECK_R3
+        R5_FAMILIES | NEW_IN_R6 | STALE_R3_CORE | STALE_R3_TPCH
     )
 
 
 def test_priority_entries_all_have_oracles():
-    # Every driver-prefix row is hash-checkable except the documented
-    # approximate ops, which the driver records as rows-only.
+    # Every round-6 driver-prefix row is hash-checkable: the rows-only
+    # approximate keys all rotated out this round (their accuracy is now
+    # driver-checked via the bounded-contract twins instead).
     no_oracle = set(workloads.DRIVER_PRIORITY) - set(workloads.ORACLES)
-    assert no_oracle <= APPROX_ROWS_ONLY, (
-        f"unexpected rows-only keys in prefix: {no_oracle - APPROX_ROWS_ONLY}"
+    assert no_oracle == set(), (
+        f"unexpected rows-only keys in prefix: {no_oracle}"
     )
 
 

@@ -33,7 +33,7 @@ VALID_RULE_TYPES = {
     "zscore_outlier",
 }
 VALID_ACTIONS = {"filter", "tag", "reject"}
-VALID_REFRESH_TYPES = {"full", "incremental"}
+VALID_REFRESH_TYPES = {"full", "incremental", "delta"}
 
 
 class ConfigError(ValueError):
@@ -227,44 +227,111 @@ class SilverTransform:
 
 @dataclass(frozen=True)
 class GoldModel:
-    """One gold model unit (reference gold_config.yaml)."""
+    """One gold model unit (reference gold_config.yaml).
+
+    ``refresh_type``:
+    - ``full``: run ``sql_query``, overwrite the target (the reference's
+      default posture, gold_layer.py:114-180).
+    - ``incremental``: run ``sql_query``, MERGE on ``primary_keys``.
+    - ``delta``: incremental VIEW MAINTENANCE — the target is a grouped
+      COUNT/SUM aggregate of ``snapshot_table`` declared by
+      ``group_keys``/``sum_cols``, maintained from the snapshot DIFF via
+      retraction semantics (operators.merge.incremental_agg_update)
+      instead of re-aggregating the corpus each run.  No ``sql_query``:
+      deriving both the first full build and the delta path from the SAME
+      declaration is what guarantees delta ≡ full rebuild.
+    """
 
     model_id: str
     target_table: str
-    sql_query: str
+    sql_query: str = ""
     model_type: str = "sql"
     partition_by: tuple[str, ...] = ()
     refresh_type: str = "full"
     primary_keys: tuple[str, ...] = ()
     enabled: bool = True
+    # delta-maintenance knobs (refresh_type: delta only)
+    snapshot_table: str | None = None
+    snapshot_keys: tuple[str, ...] = ()
+    group_keys: tuple[str, ...] = ()
+    sum_cols: tuple[tuple[str, str], ...] = ()  # (output alias, source col)
+    count_col: str = "n_rows"
 
     @staticmethod
     def from_dict(d: dict[str, Any]) -> "GoldModel":
         _require("model_id" in d, "model missing model_id")
         mid = d["model_id"]
-        mt = d.get("model_type", "sql")
-        _require(mt == "sql", f"model {mid}: unsupported model_type {mt!r} (only 'sql')")
-        _require(d.get("sql_query"), f"model {mid}: missing sql_query")
         _require(d.get("target_table"), f"model {mid}: missing target_table")
         rt = d.get("refresh_type", "full")
         _require(rt in VALID_REFRESH_TYPES, f"model {mid}: invalid refresh_type {rt!r}")
+        mt = d.get("model_type", "delta_agg" if rt == "delta" else "sql")
         pk = tuple(d.get("primary_keys") or ())
-        _require(
-            rt != "incremental" or pk,
-            f"model {mid}: incremental refresh needs primary_keys",
-        )
+        delta_knobs = ("snapshot_table", "snapshot_keys", "group_keys", "sum_cols")
+        if rt == "delta":
+            _require(
+                mt == "delta_agg",
+                f"model {mid}: refresh_type delta requires model_type "
+                f"'delta_agg', got {mt!r}",
+            )
+            _require(
+                not d.get("sql_query"),
+                f"model {mid}: delta models declare group_keys/sum_cols, "
+                "not sql_query (the maintained aggregate and its full "
+                "rebuild must come from one declaration)",
+            )
+            _require(
+                bool(d.get("snapshot_table")),
+                f"model {mid}: delta refresh needs snapshot_table",
+            )
+            _require(
+                bool(d.get("snapshot_keys")),
+                f"model {mid}: delta refresh needs snapshot_keys "
+                "(row identity for the snapshot diff)",
+            )
+            _require(
+                bool(d.get("group_keys")),
+                f"model {mid}: delta refresh needs group_keys",
+            )
+            sum_cols = tuple(
+                (str(k), str(v))
+                for k, v in (d.get("sum_cols") or {}).items()
+            )
+            reserved = {d.get("count_col", "n_rows"), *dict(sum_cols)}
+            _require(
+                len(reserved) == len(sum_cols) + 1,
+                f"model {mid}: sum_cols aliases must be distinct from "
+                "count_col",
+            )
+        else:
+            _require(mt == "sql", f"model {mid}: unsupported model_type {mt!r} (only 'sql')")
+            _require(d.get("sql_query"), f"model {mid}: missing sql_query")
+            _require(
+                rt != "incremental" or pk,
+                f"model {mid}: incremental refresh needs primary_keys",
+            )
+            bad = [k for k in delta_knobs if d.get(k)]
+            _require(
+                not bad,
+                f"model {mid}: {bad} only apply to refresh_type delta",
+            )
+            sum_cols = ()
         pb = d.get("partition_by") or ()
         if isinstance(pb, str):
             pb = (pb,)
         return GoldModel(
             model_id=mid,
             target_table=d["target_table"],
-            sql_query=d["sql_query"],
+            sql_query=d.get("sql_query", ""),
             model_type=mt,
             partition_by=tuple(pb),
             refresh_type=rt,
             primary_keys=pk,
             enabled=bool(d.get("enabled", True)),
+            snapshot_table=d.get("snapshot_table"),
+            snapshot_keys=tuple(d.get("snapshot_keys") or ()),
+            group_keys=tuple(d.get("group_keys") or ()),
+            sum_cols=sum_cols,
+            count_col=str(d.get("count_col", "n_rows")),
         )
 
 
@@ -357,6 +424,7 @@ VALID_CORPUS_STAGES = {
     "decontaminate",
     "span_dedup",
     "near_dedup",
+    "semantic_dedup",
     "token_budget",
     "split",
 }
@@ -386,12 +454,22 @@ class CorpusStageConfig:
     prefilter: str = "none"
     # span_dedup
     span_tokens: int = 20
-    # near_dedup
+    # near_dedup + semantic_dedup
     keep: str = "first"
     # near_dedup LSH band-bucket cap: None = operator default
     # (dedup.DEFAULT_MAX_BUCKET_SIZE, the shipped 100 TB posture);
     # 0 = uncapped exact-candidate baseline; >0 = explicit cap.
     max_bucket_size: int | None = None
+    # semantic_dedup (SemDeDup-shape embedding dedup): embeddings live in
+    # a separate table keyed by the pipeline's id column (or
+    # embedding_id_col); block_col is the coarse-quantizer / label column
+    # that keeps pair generation sub-quadratic (None = unblocked
+    # correctness baseline — small corpora only).
+    embedding_table: str | None = None
+    embedding_id_col: str | None = None
+    embedding_col: str = "embedding"
+    block_col: str | None = "label"
+    threshold: float = 0.95
     # token_budget
     budget_tokens: int | None = None
     # split (leakage-safe group-level train/valid/test assignment; the
@@ -456,12 +534,13 @@ class CorpusStageConfig:
             )
         keep = d.get("keep", "first")
         mbs = d.get("max_bucket_size")
-        if st == "near_dedup":
+        if st in ("near_dedup", "semantic_dedup"):
             _require(
                 keep in VALID_NEAR_DEDUP_KEEP,
-                f"corpus {pipeline_id}: near_dedup keep must be one of "
+                f"corpus {pipeline_id}: {st} keep must be one of "
                 f"{sorted(VALID_NEAR_DEDUP_KEEP)}, got {keep!r}",
             )
+        if st == "near_dedup":
             if mbs is not None:
                 _require(
                     int(mbs) >= 0,
@@ -473,6 +552,29 @@ class CorpusStageConfig:
                 mbs is None,
                 f"corpus {pipeline_id}: max_bucket_size only applies to "
                 "near_dedup",
+            )
+        emb_knobs = (
+            "embedding_table", "embedding_id_col", "embedding_col",
+            "block_col", "threshold",
+        )
+        if st == "semantic_dedup":
+            _require(
+                bool(d.get("embedding_table")),
+                f"corpus {pipeline_id}: semantic_dedup needs "
+                "embedding_table",
+            )
+            thr = float(d.get("threshold", 0.95))
+            _require(
+                0.0 < thr <= 1.0,
+                f"corpus {pipeline_id}: semantic_dedup threshold must be "
+                f"in (0, 1], got {thr}",
+            )
+        else:
+            bad_emb = [k for k in emb_knobs if d.get(k) is not None]
+            _require(
+                not bad_emb,
+                f"corpus {pipeline_id}: {bad_emb} only apply to "
+                "semantic_dedup",
             )
         return CorpusStageConfig(
             stage=st,
@@ -490,6 +592,13 @@ class CorpusStageConfig:
             span_tokens=int(d.get("span_tokens", 20)),
             keep=keep,
             max_bucket_size=int(mbs) if mbs is not None else None,
+            embedding_table=d.get("embedding_table"),
+            embedding_id_col=d.get("embedding_id_col"),
+            embedding_col=d.get("embedding_col") or "embedding",
+            # empty string = unblocked (the all-pairs correctness
+            # baseline); absent = the operator default block column
+            block_col=(d.get("block_col", "label") or None),
+            threshold=float(d.get("threshold", 0.95)),
             budget_tokens=(
                 int(d["budget_tokens"])
                 if d.get("budget_tokens") is not None

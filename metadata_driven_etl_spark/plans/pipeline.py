@@ -38,6 +38,7 @@ from metadata_driven_etl_spark.io.writer import TableFormat
 from metadata_driven_etl_spark.metadata.audit import AuditLogger
 from metadata_driven_etl_spark.metadata.control import ControlTable
 from metadata_driven_etl_spark.metadata.metrics import DataDictionary, DQMetricsStore
+from metadata_driven_etl_spark.operators import merge as merge_ops
 from metadata_driven_etl_spark.operators.projections import with_lineage
 from metadata_driven_etl_spark.sources.jdbc import build_jdbc_reader
 from metadata_driven_etl_spark.sources.readers import read_file_source
@@ -323,6 +324,8 @@ class GoldLayer(_LayerBase):
         return self.ctx.spark.sql(q, args={"processing_date": run_date})
 
     def _model(self, m: GoldModel, run_date: str) -> int:
+        if m.refresh_type == "delta":
+            return self._delta_model(m, run_date)
         df = self._sql(m.sql_query, run_date).withColumn(
             "gold_insert_timestamp", F.current_timestamp()
         )
@@ -343,6 +346,74 @@ class GoldLayer(_LayerBase):
         self.ctx.control.update_run(
             m.target_table, self.layer_name, run_date, rows, "success",
             {"model_id": m.model_id, "refresh_type": m.refresh_type},
+        )
+        self.ctx.dictionary.register(m.target_table, df)
+        return rows
+
+    def _delta_model(self, m: GoldModel, run_date: str) -> int:
+        """``refresh_type: delta`` — incremental view maintenance (M7 at
+        100 TB). The target is the grouped COUNT/SUM aggregate of
+        ``snapshot_table`` declared by group_keys/sum_cols. After the
+        first (full) build the engine keeps the last maintained snapshot
+        in ``<target>__maintained_snapshot``; each later run diffs the
+        current snapshot against it and applies the ±1-weighted delta to
+        the existing aggregate (operators.merge.incremental_agg_update)
+        — cost scales with the CHANGE RATE, not the corpus size, and the
+        result is provably identical to a full re-aggregation (the
+        ``incremental_agg_orders`` driver row hash-checks exactly that
+        equivalence; e2e YAML parity in test_pipeline_e2e.py).
+
+        Steady-state plan: one full-outer join of two snapshots on
+        ``snapshot_keys`` (each side shuffles once — zero Exchange when
+        both snapshots are written bucketed on the key), then a tiny
+        delta aggregate joined to the already-small target. The corpus
+        is never re-aggregated after the first run."""
+        fmt, spark = self.ctx.table_format, self.ctx.spark
+        snap_copy = f"{m.target_table}__maintained_snapshot"
+        gks = list(m.group_keys)
+        sum_cols = dict(m.sum_cols)
+        new = spark.table(m.snapshot_table)
+        if fmt.table_exists(spark, m.target_table) and fmt.table_exists(
+            spark, snap_copy
+        ):
+            refresh_mode = "delta_maintain"
+            old = spark.table(snap_copy)
+            base = spark.table(m.target_table).select(
+                *gks, m.count_col, *sum_cols
+            )
+            df = merge_ops.incremental_agg_update(
+                base, old, new,
+                keys=list(m.snapshot_keys), group_keys=gks,
+                sum_cols=sum_cols, count_col=m.count_col,
+            )
+        else:
+            refresh_mode = "delta_first_full"
+            df = new.groupBy(*gks).agg(
+                F.count(F.lit(1)).alias(m.count_col),
+                *[
+                    F.sum(src).alias(alias)
+                    for alias, src in sum_cols.items()
+                ],
+            )
+        # The maintained path reads the target it is about to overwrite:
+        # sever lineage first (same discipline as TableFormat.merge).
+        df = df.localCheckpoint(eager=True)
+        rows = _counted_write(
+            df.withColumn("gold_insert_timestamp", F.current_timestamp()),
+            lambda d: fmt.overwrite(
+                d, m.target_table, list(m.partition_by) or None
+            ),
+        )
+        # Remember this snapshot for the next run's diff AFTER the target
+        # write succeeded (a failed target write must not advance the
+        # maintained-snapshot state, or the next diff would skip changes).
+        fmt.overwrite(new, snap_copy, None)
+        self.ctx.control.update_run(
+            m.target_table, self.layer_name, run_date, rows, "success",
+            {
+                "model_id": m.model_id, "refresh_type": m.refresh_type,
+                "mode": refresh_mode, "snapshot_table": m.snapshot_table,
+            },
         )
         self.ctx.dictionary.register(m.target_table, df)
         return rows

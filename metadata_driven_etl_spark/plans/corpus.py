@@ -287,7 +287,72 @@ def _apply_stage(
                 clusters, scored, id_col=id_col
             ).select(F.col(f"kept_{id_col}").alias(id_col))
         return df.join(keep_ids, id_col, "left_semi")
+    if stage.stage == "semantic_dedup":
+        return _semantic_dedup(df, stage, id_col, text_col)
     raise AssertionError(f"unreachable stage {stage.stage!r}")  # validated
+
+
+def _semantic_dedup(
+    df: DataFrame,
+    stage: CorpusStageConfig,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """SemDeDup-shape semantic dedup as a declarable stage (the
+    embedding-based sibling of ``near_dedup`` — catches paraphrases and
+    re-encodings that text LSH misses; reuses the exact composition the
+    ``semantic_dedup`` driver workload hash-checks): blocked cosine
+    near-dup pairs over ``embedding_table`` → connected components →
+    keep one document per semantic cluster.  Docs WITHOUT an embedding
+    row are kept (no evidence to drop on), and the embedding frame is
+    first semi-joined to the CURRENT survivors so upstream filters
+    shrink pair generation rather than resurrect dropped docs.
+
+    Scale: pair generation is the ``block_col``-blocked equi-join
+    (sub-quadratic; at 100 TB the block id is an IVF coarse-quantizer
+    assignment), CC iterates only edge-touched nodes, and the final
+    drop is an anti join on the (small) non-keeper id set."""
+    from metadata_driven_etl_spark.operators import similarity as sim_ops
+
+    spark = df.sparkSession
+    eid = stage.embedding_id_col or id_col
+    emb_cols = [F.col(eid).alias(id_col), F.col(stage.embedding_col)] + (
+        [F.col(stage.block_col)] if stage.block_col else []
+    )
+    # materialize once: the frame feeds pair-gen (both self-join sides)
+    # and the CC vertex set — self-joined lineage gets no ReusedExchange
+    emb = (
+        spark.table(stage.embedding_table)
+        .select(*emb_cols)
+        .join(df.select(id_col), id_col, "left_semi")
+        .localCheckpoint(eager=False)
+    )
+    pairs = sim_ops.embedding_near_dup_pairs(
+        emb,
+        threshold=stage.threshold,
+        id_col=id_col,
+        vec_col=stage.embedding_col,
+        block_col=stage.block_col,
+    )
+    clusters = dedup_ops.connected_components(
+        emb.select(id_col), pairs, id_col=id_col
+    )
+    if stage.keep == "first":
+        kept = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(
+            id_col
+        )
+    else:  # best: highest token count, ties → lowest id (near_dedup rule)
+        scored = df.select(
+            F.col(id_col),
+            F.size(text_ops.tokens(text_col)).cast("long").alias(
+                "kept_score"
+            ),
+        )
+        kept = dedup_ops.keep_best_per_cluster(
+            clusters, scored, id_col=id_col
+        ).select(F.col(f"kept_{id_col}").alias(id_col))
+    dropped = clusters.select(id_col).join(kept, id_col, "left_anti")
+    return df.join(dropped, id_col, "left_anti")
 
 
 def run_corpus_config(

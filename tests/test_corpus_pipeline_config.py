@@ -706,3 +706,98 @@ def test_split_stage_assigns_groups_and_must_be_last(ctx, tmp_path):
             load_corpus_config(
                 _write_config(tmp_path, body.format(docs=SF_DOCS))
             )
+
+
+def test_semantic_dedup_stage(ctx, tmp_path):
+    """semantic_dedup as a declarable stage (VERDICT r5 item 4): YAML ≡
+    the direct embedding_near_dup_pairs → CC → keep-first composition,
+    and docs without an embedding row are kept."""
+    spark = ctx.spark
+    docs = spark.read.parquet(SF_DOCS)
+    doc_ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    # even docs get an exact per-label duplicate embedding (label =
+    # doc_id % 10, one-hot base vector); odd docs have NO embedding row
+    even = [i for i in doc_ids if i % 2 == 0]
+    emb_rows = [
+        (i, [1.0 if d == i % 10 else 0.0 for d in range(10)], i % 10)
+        for i in even
+    ]
+    emb = spark.createDataFrame(
+        emb_rows, "doc_id: long, embedding: array<float>, label: int"
+    )
+    ParquetFormat().overwrite(emb, "corpus.t_sem_emb")
+    ParquetFormat().overwrite(docs, "corpus.t_sem_input")
+    cfg = load_corpus_config(
+        _write_config(
+            tmp_path,
+            """
+            corpus_pipelines:
+              - pipeline_id: sem_v1
+                input_table: corpus.t_sem_input
+                target_table: corpus.t_sem_out
+                stages:
+                  - stage: semantic_dedup
+                    embedding_table: corpus.t_sem_emb
+                    threshold: 0.99
+                    keep: first
+            """,
+        )
+    )
+    stage = cfg.pipelines[0].stages[0]
+    assert stage.embedding_table == "corpus.t_sem_emb"
+    assert stage.block_col == "label" and stage.threshold == 0.99
+    results = CorpusLayer(ctx, cfg).run("2026-08-14")
+    assert [r.status for r in results] == ["success"]
+    got = {r.doc_id for r in ctx.spark.table("corpus.t_sem_out").collect()}
+
+    # exact-duplicate vectors per label -> one cluster per label; keep
+    # the lowest id; odd docs (no embedding) all survive
+    odd = {i for i in doc_ids if i % 2 == 1}
+    keep_even = {
+        min(i for i in even if i % 10 == lbl) for lbl in {i % 10 for i in even}
+    }
+    assert got == odd | keep_even
+
+
+def test_semantic_dedup_validation(tmp_path):
+    import yaml
+
+    def load(body):
+        return CorpusConfig.from_dict(yaml.safe_load(textwrap.dedent(body)))
+
+    with pytest.raises(ConfigError):  # missing embedding_table
+        load(
+            """
+            corpus_pipelines:
+              - pipeline_id: p
+                input_table: t
+                target_table: o
+                stages:
+                  - stage: semantic_dedup
+            """
+        )
+    with pytest.raises(ConfigError):  # threshold out of range
+        load(
+            """
+            corpus_pipelines:
+              - pipeline_id: p
+                input_table: t
+                target_table: o
+                stages:
+                  - stage: semantic_dedup
+                    embedding_table: e
+                    threshold: 1.5
+            """
+        )
+    with pytest.raises(ConfigError):  # embedding knobs outside the stage
+        load(
+            """
+            corpus_pipelines:
+              - pipeline_id: p
+                input_table: t
+                target_table: o
+                stages:
+                  - stage: near_dedup
+                    embedding_table: e
+            """
+        )

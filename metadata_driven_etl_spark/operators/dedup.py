@@ -119,7 +119,16 @@ def _materialize(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     ``None`` (local default) uses ``localCheckpoint`` — blocks live in
     executor storage, lost with an executor. On a real cluster pass a
     durable path (HDFS/S3): set as the context's checkpoint dir, each
-    materialization then survives executor loss. Same seam
+    materialization then survives executor loss.
+
+    NOTE (ADVICE r5): the durable path runs persist + EAGER checkpoint —
+    Spark jobs execute at DataFrame-CONSTRUCTION time (Spark's documented
+    persist-before-reliable-checkpoint guidance; a lazy checkpoint would
+    execute the lineage twice). Builders composed with ``checkpoint_dir``
+    set are therefore no longer lazy: composing e.g.
+    ``lsh_candidate_pairs`` into a plan that is conditionally discarded
+    pays full materialization up front. Compose lazily with the local
+    default; pass ``checkpoint_dir`` only when the plan WILL run. Same seam
     ``connected_components`` exposes.
     """
     if checkpoint_dir is not None:

@@ -183,6 +183,14 @@ def split_by_group(
         raise ValueError(f"split weights must sum to 1, got {total}")
     if any(w <= 0 for _, w in splits):
         raise ValueError("split weights must be positive")
+    if split_col in df.columns:
+        # withColumn would silently REPLACE it: a corpus that already
+        # carries a split assignment would be re-split with no error
+        # (ADVICE r5) — same reserved-column discipline as z_value.
+        raise ValueError(
+            f"split_by_group: input already has a {split_col!r} column — "
+            "drop/rename it first, or pass a different split_col"
+        )
     u = hash_unit(group_col)
     expr = None
     acc = 0.0

@@ -35,44 +35,90 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: Sequence[str] = (),
     prefix: str = "asof_",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """For each left row: values of the latest right row with
-    right.ts <= left.ts and matching key (LEFT semantics — unmatched left
-    rows keep NULLs).
+    """As-of join with pandas-``merge_asof`` semantics (LEFT: unmatched
+    left rows keep NULLs).
+
+    - ``direction="backward"`` (default): the LATEST right row with
+      right.ts <= left.ts and matching key.
+    - ``direction="forward"``: the EARLIEST right row with
+      right.ts >= left.ts (the "next event after" query shape).
+    - ``tolerance_seconds``: if set, a match farther than this from
+      left.ts reads as NO match (all prefixed columns NULL) — the
+      staleness bound every feature-store as-of lookup needs. Units are
+      seconds for timestamp columns, native units for numeric ts
+      columns.
 
     Right timestamps should be unique per key (the standard as-of
     contract; with duplicates the latest-in-sort-order row wins,
     deterministically).
+
+    Plan shape is unchanged by the new knobs: union + ONE key-partitioned
+    window carrying right values across the time-sorted stream — never
+    the |L|x|R| theta-join pair space; tolerance is a map-side CASE on
+    the carried match timestamp afterward.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"asof_join: direction must be 'backward' or 'forward', "
+            f"got {direction!r}"
+        )
     keys = [key] if isinstance(key, str) else list(key)
     marker, ts = "_asof_is_left", "_asof_ts"
+    match_ts = "_asof_match_ts"
 
     lt = left.withColumn(marker, F.lit(1)).withColumn(ts, F.col(left_ts))
     for c in right_cols:
         lt = lt.withColumn(f"{prefix}{c}", F.lit(None).cast(right.schema[c].dataType))
+    lt = lt.withColumn(match_ts, F.lit(None).cast(right.schema[right_ts].dataType))
     rt = right.select(
         *keys,
         F.lit(0).alias(marker),
         F.col(right_ts).alias(ts),
         *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+        F.col(right_ts).alias(match_ts),
     )
     for c in left.columns:
         if c not in rt.columns:
             rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     u = lt.unionByName(rt.select(*lt.columns))
 
-    # right rows (marker 0) sort BEFORE left rows at equal ts → "at-or-
-    # before" inclusive; last(ignorenulls) carries right values forward
+    # right rows (marker 0) sort BEFORE left rows at equal ts → the match
+    # is inclusive in both directions; last(ignorenulls) carries right
+    # values forward along the (a/de)scending time stream
+    order = F.col(ts) if direction == "backward" else F.col(ts).desc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(ts), F.col(marker))
+        .orderBy(order, F.col(marker))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in right_cols:
-        u = u.withColumn(
-            f"{prefix}{c}", F.last(f"{prefix}{c}", ignorenulls=True).over(w)
+    carried = [*(f"{prefix}{c}" for c in right_cols), match_ts]
+    for c in carried:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    if tolerance_seconds is not None:
+        from pyspark.sql.types import TimestampType
+
+        def _num(col):
+            if isinstance(right.schema[right_ts].dataType, TimestampType):
+                return F.unix_micros(col)
+            return col
+
+        tol = (
+            tolerance_seconds * 1_000_000
+            if isinstance(right.schema[right_ts].dataType, TimestampType)
+            else tolerance_seconds
         )
-    return u.filter(F.col(marker) == 1).drop(marker, ts)
+        gap = (
+            _num(F.col(ts)) - _num(F.col(match_ts))
+            if direction == "backward"
+            else _num(F.col(match_ts)) - _num(F.col(ts))
+        )
+        ok = F.col(match_ts).isNotNull() & (gap <= F.lit(tol))
+        for c in (f"{prefix}{c}" for c in right_cols):
+            u = u.withColumn(c, F.when(ok, F.col(c)))
+    return u.filter(F.col(marker) == 1).drop(marker, ts, match_ts)
 
 
 def range_join_binned(
@@ -155,6 +201,16 @@ def interval_overlap_join(
 
     Output: the joined row with both sides' columns (access via ``l.``/
     ``r.`` aliases), ``_bin`` dropped.
+
+    ``left`` and ``right`` MUST have distinct lineage (e.g. two separate
+    scans of the same table, as ``interval_overlap_orders`` does — a
+    self-overlap caller should load the table twice). The join resolves
+    columns via the ``l.``/``r.`` alias-string refs above; passing one
+    frame (or two frames derived from the same scan) hits Spark's
+    ambiguous-self-join handling, which can error or mis-resolve those
+    refs — and a true self-join would get no ReusedExchange anyway
+    (ADVICE r5; see the shared-lineage join discipline in
+    merge.apply_signed_delta).
     """
     lo = F.col(f"l.{start_col}")
     ro = F.col(f"r.{start_col}")

@@ -38,21 +38,33 @@ def range_cluster(
 
 
 def z_value(
-    df: DataFrame, cols: Sequence[str], bits: int = 12
+    df: DataFrame, cols: Sequence[str], bits: int = 12,
+    bucketing: str = "linear",
 ) -> DataFrame:
     """Append a ``__z`` column: the bit-interleaved Morton (Z-order)
     code of ``cols`` — all JVM built-ins, no UDF.
 
-    Each column is linearly bucketed into ``[0, 2^bits)`` against its
-    observed min/max (one tiny aggregate broadcast back as a scalar
-    subquery), then the bucket bits are interleaved
-    (``z = Σ_b Σ_i ((c_i >> b) & 1) << (b·n + i)``). Sorting by ``__z``
-    clusters rows so every contiguous run covers a small HYPER-RECTANGLE
-    of the key space — unlike lexicographic multi-column sort, where
-    every trailing column spans its full domain within each leading-key
-    run. Linear bucketing keeps the code deterministic and single-pass;
-    heavily skewed columns trade some balance for that (quantile
-    bucketing would need a sketch pass — the documented upgrade path).
+    Each column is bucketed into ``[0, 2^bits)``, then the bucket bits
+    are interleaved (``z = Σ_b Σ_i ((c_i >> b) & 1) << (b·n + i)``).
+    Sorting by ``__z`` clusters rows so every contiguous run covers a
+    small HYPER-RECTANGLE of the key space — unlike lexicographic
+    multi-column sort, where every trailing column spans its full domain
+    within each leading-key run.
+
+    ``bucketing``:
+    - ``"linear"`` (default): linear against the observed min/max (one
+      tiny aggregate broadcast back). Deterministic and single-pass;
+      heavily skewed columns collapse most rows into few buckets,
+      wasting interleave bits.
+    - ``"quantile"``: bucket boundaries from an ``approx_percentile``
+      sketch (still ONE aggregate pass, mergeable map-side) — every
+      bucket holds ~equal row mass regardless of skew, so files stay
+      balanced and per-file min/max ranges stay tight on skewed columns
+      (a Zipfian id column gets the same skipping power as a uniform
+      one). Per-row bucketing is a codegen fold over the 2^bits-1
+      boundaries, so this mode requires ``bits <= 8`` (256 buckets —
+      ample for file-level skipping; files per bucket, not rows, bound
+      the win).
     """
     n = len(cols)
     if n == 0:
@@ -84,21 +96,67 @@ def z_value(
                 "(e.g. xxhash64 for equality-only predicates — hash "
                 "buckets keep point-lookup file skipping but not ranges)"
             )
-    reserved = {"__z", *(f"__min_{i}" for i in range(n)), *(f"__max_{i}" for i in range(n))}
+    if bucketing not in ("linear", "quantile"):
+        raise ValueError(
+            f"z_value: bucketing must be 'linear' or 'quantile', got "
+            f"{bucketing!r}"
+        )
+    hi = (1 << bits) - 1
+    reserved = {
+        "__z",
+        *(f"__min_{i}" for i in range(n)),
+        *(f"__max_{i}" for i in range(n)),
+        *(f"__qb_{i}" for i in range(n)),
+    }
     clash = reserved & set(df.columns)
     if clash:
         raise ValueError(f"z_value: input already has reserved columns {sorted(clash)}")
-    stats = df.agg(
-        *[F.min(e).alias(f"__min_{i}") for i, e in enumerate(casted)],
-        *[F.max(e).alias(f"__max_{i}") for i, e in enumerate(casted)],
-    )
-    out = df.crossJoin(F.broadcast(stats))
-    hi = (1 << bits) - 1
+    if bucketing == "quantile":
+        if bits > 8:
+            raise ValueError(
+                f"z_value: quantile bucketing folds over 2^bits-1 "
+                f"boundaries per row per column — bits={bits} is too "
+                "costly; use bits <= 8 (256 buckets)"
+            )
+        qs = [i / (hi + 1) for i in range(1, hi + 1)]
+        stats = df.agg(
+            *[
+                F.percentile_approx(e, qs, 10000).alias(f"__qb_{i}")
+                for i, e in enumerate(casted)
+            ]
+        )
+        out = df.crossJoin(F.broadcast(stats))
+        def _rank_in(boundaries: str, e):
+            # bucket = #boundaries <= value: equal-mass bins under skew
+            return F.aggregate(
+                F.col(boundaries),
+                F.lit(0).cast("long"),
+                lambda acc, b: acc
+                + F.when(b <= e, F.lit(1)).otherwise(F.lit(0)),
+            )
+
+        buckets = [
+            _rank_in(f"__qb_{i}", e) for i, e in enumerate(casted)
+        ]
+        drop_cols = [f"__qb_{i}" for i in range(n)]
+    else:
+        stats = df.agg(
+            *[F.min(e).alias(f"__min_{i}") for i, e in enumerate(casted)],
+            *[F.max(e).alias(f"__max_{i}") for i, e in enumerate(casted)],
+        )
+        out = df.crossJoin(F.broadcast(stats))
+        buckets = []
+        for i, e in enumerate(casted):
+            span = F.col(f"__max_{i}") - F.col(f"__min_{i}")
+            frac = F.when(span > 0, (e - F.col(f"__min_{i}")) / span).otherwise(F.lit(0.0))
+            buckets.append(
+                F.least(F.floor(frac * (hi + 1)).cast("long"), F.lit(hi))
+            )
+        drop_cols = [f"__min_{i}" for i in range(n)] + [
+            f"__max_{i}" for i in range(n)
+        ]
     zparts = []
-    for i, e in enumerate(casted):
-        span = F.col(f"__max_{i}") - F.col(f"__min_{i}")
-        frac = F.when(span > 0, (e - F.col(f"__min_{i}")) / span).otherwise(F.lit(0.0))
-        bucket = F.least(F.floor(frac * (hi + 1)).cast("long"), F.lit(hi))
+    for i, bucket in enumerate(buckets):
         for b in range(bits):
             zparts.append(
                 F.shiftleft(
@@ -109,9 +167,7 @@ def z_value(
     z = zparts[0]
     for p in zparts[1:]:
         z = z.bitwiseOR(p)
-    return out.withColumn("__z", z).drop(
-        *[f"__min_{i}" for i in range(n)], *[f"__max_{i}" for i in range(n)]
-    )
+    return out.withColumn("__z", z).drop(*drop_cols)
 
 
 def _ensure_database(spark: SparkSession, table: str) -> None:
@@ -226,6 +282,7 @@ class TableFormat:
         num_files: int,
         bits: int = 12,
         partition_by: Sequence[str] | None = None,
+        bucketing: str = "linear",
     ) -> None:
         """Multi-column file skipping: cluster on the bit-interleaved
         Morton code (:func:`z_value`) so EVERY layout column gets bounded
@@ -234,8 +291,12 @@ class TableFormat:
         when queries filter on several independent columns; the
         single-column leading-key guarantee is weaker per column
         (rectangles, not disjoint intervals) but holds for all of them
-        at once."""
-        out = range_cluster(z_value(df, layout_cols, bits), ["__z"], num_files)
+        at once. ``bucketing="quantile"`` (bits <= 8) keeps bucket mass
+        equal under skew — see :func:`z_value`."""
+        out = range_cluster(
+            z_value(df, layout_cols, bits, bucketing=bucketing),
+            ["__z"], num_files,
+        )
         self.overwrite(out.drop("__z"), table, partition_by)
 
     def merge(

@@ -220,3 +220,59 @@ def test_z_value_guards(spark):
     assert z_value(dated, ["a", "d"], bits=8).where(
         F.col("__z").isNotNull()
     ).count() == 10
+
+
+def test_z_value_quantile_bucketing_handles_skew(spark, fmt):
+    """Quantile bucketing: on a heavily skewed column, linear bucketing
+    collapses most rows into one bucket (one giant z-run), while
+    quantile bucketing spreads rows ~evenly across buckets — so the
+    sorted layout keeps per-file ranges tight on the HOT part of the
+    domain. Also pins the mode's guards."""
+    from metadata_driven_etl_spark.io.writer import z_value
+
+    # Zipf-ish skew: 90% of rows dense in [0, 10), long tail to 1e6
+    df = spark.range(0, 10_000).select(
+        F.when(
+            F.col("id") % 10 < 9, (F.col("id") % 1000) / 100.0
+        )
+        .otherwise(((F.col("id") * 97) % 1_000_000).cast("double"))
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    lin = z_value(df, ["k"], bits=8, bucketing="linear")
+    qnt = z_value(df, ["k"], bits=8, bucketing="quantile")
+    assert "__qb_0" not in qnt.columns
+
+    def max_code_mass(zdf):
+        return (
+            zdf.groupBy("__z").count().agg(F.max("count")).first()[0]
+        )
+
+    # linear: the hot 90% (9000 rows) all lands in z-code 0; quantile:
+    # equal-mass bins cap every code's mass near n/256
+    assert max_code_mass(lin) >= 8_000
+    assert max_code_mass(qnt) <= 1_000, max_code_mass(qnt)
+    # and the hot range spreads across >= half the 256 buckets
+    hot_codes = qnt.where(F.col("k") < 10).select("__z").distinct().count()
+    assert hot_codes >= 128, hot_codes
+
+    # z-ordered write with quantile bucketing: hot-range predicate skips
+    # most files (per-file min/max stay tight inside the hot range)
+    tbl = "default.wp_zorder_qnt"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    fmt.overwrite_zorder_layout(
+        df, tbl, ["k"], num_files=16, bits=8, bucketing="quantile"
+    )
+    got = spark.table(tbl)
+    assert got.count() == 10_000
+    ranges = _file_key_ranges(spark, tbl, "k")
+    assert len(ranges) > 4
+    # files are either hot (max < 10) or tail (min >= 10): the skew
+    # boundary falls on a file boundary because buckets are equal-mass
+    hot_files = [r for r in ranges if r[1] < 10]
+    assert len(hot_files) >= len(ranges) // 2, ranges
+
+    with pytest.raises(ValueError, match="bits <= 8"):
+        z_value(df, ["k"], bits=12, bucketing="quantile")
+    with pytest.raises(ValueError, match="bucketing"):
+        z_value(df, ["k"], bits=8, bucketing="median")

@@ -31,6 +31,7 @@ from metadata_driven_etl_spark.operators import decontam as decontam_ops  # noqa
 from metadata_driven_etl_spark.operators import dedup as dedup_ops  # noqa: E402
 from metadata_driven_etl_spark.operators import joins as join_ops  # noqa: E402
 from metadata_driven_etl_spark.operators import merge as merge_ops  # noqa: E402
+from metadata_driven_etl_spark.operators import similarity as sim_ops  # noqa: E402
 from metadata_driven_etl_spark.operators import temporal as temporal_ops  # noqa: E402
 from metadata_driven_etl_spark.operators import text as text_ops  # noqa: E402
 from metadata_driven_etl_spark.session import get_local_spark  # noqa: E402
@@ -83,6 +84,39 @@ def amplify(spark, scale: int, out_dir: str) -> str:
     path = os.path.join(out_dir, f"documents_x{scale}.parquet")
     amplified.repartition(max(32, scale)).write.mode("overwrite").parquet(path)
     return path
+
+
+def amplify_embeddings(spark, scale: int, out_dir: str) -> str:
+    """Write an Nx embeddings table: vec_id offset per copy, and each
+    copy gets its OWN block-label space (label + n_labels*copy) — block
+    SIZE stays constant while block COUNT grows with the corpus, which
+    is exactly the IVF-coarse-quantizer posture semantic_dedup documents
+    for 100 TB (cells of bounded size, more cells as data grows). Keeping
+    the original labels instead would grow every block Nx and make the
+    within-block pair space quadratic — a quantizer misconfiguration,
+    not a scale test."""
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    n = emb.count()
+    n_labels = emb.agg(F.max("label")).first()[0] + 1
+    copies = spark.range(scale).select(F.col("id").alias("_copy"))
+    amplified = emb.crossJoin(F.broadcast(copies)).select(
+        (F.col("vec_id") + F.col("_copy") * F.lit(n)).alias("vec_id"),
+        "embedding",
+        (F.col("label") + F.col("_copy") * F.lit(n_labels))
+        .cast("int")
+        .alias("label"),
+    )
+    path = os.path.join(out_dir, f"embeddings_x{scale}.parquet")
+    amplified.repartition(max(32, scale)).write.mode("overwrite").parquet(path)
+    return path
+
+
+# Current amplified-table parquet path, set per scale in main() — lets an
+# op load a SECOND scan of the same data where distinct lineage is
+# required (interval_overlap_join's alias-ref contract).
+_CURRENT_PATH: str | None = None
 
 
 def _decontam_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -163,16 +197,135 @@ OPS = {
     ),
 }
 
+
+def _ivm_prep(df: DataFrame):
+    """Snapshot pair + maintained aggregate for the IVM probe, all
+    eagerly materialized OUTSIDE the timed region so the measured number
+    is the maintenance (or rescan) cost alone. Groups are HIGH
+    cardinality (~n/8) — the regime where a full re-aggregation must
+    shuffle the whole corpus by group while delta maintenance shuffles
+    only the ~6% changed rows. Change mix: 2% deleted, 4% edited, 2.5%
+    inserted (same rates as the snapshot_diff probe)."""
+    old = df.select(
+        "doc_id",
+        F.floor(F.col("doc_id") / 8).alias("g"),
+        F.length("text").alias("v"),
+    ).localCheckpoint(eager=True)
+    new = (
+        old.where(F.col("doc_id") % 50 != 0)
+        .withColumn(
+            "v",
+            F.when(F.col("doc_id") % 25 == 1, F.col("v") + 1).otherwise(
+                F.col("v")
+            ),
+        )
+        .unionByName(
+            old.where(F.col("doc_id") % 40 == 3).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(1_000_000_000)
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    base = (
+        old.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_v"))
+        .localCheckpoint(eager=True)
+    )
+    return base, old, new
+
+
+# Two-phase documents-table ops: prep(df) runs eagerly untimed; build(ctx)
+# is the timed plan.  Used where the measured claim is about ONE phase
+# (IVM: maintenance cost given existing snapshots/aggregate, vs the full
+# rescan of the same new snapshot — the flat-in-corpus-size claim is
+# delta maintenance vs re-aggregation at the same scale point).
+TWO_PHASE_OPS = {
+    "incremental_agg_maintain": {
+        "prep": _ivm_prep,
+        "build": lambda c: merge_ops.incremental_agg_update(
+            c[0], c[1], c[2], keys=["doc_id"], group_keys=["g"],
+            sum_cols={"sum_v": "v"},
+        ),
+    },
+    "full_reaggregate": {
+        "prep": _ivm_prep,
+        "build": lambda c: c[2].groupBy("g").agg(
+            F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_v")
+        ),
+    },
+}
+
+
+def _intervals(df: DataFrame) -> DataFrame:
+    return df.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("start"),
+        (F.unix_timestamp("ts") + 900).alias("end"),
+    )
+
+
+def _interval_overlap(df: DataFrame, bin_width: int) -> DataFrame:
+    # second side re-scanned from parquet: interval_overlap_join requires
+    # distinct lineage (see its docstring / ADVICE r5)
+    other = df.sparkSession.read.parquet(_CURRENT_PATH)
+    pairs = temporal_ops.interval_overlap_join(
+        _intervals(df),
+        _intervals(other),
+        keys=["user_id"],
+        start_col="start",
+        end_col="end",
+        bin_width=bin_width,
+    )
+    return pairs.filter(F.col("l.event_id") < F.col("r.event_id")).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("ea"),
+        F.col("r.event_id").alias("eb"),
+    )
+
+
 # events-table ops (--table events): user-partitioned window shapes
 EVENT_OPS = {
     "funnel_steps": lambda df: temporal_ops.funnel_steps(
         df, steps=("view", "click", "purchase"), window="30 minutes"
     ),
     "cohort_retention": lambda df: temporal_ops.cohort_retention(df),
+    # interval-overlap join, 15-min event windows keyed by user.
+    # bin_width sensitivity: = span (each row explodes to ~2 bins, the
+    # documented sweet spot) vs span/10 (~11 bins/row — the cost of
+    # misconfiguring bin_width an order of magnitude too fine).
+    "interval_overlap_bin900": lambda df: _interval_overlap(df, 900),
+    "interval_overlap_bin90": lambda df: _interval_overlap(df, 90),
+}
+
+def _semantic_dedup(df: DataFrame) -> DataFrame:
+    emb = df.localCheckpoint(eager=False)
+    pairs = sim_ops.embedding_near_dup_pairs(
+        emb, threshold=0.3, id_col="vec_id"
+    )
+    clusters = dedup_ops.connected_components(
+        emb.select("vec_id"), pairs, id_col="vec_id"
+    )
+    scored = emb.select(
+        "vec_id",
+        F.round(sim_ops.norm(F.col("embedding")), 6).alias("kept_score"),
+    )
+    return dedup_ops.keep_best_per_cluster(clusters, scored, id_col="vec_id")
+
+
+# embeddings-table ops (--table embeddings): the SemDeDup composition —
+# blocked cosine pairs → connected components → keep-one-per-cluster,
+# exactly the shipped semantic_dedup workload's operator chain.
+EMB_OPS = {
+    "semantic_dedup": _semantic_dedup,
 }
 
 
 def run_op(build, df: DataFrame) -> float:
+    if isinstance(build, dict):  # two-phase: prep runs eagerly, untimed
+        ctx = build["prep"](df)
+        build = build["build"]
+        df = ctx
     t0 = time.perf_counter()
     build(df).write.format("noop").mode("overwrite").save()
     return round(time.perf_counter() - t0, 2)
@@ -187,12 +340,18 @@ def main() -> None:
     ap.add_argument(
         "--table",
         default="documents",
-        choices=["documents", "events"],
+        choices=["documents", "events", "embeddings"],
         help="which table to amplify (selects the matching op set)",
     )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
-    ops = OPS if args.table == "documents" else EVENT_OPS
+    ops = dict(
+        {
+            "documents": {**OPS, **TWO_PHASE_OPS},
+            "events": EVENT_OPS,
+            "embeddings": EMB_OPS,
+        }[args.table]
+    )
     if args.ops:
         wanted = set(args.ops.split(","))
         unknown = wanted - set(ops)
@@ -215,9 +374,15 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="scaling_probe_")
     rows: dict[str, int] = {}
     secs: dict[str, dict[str, float]] = {op: {} for op in ops}
-    amp = amplify if args.table == "documents" else amplify_events
+    amp = {
+        "documents": amplify,
+        "events": amplify_events,
+        "embeddings": amplify_embeddings,
+    }[args.table]
+    global _CURRENT_PATH
     for scale in scales:
         path = amp(spark, scale, tmp)
+        _CURRENT_PATH = path
         df = spark.read.parquet(path)
         rows[str(scale)] = df.count()
         # warm the input through the page cache so timings compare compute

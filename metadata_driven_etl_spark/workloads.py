@@ -5049,6 +5049,11 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one partial-aggregated groupBy(source) — the per-domain frame
     is tiny (domain cardinality), so the totals join is a broadcast of a
     one-row frame; the corpus is scanned once, map-side."""
+    # per feeds BOTH the output rows and the totals aggregate — without
+    # materialization Spark re-executes the corpus scan + aggregation for
+    # each consumer (multi-consumer frames get no ReusedExchange), and the
+    # plan pin (test_llm_ops_plans) would see two corpus shuffles.  The
+    # frame is tiny (|domains| rows), so the checkpoint is ~free.
     per = (
         _docs(spark, sf_dir)
         .groupBy("source")
@@ -5056,6 +5061,7 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(text_ops.token_count("text")).alias("n_tokens"),
         )
+        .localCheckpoint(eager=False)
     )
     tot = per.agg(
         F.count(F.lit(1)).alias("n_domains"),

@@ -255,3 +255,79 @@ def test_bm25_is_map_only_scoring_plus_scalar_stats(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+# --- round-6 operators -------------------------------------------------------
+
+
+def test_domain_mix_weights_single_corpus_pass(spark, sf_dir):
+    """One partial-aggregated groupBy(source) over the corpus; the
+    totals come back as a broadcast one-row frame (the scalar-subquery
+    crossJoin shape) — never a second corpus scan or a window."""
+    plan = _plan(workloads.QUERIES["domain_mix_weights"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # 1-row totals join
+    # exactly one data shuffle: the per-domain aggregate
+    data_shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(data_shuffles) <= 1, data_shuffles
+
+
+def test_collocation_pmi_no_cartesian_no_window(spark, sf_dir):
+    """Unigram counts attach to bigram counts via plain equi-joins (a
+    real vocabulary is millions of words — broadcast would be wrong at
+    scale, cartesian catastrophic); final top-k must be
+    TakeOrderedAndProject, not a global sort."""
+    plan = _plan(workloads.QUERIES["collocation_pmi_topk"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # 1-row N crossJoin
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_outlier_mad_group_broadcasts_stats(spark, sf_dir):
+    """Both stats frames (median, then median+MAD — rows = |groups|)
+    re-join the fact via broadcast; no window over the fact table (a
+    corpus-wide per-group sort at 100 TB)."""
+    plan = _plan(workloads.QUERIES["outlier_mad_group"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_bounded_sketch_contracts_single_aggregation(spark, sf_dir):
+    """The sketch-vs-exact containment checks must stay ONE aggregation
+    over the fact table (sketch and exact buffers merge in the same
+    pass) — no self-join of two scans, no window."""
+    for name in (
+        "approx_count_distinct_bounded", "agg_approx_percentile_bounded"
+    ):
+        plan = _plan(workloads.QUERIES[name](spark, sf_dir))
+        assert "Join" not in plan, name
+        assert "Window" not in plan, name
+
+
+def test_join_asof_tolerance_same_single_shuffle_plan(spark, sf_dir):
+    """Direction/tolerance must not change the as-of plan family: one
+    union + one key-partitioned window; tolerance is a map-side CASE —
+    never a theta join (BNLJ/cartesian) and no extra data shuffle vs
+    the backward form."""
+    fwd = _plan(workloads.QUERIES["join_asof_tolerance"](spark, sf_dir))
+    bwd = _plan(workloads.QUERIES["join_asof"](spark, sf_dir))
+    for plan, name in ((fwd, "forward"), (bwd, "backward")):
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert plan.count("Window") >= 1, name
+
+    def n_data_shuffles(plan):
+        return sum(
+            1
+            for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln
+        )
+
+    assert n_data_shuffles(fwd) == n_data_shuffles(bwd)

@@ -217,6 +217,12 @@ HEADLINE = [
     "outlier_mad_group",
     "approx_count_distinct_bounded",
     "agg_approx_percentile_bounded",
+    # round-6 late additions: co-occurrence / sequence-mining family and
+    # the dedup-observability + keyword-extraction workloads.
+    "copurchase_part_pairs",
+    "event_transition_matrix",
+    "dedup_cluster_sizes",
+    "text_top_terms_per_doc",
 ]
 
 

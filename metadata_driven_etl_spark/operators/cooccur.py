@@ -1,0 +1,191 @@
+"""Co-occurrence & sequence analytics: market-basket pairs, Markov transitions.
+
+Reference parity: the reference's transform layer expresses co-occurrence
+queries as SQL self-joins over the silver tables (transform_config.yaml's
+free-form SQL transforms); here they are first-class operators with the
+pair space bounded by construction.
+
+Scale design (100 TB):
+- ``basket_pair_counts`` NEVER self-joins the fact table. It groups items
+  per basket (one shuffle, basket rows come back as one array each) and
+  expands i<j combinations map-side with higher-order functions — the
+  pair space is sum_b k_b(k_b-1)/2, bounded per basket, never |rows|².
+  A ``max_basket_size`` cap drops degenerate baskets (the same contract
+  as the LSH ``max_bucket_size`` cap: a million-item basket implies half
+  a trillion pairs no matter how you compute them — the blow-up is in
+  the answer, so the cap is the shipped default, mirrored in oracles).
+- ``transition_counts`` is ONE key-partitioned window (lag) + one
+  partial-aggregated count; the transition matrix itself is |types|²
+  rows, so the row-share normalization joins a broadcast-size frame.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+DEFAULT_MAX_BASKET_SIZE = 1024
+
+
+def pair_combinations(items: Column) -> Column:
+    """All i<j element pairs of a SORTED array as ``struct<item_a,item_b>``.
+
+    Pure higher-order functions (flatten ∘ transform ∘ slice) — map-side,
+    codegen, no shuffle, no Python. The array must be sorted and distinct
+    for (a, b) to be a canonical undirected pair key.
+    """
+    return F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.transform(
+                F.slice(items, i + F.lit(2), F.size(items)),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+
+
+def basket_pair_counts(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket_size: int | None = DEFAULT_MAX_BASKET_SIZE,
+) -> DataFrame:
+    """Undirected co-occurrence counts: in how many baskets do items a and
+    b (a < b) appear together. The market-basket / co-purchase primitive
+    (support counts for pair itemsets).
+
+    One shuffle on ``basket_col`` (distinct items gathered per basket),
+    pair expansion map-side via :func:`pair_combinations`, one
+    partial-aggregated count on the pair key. Baskets larger than
+    ``max_basket_size`` are dropped (quadratic-in-the-answer guard — see
+    module docstring); ``None`` disables the cap.
+    """
+    baskets = (
+        df.select(basket_col, item_col)
+        .groupBy(basket_col)
+        .agg(F.sort_array(F.collect_set(item_col)).alias("_items"))
+    )
+    if max_basket_size is not None:
+        baskets = baskets.filter(F.size("_items") <= max_basket_size)
+    return (
+        baskets.select(F.explode(pair_combinations(F.col("_items"))).alias("p"))
+        .select("p.item_a", "p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+    )
+
+
+def sql_basket_pair_counts(
+    table: str,
+    basket_col: str,
+    item_col: str,
+    max_basket_size: int | None = DEFAULT_MAX_BASKET_SIZE,
+) -> str:
+    """DuckDB oracle: plain distinct self-join (the formulation the Spark
+    operator exists to avoid) + the same basket-size cap."""
+    cap = (
+        f"""
+    big AS (SELECT {basket_col} FROM d GROUP BY 1
+            HAVING COUNT(*) > {max_basket_size}),
+    kept AS (SELECT * FROM d WHERE {basket_col} NOT IN (SELECT {basket_col} FROM big))"""
+        if max_basket_size is not None
+        else "\n    kept AS (SELECT * FROM d)"
+    )
+    return f"""
+    WITH d AS (SELECT DISTINCT {basket_col}, {item_col} FROM {table}),{cap}
+    SELECT a.{item_col} AS item_a, b.{item_col} AS item_b,
+           CAST(COUNT(*) AS BIGINT) AS n_baskets
+    FROM kept a JOIN kept b
+      ON a.{basket_col} = b.{basket_col} AND a.{item_col} < b.{item_col}
+    GROUP BY 1, 2
+    """
+
+
+def transition_pairs(
+    df: DataFrame,
+    key_col: str,
+    type_col: str,
+    ts_col: str,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Consecutive (prev_type, next_type) pairs per key — ONE window
+    shuffle on ``key_col`` (lag), nothing else. Exposed separately so the
+    single-window contract is plan-pinnable before the materialization in
+    :func:`transition_counts` truncates lineage."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, *tiebreak)
+    return (
+        df.select(key_col, ts_col, F.col(type_col).alias("next_type"), *tiebreak)
+        .withColumn("prev_type", F.lag("next_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+
+
+def transition_counts(
+    df: DataFrame,
+    key_col: str,
+    type_col: str,
+    ts_col: str,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event sequences:
+    (prev_type, next_type, n_transitions, row_share).
+
+    ``row_share`` is the empirical transition probability — n over the
+    per-prev_type total, two exact bigints in one IEEE division (oracle
+    bit-parity). One window shuffle on ``key_col``; the matrix is
+    |types|² rows, so the totals join is a broadcast of a tiny frame. The
+    counts frame feeds two consumers (output rows + per-prev totals) and
+    is materialized once (multi-consumer frames get no ReusedExchange;
+    lazy localCheckpoint — executes at first action, not construction).
+    """
+    trans = transition_pairs(df, key_col, type_col, ts_col, tiebreak)
+    counts = (
+        trans.groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .localCheckpoint(eager=False)
+    )
+    totals = counts.groupBy(F.col("prev_type").alias("_tot_prev")).agg(
+        F.sum("n_transitions").alias("_prev_total")
+    )
+    return (
+        counts.join(
+            F.broadcast(totals), F.col("prev_type") == F.col("_tot_prev")
+        )
+        .select(
+            "prev_type",
+            "next_type",
+            "n_transitions",
+            (
+                F.col("n_transitions").cast("double")
+                / F.col("_prev_total").cast("double")
+            ).alias("row_share"),
+        )
+    )
+
+
+def sql_transition_counts(
+    table: str,
+    key_col: str,
+    type_col: str,
+    ts_col: str,
+    tiebreak: Sequence[str] = (),
+) -> str:
+    order = ", ".join([ts_col, *tiebreak])
+    return f"""
+    WITH seq AS (
+        SELECT lag({type_col}) OVER (PARTITION BY {key_col}
+                                     ORDER BY {order}) AS prev_type,
+               {type_col} AS next_type
+        FROM {table}),
+    cnt AS (
+        SELECT prev_type, next_type,
+               CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+    SELECT prev_type, next_type, n_transitions,
+           CAST(n_transitions AS DOUBLE)
+             / CAST(SUM(n_transitions) OVER (PARTITION BY prev_type) AS DOUBLE)
+             AS row_share
+    FROM cnt
+    """

@@ -31,6 +31,9 @@ from metadata_driven_etl_spark.operators import (
     aggregations as agg_ops,
 )
 from metadata_driven_etl_spark.operators import (
+    cooccur as cooccur_ops,
+)
+from metadata_driven_etl_spark.operators import (
     decontam as decontam_ops,
 )
 from metadata_driven_etl_spark.operators import (
@@ -5251,6 +5254,164 @@ def outlier_mad_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("long")
             ).alias("n_outliers")
         )
+    )
+
+
+_COPURCHASE_TOPK = 100
+
+
+@workload(
+    "copurchase_part_pairs",
+    oracle=cooccur_ops.sql_basket_pair_counts(
+        "lineitem", "l_orderkey", "l_partkey"
+    )
+    + f"""
+    ORDER BY n_baskets DESC, item_a, item_b
+    LIMIT {_COPURCHASE_TOPK}""",
+)
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part pairs ordered together
+    (pair-itemset support counts — the first stage of any frequent-itemset
+    / recommender pipeline). All-integer counts, deterministic key
+    tie-break.
+
+    Scale: never a fact self-join — items gather per order (ONE shuffle
+    on the basket key), i<j pairs expand MAP-SIDE from each sorted item
+    array via higher-order functions, then one partial-aggregated count
+    on the pair key. Pair space is sum_b k_b(k_b-1)/2 (k ≤ 7 in TPC-H
+    order shapes); the shipped ``max_basket_size`` cap bounds degenerate
+    baskets, mirrored in the oracle. Final top-k is
+    TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        cooccur_ops.basket_pair_counts(li, "l_orderkey", "l_partkey")
+        .orderBy(F.desc("n_baskets"), "item_a", "item_b")
+        .limit(_COPURCHASE_TOPK)
+    )
+
+
+@workload(
+    "event_transition_matrix",
+    oracle=cooccur_ops.sql_transition_counts(
+        "events", "user_id", "event_type", "ts", tiebreak=("event_id",)
+    ),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    how often does event type A precede B, and with what empirical
+    probability (``row_share``). The sequence-mining primitive behind
+    next-action prediction and anomalous-flow detection.
+
+    Scale: ONE user-keyed window shuffle (lag) + one partial-aggregated
+    count; the matrix is |types|² rows, so the row-normalization join
+    broadcasts a tiny totals frame — the corpus is never re-shuffled for
+    the shares. row_share = two exact bigints in one IEEE division
+    (bit-identical parity)."""
+    events = _t(spark, sf_dir, "events")
+    return cooccur_ops.transition_counts(
+        events, "user_id", "event_type", "ts", tiebreak=("event_id",)
+    )
+
+
+@workload(
+    "dedup_cluster_sizes",
+    oracle="""
+    WITH clus AS (
+        SELECT md5(text) AS content_hash,
+               CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM documents GROUP BY 1)
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM clus GROUP BY 1""",
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability: the exact-duplicate cluster-size histogram
+    (how much of the corpus is singletons vs k-copy boilerplate). The
+    number a dedup run is judged by in practice — duplicate MASS by
+    cluster size — and the input to choosing LSH caps/thresholds.
+
+    Scale: two nested hash aggregations, both partial-aggregated; the
+    first shuffles content HASHES (not text), the second shuffles
+    |distinct sizes| rows (~dozens). No window, no join."""
+    sizes = dedup_ops.exact_dedup_stats(_docs(spark, sf_dir)).select(
+        F.col("dup_count").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
+    )
+
+
+_TOP_TERMS_K = 3
+
+
+@workload(
+    "text_top_terms_per_doc",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({text_ops.sql_tokens('text')}) AS term
+        FROM documents),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2),
+    df AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               tf.tf * ((n.n_docs + 1.0) / (df.df + 1.0)) AS rarity_score
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+    SELECT doc_id, term, tf, df, rarity_score,
+           CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY rarity_score DESC, term)
+                      AS rnk
+          FROM scored)
+    WHERE rnk <= {_TOP_TERMS_K}""",
+)
+def text_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document distinctive terms: top-{_TOP_TERMS_K} by the rational
+    rarity weight tf·(N+1)/(df+1) (the TF-IDF shape with log replaced by
+    its rank-preserving-per-term rational — see ``text_tf_df_score`` for
+    why ln never touches a hash-checked column). The keyword-extraction
+    primitive for corpus browsing and topic labeling.
+
+    Scale: tokenize once; per-(doc, term) tf frame feeds BOTH the output
+    and the df counts, so it is materialized once (at cluster scale:
+    persist/bucketed table — multi-consumer frames get no
+    ReusedExchange). df joins back on term (a real vocabulary is
+    millions of words — shuffle, not broadcast); the per-doc top-k is a
+    rank-filter the optimizer runs as WindowGroupLimit (per-partition
+    group limits BEFORE the window shuffle)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(text_ops.tokens("text")).alias("term")
+    )
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    df_ = tf.groupBy(F.col("term").alias("_df_term")).agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, F.col("term") == F.col("_df_term"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term", "tf", "df",
+            (
+                F.col("tf") * ((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+            ).alias("rarity_score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("rarity_score"), "term")
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= _TOP_TERMS_K
     )
 
 

@@ -331,3 +331,59 @@ def test_join_asof_tolerance_same_single_shuffle_plan(spark, sf_dir):
         )
 
     assert n_data_shuffles(fwd) == n_data_shuffles(bwd)
+
+
+def test_copurchase_no_self_join(spark, sf_dir):
+    """Market-basket pairs must come from per-basket array expansion
+    (groupBy + map-side combinations), NEVER a fact self-join — at 100 TB
+    a lineitem⋈lineitem equi-join shuffles the fact twice and a theta
+    join is quadratic. Top-k must be TakeOrderedAndProject."""
+    plan = _plan(workloads.QUERIES["copurchase_part_pairs"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_transition_matrix_one_window_broadcast_totals(spark, sf_dir):
+    """ONE user-keyed window (lag) in the pair stage; in the full
+    operator the counts frame is materialized ONCE (lineage truncated —
+    the window never re-executes for the totals consumer) and the
+    |types|²-row totals frame joins back via broadcast — the corpus is
+    never re-shuffled for the row-share normalization."""
+    from metadata_driven_etl_spark.operators import cooccur
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pair_plan = _plan(
+        cooccur.transition_pairs(events, "user_id", "event_type", "ts",
+                                 tiebreak=("event_id",))
+    )
+    assert pair_plan.count("Window") == 1
+    assert pair_plan.count("Exchange") == 1
+
+    plan = _plan(workloads.QUERIES["event_transition_matrix"](spark, sf_dir))
+    # Counts materialized once: both consumers read the checkpointed RDD,
+    # so no Window (and no re-shuffled corpus) survives in the final plan.
+    assert "Scan ExistingRDD" in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cluster_sizes_pure_aggregation(spark, sf_dir):
+    """Two nested hash aggregations; no join, no window, and the first
+    shuffle carries content HASHES, not document text."""
+    plan = _plan(workloads.QUERIES["dedup_cluster_sizes"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_top_terms_rank_filter_is_window_group_limit(spark, sf_dir):
+    """The per-doc top-k rank filter must run as WindowGroupLimit
+    (per-partition group limits before the doc shuffle); pair generation
+    is tf⋈df on the term key — never cartesian."""
+    plan = _plan(workloads.QUERIES["text_top_terms_per_doc"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # 1-row N crossJoin

@@ -223,6 +223,12 @@ HEADLINE = [
     "event_transition_matrix",
     "dedup_cluster_sizes",
     "text_top_terms_per_doc",
+    # exact pairwise similarity, streaks, tail clipping, frequent-items
+    # sketch contract.
+    "text_doc_sim_cosine",
+    "gaps_islands_daily",
+    "winsorize_clip_group",
+    "heavy_hitters_bounded",
 ]
 
 

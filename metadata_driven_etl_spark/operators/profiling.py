@@ -287,3 +287,54 @@ def sql_profile_drift(
                AS range_expanded
     FROM cur c JOIN prev p USING (column_name)
     """
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    lower_q: float = 0.05,
+    upper_q: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorize/clip ``value_col`` to its per-group [lower_q, upper_q]
+    EXACT percentile band — the standard heavy-tail taming step before
+    training-feature export or drift-sensitive aggregation (outliers are
+    bounded, not dropped, so totals stay interpretable).
+
+    Two-pass by construction (percentiles cannot be clipped against
+    before they exist): one grouped percentile aggregation produces a
+    |groups|-row stats frame, broadcast-joined back, then the clip is a
+    map-side least/greatest. The fact table shuffles ZERO times — the
+    only shuffle carries the stats aggregation's partials. Exact
+    `percentile` buffers per-group values; at 100 TB swap
+    ``approx=True``-style sketches upstream if groups are huge, but keep
+    exact for hash-checked parity (Spark `percentile` and DuckDB
+    `quantile_cont` share the h=(n-1)q interpolation on doubles —
+    bit-identical, see workloads.agg_percentile).
+    """
+    out_col = out_col or f"{value_col}_clipped"
+    if out_col in df.columns:
+        raise ValueError(
+            f"winsorize: output column {out_col!r} already exists in the "
+            "input (refusing to silently replace it)"
+        )
+    gcols = list(group_cols or [])
+    stats = (df.groupBy(*gcols) if gcols else df.groupBy()).agg(
+        F.expr(f"percentile({value_col}, {lower_q})").alias("_w_lo"),
+        F.expr(f"percentile({value_col}, {upper_q})").alias("_w_hi"),
+    )
+    if gcols:
+        renamed = stats.select(
+            *[F.col(c).alias(f"_w_{c}") for c in gcols], "_w_lo", "_w_hi"
+        )
+        cond = [F.col(c) == F.col(f"_w_{c}") for c in gcols]
+        joined = df.join(F.broadcast(renamed), cond).drop(
+            *[f"_w_{c}" for c in gcols]
+        )
+    else:
+        joined = df.crossJoin(F.broadcast(stats))
+    return joined.withColumn(
+        out_col,
+        F.least(F.greatest(F.col(value_col), F.col("_w_lo")), F.col("_w_hi")),
+    ).drop("_w_lo", "_w_hi")

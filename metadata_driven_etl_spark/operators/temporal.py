@@ -398,3 +398,41 @@ def cohort_retention(
         .cast("int")
         .alias("week_index"),
     ).agg(F.countDistinct(user_col).alias("active_users"))
+
+
+def activity_islands(
+    df: DataFrame,
+    key_col: str,
+    date_col: Column | str,
+) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active days per key.
+    Output one row per island: (key, start_day, end_day, n_days). The
+    streak/tenure primitive (login streaks, continuous-coverage spans,
+    sensor-uptime islands).
+
+    The classic rewrite: distinct active days -> per-key row_number ->
+    ``day - row_number`` is constant within a consecutive run (each step
+    advances both by one), so the island is a plain group key — no
+    self-join, no recursive CTE. ONE window shuffle on ``key_col``; the
+    distinct collapses (key, day) first (activity is many events per
+    day, so this shuffle carries days, not events), and the final island
+    aggregate reuses the key-clustered distribution (group keys are a
+    superset of the window partition key — no further Exchange).
+    """
+    day = F.col(date_col) if isinstance(date_col, str) else date_col
+    days = df.select(
+        F.col(key_col), day.cast("date").alias("_day")
+    ).distinct()
+    w = Window.partitionBy(key_col).orderBy("_day")
+    runs = days.withColumn(
+        "_grp", F.date_sub(F.col("_day"), F.row_number().over(w))
+    )
+    return (
+        runs.groupBy(key_col, "_grp")
+        .agg(
+            F.min("_day").alias("start_day"),
+            F.max("_day").alias("end_day"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .drop("_grp")
+    )

@@ -524,3 +524,146 @@ def bigram_lm_score(
             F.avg("bg_freq").alias("avg_bigram_freq"),
         )
     )
+
+
+# --- sparse all-pairs cosine similarity (inverted index) --------------------
+
+
+def doc_cosine_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+    min_cosine: float = 0.5,
+) -> DataFrame:
+    """All-pairs document cosine similarity over term-frequency vectors,
+    generated through the inverted index (term postings) — the
+    DISCO-/dimsum-family shape for pairwise similarity WITHOUT minhash
+    approximation. Output: (doc_a, doc_b, dot, cosine) for pairs with
+    cosine >= ``min_cosine``.
+
+    Pair generation is the postings SELF-join on the term key: only
+    documents sharing a surviving term ever meet, so the candidate space
+    is sum_t df_t^2 over kept terms — which is why ``max_df`` is the
+    scale lever, not a tuning nicety: one stop-term with df = |corpus|
+    alone re-creates the full |docs|^2 cartesian pair space. Prune terms
+    with df > max_df (they contribute near-zero cosine mass anyway) and
+    the pair space collapses to the rare-term co-occurrence structure. At
+    100 TB run with max_df on the order of 1e3-1e4; ``None`` disables
+    pruning (small corpora only).
+
+    Cosine stays hash-exact across engines: tf vectors are integer
+    counts, so dot = SUM(tf_a*tf_b) and the norms SUM(tf^2) are exact
+    bigints; the only floating-point ops are one long->double conversion
+    per factor, one multiply, one IEEE-correctly-rounded sqrt, and one
+    division — all deterministic and identical in JVM and DuckDB.
+
+    Plan: tokenize once into the postings frame (materialized ONCE — it
+    feeds the df counts, the norms, and both join sides; multi-consumer
+    frames get no ReusedExchange); norms aggregate per doc; the pair join
+    shuffles postings on term; the post-aggregation norm joins shuffle
+    only the candidate-PAIR frame (far smaller than postings at any
+    realistic threshold). Sides are column-renamed, never joined through
+    shared-lineage attribute refs.
+    """
+    tf = (
+        docs.select(id_col, F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    if max_df is not None:
+        kept = (
+            tf.groupBy(F.col("term").alias("_kept_term"))
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("_kept_term")
+        )
+        tf = tf.join(kept, F.col("term") == F.col("_kept_term")).drop(
+            "_kept_term"
+        )
+    tf = tf.localCheckpoint(eager=False)
+    norms = tf.groupBy(id_col).agg(F.sum(F.col("tf") * F.col("tf")).alias("norm_sq"))
+    a = tf.select(
+        F.col("term").alias("_term_a"),
+        F.col(id_col).alias("doc_a"),
+        F.col("tf").alias("_tf_a"),
+    )
+    b = tf.select(
+        F.col("term").alias("_term_b"),
+        F.col(id_col).alias("doc_b"),
+        F.col("tf").alias("_tf_b"),
+    )
+    dots = (
+        a.join(
+            b,
+            (F.col("_term_a") == F.col("_term_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("_tf_a") * F.col("_tf_b")).alias("dot"))
+    )
+    na = norms.select(
+        F.col(id_col).alias("_na_doc"), F.col("norm_sq").alias("_na")
+    )
+    nb = norms.select(
+        F.col(id_col).alias("_nb_doc"), F.col("norm_sq").alias("_nb")
+    )
+    return (
+        dots.join(na, F.col("doc_a") == F.col("_na_doc"))
+        .join(nb, F.col("doc_b") == F.col("_nb_doc"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "dot",
+            (
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("_na").cast("double") * F.col("_nb").cast("double"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )
+
+
+def sql_doc_cosine_pairs(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+    min_cosine: float = 0.5,
+) -> str:
+    """DuckDB oracle twin of :func:`doc_cosine_pairs` (identical integer
+    dot/norm arithmetic; HUGEINT sums cast back to BIGINT)."""
+    prune = (
+        f"""
+    kept AS (SELECT term FROM tf GROUP BY 1 HAVING COUNT(*) <= {max_df}),
+    p AS (SELECT tf.* FROM tf JOIN kept USING (term))"""
+        if max_df is not None
+        else "\n    p AS (SELECT * FROM tf)"
+    )
+    return f"""
+    WITH tok AS (
+        SELECT {id_col}, unnest({sql_tokens(text_col)}) AS term
+        FROM {table}),
+    tf AS (
+        SELECT {id_col}, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2),{prune},
+    norms AS (
+        SELECT {id_col}, CAST(SUM(tf * tf) AS BIGINT) AS norm_sq
+        FROM p GROUP BY 1),
+    dots AS (
+        SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+               CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+        FROM p a JOIN p b
+          ON a.term = b.term AND a.{id_col} < b.{id_col}
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b, dot,
+           CAST(dot AS DOUBLE)
+             / sqrt(CAST(na.norm_sq AS DOUBLE) * CAST(nb.norm_sq AS DOUBLE))
+             AS cosine
+    FROM dots
+    JOIN norms na ON dots.doc_a = na.{id_col}
+    JOIN norms nb ON dots.doc_b = nb.{id_col}
+    WHERE CAST(dot AS DOUBLE)
+             / sqrt(CAST(na.norm_sq AS DOUBLE) * CAST(nb.norm_sq AS DOUBLE))
+          >= {min_cosine}
+    """

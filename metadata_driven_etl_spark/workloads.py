@@ -5415,6 +5415,146 @@ def text_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COSINE_MAX_DF = 200
+_COSINE_MIN = 0.5
+
+
+@workload(
+    "text_doc_sim_cosine",
+    oracle=text_ops.sql_doc_cosine_pairs(
+        max_df=_COSINE_MAX_DF, min_cosine=_COSINE_MIN
+    ),
+)
+def text_doc_sim_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs document cosine similarity through the inverted index
+    (term postings self-join) — EXACT pairwise similarity, the
+    complement to the minhash/SimHash approximations in the dedup
+    family. The df prune (``max_df``) is the scale contract: one
+    stop-term re-creates the full |docs|² pair space, so hot terms are
+    dropped before pair generation (they carry near-zero cosine mass).
+
+    Hash-exact across engines: integer tf dot products and norms; the
+    only float ops are conversion, multiply, IEEE sqrt, divide (all
+    correctly rounded). See :func:`operators.text.doc_cosine_pairs`
+    for the full plan narrative."""
+    return text_ops.doc_cosine_pairs(
+        _docs(spark, sf_dir),
+        max_df=_COSINE_MAX_DF,
+        min_cosine=_COSINE_MIN,
+    )
+
+
+@workload(
+    "gaps_islands_daily",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    runs AS (
+        SELECT user_id, day,
+               day - CAST(row_number() OVER (PARTITION BY user_id
+                                             ORDER BY day) AS INT) AS grp
+        FROM days)
+    SELECT user_id, MIN(day) AS start_day, MAX(day) AS end_day,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM runs GROUP BY user_id, grp""",
+)
+def gaps_islands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over per-user activity days: maximal consecutive
+    daily-activity streaks (start, end, length). The engagement-streak /
+    continuous-coverage primitive, via the day-minus-row_number constant
+    trick — no self-join, no recursive CTE.
+
+    Scale: the (user, day) distinct collapses events to days BEFORE the
+    window; one user-keyed window shuffle; the island aggregate reuses
+    the user-clustered distribution (group keys ⊇ window partition key),
+    so no further Exchange. See
+    :func:`operators.temporal.activity_islands`."""
+    from metadata_driven_etl_spark.operators import temporal
+
+    events = _t(spark, sf_dir, "events")
+    return temporal.activity_islands(events, "user_id", "ts")
+
+
+@workload(
+    "winsorize_clip_group",
+    oracle="""
+    WITH stats AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.05) AS lo,
+               quantile_cont(l_extendedprice, 0.95) AS hi
+        FROM lineitem GROUP BY 1)
+    SELECT l_orderkey, l_linenumber, l.l_returnflag, l_extendedprice,
+           least(greatest(l_extendedprice, lo), hi) AS l_extendedprice_clipped
+    FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag""",
+)
+def winsorize_clip_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clip line prices to the group's exact
+    [p05, p95] percentile band — heavy-tail taming that bounds outliers
+    without dropping rows (the feature-export companion to the
+    outlier_zscore/MAD DETECTORS).
+
+    Scale: the fact table never shuffles — one grouped percentile
+    aggregation produces a |groups|-row stats frame, broadcast back, and
+    the clip is map-side least/greatest. Percentile interpolation is the
+    shared h=(n-1)q double formula (bit-identical to quantile_cont, see
+    agg_percentile)."""
+    from metadata_driven_etl_spark.operators import profiling
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = profiling.winsorize(
+        li.select(
+            "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+        ),
+        "l_extendedprice",
+        group_cols=["l_returnflag"],
+    )
+    return out
+
+
+_HH_SUPPORT = 0.01
+
+
+@workload(
+    "heavy_hitters_bounded",
+    oracle=f"""
+    SELECT l_quantity AS item, CAST(COUNT(*) AS BIGINT) AS exact_freq,
+           1 AS in_sketch
+    FROM lineitem
+    GROUP BY 1
+    HAVING COUNT(*) > {_HH_SUPPORT} * (SELECT COUNT(*) FROM lineitem)""",
+)
+def heavy_hitters_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assertive accuracy contract for the Misra-Gries/Karp frequent-items
+    sketch (`DataFrame.stat.freqItems`): every item whose TRUE frequency
+    exceeds support·n must appear in the sketch output — the sketch's
+    no-false-negative guarantee, hash-checked. Spark computes the exact
+    heavy hitters AND the sketch, and emits per item the exact count plus
+    the containment boolean; the DuckDB twin emits the same exact rows
+    with literal 1 (same pattern as approx_count_distinct_bounded).
+
+    Scale: the sketch is single-pass with a FIXED 1/support-size state
+    (here 100 counters) merged associatively across partitions — the
+    100 TB path when exact per-key counting is itself the bottleneck; the
+    exact side here exists only to *prove* the guarantee. The sketch fit
+    collects its bounded counter map to the driver (like the IVF
+    sampled-fit): O(1/support), never O(rows)."""
+    li = _t(spark, sf_dir, "lineitem")
+    n = li.count()
+    sketch = li.stat.freqItems(["l_quantity"], support=_HH_SUPPORT)
+    exact = (
+        li.groupBy(F.col("l_quantity").alias("item"))
+        .agg(F.count(F.lit(1)).alias("exact_freq"))
+        .filter(F.col("exact_freq") > F.lit(_HH_SUPPORT) * F.lit(n))
+    )
+    return exact.crossJoin(F.broadcast(sketch)).select(
+        "item",
+        "exact_freq",
+        F.array_contains(F.col("l_quantity_freqItems"), F.col("item"))
+        .cast("int")
+        .alias("in_sketch"),
+    )
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================

@@ -387,3 +387,48 @@ def test_top_terms_rank_filter_is_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # 1-row N crossJoin
+
+
+def test_doc_cosine_postings_materialized_once_no_cartesian(spark, sf_dir):
+    """The postings frame feeds df-prune, norms, and BOTH pair-join sides
+    — it must be materialized once (Scan ExistingRDD), the pair join must
+    be an equi-join on the term key (never CartesianProduct), and the
+    norm joins happen AFTER pair aggregation (they shuffle the candidate-
+    pair frame, not postings)."""
+    plan = _plan(workloads.QUERIES["text_doc_sim_cosine"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gaps_islands_single_window_shuffle(spark, sf_dir):
+    """day - row_number rewrite: no self-join, no recursion; the island
+    aggregate reuses the window's user-clustered distribution, so the
+    whole query is the distinct shuffle + ONE user-keyed exchange."""
+    plan = _plan(workloads.QUERIES["gaps_islands_daily"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") <= 2  # distinct + window repartition
+
+
+def test_winsorize_fact_never_shuffles(spark, sf_dir):
+    """The clip is map-side: one Exchange total (the stats aggregation's
+    partials), stats broadcast back, no sort-merge join, no fact
+    shuffle."""
+    plan = _plan(workloads.QUERIES["winsorize_clip_group"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    data_shuffles = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(data_shuffles) == 1
+
+
+def test_heavy_hitters_sketch_broadcast(spark, sf_dir):
+    """The exact side is one partial-aggregated count; the 1-row sketch
+    frame joins via broadcast (BNL on a single-row build side is the
+    1-row crossJoin shape, same as the bounded-sketch contracts)."""
+    plan = _plan(workloads.QUERIES["heavy_hitters_bounded"](spark, sf_dir))
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1

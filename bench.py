@@ -229,6 +229,7 @@ HEADLINE = [
     "gaps_islands_daily",
     "winsorize_clip_group",
     "heavy_hitters_bounded",
+    "pagerank_copurchase",
 ]
 
 

@@ -34,6 +34,9 @@ from metadata_driven_etl_spark.operators import (
     cooccur as cooccur_ops,
 )
 from metadata_driven_etl_spark.operators import (
+    graph as graph_ops,
+)
+from metadata_driven_etl_spark.operators import (
     decontam as decontam_ops,
 )
 from metadata_driven_etl_spark.operators import (
@@ -5553,6 +5556,43 @@ def heavy_hitters_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("in_sketch"),
     )
+
+
+_PR_EDGES_SQL = f"""WITH pairs AS ({cooccur_ops.sql_basket_pair_counts(
+    "lineitem", "l_orderkey", "l_partkey")})
+    SELECT item_a AS src, item_b AS dst FROM pairs WHERE n_baskets >= 2
+    UNION ALL
+    SELECT item_b AS src, item_a AS dst FROM pairs WHERE n_baskets >= 2"""
+
+
+@workload(
+    "pagerank_copurchase",
+    oracle=graph_ops.sql_pagerank_fixed_point(_PR_EDGES_SQL, iterations=3),
+)
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (edges = part pairs
+    ordered together in ≥2 baskets, symmetrized): which parts sit at the
+    center of the co-purchase structure. The iterative-graph RANKING
+    primitive, complementing connected_components' clustering.
+
+    Exact fixed-point integer arithmetic makes 3 damped power-iteration
+    rounds hash-identical to the DuckDB unrolled-CTE twin — an ITERATIVE
+    algorithm with a full value-level oracle, not a rows-only check (see
+    operators/graph.py for why floats can't do this). Per round: one
+    shuffle join ranks⋈edges + one partial-aggregated sum; the
+    degree-annotated edge list is materialized once."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        cooccur_ops.basket_pair_counts(li, "l_orderkey", "l_partkey")
+        .filter(F.col("n_baskets") >= 2)
+        .localCheckpoint(eager=False)
+    )
+    edges = pairs.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    ).union(
+        pairs.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
+    )
+    return graph_ops.pagerank_fixed_point(edges, iterations=3)
 
 
 # =========================================================================

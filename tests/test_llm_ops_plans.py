@@ -432,3 +432,15 @@ def test_heavy_hitters_sketch_broadcast(spark, sf_dir):
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_pagerank_edges_materialized_once_no_cartesian(spark, sf_dir):
+    """The degree-annotated edge list is materialized ONCE (Scan
+    ExistingRDD) and reused by every round; each round is an equi-join +
+    partial-aggregated sum — never cartesian, and the final plan contains
+    only the LAST round's join (prior rounds are truncated behind
+    checkpoints, so plan depth is O(1) in iteration count)."""
+    plan = _plan(workloads.QUERIES["pagerank_copurchase"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1142,3 +1142,44 @@ def test_interval_overlap_matches_brute_force(
     rows = [(r["a"], r["b"]) for r in joined.collect()]
     assert len(rows) == len(set(rows)), "pair emitted more than once"
     assert set(rows) == _brute_overlap(left, right, with_key)
+
+
+def test_pagerank_fixed_point_hand_computed(spark_global):
+    """One damped round on the path graph A-B-C (symmetrized), scale=100:
+    base = 15; A and C receive floor(100/2)=50 from B -> 15+42=57; B
+    receives 100 from each endpoint -> 15+170=185. Exact integer
+    recurrence, no tolerance."""
+    from metadata_driven_etl_spark.operators.graph import pagerank_fixed_point
+
+    spark = spark_global
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "A"), ("B", "C"), ("C", "B")], "src string, dst string"
+    )
+    out = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_point(edges, iterations=1, scale=100).collect()
+    }
+    assert out == {"A": 57, "B": 185, "C": 57}
+
+
+def test_pagerank_mass_bounds(spark_global):
+    """Damped fixed-point ranks stay within [base, base + num*total/den]:
+    total mass is (almost) conserved up to floor loss — every node's rank
+    is >= the teleport base, and the grand total never exceeds the
+    initial |V|*scale (floor division only ever discards mass)."""
+    from metadata_driven_etl_spark.operators.graph import pagerank_fixed_point
+
+    spark = spark_global
+    # K4 complete graph, directed both ways
+    nodes = list("ABCD")
+    edges = spark.createDataFrame(
+        [(a, b) for a in nodes for b in nodes if a != b], "src string, dst string"
+    )
+    out = pagerank_fixed_point(edges, iterations=4, scale=10**6)
+    rows = out.collect()
+    assert len(rows) == 4
+    total = sum(r["rank"] for r in rows)
+    assert total <= 4 * 10**6
+    assert all(r["rank"] >= 150_000 for r in rows)
+    # symmetric graph: uniform stationary distribution -> equal ranks
+    assert len({r["rank"] for r in rows}) == 1

@@ -195,7 +195,35 @@ OPS = {
         block_col="blk",
         max_dist=8,
     ),
+    # exact all-pairs cosine with the SHIPPED absolute df cap: as the
+    # corpus amplifies, terms crossing max_df get pruned, so the pair
+    # space stays bounded by max_df * |postings| — the absolute cap IS
+    # the scalable posture (relativizing it to corpus size re-admits the
+    # quadratic, same contract as the LSH bucket cap).
+    "doc_cosine_df200": lambda df: text_ops.doc_cosine_pairs(
+        df, max_df=200, min_cosine=0.5
+    ),
+    # 3 fixed-point PageRank rounds over a degree-4 multiplicative-
+    # permutation graph on the doc ids (|E| = 4|V|, in/out degree ~4):
+    # per-round cost is one equi-join + one sum on |E| rows, so the
+    # curve must stay linear in corpus size.
+    "pagerank_3rounds": lambda df: _pagerank_probe(df),
 }
+
+
+def _pagerank_probe(df: DataFrame) -> DataFrame:
+    from metadata_driven_etl_spark.operators import graph as graph_ops
+
+    n = df.count()
+    base = df.select("doc_id")
+    edges = None
+    for k in (3, 5, 7, 11):
+        e = base.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * k) % n).alias("dst"),
+        )
+        edges = e if edges is None else edges.union(e)
+    return graph_ops.pagerank_fixed_point(edges, iterations=3)
 
 
 def _ivm_prep(df: DataFrame):

@@ -230,6 +230,8 @@ HEADLINE = [
     "winsorize_clip_group",
     "heavy_hitters_bounded",
     "pagerank_copurchase",
+    "dedup_jaccard_prefix",
+    "copurchase_item_cf",
 ]
 
 

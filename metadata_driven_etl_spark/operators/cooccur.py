@@ -77,6 +77,101 @@ def basket_pair_counts(
     )
 
 
+def basket_pair_cosine(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket_size: int | None = DEFAULT_MAX_BASKET_SIZE,
+    min_baskets: int = 1,
+) -> DataFrame:
+    """Item-item collaborative-filtering similarity: cosine over basket
+    membership vectors — n_ab / sqrt(n_a · n_b), the "customers who
+    bought X also bought Y" scoring primitive. Output:
+    (item_a, item_b, n_baskets, cosine) for pairs with
+    ``n_baskets >= min_baskets``.
+
+    Same single-shuffle pair generation as :func:`basket_pair_counts`
+    (the basket frame is materialized once and feeds both the pair
+    counts and the per-item basket counts); the per-item counts frame is
+    |items| rows → broadcast back onto the pair aggregate, so the pair
+    frame never re-shuffles. All counts are exact integers; cosine is
+    one long→double conversion per factor, a multiply, an IEEE sqrt and
+    a divide — bit-identical across engines (the doc_cosine_pairs
+    discipline).
+    """
+    baskets = (
+        df.select(basket_col, item_col)
+        .groupBy(basket_col)
+        .agg(F.sort_array(F.collect_set(item_col)).alias("_items"))
+    )
+    if max_basket_size is not None:
+        baskets = baskets.filter(F.size("_items") <= max_basket_size)
+    baskets = baskets.localCheckpoint(eager=False)
+    pairs = (
+        baskets.select(F.explode(pair_combinations(F.col("_items"))).alias("p"))
+        .select("p.item_a", "p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+    )
+    if min_baskets > 1:
+        pairs = pairs.filter(F.col("n_baskets") >= min_baskets)
+    items = baskets.select(F.explode("_items").alias("_it")).groupBy(
+        "_it"
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    ia = items.select(F.col("_it").alias("_it_a"), F.col("_n").alias("_n_a"))
+    ib = items.select(F.col("_it").alias("_it_b"), F.col("_n").alias("_n_b"))
+    return (
+        pairs.join(F.broadcast(ia), F.col("item_a") == F.col("_it_a"))
+        .join(F.broadcast(ib), F.col("item_b") == F.col("_it_b"))
+        .select(
+            "item_a",
+            "item_b",
+            "n_baskets",
+            (
+                F.col("n_baskets").cast("double")
+                / F.sqrt(F.col("_n_a").cast("double") * F.col("_n_b").cast("double"))
+            ).alias("cosine"),
+        )
+    )
+
+
+def sql_basket_pair_cosine(
+    table: str,
+    basket_col: str,
+    item_col: str,
+    max_basket_size: int | None = DEFAULT_MAX_BASKET_SIZE,
+    min_baskets: int = 1,
+) -> str:
+    """DuckDB twin of :func:`basket_pair_cosine` (distinct self-join +
+    per-item basket counts over the same capped baskets)."""
+    cap = (
+        f"""
+    big AS (SELECT {basket_col} FROM d GROUP BY 1
+            HAVING COUNT(*) > {max_basket_size}),
+    kept AS (SELECT * FROM d WHERE {basket_col} NOT IN (SELECT {basket_col} FROM big))"""
+        if max_basket_size is not None
+        else "\n    kept AS (SELECT * FROM d)"
+    )
+    return f"""
+    WITH d AS (SELECT DISTINCT {basket_col}, {item_col} FROM {table}),{cap},
+    pairs AS (
+        SELECT a.{item_col} AS item_a, b.{item_col} AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS n_baskets
+        FROM kept a JOIN kept b
+          ON a.{basket_col} = b.{basket_col} AND a.{item_col} < b.{item_col}
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {min_baskets}),
+    items AS (SELECT {item_col} AS it, CAST(COUNT(*) AS BIGINT) AS n
+              FROM kept GROUP BY 1)
+    SELECT item_a, item_b, n_baskets,
+           CAST(n_baskets AS DOUBLE)
+             / sqrt(CAST(ia.n AS DOUBLE) * CAST(ib.n AS DOUBLE)) AS cosine
+    FROM pairs
+    JOIN items ia ON pairs.item_a = ia.it
+    JOIN items ib ON pairs.item_b = ib.it
+    """
+
+
 def sql_basket_pair_counts(
     table: str,
     basket_col: str,

@@ -5595,6 +5595,44 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.pagerank_fixed_point(edges, iterations=3)
 
 
+@workload(
+    "dedup_jaccard_prefix",
+    oracle=dedup_ops.sql_jaccard_brute_force(threshold=0.25),
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs set-similarity join via prefix filtering (the
+    SSJoin/PPJoin rewrite): every pair with shingle Jaccard ≥ 0.25, with
+    no LSH recall loss — the compliance-grade near-dup sweep. The oracle
+    is the brute-force nested-loop join the filter exists to avoid, so
+    the hash proves the prefix index loses NOTHING. Candidates come only
+    from prefix postings (rarest ~(1−t)·|set| tokens under a global
+    df-ascending order) + the Jaccard length filter; see
+    :func:`operators.dedup.jaccard_prefix_pairs`."""
+    return dedup_ops.jaccard_prefix_pairs(
+        _docs(spark, sf_dir), threshold=0.25
+    )
+
+
+@workload(
+    "copurchase_item_cf",
+    oracle=cooccur_ops.sql_basket_pair_cosine(
+        "lineitem", "l_orderkey", "l_partkey", min_baskets=2
+    ),
+)
+def copurchase_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering scores over co-purchase baskets:
+    cosine over basket-membership vectors, n_ab/√(n_a·n_b) — the
+    "bought X also bought Y" recommender primitive, on top of the same
+    single-shuffle pair generation as copurchase_part_pairs (basket
+    frame materialized once; |items|-row count frames broadcast back so
+    the pair frame never re-shuffles; counts integer-exact, cosine
+    bit-identical)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return cooccur_ops.basket_pair_cosine(
+        li, "l_orderkey", "l_partkey", min_baskets=2
+    )
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================

@@ -444,3 +444,26 @@ def test_pagerank_edges_materialized_once_no_cartesian(spark, sf_dir):
     assert "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_prefix_is_equi_join_materialized_once(spark, sf_dir):
+    """The only pair generator is the prefix-postings equi-join on the
+    token key — never cartesian; the shingle-set frame is materialized
+    once (Scan ExistingRDD) and feeds the df counts, the prefix index,
+    and both verify sides."""
+    plan = _plan(workloads.QUERIES["dedup_jaccard_prefix"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_item_cf_counts_broadcast_back(spark, sf_dir):
+    """The per-item basket-count frames are |items| rows — they must
+    reach the pair aggregate as broadcasts (the pair frame never
+    re-shuffles for normalization), and the basket frame is materialized
+    once for both consumers."""
+    plan = _plan(workloads.QUERIES["copurchase_item_cf"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan

@@ -1183,3 +1183,51 @@ def test_pagerank_mass_bounds(spark_global):
     assert all(r["rank"] >= 150_000 for r in rows)
     # symmetric graph: uniform stationary distribution -> equal ranks
     assert len({r["rank"] for r in rows}) == 1
+
+
+_WORDS = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]),
+    min_size=3,
+    max_size=12,
+)
+_DOCSET = st.lists(_WORDS, min_size=2, max_size=10)
+
+
+@given(docs=_DOCSET, threshold=st.sampled_from([0.2, 0.4, 0.7]))
+@settings(**_SETTINGS)
+def test_jaccard_prefix_filter_matches_brute_force(
+    spark_global, docs, threshold
+):
+    """Prefix filtering must lose NOTHING: output ≡ the nested-loop exact
+    Jaccard join, at thresholds below/at/above typical near-dup settings
+    (the candidate set is a guaranteed superset; verification trims it)."""
+    from metadata_driven_etl_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+        shingles,
+    )
+
+    spark = spark_global
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_prefix_pairs(df, threshold=threshold).collect()
+    }
+
+    sets_ = {
+        r["doc_id"]: set(r["s"])
+        for r in df.select(
+            "doc_id", shingles("text", 3).alias("s")
+        ).collect()
+        if r["s"]
+    }
+    want = set()
+    ids = sorted(sets_)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets_[a] & sets_[b])
+            union = len(sets_[a] | sets_[b])
+            if union and round(inter / union, 6) >= threshold:
+                want.add((a, b))
+    assert got == want

@@ -456,6 +456,13 @@ class CorpusStageConfig:
     span_tokens: int = 20
     # near_dedup + semantic_dedup
     keep: str = "first"
+    # near_dedup candidate generator: "lsh" (MinHash bands — probabilistic
+    # recall, the web-scale default) or "prefix" (SSJoin/PPJoin prefix
+    # filtering — EXACT all-pairs, the compliance-grade sweep; costs a
+    # global df-order pass).
+    method: str = "lsh"
+    # near_dedup method=prefix: the exact Jaccard threshold.
+    jaccard_threshold: float = 0.25
     # near_dedup LSH band-bucket cap: None = operator default
     # (dedup.DEFAULT_MAX_BUCKET_SIZE, the shipped 100 TB posture);
     # 0 = uncapped exact-candidate baseline; >0 = explicit cap.
@@ -540,18 +547,42 @@ class CorpusStageConfig:
                 f"corpus {pipeline_id}: {st} keep must be one of "
                 f"{sorted(VALID_NEAR_DEDUP_KEEP)}, got {keep!r}",
             )
+        method = d.get("method", "lsh")
+        jt = d.get("jaccard_threshold")
         if st == "near_dedup":
+            _require(
+                method in ("lsh", "prefix"),
+                f"corpus {pipeline_id}: near_dedup method must be 'lsh' "
+                f"or 'prefix', got {method!r}",
+            )
             if mbs is not None:
+                _require(
+                    method == "lsh",
+                    f"corpus {pipeline_id}: max_bucket_size is an LSH "
+                    "knob (method=prefix is exact — it has no buckets)",
+                )
                 _require(
                     int(mbs) >= 0,
                     f"corpus {pipeline_id}: near_dedup max_bucket_size "
                     f"must be >= 0 (0 = uncapped), got {mbs!r}",
+                )
+            if jt is not None:
+                _require(
+                    method == "prefix" and 0.0 < float(jt) <= 1.0,
+                    f"corpus {pipeline_id}: jaccard_threshold must be in "
+                    "(0, 1] and only applies to method=prefix, got "
+                    f"{jt!r}",
                 )
         else:
             _require(
                 mbs is None,
                 f"corpus {pipeline_id}: max_bucket_size only applies to "
                 "near_dedup",
+            )
+            _require(
+                d.get("method") is None and jt is None,
+                f"corpus {pipeline_id}: method/jaccard_threshold only "
+                "apply to near_dedup",
             )
         emb_knobs = (
             "embedding_table", "embedding_id_col", "embedding_col",
@@ -591,6 +622,8 @@ class CorpusStageConfig:
             prefilter=pf or "none",
             span_tokens=int(d.get("span_tokens", 20)),
             keep=keep,
+            method=method,
+            jaccard_threshold=float(jt) if jt is not None else 0.25,
             max_bucket_size=int(mbs) if mbs is not None else None,
             embedding_table=d.get("embedding_table"),
             embedding_id_col=d.get("embedding_id_col"),

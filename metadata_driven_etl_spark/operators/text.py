@@ -535,6 +535,7 @@ def doc_cosine_pairs(
     id_col: str = "doc_id",
     max_df: int | None = None,
     min_cosine: float = 0.5,
+    shingle_n: int | None = None,
 ) -> DataFrame:
     """All-pairs document cosine similarity over term-frequency vectors,
     generated through the inverted index (term postings) — the
@@ -566,8 +567,19 @@ def doc_cosine_pairs(
     realistic threshold). Sides are column-renamed, never joined through
     shared-lineage attribute refs.
     """
+    if shingle_n is not None:
+        # shingle mode: word n-grams as the term space (set semantics —
+        # shingles are distinct per doc, so tf degenerates to 0/1 and
+        # cosine measures shingle-set overlap). The richer vocabulary
+        # makes the df prune meaningful on small-vocab corpora where
+        # every UNIGRAM is a stop-term.
+        from metadata_driven_etl_spark.operators.dedup import shingles
+
+        term_expr = shingles(text_col, shingle_n)
+    else:
+        term_expr = tokens(text_col)
     tf = (
-        docs.select(id_col, F.explode(tokens(text_col)).alias("term"))
+        docs.select(id_col, F.explode(term_expr).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -630,6 +642,7 @@ def sql_doc_cosine_pairs(
     id_col: str = "doc_id",
     max_df: int | None = None,
     min_cosine: float = 0.5,
+    shingle_n: int | None = None,
 ) -> str:
     """DuckDB oracle twin of :func:`doc_cosine_pairs` (identical integer
     dot/norm arithmetic; HUGEINT sums cast back to BIGINT)."""
@@ -640,9 +653,15 @@ def sql_doc_cosine_pairs(
         if max_df is not None
         else "\n    p AS (SELECT * FROM tf)"
     )
+    if shingle_n is not None:
+        from metadata_driven_etl_spark.operators.dedup import sql_shingles
+
+        term_sql = sql_shingles(text_col, shingle_n)
+    else:
+        term_sql = sql_tokens(text_col)
     return f"""
     WITH tok AS (
-        SELECT {id_col}, unnest({sql_tokens(text_col)}) AS term
+        SELECT {id_col}, unnest({term_sql}) AS term
         FROM {table}),
     tf AS (
         SELECT {id_col}, term, CAST(COUNT(*) AS BIGINT) AS tf

@@ -256,19 +256,30 @@ def _apply_stage(
         ).select(id_col)
         return df.join(kept, id_col, "left_semi")
     if stage.stage == "near_dedup":
-        # config knob -> operator cap: omitted = shipped default
-        # (DEFAULT_MAX_BUCKET_SIZE), 0 = uncapped, >0 = explicit cap
-        cap_kw = {}
-        if stage.max_bucket_size is not None:
-            cap_kw["max_bucket_size"] = (
-                stage.max_bucket_size if stage.max_bucket_size > 0 else None
+        if stage.method == "prefix":
+            # exact all-pairs sweep (SSJoin/PPJoin prefix filtering):
+            # every pair with Jaccard >= jaccard_threshold, no LSH
+            # recall loss — the compliance-grade posture.
+            pairs = dedup_ops.jaccard_prefix_pairs(
+                df.select(F.col(id_col), F.col(text_col)),
+                text_col=text_col,
+                id_col=id_col,
+                threshold=stage.jaccard_threshold,
+            ).select("id_a", "id_b")
+        else:
+            # config knob -> operator cap: omitted = shipped default
+            # (DEFAULT_MAX_BUCKET_SIZE), 0 = uncapped, >0 = explicit cap
+            cap_kw = {}
+            if stage.max_bucket_size is not None:
+                cap_kw["max_bucket_size"] = (
+                    stage.max_bucket_size if stage.max_bucket_size > 0 else None
+                )
+            pairs = dedup_ops.lsh_candidate_pairs(
+                df.select(F.col(id_col), F.col(text_col)),
+                text_col=text_col,
+                id_col=id_col,
+                **cap_kw,
             )
-        pairs = dedup_ops.lsh_candidate_pairs(
-            df.select(F.col(id_col), F.col(text_col)),
-            text_col=text_col,
-            id_col=id_col,
-            **cap_kw,
-        )
         clusters = dedup_ops.connected_components(
             df.select(id_col), pairs, id_col=id_col
         )

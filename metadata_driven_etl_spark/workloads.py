@@ -5425,7 +5425,7 @@ _COSINE_MIN = 0.5
 @workload(
     "text_doc_sim_cosine",
     oracle=text_ops.sql_doc_cosine_pairs(
-        max_df=_COSINE_MAX_DF, min_cosine=_COSINE_MIN
+        max_df=_COSINE_MAX_DF, min_cosine=_COSINE_MIN, shingle_n=3
     ),
 )
 def text_doc_sim_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5439,11 +5439,18 @@ def text_doc_sim_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash-exact across engines: integer tf dot products and norms; the
     only float ops are conversion, multiply, IEEE sqrt, divide (all
     correctly rounded). See :func:`operators.text.doc_cosine_pairs`
-    for the full plan narrative."""
+    for the full plan narrative.
+
+    Runs in SHINGLE space (3-gram terms): on this synthetic corpus the
+    unigram vocabulary is ~31 words, ALL hotter than any sane max_df —
+    unigram mode prunes to an empty vector space at sf0.1 while 3-gram
+    space stays rich (27k shingles, df ≤ 25) at every SF, so the bench
+    measures real pair generation, not an empty prune."""
     return text_ops.doc_cosine_pairs(
         _docs(spark, sf_dir),
         max_df=_COSINE_MAX_DF,
         min_cosine=_COSINE_MIN,
+        shingle_n=3,
     )
 
 
@@ -5597,19 +5604,28 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @workload(
     "dedup_jaccard_prefix",
-    oracle=dedup_ops.sql_jaccard_brute_force(threshold=0.25),
+    oracle=dedup_ops.sql_jaccard_brute_force(threshold=0.7),
 )
 def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT all-pairs set-similarity join via prefix filtering (the
-    SSJoin/PPJoin rewrite): every pair with shingle Jaccard ≥ 0.25, with
+    SSJoin/PPJoin rewrite): every pair with shingle Jaccard ≥ 0.7, with
     no LSH recall loss — the compliance-grade near-dup sweep. The oracle
     is the brute-force nested-loop join the filter exists to avoid, so
     the hash proves the prefix index loses NOTHING. Candidates come only
     from prefix postings (rarest ~(1−t)·|set| tokens under a global
     df-ascending order) + the Jaccard length filter; see
-    :func:`operators.dedup.jaccard_prefix_pairs`."""
+    :func:`operators.dedup.jaccard_prefix_pairs`.
+
+    Threshold regime matters at scale: prefix selectivity is ~(1−t) of
+    each set, so HIGH thresholds (0.7+: true near-dup sweeps) keep the
+    candidate join on the rarest tokens, while a low-t sweep on a
+    homogeneous corpus degenerates toward all-pairs CANDIDATES (measured:
+    t=0.25 at sf0.1 produced ~10M candidates for 25 true pairs and
+    OOM-pressured the bench JVM; t=0.7 verifies in seconds). Low-t
+    recall questions belong to MinHash-LSH, which is what the near_dedup
+    default stays."""
     return dedup_ops.jaccard_prefix_pairs(
-        _docs(spark, sf_dir), threshold=0.25
+        _docs(spark, sf_dir), threshold=0.7
     )
 
 
@@ -5631,6 +5647,165 @@ def copurchase_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cooccur_ops.basket_pair_cosine(
         li, "l_orderkey", "l_partkey", min_baskets=2
     )
+
+
+@workload(
+    "chisq_cells_flag_status",
+    oracle="""
+    WITH cells AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM lineitem GROUP BY 1, 2),
+    rt AS (SELECT l_returnflag, CAST(SUM(n_obs) AS BIGINT) AS row_tot
+           FROM cells GROUP BY 1),
+    ct AS (SELECT l_linestatus, CAST(SUM(n_obs) AS BIGINT) AS col_tot
+           FROM cells GROUP BY 1),
+    n AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM cells)
+    SELECT cells.l_returnflag, cells.l_linestatus, n_obs,
+           CAST(row_tot * col_tot AS DOUBLE) / CAST(n_total AS DOUBLE)
+             AS expected,
+           (CAST(n_obs AS DOUBLE)
+              - CAST(row_tot * col_tot AS DOUBLE) / CAST(n_total AS DOUBLE))
+           * (CAST(n_obs AS DOUBLE)
+              - CAST(row_tot * col_tot AS DOUBLE) / CAST(n_total AS DOUBLE))
+           / (CAST(row_tot * col_tot AS DOUBLE) / CAST(n_total AS DOUBLE))
+             AS chi2_term
+    FROM cells
+    JOIN rt ON cells.l_returnflag = rt.l_returnflag
+    JOIN ct ON cells.l_linestatus = ct.l_linestatus
+    CROSS JOIN n""",
+)
+def chisq_cells_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of the (returnflag × linestatus)
+    contingency table, reported PER CELL: observed count, expected count
+    under independence, and the cell's chi² contribution — the
+    categorical-drift / feature-dependence primitive (sum the terms and
+    compare to the chi² critical value for (r−1)(c−1) dof).
+
+    Per-cell output is deliberate: every value is a fixed expression over
+    exact integer counts (one conversion, one divide, one squared diff —
+    all IEEE-correctly-rounded, so the driver can hash it), whereas a
+    single chi² TOTAL would be an order-sensitive double sum across
+    cells. At 100 TB: one map-side-combinable cell aggregation (the only
+    corpus shuffle); row/col/grand totals derive from the |cells|-row
+    frame and broadcast back."""
+    li = _t(spark, sf_dir, "lineitem")
+    cells = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .localCheckpoint(eager=False)
+    )
+    rt = cells.groupBy(F.col("l_returnflag").alias("_rf")).agg(
+        F.sum("n_obs").alias("row_tot")
+    )
+    ct = cells.groupBy(F.col("l_linestatus").alias("_ls")).agg(
+        F.sum("n_obs").alias("col_tot")
+    )
+    n = cells.agg(F.sum("n_obs").alias("n_total"))
+    expected = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col(
+        "n_total"
+    ).cast("double")
+    return (
+        cells.join(F.broadcast(rt), F.col("l_returnflag") == F.col("_rf"))
+        .join(F.broadcast(ct), F.col("l_linestatus") == F.col("_ls"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "n_obs",
+            expected.alias("expected"),
+            (
+                (F.col("n_obs").cast("double") - expected)
+                * (F.col("n_obs").cast("double") - expected)
+                / expected
+            ).alias("chi2_term"),
+        )
+    )
+
+
+@workload(
+    "gini_quantity_by_flag",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS q,
+               CAST(row_number() OVER (PARTITION BY l_returnflag
+                                       ORDER BY l_quantity) AS BIGINT) AS i
+        FROM lineitem)
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(q) AS BIGINT) AS sum_qty,
+           CAST(2 * SUM(i * q) - (COUNT(*) + 1) * SUM(q) AS DOUBLE)
+             / CAST(COUNT(*) * SUM(q) AS DOUBLE) AS gini
+    FROM ranked GROUP BY 1""",
+)
+def gini_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Gini coefficient of the quantity distribution — the
+    concentration/inequality metric (is volume spread evenly or carried
+    by a few large lines). G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over the
+    group-sorted values.
+
+    Hash-exact: quantities are integral, so every term is an exact
+    bigint; ties need NO tiebreak (equal values commute under the rank
+    sum), making row_number deterministic here; the only float op is the
+    final division. ONE shuffle: the rank window's group partitioning is
+    reused by the aggregation (group keys ⊇ window key)."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("q")
+    ranked = li.select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("q")
+    ).withColumn("i", F.row_number().over(w).cast("long"))
+    return ranked.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("q").alias("sum_qty"),
+        (
+            (
+                2 * F.sum(F.col("i") * F.col("q"))
+                - (F.count(F.lit(1)) + 1) * F.sum("q")
+            ).cast("double")
+            / (F.count(F.lit(1)) * F.sum("q")).cast("double")
+        ).alias("gini"),
+    )
+
+
+@workload(
+    "cumulative_unique_users",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events
+        GROUP BY 1),
+    daily AS (
+        SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+        FROM first_seen GROUP BY 1)
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+    FROM daily""",
+)
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the growth-curve / audience-
+    accumulation metric. The naive form (COUNT(DISTINCT user) OVER a
+    growing date frame) holds O(users) state per day; the rewrite is a
+    pure identity: each user contributes exactly once, on their FIRST
+    active day, so cumulative-distinct ≡ running sum of first-seen
+    counts.
+
+    Scale: one user-keyed aggregation (min day per user — map-side
+    combinable), one |days|-row aggregation, and the running sum windows
+    over the tiny date frame — the single-partition window touches
+    |days| rows, never the corpus."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.withColumn("cum_users", F.sum("new_users").over(w))
 
 
 # =========================================================================

@@ -195,13 +195,22 @@ OPS = {
         block_col="blk",
         max_dist=8,
     ),
-    # exact all-pairs cosine with the SHIPPED absolute df cap: as the
-    # corpus amplifies, terms crossing max_df get pruned, so the pair
-    # space stays bounded by max_df * |postings| — the absolute cap IS
-    # the scalable posture (relativizing it to corpus size re-admits the
-    # quadratic, same contract as the LSH bucket cap).
+    # exact all-pairs cosine with the SHIPPED absolute df cap (3-gram
+    # shingle space, like the workload): as the corpus amplifies, terms
+    # crossing max_df get pruned, so the pair space stays bounded by
+    # max_df * |postings| — the absolute cap IS the scalable posture
+    # (relativizing it to corpus size re-admits the quadratic, same
+    # contract as the LSH bucket cap).
     "doc_cosine_df200": lambda df: text_ops.doc_cosine_pairs(
-        df, max_df=200, min_cosine=0.5
+        df, max_df=200, min_cosine=0.5, shingle_n=3
+    ),
+    # exact prefix-filter set-similarity sweep at the near-dup threshold:
+    # candidate count tracks duplicate MASS (copies share their rarest
+    # shingles), so growth is quadratic in per-cluster copy count — which
+    # is quadratic in the ANSWER (the copies ARE the near-dup pairs), the
+    # same inherent-blow-up class as the uncapped LSH baseline.
+    "jaccard_prefix_t07": lambda df: dedup_ops.jaccard_prefix_pairs(
+        df, threshold=0.7
     ),
     # 3 fixed-point PageRank rounds over a degree-4 multiplicative-
     # permutation graph on the doc ids (|E| = 4|V|, in/out degree ~4):

@@ -801,3 +801,108 @@ def test_semantic_dedup_validation(tmp_path):
                     embedding_table: e
             """
         )
+
+
+def test_near_dedup_method_prefix(ctx, tmp_path):
+    """method: prefix swaps the LSH candidate generator for the EXACT
+    prefix-filter join — YAML output ≡ composing jaccard_prefix_pairs +
+    connected_components directly, and the knobs parse through."""
+    docs = ctx.spark.read.parquet(SF_DOCS)
+    ParquetFormat().overwrite(docs, "corpus.t_pfx_input")
+    cfg = load_corpus_config(
+        _write_config(
+            tmp_path,
+            """
+            corpus_pipelines:
+              - pipeline_id: pfx_v1
+                input_table: corpus.t_pfx_input
+                target_table: corpus.t_pfx_out
+                stages:
+                  - stage: near_dedup
+                    keep: first
+                    method: prefix
+                    jaccard_threshold: 0.25
+            """,
+        )
+    )
+    stage = cfg.pipelines[0].stages[0]
+    assert stage.method == "prefix"
+    assert stage.jaccard_threshold == 0.25
+    results = CorpusLayer(ctx, cfg).run("2026-08-15")
+    assert [r.status for r in results] == ["success"]
+    got = {r.doc_id for r in ctx.spark.table("corpus.t_pfx_out").collect()}
+
+    from metadata_driven_etl_spark.operators.dedup import (
+        connected_components,
+        jaccard_prefix_pairs,
+    )
+
+    pairs = jaccard_prefix_pairs(
+        docs.select("doc_id", "text"), threshold=0.25
+    ).select("id_a", "id_b")
+    clusters = connected_components(docs.select("doc_id"), pairs)
+    want = {
+        r.doc_id
+        for r in clusters.filter(F.col("doc_id") == F.col("cluster_id")).collect()
+    }
+    assert got == want and 0 < len(got) <= docs.count()
+
+
+def test_near_dedup_method_validation(tmp_path):
+    """method/jaccard_threshold knobs fail fast when misused: unknown
+    method, cap with method=prefix, knobs outside near_dedup."""
+    bad = [
+        (
+            """
+            corpus_pipelines:
+              - pipeline_id: bad1
+                input_path: /tmp/x.parquet
+                target_table: corpus.t
+                stages:
+                  - stage: near_dedup
+                    method: simhash
+            """,
+            "method must be 'lsh' or 'prefix'",
+        ),
+        (
+            """
+            corpus_pipelines:
+              - pipeline_id: bad2
+                input_path: /tmp/x.parquet
+                target_table: corpus.t
+                stages:
+                  - stage: near_dedup
+                    method: prefix
+                    max_bucket_size: 32
+            """,
+            "max_bucket_size is an LSH knob",
+        ),
+        (
+            """
+            corpus_pipelines:
+              - pipeline_id: bad3
+                input_path: /tmp/x.parquet
+                target_table: corpus.t
+                stages:
+                  - stage: span_dedup
+                    method: prefix
+            """,
+            "only apply to near_dedup",
+        ),
+        (
+            """
+            corpus_pipelines:
+              - pipeline_id: bad4
+                input_path: /tmp/x.parquet
+                target_table: corpus.t
+                stages:
+                  - stage: near_dedup
+                    method: lsh
+                    jaccard_threshold: 0.5
+            """,
+            "only applies to method=prefix",
+        ),
+    ]
+    for body, msg in bad:
+        with pytest.raises(ConfigError, match=msg):
+            load_corpus_config(_write_config(tmp_path, body))

@@ -302,6 +302,18 @@ class GoldModel:
                 f"model {mid}: sum_cols aliases must be distinct from "
                 "count_col",
             )
+            # an alias that shadows a group key would emit two output
+            # columns of one name and die mid-pipeline with an ambiguous
+            # reference — fail at config load instead (same contract as
+            # the count_col clash check above)
+            gk_clash = sorted(
+                reserved & set(map(str, d.get("group_keys") or ()))
+            )
+            _require(
+                not gk_clash,
+                f"model {mid}: aggregate aliases {gk_clash} collide with "
+                "group_keys",
+            )
         else:
             _require(mt == "sql", f"model {mid}: unsupported model_type {mt!r} (only 'sql')")
             _require(d.get("sql_query"), f"model {mid}: missing sql_query")

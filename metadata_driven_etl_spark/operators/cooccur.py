@@ -46,6 +46,29 @@ def pair_combinations(items: Column) -> Column:
     )
 
 
+def _gather_baskets(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket_size: int | None,
+) -> DataFrame:
+    """(basket, sorted distinct item array), capped. NULL basket keys and
+    NULL items are dropped explicitly: collect_set would silently skip
+    null items while groupBy keeps a NULL basket, and SQL twins diverge
+    on both (NULL never equi-joins; COUNT(*) counts null items) — the
+    contract is simply that null keys don't participate, on both
+    engines."""
+    baskets = (
+        df.select(basket_col, item_col)
+        .filter(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
+        .groupBy(basket_col)
+        .agg(F.sort_array(F.collect_set(item_col)).alias("_items"))
+    )
+    if max_basket_size is not None:
+        baskets = baskets.filter(F.size("_items") <= max_basket_size)
+    return baskets
+
+
 def basket_pair_counts(
     df: DataFrame,
     basket_col: str,
@@ -62,13 +85,7 @@ def basket_pair_counts(
     ``max_basket_size`` are dropped (quadratic-in-the-answer guard — see
     module docstring); ``None`` disables the cap.
     """
-    baskets = (
-        df.select(basket_col, item_col)
-        .groupBy(basket_col)
-        .agg(F.sort_array(F.collect_set(item_col)).alias("_items"))
-    )
-    if max_basket_size is not None:
-        baskets = baskets.filter(F.size("_items") <= max_basket_size)
+    baskets = _gather_baskets(df, basket_col, item_col, max_basket_size)
     return (
         baskets.select(F.explode(pair_combinations(F.col("_items"))).alias("p"))
         .select("p.item_a", "p.item_b")
@@ -99,14 +116,9 @@ def basket_pair_cosine(
     a divide — bit-identical across engines (the doc_cosine_pairs
     discipline).
     """
-    baskets = (
-        df.select(basket_col, item_col)
-        .groupBy(basket_col)
-        .agg(F.sort_array(F.collect_set(item_col)).alias("_items"))
-    )
-    if max_basket_size is not None:
-        baskets = baskets.filter(F.size("_items") <= max_basket_size)
-    baskets = baskets.localCheckpoint(eager=False)
+    baskets = _gather_baskets(
+        df, basket_col, item_col, max_basket_size
+    ).localCheckpoint(eager=False)
     pairs = (
         baskets.select(F.explode(pair_combinations(F.col("_items"))).alias("p"))
         .select("p.item_a", "p.item_b")
@@ -148,12 +160,15 @@ def sql_basket_pair_cosine(
         f"""
     big AS (SELECT {basket_col} FROM d GROUP BY 1
             HAVING COUNT(*) > {max_basket_size}),
-    kept AS (SELECT * FROM d WHERE {basket_col} NOT IN (SELECT {basket_col} FROM big))"""
+    kept AS (SELECT * FROM d WHERE NOT EXISTS
+             (SELECT 1 FROM big WHERE big.{basket_col} = d.{basket_col}))"""
         if max_basket_size is not None
         else "\n    kept AS (SELECT * FROM d)"
     )
     return f"""
-    WITH d AS (SELECT DISTINCT {basket_col}, {item_col} FROM {table}),{cap},
+    WITH d AS (SELECT DISTINCT {basket_col}, {item_col} FROM {table}
+               WHERE {basket_col} IS NOT NULL
+                 AND {item_col} IS NOT NULL),{cap},
     pairs AS (
         SELECT a.{item_col} AS item_a, b.{item_col} AS item_b,
                CAST(COUNT(*) AS BIGINT) AS n_baskets
@@ -184,12 +199,15 @@ def sql_basket_pair_counts(
         f"""
     big AS (SELECT {basket_col} FROM d GROUP BY 1
             HAVING COUNT(*) > {max_basket_size}),
-    kept AS (SELECT * FROM d WHERE {basket_col} NOT IN (SELECT {basket_col} FROM big))"""
+    kept AS (SELECT * FROM d WHERE NOT EXISTS
+             (SELECT 1 FROM big WHERE big.{basket_col} = d.{basket_col}))"""
         if max_basket_size is not None
         else "\n    kept AS (SELECT * FROM d)"
     )
     return f"""
-    WITH d AS (SELECT DISTINCT {basket_col}, {item_col} FROM {table}),{cap}
+    WITH d AS (SELECT DISTINCT {basket_col}, {item_col} FROM {table}
+               WHERE {basket_col} IS NOT NULL
+                 AND {item_col} IS NOT NULL),{cap}
     SELECT a.{item_col} AS item_a, b.{item_col} AS item_b,
            CAST(COUNT(*) AS BIGINT) AS n_baskets
     FROM kept a JOIN kept b

@@ -1224,8 +1224,23 @@ def jaccard_prefix_pairs(
     effect the cosine operator's max_df cap buys, derived here instead
     of configured. Shuffles: one df-count aggregation, one token-keyed
     candidate join, one pair distinct, one verify join; the shingle-set
-    frame is materialized once and feeds everything.
+    frame AND the prefix-postings frame are each materialized once (the
+    postings feed both self-join sides — without the checkpoint the
+    df-count/prefix construction would execute per side).
+
+    Candidate bounds run in EXACT integer arithmetic against the 6-dp
+    quantization the verification predicate uses: ``round(J, 6) >=
+    threshold`` can admit a pair whose true J sits up to 5e-7 BELOW the
+    float threshold, and ``threshold * size`` in floats can overshoot the
+    exact product (e.g. 0.28 * 25 = 7.000000000000001, wrongly excluding
+    a true J = 7/25 boundary pair). Both bounds therefore use the
+    rational t' = (round(threshold·10⁶) − 1) / 10⁶ < threshold in pure
+    bigint ops — a slightly LOOSER superset (a few extra candidates,
+    trimmed by verification), never a lost true pair.
     """
+    # exact candidate-bound threshold: t' = (num-1)/1e6 (see docstring)
+    t_num = round(threshold * 1_000_000) - 1
+    t_den = 1_000_000
     sets_ = _materialize(
         df.select(
             F.col(id_col).alias("_pid"),
@@ -1250,17 +1265,22 @@ def jaccard_prefix_pairs(
             ).alias("_ord")
         )
     )
-    prefix = ordered.select(
-        "_pid",
-        "_sz",
-        F.explode(
-            F.slice(
-                F.col("_ord"),
-                1,
-                F.size("_ord") - F.ceil(F.lit(threshold) * F.col("_sz")).cast("int") + 1,
-            )
-        ).alias("_p"),
-    ).select("_pid", "_sz", F.col("_p._tok").alias("_tok"))
+    # alpha = ceil(t' * sz) via integer ceil-division: (num*sz + den-1) div den
+    alpha = F.expr(f"({t_num} * _sz + {t_den - 1}) div {t_den}")
+    prefix = _materialize(
+        ordered.select(
+            "_pid",
+            "_sz",
+            F.explode(
+                F.slice(
+                    F.col("_ord"),
+                    1,
+                    (F.size("_ord") - alpha + 1).cast("int"),
+                )
+            ).alias("_p"),
+        ).select("_pid", "_sz", F.col("_p._tok").alias("_tok")),
+        checkpoint_dir,
+    )
     pa = prefix.select(
         F.col("_pid").alias("id_a"), F.col("_sz").alias("_sz_a"),
         F.col("_tok").alias("_tok_a"),
@@ -1274,9 +1294,9 @@ def jaccard_prefix_pairs(
             pb,
             (F.col("_tok_a") == F.col("_tok_b"))
             & (F.col("id_a") < F.col("id_b"))
-            # length filter: t <= J <= min/max sizes ratio
-            & (F.col("_sz_b") >= F.lit(threshold) * F.col("_sz_a"))
-            & (F.col("_sz_a") >= F.lit(threshold) * F.col("_sz_b")),
+            # length filter (t <= J <= min/max sizes ratio), exact bigints
+            & (F.col("_sz_b") * F.lit(t_den) >= F.lit(t_num) * F.col("_sz_a"))
+            & (F.col("_sz_a") * F.lit(t_den) >= F.lit(t_num) * F.col("_sz_b")),
         )
         .select("id_a", "id_b")
         .distinct()

@@ -59,10 +59,15 @@ def pagerank_fixed_point(
         r'(v) = floor((den-num)·scale / den)
                 + floor(num · Σ_{u→v} floor(r(u) / outdeg(u)) / den)
 
-    Nodes are edge-induced (isolated nodes have no edges to rank over);
-    every ranked node needs ≥1 out-edge — symmetrize first for undirected
-    graphs (which also removes dangling-node mass loss by construction).
-    Output: (node, rank) with rank ≈ stationary probability × ``scale``.
+    Nodes are edge-induced: the ranked universe is every id appearing as
+    a src OR dst, and EVERY round ranks the whole universe (a node with
+    no in-edges holds the teleport base and keeps contributing through
+    its out-edges — directed inputs are first-class, not just the
+    symmetrized case). Dangling nodes (in-edges only) are ranked but
+    re-emit nothing, so their damped mass leaks — the standard
+    simplification; symmetrize for undirected graphs and the leak is
+    zero by construction. Output: (node, rank) with rank ≈ stationary
+    probability × ``scale``.
 
     Deterministic and engine-exact: see module docstring. The recurrence
     starts from r0 = scale for every node (uniform, un-normalized — the
@@ -83,25 +88,31 @@ def pagerank_fixed_point(
         checkpoint_dir,
     )
     base = ((damping_den - damping_num) * scale) // damping_den
-    ranks = e_deg.select(F.col("src").alias("node")).distinct().select(
-        "node", F.lit(scale).cast("long").alias("rank")
+    nodes = _materialize(
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct(),
+        checkpoint_dir,
     )
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
     for _ in range(iterations):
         contrib = (
             e_deg.join(ranks, F.col("src") == F.col("node"))
-            .groupBy(F.col("dst").alias("node2"))
-            .agg(
-                F.sum(
-                    F.expr("rank div _outdeg")
-                ).alias("_in_mass")
-            )
+            .groupBy(F.col("dst").alias("_cnode"))
+            .agg(F.sum(F.expr("rank div _outdeg")).alias("_in_mass"))
         )
+        # LEFT join from the full universe: a node with no in-mass this
+        # round still holds the teleport base (directed-graph contract).
         ranks = _materialize(
-            contrib.select(
-                F.col("node2").alias("node"),
+            nodes.join(contrib, F.col("node") == F.col("_cnode"), "left")
+            .select(
+                "node",
                 (
                     F.lit(base).cast("long")
-                    + F.expr(f"({damping_num} * _in_mass) div {damping_den}")
+                    + F.expr(
+                        f"({damping_num} * coalesce(_in_mass, 0L))"
+                        f" div {damping_den}"
+                    )
                 ).alias("rank"),
             ),
             checkpoint_dir,
@@ -126,16 +137,21 @@ def sql_pagerank_fixed_point(
         f"WITH e AS ({edges_cte_body})",
         "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg"
         " FROM e GROUP BY 1)",
-        f"r0 AS (SELECT src AS node, CAST({scale} AS BIGINT) AS rank"
-        " FROM deg)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)",
     ]
     for i in range(1, iterations + 1):
         parts.append(
-            f"r{i} AS (SELECT e.dst AS node, CAST({base} + "
-            f"({damping_num} * SUM(r.rank // d.outdeg)) // {damping_den}"
-            f" AS BIGINT) AS rank "
+            f"c{i} AS (SELECT e.dst AS node, "
+            "CAST(SUM(r.rank // d.outdeg) AS BIGINT) AS in_mass "
             f"FROM e JOIN r{i - 1} r ON e.src = r.node "
             "JOIN deg d ON e.src = d.src GROUP BY 1)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT nodes.node, CAST({base} + "
+            f"({damping_num} * COALESCE(in_mass, 0)) // {damping_den}"
+            " AS BIGINT) AS rank "
+            f"FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node)"
         )
     return (
         ",\n    ".join(parts)

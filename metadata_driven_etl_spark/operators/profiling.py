@@ -328,7 +328,10 @@ def winsorize(
         renamed = stats.select(
             *[F.col(c).alias(f"_w_{c}") for c in gcols], "_w_lo", "_w_hi"
         )
-        cond = [F.col(c) == F.col(f"_w_{c}") for c in gcols]
+        # eqNullSafe: groupBy emits a stats row for the NULL group, and a
+        # plain == join would silently DROP every null-group input row —
+        # the opposite of "bounded, not dropped".
+        cond = [F.col(c).eqNullSafe(F.col(f"_w_{c}")) for c in gcols]
         joined = df.join(F.broadcast(renamed), cond).drop(
             *[f"_w_{c}" for c in gcols]
         )

@@ -372,10 +372,30 @@ class GoldLayer(_LayerBase):
         snap_copy = f"{m.target_table}__maintained_snapshot"
         gks = list(m.group_keys)
         sum_cols = dict(m.sum_cols)
-        new = spark.table(m.snapshot_table)
-        if fmt.table_exists(spark, m.target_table) and fmt.table_exists(
-            spark, snap_copy
-        ):
+        # ONE consistent snapshot image for BOTH the diff and the
+        # maintained-snapshot write: a lazy re-read of snapshot_table at
+        # the copy write would persist whatever an upstream writer landed
+        # in between — a snapshot that does NOT match the applied delta,
+        # silently skipping those rows' changes on every later run.
+        new = spark.table(m.snapshot_table).localCheckpoint(eager=True)
+        # Crash-safety without a transactional store: the target write
+        # and the snapshot advance are two non-atomic writes, and EITHER
+        # stale half silently corrupts all later deltas (stale snapshot →
+        # changes re-applied; advanced snapshot + stale target → changes
+        # lost). The control row is the commit marker: mark the pair
+        # in-flight, and a later run that finds anything but "success"
+        # rebuilds from the full snapshot — always correct, and it
+        # rewrites both tables, re-converging the pair.
+        state = self.ctx.control.get_state(m.target_table, self.layer_name)
+        prev_committed = state is not None and state["status"] == "success"
+        maintainable = fmt.table_exists(spark, m.target_table) and (
+            fmt.table_exists(spark, snap_copy)
+        )
+        self.ctx.control.update_run(
+            m.target_table, self.layer_name, run_date, 0, "delta_inflight",
+            {"model_id": m.model_id, "snapshot_table": m.snapshot_table},
+        )
+        if maintainable and prev_committed:
             refresh_mode = "delta_maintain"
             old = spark.table(snap_copy)
             base = spark.table(m.target_table).select(
@@ -387,7 +407,10 @@ class GoldLayer(_LayerBase):
                 sum_cols=sum_cols, count_col=m.count_col,
             )
         else:
-            refresh_mode = "delta_first_full"
+            refresh_mode = (
+                "delta_first_full" if not maintainable
+                else "delta_full_recover"
+            )
             df = new.groupBy(*gks).agg(
                 F.count(F.lit(1)).alias(m.count_col),
                 *[

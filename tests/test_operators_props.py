@@ -1231,3 +1231,59 @@ def test_jaccard_prefix_filter_matches_brute_force(
             if union and round(inter / union, 6) >= threshold:
                 want.add((a, b))
     assert got == want
+
+
+def test_jaccard_prefix_exact_float_boundary(spark_global):
+    """r6 review: threshold*size in floats overshoots the exact product
+    (0.28 * 25 = 7.000000000000001), which silently dropped a TRUE
+    boundary pair (J = 7/25 = 0.28 exactly). The candidate bounds now run
+    in exact integer arithmetic — this pins the scenario: a 27-token doc
+    (25 shingles) containing a 9-token doc (7 shingles, all shared)."""
+    from metadata_driven_etl_spark.operators.dedup import jaccard_prefix_pairs
+
+    spark = spark_global
+    toks = [f"w{i}" for i in range(27)]
+    df = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, " ".join(toks[:9]))],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in jaccard_prefix_pairs(df, threshold=0.28).collect()
+    }
+    assert got == {(1, 2, 0.28)}
+
+
+def test_winsorize_keeps_null_group_rows(spark_global):
+    """r6 review: the stats re-join must be null-safe — a NULL group must
+    be clipped against ITS OWN percentile band, never dropped."""
+    from metadata_driven_etl_spark.operators.profiling import winsorize
+
+    spark = spark_global
+    rows = [("a", float(v)) for v in range(1, 11)] + [
+        (None, 0.0), (None, 5.0), (None, 100.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize(df, "v", group_cols=["g"], lower_q=0.0, upper_q=0.5)
+    assert out.count() == df.count()
+    null_clipped = {r["v_clipped"] for r in out.filter(F.col("g").isNull()).collect()}
+    # upper_q=0.5 over {0, 5, 100} clips 100 down to the median 5
+    assert null_clipped == {0.0, 5.0}
+
+
+def test_pagerank_directed_ranks_full_universe(spark_global):
+    """r6 review: a directed path A→B→C must rank ALL THREE nodes every
+    round — A (no in-edges) holds the teleport base and keeps feeding B;
+    C (dangling) is ranked but re-emits nothing. scale=100, 1 round:
+    A=15, B=15+floor(85*100/100)=100, C=100."""
+    from metadata_driven_etl_spark.operators.graph import pagerank_fixed_point
+
+    spark = spark_global
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "C")], "src string, dst string"
+    )
+    out = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed_point(edges, iterations=1, scale=100).collect()
+    }
+    assert out == {"A": 15, "B": 100, "C": 100}

@@ -515,6 +515,11 @@ def test_gold_delta_config_validation():
         GoldModel.from_dict({**base, "sql_query": "SELECT 1"})
     with pytest.raises(ConfigError):  # alias clash with count_col
         GoldModel.from_dict({**base, "sum_cols": {"n_rows": "v"}})
+    with pytest.raises(ConfigError, match="collide with group_keys"):
+        # alias shadowing a group key would emit two columns of one name
+        GoldModel.from_dict({**base, "sum_cols": {"g": "v"}})
+    with pytest.raises(ConfigError, match="collide with group_keys"):
+        GoldModel.from_dict({**base, "count_col": "g"})
     with pytest.raises(ConfigError):  # delta knobs forbidden on sql models
         GoldModel.from_dict(
             {

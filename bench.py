@@ -257,6 +257,8 @@ HEADLINE = [
     "chisq_cells_flag_status",
     "gini_quantity_by_flag",
     "cumulative_unique_users",
+    "window_moving_median",
+    "conversion_latency_quantiles",
 ]
 
 

@@ -5808,6 +5808,86 @@ def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.withColumn("cum_users", F.sum("new_users").over(w))
 
 
+@workload(
+    "window_moving_median",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           quantile_cont(o_totalprice, 0.5) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS moving_median
+    FROM orders""",
+)
+def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving median of each customer's last 5 order totals — the robust
+    trend line (a moving MEAN chases one outlier order; the median
+    doesn't). Exercises a non-algebraic aggregate over a sliding window
+    frame, which Spark executes with per-frame buffers — fine for
+    bounded ROWS frames like this, the trap is unbounded frames on hot
+    keys.
+
+    ONE customer-keyed window shuffle; percentile's h=(n-1)q double
+    interpolation is shared with quantile_cont (see agg_percentile), so
+    values hash-match."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.expr("percentile(o_totalprice, 0.5)").over(w).alias("moving_median"),
+    )
+
+
+@workload(
+    "conversion_latency_quantiles",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS v,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+        FROM events GROUP BY 1),
+    lat AS (
+        SELECT epoch_us(p) - epoch_us(v) AS us FROM firsts
+        WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           quantile_cont(us, 0.5) AS p50_us,
+           quantile_cont(us, 0.9) AS p90_us
+    FROM lat""",
+)
+def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion distribution: quantiles of (first purchase −
+    first view) per user — the product-funnel latency metric behind
+    "how long does a user take to convert".
+
+    Scale: one user-keyed aggregation (two conditional MINs, map-side
+    combinable) collapses the event stream to |users| rows; the quantile
+    is a single-row aggregate over that frame. Latencies are exact
+    integer microseconds, so the percentile interpolation is the shared
+    double formula over exact inputs — hash-identical."""
+    events = _t(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "p"
+        ),
+    )
+    lat = firsts.filter(
+        F.col("v").isNotNull() & F.col("p").isNotNull() & (F.col("p") >= F.col("v"))
+    ).select((F.unix_micros("p") - F.unix_micros("v")).alias("us"))
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.expr("percentile(us, 0.5)").alias("p50_us"),
+        F.expr("percentile(us, 0.9)").alias("p90_us"),
+    )
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================

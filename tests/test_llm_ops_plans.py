@@ -467,3 +467,46 @@ def test_item_cf_counts_broadcast_back(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Scan ExistingRDD" in plan
+
+
+def test_chisq_single_cell_shuffle_broadcast_totals(spark, sf_dir):
+    """ONE map-side-combinable cell aggregation is the only corpus
+    shuffle; row/col/grand totals derive from the materialized cell frame
+    and broadcast back (never a sort-merge join)."""
+    plan = _plan(workloads.QUERIES["chisq_cells_flag_status"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan  # cells materialized once
+
+
+def test_gini_window_distribution_reused_by_aggregate(spark, sf_dir):
+    """The rank window's group partitioning must be reused by the final
+    aggregation — ONE data shuffle for the whole query."""
+    plan = _plan(workloads.QUERIES["gini_quantity_by_flag"](spark, sf_dir))
+    data_shuffles = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(data_shuffles) == 1, data_shuffles
+    assert "Join" not in plan
+
+
+def test_cumulative_users_window_is_on_date_frame(spark, sf_dir):
+    """The single-partition running-sum window must run over the tiny
+    per-day frame (AFTER two aggregations), never the event stream: the
+    plan's window input comes from a HashAggregate, and the corpus
+    shuffles only for the per-user first-seen aggregate."""
+    plan = _plan(workloads.QUERIES["cumulative_unique_users"](spark, sf_dir))
+    assert "Window" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
+
+
+def test_moving_median_single_window_shuffle(spark, sf_dir):
+    """One customer-keyed window shuffle; the bounded ROWS frame keeps
+    per-frame buffers O(5), never an unbounded per-key buffer."""
+    plan = _plan(workloads.QUERIES["window_moving_median"](spark, sf_dir))
+    assert plan.count("Window") == 1
+    data_shuffles = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(data_shuffles) == 1, data_shuffles

@@ -259,6 +259,7 @@ HEADLINE = [
     "cumulative_unique_users",
     "window_moving_median",
     "conversion_latency_quantiles",
+    "linreg_price_on_quantity",
 ]
 
 

@@ -5888,6 +5888,94 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "linreg_price_on_quantity",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+        FROM lineitem),
+    m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(20,0))) AS DECIMAL(20,0)) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(20,0))) AS DECIMAL(20,0)) AS sy,
+               CAST(SUM(CAST(x * x AS DECIMAL(28,0))) AS DECIMAL(28,0)) AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(28,0))) AS DECIMAL(28,0)) AS syy,
+               CAST(SUM(CAST(x * y AS DECIMAL(28,0))) AS DECIMAL(28,0)) AS sxy
+        FROM c GROUP BY 1),
+    d AS (
+        SELECT l_returnflag, n,
+               CAST(CAST(CAST(n AS DECIMAL(20,0)) * sxy - sx * sy AS VARCHAR)
+                    AS DOUBLE) AS cxy,
+               CAST(CAST(CAST(n AS DECIMAL(20,0)) * sxx - sx * sx AS VARCHAR)
+                    AS DOUBLE) AS vx,
+               CAST(CAST(CAST(n AS DECIMAL(20,0)) * syy - sy * sy AS VARCHAR)
+                    AS DOUBLE) AS vy,
+               CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+               CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd
+        FROM m)
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           (cxy / vx) / 100 AS slope,
+           ((syd - (cxy / vx) * sxd) / n) / 100 AS intercept,
+           (cxy / (sqrt(vx) * sqrt(vy)))
+             * (cxy / (sqrt(vx) * sqrt(vy))) AS r2
+    FROM d""",
+)
+def linreg_price_on_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS per group — in-database ML without MLlib: fit
+    price = slope·quantity + intercept per returnflag from the normal
+    equations, plus r². One map-side-combinable aggregation over the
+    fact table computes the five exact-decimal moment sums (the
+    agg_exact_stats discipline: 2-dp money as integer cents, n·Sxy −
+    Sx·Sy numerators stay in decimal — no order sensitivity, no FMA
+    contraction); slope/intercept/r² are a short fixed chain of IEEE
+    double ops over those exact values, so three fitted models
+    hash-match DuckDB bit-for-bit. Moment magnitudes stay < 2⁵³ at any
+    tested SF, so the decimal→double conversions are exact.
+
+    At 100 TB this is THE way to fit millions of per-segment univariate
+    models: one aggregation pass, no per-group iteration, no driver
+    involvement."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("y"),
+    )
+    d20, d28 = "decimal(20,0)", "decimal(28,0)"
+    m = c.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(d20)).cast(d20).alias("sx"),
+        F.sum(F.col("y").cast(d20)).cast(d20).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(d28)).cast(d28).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d28)).cast(d28).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast(d28)).cast(d28).alias("sxy"),
+    )
+    nd = F.col("n").cast(d20)
+    d = m.select(
+        "l_returnflag",
+        "n",
+        (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double").alias("cxy"),
+        (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double").alias("vx"),
+        (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double").alias("vy"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sy").cast("double").alias("syd"),
+    )
+    slope_cents = F.col("cxy") / F.col("vx")
+    r = F.col("cxy") / (F.sqrt(F.col("vx")) * F.sqrt(F.col("vy")))
+    return d.select(
+        "l_returnflag",
+        "n",
+        (slope_cents / 100).alias("slope"),
+        (((F.col("syd") - slope_cents * F.col("sxd")) / F.col("n")) / 100).alias(
+            "intercept"
+        ),
+        (r * r).alias("r2"),
+    )
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================

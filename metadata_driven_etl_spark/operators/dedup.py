@@ -1265,8 +1265,13 @@ def jaccard_prefix_pairs(
             ).alias("_ord")
         )
     )
-    # alpha = ceil(t' * sz) via integer ceil-division: (num*sz + den-1) div den
-    alpha = F.expr(f"({t_num} * _sz + {t_den - 1}) div {t_den}")
+    # alpha = ceil(t' * sz) via integer ceil-division: (num*sz + den-1)
+    # div den. BIGINT throughout: _sz is IntegerType (F.size) and
+    # t_num*_sz overflows 32-bit at ~2.1e3/1e6-scale shingle counts — an
+    # ANSI-mode crash or (ANSI off) silently lost true pairs.
+    alpha = F.expr(
+        f"({t_num} * CAST(_sz AS BIGINT) + {t_den - 1}) div {t_den}"
+    )
     prefix = _materialize(
         ordered.select(
             "_pid",
@@ -1294,9 +1299,16 @@ def jaccard_prefix_pairs(
             pb,
             (F.col("_tok_a") == F.col("_tok_b"))
             & (F.col("id_a") < F.col("id_b"))
-            # length filter (t <= J <= min/max sizes ratio), exact bigints
-            & (F.col("_sz_b") * F.lit(t_den) >= F.lit(t_num) * F.col("_sz_a"))
-            & (F.col("_sz_a") * F.lit(t_den) >= F.lit(t_num) * F.col("_sz_b")),
+            # length filter (t <= J <= min/max sizes ratio), exact
+            # BIGINT arithmetic (int sizes would overflow, see alpha)
+            & (
+                F.col("_sz_b").cast("long") * F.lit(t_den)
+                >= F.lit(t_num) * F.col("_sz_a").cast("long")
+            )
+            & (
+                F.col("_sz_a").cast("long") * F.lit(t_den)
+                >= F.lit(t_num) * F.col("_sz_b").cast("long")
+            ),
         )
         .select("id_a", "id_b")
         .distinct()

@@ -1287,3 +1287,22 @@ def test_pagerank_directed_ranks_full_universe(spark_global):
         for r in pagerank_fixed_point(edges, iterations=1, scale=100).collect()
     }
     assert out == {"A": 15, "B": 100, "C": 100}
+
+
+def test_jaccard_prefix_large_documents_no_overflow(spark_global):
+    """r6 review: the exact integer candidate bounds multiply shingle
+    counts by 1e6 — IntegerType sizes overflow 32-bit at ~2148 distinct
+    shingles (ANSI crash, or silently lost pairs with ANSI off). Two
+    identical 2300-token documents must surface as the J=1.0 pair."""
+    from metadata_driven_etl_spark.operators.dedup import jaccard_prefix_pairs
+
+    spark = spark_global
+    text = " ".join(f"tok{i}" for i in range(2300))
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    got = [
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in jaccard_prefix_pairs(df, threshold=0.7).collect()
+    ]
+    assert got == [(1, 2, 1.0)]

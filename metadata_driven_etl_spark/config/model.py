@@ -473,8 +473,13 @@ class CorpusStageConfig:
     # filtering — EXACT all-pairs, the compliance-grade sweep; costs a
     # global df-order pass).
     method: str = "lsh"
-    # near_dedup method=prefix: the exact Jaccard threshold.
-    jaccard_threshold: float = 0.25
+    # near_dedup method=prefix: the exact Jaccard threshold. Default is
+    # the NEAR-DUP regime (0.7): prefix filtering's candidate space is
+    # ~(1-t)·|set| postings per doc, so low thresholds degenerate — the
+    # measured sf0.1 run at t=0.25 produced ~10M candidates for 25 true
+    # pairs (dedup_jaccard_prefix docstring). Low-t discovery belongs to
+    # LSH; set this explicitly only if you know the regime you're in.
+    jaccard_threshold: float = 0.7
     # near_dedup LSH band-bucket cap: None = operator default
     # (dedup.DEFAULT_MAX_BUCKET_SIZE, the shipped 100 TB posture);
     # 0 = uncapped exact-candidate baseline; >0 = explicit cap.
@@ -635,7 +640,7 @@ class CorpusStageConfig:
             span_tokens=int(d.get("span_tokens", 20)),
             keep=keep,
             method=method,
-            jaccard_threshold=float(jt) if jt is not None else 0.25,
+            jaccard_threshold=float(jt) if jt is not None else 0.7,
             max_bucket_size=int(mbs) if mbs is not None else None,
             embedding_table=d.get("embedding_table"),
             embedding_id_col=d.get("embedding_id_col"),

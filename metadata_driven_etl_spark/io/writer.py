@@ -135,8 +135,17 @@ def z_value(
                 + F.when(b <= e, F.lit(1)).otherwise(F.lit(0)),
             )
 
+        # NULL policy (both modes): NULL values land in bucket 0 — they
+        # cluster with the minimum, keeping __z non-null so writes
+        # partitioned/sorted on it never spawn a null partition. Made
+        # explicit here (the fold already yields 0 for NULL because
+        # `b <= NULL` is NULL -> otherwise(0)) so the two modes can't
+        # silently diverge again.
         buckets = [
-            _rank_in(f"__qb_{i}", e) for i, e in enumerate(casted)
+            F.when(e.isNull(), F.lit(0).cast("long")).otherwise(
+                _rank_in(f"__qb_{i}", e)
+            )
+            for i, e in enumerate(casted)
         ]
         drop_cols = [f"__qb_{i}" for i in range(n)]
     else:
@@ -149,8 +158,13 @@ def z_value(
         for i, e in enumerate(casted):
             span = F.col(f"__max_{i}") - F.col(f"__min_{i}")
             frac = F.when(span > 0, (e - F.col(f"__min_{i}")) / span).otherwise(F.lit(0.0))
+            # Same NULL policy as quantile mode: NULL -> bucket 0
+            # (without the guard, NULL propagates through frac/floor to
+            # a NULL __z and the two modes cluster NULLs differently).
             buckets.append(
-                F.least(F.floor(frac * (hi + 1)).cast("long"), F.lit(hi))
+                F.when(e.isNull(), F.lit(0).cast("long")).otherwise(
+                    F.least(F.floor(frac * (hi + 1)).cast("long"), F.lit(hi))
+                )
             )
         drop_cols = [f"__min_{i}" for i in range(n)] + [
             f"__max_{i}" for i in range(n)

@@ -420,9 +420,15 @@ class GoldLayer(_LayerBase):
             )
         # The maintained path reads the target it is about to overwrite:
         # sever lineage first (same discipline as TableFormat.merge).
-        df = df.localCheckpoint(eager=True)
+        # Stamp the lineage column BEFORE the write so the dictionary
+        # registers the frame that is actually written (the full-refresh
+        # path registers WITH the timestamp; registering the pre-stamp
+        # frame here would drop a real column from the schema record).
+        df = df.localCheckpoint(eager=True).withColumn(
+            "gold_insert_timestamp", F.current_timestamp()
+        )
         rows = _counted_write(
-            df.withColumn("gold_insert_timestamp", F.current_timestamp()),
+            df,
             lambda d: fmt.overwrite(
                 d, m.target_table, list(m.partition_by) or None
             ),

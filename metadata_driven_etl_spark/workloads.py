@@ -5107,8 +5107,9 @@ _PMI_TOPK = 50
         FROM pair GROUP BY 1, 2
         HAVING COUNT(*) >= {_PMI_MIN_PAIR})
     SELECT p.w1 || ' ' || p.w2 AS bigram, p.pair_count,
-           CAST(t.n * p.pair_count AS DOUBLE)
-               / CAST(u1.c * u2.c AS DOUBLE) AS pmi_ratio
+           CAST(CAST(t.n AS DECIMAL(20,0)) * p.pair_count AS DOUBLE)
+               / CAST(CAST(u1.c AS DECIMAL(20,0)) * u2.c AS DOUBLE)
+               AS pmi_ratio
     FROM pcnt p
     JOIN ucnt u1 ON p.w1 = u1.w
     JOIN ucnt u2 ON p.w2 = u2.w
@@ -5128,15 +5129,19 @@ def collocation_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-frequency pathology), top-{_PMI_TOPK} with a lexicographic
     tie-break.
 
-    Scale: tokenize ONCE, derive unigram and bigram streams from the same
-    token arrays; two partial-aggregated counts; unigram counts join back
-    by plain equi-joins (shuffle on word — broadcast is wrong here, a real
-    vocabulary is millions of words); final top-k is TakeOrderedAndProject,
-    no global sort."""
+    Scale: tokenize ONCE — the token-array frame is localCheckpoint-
+    materialized because it feeds three consumers (unigram counts, the
+    corpus total, and the bigram stream) and Spark re-executes shared
+    lineage per consumer otherwise; two partial-aggregated counts; the
+    count products run in DECIMAL(20,0) (n·c(xy) with n~1e10+ tokens and
+    stop-word counts ~0.1n overflows int64 long before the double cast);
+    unigram counts join back by plain equi-joins (shuffle on word —
+    broadcast is wrong here, a real vocabulary is millions of words);
+    final top-k is TakeOrderedAndProject, no global sort."""
     toks = _docs(spark, sf_dir).select(
         text_ops.tokens("text").alias("t")
-    )
-    uni = toks.select(F.explode("t").alias("w"))
+    ).localCheckpoint(eager=False)
+    uni = toks.select(F.explode("t").alias("w")).localCheckpoint(eager=False)
     ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     tot = uni.agg(F.count(F.lit(1)).alias("n"))
     pairs = toks.select(
@@ -5168,8 +5173,10 @@ def collocation_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat("w1", F.lit(" "), "w2").alias("bigram"),
             "pair_count",
             (
-                (F.col("n") * F.col("pair_count")).cast("double")
-                / (F.col("u1_c") * F.col("u2_c")).cast("double")
+                (F.col("n").cast("decimal(20,0)") * F.col("pair_count"))
+                .cast("double")
+                / (F.col("u1_c").cast("decimal(20,0)") * F.col("u2_c"))
+                .cast("double")
             ).alias("pmi_ratio"),
         )
         .orderBy(F.desc("pmi_ratio"), "bigram")
@@ -5731,13 +5738,20 @@ def chisq_cells_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(l_quantity AS BIGINT) AS q,
                CAST(row_number() OVER (PARTITION BY l_returnflag
                                        ORDER BY l_quantity) AS BIGINT) AS i
-        FROM lineitem)
+        FROM lineitem),
+    m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DECIMAL(20,0)) AS n,
+               CAST(SUM(CAST(q AS DECIMAL(20,0))) AS DECIMAL(20,0)) AS sq,
+               CAST(SUM(CAST(CAST(i AS DECIMAL(20,0)) * q AS DECIMAL(28,0)))
+                    AS DECIMAL(28,0)) AS siq
+        FROM ranked GROUP BY 1)
     SELECT l_returnflag,
-           CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(q) AS BIGINT) AS sum_qty,
-           CAST(2 * SUM(i * q) - (COUNT(*) + 1) * SUM(q) AS DOUBLE)
-             / CAST(COUNT(*) * SUM(q) AS DOUBLE) AS gini
-    FROM ranked GROUP BY 1""",
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(sq AS BIGINT) AS sum_qty,
+           CAST(CAST(2 * siq - (n + 1) * sq AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(n * sq AS VARCHAR) AS DOUBLE) AS gini
+    FROM m""",
 )
 def gini_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group Gini coefficient of the quantity distribution — the
@@ -5746,26 +5760,39 @@ def gini_quantity_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     group-sorted values.
 
     Hash-exact: quantities are integral, so every term is an exact
-    bigint; ties need NO tiebreak (equal values commute under the rank
+    value; ties need NO tiebreak (equal values commute under the rank
     sum), making row_number deterministic here; the only float op is the
-    final division. ONE shuffle: the rank window's group partitioning is
-    reused by the aggregation (group keys ⊇ window key)."""
+    final division. The rank-sum moment Σi·q grows ~q̄·n²/2, so the
+    product is formed in DECIMAL(28,0) BEFORE summing (the
+    linreg_price_on_quantity moment discipline) — int64 would silently
+    wrap past n≈2e9 rows per group at the 100 TB posture. The final
+    decimal→double conversions are exact while the moments stay < 2⁵³;
+    beyond that both engines round-to-nearest identically from the exact
+    decimal. ONE shuffle: the rank window's group partitioning is reused
+    by the aggregation (group keys ⊇ window key)."""
     from pyspark.sql import Window
 
+    d20, d28 = "decimal(20,0)", "decimal(28,0)"
     li = _t(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_returnflag").orderBy("q")
     ranked = li.select(
         "l_returnflag", F.col("l_quantity").cast("long").alias("q")
     ).withColumn("i", F.row_number().over(w).cast("long"))
-    return ranked.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum("q").alias("sum_qty"),
+    m = ranked.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast(d20).alias("n"),
+        F.sum(F.col("q").cast(d20)).cast(d20).alias("sq"),
+        F.sum((F.col("i").cast(d20) * F.col("q")).cast(d28))
+        .cast(d28)
+        .alias("siq"),
+    )
+    nd = F.col("n")
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("sq").cast("long").alias("sum_qty"),
         (
-            (
-                2 * F.sum(F.col("i") * F.col("q"))
-                - (F.count(F.lit(1)) + 1) * F.sum("q")
-            ).cast("double")
-            / (F.count(F.lit(1)) * F.sum("q")).cast("double")
+            (2 * F.col("siq") - (nd + 1) * F.col("sq")).cast("double")
+            / (nd * F.col("sq")).cast("double")
         ).alias("gini"),
     )
 

@@ -848,6 +848,29 @@ def test_near_dedup_method_prefix(ctx, tmp_path):
     assert got == want and 0 < len(got) <= docs.count()
 
 
+def test_near_dedup_prefix_default_threshold_is_near_dup_regime(tmp_path):
+    """method=prefix with no explicit jaccard_threshold defaults to the
+    documented near-dup regime (0.7), NOT the degenerate low-t sweep —
+    the measured t=0.25 run produced ~10M candidates for 25 true pairs
+    (ADVICE r6); a user enabling prefix without a threshold must get the
+    safe posture."""
+    cfg = load_corpus_config(
+        _write_config(
+            tmp_path,
+            """
+            corpus_pipelines:
+              - pipeline_id: pfx_default
+                input_path: /tmp/x.parquet
+                target_table: corpus.t
+                stages:
+                  - stage: near_dedup
+                    method: prefix
+            """,
+        )
+    )
+    assert cfg.pipelines[0].stages[0].jaccard_threshold == 0.7
+
+
 def test_near_dedup_method_validation(tmp_path):
     """method/jaccard_threshold knobs fail fast when misused: unknown
     method, cap with method=prefix, knobs outside near_dedup."""

@@ -477,6 +477,17 @@ def test_gold_delta_refresh_e2e(spark, tmp_path):
     modes = [r.config_snapshot for r in ctl.collect()]
     assert any('"mode": "delta_maintain"' in (m or "") for m in modes)
 
+    # data dictionary registered the WRITTEN schema incl. the lineage
+    # timestamp column (ADVICE r6: the delta path used to register the
+    # pre-stamp frame, dropping gold_insert_timestamp from the record)
+    dict_cols = {
+        r.column_name
+        for r in spark.table("metadata.data_dictionary")
+        .filter("table_name = 'gold.ivm_by_grp'")
+        .collect()
+    }
+    assert "gold_insert_timestamp" in dict_cols, dict_cols
+
     # run 3: no snapshot change — empty diff, identical result
     before = _target_rows(spark)
     res3 = run_pipeline(

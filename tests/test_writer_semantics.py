@@ -276,3 +276,38 @@ def test_z_value_quantile_bucketing_handles_skew(spark, fmt):
         z_value(df, ["k"], bits=12, bucketing="quantile")
     with pytest.raises(ValueError, match="bucketing"):
         z_value(df, ["k"], bits=8, bucketing="median")
+
+
+def test_z_value_null_policy_identical_across_modes(spark):
+    """NULL inputs land in bucket 0 in BOTH bucketing modes (ADVICE r6:
+    linear mode used to propagate NULL through frac/floor to a NULL __z
+    while quantile mode scored NULLs as bucket 0 — same data clustered
+    differently depending on the mode)."""
+    from metadata_driven_etl_spark.io.writer import z_value
+
+    df = spark.createDataFrame(
+        [(None, 1.0), (5.0, None), (1.0, 1.0), (9.0, 9.0), (None, None)],
+        "a double, b double",
+    )
+    for mode in ("linear", "quantile"):
+        out = z_value(df, ["a", "b"], bits=4, bucketing=mode)
+        zs = {
+            (r.a, r.b): r["__z"]
+            for r in out.select("a", "b", "__z").collect()
+        }
+        # __z is never NULL
+        assert all(z is not None for z in zs.values()), (mode, zs)
+        # all-NULL row interleaves two zero buckets -> __z == 0
+        assert zs[(None, None)] == 0, (mode, zs)
+        # NULL sorts at-or-below the column minimum (bucket 0); bit
+        # spreading is strictly monotone per coordinate, so with b fixed
+        # the NULL-a row can never z-sort ABOVE the min-a row
+        assert zs[(None, 1.0)] <= zs[(1.0, 1.0)], (mode, zs)
+    # and in linear mode NULL is exactly the min bucket
+    lin = {
+        (r.a, r.b): r["__z"]
+        for r in z_value(df, ["a", "b"], bits=4, bucketing="linear")
+        .select("a", "b", "__z")
+        .collect()
+    }
+    assert lin[(None, 1.0)] == lin[(1.0, 1.0)], lin

@@ -38,7 +38,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from metadata_driven_etl_spark.operators.dedup import _materialize
+from metadata_driven_etl_spark.operators.dedup import (
+    _iteration_regime,
+    _materialize,
+)
 
 DEFAULT_SCALE = 10**12
 
@@ -88,35 +91,60 @@ def pagerank_fixed_point(
         checkpoint_dir,
     )
     base = ((damping_den - damping_num) * scale) // damping_den
-    nodes = _materialize(
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct(),
-        checkpoint_dir,
-    )
-    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
-    for _ in range(iterations):
-        contrib = (
-            e_deg.join(ranks, F.col("src") == F.col("node"))
-            .groupBy(F.col("dst").alias("_cnode"))
-            .agg(F.sum(F.expr("rank div _outdeg")).alias("_in_mass"))
-        )
-        # LEFT join from the full universe: a node with no in-mass this
-        # round still holds the teleport base (directed-graph contract).
-        ranks = _materialize(
-            nodes.join(contrib, F.col("node") == F.col("_cnode"), "left")
-            .select(
-                "node",
-                (
-                    F.lit(base).cast("long")
-                    + F.expr(
-                        f"({damping_num} * coalesce(_in_mass, 0L))"
-                        f" div {damping_den}"
-                    )
-                ).alias("rank"),
-            ),
+    # Gate the small-graph regime (dedup._iteration_regime) on the edge
+    # count; the count also eagerly pays the e_deg materialization the
+    # first round would pay. Lazy localCheckpoint compiles each round's
+    # physical plan at CALL time, so plans built inside the regime bake
+    # the small partitioning in even though execution happens at the
+    # caller's action.
+    n_edges = e_deg.count()
+    with _iteration_regime(e_deg.sparkSession, n_edges) as small_parts:
+        if small_parts is not None:
+            e_deg = e_deg.coalesce(small_parts)
+        nodes = _materialize(
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct(),
             checkpoint_dir,
         )
+        ranks = nodes.select(
+            "node", F.lit(scale).cast("long").alias("rank")
+        )
+        for _ in range(iterations):
+            # Small regime: ranks/contrib (≤ |nodes| ≤ 2·|edges| rows)
+            # ride as broadcasts — zero Exchange per round. Large regime:
+            # the shuffling posture, unchanged.
+            ranks_j = (
+                F.broadcast(ranks) if small_parts is not None else ranks
+            )
+            contrib = (
+                e_deg.join(ranks_j, F.col("src") == F.col("node"))
+                .groupBy(F.col("dst").alias("_cnode"))
+                .agg(F.sum(F.expr("rank div _outdeg")).alias("_in_mass"))
+            )
+            contrib_j = (
+                F.broadcast(contrib) if small_parts is not None
+                else contrib
+            )
+            # LEFT join from the full universe: a node with no in-mass
+            # this round still holds the teleport base (directed-graph
+            # contract).
+            ranks = _materialize(
+                nodes.join(
+                    contrib_j, F.col("node") == F.col("_cnode"), "left"
+                )
+                .select(
+                    "node",
+                    (
+                        F.lit(base).cast("long")
+                        + F.expr(
+                            f"({damping_num} * coalesce(_in_mass, 0L))"
+                            f" div {damping_den}"
+                        )
+                    ).alias("rank"),
+                ),
+                checkpoint_dir,
+            )
     return ranks
 
 

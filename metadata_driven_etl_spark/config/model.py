@@ -342,6 +342,10 @@ class GoldModel:
     group_keys: tuple[str, ...] = ()
     sum_cols: tuple[tuple[str, str], ...] = ()  # (output alias, source col)
     count_col: str = "n_rows"
+    # > 0: write <target>__maintained_snapshot bucketed on snapshot_keys
+    # with this many buckets, so the steady-state diff join reads the
+    # maintained side with zero Exchange (pipeline._delta_model)
+    snapshot_buckets: int = 0
 
     @staticmethod
     def from_dict(d: dict[str, Any]) -> "GoldModel":
@@ -352,8 +356,17 @@ class GoldModel:
         _require(rt in VALID_REFRESH_TYPES, f"model {mid}: invalid refresh_type {rt!r}")
         mt = d.get("model_type", "delta_agg" if rt == "delta" else "sql")
         pk = tuple(d.get("primary_keys") or ())
-        delta_knobs = ("snapshot_table", "snapshot_keys", "group_keys", "sum_cols")
+        delta_knobs = (
+            "snapshot_table", "snapshot_keys", "group_keys", "sum_cols",
+            "snapshot_buckets",
+        )
         if rt == "delta":
+            sb = d.get("snapshot_buckets", 0)
+            _require(
+                isinstance(sb, int) and not isinstance(sb, bool) and sb >= 0,
+                f"model {mid}: snapshot_buckets must be a non-negative "
+                f"int, got {sb!r}",
+            )
             _require(
                 mt == "delta_agg",
                 f"model {mid}: refresh_type delta requires model_type "
@@ -430,6 +443,7 @@ class GoldModel:
             group_keys=tuple(d.get("group_keys") or ()),
             sum_cols=sum_cols,
             count_col=str(d.get("count_col", "n_rows")),
+            snapshot_buckets=int(d.get("snapshot_buckets", 0) or 0),
         )
 
 

@@ -393,7 +393,16 @@ class GoldLayer(_LayerBase):
         ``snapshot_keys`` (each side shuffles once — zero Exchange when
         both snapshots are written bucketed on the key), then a tiny
         delta aggregate joined to the already-small target. The corpus
-        is never re-aggregated after the first run."""
+        is never re-aggregated after the first run.
+
+        ``snapshot_buckets: N`` (N > 0) writes the maintained snapshot
+        bucketed on ``snapshot_keys`` (TableFormat.overwrite_bucketed),
+        so the diff's maintained side is pre-hash-partitioned on disk
+        and joins with NO Exchange (plan-pinned in test_pipeline_e2e) —
+        at 100 TB the snapshot pair is the only corpus-sized frame this
+        path ever touches, and bucketing removes half that shuffle every
+        cadence (all of it when the upstream ``snapshot_table`` is
+        bucketed on the same keys by its own writer)."""
         fmt, spark = self.ctx.table_format, self.ctx.spark
         snap_copy = f"{m.target_table}__maintained_snapshot"
         gks = list(m.group_keys)
@@ -462,7 +471,12 @@ class GoldLayer(_LayerBase):
         # Remember this snapshot for the next run's diff AFTER the target
         # write succeeded (a failed target write must not advance the
         # maintained-snapshot state, or the next diff would skip changes).
-        fmt.overwrite(new, snap_copy, None)
+        if m.snapshot_buckets > 0:
+            fmt.overwrite_bucketed(
+                new, snap_copy, list(m.snapshot_keys), m.snapshot_buckets
+            )
+        else:
+            fmt.overwrite(new, snap_copy, None)
         self.ctx.control.update_run(
             m.target_table, self.layer_name, run_date, rows, "success",
             {

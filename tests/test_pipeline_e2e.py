@@ -650,6 +650,96 @@ def test_gold_delta_refresh_e2e(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_gold_delta_bucketed_snapshot(spark, tmp_path):
+    """snapshot_buckets: the maintained snapshot is written as a BUCKETED
+    table on snapshot_keys, and the steady-state diff join consumes it
+    with zero Exchange on the maintained side (VERDICT r6 item 7 — the
+    docstring's 'zero Exchange when both snapshots are bucketed' promise,
+    now wired instead of aspirational)."""
+    import textwrap
+
+    from metadata_driven_etl_spark.operators import merge as merge_ops
+
+    for t in (
+        "gold.ivm_by_grp", "gold.ivm_by_grp__maintained_snapshot",
+        "silver.ivm_src",
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    cfg = tmp_path / "gold_config.yaml"
+    cfg.write_text(
+        textwrap.dedent(
+            """
+            models:
+              - model_id: "ivm_by_grp"
+                refresh_type: "delta"
+                target_table: "gold.ivm_by_grp"
+                snapshot_table: "silver.ivm_src"
+                snapshot_keys: ["id"]
+                group_keys: ["grp"]
+                snapshot_buckets: 4
+                sum_cols:
+                  total_val: "val"
+            """
+        )
+    )
+    _write_snapshot(spark, [(i, f"g{i % 5}", i % 13) for i in range(400)])
+    run_pipeline(
+        spark, str(tmp_path), "2024-01-15", ["gold"],
+        table_format=ParquetFormat(),
+    )
+    # maintenance run with updates + inserts + deletes: parity holds
+    _write_snapshot(
+        spark,
+        [(i, f"g{i % 5}", (i % 13) + (i % 7 == 0)) for i in range(50, 430)],
+    )
+    res = run_pipeline(
+        spark, str(tmp_path), "2024-01-16", ["gold"],
+        table_format=ParquetFormat(),
+    )
+    assert [r.status for r in res["gold"]] == ["success"]
+    assert _target_rows(spark) == _full_rebuild(spark)
+    ctl = spark.table("metadata.etl_control_table").filter(
+        "table_name = 'gold.ivm_by_grp'"
+    )
+    assert any(
+        '"mode": "delta_maintain"' in (r.config_snapshot or "")
+        for r in ctl.collect()
+    )
+
+    # the maintained snapshot is a catalog-bucketed table on the key
+    detail = "\n".join(
+        f"{r.col_name}: {r.data_type}"
+        for r in spark.sql(
+            "DESCRIBE FORMATTED gold.ivm_by_grp__maintained_snapshot"
+        ).collect()
+    )
+    assert "Num Buckets: 4" in detail, detail
+    assert "Bucket Columns: [`id`]" in detail, detail
+
+    # plan pin: the steady-state diff (the ONLY corpus-sized operation on
+    # this path) reads the maintained side with no Exchange — exactly one
+    # shuffle remains, on the un-bucketed incoming-snapshot side. A full
+    # outer join can never broadcast, so this is the SMJ shape at any SF.
+    diff = merge_ops.snapshot_diff(
+        spark.table("gold.ivm_by_grp__maintained_snapshot"),
+        spark.table("silver.ivm_src"),
+        keys=["id"],
+    )
+    plan = diff._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan and "FullOuter" in plan, plan
+    n_exchange = sum(
+        1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    )
+    assert n_exchange == 1, plan
+    assert "Bucketed: true" in plan, plan
+
+    for t in (
+        "gold.ivm_by_grp", "gold.ivm_by_grp__maintained_snapshot",
+        "silver.ivm_src",
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_gold_delta_config_validation():
     """delta models: required knobs enforced, sql_query rejected, and the
     delta knobs rejected on sql models."""
@@ -683,5 +773,21 @@ def test_gold_delta_config_validation():
             {
                 "model_id": "m2", "target_table": "gold.t2",
                 "sql_query": "SELECT 1 AS x", "group_keys": ["g"],
+            }
+        )
+    # snapshot_buckets: optional, integer >= 0, delta-only
+    assert GoldModel.from_dict(base).snapshot_buckets == 0
+    assert (
+        GoldModel.from_dict({**base, "snapshot_buckets": 8}).snapshot_buckets
+        == 8
+    )
+    for bad_sb in (-1, "4", 2.5, True):
+        with pytest.raises(ConfigError, match="snapshot_buckets"):
+            GoldModel.from_dict({**base, "snapshot_buckets": bad_sb})
+    with pytest.raises(ConfigError):  # delta-only knob on an sql model
+        GoldModel.from_dict(
+            {
+                "model_id": "m3", "target_table": "gold.t3",
+                "sql_query": "SELECT 1 AS x", "snapshot_buckets": 4,
             }
         )

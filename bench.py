@@ -264,6 +264,12 @@ HEADLINE = [
     # (probe-limited index vs its own exact twin, bound hash-checked).
     "similarity_ann_lsh_bounded",
     "similarity_ann_ivf_bounded",
+    # round-7 operator additions: graph structure (triangles, RA link
+    # prediction), exact EWMA smoothing, hybrid-retrieval RRF fusion.
+    "triangle_count_copurchase",
+    "link_predict_copurchase_ra",
+    "window_ewma_smooth",
+    "search_hybrid_rrf",
 ]
 
 

@@ -18,6 +18,8 @@ rounds cosine to 6 dp; ranking ties are broken by vec_id.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -594,3 +596,48 @@ def sql_quantize_int8(
                  list_max(list_transform({xd}, x -> abs(x))) AS scale
           FROM {table})
     """
+
+
+RRF_K = 60
+RRF_SCALE = 10**12
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k_const: int = RRF_K,
+    scale: int = RRF_SCALE,
+    top_k: int = 20,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009) of N
+    retrieval rankings — the standard hybrid-search combiner (BM25 list
+    + dense-ANN list → one list) because it needs NO score calibration:
+    only ranks enter, via Σ 1/(k + rank).
+
+    Fixed-point exact: each contribution is floor(scale/(k+rank)) — a
+    bigint, so the fused score is an exact integer sum (rank ≤ any
+    realistic list length keeps Σ < N·scale/k ≪ 2^63) and the operator
+    carries a full value-level oracle — the same discipline that made
+    pagerank/RA-link-prediction hash-checkable. Output: top_k rows of
+    (id, rrf_score_fp, n_lists) by (score desc, id) — deterministic.
+
+    Scale: each ranking is already a top-L list (L small — the retriever
+    bounded it), so the union + one aggregation + TakeOrderedAndProject
+    is driver-free and shuffle-light; fusing per-query batches just adds
+    the query id to the grouping key.
+    """
+    contribs = None
+    for r in rankings:
+        c = r.select(
+            F.col(id_col),
+            F.expr(f"{scale} div ({k_const} + {rank_col})").alias("_c"),
+        )
+        contribs = c if contribs is None else contribs.unionByName(c)
+    fused = contribs.groupBy(id_col).agg(
+        F.sum("_c").alias("rrf_score_fp"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    return fused.orderBy(
+        F.col("rrf_score_fp").desc(), F.col(id_col)
+    ).limit(top_k)

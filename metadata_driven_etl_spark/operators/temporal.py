@@ -436,3 +436,57 @@ def activity_islands(
         )
         .drop("_grp")
     )
+
+
+def ewma_fixed(
+    df: DataFrame,
+    value_col: str,
+    order_cols: Sequence[str],
+    partition_cols: Sequence[str] = (),
+    half_life_rows: int = 1,
+    window_rows: int = 7,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average with EXACTLY
+    representable weights: w_k = 2^(-k/half_life_rows) truncated at
+    ``window_rows`` lags. With half_life_rows=1 the weights are
+    1, 1/2, 1/4, ... — powers of two, so the weighted sum is exact
+    INTEGER arithmetic after scaling: num = Σ x_{t-k}·2^(W-k),
+    den = Σ 2^(W-k) over the lags that EXIST (sequence starts use fewer),
+    and the emitted average is one IEEE double division num/den —
+    bit-deterministic on every engine (the chisq/linreg discipline; an
+    untruncated float EWMA is a recursive order-sensitive fold that no
+    hash oracle can check). ``value_col`` must be integer-typed — scale
+    decimals to their minor unit first (money → cents).
+
+    The smoothing-for-monitoring primitive (per-entity spend/volume
+    trend lines, denoised anomaly baselines) next to window_moving_avg's
+    flat window.
+
+    Scale: ONE window shuffle on ``partition_cols`` — the ``window_rows``
+    lag() calls share a single WindowExec frame sort, cost O(W) per row
+    map-side. Overflow: |x|·2^W·W must stay < 2^63 (and < 2^53 for the
+    double emit) — at W=7 that allows 13-digit minor-unit values.
+    """
+    if half_life_rows != 1:
+        raise ValueError(
+            "ewma_fixed: only half_life_rows=1 keeps the weights exactly "
+            "representable (powers of two); rescale the cadence instead"
+        )
+    w = Window.partitionBy(
+        *[F.col(c) for c in partition_cols]
+    ).orderBy(*[F.col(c) for c in order_cols])
+    num = None
+    den = None
+    for k in range(window_rows + 1):
+        weight = 1 << (window_rows - k)
+        xk = F.lag(F.col(value_col).cast("long"), k).over(w)
+        term = F.coalesce(xk * F.lit(weight), F.lit(0).cast("long"))
+        dterm = F.when(xk.isNotNull(), F.lit(weight).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        num = term if num is None else num + term
+        den = dterm if den is None else den + dterm
+    return df.withColumn(
+        out_col, num.cast("double") / den.cast("double")
+    )

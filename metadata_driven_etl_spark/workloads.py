@@ -6097,6 +6097,185 @@ def linreg_price_on_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round 7: triangle counting, link prediction, exact EWMA, hybrid RRF
+# =========================================================================
+
+_COPURCHASE_EDGES_SQL = f"""WITH pairs AS ({cooccur_ops.sql_basket_pair_counts(
+    "lineitem", "l_orderkey", "l_partkey")})
+    SELECT item_a AS src, item_b AS dst FROM pairs WHERE n_baskets >= 2"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        cooccur_ops.basket_pair_counts(li, "l_orderkey", "l_partkey")
+        .filter(F.col("n_baskets") >= 2)
+        .select(F.col("item_a").alias("src"), F.col("item_b").alias("dst"))
+    )
+
+
+@workload(
+    "triangle_count_copurchase",
+    oracle=graph_ops.sql_triangle_counts(_COPURCHASE_EDGES_SQL),
+)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts over the co-purchase graph: which parts
+    sit inside densely interlinked purchase communities (the local
+    clustering primitive — community cores, recommendation-cluster
+    seeds). Degree-oriented wedge join, each triangle counted once at
+    its (degree, id)-minimal vertex, exact bigint counts — see
+    operators/graph.py triangle_counts for the Suri-Vassilvitskii-style
+    scale argument (out-neighborhoods bounded by O(√|E|), equi-joins
+    only)."""
+    return graph_ops.triangle_counts(_copurchase_edges(spark, sf_dir))
+
+
+@workload(
+    "link_predict_copurchase_ra",
+    oracle=graph_ops.sql_resource_allocation_topk(
+        _COPURCHASE_EDGES_SQL, top_k=100
+    ),
+)
+def link_predict_copurchase_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 predicted co-purchase links by the Resource Allocation
+    index (Zhou-Lü-Zhang): non-adjacent part pairs scored by
+    Σ 1/deg(z) over shared neighbors z — 'these two parts are never
+    bought together yet, but share many co-purchase partners'. Fixed-
+    point integer weights (floor(1e12/deg), exact bigint sums) make an
+    inherently float-looking score hash-checkable — the pagerank
+    discipline applied to link prediction. Candidates generate only
+    through shared neighbors with the deg≤256 hub cap as the scale
+    contract (wedge fan-out is Σ deg², and a hub's 1/deg weight is the
+    smallest signal in the graph)."""
+    return graph_ops.resource_allocation_topk(
+        _copurchase_edges(spark, sf_dir), top_k=100
+    )
+
+
+_EWMA_W = 7
+
+
+def _sql_ewma_terms() -> tuple[str, str]:
+    num, den = [], []
+    for k in range(_EWMA_W + 1):
+        wt = 1 << (_EWMA_W - k)
+        x = "c" if k == 0 else f"LAG(c, {k}) OVER w"
+        num.append(f"COALESCE({x} * {wt}, 0)")
+        den.append(f"CASE WHEN {x} IS NOT NULL THEN {wt} ELSE 0 END")
+    return " + ".join(num), " + ".join(den)
+
+
+_EWMA_NUM, _EWMA_DEN = _sql_ewma_terms()
+
+
+@workload(
+    "window_ewma_smooth",
+    oracle=f"""
+    WITH base AS (SELECT o_custkey, o_orderkey, o_orderdate,
+                         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+                  FROM orders)
+    SELECT o_custkey, o_orderkey,
+           CAST({_EWMA_NUM} AS DOUBLE) / CAST({_EWMA_DEN} AS DOUBLE)
+             AS ewma_price_cents
+    FROM base
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+)
+def window_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer exponentially-weighted order-value trend: truncated
+    EWMA with power-of-two weights (half-life 1 row, 7 lags) — the
+    denoised per-entity baseline for monitoring/anomaly work, computed
+    EXACTLY (integer-scaled weighted sums, one final IEEE division), so
+    an operator class that is normally a float fold carries a full
+    value-level oracle. One window shuffle on o_custkey; the 8 lag()
+    calls share a single frame sort (see temporal.ewma_fixed)."""
+    from metadata_driven_etl_spark.operators import temporal as temporal_ops
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    return temporal_ops.ewma_fixed(
+        base,
+        "price_cents",
+        order_cols=["o_orderdate", "o_orderkey"],
+        partition_cols=["o_custkey"],
+        window_rows=_EWMA_W,
+        out_col="ewma_price_cents",
+    ).select("o_custkey", "o_orderkey", "ewma_price_cents")
+
+
+_RRF_LIST_LEN = 50
+
+
+@workload(
+    "search_hybrid_rrf",
+    oracle=None,  # assembled below — it embeds the bm25 oracle CTE
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 lexical ranking (fixed query-term
+    set, text_bm25_score's integer-rational scorer) with the dense
+    cosine ranking (query = embedding 0, brute-force exact here; the
+    ANN paths are the scale drop-in) via Reciprocal Rank Fusion — the
+    calibration-free combiner every RAG/search pipeline ends with.
+    Fixed-point RRF contributions (floor(1e12/(60+rank))) keep the fused
+    score an exact bigint, so the whole hybrid stack carries a full
+    value-level oracle. Assumes doc_id and vec_id share the id space
+    (the corpus's embedding column keyed by document id).
+
+    Scale: both input lists are already top-L (TakeOrderedAndProject /
+    per-query window top-k); fusion is a union + one tiny aggregation.
+    """
+    from pyspark.sql import Window
+
+    lex = text_bm25_score(spark, sf_dir)
+    lex_top = lex.orderBy(F.desc("bm25"), "doc_id").limit(_RRF_LIST_LEN)
+    w = Window.orderBy(F.desc("bm25"), "doc_id")
+    lex_ranked = lex_top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "rank"
+    )
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    dense_ranked = sim_ops.brute_force_topk(
+        emb, queries, k=_RRF_LIST_LEN
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return sim_ops.rrf_fuse([lex_ranked, dense_ranked], top_k=20)
+
+
+ORACLES["search_hybrid_rrf"] = f"""
+    WITH lexb AS ({{bm25}}),
+    lex AS (SELECT doc_id, r FROM
+            (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                    AS r FROM lexb)
+            WHERE r <= {_RRF_LIST_LEN}),
+    dense0 AS ({{dense}}),
+    contrib AS (
+        SELECT doc_id, CAST({sim_ops.RRF_SCALE} // ({sim_ops.RRF_K} + r)
+                            AS BIGINT) AS c
+        FROM lex
+        UNION ALL
+        SELECT neighbor_id AS doc_id,
+               CAST({sim_ops.RRF_SCALE} // ({sim_ops.RRF_K} + rank)
+                    AS BIGINT) AS c
+        FROM dense0)
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_score_fp,
+           CAST(COUNT(*) AS BIGINT) AS n_lists
+    FROM contrib GROUP BY 1
+    ORDER BY rrf_score_fp DESC, doc_id LIMIT 20
+""".format(
+    bm25=ORACLES["text_bm25_score"],
+    dense=sim_ops.sql_brute_force_topk(num_queries=1, k=_RRF_LIST_LEN),
+)
+
+
+# =========================================================================
 # Driver-facing registry order
 # =========================================================================
 #

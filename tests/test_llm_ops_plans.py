@@ -510,3 +510,46 @@ def test_moving_median_single_window_shuffle(spark, sf_dir):
         ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     ]
     assert len(data_shuffles) == 1, data_shuffles
+
+
+def test_triangle_counts_equi_joins_only(spark, sf_dir):
+    """Degree orientation makes every pair generator an EQUI-join (on the
+    shared wedge vertex, then on the closing (t2, t3) pair) — the wedge
+    inequality rides the join condition, never a cartesian/BNL. The
+    per-node expansion is a map-side Generate (explode) of the triangle
+    frame."""
+    plan = _plan(workloads.QUERIES["triangle_count_copurchase"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "Generate explode" in plan
+
+
+def test_ra_link_prediction_equi_joins_topk(spark, sf_dir):
+    """Candidate pairs generate ONLY through the shared-neighbor equi-join
+    (z = z); existing edges leave via anti-join; global top-k is
+    TakeOrderedAndProject, never a full sort."""
+    plan = _plan(
+        workloads.QUERIES["link_predict_copurchase_ra"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "LeftAnti" in plan
+
+
+def test_ewma_single_window_shuffle(spark, sf_dir):
+    """The 8 lag() terms share ONE WindowExec over one o_custkey
+    Exchange — the weighted sum is map-side arithmetic, not 8 window
+    passes."""
+    plan = _plan(workloads.QUERIES["window_ewma_smooth"](spark, sf_dir))
+    assert plan.count("Window") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_rrf_fusion_topk_shape(spark, sf_dir):
+    """Fusion is union + one aggregation + TakeOrderedAndProject; the
+    only join machinery belongs to the input retrievers (broadcast for
+    the dense query side)."""
+    plan = _plan(workloads.QUERIES["search_hybrid_rrf"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

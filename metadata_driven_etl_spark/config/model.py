@@ -33,7 +33,7 @@ VALID_RULE_TYPES = {
     "zscore_outlier",
 }
 VALID_ACTIONS = {"filter", "tag", "reject"}
-VALID_REFRESH_TYPES = {"full", "incremental", "delta"}
+VALID_REFRESH_TYPES = {"full", "incremental", "delta", "scd2"}
 
 
 class ConfigError(ValueError):
@@ -326,6 +326,14 @@ class GoldModel:
       instead of re-aggregating the corpus each run.  No ``sql_query``:
       deriving both the first full build and the delta path from the SAME
       declaration is what guarantees delta ≡ full rebuild.
+    - ``scd2``: Type-2 slowly-changing DIMENSION — ``sql_query`` yields
+      the per-run source snapshot (business key + tracked attrs); the
+      target is the versioned dimension (valid_from/valid_to, NULL
+      valid_to = live) maintained by operators.merge.scd2_apply: changed
+      attrs close the live row and open a new version, new keys insert,
+      history passes through untouched. Declare the business key in
+      ``primary_keys`` (exactly one) and the tracked columns in
+      ``scd2_attrs``.
     """
 
     model_id: str
@@ -346,6 +354,8 @@ class GoldModel:
     # with this many buckets, so the steady-state diff join reads the
     # maintained side with zero Exchange (pipeline._delta_model)
     snapshot_buckets: int = 0
+    # scd2 knob (refresh_type: scd2 only): tracked attribute columns
+    scd2_attrs: tuple[str, ...] = ()
 
     @staticmethod
     def from_dict(d: dict[str, Any]) -> "GoldModel":
@@ -413,6 +423,51 @@ class GoldModel:
                 f"model {mid}: aggregate aliases {gk_clash} collide with "
                 "group_keys",
             )
+            _require(
+                not d.get("scd2_attrs"),
+                f"model {mid}: scd2_attrs only applies to refresh_type "
+                "scd2",
+            )
+        elif rt == "scd2":
+            _require(
+                mt == "sql",
+                f"model {mid}: refresh_type scd2 runs sql_query, so "
+                f"model_type must be 'sql', got {mt!r}",
+            )
+            _require(
+                d.get("sql_query"),
+                f"model {mid}: scd2 refresh needs sql_query (the per-run "
+                "source snapshot of key + tracked attrs)",
+            )
+            _require(
+                len(pk) == 1,
+                f"model {mid}: scd2 refresh needs exactly one "
+                "primary_keys entry (the dimension business key), got "
+                f"{list(pk)}",
+            )
+            attrs = tuple(str(a) for a in (d.get("scd2_attrs") or ()))
+            _require(
+                bool(attrs),
+                f"model {mid}: scd2 refresh needs scd2_attrs (the "
+                "tracked attribute columns)",
+            )
+            _require(
+                pk[0] not in attrs,
+                f"model {mid}: the business key {pk[0]!r} cannot also be "
+                "a tracked attr",
+            )
+            clash = sorted({"valid_from", "valid_to"} & {*attrs, pk[0]})
+            _require(
+                not clash,
+                f"model {mid}: {clash} collide with the SCD2 validity "
+                "columns",
+            )
+            bad = [k for k in delta_knobs if d.get(k)]
+            _require(
+                not bad,
+                f"model {mid}: {bad} only apply to refresh_type delta",
+            )
+            sum_cols = ()
         else:
             _require(mt == "sql", f"model {mid}: unsupported model_type {mt!r} (only 'sql')")
             _require(d.get("sql_query"), f"model {mid}: missing sql_query")
@@ -424,6 +479,11 @@ class GoldModel:
             _require(
                 not bad,
                 f"model {mid}: {bad} only apply to refresh_type delta",
+            )
+            _require(
+                not d.get("scd2_attrs"),
+                f"model {mid}: scd2_attrs only applies to refresh_type "
+                "scd2",
             )
             sum_cols = ()
         pb = d.get("partition_by") or ()
@@ -444,6 +504,9 @@ class GoldModel:
             sum_cols=sum_cols,
             count_col=str(d.get("count_col", "n_rows")),
             snapshot_buckets=int(d.get("snapshot_buckets", 0) or 0),
+            scd2_attrs=tuple(
+                str(a) for a in (d.get("scd2_attrs") or ())
+            ),
         )
 
 

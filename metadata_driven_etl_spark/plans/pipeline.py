@@ -352,6 +352,8 @@ class GoldLayer(_LayerBase):
     def _model(self, m: GoldModel, run_date: str) -> int:
         if m.refresh_type == "delta":
             return self._delta_model(m, run_date)
+        if m.refresh_type == "scd2":
+            return self._scd2_model(m, run_date)
         df = self._sql(m.sql_query, run_date).withColumn(
             "gold_insert_timestamp", F.current_timestamp()
         )
@@ -372,6 +374,64 @@ class GoldLayer(_LayerBase):
         self.ctx.control.update_run(
             m.target_table, self.layer_name, run_date, rows, "success",
             {"model_id": m.model_id, "refresh_type": m.refresh_type},
+        )
+        self.ctx.dictionary.register(m.target_table, df)
+        return rows
+
+    def _scd2_model(self, m: GoldModel, run_date: str) -> int:
+        """``refresh_type: scd2`` — declarable Type-2 slowly-changing
+        dimension (the warehouse pattern the reference's gold layer
+        cannot express: its MERGE overwrites attrs in place, losing
+        history — gold_layer.py:184-213 is SCD1 only). ``sql_query``
+        yields the per-run source snapshot (business key + tracked
+        attrs); first run initializes every row live
+        (valid_from = run_date, valid_to NULL); later runs route the
+        snapshot through operators.merge.scd2_apply — changed attrs
+        close the live row at run_date and open a new version, new keys
+        insert, closed history passes through untouched.
+
+        Scale: the updates snapshot (small: one row per CURRENT entity)
+        broadcasts into the live half of the dimension; history rows
+        union through without a shuffle. The single non-atomic overwrite
+        needs no commit-marker pair protocol (unlike _delta_model's two
+        writes): a crashed run leaves the old target intact or fully
+        replaced, and re-running the same run_date is idempotent —
+        scd2_apply finds no attr changes the second time (same-snapshot
+        re-close is impossible because comparison is against the NEW
+        attrs)."""
+        fmt, spark = self.ctx.table_format, self.ctx.spark
+        key = m.primary_keys[0]
+        attrs = list(m.scd2_attrs)
+        updates = self._sql(m.sql_query, run_date).select(key, *attrs)
+        if fmt.table_exists(spark, m.target_table):
+            current = spark.table(m.target_table)
+            df = merge_ops.scd2_apply(
+                current, updates, key=key, attrs=attrs,
+                effective_date=run_date,
+            )
+            mode = "scd2_maintain"
+        else:
+            df = updates.select(
+                key, *attrs,
+                F.lit(run_date).cast("date").alias("valid_from"),
+                F.lit(None).cast("date").alias("valid_to"),
+            )
+            mode = "scd2_first_full"
+        # the maintained path reads the target it overwrites: sever
+        # lineage first (the TableFormat.merge discipline)
+        df = df.localCheckpoint(eager=True)
+        rows = _counted_write(
+            df,
+            lambda d: fmt.overwrite(
+                d, m.target_table, list(m.partition_by) or None
+            ),
+        )
+        self.ctx.control.update_run(
+            m.target_table, self.layer_name, run_date, rows, "success",
+            {
+                "model_id": m.model_id, "refresh_type": m.refresh_type,
+                "mode": mode,
+            },
         )
         self.ctx.dictionary.register(m.target_table, df)
         return rows

@@ -740,6 +740,161 @@ def test_gold_delta_bucketed_snapshot(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def _scd2_gold_cfg(tmp_path):
+    import textwrap
+
+    cfg = tmp_path / "gold_config.yaml"
+    cfg.write_text(
+        textwrap.dedent(
+            """
+            models:
+              - model_id: "dim_cust"
+                description: "SCD2 customer dimension"
+                refresh_type: "scd2"
+                target_table: "gold.dim_cust_scd2"
+                primary_keys: ["cust_id"]
+                scd2_attrs: ["segment", "balance"]
+                sql_query: "SELECT cust_id, segment, balance
+                            FROM silver.scd2_src"
+            """
+        )
+    )
+    return str(tmp_path)
+
+
+def test_gold_scd2_refresh_e2e(spark, tmp_path):
+    """refresh_type: scd2 — a YAML-declared Type-2 dimension: first run
+    initializes live rows; a later run closes changed rows at the run
+    date, opens new versions, inserts new keys, and leaves unchanged +
+    historical rows untouched. The YAML path must equal the direct
+    operator composition (merge.scd2_apply), and a same-date re-run must
+    be a no-op (idempotent maintenance)."""
+    from metadata_driven_etl_spark.operators import merge as merge_ops
+
+    for t in ("gold.dim_cust_scd2", "silver.scd2_src"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    cfg_dir = _scd2_gold_cfg(tmp_path)
+
+    def _write_src(rows):
+        df = spark.createDataFrame(
+            rows, "cust_id: long, segment: string, balance: long"
+        )
+        ParquetFormat().overwrite(df, "silver.scd2_src", None)
+
+    def _dim_rows():
+        return sorted(
+            (
+                r.cust_id, r.segment, r.balance,
+                str(r.valid_from), str(r.valid_to),
+            )
+            for r in spark.table("gold.dim_cust_scd2").collect()
+        )
+
+    v1 = [(i, f"seg{i % 3}", 100 + i) for i in range(40)]
+    _write_src(v1)
+    res1 = run_pipeline(
+        spark, cfg_dir, "2024-02-01", ["gold"], table_format=ParquetFormat()
+    )
+    assert [r.status for r in res1["gold"]] == ["success"]
+    rows1 = _dim_rows()
+    assert len(rows1) == 40
+    assert all(vf == "2024-02-01" and vt == "None" for *_, vf, vt in rows1)
+    ctl1 = spark.table("metadata.etl_control_table").filter(
+        "table_name = 'gold.dim_cust_scd2'"
+    )
+    assert any(
+        '"mode": "scd2_first_full"' in (r.config_snapshot or "")
+        for r in ctl1.collect()
+    )
+
+    # run 2: 10 changed balances, 5 new keys, 25 unchanged (dropped keys
+    # stay live — incremental sources are the contract, like updates=None)
+    v2 = [
+        (i, f"seg{i % 3}", (100 + i) + (50 if i % 4 == 0 else 0))
+        for i in range(40)
+    ] + [(100 + i, "segN", 7) for i in range(5)]
+    _write_src(v2)
+    # expected: direct operator composition from the run-1 state
+    expected = merge_ops.scd2_apply(
+        spark.table("gold.dim_cust_scd2"),
+        spark.createDataFrame(
+            v2, "cust_id: long, segment: string, balance: long"
+        ),
+        key="cust_id", attrs=["segment", "balance"],
+        effective_date="2024-02-08",
+    )
+    exp_rows = sorted(
+        (r.cust_id, r.segment, r.balance, str(r.valid_from), str(r.valid_to))
+        for r in expected.collect()
+    )
+    res2 = run_pipeline(
+        spark, cfg_dir, "2024-02-08", ["gold"], table_format=ParquetFormat()
+    )
+    assert [r.status for r in res2["gold"]] == ["success"]
+    rows2 = _dim_rows()
+    assert rows2 == exp_rows
+    # 40 + 10 closed-and-reopened + 5 new = 55 rows; 10 closed versions
+    assert len(rows2) == 55
+    closed = [r for r in rows2 if r[4] == "2024-02-08"]
+    assert len(closed) == 10
+    live = [r for r in rows2 if r[4] == "None"]
+    assert len(live) == 45
+    # changed keys carry the NEW balance on their live row
+    live_bal = {r[0]: r[2] for r in live}
+    assert live_bal[0] == 150 and live_bal[1] == 101
+
+    # control table recorded the maintenance mode
+    ctl = spark.table("metadata.etl_control_table").filter(
+        "table_name = 'gold.dim_cust_scd2'"
+    )
+    modes = [r.config_snapshot or "" for r in ctl.collect()]
+    assert any('"mode": "scd2_maintain"' in m for m in modes)
+
+    # run 3: same snapshot again — idempotent (no new versions)
+    res3 = run_pipeline(
+        spark, cfg_dir, "2024-02-09", ["gold"], table_format=ParquetFormat()
+    )
+    assert [r.status for r in res3["gold"]] == ["success"]
+    assert _dim_rows() == rows2
+
+    for t in ("gold.dim_cust_scd2", "silver.scd2_src"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_gold_scd2_config_validation():
+    """scd2 models: required knobs enforced; scd2_attrs rejected
+    elsewhere; delta knobs rejected on scd2."""
+    from metadata_driven_etl_spark.config.model import ConfigError, GoldModel
+
+    base = {
+        "model_id": "m", "target_table": "gold.d",
+        "refresh_type": "scd2", "primary_keys": ["k"],
+        "scd2_attrs": ["a", "b"], "sql_query": "SELECT 1",
+    }
+    m = GoldModel.from_dict(base)
+    assert m.scd2_attrs == ("a", "b")
+
+    with pytest.raises(ConfigError, match="sql_query"):
+        GoldModel.from_dict({k: v for k, v in base.items() if k != "sql_query"})
+    with pytest.raises(ConfigError, match="exactly one"):
+        GoldModel.from_dict({**base, "primary_keys": ["k1", "k2"]})
+    with pytest.raises(ConfigError, match="scd2_attrs"):
+        GoldModel.from_dict({k: v for k, v in base.items() if k != "scd2_attrs"})
+    with pytest.raises(ConfigError, match="cannot also be"):
+        GoldModel.from_dict({**base, "scd2_attrs": ["k", "a"]})
+    with pytest.raises(ConfigError, match="validity columns"):
+        GoldModel.from_dict({**base, "scd2_attrs": ["valid_from"]})
+    with pytest.raises(ConfigError, match="only apply to refresh_type delta"):
+        GoldModel.from_dict({**base, "snapshot_table": "s.t"})
+    with pytest.raises(ConfigError, match="only applies to refresh_type"):
+        GoldModel.from_dict(
+            {
+                "model_id": "m2", "target_table": "gold.t2",
+                "sql_query": "SELECT 1 AS x", "scd2_attrs": ["a"],
+            }
+        )
+
+
 def test_gold_delta_config_validation():
     """delta models: required knobs enforced, sql_query rejected, and the
     delta knobs rejected on sql models."""

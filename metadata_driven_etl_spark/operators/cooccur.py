@@ -302,3 +302,33 @@ def sql_transition_counts(
              AS row_share
     FROM cnt
     """
+
+
+def event_path_ngrams(
+    df: DataFrame,
+    key_col: str,
+    type_col: str,
+    ts_col: str,
+    n: int = 3,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Length-``n`` consecutive event-type paths per key (the sequence-
+    mining step up from :func:`transition_pairs`' bigrams): one row per
+    window position with columns e1..en — feed a groupBy().count() for
+    path frequencies or a filter for funnel-path matching.
+
+    Scale: ONE window shuffle on ``key_col``; the n-1 lead() calls share
+    a single WindowExec frame sort, expansion is map-side and linear in
+    rows (each event starts at most one path — no per-key explode of the
+    sequence powerset)."""
+    if n < 2:
+        raise ValueError("event_path_ngrams: n must be >= 2")
+    w = Window.partitionBy(key_col).orderBy(ts_col, *tiebreak)
+    base = df.select(
+        key_col, ts_col, F.col(type_col).alias("e1"), *tiebreak
+    )
+    for i in range(1, n):
+        base = base.withColumn(f"e{i + 1}", F.lead("e1", i).over(w))
+    return base.filter(F.col(f"e{n}").isNotNull()).select(
+        key_col, *[f"e{i + 1}" for i in range(n)]
+    )

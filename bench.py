@@ -270,6 +270,9 @@ HEADLINE = [
     "link_predict_copurchase_ra",
     "window_ewma_smooth",
     "search_hybrid_rrf",
+    "event_path_trigrams",
+    "ks_test_price_by_flag",
+    "hll_rollup_merge_bounded",
 ]
 
 

@@ -6275,6 +6275,175 @@ ORACLES["search_hybrid_rrf"] = f"""
 )
 
 
+@workload(
+    "event_path_trigrams",
+    oracle="""
+    WITH p AS (
+        SELECT event_type AS e1,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM p WHERE e3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n_paths DESC, e1, e2, e3 LIMIT 20""",
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 length-3 event-type paths across user streams — sequence
+    mining one step deeper than the first-order transition matrix
+    (A→B→C flows: the funnel-discovery / anomalous-path primitive).
+
+    Scale: ONE user-keyed window shuffle; the two lead() calls share a
+    single frame sort and each event starts at most one path (linear
+    expansion, no sequence-powerset explode); the count is partial-
+    aggregated and top-20 is TakeOrderedAndProject with a full-path
+    tie-break."""
+    events = _t(spark, sf_dir, "events")
+    paths = cooccur_ops.event_path_ngrams(
+        events, "user_id", "event_type", "ts", n=3, tiebreak=("event_id",)
+    )
+    return (
+        paths.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), "e1", "e2", "e3")
+        .limit(20)
+    )
+
+
+@workload(
+    "ks_test_price_by_flag",
+    oracle="""
+    WITH v AS (SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        AS cents,
+                      CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS isr
+               FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+    pv AS (SELECT cents, CAST(SUM(isr) AS BIGINT) AS i1,
+                  CAST(SUM(1 - isr) AS BIGINT) AS i2
+           FROM v GROUP BY 1),
+    c AS (SELECT cents,
+                 CAST(SUM(i1) OVER w AS BIGINT) AS c1,
+                 CAST(SUM(i2) OVER w AS BIGINT) AS c2
+          FROM pv
+          WINDOW w AS (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    t AS (SELECT CAST(SUM(i1) AS BIGINT) AS n_r,
+                 CAST(SUM(i2) AS BIGINT) AS n_a FROM pv)
+    SELECT n_r, n_a,
+           CAST(MAX(ABS(c1 * n_a - c2 * n_r)) AS BIGINT) AS d_num,
+           CAST(MAX(ABS(c1 * n_a - c2 * n_r)) AS DOUBLE)
+             / (CAST(n_r AS DOUBLE) * CAST(n_a AS DOUBLE)) AS ks_stat
+    FROM c CROSS JOIN t GROUP BY n_r, n_a""",
+)
+def ks_test_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the price
+    distributions of returned ('R') vs accepted ('A') lines — the
+    distribution-drift detector (train/serve skew, cohort shift) done
+    EXACTLY: D = max|F1 - F2| evaluated as the cross-multiplied integer
+    |c1·n2 − c2·n1| (no per-step float CDF subtraction), so the supremum
+    is an exact bigint and only the final normalization is one IEEE
+    division. Overflow contract: n1·n2 < 2⁶³ (samples up to ~3e9 each;
+    beyond that lift the products to decimal).
+
+    Scale: the fact table shuffles ONCE (groupBy value into the
+    |distinct values|-row domain frame); the cumulative window runs over
+    that domain frame, not the corpus — for genuinely huge value domains
+    swap in the distributed prefix-sum pattern (training_order)."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.filter(F.col("l_returnflag").isin("R", "A")).select(
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+        F.when(F.col("l_returnflag") == "R", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("isr"),
+    )
+    pv = v.groupBy("cents").agg(
+        F.sum("isr").alias("i1"),
+        F.sum(F.lit(1) - F.col("isr")).alias("i2"),
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = pv.select(
+        "cents",
+        F.sum("i1").over(w).alias("c1"),
+        F.sum("i2").over(w).alias("c2"),
+    )
+    t = pv.agg(
+        F.sum("i1").alias("n_r"), F.sum("i2").alias("n_a")
+    )
+    diff = F.abs(
+        F.col("c1") * F.col("n_a") - F.col("c2") * F.col("n_r")
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .groupBy("n_r", "n_a")
+        .agg(F.max(diff).alias("d_num"))
+        .select(
+            "n_r",
+            "n_a",
+            "d_num",
+            (
+                F.col("d_num").cast("double")
+                / (F.col("n_r").cast("double") * F.col("n_a").cast("double"))
+            ).alias("ks_stat"),
+        )
+    )
+
+
+@workload(
+    "hll_rollup_merge_bounded",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+           1 AS within_bound
+    FROM orders GROUP BY 1""",
+)
+def hll_rollup_merge_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-sketch rollup contract: per-day HLL sketches of distinct
+    customers union-merge into per-month estimates, and the merged
+    estimate must sit within the sketch's error bound of the exact count
+    (|est − exact| ≤ 5%·exact + 8) — hash-checked per month (the
+    approx_count_distinct_bounded pattern, extended to the MERGE path).
+
+    This is THE 100 TB distinct-count architecture: materialize a small
+    daily sketch table once, then answer any period rollup
+    (week/month/quarter, late-arriving backfills) by merging sketch
+    state — never re-scanning the corpus, which a plain
+    count(distinct) forces per period. Both aggregation levels are
+    single-pass and partial-aggregated (Datasketches HLL, lgConfigK=12
+    → ~1.6% rel. std. error; deterministic — no RNG in the sketch).
+    The exact side exists only to prove the bound."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.to_date("o_orderdate").alias("day"),
+        "o_custkey",
+    )
+    daily = o.groupBy("month", "day").agg(
+        F.expr("hll_sketch_agg(o_custkey, 12)").alias("sk")
+    )
+    monthly = daily.groupBy("month").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    )
+    exact = o.groupBy("month").agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    return exact.join(monthly, "month").select(
+        "month",
+        "exact_distinct",
+        (
+            F.abs(F.col("est") - F.col("exact_distinct"))
+            <= F.lit(0.05) * F.col("exact_distinct") + F.lit(8)
+        )
+        .cast("int")
+        .alias("within_bound"),
+    )
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================

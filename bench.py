@@ -273,6 +273,7 @@ HEADLINE = [
     "event_path_trigrams",
     "ks_test_price_by_flag",
     "hll_rollup_merge_bounded",
+    "graph_assortativity_copurchase",
 ]
 
 

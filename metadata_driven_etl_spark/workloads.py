@@ -6444,6 +6444,116 @@ def hll_rollup_merge_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "graph_assortativity_copurchase",
+    oracle=f"""
+    WITH e0 AS ({_COPURCHASE_EDGES_SQL}),
+    canon AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+              FROM e0 WHERE src <> dst),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM
+            (SELECT u AS node FROM canon UNION ALL SELECT v FROM canon)
+            GROUP BY 1),
+    de AS (SELECT du.d AS x, dv.d AS y FROM canon
+           JOIN deg du ON du.node = canon.u
+           JOIN deg dv ON dv.node = canon.v
+           UNION ALL
+           SELECT dv.d AS x, du.d AS y FROM canon
+           JOIN deg du ON du.node = canon.u
+           JOIN deg dv ON dv.node = canon.v),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(x AS DECIMAL(20,0))) AS DECIMAL(20,0)) AS sx,
+                 CAST(SUM(CAST(y AS DECIMAL(20,0))) AS DECIMAL(20,0)) AS sy,
+                 CAST(SUM(CAST(x AS DECIMAL(28,0)) * x) AS DECIMAL(28,0))
+                   AS sxx,
+                 CAST(SUM(CAST(y AS DECIMAL(28,0)) * y) AS DECIMAL(28,0))
+                   AS syy,
+                 CAST(SUM(CAST(x AS DECIMAL(28,0)) * y) AS DECIMAL(28,0))
+                   AS sxy
+          FROM de)
+    SELECT n,
+           CAST(CAST(n AS DECIMAL(20,0)) * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(CAST(n AS DECIMAL(20,0)) * sxx - sx * sx
+                          AS DOUBLE))
+                * sqrt(CAST(CAST(n AS DECIMAL(20,0)) * syy - sy * sy
+                            AS DOUBLE))) AS assortativity
+    FROM m""",
+)
+def graph_assortativity_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree assortativity of the co-purchase graph (Newman 2002):
+    Pearson correlation of endpoint degrees over the symmetrized edge
+    list — do popular parts co-sell with popular parts (r>0, hub-hub
+    structure) or with the long tail (r<0, hub-and-spoke)? The one-number
+    topology fingerprint that tells you whether degree-based caps (the
+    RA hub cap, LSH bucket caps) will bite on this graph.
+
+    Exact: degrees are bigints; the five moment sums run in
+    DECIMAL(20/28,0) (the linreg_price_on_quantity discipline — no float
+    order-sensitivity, no FMA divergence), and r is a fixed chain of
+    IEEE double ops over exact values. One degree aggregation + two
+    broadcast-able joins + one single-row moment aggregation — the fact
+    table is the EDGE list, never re-shuffled."""
+    edges = _copurchase_edges(spark, sf_dir)
+    canon = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        canon.select(F.col("u").alias("node"))
+        .union(canon.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        canon.join(
+            deg.withColumnsRenamed({"node": "_nu", "d": "du"}),
+            F.col("u") == F.col("_nu"),
+        )
+        .join(
+            deg.withColumnsRenamed({"node": "_nv", "d": "dv"}),
+            F.col("v") == F.col("_nv"),
+        )
+        .select("du", "dv")
+    )
+    de = ed.select(
+        F.col("du").alias("x"), F.col("dv").alias("y")
+    ).unionByName(ed.select(F.col("dv").alias("x"), F.col("du").alias("y")))
+    d20, d28 = "decimal(20,0)", "decimal(28,0)"
+    m = de.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(d20)).cast(d20).alias("sx"),
+        F.sum(F.col("y").cast(d20)).cast(d20).alias("sy"),
+        F.sum((F.col("x").cast(d28) * F.col("x"))).cast(d28).alias("sxx"),
+        F.sum((F.col("y").cast(d28) * F.col("y"))).cast(d28).alias("syy"),
+        F.sum((F.col("x").cast(d28) * F.col("y"))).cast(d28).alias("sxy"),
+    )
+    nd = F.col("n").cast(d20)
+    return m.select(
+        "n",
+        (
+            (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (
+                F.sqrt(
+                    (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                        "double"
+                    )
+                )
+                * F.sqrt(
+                    (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                        "double"
+                    )
+                )
+            )
+        ).alias("assortativity"),
+    )
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================

@@ -217,7 +217,42 @@ OPS = {
     # per-round cost is one equi-join + one sum on |E| rows, so the
     # curve must stay linear in corpus size.
     "pagerank_3rounds": lambda df: _pagerank_probe(df),
+    # degree-oriented triangle counting on the same degree-8 permutation
+    # graph (symmetrized): wedge fan-out is bounded by outdeg^2 with
+    # outdeg <= 8 here, so the curve must stay linear in |E| — a
+    # super-linear curve would mean the orientation stopped bounding the
+    # join (the thing the operator exists to guarantee).
+    "triangles_permgraph": lambda df: _triangle_probe(df),
+    # RA link prediction on the permutation graph: wedges generate only
+    # through shared neighbors (deg <= cap), so candidate pairs grow
+    # linearly with |V| at fixed degree.
+    "ra_linkpredict_permgraph": lambda df: _ra_probe(df),
 }
+
+
+def _perm_edges(df: DataFrame) -> DataFrame:
+    n = df.count()
+    base = df.select("doc_id")
+    edges = None
+    for k in (3, 5, 7, 11):
+        e = base.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * k) % n).alias("dst"),
+        )
+        edges = e if edges is None else edges.union(e)
+    return edges
+
+
+def _triangle_probe(df: DataFrame) -> DataFrame:
+    from metadata_driven_etl_spark.operators import graph as graph_ops
+
+    return graph_ops.triangle_counts(_perm_edges(df))
+
+
+def _ra_probe(df: DataFrame) -> DataFrame:
+    from metadata_driven_etl_spark.operators import graph as graph_ops
+
+    return graph_ops.resource_allocation_topk(_perm_edges(df), top_k=100)
 
 
 def _pagerank_probe(df: DataFrame) -> DataFrame:

@@ -274,6 +274,7 @@ HEADLINE = [
     "ks_test_price_by_flag",
     "hll_rollup_merge_bounded",
     "graph_assortativity_copurchase",
+    "kcore_copurchase",
 ]
 
 

@@ -419,3 +419,98 @@ def sql_resource_allocation_topk(
     SELECT item_x, item_y, ra_score_fp, n_common FROM cand
     ORDER BY ra_score_fp DESC, item_x, item_y LIMIT {top_k}
     """
+
+
+# =========================================================================
+# k-core peeling (bounded-round, exact)
+# =========================================================================
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Bounded-round k-core peeling over an UNDIRECTED graph: repeatedly
+    delete every node whose current degree is < k (with its edges);
+    after ``rounds`` rounds return the surviving (node, core_deg). With
+    enough rounds this converges to the k-core — the standard dense-
+    community / spam-ring / influential-subgraph extractor; a bounded
+    round count keeps the operator deterministic AND oracle-able (the
+    DuckDB twin unrolls the same peeling as chained CTEs — the
+    pagerank/CC discipline applied to a subgraph-shrinking recursion).
+
+    Scale (100 TB): per round ONE degree aggregation over the live edge
+    list + two semi-joins filtering both endpoints — all equi-keyed, and
+    the edge frame only ever SHRINKS. Lineage is truncated per round
+    (localCheckpoint / durable checkpoint_dir), and below the small-graph
+    threshold the survivor set broadcasts, making each round
+    Exchange-free (the _iteration_regime seam shared with CC/PageRank).
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError("kcore_peel: k and rounds must be >= 1")
+    canon = _canonical_undirected(edges, src_col, dst_col)
+    adj = _materialize(
+        canon.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
+            canon.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        ),
+        checkpoint_dir,
+    )
+    n_edges = adj.count()
+    with _iteration_regime(adj.sparkSession, n_edges) as small_parts:
+        if small_parts is not None:
+            adj = adj.coalesce(small_parts)
+        for _ in range(rounds):
+            survivors = (
+                adj.groupBy(F.col("src").alias("node"))
+                .agg(F.count(F.lit(1)).alias("_d"))
+                .filter(F.col("_d") >= k)
+                .select("node")
+            )
+            s = (
+                F.broadcast(survivors)
+                if small_parts is not None
+                else survivors
+            )
+            adj = _materialize(
+                adj.join(
+                    s.withColumnRenamed("node", "src"), on="src", how="semi"
+                ).join(
+                    s.withColumnRenamed("node", "dst"), on="dst", how="semi"
+                ).select("src", "dst"),
+                checkpoint_dir,
+            )
+    return adj.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("core_deg")
+    )
+
+
+def sql_kcore_peel(
+    edges_cte_body: str, k: int, rounds: int = 3
+) -> str:
+    """DuckDB oracle twin of :func:`kcore_peel` — the peeling unrolled."""
+    parts = [
+        f"WITH e0 AS ({edges_cte_body})",
+        "canon AS (SELECT DISTINCT LEAST(src, dst) AS u,"
+        " GREATEST(src, dst) AS v FROM e0 WHERE src <> dst)",
+        "a0 AS (SELECT u AS src, v AS dst FROM canon"
+        " UNION ALL SELECT v AS src, u AS dst FROM canon)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"k{i} AS (SELECT src AS node FROM a{i - 1} GROUP BY 1"
+            f" HAVING COUNT(*) >= {k})"
+        )
+        parts.append(
+            f"a{i} AS (SELECT a.src, a.dst FROM a{i - 1} a"
+            f" JOIN k{i} s ON a.src = s.node"
+            f" JOIN k{i} t ON a.dst = t.node)"
+        )
+    return (
+        ",\n    ".join(parts)
+        + f"\n    SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_deg"
+        f" FROM a{rounds} GROUP BY 1"
+    )

@@ -6554,6 +6554,25 @@ def graph_assortativity_copurchase(
     )
 
 
+@workload(
+    "kcore_copurchase",
+    oracle=graph_ops.sql_kcore_peel(_COPURCHASE_EDGES_SQL, k=3, rounds=3),
+)
+def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 rounds of 3-core peeling on the co-purchase graph: strip parts
+    with < 3 co-purchase partners, recompute, repeat — the surviving
+    subgraph is the densely interlinked merchandising core (and the
+    right input for the exact triangle/community passes, which should
+    run AFTER peeling has removed the sparse fringe). Third iterative
+    graph algorithm with a full value-level oracle (after CC and
+    PageRank): the DuckDB twin unrolls the identical peeling rounds.
+    Per round one degree aggregation + two semi-joins, edge frame only
+    shrinks; see operators/graph.py kcore_peel."""
+    return graph_ops.kcore_peel(
+        _copurchase_edges(spark, sf_dir), k=3, rounds=3
+    )
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================

@@ -275,6 +275,7 @@ HEADLINE = [
     "hll_rollup_merge_bounded",
     "graph_assortativity_copurchase",
     "kcore_copurchase",
+    "sample_fixed_quota_per_group",
 ]
 
 

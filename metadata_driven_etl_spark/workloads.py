@@ -1362,7 +1362,25 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "media_type", "n_bytes", "content_hash")
 
 
-@workload("multimodal_frame_sample")  # rows-only: fake frame extractor
+@workload(
+    "multimodal_frame_sample",
+    # The injected extractor is deterministic 8-byte chunking with
+    # stride 32 (every_n=4), so frame/byte counts have a CLOSED FORM the
+    # oracle states directly: n = ceil(L/32), bytes = 8·(L div 32) +
+    # min(L mod 32, 8) over the UTF-8 payload length — upgrading the
+    # last contract-less rows-only key to a full value-level check of
+    # the row-expanding mapInPandas plumbing (the real codec stays
+    # environment-gated; the accounting is what this proves).
+    oracle="""
+    WITH d AS (SELECT doc_id, octet_length(encode(text)) AS L
+               FROM documents WHERE doc_id < 200)
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(L // 32 + CASE WHEN L % 32 > 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS n_frames,
+           CAST((L // 32) * 8 + LEAST(L % 32, 8) AS BIGINT)
+             AS sampled_bytes
+    FROM d WHERE L > 0""",
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: row-expanding frame sampler (video → frames)
     with an injected deterministic extractor (8-byte chunks as 'frames')."""
@@ -6571,6 +6589,44 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.kcore_peel(
         _copurchase_edges(spark, sf_dir), k=3, rounds=3
     )
+
+
+@workload(
+    "sample_fixed_quota_per_group",
+    oracle="""
+    SELECT source, doc_id FROM (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rn
+        FROM documents)
+    WHERE rn <= 40""",
+)
+def sample_fixed_quota_per_group(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic fixed-size quota sample per group: exactly
+    min(40, |group|) documents per source, selected by md5-of-id order —
+    the balanced-domain-quota selector (every corpus mix spec ends with
+    'at most N docs per domain/source'), where fraction-based sampling
+    (sample_hash / sample_stratified) can't hit exact counts. Hash order
+    makes the draw uniform-without-replacement, reproducible across
+    runs/engines (Spark md5 ≡ DuckDB md5), and independent of input
+    partitioning.
+
+    Scale: ONE window shuffle on the group key and Spark's
+    WindowGroupLimit pushes the per-group top-k heap below the Exchange
+    — map tasks forward at most k rows per group, so the shuffle
+    carries O(groups·k), not the corpus."""
+    from metadata_driven_etl_spark.operators import windows as w_ops
+
+    docs = _docs(spark, sf_dir).select("source", "doc_id")
+    return w_ops.topk_per_group(
+        docs,
+        ["source"],
+        [F.asc(F.md5(F.col("doc_id").cast("string"))), F.asc("doc_id")],
+        40,
+    ).select("source", "doc_id")
 
 
 # =========================================================================

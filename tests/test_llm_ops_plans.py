@@ -198,6 +198,16 @@ def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
+def test_quota_sample_uses_window_group_limit(spark, sf_dir):
+    """sample_fixed_quota_per_group routes through the same rank-filter
+    rewrite: the md5-order quota draw must carry O(groups·k) through the
+    shuffle, not the corpus."""
+    plan = _plan(
+        workloads.QUERIES["sample_fixed_quota_per_group"](spark, sf_dir)
+    )
+    assert "WindowGroupLimit" in plan
+
+
 def test_incremental_agg_plan_shape(spark, sf_dir):
     """SCALE.md incremental-view-maintenance row: the delta path is two
     equi-joins (snapshot diff on the row key, delta-apply on the group

@@ -67,12 +67,14 @@ STALE_R4_COHORT = {
 # Approximate-by-design ops: no exact SQL twin exists, so the driver
 # records a rows-only row; each is pinned by a property test instead
 # (rank-tolerance for the percentile sketch, recall@k for the ANN pair,
-# HLL error bound, deterministic fake-decode for frame sampling) — and
-# since round 6 the two sketch aggregates ALSO have hash-checked bounded
-# contracts (approx_count_distinct_bounded / agg_approx_percentile_bounded).
+# HLL error bound) — and each also has a hash-checked contract twin
+# (the r6 bounded sketch contracts, the r7 ANN recall contracts).
+# multimodal_frame_sample left this set in r7: its deterministic
+# extractor makes the frame/byte accounting closed-form, so it carries
+# a full value-level oracle now.
 APPROX_ROWS_ONLY = {
     "agg_approx_percentile", "approx_count_distinct",
-    "multimodal_frame_sample", "similarity_ann_lsh", "similarity_ann_ivf",
+    "similarity_ann_lsh", "similarity_ann_ivf",
 }
 
 

@@ -276,6 +276,8 @@ HEADLINE = [
     "graph_assortativity_copurchase",
     "kcore_copurchase",
     "sample_fixed_quota_per_group",
+    "ohlc_bars_daily",
+    "twap_event_value_daily",
 ]
 
 

@@ -490,3 +490,95 @@ def ewma_fixed(
     return df.withColumn(
         out_col, num.cast("double") / den.cast("double")
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Open/High/Low/Close bars per key — the canonical timeseries
+    rollup (candlesticks, per-sensor daily summaries, per-SKU price
+    bars). ``key_cols`` should include the bar bucket (e.g. a derived
+    day column); ``value_col`` must be integer-typed (money → cents
+    first: the min/max/first/last of exact integers are exact).
+
+    Open/close are argmin/argmax by (ts, *tiebreak) — expressed as
+    ``min_by``/``max_by`` over a struct ordering key, NOT a window over
+    the fact table: the whole bar is ONE map-side-combinable
+    aggregation (partial min/max/min_by/max_by states merge
+    associatively), so the fact shuffles once into |bars| rows and no
+    per-row rank/sort ever materializes. ``tiebreak_cols`` must make
+    the ordering key unique (same-instant ticks otherwise make
+    open/close nondeterministic).
+
+    Reference has no timeseries rollup (SURVEY.md §2.5 is plain
+    group-aggregates); this is the composition-first custom operator.
+    """
+    okey = F.struct(
+        F.col(ts_col), *[F.col(c) for c in tiebreak_cols]
+    )
+    v = F.col(value_col)
+    return df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.min_by(v, okey).alias("open"),
+        F.max(v).alias("high"),
+        F.min(v).alias("low"),
+        F.max_by(v, okey).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
+def twap(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_cols: Sequence[str] = (),
+    num_col: str = "twap_num",
+    den_col: str = "twap_den",
+    out_col: str = "twap",
+) -> DataFrame:
+    """Time-weighted average value per key (TWAP): each observation is
+    weighted by how long it REMAINED the current value — the duration
+    until the key's next observation. The last observation of a key has
+    no successor and drops (its holding period is unbounded); keys with
+    a single observation yield no bar.
+
+    Exactness contract: ``value_col`` must be integer (cents) and the
+    weight is the integer microsecond gap, so num = Σ v·Δus and
+    den = Σ Δus accumulate in DECIMAL(38,0) (a day is ~8.6e10 us; one
+    int64 product v·Δus already reaches 1e15+ at 5-digit cents, and the
+    SUM wraps int64 at corpus scale). The emitted average is ONE IEEE
+    double division — bit-deterministic (the ewma_fixed/gini emit
+    discipline); exact below 2^53 per moment, identically rounded from
+    the exact decimal beyond.
+
+    Scale: ONE window shuffle on ``key_cols`` (the lead() successor
+    lookup), then the aggregation reuses the window's hash distribution
+    (group keys ⊇ window partition keys → no second Exchange).
+    """
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
+        F.col(ts_col), *[F.col(c) for c in tiebreak_cols]
+    )
+    d38 = "decimal(38,0)"
+    gap_us = (
+        F.unix_micros(F.lead(F.col(ts_col)).over(w))
+        - F.unix_micros(F.col(ts_col))
+    )
+    weighted = df.select(
+        *[F.col(c) for c in key_cols],
+        F.col(value_col).cast("long").alias("_v"),
+        gap_us.alias("_dus"),
+    ).filter(F.col("_dus").isNotNull())
+    agg = weighted.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum((F.col("_v") * F.col("_dus")).cast(d38))
+        .cast(d38)
+        .alias(num_col),
+        F.sum(F.col("_dus").cast(d38)).cast(d38).alias(den_col),
+    )
+    return agg.withColumn(
+        out_col, F.col(num_col).cast("double") / F.col(den_col).cast("double")
+    )

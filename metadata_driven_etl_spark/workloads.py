@@ -6629,6 +6629,121 @@ def sample_fixed_quota_per_group(
     ).select("source", "doc_id")
 
 
+@workload(
+    "ohlc_bars_daily",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events),
+    w AS (
+        SELECT event_type, day, cents,
+               first_value(cents) OVER pw AS o,
+               last_value(cents) OVER (PARTITION BY event_type, day
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS c
+        FROM v
+        WINDOW pw AS (PARTITION BY event_type, day ORDER BY ts, event_id))
+    SELECT event_type, day,
+           CAST(MIN(o) AS BIGINT) AS open_cents,
+           CAST(MAX(cents) AS BIGINT) AS high_cents,
+           CAST(MIN(cents) AS BIGINT) AS low_cents,
+           CAST(MIN(c) AS BIGINT) AS close_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM w GROUP BY 1, 2""",
+)
+def ohlc_bars_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC (open/high/low/close) bars of the event value stream
+    per event type — the canonical timeseries rollup (candlesticks,
+    per-sensor daily summaries, per-SKU price bars).
+
+    Hash-exact: values become integer cents first, so every bar field is
+    an exact integer (min/max/argmin/argmax of exact values); the
+    (ts, event_id) ordering key is unique, so open/close are
+    deterministic.
+
+    Scale: open/close are min_by/max_by over a struct ordering key —
+    the whole bar is ONE map-side-combinable aggregation (partial
+    min_by/max_by states merge associatively), so the fact shuffles once
+    into |bars| rows. The oracle's window formulation is the shape this
+    DELIBERATELY avoids: a per-row rank/sort over the fact table."""
+    from metadata_driven_etl_spark.operators import temporal as temporal_ops
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    bars = temporal_ops.ohlc_bars(
+        ev, ["event_type", "day"], "ts", "cents", ("event_id",)
+    )
+    return bars.select(
+        "event_type",
+        "day",
+        F.col("open").alias("open_cents"),
+        F.col("high").alias("high_cents"),
+        F.col("low").alias("low_cents"),
+        F.col("close").alias("close_cents"),
+        "n_ticks",
+    )
+
+
+@workload(
+    "twap_event_value_daily",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events),
+    g AS (
+        SELECT event_type, day, cents,
+               epoch_us(LEAD(ts) OVER (PARTITION BY event_type, day
+                                       ORDER BY ts, event_id))
+                 - epoch_us(ts) AS dus
+        FROM v)
+    SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(CAST(SUM(CAST(cents * dus AS DECIMAL(38,0)))
+                     AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(SUM(CAST(dus AS DECIMAL(38,0)))
+                         AS VARCHAR) AS DOUBLE) AS twap
+    FROM g WHERE dus IS NOT NULL GROUP BY 1, 2""",
+)
+def twap_event_value_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily time-weighted average of the event value per event type
+    (TWAP): each observation weighted by the integer microsecond gap
+    until the key's next observation — the execution-benchmark /
+    duration-weighted-metric primitive, where a plain AVG over-weights
+    bursts of rapid ticks.
+
+    Hash-exact: num = Σ cents·Δus and den = Σ Δus accumulate in
+    DECIMAL(38,0) (one product already reaches ~8.6e16 for day-long
+    gaps; the int64 product bound |cents|·Δus < 2⁶³ holds to 8-digit
+    cents) and the average is ONE IEEE division from the exact decimals
+    (DuckDB's decimal→double goes via VARCHAR — its direct cast
+    misrounds).
+
+    Scale: ONE window shuffle on (event_type, day) for the lead()
+    successor lookup; the aggregation reuses the window's hash
+    distribution (group keys ⊇ window partition keys → no second
+    Exchange)."""
+    from metadata_driven_etl_spark.operators import temporal as temporal_ops
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    bars = temporal_ops.twap(
+        ev, ["event_type", "day"], "ts", "cents", ("event_id",)
+    )
+    return bars.select("event_type", "day", "n_obs", "twap")
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================

@@ -563,3 +563,23 @@ def test_rrf_fusion_topk_shape(spark, sf_dir):
     plan = _plan(workloads.QUERIES["search_hybrid_rrf"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ohlc_bars_single_agg_no_window(spark, sf_dir):
+    """The whole bar (open/high/low/close via min_by/max_by struct
+    ordering) is ONE map-side-combinable aggregation: exactly one
+    Exchange, ZERO Window nodes — the per-row rank/sort formulation is
+    the scale trap this operator avoids."""
+    plan = _plan(workloads.QUERIES["ohlc_bars_daily"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 0
+    assert "partial_min_by" in plan and "partial_max_by" in plan
+
+
+def test_twap_window_distribution_reused(spark, sf_dir):
+    """The lead() successor lookup is the ONLY shuffle: the TWAP
+    aggregation groups on the window's partition keys, so it reuses the
+    hash distribution (one Exchange total, one Window)."""
+    plan = _plan(workloads.QUERIES["twap_event_value_daily"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1

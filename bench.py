@@ -278,6 +278,8 @@ HEADLINE = [
     "sample_fixed_quota_per_group",
     "ohlc_bars_daily",
     "twap_event_value_daily",
+    "mannwhitney_u_price_by_flag",
+    "benford_digit_orders",
 ]
 
 

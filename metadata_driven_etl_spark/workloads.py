@@ -13,6 +13,7 @@ regardless of partitioning/order. Ranking queries carry unique tie-breaks.
 
 from __future__ import annotations
 
+import math as _math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -6742,6 +6743,189 @@ def twap_event_value_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["event_type", "day"], "ts", "cents", ("event_id",)
     )
     return bars.select("event_type", "day", "n_obs", "twap")
+
+
+@workload(
+    "mannwhitney_u_price_by_flag",
+    oracle="""
+    WITH v AS (SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        AS cents,
+                      CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS isr
+               FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+    pv AS (SELECT cents, CAST(SUM(isr) AS BIGINT) AS i1,
+                  CAST(SUM(1 - isr) AS BIGINT) AS i2
+           FROM v GROUP BY 1),
+    c AS (SELECT cents, i1, i2, i1 + i2 AS cnt,
+                 CAST(COALESCE(SUM(i1 + i2) OVER (
+                     ORDER BY cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS BIGINT) AS cb
+          FROM pv),
+    t AS (SELECT CAST(SUM(i1) AS BIGINT) AS n_r,
+                 CAST(SUM(i2) AS BIGINT) AS n_a FROM pv),
+    r AS (SELECT CAST(SUM(CAST(CAST(i1 AS DECIMAL(20,0))
+                               * (2 * cb + cnt + 1) AS DECIMAL(38,0)))
+                      AS DECIMAL(38,0)) AS r1d FROM c)
+    SELECT n_r, n_a,
+           CAST(r1d - CAST(n_r * (n_r + 1) AS DECIMAL(38,0)) AS BIGINT)
+             AS u_doubled,
+           CAST(CAST(r1d - CAST(n_r * (n_r + 1) AS DECIMAL(38,0))
+                     AS VARCHAR) AS DOUBLE)
+             / CAST(2 * n_r * n_a AS DOUBLE) AS auc
+    FROM r CROSS JOIN t""",
+)
+def mannwhitney_u_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between returned ('R') and accepted ('A') price
+    distributions, emitted as the ROC-AUC equivalence
+    U/(n₁n₂) = P(X>Y) + ½P(X=Y) — the nonparametric location-shift test
+    (KS asks "are the distributions different anywhere"; U asks "is one
+    stochastically larger", and doubles as the rank-based classifier
+    AUC).
+
+    Exactness: midranks are rational halves, so rank sums accumulate in
+    DOUBLED units — 2·midrank = 2·c_before + cnt + 1 is an exact bigint
+    per tied block, and R1_doubled = Σ i1·(2c+cnt+1) is formed in
+    DECIMAL(38,0) (the rank-sum moment grows ~n² — int64 wraps past
+    n≈2e9; gini discipline). U_doubled = R1d − n₁(n₁+1) stays integral;
+    the only float op is ONE division by 2n₁n₂ (exact in double below
+    2^53, documented).
+
+    Scale: identical shape to ks_test_price_by_flag — the fact shuffles
+    ONCE into the |distinct values|-row domain frame; the rank window
+    runs over that frame, not the corpus."""
+    from pyspark.sql import Window
+
+    d20, d38 = "decimal(20,0)", "decimal(38,0)"
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.filter(F.col("l_returnflag").isin("R", "A")).select(
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+        F.when(F.col("l_returnflag") == "R", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("isr"),
+    )
+    # The domain frame feeds the rank window AND the totals — materialize
+    # it once (the multi-consumer discipline) so the fact scans once.
+    pv = v.groupBy("cents").agg(
+        F.sum("isr").alias("i1"),
+        F.sum(F.lit(1) - F.col("isr")).alias("i2"),
+    ).localCheckpoint(eager=False)
+    wb = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    c = pv.select(
+        "i1",
+        (F.col("i1") + F.col("i2")).alias("cnt"),
+        F.coalesce(
+            F.sum(F.col("i1") + F.col("i2")).over(wb), F.lit(0)
+        ).alias("cb"),
+    )
+    r = c.agg(
+        F.sum(
+            (
+                F.col("i1").cast(d20)
+                * (2 * F.col("cb") + F.col("cnt") + 1)
+            ).cast(d38)
+        )
+        .cast(d38)
+        .alias("r1d")
+    )
+    t = pv.agg(F.sum("i1").alias("n_r"), F.sum("i2").alias("n_a"))
+    u1d = F.col("r1d") - (F.col("n_r") * (F.col("n_r") + 1)).cast(d38)
+    return (
+        r.crossJoin(F.broadcast(t))
+        .select(
+            "n_r",
+            "n_a",
+            u1d.cast("long").alias("u_doubled"),
+            (
+                u1d.cast("double")
+                / (2 * F.col("n_r") * F.col("n_a")).cast("double")
+            ).alias("auc"),
+        )
+    )
+
+
+# Benford first-digit probabilities log10(1 + 1/d): literal double
+# constants shared VERBATIM by the Spark plan and the DuckDB oracle —
+# repr() gives the shortest round-trip string, both engines' literal
+# parsers round-to-nearest to the SAME double, and every downstream op
+# is a fixed chain of correctly-rounded IEEE arithmetic.
+_BENFORD_P = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p!r}" for d, p in _BENFORD_P.items()
+) + " END"
+
+
+@workload(
+    "benford_digit_orders",
+    oracle=f"""
+    WITH v AS (SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                        AS BIGINT) AS VARCHAR), 1, 1)
+                           AS INT) AS digit
+               FROM orders),
+    obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+            FROM v GROUP BY 1),
+    t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs)
+    SELECT digit, n_obs, expected,
+           (CAST(n_obs AS DOUBLE) - expected)
+             * (CAST(n_obs AS DOUBLE) - expected) / expected AS chi2_term
+    FROM (SELECT digit, n_obs,
+                 CAST(n AS DOUBLE) * ({_BENFORD_CASE}) AS expected
+          FROM obs CROSS JOIN t)""",
+)
+def benford_digit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit test on order totals — the
+    fraud/fabrication screen (organically-grown amounts follow
+    P(d) = log10(1+1/d); fabricated or capped data doesn't). Emits
+    per-digit observed counts, expected counts, and chi-square
+    contributions (the chisq_cells per-cell discipline — a chi² TOTAL
+    would be an order-sensitive double sum; cells are fixed expressions
+    over exact integer counts).
+
+    Hash-exact: the first significant digit comes from the DECIMAL
+    STRING of integer cents (identical in both engines — no float log10
+    of the value itself); the Benford probabilities are literal double
+    constants embedded verbatim in both plans, and expected/chi² are
+    fixed chains of correctly-rounded IEEE ops over exact integers
+    (< 2^53).
+
+    Scale: ONE map-side-combinable 9-group aggregation over the fact
+    scan; the totals frame is 1 row, broadcast back. Nothing else
+    touches the corpus."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    # The 9-row digit frame feeds the cells AND the total — materialize
+    # it once so the corpus scans once.
+    obs = (
+        o.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .localCheckpoint(eager=False)
+    )
+    tot = obs.agg(F.sum("n_obs").alias("n"))
+    p = F.lit(None).cast("double")
+    for d, prob in _BENFORD_P.items():
+        p = F.when(F.col("digit") == d, F.lit(prob)).otherwise(p)
+    expected = (F.col("n").cast("double") * p).alias("expected")
+    base = obs.crossJoin(F.broadcast(tot)).select(
+        "digit", "n_obs", expected
+    )
+    diff = F.col("n_obs").cast("double") - F.col("expected")
+    return base.select(
+        "digit",
+        "n_obs",
+        "expected",
+        (diff * diff / F.col("expected")).alias("chi2_term"),
+    )
 
 
 # =========================================================================

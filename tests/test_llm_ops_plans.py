@@ -583,3 +583,37 @@ def test_twap_window_distribution_reused(spark, sf_dir):
     plan = _plan(workloads.QUERIES["twap_event_value_daily"](spark, sf_dir))
     assert plan.count("Exchange") == 1
     assert plan.count("Window") == 1
+
+
+def test_mannwhitney_domain_frame_shape(spark, sf_dir):
+    """The fact table shuffles ONCE (groupBy value → the domain frame);
+    the rank window and rank-sum run over that frame, and the totals
+    side reaches the result as a broadcast — one hashpartitioning
+    Exchange on the fact path, no sort-merge join."""
+    plan = _plan(
+        workloads.QUERIES["mannwhitney_u_price_by_flag"](spark, sf_dir)
+    )
+    assert "Scan ExistingRDD" in plan  # domain frame materialized once
+    fact_shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(cents" in ln
+    ]
+    assert len(fact_shuffles) == 0, fact_shuffles
+    assert "SortMergeJoin" not in plan
+
+
+def test_benford_single_digit_agg_broadcast_total(spark, sf_dir):
+    """The 9-row digit frame is materialized ONCE (it feeds cells and
+    the total — without it the corpus scans twice) and the totals side
+    broadcasts back; no sort-merge join, no second corpus shuffle."""
+    plan = _plan(workloads.QUERIES["benford_digit_orders"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan  # digit frame materialized once
+    data_shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(data_shuffles) == 0, data_shuffles
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

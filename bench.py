@@ -280,6 +280,7 @@ HEADLINE = [
     "twap_event_value_daily",
     "mannwhitney_u_price_by_flag",
     "benford_digit_orders",
+    "attribution_last_touch",
 ]
 
 

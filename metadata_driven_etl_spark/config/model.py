@@ -601,6 +601,7 @@ VALID_CORPUS_STAGES = {
     "near_dedup",
     "semantic_dedup",
     "token_budget",
+    "sample_quota",
     "split",
 }
 VALID_NEAR_DEDUP_KEEP = {"first", "best"}
@@ -659,6 +660,12 @@ class CorpusStageConfig:
     threshold: float = 0.95
     # token_budget
     budget_tokens: int | None = None
+    # sample_quota (exact min(k, |group|) docs per group, drawn by
+    # md5-of-id order — uniform without replacement, reproducible,
+    # partition-independent; the "at most N docs per domain" corpus-mix
+    # contract fraction-based sampling can't hit)
+    quota_by: str | None = None
+    quota_k: int | None = None
     # split (leakage-safe group-level train/valid/test assignment; the
     # one schema-EXTENDING stage — adds ``split_column`` — so it must be
     # the pipeline's last stage)
@@ -698,6 +705,19 @@ class CorpusStageConfig:
             _require(
                 int(d.get("budget_tokens", 0)) > 0,
                 f"corpus {pipeline_id}: token_budget needs budget_tokens > 0",
+            )
+        qb, qk = d.get("quota_by"), d.get("quota_k")
+        if st == "sample_quota":
+            _require(
+                bool(qb) and qk is not None and int(qk) > 0,
+                f"corpus {pipeline_id}: sample_quota needs quota_by and "
+                f"quota_k > 0 (got quota_by={qb!r}, quota_k={qk!r})",
+            )
+        else:
+            _require(
+                qb is None and qk is None,
+                f"corpus {pipeline_id}: quota_by/quota_k only apply to "
+                "the sample_quota stage",
             )
         splits_raw = d.get("splits")
         if st == "split":
@@ -817,6 +837,8 @@ class CorpusStageConfig:
                 if d.get("budget_tokens") is not None
                 else None
             ),
+            quota_by=qb,
+            quota_k=int(qk) if qk is not None else None,
             split_by=d.get("split_by"),
             splits=tuple(
                 (s["name"], float(s["weight"])) for s in splits_raw or ()

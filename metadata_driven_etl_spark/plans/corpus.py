@@ -30,6 +30,11 @@ Stage semantics (all stages preserve the input schema, except ``split``
 - ``token_budget``: greedy best-by-quality prefix whose cumulative token
   count stays ≤ ``budget_tokens`` (distributed prefix-sum selection —
   no single-partition window).
+- ``sample_quota``: exactly min(``quota_k``, |group|) docs per
+  ``quota_by`` group, drawn by md5-of-id order — uniform without
+  replacement, reproducible, partition-independent (the "at most N docs
+  per domain" mix contract fraction-based sampling can't hit);
+  WindowGroupLimit keeps the shuffle O(groups·k).
 - ``split``: leakage-safe train/valid/test assignment — adds
   ``split_column`` as a pure function of ``split_by``'s hash, so every
   row of a group lands in one split (map-only; must be the last stage).
@@ -229,6 +234,23 @@ def _apply_stage(
             list(stage.splits),
             split_col=stage.split_column,
         )
+    if stage.stage == "sample_quota":
+        from metadata_driven_etl_spark.operators.windows import (
+            topk_per_group,
+        )
+
+        # exact min(k, |group|) rows per group by md5-of-id order:
+        # uniform without replacement, reproducible, and partition-
+        # independent; WindowGroupLimit keeps the shuffle O(groups·k)
+        return topk_per_group(
+            df,
+            [stage.quota_by],
+            [
+                F.asc(F.md5(F.col(id_col).cast("string"))),
+                F.asc(id_col),
+            ],
+            stage.quota_k,
+        ).drop("rank")
     if stage.stage == "token_budget":
         from metadata_driven_etl_spark.operators.sampling import (
             select_within_token_budget,

@@ -6928,6 +6928,71 @@ def benford_digit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "attribution_last_touch",
+    oracle="""
+    WITH t AS (
+        SELECT event_type, ts,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN ts END IGNORE NULLS) OVER w AS t_ts,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                 OVER w AS t_ch
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT CASE WHEN t_ts IS NULL
+                  OR epoch_us(ts) - epoch_us(t_ts) > 604800000000
+                THEN 'direct' ELSE t_ch END AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions
+    FROM t WHERE event_type = 'purchase' GROUP BY 1""",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent preceding non-purchase event type within a
+    7-day lookback, else 'direct' — the channel-performance primitive
+    every growth/marketing warehouse runs daily.
+
+    The two `last(… ignore nulls)` carries (touch timestamp, touch
+    channel) null out on the SAME condition, so they always come from
+    the same row — no struct carry needed; the lookback test is an
+    exact integer-microsecond comparison map-side.
+
+    Scale: ONE user-keyed window shuffle (both carries share one
+    WindowExec frame sort) + one |channels|-row partial-aggregated
+    count. Never the per-conversion self-join (conversions × touches
+    pair space) a correlated-subquery formulation plans to."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    nonp = F.col("event_type") != "purchase"
+    t = ev.select(
+        "event_type",
+        "ts",
+        F.last(F.when(nonp, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("t_ts"),
+        F.last(F.when(nonp, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("t_ch"),
+    )
+    stale = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("t_ts"))
+        > 604_800_000_000
+    )
+    channel = F.when(
+        F.col("t_ts").isNull() | stale, F.lit("direct")
+    ).otherwise(F.col("t_ch"))
+    return (
+        t.filter(F.col("event_type") == "purchase")
+        .groupBy(channel.alias("channel"))
+        .agg(F.count(F.lit(1)).alias("n_conversions"))
+    )
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================

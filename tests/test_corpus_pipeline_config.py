@@ -929,3 +929,89 @@ def test_near_dedup_method_validation(tmp_path):
     for body, msg in bad:
         with pytest.raises(ConfigError, match=msg):
             load_corpus_config(_write_config(tmp_path, body))
+
+
+def test_sample_quota_stage(ctx, tmp_path):
+    """The sample_quota stage keeps exactly min(k, |group|) docs per
+    group by md5-of-id order, schema-preserving, and matches the direct
+    operator composition (the declarable form of
+    sample_fixed_quota_per_group)."""
+    cfg = load_corpus_config(
+        _write_config(
+            tmp_path,
+            f"""
+            corpus_pipelines:
+              - pipeline_id: quota_v1
+                input_path: "{SF_DOCS}"
+                target_table: corpus.t_quota_v1
+                stages:
+                  - stage: sample_quota
+                    quota_by: source
+                    quota_k: 3
+            """,
+        )
+    )
+    results = CorpusLayer(ctx, cfg).run("2026-08-15")
+    assert [r.status for r in results] == ["success"]
+    out = ctx.spark.table("corpus.t_quota_v1")
+    docs = ctx.spark.read.parquet(SF_DOCS)
+    assert out.columns == docs.columns
+
+    # exact per-group counts
+    sizes = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    got = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {s: min(3, n) for s, n in sizes.items()}
+
+    # ≡ direct composition
+    from metadata_driven_etl_spark.operators.windows import topk_per_group
+
+    expect = {
+        r.doc_id
+        for r in topk_per_group(
+            docs,
+            ["source"],
+            [F.asc(F.md5(F.col("doc_id").cast("string"))), F.asc("doc_id")],
+            3,
+        ).collect()
+    }
+    assert {r.doc_id for r in out.collect()} == expect
+
+
+def test_sample_quota_validation(tmp_path):
+    import yaml
+
+    with pytest.raises(ConfigError, match="sample_quota"):
+        CorpusConfig.from_dict(
+            yaml.safe_load(
+                textwrap.dedent(
+                    """
+                    corpus_pipelines:
+                      - pipeline_id: bad
+                        input_path: "/x"
+                        target_table: t
+                        stages: [{stage: sample_quota, quota_by: source}]
+                    """
+                )
+            )
+        )
+    with pytest.raises(ConfigError, match="quota_by/quota_k"):
+        CorpusConfig.from_dict(
+            yaml.safe_load(
+                textwrap.dedent(
+                    """
+                    corpus_pipelines:
+                      - pipeline_id: bad2
+                        input_path: "/x"
+                        target_table: t
+                        stages:
+                          - {stage: quality_filter, quota_k: 5}
+                    """
+                )
+            )
+        )

@@ -281,6 +281,8 @@ HEADLINE = [
     "mannwhitney_u_price_by_flag",
     "benford_digit_orders",
     "attribution_last_touch",
+    "text_phrase_search",
+    "embedding_covariance",
 ]
 
 

@@ -13,6 +13,8 @@ oracle can verify it. The twins MUST stay in lock-step — tests compare them.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -686,3 +688,54 @@ def sql_doc_cosine_pairs(
              / sqrt(CAST(na.norm_sq AS DOUBLE) * CAST(nb.norm_sq AS DOUBLE))
           >= {min_cosine}
     """
+
+
+# --- positional phrase search -------------------------------------------------
+
+
+def phrase_match_postings(
+    df: DataFrame,
+    phrase: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact tokenized-phrase match through a POSITIONAL inverted index:
+    postings (doc, position, token) filtered to the phrase's tokens,
+    then the k-th phrase token joins the anchor at position+k — the
+    distributed search-engine primitive (Lucene's phrase query shape),
+    counting every occurrence including overlapping/self-token ones
+    ("x x x" matches "x x" twice). Returns (id_col, n_matches) for
+    matching docs only.
+
+    Scale: the postings frame materializes ONCE (every phrase token
+    probes it — the persisted-index posture: at 100 TB the postings
+    live as a bucketed table on (token) and each query reads only its
+    tokens' posting lists); every join is an equi-join on
+    (doc, anchor position) — candidate cardinality is the ANCHOR
+    token's document frequency, never a cross product (plan-pinned).
+    The per-doc match count partial-aggregates.
+
+    For one-off scans (no reusable index) the map-only form —
+    ``size(filter(sequence(...), i -> slice(tokens, i, L) == phrase))``
+    per row, zero shuffles — beats building postings; this operator is
+    the index path.
+    """
+    if not phrase:
+        raise ValueError("phrase_match_postings: phrase must be non-empty")
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(tokens(text_col)).alias("pos", "tok"),
+        )
+        .filter(F.col("tok").isin(*set(phrase)))
+        .localCheckpoint(eager=False)
+    )
+    base = toks.filter(F.col("tok") == phrase[0]).select(id_col, "pos")
+    for k, t in enumerate(phrase[1:], start=1):
+        pk = toks.filter(F.col("tok") == t).select(
+            F.col(id_col), (F.col("pos") - k).alias("pos")
+        )
+        base = base.join(pk, [id_col, "pos"])
+    return base.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_matches")
+    )

@@ -6993,6 +6993,96 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PHRASE = ["table", "table"]
+
+
+@workload(
+    "text_phrase_search",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {text_ops.sql_tokens('text')} AS t
+               FROM documents),
+    m AS (SELECT doc_id
+          FROM d, LATERAL (SELECT unnest(generate_series(
+                               1, greatest(len(t) - 1, 0))) AS i) g
+          WHERE list_slice(t, i, i + 1) = ['table', 'table'])
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM m GROUP BY 1""",
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tokenized phrase search ("table table") through a
+    positional inverted index — the distributed search-engine primitive
+    (Lucene phrase-query shape): postings (doc, pos, token) filtered to
+    the phrase's tokens, k-th token joins the anchor at pos+k, per-doc
+    occurrence counts including overlapping matches (the self-token
+    phrase here makes "table table table" count twice — the edge case
+    substring-replace formulations get wrong).
+
+    Scale: the filtered postings materialize ONCE (both phrase
+    positions probe it — at 100 TB this is the persisted token-bucketed
+    posting table and each query reads only its tokens' lists); every
+    join is an equi-join on (doc, anchor pos) — candidate cardinality
+    is the anchor token's df, never a cross product (plan-pinned). The
+    oracle recomputes positions with the SHARED tokenizer."""
+    docs = _docs(spark, sf_dir)
+    return text_ops.phrase_match_postings(
+        docs, _PHRASE, text_col="text", id_col="doc_id"
+    )
+
+
+_COV_DIMS = 8
+_COV_SCALE = 10_000
+_COV_PAIRS = [(i, j) for i in range(_COV_DIMS) for j in range(i, _COV_DIMS)]
+_COV_ORACLE = (
+    "WITH q AS (SELECT "
+    + ", ".join(
+        f"CAST(FLOOR(CAST(embedding[{i + 1}] AS DOUBLE) * {_COV_SCALE}"
+        f" + 0.5) AS BIGINT) AS q{i}"
+        for i in range(_COV_DIMS)
+    )
+    + " FROM embeddings), m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    + ", ".join(
+        f"SUM(CAST(q{i} AS HUGEINT)) AS t{i}" for i in range(_COV_DIMS)
+    )
+    + ", "
+    + ", ".join(
+        f"SUM(CAST(q{i} AS HUGEINT) * q{j}) AS s{i}_{j}"
+        for i, j in _COV_PAIRS
+    )
+    + " FROM q) "
+    + " UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j, n AS n_rows, "
+        f"CAST(CAST(CAST(n AS HUGEINT) * s{i}_{j} - t{i} * t{j} AS VARCHAR)"
+        f" AS DOUBLE) / CAST(CAST(CAST(n AS HUGEINT) * n"
+        f" * {_COV_SCALE * _COV_SCALE} AS VARCHAR) AS DOUBLE) AS cov FROM m"
+        for i, j in _COV_PAIRS
+    )
+)
+
+
+@workload("embedding_covariance", oracle=_COV_ORACLE)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact population covariance matrix (upper triangle, first 8
+    embedding dims) from quantized integer co-moments — the single-pass
+    input to PCA/whitening/drift monitoring: the corpus-scale work is
+    ONE aggregation; the d×d eigensolve is driver-side metadata.
+
+    Hash-exact: q = floor(x·1e4 + 0.5) (float→double widening exact,
+    one correctly-rounded multiply), moments n/T_i/S_ij accumulate in
+    DECIMAL(38,0) (Spark) ≡ HUGEINT (DuckDB) — both exact integers —
+    and cov = (n·S_ij − T_i·T_j)/(n²·scale²) is ONE IEEE division of
+    two exactly-converted decimals (DuckDB decimal→double via VARCHAR).
+
+    Scale: d(d+1)/2 + d + 1 = 45 partial-agg decimal states (~35 KB at
+    d=64); map-side combine, shuffle carries aggregate state only — the
+    same posture at any corpus size. The 36-cell unpivot is metadata."""
+    from metadata_driven_etl_spark.operators import similarity as s_ops
+
+    emb = _emb(spark, sf_dir)
+    return s_ops.embedding_comoments(
+        emb, "embedding", dims=_COV_DIMS, scale=_COV_SCALE
+    )
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================

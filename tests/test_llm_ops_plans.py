@@ -617,3 +617,28 @@ def test_benford_single_digit_agg_broadcast_total(spark, sf_dir):
     assert len(data_shuffles) == 0, data_shuffles
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_phrase_search_postings_equi_joins(spark, sf_dir):
+    """Postings materialize once (both phrase positions probe them) and
+    every positional join is an equi-join on (doc, anchor pos) — never
+    a cartesian/BNL pair pass."""
+    plan = _plan(workloads.QUERIES["text_phrase_search"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan  # postings materialized once
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_covariance_single_pass(spark, sf_dir):
+    """All 45 moments come from ONE aggregation pass — partial then
+    final HashAggregate, no joins, no window, at most the single
+    aggregate-state Exchange."""
+    plan = _plan(workloads.QUERIES["embedding_covariance"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    data_shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "RoundRobinPartitioning" not in ln
+    ]
+    assert len(data_shuffles) <= 1, data_shuffles

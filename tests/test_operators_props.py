@@ -1306,3 +1306,69 @@ def test_jaccard_prefix_large_documents_no_overflow(spark_global):
         for r in jaccard_prefix_pairs(df, threshold=0.7).collect()
     ]
     assert got == [(1, 2, 1.0)]
+
+
+def test_phrase_match_counts_overlapping_and_self_token(spark_global):
+    """'x x x' contains 'x x' TWICE (overlap); docs without the phrase
+    don't appear; tokenizer normalization applies (case/punct)."""
+    from metadata_driven_etl_spark.operators.text import (
+        phrase_match_postings,
+    )
+
+    df = spark_global.createDataFrame(
+        [
+            (1, "x x x"),          # 2 overlapping matches
+            (2, "a x b x"),        # 0 (non-adjacent)
+            (3, "X, x! y x x"),    # normalized: x x y x x -> 2
+            (4, "y z"),            # 0
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.n_matches
+        for r in phrase_match_postings(df, ["x", "x"]).collect()
+    }
+    assert got == {1: 2, 3: 2}
+
+
+def test_phrase_match_three_token_phrase(spark_global):
+    from metadata_driven_etl_spark.operators.text import (
+        phrase_match_postings,
+    )
+
+    df = spark_global.createDataFrame(
+        [(1, "a b c a b c a b"), (2, "a b"), (3, "c b a")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.n_matches
+        for r in phrase_match_postings(df, ["a", "b", "c"]).collect()
+    }
+    assert got == {1: 2}
+
+
+def test_embedding_comoments_matches_numpy(spark_global):
+    """Covariance cells equal numpy's population covariance of the
+    quantized components (independent-library check, not just the
+    cross-engine hash)."""
+    import numpy as np
+
+    from metadata_driven_etl_spark.operators.similarity import (
+        embedding_comoments,
+    )
+
+    rng = [
+        [0.11, -0.25, 0.3], [0.02, 0.4, -0.17],
+        [-0.33, 0.08, 0.21], [0.27, -0.05, 0.0],
+    ]
+    df = spark_global.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(rng)],
+        ["vec_id", "embedding"],
+    )
+    out = embedding_comoments(df, "embedding", dims=3, scale=10_000)
+    X = np.array(rng, dtype=np.float64)
+    q = np.floor(X * 10_000 + 0.5)
+    C = np.cov(q.T, bias=True) / 1e8
+    for r in out.collect():
+        assert r.n_rows == 4
+        assert abs(C[r.i, r.j] - r.cov) < 1e-12, (r.i, r.j)

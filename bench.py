@@ -283,6 +283,8 @@ HEADLINE = [
     "attribution_last_touch",
     "text_phrase_search",
     "embedding_covariance",
+    "running_sum_clamped",
+    "allocate_largest_remainder",
 ]
 
 

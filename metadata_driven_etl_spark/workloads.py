@@ -7083,6 +7083,147 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "running_sum_clamped",
+    oracle="""
+    WITH d AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+               CASE WHEN l_returnflag = 'R'
+                    THEN -CAST(l_quantity AS BIGINT)
+                    ELSE CAST(l_quantity AS BIGINT) END AS delta
+        FROM lineitem WHERE l_suppkey < 50),
+    p AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, delta,
+               CAST(SUM(delta) OVER w AS BIGINT) AS psum
+        FROM d
+        WINDOW w AS (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT l_suppkey, l_orderkey, l_linenumber, delta,
+           CAST(psum - LEAST(0, MIN(psum) OVER w2) AS BIGINT) AS onhand
+    FROM p
+    WINDOW w2 AS (PARTITION BY l_suppkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+)
+def running_sum_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running inventory position clamped at zero (shipments add,
+    returns subtract, stock can't go negative) — the textbook
+    "inherently sequential" fold S_t = max(0, S_{t-1} + x_t), made
+    DISTRIBUTED by the prefix identity
+    S_t = P_t − min(0, min_{k≤t} P_k) (P = plain running sum): a
+    stateful recurrence becomes two stacked prefix aggregates over ONE
+    key-partitioned window. (The identity holds for one-sided
+    clamp-at-zero; a two-sided cap has no prefix closed form — that's
+    the genuinely sequential case, applyInPandasWithState territory.)
+
+    Exactness: quantities are integral, so both prefixes and the final
+    difference are exact bigints; ordering (shipdate, orderkey,
+    linenumber) is unique per supplier.
+
+    Scale: ONE supplier-keyed window shuffle; both window functions and
+    the stacked second window share the same partitioning+ordering, so
+    Spark reuses one sort (plan-pinned: one Exchange). The suppkey<50
+    slice bounds the driver-collected output only — the plan is
+    identical unfiltered."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 50)
+    delta = F.when(
+        F.col("l_returnflag") == "R",
+        -F.col("l_quantity").cast("long"),
+    ).otherwise(F.col("l_quantity").cast("long"))
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        delta.alias("delta"),
+    ).withColumn("psum", F.sum("delta").over(w))
+    return p.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "delta",
+        (
+            F.col("psum") - F.least(F.lit(0), F.min("psum").over(w))
+        ).alias("onhand"),
+    )
+
+
+@workload(
+    "allocate_largest_remainder",
+    oracle="""
+    WITH w AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n
+               FROM customer GROUP BY 1),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM w),
+    b AS (SELECT c_nationkey, n,
+                 CAST((1000 * n) // tot AS BIGINT) AS base,
+                 CAST((1000 * n) % tot AS BIGINT) AS rem
+          FROM w CROSS JOIN t),
+    l AS (SELECT CAST(1000 - SUM(base) AS BIGINT) AS leftover FROM b),
+    r AS (SELECT c_nationkey, n, base, rem,
+                 CAST(row_number() OVER (ORDER BY rem DESC, c_nationkey)
+                      AS BIGINT) AS rk
+          FROM b)
+    SELECT c_nationkey, n AS n_customers,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM r CROSS JOIN l""",
+)
+def allocate_largest_remainder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Proportional integer apportionment by the largest-remainder
+    (Hamilton) method: split 1000 units across nations proportionally
+    to customer count, exactly — Σ alloc = 1000 BY CONSTRUCTION
+    (floor shares, then +1 to the largest remainders). The budget/
+    sample-quota/seat allocator every float-rounding scheme gets wrong
+    (rounded shares don't sum to the total).
+
+    Exactness: base = (K·n) div W and rem = (K·n) mod W are exact
+    integer ops (K·n < 2⁶³ for n < 9e15 at K=1000); remainder ties
+    break on the group key — fully deterministic, zero floats anywhere.
+
+    Scale: ONE map-side-combinable groupBy over the fact (count per
+    group); everything after runs on the |groups|-row frame —
+    broadcast total, metadata-size rank window. The weights frame is
+    materialized once (it feeds base/rem AND the leftover sum)."""
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    w = (
+        cust.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    t = w.agg(F.sum("n").alias("tot"))
+    b = w.crossJoin(F.broadcast(t)).select(
+        "c_nationkey",
+        "n",
+        F.expr("(1000 * n) DIV tot").alias("base"),
+        ((1000 * F.col("n")) % F.col("tot")).alias("rem"),
+    ).localCheckpoint(eager=False)
+    leftover = b.agg((F.lit(1000) - F.sum("base")).alias("leftover"))
+    rk = F.row_number().over(
+        Window.orderBy(F.col("rem").desc(), F.col("c_nationkey"))
+    ).cast("long")
+    r = b.withColumn("rk", rk)
+    return r.crossJoin(F.broadcast(leftover)).select(
+        "c_nationkey",
+        F.col("n").alias("n_customers"),
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("alloc"),
+    )
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================

@@ -642,3 +642,29 @@ def test_embedding_covariance_single_pass(spark, sf_dir):
         if "Exchange" in ln and "RoundRobinPartitioning" not in ln
     ]
     assert len(data_shuffles) <= 1, data_shuffles
+
+
+def test_running_sum_clamped_one_exchange(spark, sf_dir):
+    """The stacked prefix windows (running sum, then running min over
+    it) share one partitioning+ordering — ONE Exchange for the whole
+    sequential-fold rewrite, and the suppkey slice reaches the scan as
+    a pushed filter."""
+    plan = _plan(workloads.QUERIES["running_sum_clamped"](spark, sf_dir))
+    data_shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "RoundRobinPartitioning" not in ln
+    ]
+    assert len(data_shuffles) == 1, data_shuffles
+    assert "PushedFilters: [IsNotNull(l_suppkey), LessThan(l_suppkey,50)]" in plan
+
+
+def test_largest_remainder_single_fact_shuffle(spark, sf_dir):
+    """One map-side-combinable groupBy is the only corpus shuffle; the
+    |groups|-row frame is materialized once and everything downstream
+    (total broadcast, rank window, leftover) is metadata-size."""
+    plan = _plan(
+        workloads.QUERIES["allocate_largest_remainder"](spark, sf_dir)
+    )
+    assert "Scan ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan

@@ -1372,3 +1372,52 @@ def test_embedding_comoments_matches_numpy(spark_global):
     for r in out.collect():
         assert r.n_rows == 4
         assert abs(C[r.i, r.j] - r.cov) < 1e-12, (r.i, r.j)
+
+
+def test_running_sum_clamped_matches_sequential_fold(spark_global):
+    """The prefix identity S_t = P_t - min(0, min_prefix(P)) must equal
+    the sequential recurrence S_t = max(0, S_{t-1} + x_t) on adversarial
+    sequences (deep negatives, recoveries, re-zeroing)."""
+    from pyspark.sql import Window, functions as F
+
+    seqs = {
+        "a": [3, -5, 1, -2, 6, -1, -100, 4],
+        "b": [-4, -4, 10, -3, -3, -3, 5],
+        "c": [0, 0, -1, 2],
+    }
+    rows = [
+        (k, i, x) for k, xs in seqs.items() for i, x in enumerate(xs)
+    ]
+    df = spark_global.createDataFrame(rows, ["k", "i", "x"])
+    w = Window.partitionBy("k").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    p = df.withColumn("psum", F.sum("x").over(w))
+    out = p.select(
+        "k",
+        "i",
+        (F.col("psum") - F.least(F.lit(0), F.min("psum").over(w))).alias(
+            "onhand"
+        ),
+    )
+    got = {(r.k, r.i): r.onhand for r in out.collect()}
+    for k, xs in seqs.items():
+        s = 0
+        for i, x in enumerate(xs):
+            s = max(0, s + x)
+            assert got[(k, i)] == s, (k, i, got[(k, i)], s)
+
+
+def test_largest_remainder_allocation_sums_to_total(spark, sf_dir):
+    """Hamilton apportionment: allocations are >= floor share and sum to
+    EXACTLY the declared total (the property float rounding breaks)."""
+    from metadata_driven_etl_spark import workloads
+
+    out = workloads.QUERIES["allocate_largest_remainder"](
+        spark, sf_dir
+    ).collect()
+    assert sum(r.alloc for r in out) == 1000
+    n_tot = sum(r.n_customers for r in out)
+    for r in out:
+        base = (1000 * r.n_customers) // n_tot
+        assert r.alloc in (base, base + 1), r

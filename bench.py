@@ -285,6 +285,8 @@ HEADLINE = [
     "embedding_covariance",
     "running_sum_clamped",
     "allocate_largest_remainder",
+    "cuped_adjusted_spend",
+    "best_split_gini_quantity",
 ]
 
 

@@ -7224,6 +7224,193 @@ def allocate_largest_remainder(
     )
 
 
+@workload(
+    "cuped_adjusted_spend",
+    oracle="""
+    WITH u AS (
+        SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS y,
+               CAST(o_custkey % 2 AS INTEGER) AS variant
+        FROM orders GROUP BY o_custkey),
+    g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                 SUM(CAST(x AS HUGEINT)) AS tx,
+                 SUM(CAST(y AS HUGEINT)) AS ty,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy
+          FROM u),
+    v AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_units,
+                 CAST(SUM(x) AS BIGINT) AS tx_g,
+                 CAST(SUM(y) AS BIGINT) AS ty_g
+          FROM u GROUP BY 1)
+    SELECT variant, n_units,
+           CAST(ty_g AS DOUBLE) / CAST(n_units AS DOUBLE) AS raw_mean,
+           CAST(CAST(n * sxy - tx * ty AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(n * sxx - tx * tx AS VARCHAR) AS DOUBLE) AS theta,
+           CAST(ty_g AS DOUBLE) / CAST(n_units AS DOUBLE)
+             - (CAST(CAST(n * sxy - tx * ty AS VARCHAR) AS DOUBLE)
+                / CAST(CAST(n * sxx - tx * tx AS VARCHAR) AS DOUBLE))
+               * (CAST(tx_g AS DOUBLE) / CAST(n_units AS DOUBLE)
+                  - CAST(CAST(tx AS VARCHAR) AS DOUBLE)
+                    / CAST(CAST(n AS VARCHAR) AS DOUBLE)) AS adj_mean
+    FROM v CROSS JOIN g""",
+)
+def cuped_adjusted_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (the A/B-testing
+    platform primitive): per-variant mean spend adjusted by the
+    pre-exposure covariate, Ŷ_g = mean(Y)_g − θ·(mean(X)_g − mean(X)),
+    θ = cov(X,Y)/var(X) fitted on ALL units — removes covariate-driven
+    variance without biasing the treatment contrast. Units = customers
+    (variant = custkey parity — deterministic assignment), X = order
+    count, Y = lifetime spend in cents.
+
+    Hash-exact: all five global moments (n, ΣX, ΣY, ΣX², ΣXY) and the
+    per-variant sums are exact integers (DECIMAL(38,0) ≡ HUGEINT);
+    θ = (n·Sxy − TxTy)/(n·Sxx − Tx²) and the adjustment are the SAME
+    fixed chain of correctly-rounded IEEE ops in both engines over
+    exactly-converted decimals (the closed-form-OLS discipline —
+    cov/var of the same fit, just re-purposed for variance reduction).
+
+    Scale: one corpus shuffle (groupBy unit); the units frame is
+    materialized once (global moments + per-variant sums), the 1-row
+    global frame broadcasts back. Fitting θ is the same single
+    aggregation pass however many units exist."""
+    d38 = "decimal(38,0)"
+    o = _t(spark, sf_dir, "orders")
+    u = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("y"),
+        )
+        .withColumn("variant", (F.col("o_custkey") % 2).cast("int"))
+        .localCheckpoint(eager=False)
+    )
+    g = u.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).cast(d38).alias("tx"),
+        F.sum(F.col("y").cast(d38)).cast(d38).alias("ty"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).cast(d38).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).cast(d38).alias("sxy"),
+    )
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("x").alias("tx_g"),
+        F.sum("y").alias("ty_g"),
+    )
+    theta = (
+        (F.col("n") * F.col("sxy") - F.col("tx") * F.col("ty"))
+        .cast(d38)
+        .cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("tx") * F.col("tx"))
+        .cast(d38)
+        .cast("double")
+    )
+    raw_mean = F.col("ty_g").cast("double") / F.col("n_units").cast("double")
+    adj = raw_mean - theta * (
+        F.col("tx_g").cast("double") / F.col("n_units").cast("double")
+        - F.col("tx").cast("double") / F.col("n").cast("double")
+    )
+    return v.crossJoin(F.broadcast(g)).select(
+        "variant",
+        "n_units",
+        raw_mean.alias("raw_mean"),
+        theta.alias("theta"),
+        adj.alias("adj_mean"),
+    )
+
+
+@workload(
+    "best_split_gini_quantity",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(l_quantity AS BIGINT) AS q,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+        FROM lineitem),
+    pv AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS cnt,
+                  CAST(SUM(pos) AS BIGINT) AS p
+           FROM d GROUP BY 1),
+    c AS (SELECT q,
+                 CAST(SUM(cnt) OVER w AS BIGINT) AS nl,
+                 CAST(SUM(p) OVER w AS BIGINT) AS pl
+          FROM pv
+          WINDOW w AS (ORDER BY q
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                 CAST(SUM(p) AS BIGINT) AS np FROM pv)
+    SELECT q AS threshold, nl AS n_left, pl AS pos_left,
+           (CAST(pl * pl + (nl - pl) * (nl - pl) AS DOUBLE)
+              / CAST(nl AS DOUBLE))
+           + (CAST((np - pl) * (np - pl)
+                   + ((n - nl) - (np - pl)) * ((n - nl) - (np - pl))
+                   AS DOUBLE)
+              / CAST(n - nl AS DOUBLE)) AS purity_q
+    FROM c CROSS JOIN t WHERE nl < n""",
+)
+def best_split_gini_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-tree split finding in-database: evaluate EVERY candidate
+    threshold on l_quantity for predicting returns (l_returnflag='R')
+    by weighted Gini impurity — emitted as the equivalent purity score
+    Q(t) = (pL²+negL²)/nL + (pR²+negR²)/nR (minimizing weighted Gini ⇔
+    maximizing Q; the per-threshold curve is the tree learner's input,
+    the argmax is |thresholds|-row driver-side metadata).
+
+    Hash-exact: cumulative class counts are exact bigints via the KS
+    domain-frame machinery; each Q is TWO divisions and one add over
+    exactly-converted integers — the same fixed IEEE chain in both
+    engines (squares < 2⁶³ for n < 3e9; lift to decimal beyond). No
+    entropy/log anywhere — Gini is the rational impurity, which is WHY
+    it's the hash-checkable (and classic CART) choice.
+
+    Scale: the fact shuffles ONCE into the |distinct values|-row domain
+    frame (materialized once — cumulative window + totals); candidate
+    evaluation is metadata-size. Growing a whole tree level = one such
+    pass per node over its partition of the data."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.when(F.col("l_returnflag") == "R", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("pos"),
+    )
+    pv = (
+        d.groupBy("q")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("pos").alias("p"))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    c = pv.select(
+        "q",
+        F.sum("cnt").over(w).alias("nl"),
+        F.sum("p").over(w).alias("pl"),
+    )
+    t = pv.agg(F.sum("cnt").alias("n"), F.sum("p").alias("np"))
+    nl, pl = F.col("nl"), F.col("pl")
+    nr = F.col("n") - nl
+    pr = F.col("np") - pl
+    negl = nl - pl
+    negr = nr - pr
+    purity = (pl * pl + negl * negl).cast("double") / nl.cast("double") + (
+        pr * pr + negr * negr
+    ).cast("double") / nr.cast("double")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .filter(nl < F.col("n"))
+        .select(
+            F.col("q").alias("threshold"),
+            nl.alias("n_left"),
+            pl.alias("pos_left"),
+            purity.alias("purity_q"),
+        )
+    )
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================

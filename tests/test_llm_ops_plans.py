@@ -668,3 +668,29 @@ def test_largest_remainder_single_fact_shuffle(spark, sf_dir):
     )
     assert "Scan ExistingRDD" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_cuped_units_frame_materialized_once(spark, sf_dir):
+    """One corpus shuffle (groupBy unit); the units frame feeds the
+    global-moment AND per-variant aggregations from one materialization;
+    the 1-row global frame broadcasts."""
+    plan = _plan(workloads.QUERIES["cuped_adjusted_spend"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan
+    fact_shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(o_custkey" in ln
+    ]
+    assert len(fact_shuffles) == 0, fact_shuffles  # inside the checkpoint
+
+
+def test_best_split_domain_frame_shape(spark, sf_dir):
+    """The KS domain-frame shape again: fact shuffles once into the
+    |distinct q|-row frame (materialized once), threshold evaluation is
+    metadata-size."""
+    plan = _plan(
+        workloads.QUERIES["best_split_gini_quantity"](spark, sf_dir)
+    )
+    assert "Scan ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan

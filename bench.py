@@ -287,6 +287,7 @@ HEADLINE = [
     "allocate_largest_remainder",
     "cuped_adjusted_spend",
     "best_split_gini_quantity",
+    "survival_life_table",
 ]
 
 

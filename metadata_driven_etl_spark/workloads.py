@@ -7411,6 +7411,101 @@ def best_split_gini_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "survival_life_table",
+    oracle="""
+    WITH per_order AS (
+        SELECT o.o_orderkey,
+               CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              MIN(CAST(l.l_shipdate AS DATE))) AS BIGINT)
+                 AS t,
+               CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS e
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderstatus),
+    pv AS (SELECT t, CAST(SUM(e) AS BIGINT) AS d,
+                  CAST(SUM(1 - e) AS BIGINT) AS c,
+                  CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM per_order GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM pv),
+    lt AS (SELECT t, d, c,
+                  CAST(COALESCE(SUM(cnt) OVER (
+                      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) AS BIGINT)
+                    AS before_t
+           FROM pv)
+    SELECT t, d AS n_events, c AS n_censored,
+           CAST(n - before_t AS BIGINT) AS n_at_risk,
+           CAST(n - before_t - d AS DOUBLE)
+             / CAST(n - before_t AS DOUBLE) AS km_factor
+    FROM lt CROSS JOIN tot""",
+)
+def survival_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier life table for order fulfillment latency (days from
+    order to first shipment; open/pending orders are right-CENSORED at
+    their observed latency) — the survival/churn-analytics primitive
+    (retention curves, time-to-cancel, hardware failure). Emits per
+    duration t: events d(t), censored c(t), the risk set n(t) = #{T≥t},
+    and the KM step factor (n−d)/n; the survival curve Ŝ(t) = Π factors
+    is a |durations|-row cumulative product — driver-side metadata (a
+    windowed float product is order-dependent by nature, so the
+    hash-checked surface is the exact life table, not the curve).
+
+    Hash-exact: durations and all counts are exact integers; the risk
+    set is a REVERSE cumulative (total − prefix-before-t) over the
+    domain frame; each factor is one subtraction and one division of
+    exact ints — fixed IEEE chain.
+
+    Scale: one fact join (orders⋈lineitem on the order key) + one
+    groupBy into per-order durations, then the |distinct durations|-row
+    domain frame (materialized once) carries the window — the KS shape
+    with a survival semantics layer."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderstatus")
+        .agg(F.min(F.to_date("l_shipdate")).alias("first_ship"))
+        .select(
+            F.datediff(F.col("first_ship"), F.to_date("o_orderdate"))
+            .cast("long")
+            .alias("t"),
+            F.when(F.col("o_orderstatus") == "F", 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("e"),
+        )
+    )
+    pv = (
+        per_order.groupBy("t")
+        .agg(
+            F.sum("e").alias("d"),
+            F.sum(F.lit(1) - F.col("e")).alias("c"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = pv.agg(F.sum("cnt").alias("n"))
+    wb = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    lt = pv.select(
+        "t",
+        "d",
+        "c",
+        F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("before_t"),
+    )
+    n_risk = F.col("n") - F.col("before_t")
+    return lt.crossJoin(F.broadcast(tot)).select(
+        "t",
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        n_risk.alias("n_at_risk"),
+        (
+            (n_risk - F.col("d")).cast("double") / n_risk.cast("double")
+        ).alias("km_factor"),
+    )
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================

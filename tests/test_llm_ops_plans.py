@@ -694,3 +694,12 @@ def test_best_split_domain_frame_shape(spark, sf_dir):
     )
     assert "Scan ExistingRDD" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_survival_life_table_domain_frame(spark, sf_dir):
+    """Per-order durations come from one join+groupBy; the life-table
+    window runs over the once-materialized |durations|-row domain
+    frame with a broadcast total — no second corpus shuffle."""
+    plan = _plan(workloads.QUERIES["survival_life_table"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan

@@ -31,6 +31,7 @@ VALID_RULE_TYPES = {
     "referential_integrity",
     "uniqueness",
     "zscore_outlier",
+    "benford_digit",
 }
 VALID_ACTIONS = {"filter", "tag", "reject"}
 VALID_REFRESH_TYPES = {"full", "incremental", "delta", "scd2"}
@@ -158,6 +159,15 @@ class DQRuleConfig:
             _require(
                 float(d.get("threshold", 3.0)) > 0,
                 f"rule {name}: zscore_outlier threshold must be > 0",
+            )
+        if rt == "benford_digit":
+            _require(d.get("column"), f"rule {name}: benford_digit needs column")
+            _require(
+                d.get("threshold") is not None
+                and float(d["threshold"]) > 0,
+                f"rule {name}: benford_digit needs an explicit chi² "
+                "threshold > 0 (e.g. 26.12 ≈ χ²(8 dof) at p=0.001 — the "
+                "zscore default of 3 is the wrong scale for a chi² gate)",
             )
         return DQRuleConfig(
             rule_name=name,

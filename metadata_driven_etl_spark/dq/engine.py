@@ -117,6 +117,48 @@ class DataQualityEngine:
                 <= F.lit(rule.threshold) * F.col(s)
             )
             return out, F.coalesce(within | F.col(s).isNull(), F.lit(False))
+        if rule.rule_type == "benford_digit":
+            # Batch-shape rule (beyond the reference's types): the column's
+            # first-significant-digit distribution must sit within chi²
+            # `threshold` of Benford's law — the fraud/fabrication screen as
+            # a declared gate. Validity is BATCH-level by design: either the
+            # batch's distribution passes and every row is valid, or the
+            # whole batch is flagged (a single row has no Benford-ness).
+            # Zero/NULL values carry no first digit: they're excluded from
+            # the fit and valid (the rule tests shape, not presence —
+            # combine with not_null for that). Cost: one 9-group map-side-
+            # combinable aggregation + a 1-row broadcast (zscore precedent).
+            import math
+
+            chi2col = f"__dq_benford_{rule.rule_name}"
+            digit = F.regexp_extract(
+                F.abs(F.col(rule.column)).cast("string"), "[1-9]", 0
+            )
+            cells = (
+                df.select(digit.alias("__d"))
+                .filter(F.col("__d") != "")
+                .groupBy("__d")
+                .agg(F.count(F.lit(1)).alias("__obs"))
+            )
+            p = F.lit(None).cast("double")
+            for dd in range(1, 10):
+                p = F.when(
+                    F.col("__d") == str(dd),
+                    F.lit(math.log10(1.0 + 1.0 / dd)),
+                ).otherwise(p)
+            tot = cells.agg(F.sum("__obs").alias("__n"))
+            exp = F.col("__n").cast("double") * p
+            diff = F.col("__obs").cast("double") - exp
+            chi2 = (
+                cells.crossJoin(F.broadcast(tot))
+                .select((diff * diff / exp).alias("__term"))
+                .agg(F.sum("__term").alias(chi2col))
+            )
+            out = df.crossJoin(F.broadcast(chi2))
+            # NULL chi² (empty batch / no digits) → nothing to judge → valid
+            return out, F.coalesce(
+                F.col(chi2col) <= F.lit(rule.threshold), F.lit(True)
+            )
         raise ValueError(f"unknown rule_type {rule.rule_type!r}")
 
     # -- main entry ---------------------------------------------------------

@@ -293,3 +293,41 @@ def test_profile_drift_flags(spark, sf_dir):
     )
     bg = profile_drift(b1, b0).collect()[0]
     assert bg.range_expanded, "adjacent >2^53 ids must register as expansion"
+
+
+def test_benford_digit_rule(spark, dq):
+    """benford_digit is a BATCH gate: a Benford-distributed column passes
+    (every row valid); a fabricated uniform-first-digit column fails
+    (every row invalid). Zero/NULL rows carry no digit and stay valid in
+    a passing batch."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    # Benford-ish sample: magnitudes uniform in log-space
+    good = [(i, float(10 ** (rng.uniform(0, 4)))) for i in range(2000)]
+    df_good = spark.createDataFrame(good + [(9998, 0.0), (9999, None)],
+                                    "id int, v double")
+    rule = _rule(rule_name="b", rule_type="benford_digit", column="v",
+                 threshold=26.12, action_on_failure="tag")
+    res = dq.apply(df_good, [rule])
+    assert res.metrics[0].invalid_count == 0
+
+    # fabricated: every value starts with digit 9
+    bad = [(i, 9000.0 + i % 100) for i in range(2000)]
+    df_bad = spark.createDataFrame(bad, "id int, v double")
+    res_bad = dq.apply(df_bad, [rule])
+    m = res_bad.metrics[0]
+    assert m.invalid_count == m.total_count == 2000
+
+    # sanity on the statistic scale: chi2(8) p=0.001 threshold separates
+    assert math.log10(2) > 0.3  # guard the embedded constant family
+
+
+def test_benford_digit_requires_explicit_threshold():
+    import pytest as _pytest
+
+    from metadata_driven_etl_spark.config.model import ConfigError
+
+    with _pytest.raises(ConfigError, match="benford_digit"):
+        _rule(rule_name="b", rule_type="benford_digit", column="v")

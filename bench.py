@@ -288,6 +288,8 @@ HEADLINE = [
     "cuped_adjusted_spend",
     "best_split_gini_quantity",
     "survival_life_table",
+    "rolling_active_users",
+    "pareto_abc_parts",
 ]
 
 

@@ -7506,6 +7506,133 @@ def survival_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "rolling_active_users",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                FROM events),
+    bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ud),
+    cover AS (SELECT user_id,
+                     CAST(unnest(generate_series(day, day + 6,
+                                                 INTERVAL 1 DAY)) AS DATE)
+                       AS win_day
+              FROM ud)
+    SELECT win_day AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+    FROM cover CROSS JOIN bounds
+    WHERE win_day <= d1
+    GROUP BY 1""",
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day (WAU — the
+    engagement metric every product dashboard leads with). A sliding
+    COUNT(DISTINCT) window holds O(users) state per day; the rewrite is
+    an identity: a user active on day d is WAU-active on days d..d+6,
+    so WAU(t) = |{distinct users whose coverage hits t}| — dedup to
+    distinct (user, day) FIRST (bounding the explosion at 7× the
+    distinct user-days, not 7× the events), explode each to its 7
+    covered days, and count distinct per day.
+
+    Scale: one distinct on (user, day) — map-side combinable; the 7×
+    explode is map-side; the final per-day distinct shuffles (user,
+    covered-day) pairs once. Window length W multiplies the explode —
+    for monthly windows the same identity holds at 30×, still linear.
+    Days beyond the corpus max are trimmed (partial future windows)."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    bounds = ud.agg(F.max("day").alias("d1"))
+    cover = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), 6)
+            )
+        ).alias("win_day"),
+    )
+    return (
+        cover.crossJoin(F.broadcast(bounds))
+        .filter(F.col("win_day") <= F.col("d1"))
+        .groupBy(F.col("win_day").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+
+
+@workload(
+    "pareto_abc_parts",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem GROUP BY 1),
+    t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM rev),
+    c AS (SELECT l_partkey, cents,
+                 CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey)
+                      AS BIGINT) AS cum
+          FROM rev)
+    SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                WHEN cum * 100 <= total * 95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS class_cents
+    FROM c CROSS JOIN t GROUP BY 1""",
+)
+def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification of parts by revenue: rank parts by
+    revenue descending, class A = parts inside the first 80% of
+    cumulative revenue, B = to 95%, C = the tail — the inventory-
+    management / assortment-analysis classic ("20% of SKUs drive 80% of
+    revenue").
+
+    Hash-exact: class boundaries are integer CROSS-MULTIPLICATIONS
+    (cum·100 ≤ total·80), never a float share — a cumulative-share
+    double at the boundary could classify one part differently per
+    engine. Revenue in integer cents; (revenue desc, partkey) is a
+    total order. Overflow: total·100 < 2⁶³ bounds corpus revenue at
+    ~9e16 cents (document; lift to decimal beyond).
+
+    Scale: one map-side-combinable groupBy into the |parts|-row frame
+    (materialized once — cumulative window + totals); the ranked
+    cumulative window runs over parts, not the fact. The final class
+    rollup is 3 rows."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+            ).alias("cents")
+        )
+        .localCheckpoint(eager=False)
+    )
+    t = rev.agg(F.sum("cents").alias("total"))
+    w = Window.orderBy(F.col("cents").desc(), F.col("l_partkey"))
+    c = rev.select(
+        "l_partkey",
+        "cents",
+        F.sum("cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    abc = (
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .groupBy(abc.alias("abc_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("cents").alias("class_cents"),
+        )
+    )
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================

@@ -44,7 +44,7 @@ def amplify_events(spark, scale: int, out_dir: str) -> str:
     (user_id/event_id offset per copy, timestamps unchanged) — scaling
     the dimension the window/funnel/cohort ops actually partition by."""
     ev = load_table(spark, SF_DIR, "events").select(
-        "event_id", "user_id", "event_type", "ts"
+        "event_id", "user_id", "event_type", "ts", "value"
     )
     n_ev = ev.count()
     n_users = ev.agg(F.max("user_id")).first()[0] + 1
@@ -54,6 +54,7 @@ def amplify_events(spark, scale: int, out_dir: str) -> str:
         (F.col("user_id") + F.col("_copy") * F.lit(n_users)).alias("user_id"),
         "event_type",
         "ts",
+        "value",
     )
     path = os.path.join(out_dir, f"events_x{scale}.parquet")
     amplified.repartition(max(32, scale)).write.mode("overwrite").parquet(path)
@@ -227,6 +228,12 @@ OPS = {
     # through shared neighbors (deg <= cap), so candidate pairs grow
     # linearly with |V| at fixed degree.
     "ra_linkpredict_permgraph": lambda df: _ra_probe(df),
+    # r7 positional phrase search: postings grow linearly with the
+    # corpus and the phrase-token filter keeps the join input to the
+    # two tokens' df — the curve must stay scan-linear.
+    "phrase_search_2tok": lambda df: text_ops.phrase_match_postings(
+        df, ["table", "table"]
+    ),
 }
 
 
@@ -368,7 +375,85 @@ EVENT_OPS = {
     # misconfiguring bin_width an order of magnitude too fine).
     "interval_overlap_bin900": lambda df: _interval_overlap(df, 900),
     "interval_overlap_bin90": lambda df: _interval_overlap(df, 90),
+    # r7 timeseries family: both partition by (event_type, day) — the
+    # amplified copies share timestamps, so GROUP SIZE grows Nx while
+    # group count stays fixed (the hot-bar stress, not the many-bar one)
+    "ohlc_bars_daily": lambda df: temporal_ops.ohlc_bars(
+        _cents_events(df), ["event_type", "day"], "ts", "cents",
+        ("event_id",),
+    ),
+    "twap_daily": lambda df: temporal_ops.twap(
+        _cents_events(df), ["event_type", "day"], "ts", "cents",
+        ("event_id",),
+    ),
+    # r7: user-partitioned ops — amplification adds USERS, the dimension
+    # these shuffle on (linear is the expectation)
+    "attribution_last_touch": lambda df: _attribution_probe(df),
+    "clamped_running_sum": lambda df: _clamp_probe(df),
 }
+
+
+def _cents_events(df: DataFrame) -> DataFrame:
+    return df.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+
+
+def _attribution_probe(df: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    nonp = F.col("event_type") != "purchase"
+    t = df.select(
+        "event_type",
+        "ts",
+        F.last(F.when(nonp, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("t_ts"),
+        F.last(F.when(nonp, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("t_ch"),
+    )
+    stale = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("t_ts"))
+        > 604_800_000_000
+    )
+    channel = F.when(
+        F.col("t_ts").isNull() | stale, F.lit("direct")
+    ).otherwise(F.col("t_ch"))
+    return (
+        t.filter(F.col("event_type") == "purchase")
+        .groupBy(channel.alias("channel"))
+        .agg(F.count(F.lit(1)).alias("n_conversions"))
+    )
+
+
+def _clamp_probe(df: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    delta = F.when(
+        F.col("event_type") == "error",
+        -F.floor(F.col("value") * 100 + 0.5).cast("long"),
+    ).otherwise(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+    p = df.select("user_id", "ts", "event_id", delta.alias("delta")).withColumn(
+        "psum", F.sum("delta").over(w)
+    )
+    return p.select(
+        "user_id",
+        "event_id",
+        (F.col("psum") - F.least(F.lit(0), F.min("psum").over(w))).alias(
+            "onhand"
+        ),
+    )
 
 def _semantic_dedup(df: DataFrame) -> DataFrame:
     emb = df.localCheckpoint(eager=False)
@@ -390,6 +475,11 @@ def _semantic_dedup(df: DataFrame) -> DataFrame:
 # exactly the shipped semantic_dedup workload's operator chain.
 EMB_OPS = {
     "semantic_dedup": _semantic_dedup,
+    # r7: single-pass co-moment matrix — aggregation state is constant
+    # (45 decimal cells), so the curve should be pure scan-linear
+    "embedding_comoments_d8": lambda df: sim_ops.embedding_comoments(
+        df, "embedding", dims=8, scale=10_000
+    ),
 }
 
 

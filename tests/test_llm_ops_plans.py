@@ -703,3 +703,23 @@ def test_survival_life_table_domain_frame(spark, sf_dir):
     plan = _plan(workloads.QUERIES["survival_life_table"](spark, sf_dir))
     assert "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rolling_active_users_dedup_before_explode(spark, sf_dir):
+    """The 7× coverage explode must run on DISTINCT (user, day) — the
+    aggregate below the Generate bounds the explosion at 7× user-days,
+    not 7× events."""
+    df = workloads.QUERIES["rolling_active_users"](spark, sf_dir)
+    plan = _plan(df)
+    gen = plan.index("Generate explode")
+    assert "HashAggregate" in plan[gen:], "dedup must sit below the explode"
+    assert "CartesianProduct" not in plan
+
+
+def test_pareto_abc_revenue_frame_materialized(spark, sf_dir):
+    """One corpus shuffle into the |parts|-row revenue frame,
+    materialized once (cumulative window + totals); class rollup is
+    metadata-size."""
+    plan = _plan(workloads.QUERIES["pareto_abc_parts"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan

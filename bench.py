@@ -290,6 +290,8 @@ HEADLINE = [
     "survival_life_table",
     "rolling_active_users",
     "pareto_abc_parts",
+    "attribution_time_decay",
+    "window_trailing_range_sum",
 ]
 
 

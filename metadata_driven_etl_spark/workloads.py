@@ -7633,6 +7633,127 @@ def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "attribution_time_decay",
+    oracle="""
+    WITH p AS (SELECT user_id, ts AS pts FROM events
+               WHERE event_type = 'purchase'),
+    t AS (SELECT user_id, ts, event_type FROM events
+          WHERE event_type <> 'purchase'),
+    pairs AS (
+        SELECT t.event_type AS channel,
+               CAST(1 AS BIGINT)
+                 << (7 - CAST((epoch_us(p.pts) - epoch_us(t.ts))
+                              // 86400000000 AS INT)) AS wt
+        FROM p JOIN t ON p.user_id = t.user_id
+         AND t.ts <= p.pts
+         AND epoch_us(p.pts) - epoch_us(t.ts) <= 604800000000),
+    agg AS (SELECT channel, CAST(SUM(wt) AS BIGINT) AS weight_sum
+            FROM pairs GROUP BY 1),
+    tot AS (SELECT CAST(SUM(weight_sum) AS BIGINT) AS w FROM agg)
+    SELECT channel, weight_sum,
+           CAST(weight_sum AS DOUBLE) / CAST(w AS DOUBLE) AS share
+    FROM agg CROSS JOIN tot""",
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: EVERY touch in the 7 days
+    before a purchase gets credit 2^(7−age_days) — dyadic weights make
+    every credit an exact power-of-two integer (the ewma_fixed
+    discipline: an exponential-decay float sum is order-sensitive and
+    un-hashable; dyadic decay sums are exact bigints). Complements
+    attribution_last_touch (winner-take-all) with the shared-credit
+    model.
+
+    Built by COMPOSITION: (purchase, touch) pairs generate through
+    `temporal.range_join_binned` (day-binned equi-join on (user, bin)
+    with the exact 7-day interval recheck — each purchase probes 8
+    bins, never the per-user touches×purchases theta space); weights
+    are map-side shifts; one partial-aggregated channel sum; the 1-row
+    total broadcasts back for the share division.
+
+    Overflow: Σ 2^7·touches < 2⁶³ to ~7e16 pair-credits — documented."""
+    from metadata_driven_etl_spark.operators import temporal as temporal_ops
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", F.col("event_type").alias("channel")
+    )
+    pairs = temporal_ops.range_join_binned(
+        purchases,
+        touches,
+        key="user_id",
+        left_ts="pts",
+        right_ts="ts",
+        lower_seconds=7 * 86400,
+        upper_seconds=0,
+        bin_seconds=86400,
+    )
+    age_days = F.floor(
+        (F.unix_micros(F.col("l.pts")) - F.unix_micros(F.col("r.ts")))
+        / F.lit(86_400_000_000)
+    ).cast("int")
+    agg = (
+        pairs.select(
+            F.col("r.channel").alias("channel"),
+            age_days.alias("age_days"),
+        )
+        .select(
+            "channel", F.expr("shiftleft(1L, 7 - age_days)").alias("wt")
+        )
+        .groupBy("channel")
+        .agg(F.sum("wt").alias("weight_sum"))
+        .localCheckpoint(eager=False)
+    )
+    tot = agg.agg(F.sum("weight_sum").alias("w"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        "weight_sum",
+        (
+            F.col("weight_sum").cast("double") / F.col("w").cast("double")
+        ).alias("share"),
+    )
+
+
+@workload(
+    "window_trailing_range_sum",
+    oracle="""
+    SELECT event_id,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
+               PARTITION BY event_type ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS trailing_1h_cents
+    FROM events""",
+)
+def window_trailing_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing ONE-HOUR value sum per event type — a RANGE window frame
+    over event-time microseconds (ROWS frames count rows; RANGE frames
+    bound by the ORDER VALUE, the correct semantics for irregular event
+    streams where "last hour" ≠ "last N rows"). Range frames also make
+    ties a non-issue: all same-instant peers are in or out together, so
+    the result needs no tie-break to be deterministic.
+
+    Scale: ONE event_type-keyed window shuffle; Spark evaluates the
+    range frame with a sliding two-pointer over the sorted partition —
+    O(n) per partition, state bounded by the widest 1-hour burst."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+        .over(w)
+        .alias("trailing_1h_cents"),
+    )
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================

@@ -723,3 +723,44 @@ def test_pareto_abc_revenue_frame_materialized(spark, sf_dir):
     plan = _plan(workloads.QUERIES["pareto_abc_parts"](spark, sf_dir))
     assert "Scan ExistingRDD" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_time_decay_attribution_binned_equi_join(spark, sf_dir):
+    """The (purchase, touch) pair generator is the day-binned equi-join
+    on (user, bin) — never the per-user theta space (the DuckDB oracle
+    IS the theta formulation, so the hash match doubles as brute-force
+    equivalence). The workload plan's only BNLJ is the unconditioned
+    1-row totals crossJoin (the bloom-prefilter precedent); the pair
+    stage itself is pinned on the operator plan (it sits behind the
+    checkpoint in the workload plan)."""
+    from metadata_driven_etl_spark.operators import temporal as t_ops
+
+    ev = workloads._t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "event_type"
+    )
+    pairs_plan = _plan(
+        t_ops.range_join_binned(
+            purchases, touches, key="user_id", left_ts="pts",
+            right_ts="ts", lower_seconds=7 * 86400, upper_seconds=0,
+            bin_seconds=86400,
+        )
+    )
+    assert "CartesianProduct" not in pairs_plan
+    assert "BroadcastNestedLoopJoin" not in pairs_plan
+
+    plan = _plan(workloads.QUERIES["attribution_time_decay"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_trailing_range_sum_single_window(spark, sf_dir):
+    """One event_type-keyed window with a RANGE frame (RangeFrame in the
+    spec) — no join, no second shuffle."""
+    df = workloads.QUERIES["window_trailing_range_sum"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Window") == 1
+    assert "RangeFrame" in plan
+    assert "Join" not in plan

@@ -100,3 +100,47 @@ def session_window_agg(
             "n_events",
         )
     )
+
+
+def ohlc_window_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "1 day",
+    watermark: str = "2 days",
+    keys: tuple[str, ...] = ("event_type",),
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Streaming OHLC bars: tumbling event-time windows with
+    min_by/max_by open/close over a (ts, tiebreak) struct ordering key —
+    the batch `temporal.ohlc_bars` semantics as a continuously-
+    maintained aggregate. min_by/max_by are declarative aggregates
+    whose partial states merge associatively, so they compose with
+    Structured Streaming's incremental state exactly like sum/count:
+    per-window state is ONE (value, ordering-key) pair per extremum
+    regardless of event volume, and the watermark bounds how many
+    windows stay live. Values become integer cents first (exact bars,
+    the batch twin's contract)."""
+    okey = F.struct(F.col(ts_col), F.col(tiebreak))
+    cents = F.floor(F.col(value_col) * 100 + 0.5).cast("long")
+    return (
+        events.withWatermark(ts_col, watermark)
+        .select(*keys, F.col(ts_col), F.col(tiebreak), cents.alias("_c"))
+        .groupBy(F.window(ts_col, window).alias("w"), *keys)
+        .agg(
+            F.min_by(F.col("_c"), okey).alias("open_cents"),
+            F.max("_c").alias("high_cents"),
+            F.min("_c").alias("low_cents"),
+            F.max_by(F.col("_c"), okey).alias("close_cents"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            *keys,
+            "open_cents",
+            "high_cents",
+            "low_cents",
+            "close_cents",
+            "n_ticks",
+        )
+    )

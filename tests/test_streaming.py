@@ -819,3 +819,32 @@ def test_streaming_agg_maintenance_replay_guard_and_bad_op(
         )
     spark.sql(f"DROP TABLE IF EXISTS {agg_t}")
     spark.sql("DROP DATABASE IF EXISTS stream_ivm")
+
+
+def test_ohlc_stream_equals_batch(spark, events_dir):
+    """Streaming OHLC bars (min_by/max_by over tumbling windows) must
+    equal the batch evaluation of the same expression — extremum
+    partial states merge associatively across micro-batches, so the
+    two-file stream exercises real state merges."""
+    from metadata_driven_etl_spark.streaming.windows import ohlc_window_agg
+
+    stream = stream_from_files(spark, events_dir, EVENT_SCHEMA)
+    _run_stream(ohlc_window_agg(stream), "t_ohlc")
+    got = {
+        (r.window_start, r.event_type): (
+            r.open_cents, r.high_cents, r.low_cents, r.close_cents,
+            r.n_ticks,
+        )
+        for r in spark.table("t_ohlc").collect()
+    }
+    batch = ohlc_window_agg(
+        spark.read.schema(EVENT_SCHEMA).parquet(events_dir)
+    )
+    want = {
+        (r.window_start, r.event_type): (
+            r.open_cents, r.high_cents, r.low_cents, r.close_cents,
+            r.n_ticks,
+        )
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0

@@ -292,6 +292,8 @@ HEADLINE = [
     "pareto_abc_parts",
     "attribution_time_decay",
     "window_trailing_range_sum",
+    "geo_radius_join",
+    "hierarchy_rollup_prefix",
 ]
 
 

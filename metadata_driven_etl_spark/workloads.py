@@ -7754,6 +7754,152 @@ def window_trailing_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic engine-agnostic point derivation (pure integer LCG
+# scatter — md5/xxhash would differ or be awkward across engines) and an
+# integer radius; distance tests are exact integer arithmetic.
+_GEO_M = 1_000_003
+_GEO_R = 50_000
+
+
+@workload(
+    "geo_radius_join",
+    oracle=f"""
+    WITH c AS (SELECT c_custkey,
+                      (c_custkey * 48271) % {_GEO_M} AS cx,
+                      (c_custkey * 16807) % {_GEO_M} AS cy
+               FROM customer),
+    s AS (SELECT s_suppkey,
+                 (s_suppkey * 69621) % {_GEO_M} AS sx,
+                 (s_suppkey * 40692) % {_GEO_M} AS sy
+          FROM supplier)
+    SELECT s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(MIN((cx - sx) * (cx - sx) + (cy - sy) * (cy - sy))
+                AS BIGINT) AS min_d2
+    FROM s JOIN c
+      ON (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)
+         <= CAST({_GEO_R} AS BIGINT) * {_GEO_R}
+    GROUP BY 1""",
+)
+def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join: customers within distance r of each supplier
+    (points derived deterministically from the keys — integer LCG
+    scatter over a 10⁶×10⁶ grid), the store-catchment / geofence /
+    sensor-neighborhood primitive.
+
+    Grid-binned: cell size = r, suppliers probe their cell + 8
+    neighbors (a 3×3 map-side explode), candidates meet in an EQUI-join
+    on the cell id, and the exact test (dx² + dy² ≤ r²) is integer
+    arithmetic (coords < 2²⁰ → squared distances < 2⁴¹ — exact, no
+    haversine floats needed on a planar grid). The DuckDB oracle is the
+    brute-force THETA join, so the hash match proves the binning loses
+    no pair. Candidate count per supplier is the 9-cell point density —
+    never |S|×|C|.
+
+    Scale: cell size = radius is the classic spatial-join sweet spot
+    (≥1 cell must contain any within-r point's bin); skewed cells (hot
+    cities) are AQE skew-join territory, same as the interval-join bin
+    discipline."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 48271) % _GEO_M).alias("cx"),
+        ((F.col("c_custkey") * 16807) % _GEO_M).alias("cy"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 69621) % _GEO_M).alias("sx"),
+        ((F.col("s_suppkey") * 40692) % _GEO_M).alias("sy"),
+    )
+    c_binned = cust.withColumn(
+        "_cell",
+        F.floor(F.col("cx") / _GEO_R) * 1_000_000
+        + F.floor(F.col("cy") / _GEO_R),
+    )
+    off = spark.range(9).select(
+        (F.col("id") % 3 - 1).alias("_dx"),
+        (F.col("id") / 3).cast("long").alias("_dy0"),
+    ).select("_dx", (F.col("_dy0") - 1).alias("_dy"))
+    s_binned = supp.crossJoin(F.broadcast(off)).select(
+        "s_suppkey",
+        "sx",
+        "sy",
+        (
+            (F.floor(F.col("sx") / _GEO_R) + F.col("_dx")) * 1_000_000
+            + (F.floor(F.col("sy") / _GEO_R) + F.col("_dy"))
+        ).alias("_cell"),
+    )
+    dx = F.col("cx") - F.col("sx")
+    dy = F.col("cy") - F.col("sy")
+    d2 = dx * dx + dy * dy
+    pairs = s_binned.join(c_binned, "_cell").filter(
+        d2 <= F.lit(_GEO_R * _GEO_R)
+    )
+    return pairs.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min(d2).alias("min_d2"),
+    )
+
+
+@workload(
+    "hierarchy_rollup_prefix",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey AS node,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1),
+    anc AS (
+        SELECT node // CAST(POWER(10, g.lvl) AS BIGINT) AS ancestor,
+               cents
+        FROM base,
+             LATERAL (SELECT unnest(generate_series(0, 6)) AS lvl) g
+        WHERE node >= CAST(POWER(10, g.lvl) AS BIGINT) OR g.lvl = 0)
+    SELECT ancestor, CAST(COUNT(*) AS BIGINT) AS n_contributions,
+           CAST(SUM(cents) AS BIGINT) AS subtree_cents
+    FROM anc GROUP BY 1""",
+)
+def hierarchy_rollup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy (BOM / org-chart) subtree rollup WITHOUT a recursive
+    CTE: when the hierarchy is encoded in the key (materialized-path —
+    here parent(k) = k div 10, so a node's ancestors are its decimal
+    prefixes), each leaf explodes map-side to its ≤7 ancestors and ONE
+    groupBy produces every node's full subtree total. The recursive-CTE
+    formulation iterates depth times and re-shuffles per level; the
+    materialized-path form is depth-independent — which is exactly why
+    real warehouses store paths for deep hierarchies.
+
+    Hash-exact: ancestors are integer divisions by powers of ten;
+    revenue in integer cents. A node with fewer digits than the level
+    simply stops contributing (lvl-0 always contributes: every node is
+    its own ancestor).
+
+    Scale: one map-side ≤7× explode + one partial-aggregated groupBy —
+    the corpus shuffles once regardless of hierarchy depth."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("node")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        ).alias("cents")
+    )
+    lvl = F.explode(F.sequence(F.lit(0), F.lit(6))).alias("lvl")
+    anc = (
+        base.select("node", "cents", lvl)
+        .filter(
+            (F.col("node") >= F.pow(F.lit(10), F.col("lvl")).cast("long"))
+            | (F.col("lvl") == 0)
+        )
+        .select(
+            F.expr("node DIV CAST(POWER(10, lvl) AS BIGINT)").alias(
+                "ancestor"
+            ),
+            "cents",
+        )
+    )
+    return anc.groupBy("ancestor").agg(
+        F.count(F.lit(1)).alias("n_contributions"),
+        F.sum("cents").alias("subtree_cents"),
+    )
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================

@@ -764,3 +764,23 @@ def test_trailing_range_sum_single_window(spark, sf_dir):
     assert plan.count("Window") == 1
     assert "RangeFrame" in plan
     assert "Join" not in plan
+
+
+def test_geo_radius_join_is_cell_equi_join(spark, sf_dir):
+    """Candidates meet only in the 3×3 cell equi-join — never the
+    |S|×|C| theta space (the DuckDB oracle IS the theta form, so the
+    hash match proves the binning loses no pair)."""
+    plan = _plan(workloads.QUERIES["geo_radius_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    joins = [ln for ln in plan.splitlines() if "Join" in ln and "_cell" in ln]
+    assert joins, "cell equi-join missing from plan"
+
+
+def test_hierarchy_rollup_single_shuffle(spark, sf_dir):
+    """Materialized-path rollup: the ≤7× ancestor explode is map-side
+    (Generate above the scan-side aggregate), and the subtree groupBy
+    is the only post-explode shuffle — depth-independent, no iteration,
+    no join."""
+    plan = _plan(workloads.QUERIES["hierarchy_rollup_prefix"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "Generate explode" in plan

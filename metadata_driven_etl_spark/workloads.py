@@ -7539,9 +7539,13 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     for monthly windows the same identity holds at 30×, still linear.
     Days beyond the corpus max are trimmed (partial future windows)."""
     ev = _t(spark, sf_dir, "events")
-    ud = ev.select(
-        "user_id", F.to_date("ts").alias("day")
-    ).distinct()
+    # the distinct user-day frame feeds the coverage explode AND the
+    # max-day bound — materialize once (multi-consumer discipline)
+    ud = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     bounds = ud.agg(F.max("day").alias("d1"))
     cover = ud.select(
         "user_id",

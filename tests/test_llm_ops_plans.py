@@ -713,6 +713,7 @@ def test_rolling_active_users_dedup_before_explode(spark, sf_dir):
     plan = _plan(df)
     gen = plan.index("Generate explode")
     assert "HashAggregate" in plan[gen:], "dedup must sit below the explode"
+    assert "Scan ExistingRDD" in plan  # user-day frame materialized once
     assert "CartesianProduct" not in plan
 
 

@@ -612,6 +612,7 @@ VALID_CORPUS_STAGES = {
     "semantic_dedup",
     "token_budget",
     "sample_quota",
+    "phrase_filter",
     "split",
 }
 VALID_NEAR_DEDUP_KEEP = {"first", "best"}
@@ -676,6 +677,11 @@ class CorpusStageConfig:
     # contract fraction-based sampling can't hit)
     quota_by: str | None = None
     quota_k: int | None = None
+    # phrase_filter (drop docs containing ANY of the banned TOKENIZED
+    # phrases — order- and adjacency-exact, the compliance/toxic-phrase
+    # screen; substring LIKE matching both over- and under-matches
+    # tokenized text)
+    phrases: tuple[str, ...] = ()
     # split (leakage-safe group-level train/valid/test assignment; the
     # one schema-EXTENDING stage — adds ``split_column`` — so it must be
     # the pipeline's last stage)
@@ -715,6 +721,23 @@ class CorpusStageConfig:
             _require(
                 int(d.get("budget_tokens", 0)) > 0,
                 f"corpus {pipeline_id}: token_budget needs budget_tokens > 0",
+            )
+        phrases_raw = d.get("phrases")
+        if st == "phrase_filter":
+            _require(
+                isinstance(phrases_raw, list)
+                and len(phrases_raw) > 0
+                and all(
+                    isinstance(p, str) and p.strip() for p in phrases_raw
+                ),
+                f"corpus {pipeline_id}: phrase_filter needs a non-empty "
+                "phrases list of non-blank strings",
+            )
+        else:
+            _require(
+                phrases_raw is None,
+                f"corpus {pipeline_id}: phrases only applies to the "
+                "phrase_filter stage",
             )
         qb, qk = d.get("quota_by"), d.get("quota_k")
         if st == "sample_quota":
@@ -849,6 +872,7 @@ class CorpusStageConfig:
             ),
             quota_by=qb,
             quota_k=int(qk) if qk is not None else None,
+            phrases=tuple(phrases_raw or ()),
             split_by=d.get("split_by"),
             splits=tuple(
                 (s["name"], float(s["weight"])) for s in splits_raw or ()

@@ -30,6 +30,10 @@ Stage semantics (all stages preserve the input schema, except ``split``
 - ``token_budget``: greedy best-by-quality prefix whose cumulative token
   count stays ≤ ``budget_tokens`` (distributed prefix-sum selection —
   no single-partition window).
+- ``phrase_filter``: drops docs containing ANY of the banned TOKENIZED
+  phrases (adjacency-exact positional match via the phrase-search
+  machinery — substring LIKE both over- and under-matches tokenized
+  text); matched-id sets broadcast into a left-anti join.
 - ``sample_quota``: exactly min(``quota_k``, |group|) docs per
   ``quota_by`` group, drawn by md5-of-id order — uniform without
   replacement, reproducible, partition-independent (the "at most N docs
@@ -46,6 +50,7 @@ same way DQ rules are.
 
 from __future__ import annotations
 
+import re
 import time
 
 from pyspark.sql import DataFrame
@@ -233,6 +238,25 @@ def _apply_stage(
             stage.split_by,
             list(stage.splits),
             split_col=stage.split_column,
+        )
+    if stage.stage == "phrase_filter":
+        # banned-phrase compliance screen: drop docs containing ANY of
+        # the tokenized phrases (adjacency-exact, the phrase-search
+        # machinery — substring LIKE both over- and under-matches
+        # tokenized text). Matched-id sets are tiny vs the corpus →
+        # broadcast anti-join; the postings pass inside phrase matching
+        # is filtered to each phrase's tokens before any shuffle.
+        bad = None
+        for phrase in stage.phrases:
+            toks = [
+                t for t in re.split(r"[^a-z0-9]+", phrase.lower()) if t
+            ]
+            hits = text_ops.phrase_match_postings(
+                df, toks, text_col=text_col, id_col=id_col
+            ).select(id_col)
+            bad = hits if bad is None else bad.unionByName(hits)
+        return df.join(
+            F.broadcast(bad.distinct()), id_col, "left_anti"
         )
     if stage.stage == "sample_quota":
         from metadata_driven_etl_spark.operators.windows import (

@@ -1015,3 +1015,81 @@ def test_sample_quota_validation(tmp_path):
                 )
             )
         )
+
+
+def test_phrase_filter_stage(ctx, tmp_path):
+    """phrase_filter drops exactly the docs containing any banned
+    tokenized phrase (adjacency-exact), schema-preserving."""
+    cfg = load_corpus_config(
+        _write_config(
+            tmp_path,
+            f"""
+            corpus_pipelines:
+              - pipeline_id: blocklist_v1
+                input_path: "{SF_DOCS}"
+                target_table: corpus.t_blocklist_v1
+                stages:
+                  - stage: phrase_filter
+                    phrases: ["table table", "spark window"]
+            """,
+        )
+    )
+    results = CorpusLayer(ctx, cfg).run("2026-08-15")
+    assert [r.status for r in results] == ["success"]
+    out = ctx.spark.table("corpus.t_blocklist_v1")
+    docs = ctx.spark.read.parquet(SF_DOCS)
+    assert out.columns == docs.columns
+
+    # exact expectation from tokenized adjacency
+    import re as _re
+
+    def has_phrase(text, phrase):
+        toks = [t for t in _re.split(r"[^a-z0-9]+", text.lower()) if t]
+        p = phrase.split()
+        return any(
+            toks[i : i + len(p)] == p for i in range(len(toks) - len(p) + 1)
+        )
+
+    raw = {r.doc_id: r.text for r in docs.collect()}
+    expect = {
+        d
+        for d, t in raw.items()
+        if not (has_phrase(t, "table table") or has_phrase(t, "spark window"))
+    }
+    got = {r.doc_id for r in out.collect()}
+    assert got == expect
+    assert len(expect) < len(raw), "blocklist must bite on the test corpus"
+
+
+def test_phrase_filter_validation(tmp_path):
+    import yaml
+
+    with pytest.raises(ConfigError, match="phrase_filter"):
+        CorpusConfig.from_dict(
+            yaml.safe_load(
+                textwrap.dedent(
+                    """
+                    corpus_pipelines:
+                      - pipeline_id: bad
+                        input_path: "/x"
+                        target_table: t
+                        stages: [{stage: phrase_filter, phrases: []}]
+                    """
+                )
+            )
+        )
+    with pytest.raises(ConfigError, match="phrases only"):
+        CorpusConfig.from_dict(
+            yaml.safe_load(
+                textwrap.dedent(
+                    """
+                    corpus_pipelines:
+                      - pipeline_id: bad2
+                        input_path: "/x"
+                        target_table: t
+                        stages:
+                          - {stage: quality_filter, phrases: ["x y"]}
+                    """
+                )
+            )
+        )

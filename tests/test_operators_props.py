@@ -1421,3 +1421,133 @@ def test_largest_remainder_allocation_sums_to_total(spark, sf_dir):
     for r in out:
         base = (1000 * r.n_customers) // n_tot
         assert r.alloc in (base, base + 1), r
+
+
+_CLAMP_SEQ = st.lists(st.integers(-50, 50), min_size=1, max_size=30)
+
+
+@given(xs=_CLAMP_SEQ)
+@settings(**_SETTINGS)
+def test_clamped_prefix_identity_random_sequences(spark_global, xs):
+    """Hypothesis: S = P − min(0, min-prefix(P)) ≡ the sequential
+    max(0, S+x) fold on arbitrary integer deltas."""
+    from pyspark.sql import Window
+
+    df = spark_global.createDataFrame(
+        [(0, i, x) for i, x in enumerate(xs)], "k int, i int, x long"
+    )
+    w = Window.partitionBy("k").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    p = df.withColumn("psum", F.sum("x").over(w))
+    out = p.select(
+        "i",
+        (F.col("psum") - F.least(F.lit(0), F.min("psum").over(w))).alias(
+            "onhand"
+        ),
+    )
+    got = {r.i: r.onhand for r in out.collect()}
+    s = 0
+    for i, x in enumerate(xs):
+        s = max(0, s + x)
+        assert got[i] == s
+
+
+_WEIGHTS = st.lists(st.integers(1, 500), min_size=1, max_size=15)
+_TOTALS = st.integers(1, 400)
+
+
+@given(ws=_WEIGHTS, k=_TOTALS)
+@settings(**_SETTINGS)
+def test_largest_remainder_invariants_random_weights(spark_global, ws, k):
+    """Hypothesis: Hamilton apportionment sums EXACTLY to K, every
+    allocation is floor-share or floor-share+1, and zero-weight groups
+    can't occur (weights ≥ 1 ⇒ every group may receive ≥ 0)."""
+    from pyspark.sql import Window
+
+    df = spark_global.createDataFrame(
+        [(i, w) for i, w in enumerate(ws)], "g int, n long"
+    ).localCheckpoint(eager=False)
+    t = df.agg(F.sum("n").alias("tot"))
+    b = df.crossJoin(F.broadcast(t)).select(
+        "g",
+        "n",
+        F.expr(f"({k} * n) DIV tot").alias("base"),
+        ((k * F.col("n")) % F.col("tot")).alias("rem"),
+    ).localCheckpoint(eager=False)
+    leftover = b.agg((F.lit(k) - F.sum("base")).alias("leftover"))
+    rk = F.row_number().over(
+        Window.orderBy(F.col("rem").desc(), F.col("g"))
+    )
+    out = (
+        b.withColumn("rk", rk)
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "g",
+            "n",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            ).alias("alloc"),
+        )
+        .collect()
+    )
+    tot = sum(w for w in ws)
+    assert sum(r.alloc for r in out) == k
+    for r in out:
+        base = (k * r.n) // tot
+        assert r.alloc in (base, base + 1)
+
+
+_TICKS = st.lists(
+    st.tuples(st.integers(0, 100), st.integers(-1000, 1000)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(ticks=_TICKS)
+@settings(**_SETTINGS)
+def test_ohlc_matches_sorted_reference(spark_global, ticks):
+    """Hypothesis: min_by/max_by OHLC equals the sorted-list reference
+    (open = first by (ts, id), close = last) under arbitrary tick
+    orders including duplicate timestamps (id breaks ties)."""
+    from metadata_driven_etl_spark.operators.temporal import ohlc_bars
+
+    rows = [(0, t, i, v) for i, (t, v) in enumerate(ticks)]
+    df = spark_global.createDataFrame(rows, "k int, ts long, id int, v long")
+    out = ohlc_bars(df, ["k"], "ts", "v", ("id",)).collect()[0]
+    ordered = sorted(rows, key=lambda r: (r[1], r[2]))
+    assert out.open == ordered[0][3]
+    assert out.close == ordered[-1][3]
+    assert out.high == max(r[3] for r in rows)
+    assert out.low == min(r[3] for r in rows)
+    assert out.n_ticks == len(rows)
+
+
+_DOC_TOKENS = st.lists(
+    st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12
+)
+
+
+@given(docs=st.lists(_DOC_TOKENS, min_size=1, max_size=6))
+@settings(**_SETTINGS)
+def test_phrase_match_equals_slice_reference(spark_global, docs):
+    """Hypothesis: the postings-join phrase count equals the per-row
+    slice-compare reference for the self-token phrase 'a a' (the
+    overlap-heavy worst case) over random tiny corpora."""
+    from metadata_driven_etl_spark.operators.text import (
+        phrase_match_postings,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark_global.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: r.n_matches
+        for r in phrase_match_postings(df, ["a", "a"]).collect()
+    }
+    for i, toks in enumerate(docs):
+        want = sum(
+            1 for j in range(len(toks) - 1) if toks[j : j + 2] == ["a", "a"]
+        )
+        assert got.get(i, 0) == want, (i, toks)

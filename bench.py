@@ -294,6 +294,7 @@ HEADLINE = [
     "window_trailing_range_sum",
     "geo_radius_join",
     "hierarchy_rollup_prefix",
+    "simpson_diversity_by_source",
 ]
 
 

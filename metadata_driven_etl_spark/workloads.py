@@ -7904,6 +7904,56 @@ def hierarchy_rollup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "simpson_diversity_by_source",
+    oracle="""
+    WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+               FROM documents GROUP BY 1, 2),
+    m AS (SELECT source,
+                 CAST(SUM(n) AS BIGINT) AS tot,
+                 CAST(SUM(n * n) AS BIGINT) AS sq,
+                 CAST(COUNT(*) AS BIGINT) AS n_langs
+          FROM c GROUP BY 1)
+    SELECT source, tot AS n_docs, n_langs,
+           CAST(tot * tot - sq AS DOUBLE)
+             / CAST(tot * tot AS DOUBLE) AS simpson_diversity
+    FROM m""",
+)
+def simpson_diversity_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gini-Simpson diversity of the language mix per source,
+    1 − Σpᵢ² = (n² − Σcᵢ²)/n² — the categorical-diversity metric for
+    corpus-mix monitoring (is a source collapsing to one language /
+    content type?). Shannon entropy is the usual choice but needs logs
+    (not correctly rounded in either engine's libm — un-hashable);
+    Gini-Simpson is the RATIONAL diversity index, so every term is an
+    exact integer and one division emits the score.
+
+    Scale: two stacked map-side-combinable aggregations (corpus →
+    (source, lang) counts → per-source moments), the second over the
+    tiny category frame; the group keys nest, so the second agg reuses
+    the first shuffle's distribution prefix. Overflow: n² < 2⁶³ bounds
+    groups at ~3e9 docs (lift to decimal beyond)."""
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    m = c.groupBy("source").agg(
+        F.sum("n").alias("tot"),
+        F.sum(F.col("n") * F.col("n")).alias("sq"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    tot = F.col("tot")
+    return m.select(
+        "source",
+        tot.alias("n_docs"),
+        "n_langs",
+        (
+            (tot * tot - F.col("sq")).cast("double")
+            / (tot * tot).cast("double")
+        ).alias("simpson_diversity"),
+    )
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================

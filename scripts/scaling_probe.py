@@ -390,7 +390,74 @@ EVENT_OPS = {
     # these shuffle on (linear is the expectation)
     "attribution_last_touch": lambda df: _attribution_probe(df),
     "clamped_running_sum": lambda df: _clamp_probe(df),
+    # r7 spatial join: points from user-id LCG scatter — user growth
+    # grows point DENSITY at fixed grid, so the 9-cell candidate volume
+    # per probe grows linearly with the corpus (the honest stress)
+    "geo_radius_join": lambda df: _geo_probe(df),
+    # r7 materialized-path rollup on user ids: ≤7× explode + one groupBy
+    "hierarchy_rollup": lambda df: _hierarchy_probe(df),
 }
+
+
+def _geo_probe(df: DataFrame) -> DataFrame:
+    m, r = 1_000_003, 50_000
+    pts = df.select(
+        "user_id",
+        ((F.col("user_id") * 48271) % m).alias("cx"),
+        ((F.col("user_id") * 16807) % m).alias("cy"),
+    ).distinct()
+    probes = df.select(
+        (F.col("event_id") % 1000).alias("pid")
+    ).distinct().select(
+        "pid",
+        ((F.col("pid") * 69621) % m).alias("sx"),
+        ((F.col("pid") * 40692) % m).alias("sy"),
+    )
+    c_binned = pts.withColumn(
+        "_cell",
+        F.floor(F.col("cx") / r) * 1_000_000 + F.floor(F.col("cy") / r),
+    )
+    off = df.sparkSession.range(9).select(
+        (F.col("id") % 3 - 1).alias("_dx"),
+        ((F.col("id") / 3).cast("long") - 1).alias("_dy"),
+    )
+    s_binned = probes.crossJoin(F.broadcast(off)).select(
+        "pid",
+        "sx",
+        "sy",
+        (
+            (F.floor(F.col("sx") / r) + F.col("_dx")) * 1_000_000
+            + (F.floor(F.col("sy") / r) + F.col("_dy"))
+        ).alias("_cell"),
+    )
+    dx = F.col("cx") - F.col("sx")
+    dy = F.col("cy") - F.col("sy")
+    d2 = dx * dx + dy * dy
+    return (
+        s_binned.join(c_binned, "_cell")
+        .filter(d2 <= F.lit(r * r))
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _hierarchy_probe(df: DataFrame) -> DataFrame:
+    base = df.groupBy(F.col("user_id").alias("node")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    lvl = F.explode(F.sequence(F.lit(0), F.lit(6))).alias("lvl")
+    anc = (
+        base.select("node", "cnt", lvl)
+        .filter(
+            (F.col("node") >= F.pow(F.lit(10), F.col("lvl")).cast("long"))
+            | (F.col("lvl") == 0)
+        )
+        .select(
+            F.expr("node DIV CAST(POWER(10, lvl) AS BIGINT)").alias("anc"),
+            "cnt",
+        )
+    )
+    return anc.groupBy("anc").agg(F.sum("cnt").alias("subtree"))
 
 
 def _cents_events(df: DataFrame) -> DataFrame:

@@ -18,6 +18,7 @@ parameters — never string-spliced into SQL (fixes SURVEY.md §2.14#4).
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -732,6 +733,21 @@ class CorpusStageConfig:
                 ),
                 f"corpus {pipeline_id}: phrase_filter needs a non-empty "
                 "phrases list of non-blank strings",
+            )
+            # a phrase must survive the pipeline's tokenizer, or the
+            # config error would otherwise surface as a mid-run crash
+            bad_phrases = [
+                p
+                for p in phrases_raw
+                if not [
+                    t for t in re.split(r"[^a-z0-9]+", p.lower()) if t
+                ]
+            ]
+            _require(
+                not bad_phrases,
+                f"corpus {pipeline_id}: phrase_filter phrases must "
+                f"contain at least one [a-z0-9] token after "
+                f"normalization; got {bad_phrases!r}",
             )
         else:
             _require(

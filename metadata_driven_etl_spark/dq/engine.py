@@ -134,11 +134,22 @@ class DataQualityEngine:
             digit = F.regexp_extract(
                 F.abs(F.col(rule.column)).cast("string"), "[1-9]", 0
             )
-            cells = (
+            observed = (
                 df.select(digit.alias("__d"))
                 .filter(F.col("__d") != "")
                 .groupBy("__d")
                 .agg(F.count(F.lit(1)).alias("__obs"))
+            )
+            # The chi² MUST include a (0 − n·p_d)²/(n·p_d) = n·p_d term
+            # for every digit ABSENT from the batch — fabricated data
+            # that omits digits entirely (the shape this screen targets)
+            # would otherwise score closer to Benford than it is. Join
+            # the full 1-9 domain so zero-count cells contribute.
+            domain = self.spark.createDataFrame(
+                [(str(dd),) for dd in range(1, 10)], "__d string"
+            )
+            cells = domain.join(observed, "__d", "left").select(
+                "__d", F.coalesce(F.col("__obs"), F.lit(0)).alias("__obs")
             )
             p = F.lit(None).cast("double")
             for dd in range(1, 10):
@@ -151,6 +162,7 @@ class DataQualityEngine:
             diff = F.col("__obs").cast("double") - exp
             chi2 = (
                 cells.crossJoin(F.broadcast(tot))
+                .filter(F.col("__n") > 0)
                 .select((diff * diff / exp).alias("__term"))
                 .agg(F.sum("__term").alias(chi2col))
             )

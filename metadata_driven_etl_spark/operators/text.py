@@ -722,17 +722,46 @@ def phrase_match_postings(
     """
     if not phrase:
         raise ValueError("phrase_match_postings: phrase must be non-empty")
-    toks = (
-        df.select(
-            F.col(id_col),
-            F.posexplode(tokens(text_col)).alias("pos", "tok"),
-        )
-        .filter(F.col("tok").isin(*set(phrase)))
-        .localCheckpoint(eager=False)
+    toks = build_postings(
+        df, vocabulary=set(phrase), text_col=text_col, id_col=id_col
     )
-    base = toks.filter(F.col("tok") == phrase[0]).select(id_col, "pos")
+    return phrase_match_in_postings(toks, phrase, id_col=id_col)
+
+
+def build_postings(
+    df: DataFrame,
+    vocabulary: set[str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional postings (id, pos, tok), optionally filtered to a
+    vocabulary, materialized once — the reusable index frame: build it
+    for the UNION of a blocklist's tokens and probe it per phrase, so
+    the corpus tokenizes exactly once however many phrases are checked
+    (tokenization is the dominant cost of every text pipeline here)."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    if vocabulary is not None:
+        if not vocabulary:
+            raise ValueError("build_postings: empty vocabulary")
+        toks = toks.filter(F.col("tok").isin(*vocabulary))
+    return toks.localCheckpoint(eager=False)
+
+
+def phrase_match_in_postings(
+    postings: DataFrame,
+    phrase: Sequence[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Phrase occurrence counts against a prebuilt ``build_postings``
+    frame (which must cover the phrase's tokens)."""
+    if not phrase:
+        raise ValueError("phrase_match_in_postings: phrase must be non-empty")
+    base = postings.filter(F.col("tok") == phrase[0]).select(id_col, "pos")
     for k, t in enumerate(phrase[1:], start=1):
-        pk = toks.filter(F.col("tok") == t).select(
+        pk = postings.filter(F.col("tok") == t).select(
             F.col(id_col), (F.col("pos") - k).alias("pos")
         )
         base = base.join(pk, [id_col, "pos"])

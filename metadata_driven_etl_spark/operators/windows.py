@@ -34,16 +34,30 @@ def dedup_row_number(
 
 
 def topk_per_group(
-    df: DataFrame, keys: Sequence[str], order_by: Sequence[Column], k: int
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rank",
 ) -> DataFrame:
     """Top-k rows per group (rank ≤ k) — the scalable form of ORDER+LIMIT.
     Spark rewrites the rank filter into per-partition ``WindowGroupLimit``
     (a running top-k heap pushed BELOW the shuffle since 3.5), so each
     map task forwards at most k rows per group instead of whole groups;
     pinned by tests/test_llm_ops_plans.py. Callers include a unique
-    tie-break column in ``order_by`` for determinism."""
+    tie-break column in ``order_by`` for determinism. ``rank_col`` is
+    the emitted rank column — callers that must preserve the input
+    schema pass a collision-safe name (withColumn REPLACES an existing
+    column of the same name)."""
+    if rank_col in df.columns:
+        raise ValueError(
+            f"topk_per_group: rank_col {rank_col!r} collides with an "
+            "input column — pass a collision-safe name"
+        )
     w = Window.partitionBy(*keys).orderBy(*order_by)
-    return df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )
 
 
 def lag_lead(

@@ -246,13 +246,22 @@ def _apply_stage(
         # tokenized text). Matched-id sets are tiny vs the corpus →
         # broadcast anti-join; the postings pass inside phrase matching
         # is filtered to each phrase's tokens before any shuffle.
+        phrase_tokens = [
+            [t for t in re.split(r"[^a-z0-9]+", p.lower()) if t]
+            for p in stage.phrases
+        ]
+        # ONE postings pass filtered to the union of all phrases'
+        # tokens (tokenization is the dominant cost — a 20-phrase
+        # blocklist must not tokenize the corpus 20 times), probed per
+        # phrase against the shared frame.
+        vocab = {t for toks in phrase_tokens for t in toks}
+        postings = text_ops.build_postings(
+            df, vocabulary=vocab, text_col=text_col, id_col=id_col
+        )
         bad = None
-        for phrase in stage.phrases:
-            toks = [
-                t for t in re.split(r"[^a-z0-9]+", phrase.lower()) if t
-            ]
-            hits = text_ops.phrase_match_postings(
-                df, toks, text_col=text_col, id_col=id_col
+        for toks in phrase_tokens:
+            hits = text_ops.phrase_match_in_postings(
+                postings, toks, id_col=id_col
             ).select(id_col)
             bad = hits if bad is None else bad.unionByName(hits)
         return df.join(
@@ -265,7 +274,9 @@ def _apply_stage(
 
         # exact min(k, |group|) rows per group by md5-of-id order:
         # uniform without replacement, reproducible, and partition-
-        # independent; WindowGroupLimit keeps the shuffle O(groups·k)
+        # independent; WindowGroupLimit keeps the shuffle O(groups·k).
+        # Collision-safe rank name: the stage contract is schema-
+        # preserving, and an input column named 'rank' must survive.
         return topk_per_group(
             df,
             [stage.quota_by],
@@ -274,7 +285,8 @@ def _apply_stage(
                 F.asc(id_col),
             ],
             stage.quota_k,
-        ).drop("rank")
+            rank_col="__quota_rank",
+        ).drop("__quota_rank")
     if stage.stage == "token_budget":
         from metadata_driven_etl_spark.operators.sampling import (
             select_within_token_budget,

@@ -7803,6 +7803,8 @@ def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≥1 cell must contain any within-r point's bin); skewed cells (hot
     cities) are AQE skew-join territory, same as the interval-join bin
     discipline."""
+    from metadata_driven_etl_spark.operators import spatial as spatial_ops
+
     cust = _t(spark, sf_dir, "customer").select(
         "c_custkey",
         ((F.col("c_custkey") * 48271) % _GEO_M).alias("cx"),
@@ -7813,33 +7815,17 @@ def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("s_suppkey") * 69621) % _GEO_M).alias("sx"),
         ((F.col("s_suppkey") * 40692) % _GEO_M).alias("sy"),
     )
-    c_binned = cust.withColumn(
-        "_cell",
-        F.floor(F.col("cx") / _GEO_R) * 1_000_000
-        + F.floor(F.col("cy") / _GEO_R),
-    )
-    off = spark.range(9).select(
-        (F.col("id") % 3 - 1).alias("_dx"),
-        (F.col("id") / 3).cast("long").alias("_dy0"),
-    ).select("_dx", (F.col("_dy0") - 1).alias("_dy"))
-    s_binned = supp.crossJoin(F.broadcast(off)).select(
-        "s_suppkey",
-        "sx",
-        "sy",
-        (
-            (F.floor(F.col("sx") / _GEO_R) + F.col("_dx")) * 1_000_000
-            + (F.floor(F.col("sy") / _GEO_R) + F.col("_dy"))
-        ).alias("_cell"),
-    )
-    dx = F.col("cx") - F.col("sx")
-    dy = F.col("cy") - F.col("sy")
-    d2 = dx * dx + dy * dy
-    pairs = s_binned.join(c_binned, "_cell").filter(
-        d2 <= F.lit(_GEO_R * _GEO_R)
+    pairs = spatial_ops.grid_radius_join(
+        supp,
+        cust,
+        radius=_GEO_R,
+        left_xy=("sx", "sy"),
+        right_xy=("cx", "cy"),
+        max_coord=_GEO_M,
     )
     return pairs.groupBy("s_suppkey").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        F.min(d2).alias("min_d2"),
+        F.min("_d2").alias("min_d2"),
     )
 
 

@@ -400,6 +400,8 @@ EVENT_OPS = {
 
 
 def _geo_probe(df: DataFrame) -> DataFrame:
+    from metadata_driven_etl_spark.operators import spatial as spatial_ops
+
     m, r = 1_000_003, 50_000
     pts = df.select(
         "user_id",
@@ -413,29 +415,11 @@ def _geo_probe(df: DataFrame) -> DataFrame:
         ((F.col("pid") * 69621) % m).alias("sx"),
         ((F.col("pid") * 40692) % m).alias("sy"),
     )
-    c_binned = pts.withColumn(
-        "_cell",
-        F.floor(F.col("cx") / r) * 1_000_000 + F.floor(F.col("cy") / r),
-    )
-    off = df.sparkSession.range(9).select(
-        (F.col("id") % 3 - 1).alias("_dx"),
-        ((F.col("id") / 3).cast("long") - 1).alias("_dy"),
-    )
-    s_binned = probes.crossJoin(F.broadcast(off)).select(
-        "pid",
-        "sx",
-        "sy",
-        (
-            (F.floor(F.col("sx") / r) + F.col("_dx")) * 1_000_000
-            + (F.floor(F.col("sy") / r) + F.col("_dy"))
-        ).alias("_cell"),
-    )
-    dx = F.col("cx") - F.col("sx")
-    dy = F.col("cy") - F.col("sy")
-    d2 = dx * dx + dy * dy
     return (
-        s_binned.join(c_binned, "_cell")
-        .filter(d2 <= F.lit(r * r))
+        spatial_ops.grid_radius_join(
+            probes, pts, radius=r, left_xy=("sx", "sy"),
+            right_xy=("cx", "cy"), max_coord=m,
+        )
         .groupBy("pid")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -331,3 +331,18 @@ def test_benford_digit_requires_explicit_threshold():
 
     with _pytest.raises(ConfigError, match="benford_digit"):
         _rule(rule_name="b", rule_type="benford_digit", column="v")
+
+
+def test_benford_digit_counts_absent_digits(spark, dq):
+    """A batch that omits digits entirely must pay the n*p_d expected
+    term for each missing digit — the reviewer-found understatement:
+    15 values all starting with '1' compute chi2 ~24.3 without the
+    absent-digit terms (passes 26.12) but ~34.8 with them (fails)."""
+    df = spark.createDataFrame(
+        [(i, 100.0 + i) for i in range(15)], "id int, v double"
+    )
+    rule = _rule(rule_name="b1", rule_type="benford_digit", column="v",
+                 threshold=26.12, action_on_failure="tag")
+    res = dq.apply(df, [rule])
+    m = res.metrics[0]
+    assert m.invalid_count == m.total_count == 15

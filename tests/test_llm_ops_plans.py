@@ -706,15 +706,88 @@ def test_survival_life_table_domain_frame(spark, sf_dir):
 
 
 def test_rolling_active_users_dedup_before_explode(spark, sf_dir):
-    """The 7× coverage explode must run on DISTINCT (user, day) — the
-    aggregate below the Generate bounds the explosion at 7× user-days,
-    not 7× events."""
-    df = workloads.QUERIES["rolling_active_users"](spark, sf_dir)
-    plan = _plan(df)
+    """The 7× coverage explode must run on DISTINCT (user, day), bounding
+    the expansion at 7× user-days, not 7× events. The workload's
+    materialization hides the dedup behind 'Scan ExistingRDD', so the
+    pin rebuilds the same expression WITHOUT the checkpoint and asserts
+    the aggregate sits below the Generate in that plan (a reviewer found
+    the earlier workload-plan version matched the broadcast max-day
+    aggregate instead — vacuous)."""
+    ev = workloads._t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    cover = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("win_day"),
+    )
+    plan = _plan(cover)
     gen = plan.index("Generate explode")
-    assert "HashAggregate" in plan[gen:], "dedup must sit below the explode"
-    assert "Scan ExistingRDD" in plan  # user-day frame materialized once
-    assert "CartesianProduct" not in plan
+    below = plan[gen:]
+    assert "HashAggregate" in below and "keys=[user_id" in below, (
+        "the (user, day) dedup aggregate must sit BELOW the explode"
+    )
+
+    wplan = _plan(workloads.QUERIES["rolling_active_users"](spark, sf_dir))
+    assert "Scan ExistingRDD" in wplan  # user-day frame materialized once
+    assert "CartesianProduct" not in wplan
+
+
+def test_rolling_active_users_equals_sliding_distinct(spark):
+    """Value-level identity check against the naive sliding
+    COUNT(DISTINCT) reference on a hand-built frame with re-appearing
+    users, gaps, and window-boundary days."""
+    import datetime as dt
+
+    rows = []
+    d0 = dt.date(2024, 1, 1)
+    activity = {
+        1: [0, 0, 3, 10],       # dup same day, gap, reappears
+        2: [0, 7, 8],           # exactly one window apart
+        3: [2],                 # single day
+    }
+    for u, days in activity.items():
+        for d in days:
+            rows.append(
+                (u, dt.datetime.combine(d0 + dt.timedelta(days=d),
+                                        dt.time(12)))
+            )
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    ud = df.select("user_id", F.to_date("ts").alias("day")).distinct()
+    bounds = ud.agg(F.max("day").alias("d1"))
+    cover = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("win_day"),
+    )
+    got = {
+        r.day: r.wau
+        for r in cover.crossJoin(F.broadcast(bounds))
+        .filter(F.col("win_day") <= F.col("d1"))
+        .groupBy(F.col("win_day").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .collect()
+    }
+    # brute force: for each day in [min, max], distinct users active in
+    # the trailing 7 days
+    days_active = {
+        (u, d0 + dt.timedelta(days=d)) for u, ds in activity.items()
+        for d in ds
+    }
+    d_max = d0 + dt.timedelta(days=10)
+    for off in range(0, 11):
+        day = d0 + dt.timedelta(days=off)
+        want = len(
+            {
+                u
+                for (u, d) in days_active
+                if day - dt.timedelta(days=6) <= d <= day
+            }
+        )
+        assert got.get(day, 0) == want, (day, got.get(day), want)
+    assert max(got) == d_max
 
 
 def test_pareto_abc_revenue_frame_materialized(spark, sf_dir):

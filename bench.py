@@ -295,6 +295,7 @@ HEADLINE = [
     "geo_radius_join",
     "hierarchy_rollup_prefix",
     "simpson_diversity_by_source",
+    "skyline_price_quantity",
 ]
 
 

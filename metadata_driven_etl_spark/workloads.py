@@ -7940,6 +7940,56 @@ def simpson_diversity_by_source(
     )
 
 
+@workload(
+    "skyline_price_quantity",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
+               CAST(MAX(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem GROUP BY 1),
+    s AS (
+        SELECT p, q,
+               MAX(q) OVER (ORDER BY p
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS best_before
+        FROM d)
+    SELECT p AS price_cents, q AS quantity
+    FROM s WHERE best_before IS NULL OR q > best_before""",
+)
+def skyline_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto front) of (price asc, quantity desc) over
+    lineitems: the points no other point dominates (cheaper AND at
+    least as much quantity) — the multi-objective shortlist operator
+    (cheapest-per-capability supplier/product searches; the VLDB
+    skyline-query classic). The naive form is an O(n²) dominance
+    self-join; in 2-D it collapses EXACTLY to a prefix scan: collapse
+    to max-quantity per distinct price, order by price, keep rows whose
+    quantity strictly beats the running max over all cheaper prices.
+
+    Hash-exact: prices in integer cents, quantities integral; the
+    prefix max is an exact bigint; no floats anywhere.
+
+    Scale: one map-side-combinable groupBy into the |distinct prices|-
+    row domain frame; the prefix-max window runs over that frame (the
+    KS domain-frame discipline — for genuinely huge price domains, the
+    distributed prefix-max follows the training_order pattern). Beyond
+    2-D, skylines need the partition-prune algorithms — the 2-D window
+    identity is the point here."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.groupBy(
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("p")
+    ).agg(F.max(F.col("l_quantity").cast("long")).alias("q"))
+    wb = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, -1)
+    s = d.withColumn("best_before", F.max("q").over(wb))
+    return s.filter(
+        F.col("best_before").isNull() | (F.col("q") > F.col("best_before"))
+    ).select(F.col("p").alias("price_cents"), F.col("q").alias("quantity"))
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================

@@ -296,6 +296,7 @@ HEADLINE = [
     "hierarchy_rollup_prefix",
     "simpson_diversity_by_source",
     "skyline_price_quantity",
+    "weighted_median_price_by_flag",
 ]
 
 

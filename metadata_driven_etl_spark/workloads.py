@@ -7990,6 +7990,73 @@ def skyline_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("p").alias("price_cents"), F.col("q").alias("quantity"))
 
 
+@workload(
+    "weighted_median_price_by_flag",
+    oracle="""
+    WITH d AS (
+        SELECT l_returnflag,
+               CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2),
+    c AS (
+        SELECT l_returnflag, cents, w,
+               CAST(SUM(w) OVER (PARTITION BY l_returnflag
+                                 ORDER BY cents
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS BIGINT)
+                 AS cum,
+               CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT)
+                 AS tot
+        FROM d)
+    SELECT l_returnflag,
+           CAST(MIN(CASE WHEN 2 * cum >= tot THEN cents END) AS BIGINT)
+             AS wmedian_cents,
+           CAST(MIN(tot) AS BIGINT) AS total_weight
+    FROM c GROUP BY 1""",
+)
+def weighted_median_price_by_flag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantity-WEIGHTED median price per return flag — the volume-
+    weighted quantile (a plain median over-weights many small lines;
+    VWAP-style analytics want the price at which half the VOLUME
+    cleared). Definition: the smallest price whose cumulative weight
+    reaches half the total — the comparison is the integer
+    cross-multiplication 2·cum ≥ tot, never a float fraction (a 0.5
+    share at the boundary could flip per engine).
+
+    Scale: the KS domain-frame discipline — one map-side-combinable
+    groupBy into the |group × distinct price| frame, cumulative and
+    total windows over that frame (the group key partitions both), one
+    conditional-min rollup. The fact never shuffles twice. Generalizes
+    to any weighted quantile q by 'denominator·cum ≥ numerator·tot'."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.groupBy(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+    wc = Window.partitionBy("l_returnflag").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("l_returnflag")
+    c = d.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(wc).alias("cum"),
+        F.sum("w").over(wt).alias("tot"),
+    )
+    return c.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(2 * F.col("cum") >= F.col("tot"), F.col("cents"))
+        ).alias("wmedian_cents"),
+        F.min("tot").alias("total_weight"),
+    )
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================

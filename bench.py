@@ -297,6 +297,7 @@ HEADLINE = [
     "simpson_diversity_by_source",
     "skyline_price_quantity",
     "weighted_median_price_by_flag",
+    "rfm_segments",
 ]
 
 

@@ -8057,6 +8057,89 @@ def weighted_median_price_by_flag(
     )
 
 
+@workload(
+    "rfm_segments",
+    oracle="""
+    WITH u AS (
+        SELECT o_custkey,
+               CAST(MAX(CAST(o_orderdate AS DATE)) AS DATE) AS last_d,
+               CAST(COUNT(*) AS BIGINT) AS f,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS m
+        FROM orders GROUP BY 1),
+    a AS (SELECT MAX(last_d) AS anchor FROM u),
+    r AS (SELECT o_custkey, f, m,
+                 CAST(date_diff('day', last_d, anchor) AS BIGINT) AS rd
+          FROM u CROSS JOIN a),
+    q AS (SELECT
+            ntile(5) OVER (ORDER BY rd DESC, o_custkey) AS r_q,
+            ntile(5) OVER (ORDER BY f ASC, o_custkey) AS f_q,
+            ntile(5) OVER (ORDER BY m ASC, o_custkey) AS m_q,
+            m
+          FROM r)
+    SELECT CAST(r_q * 100 + f_q * 10 + m_q AS INTEGER) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(m) AS BIGINT) AS total_cents
+    FROM q GROUP BY 1""",
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (the direct-marketing staple): per
+    customer recency (days since last order, anchored at the corpus
+    max so the result is reproducible), frequency, monetary (exact
+    cents); each scored into quintiles (5 = best) and concatenated into
+    the classic 3-digit segment code; emitted as per-segment counts and
+    revenue.
+
+    Determinism: every ntile ORDER BY carries the customer key
+    tie-break (ntile bucket boundaries are only engine-stable under a
+    TOTAL order — the window_rank_ntile contract).
+
+    Scale: one corpus shuffle (groupBy customer); the three quintile
+    windows run over the |customers|-row frame. They are single-
+    partition windows — fine while customer summaries fit one executor
+    (millions of rows); beyond that swap in the distributed rank
+    pattern (training_order) per dimension."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    u = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_d"),
+        F.count(F.lit(1)).alias("f"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        ).alias("m"),
+    ).localCheckpoint(eager=False)
+    a = u.agg(F.max("last_d").alias("anchor"))
+    r = u.crossJoin(F.broadcast(a)).select(
+        "o_custkey",
+        "f",
+        "m",
+        F.datediff(F.col("anchor"), F.col("last_d"))
+        .cast("long")
+        .alias("rd"),
+    )
+    q = r.select(
+        F.ntile(5)
+        .over(Window.orderBy(F.col("rd").desc(), F.col("o_custkey")))
+        .alias("r_q"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("f").asc(), F.col("o_custkey")))
+        .alias("f_q"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("m").asc(), F.col("o_custkey")))
+        .alias("m_q"),
+        "m",
+    )
+    return q.groupBy(
+        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"))
+        .cast("int")
+        .alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("m").alias("total_cents"),
+    )
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================

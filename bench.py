@@ -298,6 +298,7 @@ HEADLINE = [
     "skyline_price_quantity",
     "weighted_median_price_by_flag",
     "rfm_segments",
+    "session_metrics_daily",
 ]
 
 

@@ -8140,6 +8140,81 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "session_metrics_daily",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, ts, event_id,
+               CAST(sum(CASE WHEN prev_ts IS NULL
+                             OR epoch_us(ts) - epoch_us(prev_ts)
+                                > 1800000000
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS BIGINT) AS session_id
+        FROM (SELECT user_id, ts, event_id,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_ts
+              FROM events)),
+    per_session AS (
+        SELECT user_id, session_id,
+               CAST(MIN(ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT)
+                 AS dur_us
+        FROM s GROUP BY 1, 2)
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS bounce_rate,
+           CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
+           CAST(SUM(dur_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS avg_dur_us
+    FROM per_session GROUP BY 1""",
+)
+def session_metrics_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily session KPIs over the 30-minute-gap sessionization: session
+    count, bounce count/rate (single-event sessions), total and mean
+    duration — the web-analytics rollup every product dashboard pairs
+    with WAU. A session is attributed to its START day.
+
+    Hash-exact: session ids come from the lag+cumsum machinery
+    (sessionize_events' exact expression); durations are integer
+    microseconds; bounce rate and mean duration are ONE division each
+    over exact integer sums.
+
+    Scale: one user-keyed window shuffle (the sessionizer), a per-
+    (user, session) map-side-combinable aggregation reusing the window's
+    user distribution prefix, and a |days|-row rollup."""
+    events = _t(spark, sf_dir, "events")
+    s = window_ops.sessionize(
+        events, "user_id", "ts", gap_seconds=1800, tiebreak=["event_id"]
+    )
+    per_session = s.groupBy("user_id", "session_id").agg(
+        F.min(F.to_date("ts")).alias("day"),
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+        ).alias("dur_us"),
+    )
+    bounce = F.sum(
+        F.when(F.col("n_events") == 1, 1).otherwise(0)
+    )
+    return per_session.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        bounce.alias("n_bounces"),
+        (bounce.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "bounce_rate"
+        ),
+        F.sum("dur_us").alias("total_dur_us"),
+        (
+            F.sum("dur_us").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_dur_us"),
+    )
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================

@@ -970,10 +970,11 @@ def window_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@workload(
-    "sessionize_events",
-    oracle="""
-    SELECT event_id, user_id,
+# Shared DuckDB sessionizer fragment (30-min gap, lag+cumsum) — the SQL
+# twin of window_ops.sessionize, used by every session-derived oracle so
+# the definition of "a session" can never fork between workloads.
+_SESSIONIZE_SQL = """
+    SELECT event_id, user_id, ts,
            CAST(sum(CASE WHEN prev_ts IS NULL
                          OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
                          THEN 1 ELSE 0 END)
@@ -982,7 +983,13 @@ def window_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT event_id, user_id, ts,
                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    AS prev_ts
-          FROM events)""",
+          FROM events)"""
+
+
+@workload(
+    "sessionize_events",
+    oracle=f"""
+    SELECT event_id, user_id, session_id FROM ({_SESSIONIZE_SQL})""",
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization: lag + cumulative gap-break sum (streaming
@@ -7958,8 +7965,10 @@ def simpson_diversity_by_source(
 )
 def skyline_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D skyline (Pareto front) of (price asc, quantity desc) over
-    lineitems: the points no other point dominates (cheaper AND at
-    least as much quantity) — the multi-objective shortlist operator
+    lineitems: the points no other point dominates under the standard
+    skyline relation — another point with price ≤ AND quantity ≥, at
+    least one strict (so a same-price lower-quantity point IS
+    dominated) — the multi-objective shortlist operator
     (cheapest-per-capability supplier/product searches; the VLDB
     skyline-query classic). The naive form is an O(n²) dominance
     self-join; in 2-D it collapses EXACTLY to a prefix scan: collapse
@@ -8142,19 +8151,8 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @workload(
     "session_metrics_daily",
-    oracle="""
-    WITH s AS (
-        SELECT user_id, ts, event_id,
-               CAST(sum(CASE WHEN prev_ts IS NULL
-                             OR epoch_us(ts) - epoch_us(prev_ts)
-                                > 1800000000
-                             THEN 1 ELSE 0 END)
-                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                 AS BIGINT) AS session_id
-        FROM (SELECT user_id, ts, event_id,
-                     lag(ts) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS prev_ts
-              FROM events)),
+    oracle=f"""
+    WITH s AS ({_SESSIONIZE_SQL}),
     per_session AS (
         SELECT user_id, session_id,
                CAST(MIN(ts) AS DATE) AS day,

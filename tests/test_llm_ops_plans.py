@@ -858,3 +858,52 @@ def test_hierarchy_rollup_single_shuffle(spark, sf_dir):
     plan = _plan(workloads.QUERIES["hierarchy_rollup_prefix"](spark, sf_dir))
     assert "Join" not in plan
     assert "Generate explode" in plan
+
+
+def test_skyline_domain_frame_shape(spark, sf_dir):
+    """One map-side-combinable groupBy into the |distinct prices|-row
+    domain frame; the prefix-max window runs over that frame — no join
+    anywhere."""
+    plan = _plan(workloads.QUERIES["skyline_price_quantity"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_weighted_median_window_shares_group_partition(spark, sf_dir):
+    """Cumulative and per-group total windows both partition on the
+    group key over the domain frame — ONE hashpartitioning class on the
+    fact path, no join."""
+    plan = _plan(
+        workloads.QUERIES["weighted_median_price_by_flag"](spark, sf_dir)
+    )
+    assert "Join" not in plan
+    shuffles = {
+        ln.split("hashpartitioning(")[1].split(",")[0]
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    }
+    assert shuffles <= {"l_returnflag#" + s.split("#")[1] for s in shuffles}
+    assert len(shuffles) <= 2, shuffles  # cents-agg + group windows
+
+
+def test_rfm_units_frame_materialized_once(spark, sf_dir):
+    """The per-customer summary feeds the anchor aggregate AND the
+    quintile windows — must be materialized once."""
+    plan = _plan(workloads.QUERIES["rfm_segments"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_session_metrics_reuses_user_distribution(spark, sf_dir):
+    """The sessionizer's user window is the only corpus shuffle; the
+    per-(user, session) aggregation reuses the user distribution prefix
+    (no second user-keyed Exchange); the day rollup shuffles |sessions|
+    rows."""
+    plan = _plan(workloads.QUERIES["session_metrics_daily"](spark, sf_dir))
+    user_shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(user_id" in ln
+    ]
+    assert len(user_shuffles) == 1, user_shuffles
+    assert "Join" not in plan

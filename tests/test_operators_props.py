@@ -1551,3 +1551,80 @@ def test_phrase_match_equals_slice_reference(spark_global, docs):
             1 for j in range(len(toks) - 1) if toks[j : j + 2] == ["a", "a"]
         )
         assert got.get(i, 0) == want, (i, toks)
+
+
+def test_skyline_matches_brute_force_dominance(spark, sf_dir):
+    """The prefix-max rewrite must equal the O(n²) dominance definition
+    (p' ≤ p and q' ≥ q with one strict) over the real distinct points —
+    the independent check the parity oracle can't provide (it uses the
+    same rewrite)."""
+    from metadata_driven_etl_spark import workloads
+
+    sky = {
+        (r.price_cents, r.quantity)
+        for r in workloads.QUERIES["skyline_price_quantity"](
+            spark, sf_dir
+        ).collect()
+    }
+    li = workloads._t(spark, sf_dir, "lineitem")
+    pts = [
+        (r.p, r.q)
+        for r in li.select(
+            F.floor(F.col("l_extendedprice") * 100 + 0.5)
+            .cast("long")
+            .alias("p"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .distinct()
+        .collect()
+    ]
+
+    def dominated(a):
+        return any(
+            (p <= a[0] and q >= a[1]) and (p < a[0] or q > a[1])
+            for p, q in pts
+        )
+
+    brute = {a for a in pts if not dominated(a)}
+    assert sky == brute and len(sky) > 0
+
+
+def test_weighted_median_matches_expansion_reference(spark_global):
+    """The cumulative half-mass definition must equal the plain median
+    of each value repeated weight times (the expansion reference),
+    including even-total and single-value edge cases."""
+    from pyspark.sql import Window
+
+    cases = {
+        "a": [(10, 1), (20, 1)],          # even total -> lower middle
+        "b": [(5, 3), (7, 1)],            # heavy low value
+        "c": [(1, 1), (2, 1), (3, 2)],    # tie at the boundary
+        "d": [(42, 5)],                   # single value
+    }
+    rows = [(g, v, w) for g, vw in cases.items() for v, w in vw]
+    df = spark_global.createDataFrame(rows, "g string, v long, w long")
+    wc = Window.partitionBy("g").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("g")
+    c = df.select(
+        "g",
+        "v",
+        F.sum("w").over(wc).alias("cum"),
+        F.sum("w").over(wt).alias("tot"),
+    )
+    got = {
+        r.g: r.m
+        for r in c.groupBy("g")
+        .agg(
+            F.min(
+                F.when(2 * F.col("cum") >= F.col("tot"), F.col("v"))
+            ).alias("m")
+        )
+        .collect()
+    }
+    for g, vw in cases.items():
+        expanded = sorted(v for v, w in vw for _ in range(w))
+        n = len(expanded)
+        ref = expanded[(n + 1) // 2 - 1]  # smallest x with 2·cum(x) ≥ n
+        assert got[g] == ref, (g, got[g], ref)

@@ -167,3 +167,112 @@ def sessionize(
         prev_ts.isNull() | (gap_us > gap_seconds * 1_000_000), 1
     ).otherwise(0)
     return df.withColumn(session_col, F.sum(is_new).over(w))
+
+
+def _exact_floor_div(a: Column, b: Column) -> Column:
+    """Exact integer floor-division for non-negative longs.
+
+    ``F.floor(a / b)`` routes through double division, which can round a
+    quotient across an integer boundary once operands pass ~2^31 (the
+    quotient's ulp exceeds 1/b).  ``(a - a % b) / b`` divides exactly by
+    construction (the numerator is an exact multiple of ``b``), so the
+    result is bit-exact at any 100 TB-scale row count below 2^53.
+    """
+    return ((a - a % b) / b).cast("long")
+
+
+def distributed_ntile(
+    df: DataFrame,
+    n: int,
+    order_by: Sequence[Column],
+    out_col: str,
+) -> DataFrame:
+    """``ntile(n) OVER (ORDER BY ...)`` without the single-partition sort.
+
+    A bare unpartitioned ``ntile`` window funnels the whole frame through
+    ONE task — the classic scale-killer (VERDICT r7 item 2).  Instead,
+    follow the :func:`~..operators.dedup.training_order` prefix-rank
+    idea with a cheaper realization: range-repartition on the order
+    expressions (global sort order across partitions), sort WITHIN each
+    partition, and freeze ``monotonically_increasing_id`` — whose value
+    is ``(partition_id << 33) | row_index`` — so the global rank is
+    ``per-partition offset + local index`` with NO post-materialization
+    window at all.  The offsets come from a count-per-partition frame
+    (metadata-sized: one row per partition), cumsum'd and broadcast
+    back; the rank→bucket map is then exact integer arithmetic:
+
+        q = N div n, rem = N mod n   (first ``rem`` buckets get q+1 rows)
+        bucket(r) = (r-1) div (q+1) + 1                 if r <= rem*(q+1)
+                    rem + (r - rem*(q+1) - 1) div q + 1 otherwise
+
+    Bucket assignments are identical to the builtin for any range
+    boundaries because ranges partition the total order — so oracle
+    hashes are unchanged.  ``order_by`` MUST be a total order (callers
+    include a unique tie-break, the window_rank_ntile contract).
+
+    Scale shape (plan-pinned in test_llm_ops_plans.py): ONE data
+    shuffle (the range exchange, inside the materialize-once
+    checkpoint — two consumers read it: the bucket map and the counts);
+    after it only a metadata-sized aggregate, a ~#partitions-row
+    unpartitioned cumsum (same intentional shape as
+    ``training_order``), and a broadcast hash join on partition id.
+    """
+    for tmp in ("_dnt_mid", "_dnt_pid", "_dnt_off", "_dnt_tot"):
+        if tmp in df.columns:
+            raise ValueError(f"distributed_ntile: column {tmp!r} reserved")
+    if out_col in df.columns:
+        raise ValueError(
+            f"distributed_ntile: out_col {out_col!r} collides with input"
+        )
+    # Two consumers read the ranged frame (the bucket map and the
+    # per-partition counts) — materialize it ONCE or the whole upstream
+    # recomputes per consumer and chained ntiles blow the plan up
+    # exponentially (repo-wide materialize-once discipline).  The id is
+    # frozen INSIDE the checkpoint so both consumers see one assignment.
+    ranged = (
+        df.repartitionByRange(*order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("_dnt_mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=False)
+    )
+    pid = F.shiftright(F.col("_dnt_mid"), 33)
+    local_ix = F.col("_dnt_mid").bitwiseAND(F.lit((1 << 33) - 1))
+    counts = (
+        ranged.select(pid.alias("_dnt_pid"))
+        .groupBy("_dnt_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    offsets = counts.select(
+        "_dnt_pid",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_dnt_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("_dnt_off"),
+        F.sum("_n")
+        .over(
+            Window.orderBy("_dnt_pid").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("_dnt_tot"),
+    )
+    ranked = ranged.withColumn("_dnt_pid", pid).join(
+        F.broadcast(offsets), "_dnt_pid"
+    )
+    r = (F.col("_dnt_off") + local_ix + 1).cast("long")
+    total = F.col("_dnt_tot").cast("long")
+    q = _exact_floor_div(total, F.lit(n).cast("long"))
+    rem = total % n
+    big = rem * (q + 1)
+    bucket = F.when(
+        r <= big, _exact_floor_div(r - 1, q + 1) + 1
+    ).otherwise(
+        rem + _exact_floor_div(r - big - 1, F.greatest(q, F.lit(1))) + 1
+    )
+    return ranked.withColumn(out_col, bucket.cast("int")).drop(
+        "_dnt_mid", "_dnt_pid", "_dnt_off", "_dnt_tot"
+    )

@@ -8103,12 +8103,16 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break (ntile bucket boundaries are only engine-stable under a
     TOTAL order — the window_rank_ntile contract).
 
-    Scale: one corpus shuffle (groupBy customer); the three quintile
-    windows run over the |customers|-row frame. They are single-
-    partition windows — fine while customer summaries fit one executor
-    (millions of rows); beyond that swap in the distributed rank
-    pattern (training_order) per dimension."""
-    from pyspark.sql import Window
+    Scale: one corpus shuffle (groupBy customer); each quintile is a
+    ``windows.distributed_ntile`` — range-repartition + local rank +
+    broadcast offsets (the training_order prefix-rank pattern), so the
+    plan has NO single-partition data Exchange even at 10⁹ customers
+    (VERDICT r7 item 2; plan-pinned in test_llm_ops_plans.py). Bucket
+    assignment is exact-integer and boundary-invariant, so the oracle
+    hash is unchanged vs the builtin ntile."""
+    from metadata_driven_etl_spark.operators.windows import (
+        distributed_ntile,
+    )
 
     o = _t(spark, sf_dir, "orders")
     u = o.groupBy("o_custkey").agg(
@@ -8127,17 +8131,14 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rd"),
     )
-    q = r.select(
-        F.ntile(5)
-        .over(Window.orderBy(F.col("rd").desc(), F.col("o_custkey")))
-        .alias("r_q"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("f").asc(), F.col("o_custkey")))
-        .alias("f_q"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("m").asc(), F.col("o_custkey")))
-        .alias("m_q"),
-        "m",
+    q = distributed_ntile(
+        r, 5, [F.col("rd").desc(), F.col("o_custkey").asc()], "r_q"
+    )
+    q = distributed_ntile(
+        q, 5, [F.col("f").asc(), F.col("o_custkey").asc()], "f_q"
+    )
+    q = distributed_ntile(
+        q, 5, [F.col("m").asc(), F.col("o_custkey").asc()], "m_q"
     )
     return q.groupBy(
         (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"))
@@ -8225,43 +8226,49 @@ def session_metrics_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order.
 
 DRIVER_PRIORITY: list[str] = [
-    # --- round-7 rotation (COVERAGE.md): pinned flagship core (4) + ALL
-    # 18 round-6 operator keys that registered after the r6 prefix froze
-    # (first driver check; each judge-verified hash-MATCH at sf0.01 in
-    # VERDICT r6 and locally oracle-gated every pytest run) + the
-    # round-7 additions (bounded recall contracts for the two production
-    # ANN paths — VERDICT r6 item 4 — plus any new r7 operators) + the
-    # stalest refresh tail (TPC-H q13-q22, latest driver rows round 3,
-    # then the oldest round-4 cohort).  Keys rotated OUT are green in a
-    # prior artifact and stay locally oracle-checked by
+    # --- round-8 rotation (COVERAGE.md + VERDICT r7 item 1): pinned
+    # flagship core (4) + ALL 33 round-7 operator keys that registered
+    # after the r7 prefix froze (first driver check; each locally
+    # hash-verified at sf0.01 on registration, swept 25/25 in the r7
+    # pre-ship vanilla session, and oracle-gated every pytest run) +
+    # the `multimodal_frame_sample` re-check (upgraded r7 from
+    # rows-only to a full value oracle) + the 12 stalest round-4-cohort
+    # keys (remaining 14 queued for r9).  Keys rotated OUT are green in
+    # a prior artifact and stay locally oracle-checked by
     # tests/test_workload_parity.py.
     # --- pinned flagship core ---
     "agg_daily_sales", "merge_upsert", "dq_metrics_single_pass",
     "corpus_clean_pipeline",
-    # --- round-6 operator families (first driver check) ---
-    "join_asof_tolerance", "copurchase_part_pairs",
-    "event_transition_matrix", "dedup_cluster_sizes",
-    "text_top_terms_per_doc", "text_doc_sim_cosine",
-    "gaps_islands_daily", "winsorize_clip_group",
-    "heavy_hitters_bounded", "pagerank_copurchase",
-    "dedup_jaccard_prefix", "copurchase_item_cf",
-    "chisq_cells_flag_status", "gini_quantity_by_flag",
-    "cumulative_unique_users", "window_moving_median",
-    "conversion_latency_quantiles", "linreg_price_on_quantity",
-    # --- round-7 additions (first driver check) ---
-    "similarity_ann_lsh_bounded", "similarity_ann_ivf_bounded",
-    # --- stale refresh: latest driver row round 3 (TPC-H, 10) ---
-    "tpch_q13_custdist", "tpch_q14_promo_share", "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt", "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders", "tpch_q19_disjunctive_revenue",
-    "tpch_q20_promotion_suppliers", "tpch_q21_waiting_supplier",
-    "tpch_q22_idle_customers",
-    # --- stale refresh: oldest round-4 cohort (16) ---
-    "join_range", "sample_hash", "sample_stratified", "agg_percentile",
-    "scalar_date_string", "window_moving_avg", "json_extract_agg",
-    "array_explode_centroid", "window_first_last", "window_percent_rank",
-    "string_agg_sorted", "correlated_scalar_subquery", "unpivot_measures",
-    "regexp_word_freq", "agg_argmax_per_group", "resample_gap_fill",
+    # --- round-7 graph family (first driver check) ---
+    "triangle_count_copurchase", "link_predict_copurchase_ra",
+    "kcore_copurchase", "graph_assortativity_copurchase",
+    # --- round-7 stats family (first driver check) ---
+    "ks_test_price_by_flag", "mannwhitney_u_price_by_flag",
+    "cuped_adjusted_spend", "survival_life_table",
+    "benford_digit_orders",
+    "simpson_diversity_by_source", "best_split_gini_quantity",
+    "allocate_largest_remainder", "weighted_median_price_by_flag",
+    # --- round-7 timeseries family (first driver check) ---
+    "ohlc_bars_daily", "twap_event_value_daily", "window_ewma_smooth",
+    "rolling_active_users",
+    "window_trailing_range_sum", "running_sum_clamped",
+    # --- round-7 event family (first driver check) ---
+    "attribution_last_touch", "attribution_time_decay",
+    "session_metrics_daily", "event_path_trigrams",
+    # --- round-7 text/embedding/search family (first driver check) ---
+    "text_phrase_search", "search_hybrid_rrf", "embedding_covariance",
+    "hll_rollup_merge_bounded",
+    # --- round-7 analytics family (first driver check) ---
+    "geo_radius_join", "hierarchy_rollup_prefix",
+    "skyline_price_quantity", "rfm_segments", "pareto_abc_parts",
+    "sample_fixed_quota_per_group",
+    # --- re-check: rows-only → full value oracle in r7 ---
+    "multimodal_frame_sample",
+    # --- stale refresh: oldest round-4 cohort (12 of 26) ---
+    "agg_cube", "agg_rollup", "agg_exact_stats", "agg_histogram",
+    "cohort_retention_weekly", "corpus_stats_report", "dedup_keep_best",
+    "dedup_span_exact", "funnel_conversion_steps", "fuzzy_join_tables",
+    "join_full_outer", "join_null_safe",
 ]
 
 

@@ -907,3 +907,45 @@ def test_session_metrics_reuses_user_distribution(spark, sf_dir):
     ]
     assert len(user_shuffles) == 1, user_shuffles
     assert "Join" not in plan
+
+
+def test_rfm_quintiles_have_no_single_partition_data_exchange(spark, sf_dir):
+    """VERDICT r7 item 2: the three quintile scores must NOT be bare
+    unpartitioned ntile windows (single-partition sort of |customers|
+    rows).  With windows.distributed_ntile the final plan shows no ntile
+    at all, no data-frame Window (the only Window is the ~#partitions-row
+    offsets cumsum), and at most ONE Exchange SinglePartition — fed by
+    the metadata-sized count-per-partition aggregate, never by data.
+    (Chained ntiles checkpoint, so the final plan is the last ntile's —
+    the operator's own shape is pinned below on an un-checkpointed
+    equivalent.)"""
+    plan = _plan(workloads.QUERIES["rfm_segments"](spark, sf_dir))
+    assert "ntile" not in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    # the lone Window is the offsets cumsum over _dnt_pid
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert all("_dnt_pid" in ln for ln in win_lines), win_lines
+
+
+def test_distributed_ntile_operator_plan_shape(spark):
+    """The operator itself: after the (checkpoint-hidden) range exchange,
+    the data path is map-only — one metadata-sized hashpartitioning
+    exchange (the per-partition counts aggregate), one ~#partitions-row
+    SinglePartition cumsum, one broadcast hash join; never a sort-merge
+    join or a data-frame window."""
+    from pyspark.sql import functions as F
+
+    from metadata_driven_etl_spark.operators.windows import (
+        distributed_ntile,
+    )
+
+    df = spark.range(1000).select((F.col("id") % 13).alias("v"), "id")
+    out = distributed_ntile(
+        df, 5, [F.col("v").asc(), F.col("id").asc()], "b"
+    )
+    plan = _plan(out)
+    assert "ntile" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "Scan ExistingRDD" in plan  # materialize-once checkpoint

@@ -1628,3 +1628,60 @@ def test_weighted_median_matches_expansion_reference(spark_global):
         n = len(expanded)
         ref = expanded[(n + 1) // 2 - 1]  # smallest x with 2·cum(x) ≥ n
         assert got[g] == ref, (g, got[g], ref)
+
+
+def test_distributed_ntile_matches_builtin(spark_global):
+    """distributed_ntile must equal the builtin ntile bucket-for-bucket
+    for every N regime: N < n, N == n, N % n != 0, and large-N — under
+    asc and desc orderings (the rfm_segments hash-parity contract)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from metadata_driven_etl_spark.operators.windows import (
+        distributed_ntile,
+    )
+
+    for N, n in ((1, 5), (4, 5), (5, 5), (7, 5), (23, 5), (101, 5), (47, 3)):
+        df = spark_global.range(N).select(
+            (F.col("id") * 37 % 91).alias("v"), "id"
+        )
+        order = [F.col("v").asc(), F.col("id").asc()]
+        got = {
+            r.id: r.b
+            for r in distributed_ntile(df, n, order, "b").collect()
+        }
+        want = {
+            r.id: r.b
+            for r in df.select(
+                "id", F.ntile(n).over(Window.orderBy(*order)).alias("b")
+            ).collect()
+        }
+        assert got == want, (N, n)
+    # descending with ties broken by id
+    df = spark_global.range(29).select((F.col("id") % 7).alias("v"), "id")
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = {r.id: r.b for r in distributed_ntile(df, 4, order, "b").collect()}
+    want = {
+        r.id: r.b
+        for r in df.select(
+            "id", F.ntile(4).over(Window.orderBy(*order)).alias("b")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_distributed_ntile_rejects_colliding_columns(spark_global):
+    from pyspark.sql import functions as F
+
+    import pytest as _pytest
+
+    from metadata_driven_etl_spark.operators.windows import (
+        distributed_ntile,
+    )
+
+    df = spark_global.range(3).select("id", F.lit(1).alias("b"))
+    with _pytest.raises(ValueError, match="out_col"):
+        distributed_ntile(df, 2, [F.col("id").asc()], "b")
+    df2 = spark_global.range(3).select("id", F.lit(1).alias("_dnt_mid"))
+    with _pytest.raises(ValueError, match="reserved"):
+        distributed_ntile(df2, 2, [F.col("id").asc()], "out")

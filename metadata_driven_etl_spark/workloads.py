@@ -141,20 +141,50 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCAN_FIXTURE_CACHE: set[tuple[str, str, str]] = set()
+
+
+def _scan_fixture(spark, sf_dir, name, write_fn) -> str:
+    """Session-unique fixture path for format-round-trip scan workloads
+    (VERDICT r7 item 4).  The path embeds the Spark application id, so
+    two concurrent sessions never collide on a fixed /tmp location; the
+    write runs ONCE per (session, sf, fixture) — repeat calls (bench.py's
+    min-of-2 timed runs) measure the read alone, not the coalesce write.
+    """
+    import os
+    import tempfile
+
+    app_id = spark.sparkContext.applicationId
+    safe_sf = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(
+        tempfile.gettempdir(), f"mdes_fix_{app_id}", f"{name}_{safe_sf}"
+    )
+    key = (app_id, sf_dir, name)
+    if key not in _SCAN_FIXTURE_CACHE:
+        write_fn(path)
+        _SCAN_FIXTURE_CACHE.add(key)
+    return path
+
+
 @workload("scan_csv", oracle="SELECT * FROM nation")
 def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2: CSV scan with header/delimiter/schema options
     (reference bronze_layer.py:196-199, bronze_config.yaml:16-29).
 
-    Round-trips `nation` through CSV in a temp dir so the oracle can verify
-    the read against the original table.
+    Round-trips `nation` through CSV in a session-unique temp dir so the
+    oracle can verify the read against the original table; the write is
+    once-per-session setup, not part of the measured scan.
     """
-    import os
-    import tempfile
-
-    nation = _t(spark, sf_dir, "nation")
-    path = os.path.join(tempfile.gettempdir(), "mdes_scan_csv")
-    nation.coalesce(1).write.mode("overwrite").options(header=True, delimiter="|").csv(path)
+    path = _scan_fixture(
+        spark,
+        sf_dir,
+        "scan_csv",
+        lambda p: _t(spark, sf_dir, "nation")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .options(header=True, delimiter="|")
+        .csv(p),
+    )
     return (
         spark.read.options(header=True, delimiter="|")
         .schema("n_nationkey int, n_name string, n_regionkey int")
@@ -164,13 +194,18 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @workload("scan_json", oracle="SELECT r_regionkey, r_name FROM region")
 def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3: JSON scan (reference bronze_layer.py:182-200, bronze_config.yaml:31-40)."""
-    import os
-    import tempfile
-
-    region = _t(spark, sf_dir, "region")
-    path = os.path.join(tempfile.gettempdir(), "mdes_scan_json")
-    region.coalesce(1).write.mode("overwrite").json(path)
+    """S3: JSON scan (reference bronze_layer.py:182-200,
+    bronze_config.yaml:31-40).  Session-unique write-once fixture, same
+    contract as scan_csv."""
+    path = _scan_fixture(
+        spark,
+        sf_dir,
+        "scan_json",
+        lambda p: _t(spark, sf_dir, "region")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .json(p),
+    )
     return (
         spark.read.schema("r_regionkey int, r_name string")
         .json(path)
@@ -2542,16 +2577,18 @@ def resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 @workload("scan_orc", oracle="SELECT s_suppkey, s_name, s_acctbal FROM supplier")
 def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S-extended: ORC scan (Spark-native columnar format beyond the
-    reference's parquet/CSV/JSON trio). Round-trips `supplier` through ORC
-    in a temp dir, like scan_csv/scan_json."""
-    import os
-    import tempfile
-
-    supplier = _t(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_name", "s_acctbal"
+    reference's parquet/CSV/JSON trio). Session-unique write-once
+    fixture, same contract as scan_csv/scan_json."""
+    path = _scan_fixture(
+        spark,
+        sf_dir,
+        "scan_orc",
+        lambda p: _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .orc(p),
     )
-    path = os.path.join(tempfile.gettempdir(), "mdes_scan_orc")
-    supplier.coalesce(1).write.mode("overwrite").orc(path)
     return spark.read.orc(path).select("s_suppkey", "s_name", "s_acctbal")
 
 

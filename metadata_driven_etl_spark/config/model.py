@@ -322,6 +322,132 @@ class SilverTransform:
         )
 
 
+VALID_EVENT_ANALYSES = {"funnel", "attribution", "sessions"}
+VALID_FUNNEL_MODES = {"per_step", "from_first"}
+VALID_ATTRIBUTION_MODELS = {"last_touch", "time_decay"}
+
+
+@dataclass(frozen=True)
+class EventAnalysisConfig:
+    """The ``event:`` section of a gold ``model_type: event`` model —
+    declarative clickstream analytics over an event table, routed through
+    the operators the API exposes (operators/temporal.py funnel_steps /
+    attribute_last_touch / attribute_time_decay / session_kpis_daily), so
+    YAML and direct composition are provably the same computation
+    (e2e parity in tests/test_pipeline_e2e.py).
+
+    ``analysis``:
+    - ``funnel``: per-user ordered funnel depth over ``steps`` (emits
+      ``(user_col, funnel_step)``); ``funnel_mode`` picks the window rule
+      (``per_step`` re-arms at every step; ``from_first`` is ClickHouse
+      windowFunnel's whole-chain rule).
+    - ``attribution``: channel credit for conversions — ``last_touch``
+      (winner-take-all within ``lookback_days``; emits
+      ``(channel, n_conversions)``) or ``time_decay`` (every touch gets
+      an exact dyadic 2^(lookback−age) credit; emits
+      ``(channel, weight_sum, share)``).
+    - ``sessions``: daily session KPIs over ``gap_seconds``
+      sessionization (emits ``(day, n_sessions, n_bounces, bounce_rate,
+      total_dur_us, avg_dur_us)``).
+    """
+
+    analysis: str
+    source_table: str
+    user_col: str = "user_id"
+    ts_col: str = "ts"
+    type_col: str = "event_type"
+    order_col: str = "event_id"
+    # funnel knobs
+    steps: tuple[str, ...] = ()
+    window: str = "30 minutes"
+    funnel_mode: str = "per_step"
+    # attribution knobs
+    attribution_model: str = "last_touch"
+    conversion_type: str = "purchase"
+    lookback_days: int = 7
+    # sessions knob
+    gap_seconds: int = 1800
+
+    @staticmethod
+    def from_dict(d: dict[str, Any], model_id: str) -> "EventAnalysisConfig":
+        an = d.get("analysis")
+        _require(
+            an in VALID_EVENT_ANALYSES,
+            f"model {model_id}: event analysis must be one of "
+            f"{sorted(VALID_EVENT_ANALYSES)}, got {an!r}",
+        )
+        _require(
+            bool(d.get("source_table")),
+            f"model {model_id}: event model needs source_table "
+            "(the events table to analyze)",
+        )
+        steps = d.get("steps") or ()
+        if isinstance(steps, str):
+            steps = (steps,)
+        fm = d.get("funnel_mode", "per_step")
+        am = d.get("attribution_model", "last_touch")
+        if an == "funnel":
+            _require(
+                len(steps) >= 2,
+                f"model {model_id}: funnel analysis needs >= 2 steps, "
+                f"got {list(steps)}",
+            )
+            _require(
+                len(set(steps)) == len(steps),
+                f"model {model_id}: funnel steps must be distinct",
+            )
+            _require(
+                fm in VALID_FUNNEL_MODES,
+                f"model {model_id}: funnel_mode must be one of "
+                f"{sorted(VALID_FUNNEL_MODES)}, got {fm!r}",
+            )
+        else:
+            _require(
+                not steps,
+                f"model {model_id}: steps only apply to analysis funnel",
+            )
+        if an == "attribution":
+            _require(
+                am in VALID_ATTRIBUTION_MODELS,
+                f"model {model_id}: attribution_model must be one of "
+                f"{sorted(VALID_ATTRIBUTION_MODELS)}, got {am!r}",
+            )
+        lb = d.get("lookback_days", 7)
+        _require(
+            isinstance(lb, int) and not isinstance(lb, bool) and lb > 0,
+            f"model {model_id}: lookback_days must be a positive int, "
+            f"got {lb!r}",
+        )
+        # dyadic time-decay credits are shiftleft(1L, lookback - age):
+        # lookback >= 63 would overflow the bigint weight
+        _require(
+            lb < 63,
+            f"model {model_id}: lookback_days must be < 63 (time-decay "
+            f"credits are exact 2^(lookback-age) bigints), got {lb}",
+        )
+        gap = d.get("gap_seconds", 1800)
+        _require(
+            isinstance(gap, int) and not isinstance(gap, bool) and gap > 0,
+            f"model {model_id}: gap_seconds must be a positive int, "
+            f"got {gap!r}",
+        )
+        return EventAnalysisConfig(
+            analysis=an,
+            source_table=d["source_table"],
+            user_col=str(d.get("user_col", "user_id")),
+            ts_col=str(d.get("ts_col", "ts")),
+            type_col=str(d.get("type_col", "event_type")),
+            order_col=str(d.get("order_col", "event_id")),
+            steps=tuple(str(s) for s in steps),
+            window=str(d.get("window", "30 minutes")),
+            funnel_mode=fm,
+            attribution_model=am,
+            conversion_type=str(d.get("conversion_type", "purchase")),
+            lookback_days=lb,
+            gap_seconds=gap,
+        )
+
+
 @dataclass(frozen=True)
 class GoldModel:
     """One gold model unit (reference gold_config.yaml).
@@ -345,6 +471,13 @@ class GoldModel:
       history passes through untouched. Declare the business key in
       ``primary_keys`` (exactly one) and the tracked columns in
       ``scd2_attrs``.
+
+    ``model_type: event`` (refresh_type full/incremental): instead of
+    ``sql_query``, an ``event:`` section declares a clickstream analysis
+    (funnel / attribution / sessions — see EventAnalysisConfig) computed
+    by the window-based operators in operators/temporal.py, which plain
+    SQL transforms cannot express without hand-writing the stacked
+    window machinery.
     """
 
     model_id: str
@@ -367,6 +500,10 @@ class GoldModel:
     snapshot_buckets: int = 0
     # scd2 knob (refresh_type: scd2 only): tracked attribute columns
     scd2_attrs: tuple[str, ...] = ()
+    # event-analytics declaration (model_type: event only) — funnel /
+    # attribution / sessions over an event table, routed through
+    # operators/temporal.py so YAML ≡ direct composition
+    event: "EventAnalysisConfig | None" = None
 
     @staticmethod
     def from_dict(d: dict[str, Any]) -> "GoldModel":
@@ -439,6 +576,11 @@ class GoldModel:
                 f"model {mid}: scd2_attrs only applies to refresh_type "
                 "scd2",
             )
+            _require(
+                not d.get("event"),
+                f"model {mid}: event: section only applies to "
+                "model_type event",
+            )
         elif rt == "scd2":
             _require(
                 mt == "sql",
@@ -478,10 +620,39 @@ class GoldModel:
                 not bad,
                 f"model {mid}: {bad} only apply to refresh_type delta",
             )
+            _require(
+                not d.get("event"),
+                f"model {mid}: event: section only applies to "
+                "model_type event",
+            )
             sum_cols = ()
         else:
-            _require(mt == "sql", f"model {mid}: unsupported model_type {mt!r} (only 'sql')")
-            _require(d.get("sql_query"), f"model {mid}: missing sql_query")
+            _require(
+                mt in ("sql", "event"),
+                f"model {mid}: unsupported model_type {mt!r} "
+                "(only 'sql' or 'event')",
+            )
+            if mt == "event":
+                _require(
+                    not d.get("sql_query"),
+                    f"model {mid}: event models declare an event: "
+                    "section, not sql_query (the analysis and its "
+                    "operators come from one declaration)",
+                )
+                _require(
+                    isinstance(d.get("event"), dict),
+                    f"model {mid}: model_type event needs an event: "
+                    "section",
+                )
+            else:
+                _require(
+                    d.get("sql_query"), f"model {mid}: missing sql_query"
+                )
+                _require(
+                    not d.get("event"),
+                    f"model {mid}: event: section only applies to "
+                    "model_type event",
+                )
             _require(
                 rt != "incremental" or pk,
                 f"model {mid}: incremental refresh needs primary_keys",
@@ -517,6 +688,11 @@ class GoldModel:
             snapshot_buckets=int(d.get("snapshot_buckets", 0) or 0),
             scd2_attrs=tuple(
                 str(a) for a in (d.get("scd2_attrs") or ())
+            ),
+            event=(
+                EventAnalysisConfig.from_dict(d["event"], mid)
+                if mt == "event"
+                else None
             ),
         )
 

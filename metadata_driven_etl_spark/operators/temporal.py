@@ -582,3 +582,185 @@ def twap(
     return agg.withColumn(
         out_col, F.col(num_col).cast("double") / F.col(den_col).cast("double")
     )
+
+
+def attribute_last_touch(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    lookback_seconds: int = 7 * 86400,
+    direct_label: str = "direct",
+) -> DataFrame:
+    """Last-touch marketing attribution: each conversion is credited to
+    the user's most recent preceding non-conversion event type within
+    ``lookback_seconds``, else ``direct_label`` — the channel-performance
+    primitive every growth warehouse runs daily.  Emits
+    ``(channel, n_conversions)``.
+
+    The two ``last(… ignore nulls)`` carries (touch timestamp, touch
+    channel) null out on the SAME condition, so they always come from
+    the same row — no struct carry needed; the lookback test is an exact
+    integer-microsecond comparison map-side.
+
+    Scale: ONE user-keyed window shuffle (both carries share one
+    WindowExec frame sort) + one |channels|-row partial-aggregated
+    count.  Never the per-conversion self-join (conversions × touches
+    pair space) a correlated-subquery formulation plans to.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nonconv = F.col(type_col) != conversion_type
+    t = events.select(
+        type_col,
+        ts_col,
+        F.last(F.when(nonconv, F.col(ts_col)), ignorenulls=True)
+        .over(w)
+        .alias("_t_ts"),
+        F.last(F.when(nonconv, F.col(type_col)), ignorenulls=True)
+        .over(w)
+        .alias("_t_ch"),
+    )
+    stale = (
+        F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("_t_ts"))
+        > lookback_seconds * 1_000_000
+    )
+    channel = F.when(
+        F.col("_t_ts").isNull() | stale, F.lit(direct_label)
+    ).otherwise(F.col("_t_ch"))
+    return (
+        t.filter(F.col(type_col) == conversion_type)
+        .groupBy(channel.alias("channel"))
+        .agg(F.count(F.lit(1)).alias("n_conversions"))
+    )
+
+
+def attribute_time_decay(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    lookback_days: int = 7,
+) -> DataFrame:
+    """Time-decay multi-touch attribution: EVERY touch in the
+    ``lookback_days`` before a conversion gets credit 2^(lookback−age) —
+    dyadic weights make every credit an exact power-of-two integer (the
+    ewma_fixed discipline: an exponential-decay float sum is
+    order-sensitive and un-hashable; dyadic decay sums are exact
+    bigints).  Emits ``(channel, weight_sum, share)``.
+
+    Built by COMPOSITION: (conversion, touch) pairs generate through
+    :func:`range_join_binned` (day-binned equi-join on (user, bin) with
+    the exact interval recheck — each conversion probes lookback+1 bins,
+    never the per-user touches×conversions theta space); weights are
+    map-side shifts; one partial-aggregated channel sum; the 1-row total
+    broadcasts back for the share division.
+
+    Overflow: Σ 2^lookback·touches < 2⁶³ to ~7e16 pair-credits at the
+    default 7-day lookback — documented.
+    """
+    conversions = events.filter(
+        F.col(type_col) == conversion_type
+    ).select(user_col, F.col(ts_col).alias("_pts"))
+    touches = events.filter(F.col(type_col) != conversion_type).select(
+        user_col, ts_col, F.col(type_col).alias("channel")
+    )
+    pairs = range_join_binned(
+        conversions,
+        touches,
+        key=user_col,
+        left_ts="_pts",
+        right_ts=ts_col,
+        lower_seconds=lookback_days * 86400,
+        upper_seconds=0,
+        bin_seconds=86400,
+    )
+    age_days = F.floor(
+        (
+            F.unix_micros(F.col("l._pts"))
+            - F.unix_micros(F.col(f"r.{ts_col}"))
+        )
+        / F.lit(86_400_000_000)
+    ).cast("int")
+    agg = (
+        pairs.select(
+            F.col("r.channel").alias("channel"),
+            age_days.alias("_age_days"),
+        )
+        .select(
+            "channel",
+            F.expr(f"shiftleft(1L, {lookback_days} - _age_days)").alias(
+                "_wt"
+            ),
+        )
+        .groupBy("channel")
+        .agg(F.sum("_wt").alias("weight_sum"))
+        .localCheckpoint(eager=False)
+    )
+    tot = agg.agg(F.sum("weight_sum").alias("_w"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        "weight_sum",
+        (
+            F.col("weight_sum").cast("double") / F.col("_w").cast("double")
+        ).alias("share"),
+    )
+
+
+def session_kpis_daily(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Daily session KPIs over gap sessionization: session count, bounce
+    count/rate (single-event sessions), total and mean duration — the
+    web-analytics rollup every product dashboard pairs with WAU.  A
+    session is attributed to its START day.  Emits ``(day, n_sessions,
+    n_bounces, bounce_rate, total_dur_us, avg_dur_us)``.
+
+    Hash-exact: session ids come from the lag+cumsum machinery
+    (:func:`~.windows.sessionize`'s exact expression); durations are
+    integer microseconds; bounce rate and mean duration are ONE division
+    each over exact integer sums.
+
+    Scale: one user-keyed window shuffle (the sessionizer), a per-
+    (user, session) map-side-combinable aggregation reusing the window's
+    user distribution prefix, and a |days|-row rollup.
+    """
+    from metadata_driven_etl_spark.operators.windows import sessionize
+
+    s = sessionize(
+        events,
+        user_col,
+        ts_col,
+        gap_seconds=gap_seconds,
+        tiebreak=[order_col],
+    )
+    per_session = s.groupBy(user_col, "session_id").agg(
+        F.min(F.to_date(ts_col)).alias("day"),
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))
+        ).alias("dur_us"),
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return per_session.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        bounce.alias("n_bounces"),
+        (bounce.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "bounce_rate"
+        ),
+        F.sum("dur_us").alias("total_dur_us"),
+        (
+            F.sum("dur_us").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_dur_us"),
+    )

@@ -349,14 +349,68 @@ class GoldLayer(_LayerBase):
         )
         return self.ctx.spark.sql(q, args={"processing_date": run_date})
 
+    def _event_frame(self, m: GoldModel) -> DataFrame:
+        """``model_type: event`` — dispatch the declared clickstream
+        analysis to the SAME operators the API exposes
+        (operators/temporal.py), so a YAML event model and a direct
+        composition are one computation (e2e parity in
+        test_pipeline_e2e.py).  The analyses are window-based shapes a
+        plain ``sql_query`` transform cannot express declaratively
+        (stacked funnel windows, binned range join, gap sessionizer)."""
+        from metadata_driven_etl_spark.operators import (
+            temporal as temporal_ops,
+        )
+
+        e = m.event
+        events = self.ctx.spark.table(e.source_table)
+        if e.analysis == "funnel":
+            return temporal_ops.funnel_steps(
+                events,
+                list(e.steps),
+                user_col=e.user_col,
+                type_col=e.type_col,
+                ts_col=e.ts_col,
+                order_col=e.order_col,
+                window=e.window,
+                mode=e.funnel_mode,
+            )
+        if e.analysis == "attribution":
+            if e.attribution_model == "last_touch":
+                return temporal_ops.attribute_last_touch(
+                    events,
+                    conversion_type=e.conversion_type,
+                    user_col=e.user_col,
+                    ts_col=e.ts_col,
+                    type_col=e.type_col,
+                    order_col=e.order_col,
+                    lookback_seconds=e.lookback_days * 86400,
+                )
+            return temporal_ops.attribute_time_decay(
+                events,
+                conversion_type=e.conversion_type,
+                user_col=e.user_col,
+                ts_col=e.ts_col,
+                type_col=e.type_col,
+                lookback_days=e.lookback_days,
+            )
+        return temporal_ops.session_kpis_daily(
+            events,
+            user_col=e.user_col,
+            ts_col=e.ts_col,
+            order_col=e.order_col,
+            gap_seconds=e.gap_seconds,
+        )
+
     def _model(self, m: GoldModel, run_date: str) -> int:
         if m.refresh_type == "delta":
             return self._delta_model(m, run_date)
         if m.refresh_type == "scd2":
             return self._scd2_model(m, run_date)
-        df = self._sql(m.sql_query, run_date).withColumn(
-            "gold_insert_timestamp", F.current_timestamp()
-        )
+        df = (
+            self._event_frame(m)
+            if m.model_type == "event"
+            else self._sql(m.sql_query, run_date)
+        ).withColumn("gold_insert_timestamp", F.current_timestamp())
         fmt, spark = self.ctx.table_format, self.ctx.spark
         if m.refresh_type == "incremental" and fmt.table_exists(
             spark, m.target_table

@@ -7005,35 +7005,16 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ONE user-keyed window shuffle (both carries share one
     WindowExec frame sort) + one |channels|-row partial-aggregated
     count. Never the per-conversion self-join (conversions × touches
-    pair space) a correlated-subquery formulation plans to."""
-    from pyspark.sql import Window
+    pair space) a correlated-subquery formulation plans to.
 
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    nonp = F.col("event_type") != "purchase"
-    t = ev.select(
-        "event_type",
-        "ts",
-        F.last(F.when(nonp, F.col("ts")), ignorenulls=True)
-        .over(w)
-        .alias("t_ts"),
-        F.last(F.when(nonp, F.col("event_type")), ignorenulls=True)
-        .over(w)
-        .alias("t_ch"),
-    )
-    stale = (
-        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("t_ts"))
-        > 604_800_000_000
-    )
-    channel = F.when(
-        F.col("t_ts").isNull() | stale, F.lit("direct")
-    ).otherwise(F.col("t_ch"))
-    return (
-        t.filter(F.col("event_type") == "purchase")
-        .groupBy(channel.alias("channel"))
-        .agg(F.count(F.lit(1)).alias("n_conversions"))
+    Routed through operators.temporal.attribute_last_touch — the same
+    operator a YAML gold ``model_type: event`` model dispatches to."""
+    from metadata_driven_etl_spark.operators import temporal as temporal_ops
+
+    return temporal_ops.attribute_last_touch(
+        _t(spark, sf_dir, "events"),
+        conversion_type="purchase",
+        lookback_seconds=7 * 86400,
     )
 
 
@@ -7719,49 +7700,16 @@ def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     are map-side shifts; one partial-aggregated channel sum; the 1-row
     total broadcasts back for the share division.
 
-    Overflow: Σ 2^7·touches < 2⁶³ to ~7e16 pair-credits — documented."""
+    Overflow: Σ 2^7·touches < 2⁶³ to ~7e16 pair-credits — documented.
+
+    Routed through operators.temporal.attribute_time_decay — the same
+    operator a YAML gold ``model_type: event`` model dispatches to."""
     from metadata_driven_etl_spark.operators import temporal as temporal_ops
 
-    ev = _t(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").alias("pts")
-    )
-    touches = ev.filter(F.col("event_type") != "purchase").select(
-        "user_id", "ts", F.col("event_type").alias("channel")
-    )
-    pairs = temporal_ops.range_join_binned(
-        purchases,
-        touches,
-        key="user_id",
-        left_ts="pts",
-        right_ts="ts",
-        lower_seconds=7 * 86400,
-        upper_seconds=0,
-        bin_seconds=86400,
-    )
-    age_days = F.floor(
-        (F.unix_micros(F.col("l.pts")) - F.unix_micros(F.col("r.ts")))
-        / F.lit(86_400_000_000)
-    ).cast("int")
-    agg = (
-        pairs.select(
-            F.col("r.channel").alias("channel"),
-            age_days.alias("age_days"),
-        )
-        .select(
-            "channel", F.expr("shiftleft(1L, 7 - age_days)").alias("wt")
-        )
-        .groupBy("channel")
-        .agg(F.sum("wt").alias("weight_sum"))
-        .localCheckpoint(eager=False)
-    )
-    tot = agg.agg(F.sum("weight_sum").alias("w"))
-    return agg.crossJoin(F.broadcast(tot)).select(
-        "channel",
-        "weight_sum",
-        (
-            F.col("weight_sum").cast("double") / F.col("w").cast("double")
-        ).alias("share"),
+    return temporal_ops.attribute_time_decay(
+        _t(spark, sf_dir, "events"),
+        conversion_type="purchase",
+        lookback_days=7,
     )
 
 
@@ -8222,32 +8170,14 @@ def session_metrics_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one user-keyed window shuffle (the sessionizer), a per-
     (user, session) map-side-combinable aggregation reusing the window's
-    user distribution prefix, and a |days|-row rollup."""
-    events = _t(spark, sf_dir, "events")
-    s = window_ops.sessionize(
-        events, "user_id", "ts", gap_seconds=1800, tiebreak=["event_id"]
-    )
-    per_session = s.groupBy("user_id", "session_id").agg(
-        F.min(F.to_date("ts")).alias("day"),
-        F.count(F.lit(1)).alias("n_events"),
-        (
-            F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
-        ).alias("dur_us"),
-    )
-    bounce = F.sum(
-        F.when(F.col("n_events") == 1, 1).otherwise(0)
-    )
-    return per_session.groupBy("day").agg(
-        F.count(F.lit(1)).alias("n_sessions"),
-        bounce.alias("n_bounces"),
-        (bounce.cast("double") / F.count(F.lit(1)).cast("double")).alias(
-            "bounce_rate"
-        ),
-        F.sum("dur_us").alias("total_dur_us"),
-        (
-            F.sum("dur_us").cast("double")
-            / F.count(F.lit(1)).cast("double")
-        ).alias("avg_dur_us"),
+    user distribution prefix, and a |days|-row rollup.
+
+    Routed through operators.temporal.session_kpis_daily — the same
+    operator a YAML gold ``model_type: event`` model dispatches to."""
+    from metadata_driven_etl_spark.operators import temporal as temporal_ops
+
+    return temporal_ops.session_kpis_daily(
+        _t(spark, sf_dir, "events"), gap_seconds=1800
     )
 
 

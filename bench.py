@@ -299,6 +299,10 @@ HEADLINE = [
     "weighted_median_price_by_flag",
     "rfm_segments",
     "session_metrics_daily",
+    # round 8
+    "decile_lift_table",
+    "assoc_rules_copurchase",
+    "cusum_alerts_by_type",
 ]
 
 

@@ -332,3 +332,126 @@ def event_path_ngrams(
     return base.filter(F.col(f"e{n}").isNotNull()).select(
         key_col, *[f"e{i + 1}" for i in range(n)]
     )
+
+
+def assoc_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket_size: int | None = DEFAULT_MAX_BASKET_SIZE,
+    min_support: int = 2,
+) -> DataFrame:
+    """Association rules over basket co-occurrence (the Apriori readout):
+    directed rules a→b with support ``n_ab``, confidence
+    ``n_ab / n_a``, and lift ``n_ab·N / (n_a·n_b)``, keeping rules with
+    ``n_ab >= min_support`` AND lift > 1 (positively associated pairs
+    only). Output: (antecedent, consequent, n_ab, confidence, lift).
+
+    Exactness: the lift FILTER is the integer cross-multiplication
+    ``n_ab·N > n_a·n_b`` in DECIMAL(38,0) — a float lift of 1±ε can
+    never flip a row; emitted confidence is one IEEE division of exact
+    longs and lift one division of two exactly-converted decimal
+    products (DuckDB side converts HUGEINT→DOUBLE via VARCHAR).
+
+    Scale: the same single-shuffle pair generation as
+    :func:`basket_pair_counts` (baskets materialize ONCE and feed pairs,
+    per-item counts, and the 1-row basket total); the |items|-row counts
+    and the total broadcast back onto the pair aggregate — the pair
+    frame never re-shuffles, and there is never a fact self-join.
+    """
+    d38 = "decimal(38,0)"
+    baskets = _gather_baskets(
+        df, basket_col, item_col, max_basket_size
+    ).localCheckpoint(eager=False)
+    pairs = (
+        baskets.select(F.explode(pair_combinations(F.col("_items"))).alias("p"))
+        .select("p.item_a", "p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+    )
+    directed = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "n_ab",
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            "n_ab",
+        )
+    )
+    items = (
+        baskets.select(F.explode("_items").alias("_it"))
+        .groupBy("_it")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    ia = items.select(F.col("_it").alias("_ant"), F.col("_n").alias("_n_a"))
+    ib = items.select(F.col("_it").alias("_con"), F.col("_n").alias("_n_b"))
+    tot = baskets.agg(F.count(F.lit(1)).alias("_n_total"))
+    joined = (
+        directed.join(F.broadcast(ia), F.col("antecedent") == F.col("_ant"))
+        .join(F.broadcast(ib), F.col("consequent") == F.col("_con"))
+        .crossJoin(F.broadcast(tot))
+    )
+    num = (F.col("n_ab").cast(d38) * F.col("_n_total").cast(d38)).cast(d38)
+    den = (F.col("_n_a").cast(d38) * F.col("_n_b").cast(d38)).cast(d38)
+    return joined.filter(num > den).select(
+        "antecedent",
+        "consequent",
+        "n_ab",
+        (
+            F.col("n_ab").cast("double") / F.col("_n_a").cast("double")
+        ).alias("confidence"),
+        (num.cast("double") / den.cast("double")).alias("lift"),
+    )
+
+
+def sql_assoc_rules(
+    table: str,
+    basket_col: str,
+    item_col: str,
+    max_basket_size: int | None = DEFAULT_MAX_BASKET_SIZE,
+    min_support: int = 2,
+) -> str:
+    """DuckDB twin of :func:`assoc_rules` (distinct self-join pair
+    generation + HUGEINT cross-multiplied lift, DOUBLE via VARCHAR)."""
+    cap = (
+        f"""
+    big AS (SELECT {basket_col} FROM d GROUP BY 1
+            HAVING COUNT(*) > {max_basket_size}),
+    kept AS (SELECT * FROM d WHERE NOT EXISTS
+             (SELECT 1 FROM big WHERE big.{basket_col} = d.{basket_col}))"""
+        if max_basket_size is not None
+        else "\n    kept AS (SELECT * FROM d)"
+    )
+    return f"""
+    WITH d AS (SELECT DISTINCT {basket_col}, {item_col} FROM {table}
+               WHERE {basket_col} IS NOT NULL
+                 AND {item_col} IS NOT NULL),{cap},
+    pairs AS (
+        SELECT a.{item_col} AS item_a, b.{item_col} AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM kept a JOIN kept b
+          ON a.{basket_col} = b.{basket_col} AND a.{item_col} < b.{item_col}
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {min_support}),
+    directed AS (
+        SELECT item_a AS antecedent, item_b AS consequent, n_ab FROM pairs
+        UNION ALL
+        SELECT item_b, item_a, n_ab FROM pairs),
+    items AS (SELECT {item_col} AS it, CAST(COUNT(*) AS BIGINT) AS n
+              FROM kept GROUP BY 1),
+    tot AS (SELECT CAST(COUNT(DISTINCT {basket_col}) AS BIGINT) AS n_total
+            FROM kept)
+    SELECT antecedent, consequent, n_ab,
+           CAST(n_ab AS DOUBLE) / CAST(ia.n AS DOUBLE) AS confidence,
+           CAST(CAST(CAST(n_ab AS HUGEINT) * n_total AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(CAST(ia.n AS HUGEINT) * ib.n AS VARCHAR) AS DOUBLE)
+             AS lift
+    FROM directed
+    JOIN items ia ON directed.antecedent = ia.it
+    JOIN items ib ON directed.consequent = ib.it
+    CROSS JOIN tot
+    WHERE CAST(n_ab AS HUGEINT) * n_total > CAST(ia.n AS HUGEINT) * ib.n
+    """

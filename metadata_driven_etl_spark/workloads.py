@@ -8181,6 +8181,228 @@ def session_metrics_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "decile_lift_table",
+    oracle="""
+    WITH u AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS spend,
+               CAST(MAX(CASE WHEN rn = 1 AND o_orderstatus = 'P'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS resp
+        FROM (SELECT o_custkey, o_totalprice, o_orderstatus,
+                     row_number() OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY CAST(o_orderdate AS DATE) DESC,
+                                  o_orderkey DESC) AS rn
+              FROM orders)
+        GROUP BY 1),
+    d AS (SELECT ntile(10) OVER (ORDER BY spend DESC, o_custkey)
+                   AS decile,
+                 resp
+          FROM u),
+    a AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_units,
+                 CAST(SUM(resp) AS BIGINT) AS n_resp
+          FROM d GROUP BY 1),
+    c AS (SELECT decile, n_units, n_resp,
+                 CAST(SUM(n_resp) OVER (ORDER BY decile
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_resp
+          FROM a),
+    t AS (SELECT CAST(SUM(n_units) AS BIGINT) AS n_tot,
+                 CAST(SUM(n_resp) AS BIGINT) AS r_tot FROM a)
+    SELECT decile, n_units, n_resp, cum_resp,
+           CAST(n_resp AS DOUBLE) / CAST(n_units AS DOUBLE)
+             AS response_rate,
+           (CAST(n_resp AS DOUBLE) / CAST(n_units AS DOUBLE))
+             / (CAST(r_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)) AS lift,
+           CAST(cum_resp AS DOUBLE) / CAST(r_tot AS DOUBLE)
+             AS cum_capture
+    FROM c CROSS JOIN t""",
+)
+def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table — the model-scoring readout every
+    targeting/churn/credit team runs: rank units by a score (here
+    lifetime spend, the deterministic stand-in for a model score), cut
+    into spend deciles, and report per-decile response rate, lift vs
+    the base rate, and cumulative capture. "Responder" = the customer's
+    LATEST order (by date, orderkey tie-break) is still pending
+    ('P') — an argmax label, not an existence flag, so rates vary by
+    decile.
+
+    Scale: the decile cut is ``windows.distributed_ntile`` (range
+    shuffle + broadcast offsets — no single-partition sort of the units
+    frame, the rfm_segments discipline); the lift table itself is a
+    10-row frame, so its cumulative window and the 1-row totals
+    broadcast are metadata. Rates and lift are fixed IEEE chains over
+    exact integer counts (lift = (r_d/n_d)/(r_tot/n_tot), three
+    correctly-rounded divisions — never a decimal product to misround).
+
+    Determinism: the ntile order carries the customer-key tie-break;
+    the argmax label rides max_by over the unique (date, orderkey)
+    struct (the OHLC min_by/max_by discipline)."""
+    from metadata_driven_etl_spark.operators.windows import (
+        distributed_ntile,
+    )
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    u = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        ).alias("spend"),
+        F.expr(
+            "max_by(o_orderstatus,"
+            " struct(to_date(o_orderdate), o_orderkey))"
+        ).alias("_last_status"),
+    ).select(
+        "o_custkey",
+        "spend",
+        (F.col("_last_status") == "P").cast("long").alias("resp"),
+    )
+    d = distributed_ntile(
+        u, 10, [F.col("spend").desc(), F.col("o_custkey").asc()], "decile"
+    )
+    a = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("resp").alias("n_resp"),
+    ).localCheckpoint(eager=False)
+    # 10-row frame: the unpartitioned cumulative window is metadata
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    c = a.withColumn("cum_resp", F.sum("n_resp").over(wc))
+    t = a.agg(
+        F.sum("n_units").alias("n_tot"), F.sum("n_resp").alias("r_tot")
+    )
+    rate = F.col("n_resp").cast("double") / F.col("n_units").cast("double")
+    base = F.col("r_tot").cast("double") / F.col("n_tot").cast("double")
+    return c.crossJoin(F.broadcast(t)).select(
+        "decile",
+        "n_units",
+        "n_resp",
+        "cum_resp",
+        rate.alias("response_rate"),
+        (rate / base).alias("lift"),
+        (
+            F.col("cum_resp").cast("double") / F.col("r_tot").cast("double")
+        ).alias("cum_capture"),
+    )
+
+
+_ASSOC_MIN_SUPPORT = 3
+_ASSOC_TOPK = 100
+
+
+@workload(
+    "assoc_rules_copurchase",
+    oracle=cooccur_ops.sql_assoc_rules(
+        "lineitem",
+        "l_orderkey",
+        "l_partkey",
+        min_support=_ASSOC_MIN_SUPPORT,
+    )
+    + f"""
+    ORDER BY n_ab DESC, antecedent, consequent
+    LIMIT {_ASSOC_TOPK}""",
+)
+def assoc_rules_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over part co-purchases (the Apriori readout on
+    pair itemsets): directed rules a→b with support, confidence
+    n_ab/n_a, and lift n_ab·N/(n_a·n_b), keeping positively associated
+    rules only (lift > 1) at min_support 3 — the market-basket stage
+    after copurchase_part_pairs' raw counts.
+
+    The lift FILTER is the integer cross-multiplication n_ab·N >
+    n_a·n_b in decimal(38,0) ≡ HUGEINT — a float lift of 1±ε can never
+    flip a row across engines; emitted doubles are single divisions of
+    exactly-converted integers (DuckDB HUGEINT→DOUBLE via VARCHAR).
+
+    Scale: baskets gather ONCE (one shuffle on the order key) and feed
+    pair expansion, per-item counts, and the 1-row total; item counts
+    and the total broadcast back — the pair frame never re-shuffles and
+    there is never a fact self-join (plan-pinned). Final top-k is
+    TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        cooccur_ops.assoc_rules(
+            li, "l_orderkey", "l_partkey", min_support=_ASSOC_MIN_SUPPORT
+        )
+        .orderBy(F.desc("n_ab"), "antecedent", "consequent")
+        .limit(_ASSOC_TOPK)
+    )
+
+
+# CUSUM constants shared VERBATIM with the oracle (the Benford literal
+# discipline): drift reference K (cents) sits above the ~50.00 mean
+# event value so the statistic resets often; alert threshold H in cents.
+_CUSUM_K_CENTS = 6_000
+_CUSUM_H_CENTS = 50_000
+
+
+@workload(
+    "cusum_alerts_by_type",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_type, event_id, ts,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                 - {_CUSUM_K_CENTS} AS delta
+        FROM events),
+    p AS (
+        SELECT event_type, event_id, ts,
+               CAST(SUM(delta) OVER w AS BIGINT) AS psum
+        FROM d
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    s AS (
+        SELECT event_type, event_id,
+               CAST(psum - LEAST(0, MIN(psum) OVER w2) AS BIGINT)
+                 AS cusum_cents
+        FROM p
+        WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_type, event_id, cusum_cents
+    FROM s WHERE cusum_cents > {_CUSUM_H_CENTS}""",
+)
+def cusum_alerts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point alerts per event type (the SPC /
+    drift-monitor primitive): S_t = max(0, S_{{t-1}} + (x_t − K)) with
+    alerts where S_t > H — detects a sustained upward shift in event
+    value long before a fixed threshold on single events would.
+
+    The "inherently sequential" CUSUM recurrence is EXACTLY the
+    clamp-at-zero fold, so the running_sum_clamped prefix identity
+    applies: S_t = P_t − min(0, min_{{k≤t}} P_k) over the plain running
+    sum P of (x_t − K) — two stacked prefix aggregates over ONE
+    key-partitioned window, fully distributed.
+
+    Exactness: cents and K/H are shared integer literals; both prefixes
+    and the final difference are exact bigints — the alert predicate
+    can never flip. Ordering (ts, event_id) is unique per type.
+
+    Scale: ONE event_type-keyed window shuffle; both stacked windows
+    share the partitioning+ordering (one sort); the alert filter is
+    map-side after the windows. Output is |alerts| rows, not |events|."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    delta = (
+        F.floor(F.col("value") * 100 + 0.5).cast("long")
+        - _CUSUM_K_CENTS
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = ev.select(
+        "event_type", "event_id", "ts", delta.alias("delta")
+    ).withColumn("psum", F.sum("delta").over(w))
+    s = F.col("psum") - F.least(F.lit(0), F.min("psum").over(w))
+    return (
+        p.select("event_type", "event_id", s.alias("cusum_cents"))
+        .filter(F.col("cusum_cents") > _CUSUM_H_CENTS)
+    )
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================

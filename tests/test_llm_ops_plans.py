@@ -949,3 +949,38 @@ def test_distributed_ntile_operator_plan_shape(spark):
     assert plan.count("Exchange SinglePartition") == 1, plan
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
     assert "Scan ExistingRDD" in plan  # materialize-once checkpoint
+
+
+def test_cusum_alerts_one_exchange(spark, sf_dir):
+    """CUSUM via the clamp prefix identity: both stacked windows share
+    one (event_type, ts, event_id) partitioning+ordering — ONE Exchange
+    total, alert filter map-side above the windows."""
+    plan = _plan(workloads.QUERIES["cusum_alerts_by_type"](spark, sf_dir))
+    data_shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "RoundRobinPartitioning" not in ln
+    ]
+    assert len(data_shuffles) == 1, data_shuffles
+
+
+def test_decile_lift_no_builtin_ntile(spark, sf_dir):
+    """The decile cut must ride distributed_ntile (range shuffle +
+    broadcast offsets), never a bare ntile window; the lift table's own
+    windows run on the 10-row decile frame only."""
+    plan = _plan(workloads.QUERIES["decile_lift_table"](spark, sf_dir))
+    assert "ntile" not in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "Scan ExistingRDD" in plan  # units + decile frames checkpoint
+
+
+def test_assoc_rules_no_fact_self_join(spark, sf_dir):
+    """Rules generate from ONE basket gather (materialized once): no
+    second lineitem scan, no sort-merge join anywhere — item counts and
+    the basket total broadcast back onto the pair aggregate."""
+    df = workloads.QUERIES["assoc_rules_copurchase"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") <= 1, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 3  # ia, ib, total

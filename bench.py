@@ -303,6 +303,9 @@ HEADLINE = [
     "decile_lift_table",
     "assoc_rules_copurchase",
     "cusum_alerts_by_type",
+    "keyword_rake_topk",
+    "srm_check_by_priority",
+    "neyman_allocation_strata",
 ]
 
 

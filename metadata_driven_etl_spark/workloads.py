@@ -8403,6 +8403,301 @@ def cusum_alerts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# RAKE stopword list — shared VERBATIM with the oracle (the Benford
+# literal discipline). Runs of non-stop tokens between stopwords are
+# the candidate phrases; plen ≤ 6 caps degenerate stopword-free runs.
+_RAKE_STOPWORDS = ("a", "the", "and", "of", "to", "in", "is", "on")
+_RAKE_MAX_PHRASE = 6
+_RAKE_TOPK = 50
+_RAKE_STOPLIST_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOPWORDS)
+
+
+@workload(
+    "keyword_rake_topk",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {text_ops.sql_tokens('text')} AS toks
+               FROM documents),
+    tok AS (SELECT doc_id, toks[i] AS tok, i AS pos
+            FROM d, LATERAL (SELECT unnest(generate_series(
+                                1, len(toks))) AS i) g),
+    fl AS (SELECT doc_id, pos, tok,
+                  CASE WHEN tok IN ({_RAKE_STOPLIST_SQL})
+                       THEN 1 ELSE 0 END AS stop
+           FROM tok),
+    isl AS (SELECT doc_id, pos, tok, stop,
+                   CAST(SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS island
+            FROM fl),
+    cand AS (SELECT doc_id, island, pos, tok,
+                    CAST(COUNT(*) OVER (PARTITION BY doc_id, island)
+                      AS BIGINT) AS plen
+             FROM isl WHERE stop = 0),
+    kept AS (SELECT * FROM cand WHERE plen <= {_RAKE_MAX_PHRASE}),
+    ws AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq,
+                  CAST(SUM(plen) AS BIGINT) AS deg
+           FROM kept GROUP BY 1),
+    phr AS (SELECT doc_id, island,
+                   string_agg(tok, ' ' ORDER BY pos) AS phrase
+            FROM kept GROUP BY 1, 2),
+    occ AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+            FROM phr GROUP BY 1),
+    pwtok AS (SELECT phrase, n_occurrences, t.x AS tok
+              FROM occ, LATERAL (SELECT unnest(
+                            string_split(phrase, ' ')) AS x) t),
+    score AS (SELECT phrase, n_occurrences,
+                     CAST(SUM(deg) AS BIGINT) AS deg_sum,
+                     CAST(SUM(freq) AS BIGINT) AS freq_sum
+              FROM pwtok JOIN ws ON pwtok.tok = ws.tok
+              GROUP BY 1, 2)
+    SELECT phrase, n_occurrences, deg_sum, freq_sum,
+           CAST(deg_sum AS DOUBLE) / CAST(freq_sum AS DOUBLE)
+             AS rake_score
+    FROM score
+    ORDER BY rake_score DESC, phrase
+    LIMIT {_RAKE_TOPK}""",
+)
+def keyword_rake_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE-style corpus keyword/keyphrase extraction: candidate
+    phrases are maximal stopword-free token runs (gaps-and-islands over
+    stopword breaks); each word scores degree (Σ length of phrases it
+    appears in) and frequency; a phrase scores Σdeg / Σfreq over its
+    word multiset — the classic unsupervised keyphrase extractor
+    restated hash-exactly (one division of two exact integer sums
+    instead of RAKE's per-word deg/freq ratio sum, which would be an
+    order-sensitive float accumulation).
+
+    Scale: tokens explode map-side; the island id is ONE doc-keyed
+    window (cumsum of stop flags — the gaps_islands discipline); the
+    phrase-length window shares that partitioning; word stats and
+    phrase occurrences are partial-aggregated; the phrase⋈word-stats
+    join is an equi-join on the token (|vocab|-bounded build side).
+    plen ≤ 6 caps degenerate stopword-free runs (documented; shared
+    with the oracle). Final top-k is TakeOrderedAndProject.
+
+    Determinism: rake_score is a single IEEE division (bit-identical),
+    ties break on the phrase string — a total order at the LIMIT."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.posexplode(text_ops.tokens("text")).alias("pos", "tok")
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).alias("pos"),  # 1-based like the oracle
+        "tok",
+        F.col("tok").isin(*_RAKE_STOPWORDS).cast("int").alias("stop"),
+    )
+    w_isl = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = toks.withColumn("island", F.sum("stop").over(w_isl)).filter(
+        F.col("stop") == 0
+    )
+    w_ph = Window.partitionBy("doc_id", "island")
+    kept = (
+        isl.withColumn("plen", F.count(F.lit(1)).over(w_ph))
+        .filter(F.col("plen") <= _RAKE_MAX_PHRASE)
+        .localCheckpoint(eager=False)  # feeds word stats AND phrases
+    )
+    ws = kept.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    )
+    phr = kept.groupBy("doc_id", "island").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.getField("tok"),
+            ),
+            " ",
+        ).alias("phrase")
+    )
+    occ = phr.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    pwtok = occ.select(
+        "phrase",
+        "n_occurrences",
+        F.explode(F.split(F.col("phrase"), " ")).alias("tok"),
+    )
+    score = pwtok.join(ws, "tok").groupBy("phrase", "n_occurrences").agg(
+        F.sum("deg").alias("deg_sum"),
+        F.sum("freq").alias("freq_sum"),
+    )
+    return (
+        score.select(
+            "phrase",
+            "n_occurrences",
+            "deg_sum",
+            "freq_sum",
+            (
+                F.col("deg_sum").cast("double")
+                / F.col("freq_sum").cast("double")
+            ).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), "phrase")
+        .limit(_RAKE_TOPK)
+    )
+
+
+# SRM chi² critical value (df=1, α=0.05) — shared verbatim.
+_SRM_CRIT = 3.841458820694124
+
+
+@workload(
+    "srm_check_by_priority",
+    oracle=f"""
+    WITH c AS (
+        SELECT o_orderpriority AS experiment,
+               CAST(SUM(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN o_custkey % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1
+        FROM orders GROUP BY 1)
+    SELECT experiment, n0, n1,
+           CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+             / CAST(n0 + n1 AS DOUBLE) AS chisq,
+           CAST(CASE WHEN CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+                          / CAST(n0 + n1 AS DOUBLE) > {_SRM_CRIT}
+                     THEN 1 ELSE 0 END AS INTEGER) AS srm_flag
+    FROM c""",
+)
+def srm_check_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail (the first sanity check every
+    A/B platform runs before reading an experiment): per experiment
+    (order priority as the experiment key, customer-key parity as the
+    deterministic 50/50 assignment), the chi² statistic of the observed
+    variant counts against the declared equal split — for a 2-cell
+    equal split it collapses to (n0−n1)²/(n0+n1), ONE division of exact
+    integers, flagged against the df=1 α=0.05 critical value (literal
+    shared verbatim).
+
+    Scale: ONE map-side-combinable aggregation over the fact scan —
+    |experiments| output rows, no join, no window. (n0−n1)² < 2⁶³ to
+    ~3e9 imbalance — documented."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy(F.col("o_orderpriority").alias("experiment")).agg(
+        F.sum(
+            F.when(F.col("o_custkey") % 2 == 0, 1).otherwise(0)
+        ).alias("n0"),
+        F.sum(
+            F.when(F.col("o_custkey") % 2 == 1, 1).otherwise(0)
+        ).alias("n1"),
+    )
+    diff = F.col("n0") - F.col("n1")
+    chisq = (diff * diff).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    return c.select(
+        "experiment",
+        "n0",
+        "n1",
+        chisq.alias("chisq"),
+        F.when(chisq > _SRM_CRIT, 1).otherwise(0).cast("int").alias(
+            "srm_flag"
+        ),
+    )
+
+
+_NEYMAN_BUDGET = 1000
+
+
+@workload(
+    "neyman_allocation_strata",
+    oracle=f"""
+    WITH s AS (
+        SELECT l_returnflag AS stratum,
+               CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)) AS t,
+               SUM(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)
+                   * CAST(l_quantity AS BIGINT)) AS s2
+        FROM lineitem GROUP BY 1),
+    wq AS (SELECT stratum, CAST(n AS BIGINT) AS n_rows,
+                  CAST(FLOOR(sqrt(CAST(CAST(n * s2 - t * t AS VARCHAR)
+                                       AS DOUBLE))) AS BIGINT) AS weight
+           FROM s),
+    tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS w FROM wq),
+    b AS (SELECT stratum, n_rows, weight,
+                 CAST(({_NEYMAN_BUDGET} * weight) // w AS BIGINT) AS base,
+                 CAST(({_NEYMAN_BUDGET} * weight) % w AS BIGINT) AS rem
+          FROM wq CROSS JOIN tot),
+    l AS (SELECT CAST({_NEYMAN_BUDGET} - SUM(base) AS BIGINT)
+                   AS leftover FROM b),
+    r AS (SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, stratum)
+                      AS BIGINT) AS rk
+          FROM b)
+    SELECT stratum, n_rows, weight,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM r CROSS JOIN l""",
+)
+def neyman_allocation_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (the survey-sampling
+    / eval-set-budgeting classic): a budget of 1000 samples splits
+    across strata ∝ N_h·σ_h — more samples where the metric varies
+    more. For whole-population strata N_h·σ_h = √(n·S2 − T²) (the
+    un-normalized variance moment), computed from exact HUGEINT moments
+    with ONE exactly-converted sqrt, quantized to an integer weight by
+    floor (deterministic: sqrt is correctly rounded over identical
+    double inputs), then apportioned EXACTLY by the largest-remainder
+    method — Σ alloc = budget by construction, the
+    allocate_largest_remainder machinery re-used with fitted weights.
+
+    Scale: ONE map-side-combinable groupBy over the fact (three moment
+    states per stratum); everything downstream runs on the |strata|-row
+    frame. n·S2 exact in decimal(38,0) at any corpus size; the double
+    conversion is exact below 2⁵³ (documented bound)."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    s = li.groupBy(F.col("l_returnflag").alias("stratum")).agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(q.cast(d38)).cast(d38).alias("t"),
+        F.sum((q * q).cast(d38)).cast(d38).alias("s2"),
+    )
+    wq = s.select(
+        "stratum",
+        F.col("n").cast("long").alias("n_rows"),
+        F.floor(
+            F.sqrt(
+                (F.col("n") * F.col("s2") - F.col("t") * F.col("t"))
+                .cast(d38)
+                .cast("double")
+            )
+        )
+        .cast("long")
+        .alias("weight"),
+    ).localCheckpoint(eager=False)
+    tot = wq.agg(F.sum("weight").alias("w"))
+    b = wq.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_rows",
+        "weight",
+        F.expr(f"({_NEYMAN_BUDGET} * weight) DIV w").alias("base"),
+        ((_NEYMAN_BUDGET * F.col("weight")) % F.col("w")).alias("rem"),
+    ).localCheckpoint(eager=False)
+    leftover = b.agg(
+        (F.lit(_NEYMAN_BUDGET) - F.sum("base")).alias("leftover")
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.col("rem").desc(), F.col("stratum"))
+    ).cast("long")
+    r = b.withColumn("rk", rk)
+    return r.crossJoin(F.broadcast(leftover)).select(
+        "stratum",
+        "n_rows",
+        "weight",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        ).cast("long").alias("alloc"),
+    )
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================

@@ -984,3 +984,38 @@ def test_assoc_rules_no_fact_self_join(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastExchange") >= 3  # ia, ib, total
+
+
+def test_rake_candidates_materialized_once_no_cartesian(spark, sf_dir):
+    """The kept-candidate frame feeds word stats AND phrase assembly —
+    materialized once; the phrase⋈word-stats join is an equi-join
+    (never a cross product)."""
+    plan = _plan(workloads.QUERIES["keyword_rake_topk"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_srm_check_single_aggregation(spark, sf_dir):
+    """One map-side-combinable aggregation over the fact scan — at most
+    one data Exchange, no join, no window."""
+    plan = _plan(workloads.QUERIES["srm_check_by_priority"](spark, sf_dir))
+    data_shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln
+        and "RoundRobinPartitioning" not in ln
+        and "BroadcastExchange" not in ln
+    ]
+    assert len(data_shuffles) <= 1, data_shuffles
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_neyman_single_fact_shuffle(spark, sf_dir):
+    """The moment groupBy is the only corpus shuffle; weights frame is
+    materialized once and everything downstream (total broadcast, rank
+    window, leftover) runs on the |strata|-row frame."""
+    plan = _plan(workloads.QUERIES["neyman_allocation_strata"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -306,6 +306,9 @@ HEADLINE = [
     "keyword_rake_topk",
     "srm_check_by_priority",
     "neyman_allocation_strata",
+    "session_funnel_depth",
+    "window_rolling_zscore",
+    "embedding_centroid_drift",
 ]
 
 

@@ -8698,6 +8698,258 @@ def neyman_allocation_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "session_funnel_depth",
+    oracle=f"""
+    WITH s AS ({_SESSIONIZE_SQL}),
+    e AS (SELECT s.user_id, s.session_id, s.ts, s.event_id, ev.event_type
+          FROM s JOIN events ev ON s.event_id = ev.event_id),
+    w1 AS (
+        SELECT user_id, session_id, ts, event_id, event_type,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS q1,
+               max(CASE WHEN event_type = 'view' THEN ts END)
+                 OVER (PARTITION BY user_id, session_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS v_prev
+        FROM e),
+    w2 AS (
+        SELECT *,
+               CASE WHEN event_type = 'click' AND v_prev IS NOT NULL
+                    THEN 1 ELSE 0 END AS q2
+        FROM w1),
+    w3 AS (
+        SELECT *,
+               CASE WHEN event_type = 'purchase' AND c_prev IS NOT NULL
+                    THEN 1 ELSE 0 END AS q3
+        FROM (SELECT *,
+                     max(CASE WHEN q2 = 1 THEN ts END)
+                       OVER (PARTITION BY user_id, session_id
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS c_prev
+              FROM w2)),
+    d AS (SELECT user_id, session_id,
+                 CAST(max(q1) + max(q2) + max(q3) AS INT) AS funnel_step
+          FROM w3 GROUP BY 1, 2)
+    SELECT funnel_step, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM d GROUP BY 1""",
+)
+def session_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped funnel: view→click→purchase depth per SESSION
+    (the gap sessionizer bounds the chain instead of a per-step clock —
+    "did the user convert within one visit", the canonical product-
+    analytics cut), rolled up to the depth distribution.
+
+    Composition: the shared sessionizer (windows.sessionize — the same
+    lag+cumsum every session oracle uses) feeds temporal.funnel_steps
+    with the (user, session) composite as the funnel key and the step
+    window disabled (interval ≫ any session: within a session, order
+    alone qualifies — the session gap already bounds time).
+
+    Scale: the sessionizer's user window and the funnel's stacked
+    windows both key on the user prefix — one corpus shuffle for the
+    sessionizer, one for the composite key; the depth rollup is 4 rows.
+    """
+    from metadata_driven_etl_spark.operators import temporal as temporal_ops
+
+    events = _t(spark, sf_dir, "events")
+    s = window_ops.sessionize(
+        events, "user_id", "ts", gap_seconds=1800, tiebreak=["event_id"]
+    ).withColumn(
+        "_sk",
+        F.concat_ws("#", F.col("user_id"), F.col("session_id")),
+    )
+    d = temporal_ops.funnel_steps(
+        s,
+        ["view", "click", "purchase"],
+        user_col="_sk",
+        window="3650 days",  # >> any session span: order alone gates
+    )
+    return d.groupBy("funnel_step").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+
+
+# Rolling z-score window width and alert threshold — shared verbatim.
+_ZWIN_ROWS = 100
+_Z_THRESH = 3
+
+
+@workload(
+    "window_rolling_zscore",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_type, event_id, ts,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x
+        FROM events),
+    m AS (
+        SELECT event_type, event_id, x,
+               CAST(COUNT(*) OVER w AS HUGEINT) AS n,
+               SUM(CAST(x AS HUGEINT)) OVER w AS s,
+               SUM(CAST(x AS HUGEINT) * x) OVER w AS s2
+        FROM d
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN {_ZWIN_ROWS - 1} PRECEDING
+                              AND CURRENT ROW)),
+    z AS (
+        SELECT event_type, event_id,
+               CAST(CAST(n * x - s AS VARCHAR) AS DOUBLE)
+                 / sqrt(CAST(CAST(n * s2 - s * s AS VARCHAR) AS DOUBLE))
+                 AS zscore
+        FROM m
+        WHERE n * s2 - s * s > 0)
+    SELECT event_type, event_id, zscore
+    FROM z WHERE zscore > {_Z_THRESH} OR zscore < -{_Z_THRESH}""",
+)
+def window_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection per event type: each event
+    scored against the trailing 100-row window's population moments —
+    the streaming-telemetry outlier primitive (a fixed global threshold
+    misses regime changes; the rolling window adapts).
+
+    Hash-exact via the z identity: z = (x−μ)/σ over the window equals
+    (n·x − S) / √(n·S2 − S²) — numerator and radicand are EXACT
+    integers from decimal window sums, so the emitted double is one
+    conversion + one sqrt + one division (fixed IEEE chain) and the
+    |z| > 3 alert predicate can never flip per engine. Zero-variance
+    windows are excluded exactly (integer compare, not a float eps).
+
+    Scale: ONE event_type-keyed window shuffle; all three moment
+    aggregates share one WindowExec frame (one sort); Spark evaluates
+    the ROWS frame with a sliding accumulator — O(n) per partition,
+    state bounded by the frame width. Output is |alerts| rows."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    ev = _t(spark, sf_dir, "events")
+    x = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_ZWIN_ROWS - 1), 0)
+    )
+    m = ev.select(
+        "event_type", "event_id", "ts", x.alias("x")
+    ).select(
+        "event_type",
+        "event_id",
+        "x",
+        F.count(F.lit(1)).over(w).cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).over(w).cast(d38).alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).over(w).cast(d38).alias(
+            "s2"
+        ),
+    )
+    var_num = (F.col("n") * F.col("s2") - F.col("s") * F.col("s")).cast(d38)
+    zscore = (
+        (F.col("n") * F.col("x") - F.col("s")).cast(d38).cast("double")
+        / F.sqrt(var_num.cast("double"))
+    )
+    return (
+        m.filter(var_num > 0)
+        .select("event_type", "event_id", zscore.alias("zscore"))
+        .filter(
+            (F.col("zscore") > _Z_THRESH) | (F.col("zscore") < -_Z_THRESH)
+        )
+    )
+
+
+_DRIFT_DIMS = 8
+_DRIFT_SCALE = 10_000
+
+
+@workload(
+    "embedding_centroid_drift",
+    oracle=(
+        "WITH q AS (SELECT label, "
+        + ", ".join(
+            f"CAST(FLOOR(embedding[{i + 1}] * {_DRIFT_SCALE} + 0.5) "
+            f"AS HUGEINT) AS q{i}"
+            for i in range(_DRIFT_DIMS)
+        )
+        + " FROM embeddings), "
+        "g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS gn, "
+        + ", ".join(f"SUM(q{i}) AS gt{i}" for i in range(_DRIFT_DIMS))
+        + " FROM q), "
+        "l AS (SELECT label, CAST(COUNT(*) AS HUGEINT) AS ln, "
+        + ", ".join(f"SUM(q{i}) AS lt{i}" for i in range(_DRIFT_DIMS))
+        + " FROM q GROUP BY 1) "
+        "SELECT label, CAST(ln AS BIGINT) AS n_vecs, "
+        "sqrt(CAST(CAST("
+        + " + ".join(
+            f"(lt{i} * gn - gt{i} * ln) * (lt{i} * gn - gt{i} * ln)"
+            for i in range(_DRIFT_DIMS)
+        )
+        + " AS VARCHAR) AS DOUBLE)) "
+        "/ (CAST(CAST(ln * gn AS VARCHAR) AS DOUBLE) "
+        f"* {_DRIFT_SCALE}.0) AS drift_dist "
+        "FROM l CROSS JOIN g"
+    ),
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group embedding centroid drift: the Euclidean distance from
+    each label group's centroid to the GLOBAL centroid (first 8 dims) —
+    the embedding-space drift/imbalance monitor (which sources or
+    batches pull the representation away from the corpus mean).
+
+    Hash-exact: centroid difference Δ_i = lt_i/ln − gt_i/gn is kept
+    RATIONAL — numerator lt_i·gn − gt_i·ln and denominator ln·gn are
+    exact decimal integers; dist = √(Σ num_i²)/(ln·gn·scale), where the
+    Σ over the 8 dims is a fixed EXPRESSION chain over exact decimals
+    (never a data-order float sum), so one sqrt + one division emit the
+    double.
+
+    Scale: ONE aggregation pass with d+1 decimal states per group (the
+    embedding_comoments posture without the second moments); the 1-row
+    global frame broadcasts back onto the |labels|-row frame."""
+    d38 = "decimal(38,0)"
+    emb = _emb(spark, sf_dir)
+    q = emb.select(
+        "label",
+        *[
+            F.floor(
+                F.col("embedding").getItem(i) * _DRIFT_SCALE + 0.5
+            )
+            .cast("long")
+            .alias(f"q{i}")
+            for i in range(_DRIFT_DIMS)
+        ],
+    )
+    lagg = q.groupBy("label").agg(
+        F.count(F.lit(1)).cast(d38).alias("ln"),
+        *[
+            F.sum(F.col(f"q{i}").cast(d38)).cast(d38).alias(f"lt{i}")
+            for i in range(_DRIFT_DIMS)
+        ],
+    )
+    gagg = q.agg(
+        F.count(F.lit(1)).cast(d38).alias("gn"),
+        *[
+            F.sum(F.col(f"q{i}").cast(d38)).cast(d38).alias(f"gt{i}")
+            for i in range(_DRIFT_DIMS)
+        ],
+    )
+    num_sq = None
+    for i in range(_DRIFT_DIMS):
+        term = (
+            F.col(f"lt{i}") * F.col("gn") - F.col(f"gt{i}") * F.col("ln")
+        ).cast(d38)
+        sq = (term * term).cast(d38)
+        num_sq = sq if num_sq is None else (num_sq + sq).cast(d38)
+    return lagg.crossJoin(F.broadcast(gagg)).select(
+        "label",
+        F.col("ln").cast("long").alias("n_vecs"),
+        (
+            F.sqrt(num_sq.cast("double"))
+            / (
+                (F.col("ln") * F.col("gn")).cast(d38).cast("double")
+                * float(_DRIFT_SCALE)
+            )
+        ).alias("drift_dist"),
+    )
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================

@@ -1019,3 +1019,34 @@ def test_neyman_single_fact_shuffle(spark, sf_dir):
     assert "Scan ExistingRDD" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_session_funnel_user_prefix_shuffles(spark, sf_dir):
+    """Sessionizer + funnel windows both key on the user prefix; the
+    depth rollup is 4 rows. No join anywhere in the Spark plan (the
+    oracle's join is a DuckDB artifact of the shared sessionizer CTE)."""
+    plan = _plan(workloads.QUERIES["session_funnel_depth"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_zscore_one_window_shuffle(spark, sf_dir):
+    """All three moment aggregates share one WindowExec frame over one
+    event_type Exchange; the alert filter is map-side above it."""
+    plan = _plan(workloads.QUERIES["window_rolling_zscore"](spark, sf_dir))
+    data_shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "RoundRobinPartitioning" not in ln
+    ]
+    assert len(data_shuffles) == 1, data_shuffles
+    assert plan.count("Window [") == 1, plan
+
+
+def test_centroid_drift_single_pass_broadcast_global(spark, sf_dir):
+    """One aggregation pass (d+1 decimal states per group); the 1-row
+    global frame broadcasts back. No sort-merge join, no window."""
+    plan = _plan(workloads.QUERIES["embedding_centroid_drift"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan or "Exchange SinglePartition" in plan

@@ -309,6 +309,10 @@ HEADLINE = [
     "session_funnel_depth",
     "window_rolling_zscore",
     "embedding_centroid_drift",
+    "window_cume_dist",
+    "agg_mode_per_group",
+    "histogram_equi_depth",
+    "rank_movers_monthly",
 ]
 
 

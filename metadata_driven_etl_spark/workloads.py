@@ -8950,6 +8950,237 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "window_cume_dist",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber,
+           cume_dist() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+             AS cd
+    FROM lineitem WHERE l_suppkey < 10""",
+)
+def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist() — the remaining rank-family window function (rank /
+    dense_rank / percent_rank / ntile are covered elsewhere): the share
+    of partition rows ordered at or below the current row's value.
+    Ties need NO tie-break for determinism (all peers of a value share
+    one cume_dist — ordering by the integer-cents value alone is
+    engine-stable), which is exactly what separates it from rank-based
+    scores.
+
+    Hash-exact: cume_dist = peers_cum / n, both exact integers, ONE
+    IEEE division per row.
+
+    Scale: one flag-keyed window shuffle; the suppkey slice bounds the
+    driver output only (the plan is identical unfiltered — at corpus
+    scale the group key should be finer or the distributed-rank
+    pattern applies, as with any coarse-partition window)."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 10)
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    w = Window.partitionBy("l_returnflag").orderBy(cents)
+    return li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@workload(
+    "agg_mode_per_group",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1, 2),
+    r AS (
+        SELECT l_returnflag, q, cnt,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY cnt DESC, q ASC) AS rn
+        FROM c)
+    SELECT l_returnflag, q AS mode_quantity, cnt AS n_occurrences
+    FROM r WHERE rn = 1""",
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical MODE per group (most frequent value, smallest-value
+    tie-break) — the missing member of the central-tendency trio next
+    to the exact median (agg_percentile) and mean: two stacked hash
+    aggregations, the second a max_by over the (count, −value) struct —
+    never a window over the fact.
+
+    Determinism: the (cnt desc, value asc) selection is a total order
+    over the |group × distinct value| frame; all integers.
+
+    Scale: the fact shuffles once into value counts (map-side
+    combinable); the mode selection aggregates the |group × values|
+    domain frame — the KS domain discipline applied to an argmax."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("q")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return c.groupBy("l_returnflag").agg(
+        F.expr("max_by(q, struct(cnt, -q))").alias("mode_quantity"),
+        F.max("cnt").alias("n_occurrences"),
+    )
+
+
+@workload(
+    "histogram_equi_depth",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 AS cents,
+               l_orderkey, l_linenumber
+        FROM lineitem),
+    b AS (SELECT cents,
+                 ntile(10) OVER (ORDER BY cents, l_orderkey, l_linenumber)
+                   AS bucket
+          FROM d)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(cents) AS BIGINT) AS lo_cents,
+           CAST(MAX(cents) AS BIGINT) AS hi_cents,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM b GROUP BY 1""",
+)
+def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram of line prices (each bucket holds the same
+    row count; bucket BOUNDARIES adapt to the distribution) — the
+    optimizer-statistics / data-profiling complement to the equi-WIDTH
+    agg_histogram: equal-width bins starve in the tails, equi-depth
+    bins are the quantile sketch warehouses actually keep.
+
+    The bucket cut is ``windows.distributed_ntile`` over the full fact
+    (range shuffle + broadcast offsets — NO single-partition sort of
+    |lineitem| rows; the (cents, orderkey, linenumber) tie-break makes
+    the total order engine-stable), then one map-side-combinable
+    aggregate per bucket. All outputs exact integers."""
+    from metadata_driven_etl_spark.operators.windows import (
+        distributed_ntile,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    b = distributed_ntile(
+        d,
+        10,
+        [
+            F.col("cents").asc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        ],
+        "bucket",
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+_MOVERS_M_A = "1995-03-01"
+_MOVERS_M_B = "1995-04-01"
+_MOVERS_TOPK = 20
+
+
+@workload(
+    "rank_movers_monthly",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_partkey,
+               date_trunc('month', CAST(l_shipdate AS DATE)) AS m,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem
+        WHERE date_trunc('month', CAST(l_shipdate AS DATE))
+              IN (DATE '{_MOVERS_M_A}', DATE '{_MOVERS_M_B}')
+        GROUP BY 1, 2),
+    rk AS (
+        SELECT l_partkey, m, cents,
+               CAST(rank() OVER (PARTITION BY m
+                                 ORDER BY cents DESC, l_partkey)
+                 AS BIGINT) AS rnk
+        FROM rev),
+    j AS (
+        SELECT a.l_partkey, a.rnk AS rank_a, b.rnk AS rank_b,
+               CAST(a.rnk - b.rnk AS BIGINT) AS rank_delta
+        FROM rk a JOIN rk b ON a.l_partkey = b.l_partkey
+        WHERE a.m = DATE '{_MOVERS_M_A}' AND b.m = DATE '{_MOVERS_M_B}')
+    SELECT l_partkey, rank_a, rank_b, rank_delta
+    FROM j
+    ORDER BY abs(rank_delta) DESC, l_partkey
+    LIMIT {_MOVERS_TOPK}""",
+)
+def rank_movers_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top rank movers between two months: parts whose revenue RANK
+    changed most month-over-month — the "biggest movers" leaderboard
+    every sales/trending dashboard runs (rank delta, not revenue delta:
+    rank is scale-free across months of different volume).
+
+    Determinism: rank carries the part-key tie-break; the final top-k
+    orders by (|Δrank| desc, part) — total at the LIMIT; all integers.
+
+    Scale: one fact aggregation into the |parts × 2 months| frame
+    (materialized once — it feeds both month slices), per-month rank
+    windows partition on the month, and the self-join is an equi-join
+    on the part key over |parts|-row frames. At corpus scale a month
+    is a coarse rank partition — the distributed-rank pattern applies
+    (documented; here the frame is |parts|, not |lineitem|)."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    m = F.trunc(F.to_date("l_shipdate"), "month")
+    rev = (
+        li.select(
+            "l_partkey",
+            m.alias("m"),
+            F.floor(F.col("l_extendedprice") * 100 + 0.5)
+            .cast("long")
+            .alias("c"),
+        )
+        .filter(
+            F.col("m").isin(
+                F.lit(_MOVERS_M_A).cast("date"),
+                F.lit(_MOVERS_M_B).cast("date"),
+            )
+        )
+        .groupBy("l_partkey", "m")
+        .agg(F.sum("c").alias("cents"))
+    )
+    w = Window.partitionBy("m").orderBy(
+        F.col("cents").desc(), F.col("l_partkey").asc()
+    )
+    rk = rev.withColumn(
+        "rnk", F.rank().over(w).cast("long")
+    ).localCheckpoint(eager=False)
+    a = rk.filter(F.col("m") == _MOVERS_M_A).select(
+        "l_partkey", F.col("rnk").alias("rank_a")
+    )
+    b = rk.filter(F.col("m") == _MOVERS_M_B).select(
+        "l_partkey", F.col("rnk").alias("rank_b")
+    )
+    return (
+        a.join(b, "l_partkey")
+        .select(
+            "l_partkey",
+            "rank_a",
+            "rank_b",
+            (F.col("rank_a") - F.col("rank_b")).alias("rank_delta"),
+        )
+        .orderBy(F.abs(F.col("rank_delta")).desc(), "l_partkey")
+        .limit(_MOVERS_TOPK)
+    )
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================

@@ -1050,3 +1050,29 @@ def test_centroid_drift_single_pass_broadcast_global(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
     assert "BroadcastExchange" in plan or "Exchange SinglePartition" in plan
+
+
+def test_mode_per_group_no_window(spark, sf_dir):
+    """Mode = two stacked hash aggregations (value counts, then the
+    max_by argmax) — never a window over the fact."""
+    plan = _plan(workloads.QUERIES["agg_mode_per_group"](spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "Join" not in plan
+
+
+def test_equi_depth_histogram_distributed_cut(spark, sf_dir):
+    """The bucket cut is distributed_ntile over the FULL fact — no bare
+    ntile window, no single-partition sort of lineitem."""
+    plan = _plan(workloads.QUERIES["histogram_equi_depth"](spark, sf_dir))
+    assert "ntile" not in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_rank_movers_materializes_rank_frame_once(spark, sf_dir):
+    """The ranked |parts x 2 months| frame feeds both month slices —
+    materialized once; the movers join is an equi-join on the part key."""
+    plan = _plan(workloads.QUERIES["rank_movers_monthly"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan

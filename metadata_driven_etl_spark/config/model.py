@@ -322,7 +322,9 @@ class SilverTransform:
         )
 
 
-VALID_EVENT_ANALYSES = {"funnel", "attribution", "sessions"}
+VALID_EVENT_ANALYSES = {
+    "funnel", "attribution", "sessions", "transitions", "cohorts",
+}
 VALID_FUNNEL_MODES = {"per_step", "from_first"}
 VALID_ATTRIBUTION_MODELS = {"last_touch", "time_decay"}
 
@@ -349,6 +351,12 @@ class EventAnalysisConfig:
     - ``sessions``: daily session KPIs over ``gap_seconds``
       sessionization (emits ``(day, n_sessions, n_bounces, bounce_rate,
       total_dur_us, avg_dur_us)``).
+    - ``transitions``: the first-order Markov transition matrix over
+      per-user event sequences (emits ``(prev_type, next_type,
+      n_transitions, row_share)``) — next-action prediction and
+      anomalous-flow detection.
+    - ``cohorts``: weekly cohort retention (emits ``(cohort_week,
+      week_index, active_users)``).
     """
 
     analysis: str

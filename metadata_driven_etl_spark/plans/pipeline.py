@@ -393,6 +393,22 @@ class GoldLayer(_LayerBase):
                 type_col=e.type_col,
                 lookback_days=e.lookback_days,
             )
+        if e.analysis == "transitions":
+            from metadata_driven_etl_spark.operators import (
+                cooccur as cooccur_ops,
+            )
+
+            return cooccur_ops.transition_counts(
+                events,
+                e.user_col,
+                e.type_col,
+                e.ts_col,
+                tiebreak=(e.order_col,),
+            )
+        if e.analysis == "cohorts":
+            return temporal_ops.cohort_retention(
+                events, user_col=e.user_col, ts_col=e.ts_col
+            )
         return temporal_ops.session_kpis_daily(
             events,
             user_col=e.user_col,

@@ -1236,3 +1236,66 @@ def test_gold_event_config_validation():
                 "event": base["event"],
             }
         )
+
+
+def test_gold_event_transitions_and_cohorts_e2e(spark, tmp_path):
+    """analysis: transitions / cohorts — the remaining event-model
+    dispatches, YAML ≡ direct operator composition."""
+    import textwrap
+
+    from metadata_driven_etl_spark.operators import cooccur as cooccur_ops
+    from metadata_driven_etl_spark.operators import temporal as temporal_ops
+
+    targets = ("gold.ev_transitions", "gold.ev_cohorts", "silver.web_events")
+    for t in targets:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    _write_events(spark, _event_rows())
+    cfg = tmp_path / "gold_config.yaml"
+    cfg.write_text(
+        textwrap.dedent(
+            """
+            models:
+              - model_id: "markov"
+                target_table: "gold.ev_transitions"
+                model_type: "event"
+                refresh_type: "full"
+                event:
+                  analysis: "transitions"
+                  source_table: "silver.web_events"
+              - model_id: "weekly_cohorts"
+                target_table: "gold.ev_cohorts"
+                model_type: "event"
+                refresh_type: "full"
+                event:
+                  analysis: "cohorts"
+                  source_table: "silver.web_events"
+            """
+        )
+    )
+    res = run_pipeline(
+        spark, str(tmp_path), "2024-01-15", ["gold"],
+        table_format=ParquetFormat(),
+    )
+    assert [r.status for r in res["gold"]] == ["success"] * 2, [
+        (r.unit_id, r.error) for r in res["gold"]
+    ]
+    events = spark.table("silver.web_events")
+
+    got, cols = _rows_of(spark, "gold.ev_transitions")
+    want = sorted(
+        tuple(r)
+        for r in cooccur_ops.transition_counts(
+            events, "user_id", "event_type", "ts", tiebreak=("event_id",)
+        ).collect()
+    )
+    assert got == want and len(want) > 0
+
+    got, cols = _rows_of(spark, "gold.ev_cohorts")
+    want = sorted(
+        tuple(r)
+        for r in temporal_ops.cohort_retention(events).collect()
+    )
+    assert got == want and len(want) > 0
+
+    for t in targets:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

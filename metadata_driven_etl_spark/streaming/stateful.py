@@ -21,6 +21,7 @@ backfill via operators.windows.sessionize (property-tested equivalent).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 
 SESSION_OUTPUT_SCHEMA = (
@@ -126,6 +127,137 @@ def sessionize_stateful(
             track,
             SESSION_OUTPUT_SCHEMA,
             SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+CUSUM_OUTPUT_SCHEMA = "event_type string, event_id long, cusum_cents long"
+# fold carries the clamp-identity registers (exact bigints); the pending
+# buffer (rows newer than the watermark, not yet safe to fold) rides as a
+# JSON string — arrays of (ts_us, event_id, delta) — so the state schema
+# stays scalar-typed for the Arrow round-trip
+CUSUM_STATE_SCHEMA = "psum long, minp long, pending string"
+
+
+def cusum_stateful(
+    events: DataFrame,
+    k_cents: int = 6_000,
+    h_cents: int = 50_000,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming one-sided CUSUM change alerts per event type — the
+    stateful twin of the batch ``cusum_alerts_by_type`` workload, with
+    EXACT event-time semantics: S_t = max(0, S_{t-1} + (x_t − K)) folded
+    strictly in (event time, id) order, alerts where S_t > H.
+
+    The CUSUM fold is order-sensitive, so unlike the sessionizer's
+    interval merge, correctness needs rows folded in final order: rows
+    newer than the watermark wait in a per-key PENDING buffer; once the
+    event-time watermark passes a row it is finalized — sorted into
+    (ts, id) order and folded through the clamp-identity registers
+    (psum, min-prefix), both exact bigints, emitting its alert if
+    S > H. Rows arriving later than the watermark are dropped (the
+    standard late-data contract of every built-in stateful op).
+
+    State per key: two longs + the pending buffer (bounded by the
+    watermark horizon); an event-time timeout at the newest pending row
+    flushes keys that stop receiving batches. Batch ≡ stream parity is
+    property-tested in tests/test_streaming.py.
+    """
+    pre = events.select(
+        F.col(type_col).alias("event_type"),
+        F.col(ts_col).alias("ts"),
+        F.col(order_col).alias("event_id"),
+        (
+            F.floor(F.col(value_col) * 100 + 0.5).cast("long")
+            - F.lit(k_cents).cast("long")
+        ).alias("delta"),
+    )
+
+    h = int(h_cents)
+
+    def track(key, pdfs, state):
+        import json
+
+        import pandas as pd
+
+        def load():
+            if state.exists:
+                psum, minp, pend_json = state.get
+                return int(psum), int(minp), json.loads(pend_json)
+            return 0, 0, []
+
+        def emit(rows):
+            if not rows:
+                return None
+            return pd.DataFrame(
+                {
+                    "event_type": [key[0]] * len(rows),
+                    "event_id": [r[1] for r in rows],
+                    "cusum_cents": [r[2] for r in rows],
+                }
+            )
+
+        def finalize(psum, minp, ready):
+            # fold in final (ts, id) order; exact integer registers
+            alerts = []
+            for t_us, eid, d in sorted(ready):
+                psum += int(d)
+                if psum < minp:
+                    minp = psum
+                s = psum - minp
+                if s > h:
+                    alerts.append((t_us, eid, s))
+            return psum, minp, alerts
+
+        psum, minp, pending = load()
+
+        if state.hasTimedOut:
+            # the watermark passed every pending row: finalize all
+            psum, minp, alerts = finalize(psum, minp, pending)
+            state.update((psum, minp, json.dumps([])))
+            out = emit(alerts)
+            if out is not None:
+                yield out
+            return
+
+        wm_ms = state.getCurrentWatermarkMs()
+        for pdf in pdfs:
+            ts_ns = pdf["ts"].astype("int64")
+            unit_div = 1000 if pdf["ts"].dtype.str.endswith("[ns]") else 1
+            for t_raw, eid, d in zip(
+                ts_ns.tolist(),
+                pdf["event_id"].tolist(),
+                pdf["delta"].tolist(),
+            ):
+                t_us = int(t_raw) // unit_div
+                if t_us // 1000 <= wm_ms:
+                    continue  # late beyond the watermark: dropped
+                pending.append([t_us, int(eid), int(d)])
+        ready = [r for r in pending if r[0] // 1000 <= wm_ms]
+        pending = [r for r in pending if r[0] // 1000 > wm_ms]
+        psum, minp, alerts = finalize(psum, minp, ready)
+        state.update((psum, minp, json.dumps(pending)))
+        if pending:
+            # flush via timeout once the watermark passes the newest row
+            state.setTimeoutTimestamp(max(r[0] for r in pending) // 1000 + 1)
+        out = emit(alerts)
+        if out is not None:
+            yield out
+
+    return (
+        pre.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            track,
+            CUSUM_OUTPUT_SCHEMA,
+            CUSUM_STATE_SCHEMA,
             "append",
             GroupStateTimeout.EventTimeTimeout,
         )

@@ -848,3 +848,81 @@ def test_ohlc_stream_equals_batch(spark, events_dir):
         for r in batch.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stateful_cusum_matches_batch(spark, sf_dir, tmp_path_factory):
+    """applyInPandasWithState CUSUM alerts == the batch clamp-identity
+    workload, on chronologically sliced micro-batches with a far-future
+    sentinel flushing the pending buffers via the event-time timeout."""
+    import datetime
+    import time as _time
+
+    from pyspark.sql import Window
+
+    from metadata_driven_etl_spark.streaming.stateful import cusum_stateful
+
+    # thresholds tuned so alerts exist at the test SF (sf0.001)
+    k_cents, h_cents = 5_500, 20_000
+    path = str(tmp_path_factory.mktemp("events_cusum"))
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    split_ts = lo + (hi - lo) / 2
+    for i, part_df in enumerate(
+        [
+            events.filter(F.col("ts") <= F.lit(split_ts)),
+            events.filter(F.col("ts") > F.lit(split_ts)),
+        ]
+    ):
+        part_df.coalesce(1).sortWithinPartitions("ts").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/slice={i}")
+        _time.sleep(1.1)
+    sentinel = spark.createDataFrame(
+        [(999_999_999, datetime.datetime(2100, 1, 1), -1, "sentinel", 0.0, "{}")],
+        EVENT_SCHEMA,
+    )
+    sentinel.coalesce(1).write.mode("overwrite").parquet(f"{path}/slice=2")
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
+    q = (
+        cusum_stateful(stream, k_cents=k_cents, h_cents=h_cents)
+        .writeStream.format("memory")
+        .queryName("t_cusum")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.event_type, r.event_id): r.cusum_cents
+        for r in spark.table("t_cusum")
+        .filter(F.col("event_type") != "sentinel")
+        .collect()
+    }
+
+    # batch twin: the cusum_alerts_by_type clamp identity
+    delta = (
+        F.floor(F.col("value") * 100 + 0.5).cast("long") - k_cents
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = events.select(
+        "event_type", "event_id", "ts", delta.alias("delta")
+    ).withColumn("psum", F.sum("delta").over(w))
+    s = F.col("psum") - F.least(F.lit(0), F.min("psum").over(w))
+    want = {
+        (r.event_type, r.event_id): r.cusum_cents
+        for r in p.select(
+            "event_type", "event_id", s.alias("cusum_cents")
+        )
+        .filter(F.col("cusum_cents") > h_cents)
+        .collect()
+    }
+    assert got == want and len(want) > 0

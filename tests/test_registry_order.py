@@ -3,13 +3,12 @@
 Round-1 evidence: CORRECTNESS_r01.json contained exactly the first 50
 registry entries in insertion order.  DRIVER_PRIORITY is the curated
 prefix.  The driver-verification ledger was finished in round 4 (every
-registered key has a driver CORRECTNESS row).  The round-7 rotation:
-pinned flagship core, ALL 18 round-6 operator keys that registered after
-the r6 prefix froze (first driver check), the round-7 additions (bounded
-recall contracts for the two production ANN paths), and a 26-key
-stale-refresh tail (TPC-H q13-q22 whose latest driver rows are round 3,
-then the oldest round-4 cohort).  Keys rotated out stay locally
-oracle-checked by tests/test_workload_parity.py.
+registered key has a driver CORRECTNESS row).  The round-8 rotation:
+pinned flagship core, ALL 33 round-7 operator keys that registered after
+the r7 prefix froze (first driver check), the multimodal_frame_sample
+re-check (rows-only -> full value oracle in r7), and the 12 oldest
+round-4-cohort keys (remaining 14 queued for r9).  Keys rotated out stay
+locally oracle-checked by tests/test_workload_parity.py.
 """
 
 from __future__ import annotations
@@ -24,44 +23,39 @@ CORE = [
     "corpus_clean_pipeline",
 ]
 
-# Round-6 operator families: registered after the r6 prefix froze, so
-# round 7 is their first driver check (each pre-verified green at sf0.01
-# by the local oracle gate and the round-6 judge's independent run).
-R6_FAMILIES = {
-    "join_asof_tolerance", "copurchase_part_pairs",
-    "event_transition_matrix", "dedup_cluster_sizes",
-    "text_top_terms_per_doc", "text_doc_sim_cosine",
-    "gaps_islands_daily", "winsorize_clip_group",
-    "heavy_hitters_bounded", "pagerank_copurchase",
-    "dedup_jaccard_prefix", "copurchase_item_cf",
-    "chisq_cells_flag_status", "gini_quantity_by_flag",
-    "cumulative_unique_users", "window_moving_median",
-    "conversion_latency_quantiles", "linreg_price_on_quantity",
+# Round-7 operator families: registered after the r7 prefix froze, so
+# round 8 is their first driver check (each locally hash-verified at
+# sf0.01 on registration and swept 25/25 in the r7 pre-ship vanilla
+# session).
+R7_FAMILIES = {
+    "triangle_count_copurchase", "link_predict_copurchase_ra",
+    "kcore_copurchase", "graph_assortativity_copurchase",
+    "ks_test_price_by_flag", "mannwhitney_u_price_by_flag",
+    "cuped_adjusted_spend", "survival_life_table",
+    "benford_digit_orders", "simpson_diversity_by_source",
+    "best_split_gini_quantity", "allocate_largest_remainder",
+    "weighted_median_price_by_flag", "ohlc_bars_daily",
+    "twap_event_value_daily", "window_ewma_smooth",
+    "rolling_active_users", "window_trailing_range_sum",
+    "running_sum_clamped", "attribution_last_touch",
+    "attribution_time_decay", "session_metrics_daily",
+    "event_path_trigrams", "text_phrase_search", "search_hybrid_rrf",
+    "embedding_covariance", "hll_rollup_merge_bounded",
+    "geo_radius_join", "hierarchy_rollup_prefix",
+    "skyline_price_quantity", "rfm_segments", "pareto_abc_parts",
+    "sample_fixed_quota_per_group",
 }
 
-# New in round 7: hash-checked recall contracts for the two PRODUCTION
-# ANN paths (the probe-limited index vs its own exact twin — the same
-# move that gave the sketches driver-artifact error bounds in r6).
-NEW_IN_R7 = {
-    "similarity_ann_lsh_bounded", "similarity_ann_ivf_bounded",
-}
+# Re-check: upgraded in r7 from rows-only to a full value-level oracle.
+RECHECK = {"multimodal_frame_sample"}
 
-# Stale refresh: latest driver row round 3 (TPC-H q13-q22).
-STALE_R3_TPCH = {
-    "tpch_q13_custdist", "tpch_q14_promo_share", "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt", "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders", "tpch_q19_disjunctive_revenue",
-    "tpch_q20_promotion_suppliers", "tpch_q21_waiting_supplier",
-    "tpch_q22_idle_customers",
-}
-
-# Stale refresh: the oldest round-4 cohort (latest driver rows round 4).
+# Stale refresh: the 12 oldest round-4-cohort keys (latest driver rows
+# round 4); the remaining 14 are queued for the r9 rotation.
 STALE_R4_COHORT = {
-    "join_range", "sample_hash", "sample_stratified", "agg_percentile",
-    "scalar_date_string", "window_moving_avg", "json_extract_agg",
-    "array_explode_centroid", "window_first_last", "window_percent_rank",
-    "string_agg_sorted", "correlated_scalar_subquery", "unpivot_measures",
-    "regexp_word_freq", "agg_argmax_per_group", "resample_gap_fill",
+    "agg_cube", "agg_rollup", "agg_exact_stats", "agg_histogram",
+    "cohort_retention_weekly", "corpus_stats_report", "dedup_keep_best",
+    "dedup_span_exact", "funnel_conversion_steps", "fuzzy_join_tables",
+    "join_full_outer", "join_null_safe",
 }
 
 # Approximate-by-design ops: no exact SQL twin exists, so the driver
@@ -100,9 +94,7 @@ def test_core_keys_never_rotate():
 
 def test_rotation_tail_matches_coverage_plan():
     tail = set(workloads.DRIVER_PRIORITY[len(CORE):])
-    assert tail == (
-        R6_FAMILIES | NEW_IN_R7 | STALE_R3_TPCH | STALE_R4_COHORT
-    )
+    assert tail == (R7_FAMILIES | RECHECK | STALE_R4_COHORT)
 
 
 def test_priority_entries_all_have_oracles():

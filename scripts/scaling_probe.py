@@ -120,6 +120,60 @@ def amplify_embeddings(spark, scale: int, out_dir: str) -> str:
 _CURRENT_PATH: str | None = None
 
 
+
+
+_RAKE_STOP = ("a", "the", "and", "of", "to", "in", "is", "on")
+
+
+def _rake_probe(df: DataFrame) -> DataFrame:
+    """keyword_rake_topk's shape over the amplified corpus: islands
+    window (doc-keyed), phrase + word-stat aggregations, token equi-join."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        "doc_id", F.posexplode(text_ops.tokens("text")).alias("pos", "tok")
+    ).select(
+        "doc_id", (F.col("pos") + 1).alias("pos"), "tok",
+        F.col("tok").isin(*_RAKE_STOP).cast("int").alias("stop"),
+    )
+    w_isl = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = toks.withColumn("island", F.sum("stop").over(w_isl)).filter(
+        F.col("stop") == 0
+    )
+    w_ph = Window.partitionBy("doc_id", "island")
+    kept = (
+        isl.withColumn("plen", F.count(F.lit(1)).over(w_ph))
+        .filter(F.col("plen") <= 6)
+        .localCheckpoint(eager=False)
+    )
+    ws = kept.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    )
+    phr = kept.groupBy("doc_id", "island").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.getField("tok"),
+            ),
+            " ",
+        ).alias("phrase")
+    )
+    occ = phr.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occ"))
+    pwtok = occ.select(
+        "phrase", "n_occ", F.explode(F.split(F.col("phrase"), " ")).alias("tok")
+    )
+    score = pwtok.join(ws, "tok").groupBy("phrase", "n_occ").agg(
+        F.sum("deg").alias("deg_sum"), F.sum("freq").alias("freq_sum")
+    )
+    return score.orderBy(
+        (F.col("deg_sum").cast("double") / F.col("freq_sum").cast("double")).desc(),
+        "phrase",
+    ).limit(50)
+
+
 def _decontam_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """~1% of the amplified corpus acts as the eval suite — so the eval
     side GROWS with scale, which is exactly the regime that separates the
@@ -231,6 +285,8 @@ OPS = {
     # r7 positional phrase search: postings grow linearly with the
     # corpus and the phrase-token filter keeps the join input to the
     # two tokens' df — the curve must stay scan-linear.
+    # r8: RAKE keyphrase extraction — islands window + phrase/word aggs
+    "rake_keyphrases": lambda df: _rake_probe(df),
     "phrase_search_2tok": lambda df: text_ops.phrase_match_postings(
         df, ["table", "table"]
     ),
@@ -406,6 +462,9 @@ EVENT_OPS = {
     "survival_life_shape": lambda df: _survival_probe(df),
     "cuped_shape": lambda df: _cuped_probe(df),
     "rfm_distributed_ntile": lambda df: _rfm_probe(df),
+    # r8 batch-3/4 shapes
+    "rolling_zscore_w100": lambda df: _zscore_probe(df),
+    "session_funnel": lambda df: _session_funnel_probe(df),
 }
 
 
@@ -568,6 +627,57 @@ def _rfm_probe(df: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("m").alias("total_cents"),
     )
+
+
+
+
+def _zscore_probe(df: DataFrame) -> DataFrame:
+    """window_rolling_zscore's shape: trailing-100-row exact moments per
+    event_type, alert filter map-side. Amplified copies share the five
+    event types, so PARTITION SIZE grows 100x — the stress axis for the
+    sliding-frame accumulator."""
+    from pyspark.sql import Window
+
+    x = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-99, 0)
+    )
+    m = df.select("event_type", "event_id", "ts", x.alias("x")).select(
+        "event_type", "event_id", "x",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("s2"),
+    )
+    var_num = F.col("n") * F.col("s2") - F.col("s") * F.col("s")
+    z = (
+        (F.col("n") * F.col("x") - F.col("s")).cast("double")
+        / F.sqrt(var_num.cast("double"))
+    )
+    return (
+        m.filter(var_num > 0)
+        .select("event_type", "event_id", z.alias("z"))
+        .filter((F.col("z") > 3) | (F.col("z") < -3))
+    )
+
+
+def _session_funnel_probe(df: DataFrame) -> DataFrame:
+    """session_funnel_depth's shape: sessionizer window + stacked funnel
+    windows on the (user, session) composite; users grow 100x."""
+    from metadata_driven_etl_spark.operators import temporal as temporal_ops
+    from metadata_driven_etl_spark.operators.windows import sessionize
+
+    s = sessionize(
+        df, "user_id", "ts", gap_seconds=1800, tiebreak=["event_id"]
+    ).withColumn(
+        "_sk", F.concat_ws("#", F.col("user_id"), F.col("session_id"))
+    )
+    d = temporal_ops.funnel_steps(
+        s, ["view", "click", "purchase"], user_col="_sk",
+        window="3650 days",
+    )
+    return d.groupBy("funnel_step").agg(F.count(F.lit(1)).alias("n"))
 
 
 def _geo_probe(df: DataFrame) -> DataFrame:

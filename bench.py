@@ -313,6 +313,9 @@ HEADLINE = [
     "agg_mode_per_group",
     "histogram_equi_depth",
     "rank_movers_monthly",
+    "audience_overlap_jaccard",
+    "distinctive_terms_by_source",
+    "bfs_levels_copurchase",
 ]
 
 

@@ -9186,6 +9186,237 @@ def rank_movers_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "audience_overlap_jaccard",
+    oracle="""
+    WITH d AS (SELECT DISTINCT user_id, event_type FROM events
+               WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+    pairs AS (
+        SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM d a JOIN d b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2),
+    items AS (SELECT event_type AS seg, CAST(COUNT(*) AS BIGINT) AS n
+              FROM d GROUP BY 1)
+    SELECT seg_a, seg_b, n_both,
+           ia.n AS n_a, ib.n AS n_b,
+           CAST(n_both AS DOUBLE)
+             / CAST(ia.n + ib.n - n_both AS DOUBLE) AS jaccard
+    FROM pairs
+    JOIN items ia ON pairs.seg_a = ia.seg
+    JOIN items ib ON pairs.seg_b = ib.seg""",
+)
+def audience_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap matrix: for every pair of behavioral segments
+    (users who did event type X), the co-membership count and Jaccard
+    overlap — the ad-platform / growth-analytics primitive behind
+    audience dedup, reach planning, and lookalike seeding.
+
+    Same single-shuffle basket machinery as the co-purchase pairs
+    (baskets = users, items = segments): distinct memberships gather
+    per user, pairs expand map-side, segment sizes broadcast back;
+    Jaccard = n_both/(n_a+n_b−n_both), one division of exact bigints.
+
+    Scale: pair space per user is k(k−1)/2 over that user's DISTINCT
+    segments (k ≤ |segments|, here 5) — never a user×user or
+    member-list join; the overlap matrix is |segments|² rows."""
+    ev = _t(spark, sf_dir, "events")
+    pairs = cooccur_ops.basket_pair_counts(
+        ev, "user_id", "event_type"
+    ).select(
+        F.col("item_a").alias("seg_a"),
+        F.col("item_b").alias("seg_b"),
+        F.col("n_baskets").alias("n_both"),
+    )
+    d = ev.select("user_id", "event_type").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    ).distinct()
+    items = d.groupBy(F.col("event_type").alias("seg")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ia = items.select(F.col("seg").alias("seg_a"), F.col("n").alias("n_a"))
+    ib = items.select(F.col("seg").alias("seg_b"), F.col("n").alias("n_b"))
+    j = pairs.join(F.broadcast(ia), "seg_a").join(F.broadcast(ib), "seg_b")
+    return j.select(
+        "seg_a",
+        "seg_b",
+        "n_both",
+        "n_a",
+        "n_b",
+        (
+            F.col("n_both").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double")
+        ).alias("jaccard"),
+    )
+
+
+_DISTINCT_SRC_A = "src0"
+_DISTINCT_SRC_B = "src1"
+_DISTINCT_TOPK = 50
+
+
+@workload(
+    "distinctive_terms_by_source",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest({text_ops.sql_tokens('text')}) AS term
+        FROM documents
+        WHERE source IN ('{_DISTINCT_SRC_A}', '{_DISTINCT_SRC_B}')),
+    c AS (SELECT term,
+                 CAST(SUM(CASE WHEN source = '{_DISTINCT_SRC_A}'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN source = '{_DISTINCT_SRC_B}'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+          FROM tok GROUP BY 1),
+    t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS tot_a,
+                 CAST(SUM(n_b) AS BIGINT) AS tot_b FROM c)
+    SELECT term, n_a, n_b,
+           CAST(CAST(CAST((n_a + 1) AS HUGEINT) * (tot_b + 1)
+                     AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(CAST((n_b + 1) AS HUGEINT) * (tot_a + 1)
+                         AS VARCHAR) AS DOUBLE) AS rate_ratio
+    FROM c CROSS JOIN t
+    ORDER BY rate_ratio DESC, term
+    LIMIT {_DISTINCT_TOPK}""",
+)
+def distinctive_terms_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distinctive vocabulary between two corpus slices: terms most
+    over-represented in source A vs source B by the add-one-smoothed
+    rate ratio ((n_a+1)/(tot_a+1)) / ((n_b+1)/(tot_b+1)) — the
+    corpus-drift / style-diagnostic readout (what vocabulary makes this
+    source different), log-odds-ratio's hash-exact cousin (no logs: the
+    RATIO itself, one division of two exactly-converted decimal
+    products, preserves the same ordering the log would).
+
+    Scale: tokens explode map-side; one partial-aggregated term count
+    (two conditional sums in one pass — the corpus never scans twice);
+    the 1-row totals broadcast back. Top-k is TakeOrderedAndProject
+    with a deterministic (ratio, term) order — the ratio is one IEEE
+    division of exact products, bit-identical per engine."""
+    d38 = "decimal(38,0)"
+    docs = _docs(spark, sf_dir).filter(
+        F.col("source").isin(_DISTINCT_SRC_A, _DISTINCT_SRC_B)
+    )
+    tok = docs.select(
+        "source", F.explode(text_ops.tokens("text")).alias("term")
+    )
+    c = tok.groupBy("term").agg(
+        F.sum(
+            F.when(F.col("source") == _DISTINCT_SRC_A, 1).otherwise(0)
+        ).alias("n_a"),
+        F.sum(
+            F.when(F.col("source") == _DISTINCT_SRC_B, 1).otherwise(0)
+        ).alias("n_b"),
+    ).localCheckpoint(eager=False)
+    t = c.agg(
+        F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b")
+    )
+    num = ((F.col("n_a") + 1).cast(d38) * (F.col("tot_b") + 1).cast(d38)).cast(d38)
+    den = ((F.col("n_b") + 1).cast(d38) * (F.col("tot_a") + 1).cast(d38)).cast(d38)
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "term",
+            "n_a",
+            "n_b",
+            (num.cast("double") / den.cast("double")).alias("rate_ratio"),
+        )
+        .orderBy(F.desc("rate_ratio"), "term")
+        .limit(_DISTINCT_TOPK)
+    )
+
+
+_BFS_SEED_MOD = 211
+_BFS_MAX_LEVEL = 3
+
+
+def _bfs_oracle() -> str:
+    pairs = cooccur_ops.sql_basket_pair_counts(
+        "lineitem", "l_orderkey", "l_partkey"
+    )
+    lvls = []
+    prev_union = "SELECT node FROM l0"
+    for k in range(1, _BFS_MAX_LEVEL + 1):
+        lvls.append(
+            f"l{k} AS (SELECT DISTINCT e.dst AS node FROM edges e "
+            f"JOIN l{k - 1} ON e.src = l{k - 1}.node "
+            f"WHERE e.dst NOT IN ({prev_union}))"
+        )
+        prev_union += f" UNION ALL SELECT node FROM l{k}"
+    selects = " UNION ALL ".join(
+        f"SELECT node, CAST({k} AS INTEGER) AS level FROM l{k}"
+        for k in range(_BFS_MAX_LEVEL + 1)
+    )
+    return f"""
+    WITH p2 AS ({pairs} HAVING COUNT(*) >= 2),
+    edges AS (SELECT item_a AS src, item_b AS dst FROM p2
+              UNION ALL SELECT item_b, item_a FROM p2),
+    l0 AS (SELECT DISTINCT src AS node FROM edges
+           WHERE src % {_BFS_SEED_MOD} = 0),
+    {", ".join(lvls)}
+    {selects}"""
+
+
+@workload("bfs_levels_copurchase", oracle=_bfs_oracle())
+def bfs_levels_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS levels over the co-purchase graph: hop distance
+    (≤ 3) from a seed set — the "blast radius" / related-products-
+    within-k-hops primitive (recall expansion, recommendation
+    candidates, impact analysis). Levels are exact integers, so this
+    iterative traversal carries a full value oracle (the unrolled
+    recursive-CTE twin), like PageRank and k-core before it.
+
+    Per level: frontier ⋈ edges (equi-join on src) → distinct → anti
+    join against the visited set; each level's frontier materializes
+    once (lineage truncation — the fixed-depth cousin of
+    dedup._iteration_regime's loop discipline). Never materializes
+    all-pairs reachability; state is the visited frontier.
+
+    Scale: level-k cost is |frontier_k ⋈ edges| — bounded by edge
+    count per round; hub-degree caps (the RA link-prediction
+    discipline) apply when real graphs have power-law hubs."""
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        cooccur_ops.basket_pair_counts(li, "l_orderkey", "l_partkey")
+        .filter(F.col("n_baskets") >= 2)
+        .localCheckpoint(eager=False)
+    )
+    edges = pairs.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    ).union(
+        pairs.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
+    ).localCheckpoint(eager=False)
+    frontier = (
+        edges.select(F.col("src").alias("node"))
+        .filter(F.col("node") % _BFS_SEED_MOD == 0)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    visited = frontier.withColumn("level", F.lit(0).cast("int"))
+    out = [visited]
+    for k in range(1, _BFS_MAX_LEVEL + 1):
+        nxt = (
+            edges.join(
+                frontier.withColumnRenamed("node", "src"), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        lvl = nxt.withColumn("level", F.lit(k).cast("int"))
+        out.append(lvl)
+        visited = visited.unionByName(lvl)
+        frontier = nxt
+    res = out[0]
+    for lvl in out[1:]:
+        res = res.unionByName(lvl)
+    return res
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================

@@ -1076,3 +1076,34 @@ def test_rank_movers_materializes_rank_frame_once(spark, sf_dir):
     assert "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_audience_overlap_no_user_self_join_blowup(spark, sf_dir):
+    """Pairs expand map-side from per-user distinct segment arrays (the
+    basket machinery) — never a row-level user×user join; segment sizes
+    broadcast back."""
+    plan = _plan(workloads.QUERIES["audience_overlap_jaccard"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_distinctive_terms_single_corpus_pass(spark, sf_dir):
+    """Both sources' term counts come from ONE aggregation pass
+    (conditional sums); the totals broadcast back; top-k is
+    TakeOrderedAndProject."""
+    plan = _plan(
+        workloads.QUERIES["distinctive_terms_by_source"](spark, sf_dir)
+    )
+    assert "Scan ExistingRDD" in plan  # counts materialized once
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bfs_frontier_joins_are_equi_joins(spark, sf_dir):
+    """Every BFS level is frontier ⋈ edges on the src key + an anti join
+    against the visited set — no cartesian anywhere; per-level frontiers
+    materialize once (lineage truncation)."""
+    plan = _plan(workloads.QUERIES["bfs_levels_copurchase"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan

@@ -316,6 +316,10 @@ HEADLINE = [
     "audience_overlap_jaccard",
     "distinctive_terms_by_source",
     "bfs_levels_copurchase",
+    "percent_of_parent_rollup",
+    "dau_mau_stickiness",
+    "new_vs_returning_daily",
+    "sequence_violations_by_user",
 ]
 
 

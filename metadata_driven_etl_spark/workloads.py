@@ -9417,6 +9417,247 @@ def bfs_levels_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+@workload(
+    "percent_of_parent_rollup",
+    oracle="""
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2),
+    reg AS (SELECT region, CAST(SUM(cents) AS BIGINT) AS region_cents
+            FROM rev GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total_cents FROM rev)
+    SELECT rev.region, nation, cents, region_cents,
+           CAST(cents AS DOUBLE) / CAST(region_cents AS DOUBLE)
+             AS share_of_region,
+           CAST(region_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+             AS region_share_of_total
+    FROM rev JOIN reg ON rev.region = reg.region CROSS JOIN tot""",
+)
+def percent_of_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent rollup (the OLAP cube's "% of parent row" every
+    BI tool computes): nation revenue as a share of its region, region
+    revenue as a share of the grand total — two hierarchy levels from
+    ONE fact aggregation.
+
+    Scale: the fact aggregates once into the |nation|-row frame
+    (dimensions broadcast into the fact scan); the parent level and the
+    grand total re-aggregate THAT frame (metadata-size) and broadcast
+    back — the fact is never re-scanned per level (unlike the naive
+    per-level GROUPING SETS re-scan). Shares are single divisions of
+    exact integer cents."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("cents")
+        )
+        .localCheckpoint(eager=False)
+    )
+    reg = rev.groupBy("region").agg(F.sum("cents").alias("region_cents"))
+    tot = rev.agg(F.sum("cents").alias("total_cents"))
+    return (
+        rev.join(F.broadcast(reg), "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            "cents",
+            "region_cents",
+            (
+                F.col("cents").cast("double")
+                / F.col("region_cents").cast("double")
+            ).alias("share_of_region"),
+            (
+                F.col("region_cents").cast("double")
+                / F.col("total_cents").cast("double")
+            ).alias("region_share_of_total"),
+        )
+    )
+
+
+@workload(
+    "dau_mau_stickiness",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                FROM events),
+    b AS (SELECT MAX(day) AS d1 FROM ud),
+    dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+    cover AS (SELECT user_id,
+                     CAST(unnest(generate_series(day, day + 29,
+                                                 INTERVAL 1 DAY)) AS DATE)
+                       AS win_day
+              FROM ud),
+    mau AS (SELECT win_day AS day,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+            FROM cover CROSS JOIN b WHERE win_day <= d1 GROUP BY 1)
+    SELECT mau.day, COALESCE(dau.dau, 0) AS dau, mau.mau,
+           CAST(COALESCE(dau.dau, 0) AS DOUBLE) / CAST(mau.mau AS DOUBLE)
+             AS stickiness
+    FROM mau LEFT JOIN dau ON mau.day = dau.day""",
+)
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day — the engagement-depth ratio every
+    product review tracks (what share of the monthly audience shows up
+    on a given day). MAU is the trailing-30-day distinct-actives via
+    the WAU coverage identity (dedup user-days FIRST, explode each to
+    the 30 days it covers, count distinct per day — linear with a 30×
+    map-side expansion of user-DAYS, never an O(days × users) window);
+    DAU is the plain per-day distinct count off the SAME deduped frame.
+
+    Exactness: counts are exact; stickiness is one IEEE division.
+    Days beyond the corpus max are trimmed (partial future windows)."""
+    ev = _t(spark, sf_dir, "events")
+    ud = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    bounds = ud.agg(F.max("day").alias("d1"))
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    cover = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 29))
+        ).alias("win_day"),
+    )
+    mau = (
+        cover.crossJoin(F.broadcast(bounds))
+        .filter(F.col("win_day") <= F.col("d1"))
+        .groupBy(F.col("win_day").alias("day"))
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return mau.join(dau, "day", "left").select(
+        "day",
+        F.coalesce(F.col("dau"), F.lit(0)).alias("dau"),
+        "mau",
+        (
+            F.coalesce(F.col("dau"), F.lit(0)).cast("double")
+            / F.col("mau").cast("double")
+        ).alias("stickiness"),
+    )
+
+
+@workload(
+    "new_vs_returning_daily",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                FROM events),
+    f AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY 1)
+    SELECT day,
+           CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_users
+    FROM ud JOIN f ON ud.user_id = f.user_id
+    GROUP BY 1""",
+)
+def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New vs returning active users per day — the acquisition/retention
+    split on every growth dashboard. A user is "new" on their first
+    active day, "returning" on every later active day.
+
+    Scale: dedup to distinct (user, day) first (the WAU discipline),
+    ONE user-keyed window carries each user's first day onto their
+    rows (no join back), then one map-side-combinable day rollup.
+    All counts exact."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first = F.min("day").over(Window.partitionBy("user_id"))
+    tagged = ud.withColumn("first_day", first)
+    return tagged.groupBy("day").agg(
+        F.sum(
+            F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+        ).alias("new_users"),
+        F.sum(
+            F.when(F.col("day") > F.col("first_day"), 1).otherwise(0)
+        ).alias("returning_users"),
+    )
+
+
+# Allowed direct transitions (the expected product flow) — shared
+# verbatim with the oracle. Anything else observed back-to-back for a
+# user is a sequence violation worth surfacing.
+_SEQ_ALLOWED = (
+    ("view", "click"), ("click", "purchase"), ("view", "view"),
+    ("click", "click"), ("signup", "view"), ("view", "signup"),
+    ("purchase", "view"), ("error", "view"),
+)
+_SEQ_ALLOWED_SQL = ", ".join(f"('{a}', '{b}')" for a, b in _SEQ_ALLOWED)
+
+
+@workload(
+    "sequence_violations_by_user",
+    oracle=f"""
+    WITH s AS (
+        SELECT user_id, event_type AS next_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events),
+    v AS (SELECT user_id, prev_type, next_type FROM s
+          WHERE prev_type IS NOT NULL
+            AND (prev_type, next_type) NOT IN ({_SEQ_ALLOWED_SQL}))
+    SELECT prev_type, next_type,
+           CAST(COUNT(*) AS BIGINT) AS n_violations,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM v GROUP BY 1, 2""",
+)
+def sequence_violations_by_user(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Event-sequence contract validation: back-to-back transitions
+    outside the declared allowed set, counted by transition and by
+    distinct offending user — the process-mining / instrumentation-QA
+    readout (purchases with no preceding click, errors flowing into
+    checkout, SDK double-fires).
+
+    Scale: ONE user-keyed window (lag — the transition-matrix shuffle),
+    the allowed-set test is a map-side literal IN over the pair, and
+    the violation rollup partial-aggregates |types|²-bounded groups.
+    The allowed set is config data at 100 TB (broadcast anti join);
+    here it is a literal shared verbatim with the oracle."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        F.col("event_type").alias("next_type"),
+        "ts",
+        "event_id",
+    ).withColumn("prev_type", F.lag("next_type").over(w))
+    allowed = F.struct(
+        F.col("prev_type"), F.col("next_type")
+    ).isin(
+        [
+            F.struct(F.lit(a).alias("prev_type"), F.lit(b).alias("next_type"))
+            for a, b in _SEQ_ALLOWED
+        ]
+    )
+    v = s.filter(F.col("prev_type").isNotNull() & ~allowed)
+    return v.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_violations"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================

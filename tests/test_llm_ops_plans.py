@@ -1107,3 +1107,40 @@ def test_bfs_frontier_joins_are_equi_joins(spark, sf_dir):
     plan = _plan(workloads.QUERIES["bfs_levels_copurchase"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "Scan ExistingRDD" in plan
+
+
+def test_percent_of_parent_single_fact_aggregation(spark, sf_dir):
+    """One fact aggregation feeds both hierarchy levels and the total;
+    dims broadcast into the fact scan; no sort-merge join, no second
+    fact scan."""
+    plan = _plan(workloads.QUERIES["percent_of_parent_rollup"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan  # nation frame materialized once
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") <= 4  # orders + 3 dims, once each
+
+
+def test_dau_mau_reuses_deduped_user_days(spark, sf_dir):
+    """DAU and the MAU coverage explode both read the ONE deduped
+    (user, day) frame; the explode sits ABOVE the dedup (never 30x the
+    raw events)."""
+    plan = _plan(workloads.QUERIES["dau_mau_stickiness"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_new_vs_returning_single_window_no_join(spark, sf_dir):
+    """First-day carries via one user window over the deduped frame —
+    no join back, one day rollup."""
+    plan = _plan(workloads.QUERIES["new_vs_returning_daily"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Window [") == 1
+
+
+def test_sequence_violations_one_window_shuffle(spark, sf_dir):
+    """The lag window is the only corpus shuffle; the allowed-set test
+    is a map-side literal predicate."""
+    plan = _plan(
+        workloads.QUERIES["sequence_violations_by_user"](spark, sf_dir)
+    )
+    assert "Join" not in plan, plan
+    assert plan.count("Window [") == 1

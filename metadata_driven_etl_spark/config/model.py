@@ -394,6 +394,18 @@ class EventAnalysisConfig:
             steps = (steps,)
         fm = d.get("funnel_mode", "per_step")
         am = d.get("attribution_model", "last_touch")
+        win = str(d.get("window", "30 minutes"))
+        # validate the interval at LOAD time (every other knob does):
+        # a malformed string would otherwise fail deep inside the Spark
+        # INTERVAL expression with an opaque ParseException at run time
+        _require(
+            re.fullmatch(
+                r"\d+\s+(second|minute|hour|day|week)s?", win.strip()
+            )
+            is not None,
+            f"model {model_id}: funnel window must look like "
+            f"'<n> minutes/hours/days', got {win!r}",
+        )
         if an == "funnel":
             _require(
                 len(steps) >= 2,
@@ -447,7 +459,7 @@ class EventAnalysisConfig:
             type_col=str(d.get("type_col", "event_type")),
             order_col=str(d.get("order_col", "event_id")),
             steps=tuple(str(s) for s in steps),
-            window=str(d.get("window", "30 minutes")),
+            window=win,
             funnel_mode=fm,
             attribution_model=am,
             conversion_type=str(d.get("conversion_type", "purchase")),

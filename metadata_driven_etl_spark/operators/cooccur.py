@@ -455,3 +455,57 @@ def sql_assoc_rules(
     CROSS JOIN tot
     WHERE CAST(n_ab AS HUGEINT) * n_total > CAST(ia.n AS HUGEINT) * ib.n
     """
+
+
+def basket_pair_jaccard(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """Item-item Jaccard overlap over basket membership (audience
+    overlap, reach planning): for every item pair (a < b), co-membership
+    ``n_both``, sizes ``n_a``/``n_b``, and
+    ``jaccard = n_both / (n_a + n_b − n_both)`` — one division of exact
+    bigints.
+
+    The basket frame gathers ONCE and feeds both the pair expansion and
+    the per-item sizes, so the cap (when set) applies to BOTH
+    consistently — a cap applied to pairs but not sizes would break the
+    Jaccard identity (and oracle parity). Default ``None``: item spaces
+    small enough for overlap matrices (segments, categories) don't need
+    the degenerate-basket guard.
+    """
+    baskets = _gather_baskets(
+        df, basket_col, item_col, max_basket_size
+    ).localCheckpoint(eager=False)
+    pairs = (
+        baskets.select(F.explode(pair_combinations(F.col("_items"))).alias("p"))
+        .select("p.item_a", "p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    items = (
+        baskets.select(F.explode("_items").alias("_it"))
+        .groupBy("_it")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    ia = items.select(F.col("_it").alias("item_a"), F.col("_n").alias("n_a"))
+    ib = items.select(F.col("_it").alias("item_b"), F.col("_n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_both").cast("double")
+                / (
+                    F.col("n_a") + F.col("n_b") - F.col("n_both")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+    )

@@ -601,9 +601,14 @@ def attribute_last_touch(
     ``(channel, n_conversions)``.
 
     The two ``last(… ignore nulls)`` carries (touch timestamp, touch
-    channel) null out on the SAME condition, so they always come from
-    the same row — no struct carry needed; the lookback test is an exact
-    integer-microsecond comparison map-side.
+    channel) null out on the SAME condition — which therefore must
+    include ``ts IS NOT NULL``: a NULL-timestamp touch would otherwise
+    null only the timestamp carry and mispair a fresh channel with an
+    older touch's staleness clock.  With the shared condition both
+    carries always come from the same row — no struct carry needed; the
+    lookback test is an exact integer-microsecond comparison map-side.
+    (NULL-timestamp events are unattributable and never become the
+    credited touch.)
 
     Scale: ONE user-keyed window shuffle (both carries share one
     WindowExec frame sort) + one |channels|-row partial-aggregated
@@ -615,7 +620,9 @@ def attribute_last_touch(
         .orderBy(ts_col, order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    nonconv = F.col(type_col) != conversion_type
+    nonconv = (
+        (F.col(type_col) != conversion_type) & F.col(ts_col).isNotNull()
+    )
     t = events.select(
         type_col,
         ts_col,

@@ -768,3 +768,88 @@ def phrase_match_in_postings(
     return base.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_matches")
     )
+
+
+def rake_keyphrase_scores(
+    df,
+    stopwords: Sequence[str],
+    max_phrase: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """RAKE-style keyphrase scoring: candidate phrases are maximal
+    stopword-free token runs (gaps-and-islands over stopword breaks);
+    each word scores degree (Σ length of phrases it appears in) and
+    frequency; a phrase scores Σdeg / Σfreq over its word multiset —
+    the classic extractor restated hash-exactly (one division of two
+    exact integer sums, not an order-sensitive per-word float ratio
+    sum).  Emits ``(phrase, n_occurrences, deg_sum, freq_sum,
+    rake_score)`` unranked — callers order/limit (the workload's top-k
+    is TakeOrderedAndProject).
+
+    Scale: tokens explode map-side; the island id is ONE doc-keyed
+    window (cumsum of stop flags); the phrase-length window shares its
+    partitioning; word stats and phrase occurrences partial-aggregate;
+    the phrase⋈word-stats join is an equi-join on the token
+    (|vocab|-bounded build side).  ``max_phrase`` caps degenerate
+    stopword-free runs.  Shared by the workload and the scaling probe
+    so the measured shape IS the shipped shape.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        id_col, F.posexplode(tokens(text_col)).alias("pos", "tok")
+    ).select(
+        id_col,
+        (F.col("pos") + 1).alias("pos"),  # 1-based like the SQL twin
+        "tok",
+        F.col("tok").isin(*stopwords).cast("int").alias("stop"),
+    )
+    w_isl = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = toks.withColumn("island", F.sum("stop").over(w_isl)).filter(
+        F.col("stop") == 0
+    )
+    w_ph = Window.partitionBy(id_col, "island")
+    kept = (
+        isl.withColumn("plen", F.count(F.lit(1)).over(w_ph))
+        .filter(F.col("plen") <= max_phrase)
+        .localCheckpoint(eager=False)  # feeds word stats AND phrases
+    )
+    ws = kept.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    )
+    phr = kept.groupBy(id_col, "island").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.getField("tok"),
+            ),
+            " ",
+        ).alias("phrase")
+    )
+    occ = phr.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    pwtok = occ.select(
+        "phrase",
+        "n_occurrences",
+        F.explode(F.split(F.col("phrase"), " ")).alias("tok"),
+    )
+    score = pwtok.join(ws, "tok").groupBy("phrase", "n_occurrences").agg(
+        F.sum("deg").alias("deg_sum"),
+        F.sum("freq").alias("freq_sum"),
+    )
+    return score.select(
+        "phrase",
+        "n_occurrences",
+        "deg_sum",
+        "freq_sum",
+        (
+            F.col("deg_sum").cast("double")
+            / F.col("freq_sum").cast("double")
+        ).alias("rake_score"),
+    )

@@ -8476,66 +8476,15 @@ def keyword_rake_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the oracle). Final top-k is TakeOrderedAndProject.
 
     Determinism: rake_score is a single IEEE division (bit-identical),
-    ties break on the phrase string — a total order at the LIMIT."""
-    from pyspark.sql import Window
+    ties break on the phrase string — a total order at the LIMIT.
 
-    docs = _docs(spark, sf_dir)
-    toks = docs.select(
-        "doc_id", F.posexplode(text_ops.tokens("text")).alias("pos", "tok")
-    ).select(
-        "doc_id",
-        (F.col("pos") + 1).alias("pos"),  # 1-based like the oracle
-        "tok",
-        F.col("tok").isin(*_RAKE_STOPWORDS).cast("int").alias("stop"),
-    )
-    w_isl = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    isl = toks.withColumn("island", F.sum("stop").over(w_isl)).filter(
-        F.col("stop") == 0
-    )
-    w_ph = Window.partitionBy("doc_id", "island")
-    kept = (
-        isl.withColumn("plen", F.count(F.lit(1)).over(w_ph))
-        .filter(F.col("plen") <= _RAKE_MAX_PHRASE)
-        .localCheckpoint(eager=False)  # feeds word stats AND phrases
-    )
-    ws = kept.groupBy("tok").agg(
-        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
-    )
-    phr = kept.groupBy("doc_id", "island").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s.getField("tok"),
-            ),
-            " ",
-        ).alias("phrase")
-    )
-    occ = phr.groupBy("phrase").agg(
-        F.count(F.lit(1)).alias("n_occurrences")
-    )
-    pwtok = occ.select(
-        "phrase",
-        "n_occurrences",
-        F.explode(F.split(F.col("phrase"), " ")).alias("tok"),
-    )
-    score = pwtok.join(ws, "tok").groupBy("phrase", "n_occurrences").agg(
-        F.sum("deg").alias("deg_sum"),
-        F.sum("freq").alias("freq_sum"),
-    )
+    Routed through text.rake_keyphrase_scores — the same operator the
+    scaling probe measures."""
     return (
-        score.select(
-            "phrase",
-            "n_occurrences",
-            "deg_sum",
-            "freq_sum",
-            (
-                F.col("deg_sum").cast("double")
-                / F.col("freq_sum").cast("double")
-            ).alias("rake_score"),
+        text_ops.rake_keyphrase_scores(
+            _docs(spark, sf_dir),
+            stopwords=_RAKE_STOPWORDS,
+            max_phrase=_RAKE_MAX_PHRASE,
         )
         .orderBy(F.desc("rake_score"), "phrase")
         .limit(_RAKE_TOPK)
@@ -8815,10 +8764,11 @@ def window_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     |z| > 3 alert predicate can never flip per engine. Zero-variance
     windows are excluded exactly (integer compare, not a float eps).
 
-    Moments ride int64 (probe-measured ~4× cheaper than decimal window
-    state): exact while w·cents² < 2⁶³ — values to ~$3·10⁶ at w=100;
-    wider frames or larger values move the sums to decimal(38,0), same
-    plan.
+    Moments ride int64 (probe-measured ~6× cheaper than decimal window
+    state): the binding terms are S² and n·S2, both ≤ w²·cents², so the
+    identity is exact while w²·cents² < 2⁶³ — values to ~$3·10⁵ at
+    w=100 (NOT w·cents²: that bound over-promises 10×). Wider frames or
+    larger values move the sums to decimal(38,0), same plan.
 
     Scale: ONE event_type-keyed window shuffle; all three moment
     aggregates share one WindowExec frame (one sort); Spark evaluates
@@ -8904,6 +8854,13 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ over the 8 dims is a fixed EXPRESSION chain over exact decimals
     (never a data-order float sum), so one sqrt + one division emit the
     double.
+
+    Overflow bound (decimal(38,0) holds < 10³⁸): |num_i| ≤
+    scale·n_label·n_total, so num_i² stays representable while
+    scale·n_label·n_total < 10¹⁹ — e.g. 10⁷ vectors per label in a 10⁸
+    corpus at scale 10⁴. Beyond that, drop scale (coarser quantization)
+    or emit Σ num² via a two-limb decimal split — Spark decimal
+    overflow is a silent NULL (non-ANSI), so the bound is load-bearing.
 
     Scale: ONE aggregation pass with d+1 decimal states per group (the
     embedding_comoments posture without the second moments); the 1-row
@@ -9213,41 +9170,27 @@ def audience_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap — the ad-platform / growth-analytics primitive behind
     audience dedup, reach planning, and lookalike seeding.
 
-    Same single-shuffle basket machinery as the co-purchase pairs
-    (baskets = users, items = segments): distinct memberships gather
-    per user, pairs expand map-side, segment sizes broadcast back;
+    Single-shuffle basket machinery (baskets = users, items =
+    segments): the membership frame gathers ONCE
+    (cooccur.basket_pair_jaccard) and feeds BOTH the map-side pair
+    expansion and the segment sizes — one fact scan, and any basket cap
+    would apply to both consistently (here: uncapped, mirroring the
+    oracle — |segments| is 5, no degenerate-basket guard needed);
     Jaccard = n_both/(n_a+n_b−n_both), one division of exact bigints.
 
     Scale: pair space per user is k(k−1)/2 over that user's DISTINCT
     segments (k ≤ |segments|, here 5) — never a user×user or
     member-list join; the overlap matrix is |segments|² rows."""
     ev = _t(spark, sf_dir, "events")
-    pairs = cooccur_ops.basket_pair_counts(
-        ev, "user_id", "event_type"
+    return cooccur_ops.basket_pair_jaccard(
+        ev, "user_id", "event_type", max_basket_size=None
     ).select(
         F.col("item_a").alias("seg_a"),
         F.col("item_b").alias("seg_b"),
-        F.col("n_baskets").alias("n_both"),
-    )
-    d = ev.select("user_id", "event_type").filter(
-        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
-    ).distinct()
-    items = d.groupBy(F.col("event_type").alias("seg")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    ia = items.select(F.col("seg").alias("seg_a"), F.col("n").alias("n_a"))
-    ib = items.select(F.col("seg").alias("seg_b"), F.col("n").alias("n_b"))
-    j = pairs.join(F.broadcast(ia), "seg_a").join(F.broadcast(ib), "seg_b")
-    return j.select(
-        "seg_a",
-        "seg_b",
         "n_both",
         "n_a",
         "n_b",
-        (
-            F.col("n_both").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double")
-        ).alias("jaccard"),
+        "jaccard",
     )
 
 

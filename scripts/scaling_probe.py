@@ -122,56 +122,15 @@ _CURRENT_PATH: str | None = None
 
 
 
-_RAKE_STOP = ("a", "the", "and", "of", "to", "in", "is", "on")
-
-
 def _rake_probe(df: DataFrame) -> DataFrame:
-    """keyword_rake_topk's shape over the amplified corpus: islands
-    window (doc-keyed), phrase + word-stat aggregations, token equi-join."""
-    from pyspark.sql import Window
-
-    toks = df.select(
-        "doc_id", F.posexplode(text_ops.tokens("text")).alias("pos", "tok")
-    ).select(
-        "doc_id", (F.col("pos") + 1).alias("pos"), "tok",
-        F.col("tok").isin(*_RAKE_STOP).cast("int").alias("stop"),
-    )
-    w_isl = (
-        Window.partitionBy("doc_id").orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    isl = toks.withColumn("island", F.sum("stop").over(w_isl)).filter(
-        F.col("stop") == 0
-    )
-    w_ph = Window.partitionBy("doc_id", "island")
-    kept = (
-        isl.withColumn("plen", F.count(F.lit(1)).over(w_ph))
-        .filter(F.col("plen") <= 6)
-        .localCheckpoint(eager=False)
-    )
-    ws = kept.groupBy("tok").agg(
-        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
-    )
-    phr = kept.groupBy("doc_id", "island").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s.getField("tok"),
-            ),
-            " ",
-        ).alias("phrase")
-    )
-    occ = phr.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_occ"))
-    pwtok = occ.select(
-        "phrase", "n_occ", F.explode(F.split(F.col("phrase"), " ")).alias("tok")
-    )
-    score = pwtok.join(ws, "tok").groupBy("phrase", "n_occ").agg(
-        F.sum("deg").alias("deg_sum"), F.sum("freq").alias("freq_sum")
-    )
-    return score.orderBy(
-        (F.col("deg_sum").cast("double") / F.col("freq_sum").cast("double")).desc(),
-        "phrase",
-    ).limit(50)
+    """keyword_rake_topk's shape over the amplified corpus — the SHARED
+    operator (text.rake_keyphrase_scores), so the measured shape is the
+    shipped shape."""
+    return text_ops.rake_keyphrase_scores(
+        df,
+        stopwords=("a", "the", "and", "of", "to", "in", "is", "on"),
+        max_phrase=6,
+    ).orderBy(F.desc("rake_score"), "phrase").limit(50)
 
 
 def _decontam_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -1081,11 +1081,14 @@ def test_rank_movers_materializes_rank_frame_once(spark, sf_dir):
 def test_audience_overlap_no_user_self_join_blowup(spark, sf_dir):
     """Pairs expand map-side from per-user distinct segment arrays (the
     basket machinery) — never a row-level user×user join; segment sizes
+    come off the SAME materialized basket frame (one fact scan) and
     broadcast back."""
     plan = _plan(workloads.QUERIES["audience_overlap_jaccard"](spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastExchange") >= 2
+    assert plan.count("Scan parquet") == 0, plan  # baskets checkpointed
+    assert "Scan ExistingRDD" in plan
 
 
 def test_distinctive_terms_single_corpus_pass(spark, sf_dir):

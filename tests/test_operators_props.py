@@ -1685,3 +1685,40 @@ def test_distributed_ntile_rejects_colliding_columns(spark_global):
     df2 = spark_global.range(3).select("id", F.lit(1).alias("_dnt_mid"))
     with _pytest.raises(ValueError, match="reserved"):
         distributed_ntile(df2, 2, [F.col("id").asc()], "out")
+
+
+def test_last_touch_null_ts_never_mispairs(spark_global):
+    """A NULL-timestamp touch must not split the (ts, channel) carries:
+    the channel carry and the staleness clock always come from the SAME
+    row, and NULL-ts events are never the credited touch."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from metadata_driven_etl_spark.operators.temporal import (
+        attribute_last_touch,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    rows = [
+        # user 1: old 'email' touch (9 days stale), then a NULL-ts 'ads'
+        # touch, then a purchase -> the naive split-carry form credits
+        # 'ads' judged by email's stale clock; correct result: the last
+        # TIMESTAMPED touch is email (stale) -> 'direct'
+        (1, 1, t0 - dt.timedelta(days=9), "email"),
+        (1, 2, None, "ads"),
+        (1, 3, t0, "purchase"),
+        # user 2: fresh timestamped touch then a NULL-ts touch ->
+        # credit the fresh timestamped one
+        (2, 4, t0 - dt.timedelta(hours=1), "social"),
+        (2, 5, None, "ads"),
+        (2, 6, t0, "purchase"),
+    ]
+    df = spark_global.createDataFrame(
+        rows, "user_id: long, event_id: long, ts: timestamp, event_type: string"
+    )
+    got = {
+        r.channel: r.n_conversions
+        for r in attribute_last_touch(df).collect()
+    }
+    assert got == {"direct": 1, "social": 1}, got

@@ -1299,3 +1299,25 @@ def test_gold_event_transitions_and_cohorts_e2e(spark, tmp_path):
 
     for t in targets:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_gold_event_window_validated_at_load():
+    from metadata_driven_etl_spark.config.model import ConfigError, GoldModel
+
+    base = {
+        "model_id": "m", "target_table": "gold.t", "model_type": "event",
+    }
+    ok = GoldModel.from_dict(
+        {**base, "event": {
+            "analysis": "funnel", "source_table": "s",
+            "steps": ["a", "b"], "window": "2 hours",
+        }}
+    )
+    assert ok.event.window == "2 hours"
+    with pytest.raises(ConfigError, match="funnel window"):
+        GoldModel.from_dict(
+            {**base, "event": {
+                "analysis": "funnel", "source_table": "s",
+                "steps": ["a", "b"], "window": "30 minuets",
+            }}
+        )

@@ -33,6 +33,7 @@ VALID_RULE_TYPES = {
     "uniqueness",
     "zscore_outlier",
     "benford_digit",
+    "sequence_allowed",
 }
 VALID_ACTIONS = {"filter", "tag", "reject"}
 VALID_REFRESH_TYPES = {"full", "incremental", "delta", "scd2"}
@@ -124,6 +125,10 @@ class DQRuleConfig:
     ref_column: str | None = None
     columns: tuple[str, ...] = ()  # uniqueness
     threshold: float = 3.0  # zscore_outlier
+    # sequence_allowed: per-key event-order contract
+    key_column: str | None = None
+    order_columns: tuple[str, ...] = ()
+    allowed: tuple[tuple[str, str], ...] = ()
 
     @staticmethod
     def from_dict(d: dict[str, Any]) -> "DQRuleConfig":
@@ -170,6 +175,36 @@ class DQRuleConfig:
                 "threshold > 0 (e.g. 26.12 ≈ χ²(8 dof) at p=0.001 — the "
                 "zscore default of 3 is the wrong scale for a chi² gate)",
             )
+        allowed = tuple(
+            (str(a), str(b)) for a, b in (d.get("allowed") or ())
+        )
+        if rt == "sequence_allowed":
+            _require(
+                d.get("column"),
+                f"rule {name}: sequence_allowed needs column (the event "
+                "type)",
+            )
+            _require(
+                d.get("key_column"),
+                f"rule {name}: sequence_allowed needs key_column (the "
+                "sequence partition, e.g. the user)",
+            )
+            oc = d.get("order_columns") or ()
+            if isinstance(oc, str):
+                oc = (oc,)
+            _require(
+                bool(oc),
+                f"rule {name}: sequence_allowed needs order_columns "
+                "(a deterministic per-key order, e.g. [ts, event_id])",
+            )
+            _require(
+                bool(allowed),
+                f"rule {name}: sequence_allowed needs allowed (the list "
+                "of permitted [from, to] transitions)",
+            )
+        oc = d.get("order_columns") or ()
+        if isinstance(oc, str):
+            oc = (oc,)
         return DQRuleConfig(
             rule_name=name,
             rule_type=rt,
@@ -181,6 +216,9 @@ class DQRuleConfig:
             ref_column=d.get("ref_column"),
             columns=tuple(d.get("columns") or ([d["column"]] if d.get("column") else [])),
             threshold=float(d.get("threshold", 3.0)),
+            key_column=d.get("key_column"),
+            order_columns=tuple(oc),
+            allowed=allowed,
         )
 
     @property

@@ -171,6 +171,34 @@ class DataQualityEngine:
             return out, F.coalesce(
                 F.col(chi2col) <= F.lit(rule.threshold), F.lit(True)
             )
+        if rule.rule_type == "sequence_allowed":
+            # Event-order contract (beyond the reference's types): a row
+            # is VALID iff it is the first event of its key OR the
+            # (previous type, this type) transition is in the declared
+            # allowed set — the instrumentation-QA gate (purchases with
+            # no preceding click, SDK double-fires) as a declarative
+            # rule. One lag window on the key (the transition-matrix
+            # shuffle); the allowed-set test is a map-side literal
+            # struct IN. Rows whose type or predecessor type is NULL
+            # fail the IN and are INVALID (explicit-NULL discipline).
+            helper = f"__dq_seq_{rule.rule_name}"
+            w = Window.partitionBy(rule.key_column).orderBy(
+                *rule.order_columns
+            )
+            out = df.withColumn(
+                helper, F.lag(F.col(rule.column)).over(w)
+            )
+            pair_ok = F.struct(
+                F.col(helper).alias("a"), F.col(rule.column).alias("b")
+            ).isin(
+                [
+                    F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+                    for a, b in rule.allowed
+                ]
+            )
+            return out, F.col(helper).isNull() | F.coalesce(
+                pair_ok, F.lit(False)
+            )
         raise ValueError(f"unknown rule_type {rule.rule_type!r}")
 
     # -- main entry ---------------------------------------------------------

@@ -346,3 +346,60 @@ def test_benford_digit_counts_absent_digits(spark, dq):
     res = dq.apply(df, [rule])
     m = res.metrics[0]
     assert m.invalid_count == m.total_count == 15
+
+
+def test_sequence_allowed_rule(spark):
+    """sequence_allowed: first event per key is valid; transitions in the
+    declared set are valid; anything else (incl. NULL types) is invalid;
+    filter action drops the violating rows."""
+    import datetime as dt
+
+    from metadata_driven_etl_spark.config.model import ConfigError, DQRuleConfig
+    from metadata_driven_etl_spark.dq.engine import DataQualityEngine
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0)
+    rows = [
+        (1, 1, t0, "view"),
+        (1, 2, t0 + dt.timedelta(minutes=1), "click"),      # view->click OK
+        (1, 3, t0 + dt.timedelta(minutes=2), "purchase"),   # click->purchase OK
+        (2, 4, t0, "purchase"),                             # first event OK
+        (2, 5, t0 + dt.timedelta(minutes=1), "purchase"),   # purchase->purchase BAD
+        (3, 6, t0, "view"),
+        (3, 7, t0 + dt.timedelta(minutes=1), None),         # view->NULL BAD
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id: long, event_id: long, ts: timestamp, event_type: string"
+    )
+    rule = DQRuleConfig.from_dict(
+        {
+            "rule_name": "flow_contract",
+            "rule_type": "sequence_allowed",
+            "column": "event_type",
+            "key_column": "user_id",
+            "order_columns": ["ts", "event_id"],
+            "allowed": [["view", "click"], ["click", "purchase"]],
+            "action_on_failure": "filter",
+        }
+    )
+    eng = DataQualityEngine(spark)
+    m = {r.rule_name: r for r in eng.metrics_df(df, [rule]).collect()}
+    assert m["flow_contract"].total_count == 7
+    assert m["flow_contract"].valid_count == 5
+    assert m["flow_contract"].invalid_count == 2
+
+    res = eng.apply(df, [rule])
+    kept = {r.event_id for r in res.df.collect()}
+    assert kept == {1, 2, 3, 4, 6}
+
+    # config validation: every structural knob is required
+    base = {
+        "rule_name": "r", "rule_type": "sequence_allowed",
+        "column": "t", "key_column": "u", "order_columns": ["ts"],
+        "allowed": [["a", "b"]],
+    }
+    import pytest as _pytest
+
+    for missing in ("column", "key_column", "order_columns", "allowed"):
+        bad = {k: v for k, v in base.items() if k != missing}
+        with _pytest.raises(ConfigError):
+            DQRuleConfig.from_dict(bad)

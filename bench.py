@@ -48,6 +48,11 @@ BEST_SINCE: dict[str, float] = {
     # all stop-terms) to 3-gram shingles; earlier timings measured an
     # empty pair stage.
     "text_doc_sim_cosine": 1786767100.0,
+    # r8: quintile scoring moved from bare single-partition ntile windows
+    # (the VERDICT r7 scale-killer) to windows.distributed_ntile — the
+    # earlier 0.4s best measured the plan that cannot scale (SCALE.md
+    # "Known bench-gate artifact (r8)"); ~1.3s is the new baseline.
+    "rfm_segments": 1786810000.0,
 }
 
 

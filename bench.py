@@ -325,6 +325,8 @@ HEADLINE = [
     "dau_mau_stickiness",
     "new_vs_returning_daily",
     "sequence_violations_by_user",
+    "k_anonymity_audit",
+    "interpurchase_gap_quantiles",
 ]
 
 

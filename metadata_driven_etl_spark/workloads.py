@@ -9601,6 +9601,132 @@ def sequence_violations_by_user(
     )
 
 
+_KANON_K = 5
+
+
+@workload(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0
+                                        THEN 'neg' ELSE 'nonneg' END)
+                    AS BIGINT) AS l_diversity
+        FROM customer GROUP BY 1, 2)
+    SELECT c_nationkey, c_mktsegment, n_members, l_diversity,
+           CAST(CASE WHEN n_members < {_KANON_K} THEN 1 ELSE 0 END
+                AS INTEGER) AS k_violation,
+           CAST(CASE WHEN l_diversity < 2 THEN 1 ELSE 0 END
+                AS INTEGER) AS l_violation
+    FROM g
+    WHERE n_members < {_KANON_K} OR l_diversity < 2""",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over quasi-identifiers — the
+    privacy gate a dataset passes before release (and a training-data
+    pipeline's PII-risk screen beyond regex redaction): every
+    (nation, market segment) quasi-identifier group with fewer than k=5
+    members (re-identification risk) or fewer than 2 distinct values of
+    the sensitive attribute (attribute disclosure — here the account
+    balance's sign class). Emits the VIOLATING groups with both flags.
+
+    Scale: ONE map-side-combinable groupBy over the table (count +
+    count-distinct of a 2-value class — constant aggregation state);
+    the violation filter runs on the |quasi-id groups| frame. Exact
+    integers throughout; suppression/generalization of the flagged
+    groups is the downstream action."""
+    c = _t(spark, sf_dir, "customer")
+    sens = F.when(F.col("c_acctbal") < 0, "neg").otherwise("nonneg")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.countDistinct(sens).alias("l_diversity"),
+    )
+    return g.filter(
+        (F.col("n_members") < _KANON_K) | (F.col("l_diversity") < 2)
+    ).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_members",
+        "l_diversity",
+        F.when(F.col("n_members") < _KANON_K, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("k_violation"),
+        F.when(F.col("l_diversity") < 2, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("l_violation"),
+    )
+
+
+@workload(
+    "interpurchase_gap_quantiles",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events WHERE event_type = 'purchase'),
+    gaps AS (
+        SELECT CAST((epoch_us(ts) - epoch_us(prev_ts)) // 3600000000
+                    AS BIGINT) AS gap_hours
+        FROM p WHERE prev_ts IS NOT NULL)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(quantile_disc(gap_hours, 0.25) AS BIGINT) AS p25_hours,
+           CAST(quantile_disc(gap_hours, 0.50) AS BIGINT) AS p50_hours,
+           CAST(quantile_disc(gap_hours, 0.75) AS BIGINT) AS p75_hours,
+           CAST(quantile_disc(gap_hours, 0.90) AS BIGINT) AS p90_hours
+    FROM gaps""",
+)
+def interpurchase_gap_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Purchase-cadence distribution: exact quantiles of the gap between
+    a user's consecutive purchases (in whole hours) — the replenishment/
+    retention-forecast input (when to expect the next order, when a
+    customer has lapsed). Complements conversion_latency_quantiles
+    (view→purchase) with the purchase→purchase rhythm.
+
+    Exactness: gaps are integer hours (floor of exact microsecond
+    deltas); percentile_disc is rank-selection — it RETURNS one of the
+    data values, no interpolation arithmetic to diverge (the
+    outlier_mad_group discipline).
+
+    Scale: ONE user-keyed lag window over the purchase slice (filter
+    pushed to the scan), then a single quantile aggregation over
+    |gaps| rows."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select("user_id", "ts", F.col("event_id").alias("event_id"))
+    gaps = (
+        p.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            F.floor(
+                (F.unix_micros("ts") - F.unix_micros("prev_ts"))
+                / F.lit(3_600_000_000)
+            )
+            .cast("long")
+            .alias("gap_hours")
+        )
+    )
+    q = lambda f: F.expr(  # noqa: E731
+        f"percentile_disc({f}) WITHIN GROUP (ORDER BY gap_hours)"
+    ).cast("long")
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        q(0.25).alias("p25_hours"),
+        q(0.50).alias("p50_hours"),
+        q(0.75).alias("p75_hours"),
+        q(0.90).alias("p90_hours"),
+    )
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================

@@ -1147,3 +1147,20 @@ def test_sequence_violations_one_window_shuffle(spark, sf_dir):
     )
     assert "Join" not in plan, plan
     assert plan.count("Window [") == 1
+
+
+def test_k_anonymity_single_aggregation(spark, sf_dir):
+    """One groupBy over the table; the violation filter runs on the
+    |quasi-id groups| frame — no join, no window."""
+    plan = _plan(workloads.QUERIES["k_anonymity_audit"](spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_interpurchase_filter_pushed_and_one_window(spark, sf_dir):
+    """The purchase filter reaches the scan; one user-keyed lag window;
+    one quantile aggregation."""
+    plan = _plan(
+        workloads.QUERIES["interpurchase_gap_quantiles"](spark, sf_dir)
+    )
+    assert "PushedFilters" in plan and "purchase" in plan, plan
+    assert plan.count("Window [") == 1

@@ -175,9 +175,10 @@ class DQRuleConfig:
                 "threshold > 0 (e.g. 26.12 ≈ χ²(8 dof) at p=0.001 — the "
                 "zscore default of 3 is the wrong scale for a chi² gate)",
             )
-        allowed = tuple(
-            (str(a), str(b)) for a, b in (d.get("allowed") or ())
-        )
+        oc = d.get("order_columns") or ()
+        if isinstance(oc, str):
+            oc = (oc,)
+        allowed: tuple[tuple[str, str], ...] = ()
         if rt == "sequence_allowed":
             _require(
                 d.get("column"),
@@ -189,22 +190,24 @@ class DQRuleConfig:
                 f"rule {name}: sequence_allowed needs key_column (the "
                 "sequence partition, e.g. the user)",
             )
-            oc = d.get("order_columns") or ()
-            if isinstance(oc, str):
-                oc = (oc,)
             _require(
                 bool(oc),
                 f"rule {name}: sequence_allowed needs order_columns "
                 "(a deterministic per-key order, e.g. [ts, event_id])",
             )
+            raw_allowed = d.get("allowed") or ()
             _require(
-                bool(allowed),
+                bool(raw_allowed),
                 f"rule {name}: sequence_allowed needs allowed (the list "
                 "of permitted [from, to] transitions)",
             )
-        oc = d.get("order_columns") or ()
-        if isinstance(oc, str):
-            oc = (oc,)
+            for pair in raw_allowed:
+                _require(
+                    isinstance(pair, (list, tuple)) and len(pair) == 2,
+                    f"rule {name}: each allowed entry must be a "
+                    f"[from, to] pair, got {pair!r}",
+                )
+            allowed = tuple((str(a), str(b)) for a, b in raw_allowed)
         return DQRuleConfig(
             rule_name=name,
             rule_type=rt,
@@ -433,17 +436,23 @@ class EventAnalysisConfig:
         fm = d.get("funnel_mode", "per_step")
         am = d.get("attribution_model", "last_touch")
         win = str(d.get("window", "30 minutes"))
-        # validate the interval at LOAD time (every other knob does):
-        # a malformed string would otherwise fail deep inside the Spark
-        # INTERVAL expression with an opaque ParseException at run time
-        _require(
-            re.fullmatch(
-                r"\d+\s+(second|minute|hour|day|week)s?", win.strip()
+        if an == "funnel":
+            # validate the interval at LOAD time (every other knob
+            # does): a malformed string would otherwise fail deep
+            # inside the Spark INTERVAL expression with an opaque
+            # ParseException at run time. Case-insensitive like the
+            # INTERVAL parser; only checked where the knob is used.
+            _require(
+                re.fullmatch(
+                    r"\d+\s+(millisecond|second|minute|hour|day|week"
+                    r"|month|year)s?",
+                    win.strip(),
+                    flags=re.IGNORECASE,
+                )
+                is not None,
+                f"model {model_id}: funnel window must look like "
+                f"'<n> minutes/hours/days', got {win!r}",
             )
-            is not None,
-            f"model {model_id}: funnel window must look like "
-            f"'<n> minutes/hours/days', got {win!r}",
-        )
         if an == "funnel":
             _require(
                 len(steps) >= 2,

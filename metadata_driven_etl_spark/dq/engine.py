@@ -173,21 +173,27 @@ class DataQualityEngine:
             )
         if rule.rule_type == "sequence_allowed":
             # Event-order contract (beyond the reference's types): a row
-            # is VALID iff it is the first event of its key OR the
-            # (previous type, this type) transition is in the declared
-            # allowed set — the instrumentation-QA gate (purchases with
-            # no preceding click, SDK double-fires) as a declarative
-            # rule. One lag window on the key (the transition-matrix
-            # shuffle); the allowed-set test is a map-side literal
-            # struct IN. Rows whose type or predecessor type is NULL
-            # fail the IN and are INVALID (explicit-NULL discipline).
+            # is VALID iff its type is non-NULL AND (it is the first
+            # event of its key OR the (previous type, this type)
+            # transition is in the declared allowed set) — the
+            # instrumentation-QA gate (purchases with no preceding
+            # click, SDK double-fires) as a declarative rule. One lag
+            # window on the key (the transition-matrix shuffle); the
+            # allowed-set test is a map-side literal struct IN.
+            # First-of-key is detected by a lag over a CONSTANT marker,
+            # NOT by lag(type) IS NULL — a NULL-typed predecessor would
+            # otherwise launder its successor as "first". Rows whose own
+            # type or predecessor type is NULL are INVALID
+            # (explicit-NULL discipline; the NULL-typed row itself and
+            # the row after it both flag).
             helper = f"__dq_seq_{rule.rule_name}"
+            first = f"__dq_seqfirst_{rule.rule_name}"
             w = Window.partitionBy(rule.key_column).orderBy(
                 *rule.order_columns
             )
             out = df.withColumn(
                 helper, F.lag(F.col(rule.column)).over(w)
-            )
+            ).withColumn(first, F.lag(F.lit(1)).over(w))
             pair_ok = F.struct(
                 F.col(helper).alias("a"), F.col(rule.column).alias("b")
             ).isin(
@@ -196,8 +202,9 @@ class DataQualityEngine:
                     for a, b in rule.allowed
                 ]
             )
-            return out, F.col(helper).isNull() | F.coalesce(
-                pair_ok, F.lit(False)
+            return out, F.col(rule.column).isNotNull() & (
+                F.col(first).isNull()
+                | F.coalesce(pair_ok, F.lit(False))
             )
         raise ValueError(f"unknown rule_type {rule.rule_type!r}")
 

@@ -94,6 +94,43 @@ def basket_pair_counts(
     )
 
 
+def _pair_counts_with_item_sizes(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket_size: int | None,
+    min_baskets: int = 1,
+) -> DataFrame:
+    """Shared skeleton for pair-similarity scores: gather baskets ONCE
+    (materialized — it feeds the pair expansion AND the per-item sizes,
+    so any cap applies to both consistently), expand i<j pairs map-side,
+    count per pair, and broadcast the item sizes back.  Emits
+    ``(item_a, item_b, n_baskets, _n_a, _n_b)`` — cosine/jaccard/etc.
+    are one ``select`` each on top.
+    """
+    baskets = _gather_baskets(
+        df, basket_col, item_col, max_basket_size
+    ).localCheckpoint(eager=False)
+    pairs = (
+        baskets.select(F.explode(pair_combinations(F.col("_items"))).alias("p"))
+        .select("p.item_a", "p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+    )
+    if min_baskets > 1:
+        pairs = pairs.filter(F.col("n_baskets") >= min_baskets)
+    items = baskets.select(F.explode("_items").alias("_it")).groupBy(
+        "_it"
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    ia = items.select(F.col("_it").alias("_it_a"), F.col("_n").alias("_n_a"))
+    ib = items.select(F.col("_it").alias("_it_b"), F.col("_n").alias("_n_b"))
+    return (
+        pairs.join(F.broadcast(ia), F.col("item_a") == F.col("_it_a"))
+        .join(F.broadcast(ib), F.col("item_b") == F.col("_it_b"))
+        .select("item_a", "item_b", "n_baskets", "_n_a", "_n_b")
+    )
+
+
 def basket_pair_cosine(
     df: DataFrame,
     basket_col: str,
@@ -116,34 +153,16 @@ def basket_pair_cosine(
     a divide — bit-identical across engines (the doc_cosine_pairs
     discipline).
     """
-    baskets = _gather_baskets(
-        df, basket_col, item_col, max_basket_size
-    ).localCheckpoint(eager=False)
-    pairs = (
-        baskets.select(F.explode(pair_combinations(F.col("_items"))).alias("p"))
-        .select("p.item_a", "p.item_b")
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("n_baskets"))
-    )
-    if min_baskets > 1:
-        pairs = pairs.filter(F.col("n_baskets") >= min_baskets)
-    items = baskets.select(F.explode("_items").alias("_it")).groupBy(
-        "_it"
-    ).agg(F.count(F.lit(1)).alias("_n"))
-    ia = items.select(F.col("_it").alias("_it_a"), F.col("_n").alias("_n_a"))
-    ib = items.select(F.col("_it").alias("_it_b"), F.col("_n").alias("_n_b"))
-    return (
-        pairs.join(F.broadcast(ia), F.col("item_a") == F.col("_it_a"))
-        .join(F.broadcast(ib), F.col("item_b") == F.col("_it_b"))
-        .select(
-            "item_a",
-            "item_b",
-            "n_baskets",
-            (
-                F.col("n_baskets").cast("double")
-                / F.sqrt(F.col("_n_a").cast("double") * F.col("_n_b").cast("double"))
-            ).alias("cosine"),
-        )
+    return _pair_counts_with_item_sizes(
+        df, basket_col, item_col, max_basket_size, min_baskets
+    ).select(
+        "item_a",
+        "item_b",
+        "n_baskets",
+        (
+            F.col("n_baskets").cast("double")
+            / F.sqrt(F.col("_n_a").cast("double") * F.col("_n_b").cast("double"))
+        ).alias("cosine"),
     )
 
 
@@ -476,36 +495,18 @@ def basket_pair_jaccard(
     small enough for overlap matrices (segments, categories) don't need
     the degenerate-basket guard.
     """
-    baskets = _gather_baskets(
+    return _pair_counts_with_item_sizes(
         df, basket_col, item_col, max_basket_size
-    ).localCheckpoint(eager=False)
-    pairs = (
-        baskets.select(F.explode(pair_combinations(F.col("_items"))).alias("p"))
-        .select("p.item_a", "p.item_b")
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("n_both"))
-    )
-    items = (
-        baskets.select(F.explode("_items").alias("_it"))
-        .groupBy("_it")
-        .agg(F.count(F.lit(1)).alias("_n"))
-    )
-    ia = items.select(F.col("_it").alias("item_a"), F.col("_n").alias("n_a"))
-    ib = items.select(F.col("_it").alias("item_b"), F.col("_n").alias("n_b"))
-    return (
-        pairs.join(F.broadcast(ia), "item_a")
-        .join(F.broadcast(ib), "item_b")
-        .select(
-            "item_a",
-            "item_b",
-            "n_both",
-            "n_a",
-            "n_b",
-            (
-                F.col("n_both").cast("double")
-                / (
-                    F.col("n_a") + F.col("n_b") - F.col("n_both")
-                ).cast("double")
-            ).alias("jaccard"),
-        )
+    ).select(
+        "item_a",
+        "item_b",
+        F.col("n_baskets").alias("n_both"),
+        F.col("_n_a").alias("n_a"),
+        F.col("_n_b").alias("n_b"),
+        (
+            F.col("n_baskets").cast("double")
+            / (
+                F.col("_n_a") + F.col("_n_b") - F.col("n_baskets")
+            ).cast("double")
+        ).alias("jaccard"),
     )

@@ -6978,8 +6978,10 @@ def benford_digit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
         SELECT event_type, ts,
                last_value(CASE WHEN event_type <> 'purchase'
+                               AND ts IS NOT NULL
                                THEN ts END IGNORE NULLS) OVER w AS t_ts,
                last_value(CASE WHEN event_type <> 'purchase'
+                               AND ts IS NOT NULL
                                THEN event_type END IGNORE NULLS)
                  OVER w AS t_ch
         FROM events
@@ -6998,9 +7000,10 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     every growth/marketing warehouse runs daily.
 
     The two `last(… ignore nulls)` carries (touch timestamp, touch
-    channel) null out on the SAME condition, so they always come from
-    the same row — no struct carry needed; the lookback test is an
-    exact integer-microsecond comparison map-side.
+    channel) null out on the SAME condition — including ts IS NOT NULL,
+    mirrored in the oracle, so a NULL-timestamp touch can never split
+    the carries — and always come from the same row; the lookback test
+    is an exact integer-microsecond comparison map-side.
 
     Scale: ONE user-keyed window shuffle (both carries share one
     WindowExec frame sort) + one |channels|-row partial-aggregated
@@ -9500,7 +9503,8 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     "new_vs_returning_daily",
     oracle="""
     WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
-                FROM events),
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
     f AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY 1)
     SELECT day,
            CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)
@@ -9518,11 +9522,18 @@ def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: dedup to distinct (user, day) first (the WAU discipline),
     ONE user-keyed window carries each user's first day onto their
     rows (no join back), then one map-side-combinable day rollup.
-    All counts exact."""
+    All counts exact. NULL users/timestamps are excluded EXPLICITLY on
+    both sides — a NULL user would survive the Spark window's NULL
+    partition but never the oracle's equi-join (the _gather_baskets
+    NULL discipline)."""
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events")
-    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    ud = (
+        ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
     first = F.min("day").over(Window.partitionBy("user_id"))
     tagged = ud.withColumn("first_day", first)
     return tagged.groupBy("day").agg(

@@ -366,6 +366,11 @@ def test_sequence_allowed_rule(spark):
         (2, 5, t0 + dt.timedelta(minutes=1), "purchase"),   # purchase->purchase BAD
         (3, 6, t0, "view"),
         (3, 7, t0 + dt.timedelta(minutes=1), None),         # view->NULL BAD
+        # NULL must not launder its successor as "first of key": the
+        # click after user 3's NULL row has a NULL predecessor -> BAD
+        (3, 8, t0 + dt.timedelta(minutes=2), "click"),
+        # and a NULL-typed FIRST event is itself invalid
+        (4, 9, t0, None),
     ]
     df = spark.createDataFrame(
         rows, "user_id: long, event_id: long, ts: timestamp, event_type: string"
@@ -383,9 +388,9 @@ def test_sequence_allowed_rule(spark):
     )
     eng = DataQualityEngine(spark)
     m = {r.rule_name: r for r in eng.metrics_df(df, [rule]).collect()}
-    assert m["flow_contract"].total_count == 7
+    assert m["flow_contract"].total_count == 9
     assert m["flow_contract"].valid_count == 5
-    assert m["flow_contract"].invalid_count == 2
+    assert m["flow_contract"].invalid_count == 4
 
     res = eng.apply(df, [rule])
     kept = {r.event_id for r in res.df.collect()}

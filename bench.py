@@ -327,6 +327,8 @@ HEADLINE = [
     "sequence_violations_by_user",
     "k_anonymity_audit",
     "interpurchase_gap_quantiles",
+    "cohort_ltv_monthly",
+    "text_readability_flesch",
 ]
 
 

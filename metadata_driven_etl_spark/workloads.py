@@ -9738,6 +9738,158 @@ def interpurchase_gap_quantiles(
     )
 
 
+@workload(
+    "cohort_ltv_monthly",
+    oracle="""
+    WITH f AS (
+        SELECT o_custkey,
+               MIN(date_trunc('month', CAST(o_orderdate AS DATE)))
+                 AS cohort_month
+        FROM orders GROUP BY 1),
+    r AS (
+        SELECT f.cohort_month,
+               CAST((year(date_trunc('month', CAST(o.o_orderdate AS DATE)))
+                     * 12
+                     + month(date_trunc('month', CAST(o.o_orderdate AS DATE))))
+                    - (year(f.cohort_month) * 12 + month(f.cohort_month))
+                    AS BIGINT) AS month_index,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+        GROUP BY 1, 2)
+    SELECT cohort_month, month_index, cents,
+           CAST(SUM(cents) OVER (PARTITION BY cohort_month
+                ORDER BY month_index
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_cents
+    FROM r""",
+)
+def cohort_ltv_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: cumulative revenue per acquisition cohort by
+    months-since-first-order — the growth metric behind payback-period
+    and LTV/CAC decisions (cohort_retention tracks WHO comes back; this
+    tracks what they're WORTH). Month index is exact integer calendar
+    arithmetic (year·12+month differences — never float
+    months_between).
+
+    Scale: one customer groupBy assigns cohorts, carried onto orders by
+    ONE window over the customer partition (no join back at corpus
+    scale the cohort frame broadcasts); revenue partial-aggregates into
+    the |cohorts × months| domain frame, whose cumulative window is
+    metadata-sized. All cents exact; the curve is the hashed surface."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    m = F.trunc(F.to_date("o_orderdate"), "month")
+    w_c = Window.partitionBy("o_custkey")
+    tagged = o.select(
+        "o_custkey",
+        m.alias("om"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("c"),
+    ).withColumn("cohort_month", F.min("om").over(w_c))
+    midx = (
+        (F.year("om") * 12 + F.month("om"))
+        - (F.year("cohort_month") * 12 + F.month("cohort_month"))
+    ).cast("long")
+    r = tagged.groupBy("cohort_month", midx.alias("month_index")).agg(
+        F.sum("c").alias("cents")
+    )
+    w_cum = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_index")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return r.select(
+        "cohort_month",
+        "month_index",
+        "cents",
+        F.sum("cents").over(w_cum).alias("cum_cents"),
+    )
+
+
+# Flesch reading-ease constants — literal doubles shared verbatim with
+# the oracle (the Benford literal discipline).
+_FLESCH_A = 206.835
+_FLESCH_B = 1.015
+_FLESCH_C = 84.6
+
+
+@workload(
+    "text_readability_flesch",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               {text_ops.sql_tokens('text')} AS toks,
+               GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+                 AS n_sentences
+        FROM documents),
+    w AS (
+        SELECT doc_id, n_sentences, t.x AS tok
+        FROM d, LATERAL (SELECT unnest(toks) AS x) t),
+    s AS (
+        SELECT doc_id, n_sentences,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(GREATEST(1,
+                        len(regexp_extract_all(tok, '[aeiouy]+'))))
+                    AS BIGINT) AS n_syllables
+        FROM w GROUP BY 1, 2)
+    SELECT doc_id, n_words, CAST(n_sentences AS BIGINT) AS n_sentences,
+           n_syllables,
+           {_FLESCH_A}
+             - {_FLESCH_B} * (CAST(n_words AS DOUBLE)
+                              / CAST(n_sentences AS DOUBLE))
+             - {_FLESCH_C} * (CAST(n_syllables AS DOUBLE)
+                              / CAST(n_words AS DOUBLE)) AS flesch
+    FROM s WHERE n_words > 0""",
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the readability quality
+    signal curation pipelines pair with the length/stopword features
+    (too-hard and too-trivial text both correlate with low training
+    value). Syllables via the standard vowel-group heuristic (≥1 per
+    word), sentences via terminal-punctuation runs (≥1 per doc) — both
+    exact integer counts through the SHARED tokenizer, so the score is
+    a fixed IEEE chain (two divisions, two multiplies, two subtractions
+    over literal constants) — bit-identical per engine.
+
+    Scale: map-side explode + one per-doc aggregation (partial
+    combinable); no joins, no windows."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id",
+        F.explode(text_ops.tokens("text")).alias("tok"),
+        F.greatest(
+            F.lit(1),
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")),
+        ).alias("n_sentences"),
+    )
+    syll = F.greatest(
+        F.lit(1),
+        F.size(F.expr("regexp_extract_all(tok, '[aeiouy]+', 0)")),
+    )
+    s = d.groupBy("doc_id", "n_sentences").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(syll).alias("n_syllables"),
+    )
+    flesch = (
+        F.lit(_FLESCH_A)
+        - F.lit(_FLESCH_B)
+        * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+        - F.lit(_FLESCH_C)
+        * (
+            F.col("n_syllables").cast("double")
+            / F.col("n_words").cast("double")
+        )
+    )
+    return s.filter(F.col("n_words") > 0).select(
+        "doc_id",
+        "n_words",
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        "n_syllables",
+        flesch.alias("flesch"),
+    )
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================

@@ -1164,3 +1164,17 @@ def test_interpurchase_filter_pushed_and_one_window(spark, sf_dir):
     )
     assert "PushedFilters" in plan and "purchase" in plan, plan
     assert plan.count("Window [") == 1
+
+
+def test_cohort_ltv_window_then_domain_frame(spark, sf_dir):
+    """Cohort assignment rides one customer window (no join back); the
+    cumulative runs on the |cohorts x months| domain frame."""
+    plan = _plan(workloads.QUERIES["cohort_ltv_monthly"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Window [") == 2  # cohort min + domain cumsum
+
+
+def test_flesch_is_single_aggregation_no_join(spark, sf_dir):
+    """Explode + one per-doc aggregation; no joins, no windows."""
+    plan = _plan(workloads.QUERIES["text_readability_flesch"](spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan

@@ -241,6 +241,8 @@ OPS = {
     # through shared neighbors (deg <= cap), so candidate pairs grow
     # linearly with |V| at fixed degree.
     "ra_linkpredict_permgraph": lambda df: _ra_probe(df),
+    # r8: multi-source BFS levels — frontier-join rounds, same graph
+    "bfs_levels_permgraph": lambda df: _bfs_probe(df),
     # r7 positional phrase search: postings grow linearly with the
     # corpus and the phrase-token filter keeps the join input to the
     # two tokens' df — the curve must stay scan-linear.
@@ -275,6 +277,38 @@ def _ra_probe(df: DataFrame) -> DataFrame:
     from metadata_driven_etl_spark.operators import graph as graph_ops
 
     return graph_ops.resource_allocation_topk(_perm_edges(df), top_k=100)
+
+
+def _bfs_probe(df: DataFrame) -> DataFrame:
+    """bfs_levels_copurchase's shape on the degree-8 permutation graph:
+    3 frontier-join rounds from ~|V|/211 seeds — frontier growth is the
+    graph family's explosive axis (here bounded by |V|; real graphs
+    bound it with the hub-degree caps)."""
+    edges = _perm_edges(df).localCheckpoint(eager=False)
+    frontier = (
+        edges.select(F.col("src").alias("node"))
+        .filter(F.col("node") % 211 == 0)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    visited = frontier.withColumn("level", F.lit(0))
+    out = [visited]
+    for k in (1, 2, 3):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        lvl = nxt.withColumn("level", F.lit(k))
+        out.append(lvl)
+        visited = visited.unionByName(lvl)
+        frontier = nxt
+    res = out[0]
+    for lvl in out[1:]:
+        res = res.unionByName(lvl)
+    return res
 
 
 def _pagerank_probe(df: DataFrame) -> DataFrame:

@@ -329,6 +329,8 @@ HEADLINE = [
     "interpurchase_gap_quantiles",
     "cohort_ltv_monthly",
     "text_readability_flesch",
+    "funnel_step_rates",
+    "supplier_hhi_by_nation",
 ]
 
 

@@ -9890,6 +9890,174 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "funnel_step_rates",
+    oracle="""
+    WITH w1 AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS q1,
+               max(CASE WHEN event_type = 'view' THEN ts END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS v_prev
+        FROM events),
+    w2 AS (
+        SELECT *,
+               CASE WHEN event_type = 'click' AND v_prev IS NOT NULL
+                         AND v_prev > ts - INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS q2
+        FROM w1),
+    w3 AS (
+        SELECT *,
+               CASE WHEN event_type = 'purchase' AND c_prev IS NOT NULL
+                         AND c_prev > ts - INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS q3
+        FROM (SELECT *,
+                     max(CASE WHEN q2 = 1 THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS c_prev
+              FROM w2)),
+    d AS (SELECT user_id,
+                 CAST(max(q1) + max(q2) + max(q3) AS INT) AS depth
+          FROM w3 GROUP BY 1),
+    c AS (SELECT
+            CAST(SUM(CASE WHEN depth >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS r1,
+            CAST(SUM(CASE WHEN depth >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+              AS r2,
+            CAST(SUM(CASE WHEN depth >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+              AS r3,
+            CAST(COUNT(*) AS BIGINT) AS n_users
+          FROM d)
+    SELECT 1 AS step, 'view' AS step_name, r1 AS n_reached,
+           CAST(r1 AS DOUBLE) / CAST(n_users AS DOUBLE) AS step_rate,
+           CAST(r1 AS DOUBLE) / CAST(n_users AS DOUBLE) AS cum_rate
+    FROM c
+    UNION ALL
+    SELECT 2, 'click', r2,
+           CAST(r2 AS DOUBLE) / CAST(r1 AS DOUBLE),
+           CAST(r2 AS DOUBLE) / CAST(n_users AS DOUBLE)
+    FROM c
+    UNION ALL
+    SELECT 3, 'purchase', r3,
+           CAST(r3 AS DOUBLE) / CAST(r2 AS DOUBLE),
+           CAST(r3 AS DOUBLE) / CAST(n_users AS DOUBLE)
+    FROM c""",
+)
+def funnel_step_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel CHART readout: per step, users reached, step-to-step
+    conversion rate (reached_k / reached_{k−1}), and cumulative rate vs
+    all users — the numbers the dashboard actually renders on top of
+    the per-user depth the funnel operator emits (where the drop-off
+    is, not just how deep people go).
+
+    Composition: temporal.funnel_steps (per-step 30-minute window) →
+    one scalar aggregation over the |users| depth frame → a 3-row
+    literal unpivot of the reach counters. Rates are single divisions
+    of exact counts.
+
+    Scale: the funnel's one user shuffle dominates; everything after
+    the depth frame is a 1-row aggregate broadcast into 3 rows."""
+    from metadata_driven_etl_spark.operators import temporal as temporal_ops
+
+    ev = _t(spark, sf_dir, "events")
+    d = temporal_ops.funnel_steps(
+        ev, ["view", "click", "purchase"], window="30 minutes"
+    )
+    # the 1-row reach frame feeds the 3-row unpivot — materialize once
+    # or each union branch replays the whole funnel (multi-consumer
+    # discipline; plan-pinned to one user shuffle)
+    c = d.agg(
+        F.sum((F.col("funnel_step") >= 1).cast("long")).alias("r1"),
+        F.sum((F.col("funnel_step") >= 2).cast("long")).alias("r2"),
+        F.sum((F.col("funnel_step") >= 3).cast("long")).alias("r3"),
+        F.count(F.lit(1)).alias("n_users"),
+    ).localCheckpoint(eager=False)
+    dbl = lambda c_: F.col(c_).cast("double")  # noqa: E731
+    rows = [
+        (1, "view", "r1", dbl("r1") / dbl("n_users"), dbl("r1") / dbl("n_users")),
+        (2, "click", "r2", dbl("r2") / dbl("r1"), dbl("r2") / dbl("n_users")),
+        (3, "purchase", "r3", dbl("r3") / dbl("r2"), dbl("r3") / dbl("n_users")),
+    ]
+    out = None
+    for step, name, reached, rate, cum in rows:
+        part = c.select(
+            F.lit(step).cast("int").alias("step"),
+            F.lit(name).alias("step_name"),
+            F.col(reached).alias("n_reached"),
+            rate.alias("step_rate"),
+            cum.alias("cum_rate"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+@workload(
+    "supplier_hhi_by_nation",
+    oracle="""
+    WITH rev AS (
+        SELECT s.s_nationkey AS nation, l.l_suppkey,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2),
+    agg AS (
+        SELECT nation,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               SUM(CAST(cents AS HUGEINT) * cents) AS ssq,
+               CAST(SUM(cents) AS HUGEINT) AS tot
+        FROM rev GROUP BY 1)
+    SELECT nation, n_suppliers,
+           CAST(CAST(ssq AS VARCHAR) AS DOUBLE)
+             / (CAST(CAST(tot AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(tot AS VARCHAR) AS DOUBLE)) AS hhi
+    FROM agg""",
+)
+def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier revenue concentration per nation — the
+    Herfindahl-Hirschman index (Σ share², 1/n ≤ HHI ≤ 1), the
+    procurement-risk / antitrust concentration metric: a nation whose
+    lineitem revenue concentrates in one supplier scores near 1.
+
+    Hash-exact: HHI = Σ cents² / (Σ cents)² — numerator Σ cents² is an
+    exact decimal sum, the denominator squares one exactly-converted
+    total; one division emits the double (never Σ of per-supplier float
+    share² — that sum is data-order-dependent). Bound: cents² exact in
+    decimal(38,0) to ~10¹⁹-cent suppliers.
+
+    Scale: one fact aggregation into the |nation × supplier| frame
+    (supplier dim broadcasts into the scan), then a second
+    map-side-combinable rollup with constant state per nation."""
+    d38 = "decimal(38,0)"
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(F.col("s_nationkey").alias("nation"), "l_suppkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+            ).alias("cents")
+        )
+    )
+    agg = rev.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum((F.col("cents").cast(d38) * F.col("cents")).cast(d38))
+        .cast(d38)
+        .alias("ssq"),
+        F.sum(F.col("cents").cast(d38)).cast(d38).alias("tot"),
+    )
+    return agg.select(
+        "nation",
+        "n_suppliers",
+        (
+            F.col("ssq").cast("double")
+            / (F.col("tot").cast("double") * F.col("tot").cast("double"))
+        ).alias("hhi"),
+    )
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================

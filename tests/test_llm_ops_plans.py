@@ -1178,3 +1178,27 @@ def test_flesch_is_single_aggregation_no_join(spark, sf_dir):
     """Explode + one per-doc aggregation; no joins, no windows."""
     plan = _plan(workloads.QUERIES["text_readability_flesch"](spark, sf_dir))
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_funnel_step_rates_one_user_shuffle(spark, sf_dir):
+    """The funnel's user shuffle dominates; the 3-row readout reuses the
+    ONE scalar reach aggregate (no per-step fact re-scan)."""
+    plan = _plan(workloads.QUERIES["funnel_step_rates"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    user_shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(user_id" in ln
+    ]
+    # the depth frame computes once; unions of the 3 literal rows may
+    # replicate the 1-row aggregate subtree but never the fact shuffle
+    assert len(set(user_shuffles)) <= 1, user_shuffles
+
+
+def test_hhi_two_stacked_aggregations_broadcast_dim(spark, sf_dir):
+    """Supplier dim broadcasts into the fact scan; the HHI rollup is a
+    second map-side-combinable aggregation — no sort-merge join."""
+    plan = _plan(workloads.QUERIES["supplier_hhi_by_nation"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan

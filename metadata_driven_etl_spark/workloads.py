@@ -10070,49 +10070,40 @@ def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order.
 
 DRIVER_PRIORITY: list[str] = [
-    # --- round-8 rotation (COVERAGE.md + VERDICT r7 item 1): pinned
-    # flagship core (4) + ALL 33 round-7 operator keys that registered
-    # after the r7 prefix froze (first driver check; each locally
-    # hash-verified at sf0.01 on registration, swept 25/25 in the r7
+    # --- round-9 rotation (COVERAGE.md + VERDICT r8 item 1): pinned
+    # flagship core (4) + ALL 26 round-8 operator keys that registered
+    # after the r8 prefix froze (first driver check; each locally
+    # hash-verified at sf0.01 on registration, swept 76/76 in the r8
     # pre-ship vanilla session, and oracle-gated every pytest run) +
-    # the `multimodal_frame_sample` re-check (upgraded r7 from
-    # rows-only to a full value oracle) + the 12 stalest round-4-cohort
-    # keys (remaining 14 queued for r9).  Keys rotated OUT are green in
-    # a prior artifact and stay locally oracle-checked by
+    # the 14 remaining round-4-cohort stale keys + the 6 stalest
+    # round-5 flagship keys.  Keys rotated OUT are green in a prior
+    # artifact and stay locally oracle-checked by
     # tests/test_workload_parity.py.
     # --- pinned flagship core ---
     "agg_daily_sales", "merge_upsert", "dq_metrics_single_pass",
     "corpus_clean_pipeline",
-    # --- round-7 graph family (first driver check) ---
-    "triangle_count_copurchase", "link_predict_copurchase_ra",
-    "kcore_copurchase", "graph_assortativity_copurchase",
-    # --- round-7 stats family (first driver check) ---
-    "ks_test_price_by_flag", "mannwhitney_u_price_by_flag",
-    "cuped_adjusted_spend", "survival_life_table",
-    "benford_digit_orders",
-    "simpson_diversity_by_source", "best_split_gini_quantity",
-    "allocate_largest_remainder", "weighted_median_price_by_flag",
-    # --- round-7 timeseries family (first driver check) ---
-    "ohlc_bars_daily", "twap_event_value_daily", "window_ewma_smooth",
-    "rolling_active_users",
-    "window_trailing_range_sum", "running_sum_clamped",
-    # --- round-7 event family (first driver check) ---
-    "attribution_last_touch", "attribution_time_decay",
-    "session_metrics_daily", "event_path_trigrams",
-    # --- round-7 text/embedding/search family (first driver check) ---
-    "text_phrase_search", "search_hybrid_rrf", "embedding_covariance",
-    "hll_rollup_merge_bounded",
-    # --- round-7 analytics family (first driver check) ---
-    "geo_radius_join", "hierarchy_rollup_prefix",
-    "skyline_price_quantity", "rfm_segments", "pareto_abc_parts",
-    "sample_fixed_quota_per_group",
-    # --- re-check: rows-only → full value oracle in r7 ---
-    "multimodal_frame_sample",
-    # --- stale refresh: oldest round-4 cohort (12 of 26) ---
-    "agg_cube", "agg_rollup", "agg_exact_stats", "agg_histogram",
-    "cohort_retention_weekly", "corpus_stats_report", "dedup_keep_best",
-    "dedup_span_exact", "funnel_conversion_steps", "fuzzy_join_tables",
-    "join_full_outer", "join_null_safe",
+    # --- round-8 additions (first driver check) ---
+    "decile_lift_table", "assoc_rules_copurchase", "cusum_alerts_by_type",
+    "keyword_rake_topk", "srm_check_by_priority",
+    "neyman_allocation_strata", "session_funnel_depth",
+    "window_rolling_zscore", "embedding_centroid_drift",
+    "window_cume_dist", "agg_mode_per_group", "histogram_equi_depth",
+    "rank_movers_monthly", "audience_overlap_jaccard",
+    "distinctive_terms_by_source", "bfs_levels_copurchase",
+    "percent_of_parent_rollup", "dau_mau_stickiness",
+    "new_vs_returning_daily", "sequence_violations_by_user",
+    "k_anonymity_audit", "interpurchase_gap_quantiles",
+    "cohort_ltv_monthly", "text_readability_flesch", "funnel_step_rates",
+    "supplier_hhi_by_nation",
+    # --- stale refresh: remaining round-4 cohort (14 of 26) ---
+    "multimodal_phash_dedup", "profile_drift_orders", "profile_orders",
+    "sample_domain_weighted", "scan_orc", "select_token_budget",
+    "setop_except_all", "setop_intersect_all", "text_bigram_lm_score",
+    "text_chunk_windows", "text_repetition", "text_tf_df_score",
+    "training_order", "window_cumulative_distinct",
+    # --- stale refresh: 6 flagship round-5 keys ---
+    "dedup_exact", "dedup_minhash_lsh", "sessionize_events",
+    "join_asof", "tpch_q1_pricing", "scd2_dimension_update",
 ]
 
 

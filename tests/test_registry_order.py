@@ -3,15 +3,17 @@
 Round-1 evidence: CORRECTNESS_r01.json contained exactly the first 50
 registry entries in insertion order.  DRIVER_PRIORITY is the curated
 prefix.  The driver-verification ledger was finished in round 4 (every
-registered key has a driver CORRECTNESS row).  The round-8 rotation:
-pinned flagship core, ALL 33 round-7 operator keys that registered after
-the r7 prefix froze (first driver check), the multimodal_frame_sample
-re-check (rows-only -> full value oracle in r7), and the 12 oldest
-round-4-cohort keys (remaining 14 queued for r9).  Keys rotated out stay
-locally oracle-checked by tests/test_workload_parity.py.
+registered key has a driver CORRECTNESS row).  The round-9 rotation:
+pinned flagship core, ALL 26 round-8 keys that registered after the r8
+prefix froze (first driver check), the 14 remaining round-4-cohort
+stale keys, and the 6 stalest round-5 flagship keys.  Keys rotated out
+stay locally oracle-checked by tests/test_workload_parity.py.
 """
 
 from __future__ import annotations
+
+import re
+from pathlib import Path
 
 from metadata_driven_etl_spark import workloads
 
@@ -23,39 +25,40 @@ CORE = [
     "corpus_clean_pipeline",
 ]
 
-# Round-7 operator families: registered after the r7 prefix froze, so
-# round 8 is their first driver check (each locally hash-verified at
-# sf0.01 on registration and swept 25/25 in the r7 pre-ship vanilla
-# session).
-R7_FAMILIES = {
-    "triangle_count_copurchase", "link_predict_copurchase_ra",
-    "kcore_copurchase", "graph_assortativity_copurchase",
-    "ks_test_price_by_flag", "mannwhitney_u_price_by_flag",
-    "cuped_adjusted_spend", "survival_life_table",
-    "benford_digit_orders", "simpson_diversity_by_source",
-    "best_split_gini_quantity", "allocate_largest_remainder",
-    "weighted_median_price_by_flag", "ohlc_bars_daily",
-    "twap_event_value_daily", "window_ewma_smooth",
-    "rolling_active_users", "window_trailing_range_sum",
-    "running_sum_clamped", "attribution_last_touch",
-    "attribution_time_decay", "session_metrics_daily",
-    "event_path_trigrams", "text_phrase_search", "search_hybrid_rrf",
-    "embedding_covariance", "hll_rollup_merge_bounded",
-    "geo_radius_join", "hierarchy_rollup_prefix",
-    "skyline_price_quantity", "rfm_segments", "pareto_abc_parts",
-    "sample_fixed_quota_per_group",
+# Round-8 additions: registered after the r8 prefix froze, so round 9
+# is their first driver check (each locally hash-verified at sf0.01 on
+# registration and swept 76/76 in the r8 pre-ship vanilla session).
+R8_ADDITIONS = {
+    "decile_lift_table", "assoc_rules_copurchase", "cusum_alerts_by_type",
+    "keyword_rake_topk", "srm_check_by_priority",
+    "neyman_allocation_strata", "session_funnel_depth",
+    "window_rolling_zscore", "embedding_centroid_drift",
+    "window_cume_dist", "agg_mode_per_group", "histogram_equi_depth",
+    "rank_movers_monthly", "audience_overlap_jaccard",
+    "distinctive_terms_by_source", "bfs_levels_copurchase",
+    "percent_of_parent_rollup", "dau_mau_stickiness",
+    "new_vs_returning_daily", "sequence_violations_by_user",
+    "k_anonymity_audit", "interpurchase_gap_quantiles",
+    "cohort_ltv_monthly", "text_readability_flesch", "funnel_step_rates",
+    "supplier_hhi_by_nation",
 }
 
-# Re-check: upgraded in r7 from rows-only to a full value-level oracle.
-RECHECK = {"multimodal_frame_sample"}
-
-# Stale refresh: the 12 oldest round-4-cohort keys (latest driver rows
-# round 4); the remaining 14 are queued for the r9 rotation.
+# Stale refresh: the 14 remaining round-4-cohort keys (latest driver
+# rows round 4; the first 12 were refreshed in the r8 rotation).
 STALE_R4_COHORT = {
-    "agg_cube", "agg_rollup", "agg_exact_stats", "agg_histogram",
-    "cohort_retention_weekly", "corpus_stats_report", "dedup_keep_best",
-    "dedup_span_exact", "funnel_conversion_steps", "fuzzy_join_tables",
-    "join_full_outer", "join_null_safe",
+    "multimodal_phash_dedup", "profile_drift_orders", "profile_orders",
+    "sample_domain_weighted", "scan_orc", "select_token_budget",
+    "setop_except_all", "setop_intersect_all", "text_bigram_lm_score",
+    "text_chunk_windows", "text_repetition", "text_tf_df_score",
+    "training_order", "window_cumulative_distinct",
+}
+
+# Stale refresh: 6 flagship keys whose latest driver row is round 5
+# (chosen for headline-capability coverage: exact + MinHash dedup,
+# sessionization, as-of join, TPC-H Q1, SCD2).
+STALE_R5_FLAGSHIP = {
+    "dedup_exact", "dedup_minhash_lsh", "sessionize_events",
+    "join_asof", "tpch_q1_pricing", "scd2_dimension_update",
 }
 
 # Approximate-by-design ops: no exact SQL twin exists, so the driver
@@ -63,9 +66,6 @@ STALE_R4_COHORT = {
 # (rank-tolerance for the percentile sketch, recall@k for the ANN pair,
 # HLL error bound) — and each also has a hash-checked contract twin
 # (the r6 bounded sketch contracts, the r7 ANN recall contracts).
-# multimodal_frame_sample left this set in r7: its deterministic
-# extractor makes the frame/byte accounting closed-form, so it carries
-# a full value-level oracle now.
 APPROX_ROWS_ONLY = {
     "agg_approx_percentile", "approx_count_distinct",
     "similarity_ann_lsh", "similarity_ann_ivf",
@@ -94,13 +94,13 @@ def test_core_keys_never_rotate():
 
 def test_rotation_tail_matches_coverage_plan():
     tail = set(workloads.DRIVER_PRIORITY[len(CORE):])
-    assert tail == (R7_FAMILIES | RECHECK | STALE_R4_COHORT)
+    assert tail == (R8_ADDITIONS | STALE_R4_COHORT | STALE_R5_FLAGSHIP)
 
 
 def test_priority_entries_all_have_oracles():
-    # Every round-7 driver-prefix row is hash-checkable: the rows-only
-    # approximate keys all rotated out this round (their accuracy is now
-    # driver-checked via the bounded-contract twins instead).
+    # Every driver-prefix row is hash-checkable: the rows-only
+    # approximate keys stay rotated out (their accuracy is driver-checked
+    # via the bounded-contract twins instead).
     no_oracle = set(workloads.DRIVER_PRIORITY) - set(workloads.ORACLES)
     assert no_oracle == set(), (
         f"unexpected rows-only keys in prefix: {no_oracle}"
@@ -109,3 +109,34 @@ def test_priority_entries_all_have_oracles():
 
 def test_oracles_subset_of_queries():
     assert set(workloads.ORACLES) <= set(workloads.QUERIES)
+
+
+def test_readme_counts_match_registry():
+    # VERDICT r8 item 8: the README's stated registry counts must not
+    # drift from the actual registry as it grows.
+    readme = Path(__file__).resolve().parents[1] / "README.md"
+    text = readme.read_text(encoding="utf-8")
+    m = re.search(
+        r"(\d+)-entry workload registry \((\d+) DuckDB-oracle-checked", text
+    )
+    assert m, (
+        "README must state '<N>-entry workload registry "
+        "(<M> DuckDB-oracle-checked'"
+    )
+    assert int(m.group(1)) == len(workloads.QUERIES)
+    assert int(m.group(2)) == len(workloads.ORACLES)
+
+
+def test_coverage_counts_match_registry():
+    coverage = Path(__file__).resolve().parents[1] / "COVERAGE.md"
+    text = coverage.read_text(encoding="utf-8")
+    m = re.search(
+        r"Registry count: (\d+) registered workloads "
+        r"\((\d+) oracle-paired\)", text
+    )
+    assert m, (
+        "COVERAGE.md must state 'Registry count: <N> registered workloads "
+        "(<M> oracle-paired)'"
+    )
+    assert int(m.group(1)) == len(workloads.QUERIES)
+    assert int(m.group(2)) == len(workloads.ORACLES)

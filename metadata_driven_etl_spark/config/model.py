@@ -34,6 +34,7 @@ VALID_RULE_TYPES = {
     "zscore_outlier",
     "benford_digit",
     "sequence_allowed",
+    "k_anonymity",
 }
 VALID_ACTIONS = {"filter", "tag", "reject"}
 VALID_REFRESH_TYPES = {"full", "incremental", "delta", "scd2"}
@@ -129,6 +130,11 @@ class DQRuleConfig:
     key_column: str | None = None
     order_columns: tuple[str, ...] = ()
     allowed: tuple[tuple[str, str], ...] = ()
+    # k_anonymity: privacy gate (quasi-identifier group size / diversity)
+    quasi_identifiers: tuple[str, ...] = ()
+    k: int = 5
+    l: int | None = None
+    sensitive_column: str | None = None
 
     @staticmethod
     def from_dict(d: dict[str, Any]) -> "DQRuleConfig":
@@ -208,6 +214,36 @@ class DQRuleConfig:
                     f"[from, to] pair, got {pair!r}",
                 )
             allowed = tuple((str(a), str(b)) for a, b in raw_allowed)
+        qi = d.get("quasi_identifiers") or ()
+        if isinstance(qi, str):
+            qi = (qi,)
+        l_val = d.get("l")
+        if rt == "k_anonymity":
+            _require(
+                bool(qi),
+                f"rule {name}: k_anonymity needs quasi_identifiers (the "
+                "re-identification key columns, e.g. [zip, birth_year])",
+            )
+            _require(
+                int(d.get("k", 5)) >= 2,
+                f"rule {name}: k_anonymity needs k >= 2 (k=1 gates nothing)",
+            )
+            if l_val is not None:
+                _require(
+                    d.get("sensitive_column"),
+                    f"rule {name}: k_anonymity with l-diversity needs "
+                    "sensitive_column",
+                )
+                _require(
+                    int(l_val) >= 2,
+                    f"rule {name}: l-diversity needs l >= 2",
+                )
+            else:
+                _require(
+                    not d.get("sensitive_column"),
+                    f"rule {name}: sensitive_column given without l — set "
+                    "l (the minimum distinct sensitive values per group)",
+                )
         return DQRuleConfig(
             rule_name=name,
             rule_type=rt,
@@ -222,6 +258,10 @@ class DQRuleConfig:
             key_column=d.get("key_column"),
             order_columns=tuple(oc),
             allowed=allowed,
+            quasi_identifiers=tuple(qi),
+            k=int(d.get("k", 5)),
+            l=int(l_val) if l_val is not None else None,
+            sensitive_column=d.get("sensitive_column"),
         )
 
     @property

@@ -21,7 +21,9 @@ out (SURVEY.md §2.14 #1/#2/#8/#10):
 - **uniqueness implemented and reachable** (dead+broken ``F.Window`` in the
   reference) — via a window count, one shuffle, no self-join.
 
-Rule types: not_null, regex, expression, referential_integrity, uniqueness.
+Rule types: not_null, regex, expression, referential_integrity, uniqueness,
+plus the batch-analytics gates zscore_outlier, benford_digit,
+sequence_allowed, and k_anonymity.
 Actions: filter (keep valid rows), tag (add flag column), reject (raise if
 any invalid).
 """
@@ -206,6 +208,41 @@ class DataQualityEngine:
                 F.col(first).isNull()
                 | F.coalesce(pair_ok, F.lit(False))
             )
+        if rule.rule_type == "k_anonymity":
+            # Privacy gate (beyond the reference's types; VERDICT r8 item
+            # 4 — the k_anonymity_audit workload promoted to a declarable
+            # rule next to benford_digit/sequence_allowed): a row is
+            # VALID iff its quasi-identifier group has ≥ k members
+            # (re-identification risk below 1/k) AND, when l-diversity is
+            # declared, the group carries ≥ l distinct sensitive values
+            # (attribute-disclosure screen). With action=filter this IS
+            # k-anonymization by suppression: every surviving row's group
+            # satisfies both gates.
+            # Cost: one shuffle on the quasi-identifiers; both helper
+            # stats ride ONE WindowExec pass (shared spec). l-diversity
+            # uses size(collect_set) — a distinct count over a window,
+            # which Spark's count(DISTINCT) can't express; state is
+            # O(|sensitive domain|) per group, fine for the low-
+            # cardinality attributes l-diversity is defined over.
+            # NULL semantics: NULL quasi-identifier values form their own
+            # group (standard grouping semantics, matching uniqueness);
+            # NULL sensitive values add NO diversity (collect_set drops
+            # them — an all-NULL group has l=0 and is INVALID when l is
+            # declared).
+            size_h = f"__dq_kanon_n_{rule.rule_name}"
+            w = Window.partitionBy(*rule.quasi_identifiers)
+            out = df.withColumn(size_h, F.count(F.lit(1)).over(w))
+            cond = F.col(size_h) >= rule.k
+            if rule.l is not None:
+                div_h = f"__dq_kanon_l_{rule.rule_name}"
+                out = out.withColumn(
+                    div_h,
+                    F.size(
+                        F.collect_set(F.col(rule.sensitive_column)).over(w)
+                    ),
+                )
+                cond = cond & (F.col(div_h) >= rule.l)
+            return out, cond
         raise ValueError(f"unknown rule_type {rule.rule_type!r}")
 
     # -- main entry ---------------------------------------------------------

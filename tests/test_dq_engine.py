@@ -408,3 +408,96 @@ def test_sequence_allowed_rule(spark):
         bad = {k: v for k, v in base.items() if k != missing}
         with _pytest.raises(ConfigError):
             DQRuleConfig.from_dict(bad)
+
+
+def test_k_anonymity_rule(dq, spark):
+    """k_anonymity (VERDICT r8 item 4): a row is valid iff its
+    quasi-identifier group has >= k members and (when l is declared)
+    >= l distinct sensitive values. action=filter IS suppression."""
+    rows = [
+        # group (10, "A"): 3 members, 2 distinct sensitive -> k=3,l=2 OK
+        (1, 10, "A", "flu"), (2, 10, "A", "cold"), (3, 10, "A", "flu"),
+        # group (10, "B"): 2 members -> k violation
+        (4, 10, "B", "flu"), (5, 10, "B", "cold"),
+        # group (20, "A"): 3 members but 1 distinct sensitive -> l violation
+        (6, 20, "A", "flu"), (7, 20, "A", "flu"), (8, 20, "A", "flu"),
+        # group (20, "B"): 3 members, sensitive all NULL -> l=0, invalid
+        (9, 20, "B", None), (10, 20, "B", None), (11, 20, "B", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, zip int, seg string, diagnosis string"
+    )
+    rule = _rule(
+        rule_name="priv", rule_type="k_anonymity",
+        quasi_identifiers=["zip", "seg"], k=3, l=2,
+        sensitive_column="diagnosis", action_on_failure="tag",
+    )
+    res = dq.apply(df, [rule])
+    m = res.metrics[0]
+    assert m.valid_count + m.invalid_count == m.total_count == 11
+    assert m.valid_count == 3
+    flags = {r.id: r["dq_priv_flag"] for r in res.df.collect()}
+    assert all(flags[i] == "VALID" for i in (1, 2, 3))
+    assert all(flags[i] == "INVALID" for i in (4, 5, 6, 7, 8, 9, 10, 11))
+
+    # filter action = k-anonymization by suppression
+    res_f = dq.apply(df, [_rule(
+        rule_name="priv", rule_type="k_anonymity",
+        quasi_identifiers=["zip", "seg"], k=3, l=2,
+        sensitive_column="diagnosis", action_on_failure="filter",
+    )])
+    assert {r.id for r in res_f.df.collect()} == {1, 2, 3}
+
+    # k-only form (no l): group size is the only gate
+    res_k = dq.apply(df, [_rule(
+        rule_name="priv", rule_type="k_anonymity",
+        quasi_identifiers=["zip", "seg"], k=3, action_on_failure="tag",
+    )])
+    flags_k = {r.id: r["dq_priv_flag"] for r in res_k.df.collect()}
+    assert all(flags_k[i] == "VALID" for i in (1, 2, 3, 6, 7, 8, 9, 10, 11))
+    assert all(flags_k[i] == "INVALID" for i in (4, 5))
+
+
+def test_k_anonymity_single_pass_metrics(dq, spark):
+    """metrics_df carries k_anonymity next to the other rules in the same
+    one-aggregation pass."""
+    df = spark.createDataFrame(
+        [(1, 10, "x"), (2, 10, "y"), (3, 20, "x")],
+        "id int, zip int, s string",
+    )
+    rules = [
+        _rule(rule_name="nn", rule_type="not_null", column="s"),
+        _rule(rule_name="priv", rule_type="k_anonymity",
+              quasi_identifiers=["zip"], k=2),
+    ]
+    tall = {r.rule_name: r for r in dq.metrics_df(df, rules).collect()}
+    assert tall["priv"].valid_count == 2
+    assert tall["priv"].invalid_count == 1
+    assert tall["nn"].valid_count == 3
+
+
+def test_k_anonymity_config_validation():
+    from metadata_driven_etl_spark.config.model import ConfigError
+
+    base = {
+        "rule_name": "r", "rule_type": "k_anonymity",
+        "quasi_identifiers": ["zip"], "k": 3,
+    }
+    # missing quasi_identifiers
+    with pytest.raises(ConfigError, match="quasi_identifiers"):
+        _rule(**{k: v for k, v in base.items() if k != "quasi_identifiers"})
+    # k < 2 gates nothing
+    with pytest.raises(ConfigError, match="k >= 2"):
+        _rule(**{**base, "k": 1})
+    # l declared without sensitive_column
+    with pytest.raises(ConfigError, match="sensitive_column"):
+        _rule(**{**base, "l": 2})
+    # sensitive_column without l is a silent no-op -> rejected
+    with pytest.raises(ConfigError, match="set\\s+l"):
+        _rule(**{**base, "sensitive_column": "s"})
+    # l < 2 gates nothing
+    with pytest.raises(ConfigError, match="l >= 2"):
+        _rule(**{**base, "l": 1, "sensitive_column": "s"})
+    # string quasi_identifiers coerces to a 1-tuple
+    r = _rule(**{**base, "quasi_identifiers": "zip"})
+    assert r.quasi_identifiers == ("zip",)

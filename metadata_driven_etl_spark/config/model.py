@@ -405,9 +405,12 @@ class SilverTransform:
 
 VALID_EVENT_ANALYSES = {
     "funnel", "attribution", "sessions", "transitions", "cohorts",
+    "funnel_rates", "stickiness", "new_vs_returning",
 }
 VALID_FUNNEL_MODES = {"per_step", "from_first"}
 VALID_ATTRIBUTION_MODELS = {"last_touch", "time_decay"}
+VALID_FUNNEL_SCOPES = {"user", "session"}
+_FUNNEL_ANALYSES = {"funnel", "funnel_rates"}
 
 
 @dataclass(frozen=True)
@@ -438,6 +441,21 @@ class EventAnalysisConfig:
       anomalous-flow detection.
     - ``cohorts``: weekly cohort retention (emits ``(cohort_week,
       week_index, active_users)``).
+    - ``funnel_rates`` (r9, VERDICT r8 item 3): the funnel-chart readout
+      — per step, users reached, step-to-step conversion, cumulative
+      rate (emits ``(step, step_name, n_reached, step_rate,
+      cum_rate)``). Same funnel knobs as ``funnel``.
+    - ``stickiness`` (r9): daily DAU over trailing-``window_days`` MAU
+      (emits ``(day, dau, mau, stickiness)``).
+    - ``new_vs_returning`` (r9): per-day acquisition/retention split
+      (emits ``(day, new_users, returning_users)``).
+
+    ``scope`` (funnel and funnel_rates only): ``user`` (default) runs
+    the funnel over each user's whole history under the step ``window``;
+    ``session`` re-keys to (user, session) composites via the
+    ``gap_seconds`` sessionizer — "did they convert within one visit" —
+    and the session gap replaces the step clock (``window`` must be left
+    at its default; the session already bounds time).
     """
 
     analysis: str
@@ -454,8 +472,12 @@ class EventAnalysisConfig:
     attribution_model: str = "last_touch"
     conversion_type: str = "purchase"
     lookback_days: int = 7
-    # sessions knob
+    # sessions knob (also the session-scope funnel sessionizer)
     gap_seconds: int = 1800
+    # funnel/funnel_rates scope: user history vs single session
+    scope: str = "user"
+    # stickiness knob: trailing window size in days
+    window_days: int = 30
 
     @staticmethod
     def from_dict(d: dict[str, Any], model_id: str) -> "EventAnalysisConfig":
@@ -476,7 +498,7 @@ class EventAnalysisConfig:
         fm = d.get("funnel_mode", "per_step")
         am = d.get("attribution_model", "last_touch")
         win = str(d.get("window", "30 minutes"))
-        if an == "funnel":
+        if an in _FUNNEL_ANALYSES:
             # validate the interval at LOAD time (every other knob
             # does): a malformed string would otherwise fail deep
             # inside the Spark INTERVAL expression with an opaque
@@ -493,7 +515,7 @@ class EventAnalysisConfig:
                 f"model {model_id}: funnel window must look like "
                 f"'<n> minutes/hours/days', got {win!r}",
             )
-        if an == "funnel":
+        if an in _FUNNEL_ANALYSES:
             _require(
                 len(steps) >= 2,
                 f"model {model_id}: funnel analysis needs >= 2 steps, "
@@ -511,8 +533,37 @@ class EventAnalysisConfig:
         else:
             _require(
                 not steps,
-                f"model {model_id}: steps only apply to analysis funnel",
+                f"model {model_id}: steps only apply to funnel analyses",
             )
+        scope = d.get("scope", "user")
+        _require(
+            scope in VALID_FUNNEL_SCOPES,
+            f"model {model_id}: scope must be one of "
+            f"{sorted(VALID_FUNNEL_SCOPES)}, got {scope!r}",
+        )
+        if scope != "user":
+            _require(
+                an in _FUNNEL_ANALYSES,
+                f"model {model_id}: scope only applies to funnel "
+                "analyses",
+            )
+            _require(
+                "window" not in d,
+                f"model {model_id}: scope session replaces the step "
+                "window with the session gap — don't set window",
+            )
+        wd = d.get("window_days", 30)
+        if "window_days" in d:
+            _require(
+                an == "stickiness",
+                f"model {model_id}: window_days only applies to "
+                "analysis stickiness",
+            )
+        _require(
+            isinstance(wd, int) and not isinstance(wd, bool) and wd >= 1,
+            f"model {model_id}: window_days must be a positive int, "
+            f"got {wd!r}",
+        )
         if an == "attribution":
             _require(
                 am in VALID_ATTRIBUTION_MODELS,
@@ -552,6 +603,8 @@ class EventAnalysisConfig:
             conversion_type=str(d.get("conversion_type", "purchase")),
             lookback_days=lb,
             gap_seconds=gap,
+            scope=scope,
+            window_days=wd,
         )
 
 

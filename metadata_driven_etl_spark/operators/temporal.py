@@ -771,3 +771,188 @@ def session_kpis_daily(
             / F.count(F.lit(1)).cast("double")
         ).alias("avg_dur_us"),
     )
+
+
+def funnel_rates(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    window: str = "30 minutes",
+    mode: str = "per_step",
+) -> DataFrame:
+    """The funnel CHART readout on top of :func:`funnel_steps`: per step,
+    users reached, step-to-step conversion (reached_k / reached_{k-1}),
+    and cumulative rate vs all users — where the drop-off is, not just
+    how deep people go. Declarable as gold ``analysis: funnel_rates``
+    (VERDICT r8 item 3); the ``funnel_step_rates`` workload is this
+    operator applied to the events table.
+
+    Emits ``(step int, step_name, n_reached long, step_rate double,
+    cum_rate double)`` — one row per declared step. Rates are single
+    IEEE divisions of exact counts (engine-exact).
+
+    Scale: the funnel's one user shuffle dominates; the per-user depth
+    frame collapses into ONE scalar aggregate, materialized once
+    (multi-consumer discipline — each union branch would otherwise
+    replay the whole funnel), then unpivoted into len(steps) literal
+    rows.
+    """
+    d = funnel_steps(
+        events,
+        list(steps),
+        user_col=user_col,
+        type_col=type_col,
+        ts_col=ts_col,
+        order_col=order_col,
+        window=window,
+        mode=mode,
+    )
+    aggs = [
+        F.sum((F.col("funnel_step") >= k).cast("long")).alias(f"r{k}")
+        for k in range(1, len(steps) + 1)
+    ] + [F.count(F.lit(1)).alias("n_users")]
+    c = d.agg(*aggs).localCheckpoint(eager=False)
+    dbl = lambda name: F.col(name).cast("double")  # noqa: E731
+    out = None
+    for k, name in enumerate(steps, start=1):
+        prev = "n_users" if k == 1 else f"r{k - 1}"
+        part = c.select(
+            F.lit(k).cast("int").alias("step"),
+            F.lit(name).alias("step_name"),
+            F.col(f"r{k}").alias("n_reached"),
+            (dbl(f"r{k}") / dbl(prev)).alias("step_rate"),
+            (dbl(f"r{k}") / dbl("n_users")).alias("cum_rate"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def stickiness_daily(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 30,
+) -> DataFrame:
+    """DAU/MAU stickiness per day — the engagement-depth ratio every
+    product review tracks (what share of the trailing-``window_days``
+    audience shows up on a given day). Declarable as gold
+    ``analysis: stickiness``; the ``dau_mau_stickiness`` workload is
+    this operator on the events table.
+
+    MAU is the trailing distinct-actives via the coverage identity:
+    dedup user-days FIRST, explode each to the ``window_days`` days it
+    covers, count distinct per day — linear with a ``window_days``×
+    map-side expansion of user-DAYS, never an O(days × users) window.
+    DAU is the plain per-day distinct count off the SAME deduped frame
+    (materialized once). Days beyond the corpus max are trimmed
+    (partial future windows). Counts exact; stickiness one IEEE
+    division. Emits ``(day, dau long, mau long, stickiness double)``.
+    """
+    ud = (
+        events.select(user_col, F.to_date(ts_col).alias("day"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    bounds = ud.agg(F.max("day").alias("d1"))
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    cover = ud.select(
+        user_col,
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), window_days - 1)
+            )
+        ).alias("win_day"),
+    )
+    mau = (
+        cover.crossJoin(F.broadcast(bounds))
+        .filter(F.col("win_day") <= F.col("d1"))
+        .groupBy(F.col("win_day").alias("day"))
+        .agg(F.countDistinct(user_col).alias("mau"))
+    )
+    return mau.join(dau, "day", "left").select(
+        "day",
+        F.coalesce(F.col("dau"), F.lit(0)).alias("dau"),
+        "mau",
+        (
+            F.coalesce(F.col("dau"), F.lit(0)).cast("double")
+            / F.col("mau").cast("double")
+        ).alias("stickiness"),
+    )
+
+
+def new_vs_returning(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """New vs returning active users per day — the acquisition/retention
+    split on every growth dashboard. A user is "new" on their first
+    active day, "returning" on every later active day. Declarable as
+    gold ``analysis: new_vs_returning``; the ``new_vs_returning_daily``
+    workload is this operator on the events table.
+
+    Scale: dedup to distinct (user, day) first (the WAU discipline),
+    ONE user-keyed window carries each user's first day onto their rows
+    (no join back), then one map-side-combinable day rollup. All counts
+    exact. NULL users/timestamps are excluded EXPLICITLY — a NULL user
+    would survive the window's NULL partition but never an oracle's
+    equi-join. Emits ``(day, new_users long, returning_users long)``.
+    """
+    ud = (
+        events.filter(
+            F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .select(user_col, F.to_date(ts_col).alias("day"))
+        .distinct()
+    )
+    first = F.min("day").over(Window.partitionBy(user_col))
+    return (
+        ud.withColumn("first_day", first)
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+            ).alias("new_users"),
+            F.sum(
+                F.when(F.col("day") > F.col("first_day"), 1).otherwise(0)
+            ).alias("returning_users"),
+        )
+    )
+
+
+def session_scoped(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_seconds: int = 1800,
+    key_col: str = "_sk",
+) -> DataFrame:
+    """Re-key an event frame to (user, session) composites so funnel
+    analyses run session-scoped ("did the user convert within one
+    visit") instead of across the whole history. The shared sessionizer
+    assigns session ids; the composite key concatenates user and
+    session. Used by both the ``session_funnel_depth`` workload and the
+    event model's ``scope: session`` knob — one computation, two entry
+    points.
+
+    Scale: one user shuffle (the sessionizer's lag+cumsum window); the
+    downstream funnel keys on the composite, whose prefix is the user —
+    same key family, no new skew.
+    """
+    from metadata_driven_etl_spark.operators.windows import sessionize
+
+    s = sessionize(
+        events,
+        user_col,
+        ts_col,
+        gap_seconds=gap_seconds,
+        tiebreak=[order_col],
+    )
+    return s.withColumn(
+        key_col,
+        F.concat_ws("#", F.col(user_col), F.col("session_id")),
+    )

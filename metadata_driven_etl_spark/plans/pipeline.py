@@ -363,16 +363,45 @@ class GoldLayer(_LayerBase):
 
         e = m.event
         events = self.ctx.spark.table(e.source_table)
-        if e.analysis == "funnel":
-            return temporal_ops.funnel_steps(
+        if e.analysis in ("funnel", "funnel_rates"):
+            user_col, window = e.user_col, e.window
+            if e.scope == "session":
+                # re-key to (user, session) composites; the session gap
+                # bounds the chain instead of the step clock (an
+                # interval >> any session span: order alone gates)
+                events = temporal_ops.session_scoped(
+                    events,
+                    user_col=e.user_col,
+                    ts_col=e.ts_col,
+                    order_col=e.order_col,
+                    gap_seconds=e.gap_seconds,
+                )
+                user_col, window = "_sk", "3650 days"
+            op = (
+                temporal_ops.funnel_steps
+                if e.analysis == "funnel"
+                else temporal_ops.funnel_rates
+            )
+            return op(
                 events,
                 list(e.steps),
-                user_col=e.user_col,
+                user_col=user_col,
                 type_col=e.type_col,
                 ts_col=e.ts_col,
                 order_col=e.order_col,
-                window=e.window,
+                window=window,
                 mode=e.funnel_mode,
+            )
+        if e.analysis == "stickiness":
+            return temporal_ops.stickiness_daily(
+                events,
+                user_col=e.user_col,
+                ts_col=e.ts_col,
+                window_days=e.window_days,
+            )
+        if e.analysis == "new_vs_returning":
+            return temporal_ops.new_vs_returning(
+                events, user_col=e.user_col, ts_col=e.ts_col
             )
         if e.analysis == "attribution":
             if e.attribution_model == "last_touch":

@@ -8706,12 +8706,7 @@ def session_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from metadata_driven_etl_spark.operators import temporal as temporal_ops
 
     events = _t(spark, sf_dir, "events")
-    s = window_ops.sessionize(
-        events, "user_id", "ts", gap_seconds=1800, tiebreak=["event_id"]
-    ).withColumn(
-        "_sk",
-        F.concat_ws("#", F.col("user_id"), F.col("session_id")),
-    )
+    s = temporal_ops.session_scoped(events, gap_seconds=1800)
     d = temporal_ops.funnel_steps(
         s,
         ["view", "click", "purchase"],
@@ -9467,36 +9462,13 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     DAU is the plain per-day distinct count off the SAME deduped frame.
 
     Exactness: counts are exact; stickiness is one IEEE division.
-    Days beyond the corpus max are trimmed (partial future windows)."""
+    Days beyond the corpus max are trimmed (partial future windows).
+    Shared core: temporal.stickiness_daily (also the declarable gold
+    ``analysis: stickiness``)."""
+    from metadata_driven_etl_spark.operators import temporal as temporal_ops
+
     ev = _t(spark, sf_dir, "events")
-    ud = (
-        ev.select("user_id", F.to_date("ts").alias("day"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    bounds = ud.agg(F.max("day").alias("d1"))
-    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
-    cover = ud.select(
-        "user_id",
-        F.explode(
-            F.sequence(F.col("day"), F.date_add(F.col("day"), 29))
-        ).alias("win_day"),
-    )
-    mau = (
-        cover.crossJoin(F.broadcast(bounds))
-        .filter(F.col("win_day") <= F.col("d1"))
-        .groupBy(F.col("win_day").alias("day"))
-        .agg(F.countDistinct("user_id").alias("mau"))
-    )
-    return mau.join(dau, "day", "left").select(
-        "day",
-        F.coalesce(F.col("dau"), F.lit(0)).alias("dau"),
-        "mau",
-        (
-            F.coalesce(F.col("dau"), F.lit(0)).cast("double")
-            / F.col("mau").cast("double")
-        ).alias("stickiness"),
-    )
+    return temporal_ops.stickiness_daily(ev, window_days=30)
 
 
 @workload(
@@ -9525,25 +9497,12 @@ def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     All counts exact. NULL users/timestamps are excluded EXPLICITLY on
     both sides — a NULL user would survive the Spark window's NULL
     partition but never the oracle's equi-join (the _gather_baskets
-    NULL discipline)."""
-    from pyspark.sql import Window
+    NULL discipline). Shared core: temporal.new_vs_returning (also the
+    declarable gold ``analysis: new_vs_returning``)."""
+    from metadata_driven_etl_spark.operators import temporal as temporal_ops
 
     ev = _t(spark, sf_dir, "events")
-    ud = (
-        ev.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
-        .select("user_id", F.to_date("ts").alias("day"))
-        .distinct()
-    )
-    first = F.min("day").over(Window.partitionBy("user_id"))
-    tagged = ud.withColumn("first_day", first)
-    return tagged.groupBy("day").agg(
-        F.sum(
-            F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
-        ).alias("new_users"),
-        F.sum(
-            F.when(F.col("day") > F.col("first_day"), 1).otherwise(0)
-        ).alias("returning_users"),
-    )
+    return temporal_ops.new_vs_returning(ev)
 
 
 # Allowed direct transitions (the expected product flow) — shared
@@ -9958,39 +9917,15 @@ def funnel_step_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     of exact counts.
 
     Scale: the funnel's one user shuffle dominates; everything after
-    the depth frame is a 1-row aggregate broadcast into 3 rows."""
+    the depth frame is a 1-row aggregate broadcast into 3 rows.
+    Shared core: temporal.funnel_rates (also the declarable gold
+    ``analysis: funnel_rates``)."""
     from metadata_driven_etl_spark.operators import temporal as temporal_ops
 
     ev = _t(spark, sf_dir, "events")
-    d = temporal_ops.funnel_steps(
+    return temporal_ops.funnel_rates(
         ev, ["view", "click", "purchase"], window="30 minutes"
     )
-    # the 1-row reach frame feeds the 3-row unpivot — materialize once
-    # or each union branch replays the whole funnel (multi-consumer
-    # discipline; plan-pinned to one user shuffle)
-    c = d.agg(
-        F.sum((F.col("funnel_step") >= 1).cast("long")).alias("r1"),
-        F.sum((F.col("funnel_step") >= 2).cast("long")).alias("r2"),
-        F.sum((F.col("funnel_step") >= 3).cast("long")).alias("r3"),
-        F.count(F.lit(1)).alias("n_users"),
-    ).localCheckpoint(eager=False)
-    dbl = lambda c_: F.col(c_).cast("double")  # noqa: E731
-    rows = [
-        (1, "view", "r1", dbl("r1") / dbl("n_users"), dbl("r1") / dbl("n_users")),
-        (2, "click", "r2", dbl("r2") / dbl("r1"), dbl("r2") / dbl("n_users")),
-        (3, "purchase", "r3", dbl("r3") / dbl("r2"), dbl("r3") / dbl("n_users")),
-    ]
-    out = None
-    for step, name, reached, rate, cum in rows:
-        part = c.select(
-            F.lit(step).cast("int").alias("step"),
-            F.lit(name).alias("step_name"),
-            F.col(reached).alias("n_reached"),
-            rate.alias("step_rate"),
-            cum.alias("cum_rate"),
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
 
 
 @workload(

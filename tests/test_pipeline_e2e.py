@@ -1000,6 +1000,40 @@ def _event_gold_cfg(tmp_path):
                   analysis: "sessions"
                   source_table: "silver.web_events"
                   gap_seconds: 1800
+              - model_id: "funnel_chart"
+                target_table: "gold.ev_funnel_rates"
+                model_type: "event"
+                refresh_type: "full"
+                event:
+                  analysis: "funnel_rates"
+                  source_table: "silver.web_events"
+                  steps: ["view", "cart", "purchase"]
+                  window: "2 hours"
+              - model_id: "session_funnel"
+                target_table: "gold.ev_funnel_sess"
+                model_type: "event"
+                refresh_type: "full"
+                event:
+                  analysis: "funnel"
+                  source_table: "silver.web_events"
+                  steps: ["view", "cart", "purchase"]
+                  scope: "session"
+                  gap_seconds: 1800
+              - model_id: "dau_mau"
+                target_table: "gold.ev_stickiness"
+                model_type: "event"
+                refresh_type: "full"
+                event:
+                  analysis: "stickiness"
+                  source_table: "silver.web_events"
+                  window_days: 30
+              - model_id: "acq_split"
+                target_table: "gold.ev_new_ret"
+                model_type: "event"
+                refresh_type: "full"
+                event:
+                  analysis: "new_vs_returning"
+                  source_table: "silver.web_events"
             """
         )
     )
@@ -1063,7 +1097,8 @@ def test_gold_event_models_e2e(spark, tmp_path):
 
     targets = (
         "gold.ev_funnel", "gold.ev_last_touch", "gold.ev_time_decay",
-        "gold.ev_sessions", "silver.web_events",
+        "gold.ev_sessions", "gold.ev_funnel_rates", "gold.ev_funnel_sess",
+        "gold.ev_stickiness", "gold.ev_new_ret", "silver.web_events",
     )
     for t in targets:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
@@ -1073,7 +1108,7 @@ def test_gold_event_models_e2e(spark, tmp_path):
     res = run_pipeline(
         spark, cfg_dir, "2024-01-15", ["gold"], table_format=ParquetFormat()
     )
-    assert [r.status for r in res["gold"]] == ["success"] * 4, [
+    assert [r.status for r in res["gold"]] == ["success"] * 8, [
         (r.unit_id, r.error) for r in res["gold"]
     ]
 
@@ -1123,13 +1158,71 @@ def test_gold_event_models_e2e(spark, tmp_path):
     assert got == want
     assert sum(r.n_bounces for r in spark.table("gold.ev_sessions").collect()) >= 1
 
+    # funnel_rates ≡ direct composition (r9: the funnel-chart readout);
+    # r1=4 viewers, r2=2 carts (user 2's cart is outside the 2h window),
+    # r3=2 purchases
+    got, cols = _rows_of(spark, "gold.ev_funnel_rates")
+    want = sorted(
+        tuple(r)
+        for r in temporal_ops.funnel_rates(
+            events, ["view", "cart", "purchase"], window="2 hours"
+        ).collect()
+    )
+    assert cols == sorted(
+        ["step", "step_name", "n_reached", "step_rate", "cum_rate"]
+    )
+    assert got == want
+    reach = {
+        r.step: r.n_reached
+        for r in spark.table("gold.ev_funnel_rates").collect()
+    }
+    assert reach == {1: 4, 2: 2, 3: 2}
+
+    # session-scoped funnel ≡ direct composition (scope: session): user
+    # 2's cart/purchase land in a SECOND session, so that session starts
+    # its own chain without a view -> depth 0; their first session is
+    # view-only -> depth 1
+    got, cols = _rows_of(spark, "gold.ev_funnel_sess")
+    sess = temporal_ops.session_scoped(events, gap_seconds=1800)
+    want = sorted(
+        tuple(r)
+        for r in temporal_ops.funnel_steps(
+            events=sess, steps=["view", "cart", "purchase"],
+            user_col="_sk", window="3650 days",
+        ).collect()
+    )
+    assert got == want
+    sess_depths = dict(want)
+    assert sess_depths["2#1"] == 1 and sess_depths["2#2"] == 0
+
+    # stickiness ≡ direct composition (dau/mau coverage identity)
+    got, cols = _rows_of(spark, "gold.ev_stickiness")
+    want = sorted(
+        tuple(r)
+        for r in temporal_ops.stickiness_daily(
+            events, window_days=30
+        ).collect()
+    )
+    assert cols == sorted(["day", "dau", "mau", "stickiness"])
+    assert got == want
+
+    # new_vs_returning ≡ direct composition; day one of the main burst
+    # has first-time actives only for users whose first day it is
+    got, cols = _rows_of(spark, "gold.ev_new_ret")
+    want = sorted(
+        tuple(r)
+        for r in temporal_ops.new_vs_returning(events).collect()
+    )
+    assert cols == sorted(["day", "new_users", "returning_users"])
+    assert got == want
+
     # incremental event model: second run MERGEs on channel and stays
     # identical (same source -> same aggregate, idempotent upsert)
     before, _ = _rows_of(spark, "gold.ev_last_touch")
     res2 = run_pipeline(
         spark, cfg_dir, "2024-01-16", ["gold"], table_format=ParquetFormat()
     )
-    assert [r.status for r in res2["gold"]] == ["success"] * 4
+    assert [r.status for r in res2["gold"]] == ["success"] * 8
     after, _ = _rows_of(spark, "gold.ev_last_touch")
     assert after == before
 
@@ -1214,6 +1307,51 @@ def test_gold_event_config_validation():
                 "gap_seconds": -5,
             }}
         )
+    # r9 knobs: scope gated to funnel analyses, session scope owns the
+    # clock, window_days gated to stickiness
+    with pytest.raises(ConfigError, match="scope"):
+        GoldModel.from_dict(
+            {**base, "event": {
+                "analysis": "funnel", "source_table": "s",
+                "steps": ["a", "b"], "scope": "nope",
+            }}
+        )
+    with pytest.raises(ConfigError, match="scope only applies"):
+        GoldModel.from_dict(
+            {**base, "event": {
+                "analysis": "sessions", "source_table": "s",
+                "scope": "session",
+            }}
+        )
+    with pytest.raises(ConfigError, match="don't set window"):
+        GoldModel.from_dict(
+            {**base, "event": {
+                "analysis": "funnel", "source_table": "s",
+                "steps": ["a", "b"], "scope": "session",
+                "window": "2 hours",
+            }}
+        )
+    with pytest.raises(ConfigError, match="window_days only applies"):
+        GoldModel.from_dict(
+            {**base, "event": {
+                "analysis": "sessions", "source_table": "s",
+                "window_days": 7,
+            }}
+        )
+    with pytest.raises(ConfigError, match="window_days"):
+        GoldModel.from_dict(
+            {**base, "event": {
+                "analysis": "stickiness", "source_table": "s",
+                "window_days": 0,
+            }}
+        )
+    m_st = GoldModel.from_dict(
+        {**base, "event": {
+            "analysis": "stickiness", "source_table": "s",
+            "window_days": 7,
+        }}
+    )
+    assert m_st.event.window_days == 7 and m_st.event.scope == "user"
     # incremental event models still need primary_keys
     with pytest.raises(ConfigError, match="primary_keys"):
         GoldModel.from_dict({**base, "refresh_type": "incremental"})

@@ -458,7 +458,51 @@ EVENT_OPS = {
     # r8 batch-3/4 shapes
     "rolling_zscore_w100": lambda df: _zscore_probe(df),
     "session_funnel": lambda df: _session_funnel_probe(df),
+    # --- r9 probes (VERDICT r8 item 2) ---
+    # dau_mau_stickiness's shape: the 30x map-side user-day explode is
+    # the expansion term — amplification grows USER-DAYS Nx, so the
+    # curve must stay linear with a ~30x constant vs the explode-free
+    # DAU baseline below.
+    "dau_mau_stickiness": lambda df: temporal_ops.stickiness_daily(
+        df, window_days=30
+    ),
+    # explode-free baseline: same dedup + per-day count, no coverage
+    # explode — the wall-clock DELTA vs dau_mau_stickiness measures what
+    # the 30x expansion actually costs.
+    "dau_daily_only": lambda df: (
+        df.select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("dau"))
+    ),
+    # assoc_rules' pair space vs the basket-size cap (the LSH-cap-row
+    # analogue): baskets are (user, day) — constant size, count grows Nx
+    # — EXCEPT 15 degenerate baskets that merge one original user's
+    # events across ALL copies, so their size grows ~66N. Uncapped, the
+    # degens contribute a quadratic pair space (the blow-up the cap
+    # exists to bound); at the shipped DEFAULT cap=1024 they drop out
+    # once size > 1024 and the curve returns to basket-count-linear.
+    "assoc_rules_uncapped": lambda df: _assoc_probe(df, None),
+    "assoc_rules_cap1024": lambda df: _assoc_probe(df, 1024),
 }
+
+
+def _assoc_probe(df: DataFrame, cap: int | None) -> DataFrame:
+    from metadata_driven_etl_spark.operators import cooccur as cooccur_ops
+
+    orig_uid = F.col("user_id") % 1500  # amplify_events offsets by 1500
+    bkey = F.when(
+        orig_uid < 15,
+        F.concat(F.lit("degen_"), orig_uid.cast("string")),
+    ).otherwise(
+        F.concat_ws("#", F.col("user_id"), F.to_date("ts").cast("string"))
+    )
+    baskets = df.select(
+        bkey.alias("basket"), (F.col("event_id") % 4999).alias("item")
+    )
+    return cooccur_ops.assoc_rules(
+        baskets, "basket", "item", max_basket_size=cap, min_support=2
+    )
 
 
 def _wmedian_probe(df: DataFrame) -> DataFrame:

@@ -9994,6 +9994,508 @@ def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round-9 additions: stats family (Spearman, ANOVA, Gini concentration,
+# IQR outliers, autocorrelation, day-of-week seasonality)
+# =========================================================================
+
+
+@workload(
+    "spearman_corr_price_quantity",
+    oracle="""
+    WITH f AS (SELECT CAST(FLOOR(l_extendedprice*100+0.5) AS BIGINT) AS x,
+                      CAST(l_quantity AS BIGINT) AS y FROM lineitem),
+    dx AS (SELECT x, CAST(COUNT(*) AS HUGEINT) AS c FROM f GROUP BY 1),
+    ux AS (SELECT x, 2*SUM(c) OVER (ORDER BY x) - c + 1 AS u FROM dx),
+    dy AS (SELECT y, CAST(COUNT(*) AS HUGEINT) AS c FROM f GROUP BY 1),
+    uy AS (SELECT y, 2*SUM(c) OVER (ORDER BY y) - c + 1 AS v FROM dy),
+    j AS (SELECT u, v FROM f JOIN ux USING (x) JOIN uy USING (y)),
+    s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                 SUM(u) AS su, SUM(v) AS sv, SUM(u*v) AS suv,
+                 SUM(u*u) AS suu, SUM(v*v) AS svv FROM j)
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(CAST(n*suv - su*sv AS VARCHAR) AS DOUBLE)
+             / (sqrt(CAST(CAST(n*suu - su*su AS VARCHAR) AS DOUBLE))
+                * sqrt(CAST(CAST(n*svv - sv*sv AS VARCHAR) AS DOUBLE)))
+             AS spearman_rho
+    FROM s""",
+)
+def spearman_corr_price_quantity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman rank correlation of price vs quantity — the monotone-
+    association screen (Pearson's heavy-tail-safe sibling; linreg
+    already covers the linear fit). Tie-aware: average ranks per tie
+    group, computed as DOUBLED ranks so halves never materialize —
+    2·avgrank = 2·cum_before + cnt + 1, an integer from the KS domain
+    frame — then Pearson on the doubled ranks (affine-invariant, so ρ
+    is unchanged).
+
+    Hash-exact: every moment (Σu, Σuv, Σu², …) is an exact decimal sum
+    of integers; ρ = num / (√d1·√d2) is a fixed chain of correctly-
+    rounded double ops over exactly-converted operands (the chisq/OLS
+    pattern). Bound: n·Σuv ≤ 4n⁴ < 10³⁸ to ~10⁹ rows.
+
+    Scale: one groupBy per axis into |distinct values| domain frames
+    (the KS shape), rank-carry joins back onto the fact (quantity side
+    broadcasts — 50 distinct values), ONE moment aggregation."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    f = _t(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("x"),
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+
+    def doubled_ranks(col: str, out: str) -> DataFrame:
+        d = f.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return d.select(
+            col,
+            (2 * F.sum("c").over(w) - F.col("c") + 1).alias(out),
+        )
+
+    j = f.join(doubled_ranks("x", "u"), "x").join(
+        F.broadcast(doubled_ranks("y", "v")), "y"
+    )
+    s = j.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("u").cast(d38)).cast(d38).alias("su"),
+        F.sum(F.col("v").cast(d38)).cast(d38).alias("sv"),
+        F.sum((F.col("u").cast(d38) * F.col("v")).cast(d38))
+        .cast(d38)
+        .alias("suv"),
+        F.sum((F.col("u").cast(d38) * F.col("u")).cast(d38))
+        .cast(d38)
+        .alias("suu"),
+        F.sum((F.col("v").cast(d38) * F.col("v")).cast(d38))
+        .cast(d38)
+        .alias("svv"),
+    )
+    num = (F.col("n") * F.col("suv") - F.col("su") * F.col("sv")).cast(d38)
+    d1 = (F.col("n") * F.col("suu") - F.col("su") * F.col("su")).cast(d38)
+    d2 = (F.col("n") * F.col("svv") - F.col("sv") * F.col("sv")).cast(d38)
+    return s.select(
+        F.col("n").cast("long").alias("n_rows"),
+        (
+            num.cast("double")
+            / (F.sqrt(d1.cast("double")) * F.sqrt(d2.cast("double")))
+        ).alias("spearman_rho"),
+    )
+
+
+# The five event types are testdata literals shared with the funnel /
+# sequence workloads; the ANOVA pivot needs them spelled out so the
+# between-group sum is a FIXED-ORDER scalar expression (a float SUM over
+# group rows would be data-order-dependent).
+_ANOVA_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@workload(
+    "anova_f_value_by_type",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS HUGEINT) AS n_g,
+               SUM(CAST(CAST(FLOOR(value*100+0.5) AS BIGINT) AS HUGEINT))
+                 AS s_g,
+               SUM(CAST(CAST(FLOOR(value*100+0.5) AS BIGINT) AS HUGEINT)
+                   * CAST(FLOOR(value*100+0.5) AS BIGINT)) AS q_g
+        FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1),
+    p AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n_g) AS BIGINT) AS n_rows,
+               CAST(CAST(SUM(s_g) AS VARCHAR) AS DOUBLE) AS s,
+               CAST(CAST(SUM(q_g) AS VARCHAR) AS DOUBLE) AS q,
+               {", ".join(
+                   "COALESCE(MAX(CASE WHEN event_type = '" + t + "' THEN "
+                   "CAST(CAST(s_g*s_g AS VARCHAR) AS DOUBLE)"
+                   " / CAST(n_g AS DOUBLE) END), 0.0) AS t_" + t
+                   for t in _ANOVA_TYPES
+               )}
+        FROM g),
+    e AS (SELECT k, n_rows, s, q,
+                 {" + ".join("t_" + t for t in _ANOVA_TYPES)} AS st
+          FROM p)
+    SELECT k, n_rows,
+           ((st - s*s/CAST(n_rows AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+             / ((q - st) / CAST(n_rows - k AS DOUBLE)) AS f_stat
+    FROM e""",
+)
+def anova_f_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-statistic for event value across event types —
+    the k-group mean-difference omnibus test (the two-sample z/t tests'
+    k-ary sibling; pairs with ks_test / mannwhitney for distributional
+    and rank variants).
+
+    Hash-exact: per-group (n, Σx, Σx²) in exact decimal; the between-
+    group term Σ_g S_g²/n_g is pivoted into FIVE literal columns and
+    summed as one left-associated scalar expression (a float SUM over
+    group rows would be data-order-dependent) — each term and the final
+    F are fixed chains of correctly-rounded double ops. Absent groups
+    contribute COALESCE 0.
+
+    Scale: ONE map-side-combinable aggregation over the fact (constant
+    per-group state), then literal-width pivot arithmetic on a 5-row
+    frame."""
+    d38 = "decimal(38,0)"
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum(cents.cast(d38)).cast(d38).alias("s_g"),
+        F.sum((cents.cast(d38) * cents).cast(d38)).cast(d38).alias("q_g"),
+    )
+    term = (
+        (F.col("s_g").cast(d38) * F.col("s_g")).cast(d38).cast("double")
+        / F.col("n_g").cast("double")
+    )
+    p = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n_rows"),
+        F.sum(F.col("s_g")).cast(d38).cast("double").alias("s"),
+        F.sum(F.col("q_g")).cast(d38).cast("double").alias("q"),
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("event_type") == t, term)), F.lit(0.0)
+            ).alias(f"t_{t}")
+            for t in _ANOVA_TYPES
+        ],
+    )
+    st = F.col(f"t_{_ANOVA_TYPES[0]}")
+    for t in _ANOVA_TYPES[1:]:
+        st = st + F.col(f"t_{t}")
+    e = p.select("k", "n_rows", "s", "q", st.alias("st"))
+    ssb = F.col("st") - F.col("s") * F.col("s") / F.col("n_rows").cast(
+        "double"
+    )
+    ssw = F.col("q") - F.col("st")
+    return e.select(
+        "k",
+        "n_rows",
+        (
+            (ssb / (F.col("k") - 1).cast("double"))
+            / (ssw / (F.col("n_rows") - F.col("k")).cast("double"))
+        ).alias("f_stat"),
+    )
+
+
+@workload(
+    "gini_concentration_revenue",
+    oracle="""
+    WITH r AS (SELECT o_custkey,
+                      CAST(SUM(CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT))
+                           AS BIGINT) AS cents
+               FROM orders GROUP BY 1),
+    d AS (SELECT cents, CAST(COUNT(*) AS HUGEINT) AS c FROM r GROUP BY 1),
+    w AS (SELECT cents, c, SUM(c) OVER (ORDER BY cents) - c AS prev
+          FROM d),
+    s AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                 SUM(CAST(cents AS HUGEINT) * c) AS tot,
+                 SUM(CAST(cents AS HUGEINT)
+                     * (c*prev + c*(c+1)/2)) AS six
+          FROM w)
+    SELECT n AS n_customers,
+           CAST(tot AS BIGINT) AS total_cents,
+           CAST(CAST(2*six - (CAST(n AS HUGEINT)+1)*tot AS VARCHAR)
+                AS DOUBLE)
+             / CAST(CAST(CAST(n AS HUGEINT)*tot AS VARCHAR) AS DOUBLE)
+             AS gini
+    FROM s""",
+)
+def gini_concentration_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gini coefficient of customer revenue — the inequality /
+    concentration readout ("what share of revenue sits with the top
+    customers", the Lorenz-curve scalar; complements the supplier HHI
+    and pareto_abc). Population: customers WITH orders.
+
+    Tie-safe exact form: G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) with
+    ascending ranks; a tie group of c equal values at cumulative
+    position p contributes x·(c·p + c(c+1)/2) — all integers via the
+    KS domain frame (c(c+1) is always even), so G is ONE division of
+    two exactly-converted decimals.
+
+    Scale: one fact aggregation to |customers|, one groupBy to the
+    |distinct revenue| domain frame, one cumulative window over it,
+    one scalar rollup."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    r = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("cents")
+        )
+    )
+    d = r.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    t = d.select(
+        "cents",
+        "c",
+        (F.sum("c").over(w) - F.col("c")).alias("prev"),
+    )
+    rank_sum = (
+        F.col("c").cast(d38) * F.col("prev")
+        + (F.col("c").cast(d38) * (F.col("c") + 1)) / 2
+    ).cast(d38)
+    s = t.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("cents").cast(d38) * F.col("c")).cast(d38).alias("tot"),
+        F.sum((F.col("cents").cast(d38) * rank_sum).cast(d38))
+        .cast(d38)
+        .alias("six"),
+    )
+    n38 = F.col("n").cast(d38)
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("tot").cast("long").alias("total_cents"),
+        (
+            (2 * F.col("six") - (n38 + 1) * F.col("tot"))
+            .cast(d38)
+            .cast("double")
+            / (n38 * F.col("tot")).cast(d38).cast("double")
+        ).alias("gini"),
+    )
+
+
+@workload(
+    "outlier_iqr_group",
+    oracle="""
+    WITH f AS (SELECT event_type AS grp,
+                      CAST(FLOOR(value*100+0.5) AS BIGINT) AS cents
+               FROM events),
+    q AS (SELECT grp,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(quantile_disc(cents, 0.25) AS BIGINT) AS q1,
+                 CAST(quantile_disc(cents, 0.75) AS BIGINT) AS q3
+          FROM f GROUP BY 1)
+    SELECT f.grp, MAX(n_rows) AS n_rows, MAX(q1) AS q1_cents,
+           MAX(q3) AS q3_cents,
+           CAST(SUM(CASE WHEN 2*cents < 2*q1 - 3*(q3-q1)
+                           OR 2*cents > 2*q3 + 3*(q3-q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM f JOIN q ON f.grp = q.grp
+    GROUP BY 1""",
+)
+def outlier_iqr_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outliers per group: values outside
+    [q1 − 1.5·IQR, q3 + 1.5·IQR] — the boxplot rule, completing the
+    robust-outlier family (zscore = moment-based, MAD = median-based,
+    IQR = quartile-based). Quartiles are percentile_disc rank selection
+    (they RETURN data values); the 1.5 factor is cleared by doubling
+    both sides, so the fence test is pure INTEGER comparison — no float
+    enters the predicate at all.
+
+    Scale: two rank-selection aggregations shuffled on the group key,
+    4-row stats frame broadcast back over the scan, one counting
+    rollup."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    q = ev.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)")
+        .cast("long")
+        .alias("q1"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)")
+        .cast("long")
+        .alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (2 * F.col("cents") < 2 * F.col("q1") - 3 * iqr) | (
+        2 * F.col("cents") > 2 * F.col("q3") + 3 * iqr
+    )
+    return (
+        ev.join(F.broadcast(q), "grp")
+        .groupBy("grp")
+        .agg(
+            F.max("n_rows").alias("n_rows"),
+            F.max("q1").alias("q1_cents"),
+            F.max("q3").alias("q3_cents"),
+            F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
+        )
+    )
+
+
+_ACF_MAX_LAG = 7
+
+
+@workload(
+    "acf_daily_revenue",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value*100+0.5) AS BIGINT)) AS BIGINT)
+                 AS x
+        FROM events GROUP BY 1),
+    ix AS (SELECT x,
+                  CAST(date_diff('day', (SELECT MIN(day) FROM daily), day)
+                       AS BIGINT) AS idx
+           FROM daily),
+    s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                 SUM(CAST(x AS HUGEINT)) AS sx,
+                 SUM(CAST(x AS HUGEINT)*x) AS qx
+          FROM ix),
+    lags AS (SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS lag),
+    p AS (SELECT lag,
+                 CAST(COUNT(*) AS HUGEINT) AS m,
+                 SUM(CAST(h.x AS HUGEINT) * t.x) AS sxy,
+                 SUM(CAST(h.x AS HUGEINT)) AS sh,
+                 SUM(CAST(t.x AS HUGEINT)) AS st
+          FROM lags JOIN ix h ON TRUE JOIN ix t ON t.idx = h.idx + lag
+          GROUP BY 1)
+    SELECT CAST(lag AS INTEGER) AS lag,
+           CAST(m AS BIGINT) AS n_pairs,
+           CAST(CAST(n*n*sxy - n*sx*(sh+st) + (n-lag)*sx*sx AS VARCHAR)
+                AS DOUBLE)
+             / CAST(CAST(n*n*qx - n*sx*sx AS VARCHAR) AS DOUBLE) AS acf
+    FROM p CROSS JOIN s""",
+)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily revenue series at lags 1–7 —
+    the seasonality/persistence diagnostic behind every forecasting
+    model choice (a strong lag-7 spike = weekly cycle).
+
+    Exactness: the textbook ACF r_L = Σ(x_t−x̄)(x_{t+L}−x̄) / Σ(x_t−x̄)²
+    is cleared of the rational mean by multiplying through by N²:
+    r_L = (N²·Σx_t x_{t+L} − N·S·(Σ_head+Σ_tail) + (N−L)·S²)
+          / (N²·Q − N·S²) — every term an exact decimal integer, ONE
+    final division (the FMA trap never arises: no double a·b−c·d).
+
+    Scale: one fact aggregation to |days|; the lag self-join runs on
+    the tiny daily frame (materialized once) against 7 literal lags."""
+    d38 = "decimal(38,0)"
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("long")
+            ).alias("x")
+        )
+        .localCheckpoint(eager=False)
+    )
+    d0 = daily.agg(F.min("day").alias("d0"))
+    ix = daily.crossJoin(F.broadcast(d0)).select(
+        "x", F.datediff(F.col("day"), F.col("d0")).cast("long").alias("idx")
+    ).localCheckpoint(eager=False)
+    s = ix.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).cast(d38).alias("sx"),
+        F.sum((F.col("x").cast(d38) * F.col("x")).cast(d38))
+        .cast(d38)
+        .alias("qx"),
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    h = ix.crossJoin(F.broadcast(lags)).select(
+        "lag", F.col("x").alias("xh"), (F.col("idx") + F.col("lag")).alias("tidx")
+    )
+    t = ix.select(F.col("idx").alias("tidx"), F.col("x").alias("xt"))
+    p = h.join(t, "tidx").groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("xh").cast(d38) * F.col("xt")).cast(d38))
+        .cast(d38)
+        .alias("sxy"),
+        F.sum(F.col("xh").cast(d38)).cast(d38).alias("sh"),
+        F.sum(F.col("xt").cast(d38)).cast(d38).alias("st"),
+    )
+    n, sx, qx = F.col("n"), F.col("sx"), F.col("qx")
+    num = (
+        n * n * F.col("sxy")
+        - n * sx * (F.col("sh") + F.col("st"))
+        + (n - F.col("lag")) * sx * sx
+    ).cast(d38)
+    den = (n * n * qx - n * sx * sx).cast(d38)
+    return p.crossJoin(F.broadcast(s)).select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n_pairs"),
+        (num.cast("double") / den.cast("double")).alias("acf"),
+    )
+
+
+@workload(
+    "dow_seasonality_index",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value*100+0.5) AS BIGINT)) AS BIGINT)
+                 AS x
+        FROM events GROUP BY 1),
+    d AS (SELECT CAST(isodow(day) AS INTEGER) AS dow,
+                 CAST(COUNT(*) AS BIGINT) AS n_days,
+                 CAST(SUM(x) AS BIGINT) AS total_cents
+          FROM daily GROUP BY 1),
+    s AS (SELECT CAST(SUM(n_days) AS HUGEINT) AS nd,
+                 CAST(SUM(total_cents) AS HUGEINT) AS st FROM d)
+    SELECT dow, n_days, total_cents,
+           CAST(CAST(CAST(total_cents AS HUGEINT) * nd AS VARCHAR)
+                AS DOUBLE)
+             / CAST(CAST(CAST(n_days AS HUGEINT) * st AS VARCHAR)
+                    AS DOUBLE) AS seasonality_index
+    FROM d CROSS JOIN s""",
+)
+def dow_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index: average daily revenue per ISO
+    weekday relative to the overall daily average (index > 1 = that
+    weekday over-indexes) — the seasonal-naive baseline every forecast
+    is judged against, and the multiplicative-decomposition seasonal
+    component at weekly period.
+
+    Exactness: index = (total_dow·D) / (days_dow·S) as one division of
+    two exact decimal cross-products (never avg/avg of two rationals).
+    ISO weekday shared exactly: Spark (dayofweek+5)%7+1 ≡ DuckDB
+    isodow (Monday=1).
+
+    Scale: one fact aggregation to |days|, a 7-row rollup, 1-row total
+    broadcast back."""
+    d38 = "decimal(38,0)"
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("long")
+            ).alias("x")
+        )
+    )
+    d = daily.groupBy(
+        (((F.dayofweek("day") + 5) % 7) + 1).cast("int").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("total_cents"),
+    )
+    s = d.agg(
+        F.sum("n_days").cast(d38).alias("nd"),
+        F.sum("total_cents").cast(d38).alias("st"),
+    )
+    return d.crossJoin(F.broadcast(s)).select(
+        "dow",
+        "n_days",
+        "total_cents",
+        (
+            (F.col("total_cents").cast(d38) * F.col("nd"))
+            .cast(d38)
+            .cast("double")
+            / (F.col("n_days").cast(d38) * F.col("st"))
+            .cast(d38)
+            .cast("double")
+        ).alias("seasonality_index"),
+    )
+
+
+# =========================================================================
 # Driver-facing registry order
 # =========================================================================
 #

@@ -510,3 +510,128 @@ def basket_pair_jaccard(
             ).cast("double")
         ).alias("jaccard"),
     )
+
+
+def substitute_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    top_m: int = 50,
+    max_basket_size: int | None = DEFAULT_MAX_BASKET_SIZE,
+) -> DataFrame:
+    """Substitute detection — the mirror of :func:`assoc_rules`: pairs of
+    FREQUENT items that co-occur LESS than independence predicts
+    (lift < 1), including pairs that never co-occur at all. Frequent
+    items that never share a basket are the strongest substitution
+    signal, so the candidate space cannot come from observed pairs (a
+    zero-co-occurrence pair never materializes there); instead it is the
+    full unordered cross of the ``top_m`` most frequent items — a
+    LITERAL bound (top_m² candidates), the same
+    deterministic-degeneracy-cap contract as the LSH/basket caps.
+
+    Output: (item_a, item_b, n_a, n_b, n_ab, lift) for candidate pairs
+    with lift < 1, where the filter is the integer cross-multiplication
+    ``n_ab·N < n_a·n_b`` in decimal (a float lift of 1±ε can never flip
+    a row) and emitted lift is one division of two exactly-converted
+    decimals.
+
+    Scale: one basket gather (materialized once — feeds item counts AND
+    the pair recount), a top-m selection (TakeOrdered, tie-broken by
+    item id), pair generation restricted to top items BEFORE the
+    explode (per-basket fan-out ≤ C(top_m, 2)), and a broadcast of the
+    m-row frames everywhere — the fact never self-joins.
+    """
+    d38 = "decimal(38,0)"
+    baskets = _gather_baskets(
+        df, basket_col, item_col, max_basket_size
+    ).localCheckpoint(eager=False)
+    items = baskets.select(
+        F.explode("_items").alias("it")
+    ).groupBy("it").agg(F.count(F.lit(1)).alias("n"))
+    top = (
+        items.orderBy(F.desc("n"), F.asc("it"))
+        .limit(top_m)
+        .localCheckpoint(eager=False)
+    )
+    a = top.select(F.col("it").alias("item_a"), F.col("n").alias("n_a"))
+    b = top.select(F.col("it").alias("item_b"), F.col("n").alias("n_b"))
+    cand = a.crossJoin(F.broadcast(b)).filter(
+        F.col("item_a") < F.col("item_b")
+    )
+    kept_items = (
+        baskets.select(basket_col, F.explode("_items").alias("it"))
+        .join(F.broadcast(top.select("it")), "it")
+        .groupBy(basket_col)
+        .agg(F.sort_array(F.collect_set("it")).alias("_items"))
+    )
+    obs = (
+        kept_items.select(
+            F.explode(pair_combinations(F.col("_items"))).alias("p")
+        )
+        .select("p.item_a", "p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    tot = baskets.agg(F.count(F.lit(1)).alias("n_total"))
+    j = (
+        cand.join(F.broadcast(obs), ["item_a", "item_b"], "left")
+        .withColumn("n_ab", F.coalesce(F.col("n_ab"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    obs_x = (F.col("n_ab").cast(d38) * F.col("n_total")).cast(d38)
+    exp_x = (F.col("n_a").cast(d38) * F.col("n_b")).cast(d38)
+    return j.filter(obs_x < exp_x).select(
+        "item_a",
+        "item_b",
+        "n_a",
+        "n_b",
+        "n_ab",
+        (obs_x.cast("double") / exp_x.cast("double")).alias("lift"),
+    )
+
+
+def sql_substitute_pairs(
+    table: str,
+    basket_col: str,
+    item_col: str,
+    top_m: int = 50,
+    max_basket_size: int | None = DEFAULT_MAX_BASKET_SIZE,
+) -> str:
+    """DuckDB twin of :func:`substitute_pairs` (top-m cross candidate
+    space, HUGEINT cross-multiplied lift filter, DOUBLE via VARCHAR)."""
+    cap = (
+        f"""
+    big AS (SELECT {basket_col} FROM d GROUP BY 1
+            HAVING COUNT(*) > {max_basket_size}),
+    kept AS (SELECT * FROM d WHERE NOT EXISTS
+             (SELECT 1 FROM big WHERE big.{basket_col} = d.{basket_col}))"""
+        if max_basket_size is not None
+        else "\n    kept AS (SELECT * FROM d)"
+    )
+    return f"""
+    WITH d AS (SELECT DISTINCT {basket_col}, {item_col} FROM {table}
+               WHERE {basket_col} IS NOT NULL
+                 AND {item_col} IS NOT NULL),{cap},
+    items AS (SELECT {item_col} AS it, CAST(COUNT(*) AS BIGINT) AS n
+              FROM kept GROUP BY 1),
+    top AS (SELECT it, n FROM items ORDER BY n DESC, it LIMIT {top_m}),
+    cand AS (SELECT a.it AS item_a, a.n AS n_a, b.it AS item_b, b.n AS n_b
+             FROM top a JOIN top b ON a.it < b.it),
+    k2 AS (SELECT kept.{basket_col} AS bk, kept.{item_col} AS it
+           FROM kept JOIN top ON top.it = kept.{item_col}),
+    obs AS (SELECT x.it AS item_a, y.it AS item_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_ab
+            FROM k2 x JOIN k2 y ON x.bk = y.bk AND x.it < y.it
+            GROUP BY 1, 2),
+    tot AS (SELECT CAST(COUNT(DISTINCT {basket_col}) AS BIGINT) AS n_total
+            FROM kept)
+    SELECT item_a, item_b, n_a, n_b,
+           COALESCE(n_ab, 0) AS n_ab,
+           CAST(CAST(CAST(COALESCE(n_ab, 0) AS HUGEINT) * n_total
+                     AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(CAST(n_a AS HUGEINT) * n_b AS VARCHAR) AS DOUBLE)
+             AS lift
+    FROM cand LEFT JOIN obs USING (item_a, item_b) CROSS JOIN tot
+    WHERE CAST(COALESCE(n_ab, 0) AS HUGEINT) * n_total
+          < CAST(n_a AS HUGEINT) * n_b
+    """

@@ -10496,6 +10496,328 @@ def dow_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round-9 additions: retail analytics family
+# =========================================================================
+
+
+@workload(
+    "market_basket_substitutes",
+    oracle=cooccur_ops.sql_substitute_pairs(
+        "lineitem", "l_orderkey", "l_partkey", top_m=50
+    ),
+)
+def market_basket_substitutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substitute detection — assoc_rules' mirror: pairs of FREQUENT
+    parts that co-occur LESS than independence predicts (lift < 1,
+    including never-co-bought pairs — the strongest substitution
+    signal). Candidate space = the full cross of the top-50 most
+    frequent parts, a LITERAL bound (the zero-co-occurrence pairs the
+    observed-pair frame can never contain).
+
+    Scale + exactness: see cooccur.substitute_pairs — one basket
+    gather materialized once, top-m TakeOrdered with an item tie-break,
+    per-basket pair fan-out bounded by C(50,2), integer
+    cross-multiplied lift filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    return cooccur_ops.substitute_pairs(
+        li, "l_orderkey", "l_partkey", top_m=50
+    )
+
+
+_SLA_DAYS = 30
+
+
+@workload(
+    "fill_rate_sla_monthly",
+    oracle=f"""
+    WITH j AS (
+        SELECT date_trunc('month', CAST(o.o_orderdate AS DATE)) AS month,
+               CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                                   CAST(l.l_shipdate AS DATE))
+                         <= {_SLA_DAYS}
+                    THEN 1 ELSE 0 END AS within
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    SELECT month,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(within) AS BIGINT) AS n_within_sla,
+           CAST(SUM(within) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS fill_rate
+    FROM j GROUP BY 1""",
+)
+def fill_rate_sla_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-line fill rate against a 30-day ship SLA, per order month —
+    the fulfillment-health KPI (share of lines shipped within SLA of
+    order placement) every operations dashboard tracks.
+
+    Exactness: the SLA test is an integer day-difference comparison;
+    the rate is one division of exact counts.
+
+    Scale: one fact⋈fact equi-join on the order key (orders projected
+    to 2 columns), then one map-side-combinable month rollup."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.trunc(F.to_date("o_orderdate"), "month").alias("month"),
+        F.when(
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            <= _SLA_DAYS,
+            1,
+        )
+        .otherwise(0)
+        .alias("within"),
+    )
+    return j.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("within").alias("n_within_sla"),
+        (
+            F.sum("within").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("fill_rate"),
+    )
+
+
+@workload(
+    "basket_size_revenue_bands",
+    oracle="""
+    WITH b AS (
+        SELECT l_orderkey,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*100+0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem GROUP BY 1)
+    SELECT n_lines,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(CAST(SUM(CAST(cents AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_order_cents
+    FROM b GROUP BY 1""",
+)
+def basket_size_revenue_bands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Basket-size distribution with revenue per band: how many orders
+    have k lines and what they're worth — the order-economics readout
+    behind free-shipping thresholds and bundle design (do bigger
+    baskets pay?).
+
+    Exactness: per-order cents are exact integer sums; the band average
+    is ONE division of an exactly-converted decimal total by the exact
+    count.
+
+    Scale: one fact aggregation to |orders| (map-side combinable), one
+    ~7-row band rollup."""
+    d38 = "decimal(38,0)"
+    b = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+            ).alias("cents"),
+        )
+    )
+    return b.groupBy("n_lines").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("total_cents"),
+        (
+            F.sum(F.col("cents").cast(d38)).cast(d38).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_order_cents"),
+    )
+
+
+@workload(
+    "repeat_purchase_rate_monthly",
+    oracle="""
+    WITH cm AS (
+        SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+               o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1, 2)
+    SELECT month,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeat,
+           CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS repeat_rate
+    FROM cm GROUP BY 1""",
+)
+def repeat_purchase_rate_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Repeat-purchase rate per month: share of that month's active
+    customers who ordered at least twice within the month — the
+    within-period loyalty KPI (new_vs_returning tracks across-period
+    acquisition; this tracks within-period repeat intensity).
+
+    Scale: one two-key aggregation to |customer-months| (map-side
+    combinable), one month rollup. Rates are single divisions of exact
+    counts."""
+    cm = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.trunc(F.to_date("o_orderdate"), "month").alias("month"),
+            "o_custkey",
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    rep = F.when(F.col("n_orders") >= 2, 1).otherwise(0)
+    return cm.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(rep).alias("n_repeat"),
+        (F.sum(rep).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "repeat_rate"
+        ),
+    )
+
+
+# Monthly-spend tier boundaries in cents (calibrated to the testdata's
+# customer-month tertiles ~17.5M / ~34.4M) — shared verbatim with the
+# oracle. Fixed literal bands, NOT per-month quantiles: tiers stay
+# comparable across months and the tiering is a map-side expression (a
+# per-month ntile would re-rank every customer every month).
+_TIER_LOW_LT = 20_000_000
+_TIER_MID_LT = 40_000_000
+
+
+@workload(
+    "customer_tier_migration",
+    oracle=f"""
+    WITH cm AS (
+        SELECT o_custkey,
+               date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+               CAST(SUM(CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2),
+    t AS (
+        SELECT o_custkey, month,
+               CASE WHEN cents < {_TIER_LOW_LT} THEN 'low'
+                    WHEN cents < {_TIER_MID_LT} THEN 'mid'
+                    ELSE 'high' END AS tier,
+               lag(CASE WHEN cents < {_TIER_LOW_LT} THEN 'low'
+                        WHEN cents < {_TIER_MID_LT} THEN 'mid'
+                        ELSE 'high' END)
+                 OVER (PARTITION BY o_custkey ORDER BY month) AS prev_tier
+        FROM cm)
+    SELECT prev_tier AS from_tier, tier AS to_tier,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM t WHERE prev_tier IS NOT NULL
+    GROUP BY 1, 2""",
+)
+def customer_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend-tier migration matrix: transitions between
+    low/mid/high monthly-spend tiers across a customer's consecutive
+    ACTIVE months (gaps allowed — the transition is month-over-active-
+    month, documented) — the upgrade/downgrade flow behind retention
+    economics.
+
+    Tiers are FIXED literal cent bands (shared verbatim with the
+    oracle), not per-month quantiles: map-side tiering, cross-month
+    comparability, and no per-month global ranking.
+
+    Scale: one aggregation to |customer-months|, ONE customer-keyed lag
+    window, a 9-row matrix rollup."""
+    from pyspark.sql import Window
+
+    cm = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            "o_custkey",
+            F.trunc(F.to_date("o_orderdate"), "month").alias("month"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("cents")
+        )
+    )
+    tier = (
+        F.when(F.col("cents") < _TIER_LOW_LT, "low")
+        .when(F.col("cents") < _TIER_MID_LT, "mid")
+        .otherwise("high")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("month")
+    t = cm.select(
+        "o_custkey", "month", tier.alias("tier")
+    ).withColumn("prev_tier", F.lag("tier").over(w))
+    return (
+        t.filter(F.col("prev_tier").isNotNull())
+        .groupBy(
+            F.col("prev_tier").alias("from_tier"),
+            F.col("tier").alias("to_tier"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@workload(
+    "cart_abandonment_daily",
+    oracle=f"""
+    WITH s AS ({_SESSIONIZE_SQL}),
+    e AS (SELECT s.user_id, s.session_id, s.ts, ev.event_type
+          FROM s JOIN events ev ON s.event_id = ev.event_id),
+    per AS (
+        SELECT user_id, session_id,
+               CAST(MIN(ts) AS DATE) AS day,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 AS has_click,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS has_purchase
+        FROM e GROUP BY 1, 2)
+    SELECT day,
+           CAST(SUM(has_click) AS BIGINT) AS n_click_sessions,
+           CAST(SUM(CASE WHEN has_click = 1 AND has_purchase = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned,
+           CAST(SUM(CASE WHEN has_click = 1 AND has_purchase = 0
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(has_click) AS DOUBLE) AS abandonment_rate
+    FROM per GROUP BY 1
+    HAVING SUM(has_click) > 0""",
+)
+def cart_abandonment_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cart abandonment per day: share of sessions that clicked (intent)
+    but never purchased, bucketed by the session's start day — the
+    conversion-leak KPI the session-scoped funnel's drop-off explains.
+
+    Composition: the shared sessionizer (temporal.session_scoped's
+    underlying windows.sessionize), one per-session aggregation, one
+    day rollup. Days with zero click sessions are excluded (rate is
+    0/0 there) — HAVING on both engines.
+
+    Scale: one user-keyed sessionizer window + one (user, session)
+    aggregation (same key family, no new skew), then a |days| rollup."""
+    ev = _t(spark, sf_dir, "events")
+    s = window_ops.sessionize(
+        ev, "user_id", "ts", gap_seconds=1800, tiebreak=["event_id"]
+    )
+    per = s.groupBy("user_id", "session_id").agg(
+        F.to_date(F.min("ts")).alias("day"),
+        F.max(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("has_click"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("has_purchase"),
+    )
+    aband = F.when(
+        (F.col("has_click") == 1) & (F.col("has_purchase") == 0), 1
+    ).otherwise(0)
+    return (
+        per.groupBy("day")
+        .agg(
+            F.sum("has_click").alias("n_click_sessions"),
+            F.sum(aband).alias("n_abandoned"),
+            (
+                F.sum(aband).cast("double")
+                / F.sum("has_click").cast("double")
+            ).alias("abandonment_rate"),
+        )
+        .filter(F.col("n_click_sessions") > 0)
+    )
+
+
+# =========================================================================
 # Driver-facing registry order
 # =========================================================================
 #

@@ -10818,6 +10818,477 @@ def cart_abandonment_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round-9 additions: text / graph / events / embeddings readouts
+# =========================================================================
+
+
+@workload(
+    "text_hapax_ratio_by_source",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest({text_ops.sql_tokens("text")}) AS tok
+        FROM documents WHERE source IS NOT NULL),
+    tc AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY 1, 2)
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hapax,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS hapax_ratio,
+           CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+             AS type_token_ratio
+    FROM tc GROUP BY 1""",
+)
+def text_hapax_ratio_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lexical-richness profile per source: hapax-legomenon share of the
+    vocabulary (terms occurring exactly once) and type/token ratio —
+    the corpus-health signals behind tokenizer sizing and synthetic-text
+    screening (machine-generated text skews hapax-poor; OCR noise
+    skews hapax-rich).
+
+    Scale: one shared-tokenizer explode (map-side), one (source, token)
+    aggregation — the TF/DF shuffle shape — then a |sources| rollup.
+    Ratios are single divisions of exact counts."""
+    d = _docs(spark, sf_dir).filter(F.col("source").isNotNull())
+    tc = (
+        d.select("source", F.explode(text_ops.tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hap = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return tc.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        hap.alias("hapax"),
+        (hap.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "hapax_ratio"
+        ),
+        (
+            F.count(F.lit(1)).cast("double") / F.sum("c").cast("double")
+        ).alias("type_token_ratio"),
+    )
+
+
+_COVERAGE_KS = (10, 100, 1000)
+
+
+@workload(
+    "token_coverage_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({text_ops.sql_tokens("text")}) AS tok
+        FROM documents),
+    tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY 1),
+    r AS (SELECT c,
+                 row_number() OVER (ORDER BY c DESC, tok) AS rnk
+          FROM tc),
+    s AS (SELECT CAST(SUM(c) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS vocab,
+                 {", ".join(
+                     "CAST(SUM(CASE WHEN rnk <= " + str(k)
+                     + " THEN c ELSE 0 END) AS BIGINT) AS cov" + str(k)
+                     for k in _COVERAGE_KS
+                 )}
+          FROM r)
+    {" UNION ALL ".join(
+        "SELECT " + str(k) + " AS k, cov" + str(k) + " AS covered_tokens, "
+        "total AS total_tokens, vocab, "
+        "CAST(cov" + str(k) + " AS DOUBLE) / CAST(total AS DOUBLE) "
+        "AS coverage FROM s"
+        for k in _COVERAGE_KS
+    )}""",
+)
+def token_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-token coverage curve: what share of all corpus tokens the
+    top-10/100/1000 most frequent types cover — the Zipf-head readout
+    behind vocabulary truncation and stopword-list sizing (a tokenizer
+    whose top-1000 types cover 95% of tokens wastes its budget).
+
+    Determinism: ranks are row_number over (count DESC, token ASC) — a
+    total order shared verbatim, so ties at the k-th boundary resolve
+    identically in both engines.
+
+    Scale: one tokenizer explode + token aggregation (the TF/DF shape),
+    one rank window over the |vocab| domain frame, one scalar rollup
+    unpivoted into 3 literal rows."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    tc = (
+        d.select(F.explode(text_ops.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    r = tc.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("tok")))
+        .alias("rnk"),
+    )
+    aggs = [
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("vocab"),
+    ] + [
+        F.sum(F.when(F.col("rnk") <= k, F.col("c")).otherwise(0)).alias(
+            f"cov{k}"
+        )
+        for k in _COVERAGE_KS
+    ]
+    s = r.agg(*aggs).localCheckpoint(eager=False)
+    out = None
+    for k in _COVERAGE_KS:
+        part = s.select(
+            F.lit(k).cast("int").alias("k"),
+            F.col(f"cov{k}").alias("covered_tokens"),
+            F.col("total").alias("total_tokens"),
+            "vocab",
+            (
+                F.col(f"cov{k}").cast("double")
+                / F.col("total").cast("double")
+            ).alias("coverage"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+@workload(
+    "graph_degree_histogram",
+    oracle=f"""
+    WITH e AS ({_COPURCHASE_EDGES_SQL}),
+    nodes AS (SELECT src AS node FROM e
+              UNION ALL SELECT dst FROM e),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM nodes GROUP BY 1)
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY 1""",
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph — the first plot of
+    any graph analysis (power-law vs bounded degree decides which hub
+    caps and join strategies the heavier operators need; the repo's
+    deg≤256 contracts are calibrated from exactly this readout).
+
+    Scale: edges are the capped basket-pair frame; degrees are one
+    count over the unioned endpoint list (2|E| rows, map-side
+    combinable), the histogram one more tiny rollup."""
+    e = _copurchase_edges(spark, sf_dir)
+    nodes = e.select(F.col("src").alias("node")).unionAll(
+        e.select(F.col("dst").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@workload(
+    "sessions_concurrent_peak_daily",
+    oracle=f"""
+    WITH s AS ({_SESSIONIZE_SQL}),
+    per AS (SELECT user_id, session_id,
+                   MIN(ts) AS start_ts, MAX(ts) AS end_ts
+            FROM s GROUP BY 1, 2),
+    ep AS (SELECT CAST(start_ts AS DATE) AS day, start_ts AS ts,
+                  1 AS delta, user_id, session_id FROM per
+           UNION ALL
+           SELECT CAST(start_ts AS DATE), end_ts, -1, user_id, session_id
+           FROM per),
+    run AS (SELECT day,
+                   SUM(delta) OVER (PARTITION BY day
+                                    ORDER BY ts, delta DESC,
+                                             user_id, session_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS conc
+            FROM ep)
+    SELECT day, CAST(MAX(conc) AS BIGINT) AS peak_concurrent
+    FROM run GROUP BY 1""",
+)
+def sessions_concurrent_peak_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Peak concurrent sessions per day — the capacity-planning number
+    (how many sessions overlap at the busiest instant): the classic
+    +1/−1 endpoint sweep over session intervals. Convention: at equal
+    timestamps starts sort BEFORE ends (touching sessions count as
+    concurrent) and a session is attributed to its start day; the
+    sweep order (ts, delta DESC, user, session) is a shared total
+    order, so the running sum is engine-identical.
+
+    Scale: the sessionizer's user window + one (user, session)
+    aggregation, then a per-DAY partitioned sweep window (2 endpoint
+    rows per session; day partitions grow with time, never with
+    corpus-per-day beyond session count)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    s = window_ops.sessionize(
+        ev, "user_id", "ts", gap_seconds=1800, tiebreak=["event_id"]
+    )
+    per = s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")
+    )
+    starts = per.select(
+        F.to_date("start_ts").alias("day"),
+        F.col("start_ts").alias("ts"),
+        F.lit(1).alias("delta"),
+        "user_id",
+        "session_id",
+    )
+    ends = per.select(
+        F.to_date("start_ts").alias("day"),
+        F.col("end_ts").alias("ts"),
+        F.lit(-1).alias("delta"),
+        "user_id",
+        "session_id",
+    )
+    ep = starts.unionByName(ends)
+    w = (
+        Window.partitionBy("day")
+        .orderBy("ts", F.desc("delta"), "user_id", "session_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = ep.select("day", F.sum("delta").over(w).alias("conc"))
+    return run.groupBy("day").agg(
+        F.max("conc").alias("peak_concurrent")
+    )
+
+
+@workload(
+    "doc_length_deciles_by_source",
+    oracle="""
+    WITH d AS (
+        SELECT source, n_chars,
+               ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+        FROM documents)
+    SELECT source, CAST(decile AS INTEGER) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM d GROUP BY 1, 2""",
+)
+def doc_length_deciles_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus-mix by length decile: GLOBAL document-length deciles
+    crossed with source — which sources dominate the short and long
+    tails (the pre-training length-bucketing readout: packing
+    efficiency and truncation loss both hinge on it).
+
+    The global decile cut rides windows.distributed_ntile (range
+    shuffle + broadcast offsets — never a single-partition ntile
+    window; fourth consumer after rfm / decile_lift / equi-depth
+    histogram), tie-broken by doc_id for a total order."""
+    from metadata_driven_etl_spark.operators.windows import (
+        distributed_ntile,
+    )
+
+    d = _docs(spark, sf_dir).select("source", "n_chars", "doc_id")
+    cut = distributed_ntile(
+        d, 10, [F.col("n_chars").asc(), F.col("doc_id").asc()], "decile"
+    )
+    return cut.groupBy("source", "decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@workload(
+    "ab_test_proportions_ztest",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(user_id % 2 AS INTEGER) AS variant,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS converted
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2, 3),
+    v AS (SELECT
+            CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_0,
+            CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_1,
+            CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+                 AS BIGINT) AS conv_0,
+            CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+                 AS BIGINT) AS conv_1
+          FROM u)
+    SELECT n_0, n_1, conv_0, conv_1,
+           (CAST(conv_0 AS DOUBLE) / CAST(n_0 AS DOUBLE)
+            - CAST(conv_1 AS DOUBLE) / CAST(n_1 AS DOUBLE))
+           / sqrt(
+               (CAST(conv_0 + conv_1 AS DOUBLE)
+                / CAST(n_0 + n_1 AS DOUBLE))
+               * (1.0 - CAST(conv_0 + conv_1 AS DOUBLE)
+                        / CAST(n_0 + n_1 AS DOUBLE))
+               * (1.0 / CAST(n_0 AS DOUBLE) + 1.0 / CAST(n_1 AS DOUBLE)))
+             AS z_stat
+    FROM v""",
+)
+def ab_test_proportions_ztest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-proportion z-test on daily conversion (a user-day with ≥1
+    purchase) between hash variants — the A/B readout for binary
+    outcomes (CUPED covers continuous spend; SRM guards the assignment
+    itself). Units are user-DAYS: randomization stays at the user, the
+    outcome is measured per active day (the per-user outcome is
+    degenerate here — every user eventually purchases — and the
+    user-day grain is the standard daily-conversion practice; the
+    pseudo-replication caveat is the analyst's, documented). Pooled-
+    variance form: z = (p₀−p₁) / √(p̂(1−p̂)(1/n₀+1/n₁)).
+
+    Hash-exact: all counts integer; z is ONE fixed chain of correctly-
+    rounded double ops over exact-cast counts, written identically in
+    both engines (the chisq/OLS discipline).
+
+    Scale: one user-day aggregation (map-side combinable), one 1-row
+    conditional rollup — the unit-level frame never leaves the
+    cluster."""
+    u = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            (F.col("user_id") % 2).cast("int").alias("variant"),
+        )
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    v = u.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_1"),
+        F.sum(
+            F.when(F.col("variant") == 0, F.col("converted")).otherwise(0)
+        ).alias("conv_0"),
+        F.sum(
+            F.when(F.col("variant") == 1, F.col("converted")).otherwise(0)
+        ).alias("conv_1"),
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    p0 = dbl("conv_0") / dbl("n_0")
+    p1 = dbl("conv_1") / dbl("n_1")
+    pooled = (F.col("conv_0") + F.col("conv_1")).cast("double") / (
+        F.col("n_0") + F.col("n_1")
+    ).cast("double")
+    z = (p0 - p1) / F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / dbl("n_0") + F.lit(1.0) / dbl("n_1"))
+    )
+    return v.select("n_0", "n_1", "conv_0", "conv_1", z.alias("z_stat"))
+
+
+@workload(
+    "churn_monthly_active",
+    oracle="""
+    WITH um AS (
+        SELECT DISTINCT o_custkey AS user_id,
+               date_trunc('month', CAST(o_orderdate AS DATE)) AS month
+        FROM orders),
+    nx AS (SELECT user_id, month,
+                  lead(month) OVER (PARTITION BY user_id ORDER BY month)
+                    AS next_month
+           FROM um),
+    mx AS (SELECT MAX(month) AS last_month FROM um)
+    SELECT month,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(SUM(CASE WHEN next_month IS NULL
+                           OR next_month > month + INTERVAL 1 MONTH
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+           CAST(SUM(CASE WHEN next_month IS NULL
+                           OR next_month > month + INTERVAL 1 MONTH
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS churn_rate
+    FROM nx CROSS JOIN mx
+    WHERE month < last_month
+    GROUP BY 1""",
+)
+def churn_monthly_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly churn: share of month-m purchase-active customers NOT
+    active in month m+1 (next-month retention's complement) — the
+    top-line retention KPI. Runs on the orders fact (80 observed
+    months; the events table spans a single month, which would leave
+    the readout vacuous after censoring). The final observed month is
+    censored (its churn is unknowable) and excluded on both engines.
+
+    Scale: dedup to |customer-months| first (the WAU discipline), ONE
+    customer-keyed lead window, a |months| rollup with the 1-row
+    max-month bound broadcast in."""
+    from pyspark.sql import Window
+
+    um = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.trunc(F.to_date("o_orderdate"), "month").alias("month"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("user_id").orderBy("month")
+    nx = um.withColumn("next_month", F.lead("month").over(w))
+    mx = um.agg(F.max("month").alias("last_month"))
+    churned = F.when(
+        F.col("next_month").isNull()
+        | (F.col("next_month") > F.add_months(F.col("month"), 1)),
+        1,
+    ).otherwise(0)
+    return (
+        nx.crossJoin(F.broadcast(mx))
+        .filter(F.col("month") < F.col("last_month"))
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(churned).alias("n_churned"),
+            (
+                F.sum(churned).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("churn_rate"),
+        )
+    )
+
+
+@workload(
+    "embedding_dim_range_by_label",
+    oracle="""
+    WITH x AS (
+        SELECT label, unnest(embedding) AS v,
+               unnest(generate_series(1, len(embedding))) AS dim
+        FROM embeddings)
+    SELECT label, CAST(dim AS INTEGER) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           MIN(v) AS min_val, MAX(v) AS max_val
+    FROM x GROUP BY 1, 2""",
+)
+def embedding_dim_range_by_label(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-dimension value ranges per label — the quantizer-calibration
+    profile (int8 quantization picks scales from exactly these min/max
+    envelopes; a dimension whose range collapses per label is a
+    label-leaking feature). min/max of floats involve NO arithmetic, so
+    parity is representation-exact without any decimal machinery.
+
+    Scale: one posexplode (64× map-side, same expansion class as the
+    stickiness coverage explode) into a (label, dim) aggregation with
+    constant state."""
+    e = _emb(spark, sf_dir)
+    x = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select("label", (F.col("pos") + 1).cast("int").alias("dim"), "v")
+    return x.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("v").cast("double").alias("min_val"),
+        F.max("v").cast("double").alias("max_val"),
+    )
+
+
+# =========================================================================
 # Driver-facing registry order
 # =========================================================================
 #

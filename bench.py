@@ -331,6 +331,30 @@ HEADLINE = [
     "text_readability_flesch",
     "funnel_step_rates",
     "supplier_hhi_by_nation",
+    # round 9
+    "spearman_corr_price_quantity",
+    "anova_f_value_by_type",
+    "gini_concentration_revenue",
+    "outlier_iqr_group",
+    "acf_daily_revenue",
+    "dow_seasonality_index",
+    "market_basket_substitutes",
+    "fill_rate_sla_monthly",
+    "basket_size_revenue_bands",
+    "repeat_purchase_rate_monthly",
+    "customer_tier_migration",
+    "cart_abandonment_daily",
+    "text_hapax_ratio_by_source",
+    "token_coverage_topk",
+    "graph_degree_histogram",
+    "sessions_concurrent_peak_daily",
+    "doc_length_deciles_by_source",
+    "ab_test_proportions_ztest",
+    "churn_monthly_active",
+    "embedding_dim_range_by_label",
+    "lorenz_deciles_revenue",
+    "aov_trend_monthly",
+    "interarrival_burstiness",
 ]
 
 

@@ -11288,6 +11288,232 @@ def embedding_dim_range_by_label(
     )
 
 
+@workload(
+    "lorenz_deciles_revenue",
+    oracle="""
+    WITH r AS (SELECT o_custkey,
+                      CAST(SUM(CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT))
+                           AS BIGINT) AS cents
+               FROM orders GROUP BY 1),
+    d AS (SELECT cents,
+                 ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
+          FROM r),
+    g AS (SELECT CAST(decile AS INTEGER) AS decile,
+                 CAST(COUNT(*) AS BIGINT) AS n_customers,
+                 CAST(SUM(cents) AS BIGINT) AS decile_cents
+          FROM d GROUP BY 1),
+    s AS (SELECT CAST(SUM(decile_cents) AS HUGEINT) AS tot FROM g)
+    SELECT decile, n_customers, decile_cents,
+           CAST(CAST(CAST(SUM(decile_cents)
+                          OVER (ORDER BY decile) AS HUGEINT) AS VARCHAR)
+                AS DOUBLE)
+             / CAST(CAST(tot AS VARCHAR) AS DOUBLE) AS cum_share
+    FROM g CROSS JOIN s""",
+)
+def lorenz_deciles_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve at decile resolution: customers sorted by revenue,
+    cut into GLOBAL deciles, with each decile's revenue and the
+    cumulative share — the curve whose area deficit the Gini scalar
+    (gini_concentration_revenue) summarizes; "the bottom 50% of
+    customers hold X% of revenue".
+
+    The global cut rides windows.distributed_ntile (tie-broken by
+    custkey); the cumulative share is an exact-integer prefix sum over
+    the 10-row decile frame divided once by the exactly-converted
+    total.
+
+    Scale: one fact aggregation to |customers|, the range-shuffle
+    ntile, a 10-row rollup + 10-row window."""
+    from pyspark.sql import Window
+
+    from metadata_driven_etl_spark.operators.windows import (
+        distributed_ntile,
+    )
+
+    d38 = "decimal(38,0)"
+    r = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("cents")
+        )
+    )
+    cut = distributed_ntile(
+        r, 10, [F.col("cents").asc(), F.col("o_custkey").asc()], "decile"
+    )
+    g = cut.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("decile_cents"),
+    )
+    s = g.agg(F.sum(F.col("decile_cents").cast(d38)).cast(d38).alias("tot"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return g.crossJoin(F.broadcast(s)).select(
+        "decile",
+        "n_customers",
+        "decile_cents",
+        (
+            F.sum(F.col("decile_cents").cast(d38))
+            .over(w)
+            .cast(d38)
+            .cast("double")
+            / F.col("tot").cast("double")
+        ).alias("cum_share"),
+    )
+
+
+@workload(
+    "aov_trend_monthly",
+    oracle="""
+    WITH m AS (
+        SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders GROUP BY 1),
+    t AS (SELECT month, n_orders, total_cents,
+                 CAST(CAST(CAST(total_cents AS HUGEINT) AS VARCHAR)
+                      AS DOUBLE) / CAST(n_orders AS DOUBLE) AS aov_cents,
+                 lag(total_cents) OVER (ORDER BY month) AS prev_cents,
+                 lag(n_orders) OVER (ORDER BY month) AS prev_orders
+          FROM m)
+    SELECT month, n_orders, total_cents, aov_cents,
+           CASE WHEN prev_cents IS NULL THEN NULL
+                ELSE CAST(CAST(CAST(total_cents AS HUGEINT) * prev_orders
+                               AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(CAST(prev_cents AS HUGEINT) * n_orders
+                                 AS VARCHAR) AS DOUBLE) - 1.0
+           END AS aov_mom_delta
+    FROM t""",
+)
+def aov_trend_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average order value per month with the month-over-month delta —
+    the pricing/mix-shift trend line. The MoM ratio is computed as ONE
+    division of two exact integer cross-products
+    (aov_m/aov_{m−1} = total_m·n_{m−1} / (total_{m−1}·n_m)) minus 1 —
+    never a ratio of two already-rounded doubles.
+
+    Scale: one month aggregation (map-side combinable) to the |months|
+    frame; the lag window runs over ~80 rows."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    m = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.trunc(F.to_date("o_orderdate"), "month").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("total_cents"),
+        )
+    )
+    w = Window.orderBy("month")
+    t = m.select(
+        "month",
+        "n_orders",
+        "total_cents",
+        (
+            F.col("total_cents").cast(d38).cast("double")
+            / F.col("n_orders").cast("double")
+        ).alias("aov_cents"),
+        F.lag("total_cents").over(w).alias("prev_cents"),
+        F.lag("n_orders").over(w).alias("prev_orders"),
+    )
+    mom = (
+        (F.col("total_cents").cast(d38) * F.col("prev_orders"))
+        .cast(d38)
+        .cast("double")
+        / (F.col("prev_cents").cast(d38) * F.col("n_orders"))
+        .cast(d38)
+        .cast("double")
+        - 1.0
+    )
+    return t.select(
+        "month",
+        "n_orders",
+        "total_cents",
+        "aov_cents",
+        F.when(F.col("prev_cents").isNull(), F.lit(None).cast("double"))
+        .otherwise(mom)
+        .alias("aov_mom_delta"),
+    )
+
+
+@workload(
+    "interarrival_burstiness",
+    oracle="""
+    WITH g AS (
+        SELECT event_type, ts, event_id,
+               lag(ts) OVER (PARTITION BY event_type
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+    d AS (SELECT event_type,
+                 CAST(epoch_us(ts) - epoch_us(prev_ts) AS BIGINT) AS gap
+          FROM g WHERE prev_ts IS NOT NULL),
+    s AS (SELECT event_type,
+                 CAST(COUNT(*) AS HUGEINT) AS n,
+                 SUM(CAST(gap AS HUGEINT)) AS sg,
+                 SUM(CAST(gap AS HUGEINT) * gap) AS qg
+          FROM d GROUP BY 1)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_gaps,
+           (sqrt(CAST(CAST(n*qg - sg*sg AS VARCHAR) AS DOUBLE))
+            - CAST(CAST(sg AS VARCHAR) AS DOUBLE))
+           / (sqrt(CAST(CAST(n*qg - sg*sg AS VARCHAR) AS DOUBLE))
+              + CAST(CAST(sg AS VARCHAR) AS DOUBLE)) AS burstiness
+    FROM s""",
+)
+def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh–Barabási burstiness of event interarrival times per type:
+    B = (σ−μ)/(σ+μ) ∈ (−1, 1) — B≈0 is Poisson traffic, B→1 is bursty
+    (retry storms, bot scrapes), B→−1 is metronomic (cron) — the
+    traffic-shape fingerprint behind anomaly baselining and capacity
+    headroom.
+
+    Hash-exact: gaps are integer microseconds; with population σ² =
+    (n·Q−S²)/n², B simplifies to (√(nQ−S²) − S)/(√(nQ−S²) + S) — the
+    n's cancel, so numerator and denominator use ONE exactly-computed
+    decimal radicand and sum, and B is a fixed chain of three
+    correctly-rounded double ops.
+
+    Scale: one event_type-keyed lag window (the transition-matrix
+    shuffle), one map-side-combinable moment aggregation."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            (
+                F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.lag("ts").over(w))
+            ).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    s = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("gap").cast(d38)).cast(d38).alias("sg"),
+        F.sum((F.col("gap").cast(d38) * F.col("gap")).cast(d38))
+        .cast(d38)
+        .alias("qg"),
+    )
+    rad = (F.col("n") * F.col("qg") - F.col("sg") * F.col("sg")).cast(d38)
+    sd = F.sqrt(rad.cast("double"))
+    sg = F.col("sg").cast("double")
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_gaps"),
+        ((sd - sg) / (sd + sg)).alias("burstiness"),
+    )
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================

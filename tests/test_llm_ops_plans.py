@@ -1202,3 +1202,130 @@ def test_hhi_two_stacked_aggregations_broadcast_dim(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
+
+
+# --- round-9 workload plan pins ---------------------------------------------
+
+
+def _data_shuffles(plan: str) -> list[str]:
+    return [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln
+        and "RoundRobinPartitioning" not in ln
+        and "BroadcastExchange" not in ln
+    ]
+
+
+def test_spearman_broadcasts_quantity_ranks(spark, sf_dir):
+    """The 50-row quantity rank frame broadcasts; the price-rank carry
+    is an equi-join; one final moment aggregation — never a cartesian
+    or a fact self-join."""
+    plan = _plan(
+        workloads.QUERIES["spearman_corr_price_quantity"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_anova_single_aggregation_no_join(spark, sf_dir):
+    """One map-side-combinable groupBy over the fact, then literal-pivot
+    arithmetic on the 5-row frame — no join anywhere."""
+    plan = _plan(workloads.QUERIES["anova_f_value_by_type"](spark, sf_dir))
+    assert "Join" not in plan
+    assert len(_data_shuffles(plan)) <= 2, _data_shuffles(plan)
+
+
+def test_gini_domain_frame_no_join(spark, sf_dir):
+    """Customer rollup → |distinct revenue| domain frame → cumulative
+    window → scalar: aggregations and one domain window only."""
+    plan = _plan(
+        workloads.QUERIES["gini_concentration_revenue"](spark, sf_dir)
+    )
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_iqr_outliers_broadcast_stats(spark, sf_dir):
+    """The 5-row quartile frame broadcasts back over the scan — never a
+    sort-merge join of fact against stats."""
+    plan = _plan(workloads.QUERIES["outlier_iqr_group"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_substitutes_one_scan_no_smj(spark, sf_dir):
+    """Baskets gather once (materialized); candidates are the literal
+    top-m cross (broadcast nested loop over 50-row frames is the
+    DESIGN); observed counts and the basket total broadcast back —
+    never a fact self-join."""
+    plan = _plan(
+        workloads.QUERIES["market_basket_substitutes"](spark, sf_dir)
+    )
+    assert plan.count("Scan parquet") <= 1, plan
+    assert "SortMergeJoin" not in plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_concurrent_peak_day_partitioned_sweep(spark, sf_dir):
+    """The endpoint sweep window partitions by DAY — no unpartitioned
+    (single-task) running sum over all endpoints."""
+    plan = _plan(
+        workloads.QUERIES["sessions_concurrent_peak_daily"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan.replace(
+        "Exchange SinglePartition, EXECUTOR_BROADCAST", ""
+    ), plan
+
+
+def test_doc_length_deciles_no_builtin_ntile(spark, sf_dir):
+    """The global length cut rides distributed_ntile — never a bare
+    single-partition ntile window."""
+    plan = _plan(
+        workloads.QUERIES["doc_length_deciles_by_source"](spark, sf_dir)
+    )
+    assert "ntile" not in plan, plan
+
+
+def test_lorenz_deciles_no_builtin_ntile(spark, sf_dir):
+    """Same contract for the Lorenz cut; the cumulative-share window
+    runs on the 10-row decile frame only."""
+    plan = _plan(workloads.QUERIES["lorenz_deciles_revenue"](spark, sf_dir))
+    assert "ntile" not in plan, plan
+
+
+def test_ab_ztest_single_rollup(spark, sf_dir):
+    """One user-day aggregation, one 1-row conditional rollup — no
+    join."""
+    plan = _plan(
+        workloads.QUERIES["ab_test_proportions_ztest"](spark, sf_dir)
+    )
+    assert "Join" not in plan
+    assert len(_data_shuffles(plan)) <= 2, _data_shuffles(plan)
+
+
+def test_token_coverage_materializes_rank_frame(spark, sf_dir):
+    """The scalar coverage frame materializes ONCE before the 3-row
+    literal unpivot (an un-checkpointed union would replay the
+    tokenize + rank pipeline per row)."""
+    plan = _plan(workloads.QUERIES["token_coverage_topk"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_acf_lag_join_on_tiny_daily_frame(spark, sf_dir):
+    """The lag self-join runs on the materialized |days| frame (never
+    the fact); the moment frame broadcasts."""
+    plan = _plan(workloads.QUERIES["acf_daily_revenue"](spark, sf_dir))
+    assert plan.count("Scan parquet") <= 1, plan
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_burstiness_one_window_one_rollup(spark, sf_dir):
+    """One event_type-keyed lag window + one map-side-combinable moment
+    aggregation — no join."""
+    plan = _plan(workloads.QUERIES["interarrival_burstiness"](spark, sf_dir))
+    assert "Join" not in plan
+    assert len(_data_shuffles(plan)) <= 2, _data_shuffles(plan)

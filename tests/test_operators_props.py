@@ -1758,3 +1758,128 @@ def test_last_touch_null_ts_never_mispairs(spark_global):
         for r in attribute_last_touch(df).collect()
     }
     assert got == {"direct": 1, "social": 1}, got
+
+
+def test_substitute_pairs_includes_zero_cooccurrence(spark_global):
+    """The candidate space is the top-m cross, so two frequent items
+    that NEVER share a basket must appear with n_ab=0 and lift 0 —
+    the signal an observed-pair frame can never contain."""
+    from pyspark.sql import functions as F
+
+    from metadata_driven_etl_spark.operators.cooccur import (
+        substitute_pairs,
+    )
+
+    rows = []
+    # items 1 and 2 each in 4 baskets, never together; item 3 co-occurs
+    # with both (in 4 baskets of its own)
+    for b in range(4):
+        rows += [(10 + b, 1), (10 + b, 3)]
+        rows += [(20 + b, 2), (20 + b, 3)]
+    df = spark_global.createDataFrame(rows, "basket int, item int")
+    out = {
+        (r.item_a, r.item_b): (r.n_a, r.n_b, r.n_ab, r.lift)
+        for r in substitute_pairs(
+            df, "basket", "item", top_m=3
+        ).collect()
+    }
+    assert (1, 2) in out
+    n_a, n_b, n_ab, lift = out[(1, 2)]
+    assert (n_a, n_b, n_ab, lift) == (4, 4, 0, 0.0)
+    # 1-3 and 2-3 co-occur exactly at independence (4*8 == 4*8): lift=1
+    # is NOT below independence, so they are excluded
+    assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_substitute_pairs_top_m_excludes_rare_items(spark_global):
+    """Items outside the top-m by basket count never enter the
+    candidate space (the literal bound)."""
+    from metadata_driven_etl_spark.operators.cooccur import (
+        substitute_pairs,
+    )
+
+    rows = [(b, 1) for b in range(5)] + [(b, 2) for b in range(5)]
+    rows += [(100, 9)]  # rare item
+    df = spark_global.createDataFrame(rows, "basket int, item int")
+    out = substitute_pairs(df, "basket", "item", top_m=2).collect()
+    items = {r.item_a for r in out} | {r.item_b for r in out}
+    assert 9 not in items
+
+
+def test_burstiness_sign_regimes(spark_global):
+    """Metronomic gaps -> B = -1 (sigma 0); a heavy-tailed gap mix ->
+    B > 0; the statistic is bounded in (-1, 1)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # 'cron': exactly every 60s x 20 -> sigma=0 -> B=-1
+    for i in range(20):
+        rows.append((i, t0 + dt.timedelta(seconds=60 * i), "cron"))
+    # 'bursty': 18 gaps of 1s, one gap of 10000s
+    ts = t0
+    for i in range(19):
+        rows.append((100 + i, ts, "bursty"))
+        ts += dt.timedelta(seconds=1 if i < 18 else 10000)
+    rows.append((200, ts, "bursty"))
+    df = spark_global.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = (
+        df.select(
+            "event_type",
+            (
+                F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.lag("ts").over(w))
+            ).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    d38 = "decimal(38,0)"
+    s = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("gap").cast(d38)).cast(d38).alias("sg"),
+        F.sum((F.col("gap").cast(d38) * F.col("gap")).cast(d38))
+        .cast(d38)
+        .alias("qg"),
+    )
+    rad = (F.col("n") * F.col("qg") - F.col("sg") * F.col("sg")).cast(d38)
+    sd = F.sqrt(rad.cast("double"))
+    sg = F.col("sg").cast("double")
+    out = {
+        r.event_type: r.b
+        for r in s.select(
+            "event_type", ((sd - sg) / (sd + sg)).alias("b")
+        ).collect()
+    }
+    assert out["cron"] == -1.0
+    assert 0.0 < out["bursty"] < 1.0
+
+
+def test_spearman_hand_check(spark_global, tmp_path):
+    """Spearman on a constructed lineitem slice matches the hand
+    formula (ties included): x=[1,2,2,3], y=[10,20,20,40] -> rho = 1
+    (perfectly monotone with identical tie structure)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from metadata_driven_etl_spark import workloads
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    li = spark_global.createDataFrame(
+        [(1.0, 10), (2.0, 20), (2.0, 20), (3.0, 40)],
+        "l_extendedprice double, l_quantity int",
+    )
+    li.write.parquet(os.path.join(sf, "lineitem.parquet"))
+    out = workloads.QUERIES["spearman_corr_price_quantity"](
+        spark_global, sf
+    ).collect()[0]
+    assert out.n_rows == 4
+    assert abs(out.spearman_rho - 1.0) < 1e-12

@@ -355,6 +355,10 @@ HEADLINE = [
     "lorenz_deciles_revenue",
     "aov_trend_monthly",
     "interarrival_burstiness",
+    "mix_drift_monthly_chi2",
+    "trailing_7d_purchase_rate",
+    "graph_clustering_coefficient",
+    "text_numeric_density_by_source",
 ]
 
 

@@ -11514,6 +11514,260 @@ def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TPC-H priority literals, shared verbatim with the oracle (the ANOVA
+# literal-pivot discipline: a float SUM over cell rows would be
+# data-order-dependent, so the chi² total is a fixed-order scalar sum).
+_PRIORITIES = (
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+)
+
+
+@workload(
+    "mix_drift_monthly_chi2",
+    oracle=f"""
+    WITH c AS (
+        SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+               o_orderpriority AS p,
+               CAST(COUNT(*) AS BIGINT) AS obs
+        FROM orders GROUP BY 1, 2),
+    m AS (SELECT month, CAST(SUM(obs) AS BIGINT) AS n_m,
+                 {", ".join(
+                     "CAST(COALESCE(MAX(CASE WHEN p = '" + p + "' "
+                     "THEN obs END), 0) AS BIGINT) AS o" + str(i)
+                     for i, p in enumerate(_PRIORITIES)
+                 )}
+          FROM c GROUP BY 1),
+    g AS (SELECT CAST(SUM(n_m) AS BIGINT) AS n,
+                 {", ".join(
+                     "CAST(SUM(o" + str(i) + ") AS BIGINT) AS g" + str(i)
+                     for i in range(len(_PRIORITIES))
+                 )}
+          FROM m)
+    SELECT month, n_m,
+           {" + ".join(
+               "(CAST(o" + str(i) + " AS DOUBLE) - CAST(n_m AS DOUBLE)"
+               " * CAST(g" + str(i) + " AS DOUBLE) / CAST(n AS DOUBLE))"
+               " * (CAST(o" + str(i) + " AS DOUBLE)"
+               " - CAST(n_m AS DOUBLE) * CAST(g" + str(i) + " AS DOUBLE)"
+               " / CAST(n AS DOUBLE))"
+               " / (CAST(n_m AS DOUBLE) * CAST(g" + str(i) + " AS DOUBLE)"
+               " / CAST(n AS DOUBLE))"
+               for i in range(len(_PRIORITIES))
+           )} AS chi2
+    FROM m CROSS JOIN g""",
+)
+def mix_drift_monthly_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category-mix drift per month: chi² distance of each month's
+    order-priority distribution from the all-time mix — the
+    mix-shift monitor (a month whose chi² spikes changed composition,
+    not just volume; the SRM guardrail's time-series sibling).
+
+    Hash-exact: cell counts pivot into FIVE literal columns (the ANOVA
+    fixed-order discipline); each per-cell term and the left-associated
+    5-term sum are fixed chains of correctly-rounded double ops over
+    exact counts.
+
+    Scale: one (month, priority) aggregation (map-side combinable), a
+    |months|-row pivot, 1-row global mix broadcast back."""
+    c = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.trunc(F.to_date("o_orderdate"), "month").alias("month"),
+            F.col("o_orderpriority").alias("p"),
+        )
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    m = c.groupBy("month").agg(
+        F.sum("obs").alias("n_m"),
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("p") == p, F.col("obs"))), F.lit(0)
+            ).alias(f"o{i}")
+            for i, p in enumerate(_PRIORITIES)
+        ],
+    )
+    g = m.agg(
+        F.sum("n_m").alias("n"),
+        *[
+            F.sum(f"o{i}").alias(f"g{i}")
+            for i in range(len(_PRIORITIES))
+        ],
+    )
+    j = m.crossJoin(F.broadcast(g))
+    dbl = lambda c_: F.col(c_).cast("double")  # noqa: E731
+    chi2 = None
+    for i in range(len(_PRIORITIES)):
+        exp = dbl("n_m") * dbl(f"g{i}") / dbl("n")
+        term = (dbl(f"o{i}") - exp) * (dbl(f"o{i}") - exp) / exp
+        chi2 = term if chi2 is None else chi2 + term
+    return j.select("month", "n_m", chi2.alias("chi2"))
+
+
+@workload(
+    "trailing_7d_purchase_rate",
+    oracle="""
+    WITH ud AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS actives,
+               CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                        THEN user_id END) AS BIGINT)
+                 AS purchasers
+        FROM events GROUP BY 1),
+    w AS (SELECT day,
+                 SUM(actives) OVER (ORDER BY day
+                                    ROWS BETWEEN 6 PRECEDING
+                                    AND CURRENT ROW) AS a7,
+                 SUM(purchasers) OVER (ORDER BY day
+                                       ROWS BETWEEN 6 PRECEDING
+                                       AND CURRENT ROW) AS p7
+          FROM ud)
+    SELECT day, CAST(a7 AS BIGINT) AS active_user_days_7d,
+           CAST(p7 AS BIGINT) AS purchase_user_days_7d,
+           CAST(p7 AS DOUBLE) / CAST(a7 AS DOUBLE) AS purchase_rate_7d
+    FROM w""",
+)
+def trailing_7d_purchase_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trailing-7-day purchase rate per day: purchase user-days over
+    active user-days in the window — the smoothed conversion trend
+    line (daily rates are too noisy; the 7-day ratio is what the
+    dashboard plots). Units are USER-DAYS on both sides (trailing
+    distinct users would need the coverage explode — that is the
+    `rolling_active_users`/`dau_mau_stickiness` identity; this is the
+    summable-ratio sibling).
+
+    Scale: one day aggregation over the fact (distinct-state per day),
+    then a ROWS window over the tiny |days| domain frame; the rate is
+    one division of exact counts."""
+    from pyspark.sql import Window
+
+    ud = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("actives"),
+            F.countDistinct(
+                F.when(F.col("event_type") == "purchase", F.col("user_id"))
+            ).alias("purchasers"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    t = ud.select(
+        "day",
+        F.sum("actives").over(w).alias("a7"),
+        F.sum("purchasers").over(w).alias("p7"),
+    )
+    return t.select(
+        "day",
+        F.col("a7").alias("active_user_days_7d"),
+        F.col("p7").alias("purchase_user_days_7d"),
+        (F.col("p7").cast("double") / F.col("a7").cast("double")).alias(
+            "purchase_rate_7d"
+        ),
+    )
+
+
+@workload(
+    "graph_clustering_coefficient",
+    oracle=(
+        "WITH e AS (" + _COPURCHASE_EDGES_SQL + "),\n"
+        "tri AS ("
+        + graph_ops.sql_triangle_counts(_COPURCHASE_EDGES_SQL)
+        + "),\n"
+        """t AS (SELECT CAST(COALESCE(SUM(n_triangles), 0) AS HUGEINT)
+                 AS n_tri FROM tri),
+    nodes AS (SELECT src AS node FROM e UNION ALL SELECT dst FROM e),
+    deg AS (SELECT node, CAST(COUNT(*) AS HUGEINT) AS d
+            FROM nodes GROUP BY 1),
+    w AS (SELECT CAST(SUM(d*(d-1)/2) AS HUGEINT) AS n_wedges FROM deg)
+    SELECT CAST(n_tri AS BIGINT) AS n_triangles,
+           CAST(n_wedges AS BIGINT) AS n_wedges,
+           CAST(CAST(3*n_tri AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(n_wedges AS VARCHAR) AS DOUBLE)
+             AS global_clustering
+    FROM t CROSS JOIN w"""
+    ),
+)
+def graph_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Global clustering coefficient of the co-purchase graph:
+    C = 3·#triangles / #wedges (transitivity) — the one-number
+    community-structure summary (how often "bought with both" closes
+    into "bought together"), riding the existing degree-oriented
+    triangle operator plus an exact wedge count Σ d(d−1)/2.
+
+    Scale: triangle_counts' bounded wedge join (see its docstring) +
+    one degree aggregation over 2|E| endpoint rows; C is ONE division
+    of exactly-converted decimals."""
+    d38 = "decimal(38,0)"
+    e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    tri = graph_ops.triangle_counts(e).agg(
+        F.coalesce(F.sum("n_triangles"), F.lit(0)).cast(d38).alias("n_tri")
+    )
+    nodes = e.select(F.col("src").alias("node")).unionAll(
+        e.select(F.col("dst").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    wedges = deg.agg(
+        F.sum(
+            (F.col("d").cast(d38) * (F.col("d") - 1)).cast(d38) / 2
+        )
+        .cast(d38)
+        .alias("n_wedges")
+    )
+    return tri.crossJoin(F.broadcast(wedges)).select(
+        F.col("n_tri").cast("long").alias("n_triangles"),
+        F.col("n_wedges").cast("long").alias("n_wedges"),
+        (
+            (3 * F.col("n_tri")).cast(d38).cast("double")
+            / F.col("n_wedges").cast("double")
+        ).alias("global_clustering"),
+    )
+
+
+@workload(
+    "text_numeric_density_by_source",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest({text_ops.sql_tokens("text")}) AS tok
+        FROM documents WHERE source IS NOT NULL)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN regexp_full_match(tok, '[0-9]+')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric,
+           CAST(SUM(CASE WHEN regexp_full_match(tok, '[0-9]+')
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS numeric_ratio
+    FROM tok GROUP BY 1""",
+)
+def text_numeric_density_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Numeric-token density per source — the table/boilerplate/OCR
+    screen quality filters key on (a source whose token stream is
+    one-third digits is logs or tables, not prose; C4 drops such
+    lines). Complements the stopword/punctuation features in
+    quality_features with the numeric axis.
+
+    Scale: one shared-tokenizer explode + one source rollup; the digit
+    test is a full-match regex on the already-materialized token (both
+    engines anchor: rlike '^[0-9]+$' ≡ regexp_full_match '[0-9]+')."""
+    d = _docs(spark, sf_dir).filter(F.col("source").isNotNull())
+    tok = d.select(
+        "source", F.explode(text_ops.tokens("text")).alias("tok")
+    )
+    is_num = F.when(F.col("tok").rlike("^[0-9]+$"), 1).otherwise(0)
+    return tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(is_num).alias("n_numeric"),
+        (
+            F.sum(is_num).cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("numeric_ratio"),
+    )
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================

@@ -1329,3 +1329,47 @@ def test_burstiness_one_window_one_rollup(spark, sf_dir):
     plan = _plan(workloads.QUERIES["interarrival_burstiness"](spark, sf_dir))
     assert "Join" not in plan
     assert len(_data_shuffles(plan)) <= 2, _data_shuffles(plan)
+
+
+def test_mix_drift_pivot_no_join(spark, sf_dir):
+    """(month, priority) aggregation → literal pivot → 1-row global mix
+    broadcast: no sort-merge join, no cartesian beyond the broadcast
+    1-row frame."""
+    plan = _plan(workloads.QUERIES["mix_drift_monthly_chi2"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_trailing_rate_window_on_days_domain(spark, sf_dir):
+    """The ROWS window runs over the |days| domain frame AFTER the day
+    aggregation — the fact never enters a window."""
+    plan = _plan(
+        workloads.QUERIES["trailing_7d_purchase_rate"](spark, sf_dir)
+    )
+    assert plan.count("Window") >= 1
+    # the window's input is the aggregated frame: exactly one hash
+    # aggregate pair sits below it (no window directly over the scan)
+    assert "CartesianProduct" not in plan
+
+
+def test_clustering_coefficient_single_edge_materialization(
+    spark, sf_dir
+):
+    """Edges materialize once and feed the triangle operator AND the
+    degree count; the wedge total broadcasts."""
+    plan = _plan(
+        workloads.QUERIES["graph_clustering_coefficient"](spark, sf_dir)
+    )
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("Scan parquet") <= 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_numeric_density_map_side_rollup(spark, sf_dir):
+    """Tokenize + digit test are map-side; one source rollup — at most
+    one data Exchange, no join."""
+    plan = _plan(
+        workloads.QUERIES["text_numeric_density_by_source"](spark, sf_dir)
+    )
+    assert "Join" not in plan
+    assert len(_data_shuffles(plan)) <= 1, _data_shuffles(plan)

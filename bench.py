@@ -359,6 +359,9 @@ HEADLINE = [
     "trailing_7d_purchase_rate",
     "graph_clustering_coefficient",
     "text_numeric_density_by_source",
+    "token_fertility_by_lang",
+    "dedup_cross_source_matrix",
+    "pack_efficiency_by_source",
 ]
 
 

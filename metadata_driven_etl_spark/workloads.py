@@ -11768,6 +11768,193 @@ def text_numeric_density_by_source(
     )
 
 
+@workload(
+    "token_fertility_by_lang",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM({text_ops.sql_token_count("text")}) AS BIGINT)
+             AS total_words,
+           CAST(SUM({text_ops.sql_bpe_ish_token_count("text")}) AS BIGINT)
+             AS total_pieces,
+           CAST(SUM({text_ops.sql_bpe_ish_token_count("text")}) AS DOUBLE)
+             / CAST(SUM({text_ops.sql_token_count("text")}) AS DOUBLE)
+             AS fertility
+    FROM documents WHERE lang IS NOT NULL
+    GROUP BY 1""",
+)
+def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish pieces per whitespace
+    word — the tokenizer-efficiency metric multilingual-corpus work
+    tracks (a language whose fertility is 2× pays 2× the context
+    budget per word; vocab allocation follows this readout).
+
+    Scale: two map-side regex counters (the shared word and BPE-ish
+    piece counters) over the scan, one |langs| rollup; fertility is ONE
+    division of exact totals."""
+    d = _docs(spark, sf_dir).filter(F.col("lang").isNotNull())
+    c = d.select(
+        "lang",
+        text_ops.token_count("text").alias("w"),
+        text_ops.bpe_ish_token_count("text").alias("p"),
+    )
+    return c.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("total_words"),
+        F.sum("p").alias("total_pieces"),
+        (F.sum("p").cast("double") / F.sum("w").cast("double")).alias(
+            "fertility"
+        ),
+    )
+
+
+@workload(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+    WITH h AS (SELECT md5(array_to_string(
+                           {text_ops.sql_tokens("text")}[1:16], ' '))
+                 AS fp, source
+               FROM documents
+               WHERE text IS NOT NULL AND source IS NOT NULL),
+    c AS (SELECT fp, source, CAST(COUNT(*) AS BIGINT) AS n
+          FROM h GROUP BY 1, 2),
+    dup AS (SELECT fp FROM c GROUP BY 1 HAVING SUM(n) > 1),
+    k AS (SELECT c.* FROM c JOIN dup USING (fp)),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(SUM(a.n * b.n) AS BIGINT) AS n_pairs
+        FROM k a JOIN k b ON a.fp = b.fp AND a.source < b.source
+        GROUP BY 1, 2
+        UNION ALL
+        SELECT source, source, CAST(SUM(n*(n-1)/2) AS BIGINT)
+        FROM k WHERE n > 1 GROUP BY 1, 2)
+    SELECT source_a, source_b,
+           CAST(SUM(n_pairs) AS BIGINT) AS n_dup_pairs
+    FROM pairs GROUP BY 1, 2""",
+)
+def dedup_cross_source_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Duplicate-flow matrix between sources: for every source pair
+    (and each source with itself), how many document pairs share the
+    same 16-token OPENING fingerprint — WHO copies WHOM (syndication
+    rings, mirror crawls, shared boilerplate templates), the dedup
+    observability readout that decides which source loses the
+    keep-best tiebreak. The prefix fingerprint is the template
+    detector (this corpus has no byte-identical documents — the
+    whole-text md5 variant is a WHERE-clause swap).
+
+    Scale: fingerprints aggregate to the |cluster × source| frame
+    FIRST (the fact never self-joins); the pair join runs on that
+    metadata-sized frame keyed by fingerprint, restricted to clusters
+    with >1 doc. Counts are exact products n_a·n_b / C(n,2).
+
+    Cites reference dq_engine.py's duplicate counting (rows only) —
+    this is the cross-container generalization."""
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull() & F.col("source").isNotNull())
+        .select(
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice(text_ops.tokens("text"), 1, 16)
+                )
+            ).alias("fp"),
+            "source",
+        )
+    )
+    c = d.groupBy("fp", "source").agg(F.count(F.lit(1)).alias("n"))
+    dup = (
+        c.groupBy("fp")
+        .agg(F.sum("n").alias("tot"))
+        .filter(F.col("tot") > 1)
+        .select("fp")
+    )
+    k = c.join(dup, "fp").localCheckpoint(eager=False)
+    a = k.select("fp", F.col("source").alias("source_a"), F.col("n").alias("na"))
+    b = k.select("fp", F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    cross = (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("n_pairs"))
+    )
+    within = (
+        k.filter(F.col("n") > 1)
+        .groupBy(
+            F.col("source").alias("source_a"),
+            F.col("source").alias("source_b"),
+        )
+        .agg(
+            F.sum((F.col("n") * (F.col("n") - 1)) / 2)
+            .cast("long")
+            .alias("n_pairs")
+        )
+    )
+    return (
+        cross.unionByName(within)
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("n_pairs").alias("n_dup_pairs"))
+    )
+
+
+_PACK_SEQ_LEN = 256
+
+
+@workload(
+    "pack_efficiency_by_source",
+    oracle=f"""
+    WITH d AS (
+        SELECT source,
+               {text_ops.sql_token_count("text")} AS tok
+        FROM documents WHERE source IS NOT NULL),
+    c AS (SELECT source, tok,
+                 CAST(ceil(tok / {_PACK_SEQ_LEN}.0) AS BIGINT) AS chunks
+          FROM d)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(chunks) * {_PACK_SEQ_LEN} AS BIGINT) AS total_slots,
+           CAST(SUM(tok) AS DOUBLE)
+             / CAST(SUM(chunks) * {_PACK_SEQ_LEN} AS DOUBLE)
+             AS utilization
+    FROM c GROUP BY 1""",
+)
+def pack_efficiency_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sequence-packing efficiency per source at a 256-token window:
+    tokens used over slots allocated when each document is chunked to
+    ceil(tokens/256) windows — the padding-waste readout behind
+    pack_sequences / text_chunk_windows sizing (a source of short docs
+    at 30% utilization wastes 70% of its compute unless packed
+    cross-doc).
+
+    Exactness: 256 is a power of two, so tok/256 is an EXACT binary
+    division and ceil is exact; all totals integer, utilization one
+    division.
+
+    Scale: one map-side token count + ceil, one |sources| rollup."""
+    d = _docs(spark, sf_dir).filter(F.col("source").isNotNull())
+    c = d.select(
+        "source",
+        text_ops.token_count("text").alias("tok"),
+    ).select(
+        "source",
+        "tok",
+        F.ceil(F.col("tok") / _PACK_SEQ_LEN).cast("long").alias("chunks"),
+    )
+    return c.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").alias("total_tokens"),
+        (F.sum("chunks") * _PACK_SEQ_LEN).alias("total_slots"),
+        (
+            F.sum("tok").cast("double")
+            / (F.sum("chunks") * _PACK_SEQ_LEN).cast("double")
+        ).alias("utilization"),
+    )
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================

@@ -1373,3 +1373,23 @@ def test_numeric_density_map_side_rollup(spark, sf_dir):
     )
     assert "Join" not in plan
     assert len(_data_shuffles(plan)) <= 1, _data_shuffles(plan)
+
+
+def test_cross_source_matrix_no_fact_self_join(spark, sf_dir):
+    """The pair join runs on the materialized |cluster x source| frame,
+    never the documents fact: one parquet scan, cluster frame reused."""
+    plan = _plan(
+        workloads.QUERIES["dedup_cross_source_matrix"](spark, sf_dir)
+    )
+    assert plan.count("Scan parquet") <= 1, plan
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fertility_and_packing_single_rollup(spark, sf_dir):
+    """Both corpus readouts are map-side counters + one rollup — at
+    most one data Exchange, no join."""
+    for key in ("token_fertility_by_lang", "pack_efficiency_by_source"):
+        plan = _plan(workloads.QUERIES[key](spark, sf_dir))
+        assert "Join" not in plan, key
+        assert len(_data_shuffles(plan)) <= 1, (key, _data_shuffles(plan))

@@ -217,7 +217,11 @@ class DataQualityEngine:
             # declared, the group carries ≥ l distinct sensitive values
             # (attribute-disclosure screen). With action=filter this IS
             # k-anonymization by suppression: every surviving row's group
-            # satisfies both gates.
+            # satisfies both gates — apply() guarantees it by running
+            # k_anonymity filters AFTER all other filter rules and
+            # re-judging group sizes on the released population (a
+            # pre-filter size would launder <k groups shrunk by another
+            # filter rule).
             # Cost: one shuffle on the quasi-identifiers; both helper
             # stats ride ONE WindowExec pass (shared spec). l-diversity
             # uses size(collect_set) — a distinct count over a window,
@@ -352,10 +356,41 @@ class DataQualityEngine:
                 f"({ {m.rule_name: m.invalid_count for m in metrics} })"
             )
 
-        # actions: filter = conjunction of filter-rule validity
+        # actions: filter = conjunction of filter-rule validity.
+        # k_anonymity filters are deferred below every other filter:
+        # the suppression guarantee is about the RELEASED population,
+        # and another filter rule shrinking a quasi-identifier group
+        # after the size was measured would release a <k group. The
+        # metrics above still report on the INPUT (the engine's
+        # valid+invalid=total contract); only the ACTION re-judges.
         out = work
         for r in rules:
-            if r.action_on_failure == "filter":
+            if (
+                r.action_on_failure == "filter"
+                and r.rule_type != "k_anonymity"
+            ):
+                out = out.filter(F.col(valid_cols[r.rule_name]))
+        kanon_filters = [
+            r
+            for r in rules
+            if r.action_on_failure == "filter"
+            and r.rule_type == "k_anonymity"
+        ]
+        other_filters = any(
+            r.action_on_failure == "filter"
+            and r.rule_type != "k_anonymity"
+            for r in rules
+        )
+        for i, r in enumerate(kanon_filters):
+            if other_filters or i > 0:
+                # group sizes recompute on the already-filtered frame
+                # (earlier k_anonymity suppressions count too: a prior
+                # rule on different quasi-identifiers shrinks groups).
+                # _condition's helper names are deterministic per rule,
+                # so re-deriving replaces the stale helpers.
+                out, cond = self._condition(out, r)
+                out = out.filter(cond)
+            else:
                 out = out.filter(F.col(valid_cols[r.rule_name]))
         # tag flags (consistent contract), then drop helpers
         for r in rules:

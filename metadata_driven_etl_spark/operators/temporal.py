@@ -849,10 +849,17 @@ def stickiness_daily(
     DAU is the plain per-day distinct count off the SAME deduped frame
     (materialized once). Days beyond the corpus max are trimmed
     (partial future windows). Counts exact; stickiness one IEEE
-    division. Emits ``(day, dau long, mau long, stickiness double)``.
+    division. NULL users/timestamps are excluded EXPLICITLY — a NULL
+    user would count once in DAU (row count of the deduped frame) but
+    never in MAU (countDistinct drops NULLs), skewing the ratio (the
+    new_vs_returning NULL discipline). Emits ``(day, dau long,
+    mau long, stickiness double)``.
     """
     ud = (
-        events.select(user_col, F.to_date(ts_col).alias("day"))
+        events.filter(
+            F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .select(user_col, F.to_date(ts_col).alias("day"))
         .distinct()
         .localCheckpoint(eager=False)
     )

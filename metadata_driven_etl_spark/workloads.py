@@ -9436,7 +9436,8 @@ def percent_of_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dau_mau_stickiness",
     oracle="""
     WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
-                FROM events),
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
     b AS (SELECT MAX(day) AS d1 FROM ud),
     dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
     cover AS (SELECT user_id,
@@ -10197,7 +10198,7 @@ def anova_f_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
                  SUM(CAST(cents AS HUGEINT) * c) AS tot,
                  SUM(CAST(cents AS HUGEINT)
-                     * (c*prev + c*(c+1)/2)) AS six
+                     * (c*prev + c*(c+1)//2)) AS six
           FROM w)
     SELECT n AS n_customers,
            CAST(tot AS BIGINT) AS total_cents,
@@ -10356,7 +10357,7 @@ _ACF_MAX_LAG = 7
           GROUP BY 1)
     SELECT CAST(lag AS INTEGER) AS lag,
            CAST(m AS BIGINT) AS n_pairs,
-           CAST(CAST(n*n*sxy - n*sx*(sh+st) + (n-lag)*sx*sx AS VARCHAR)
+           CAST(CAST(n*n*sxy - n*sx*(sh+st) + m*sx*sx AS VARCHAR)
                 AS DOUBLE)
              / CAST(CAST(n*n*qx - n*sx*sx AS VARCHAR) AS DOUBLE) AS acf
     FROM p CROSS JOIN s""",
@@ -10366,9 +10367,13 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the seasonality/persistence diagnostic behind every forecasting
     model choice (a strong lag-7 spike = weekly cycle).
 
-    Exactness: the textbook ACF r_L = Σ(x_t−x̄)(x_{t+L}−x̄) / Σ(x_t−x̄)²
-    is cleared of the rational mean by multiplying through by N²:
-    r_L = (N²·Σx_t x_{t+L} − N·S·(Σ_head+Σ_tail) + (N−L)·S²)
+    Exactness: the ACF r_L = Σ(x_t−x̄)(x_{t+L}−x̄) / Σ(x_t−x̄)² over the
+    MATCHED pairs (m = |pairs at lag L|; on a gap-free calendar
+    m = N−L, and on a series with missing days the mean-cross term
+    must use m — using N−L there would mix pair-restricted sums with a
+    gap-free count) is cleared of the rational mean by multiplying
+    through by N²:
+    r_L = (N²·Σx_t x_{t+L} − N·S·(Σ_head+Σ_tail) + m·S²)
           / (N²·Q − N·S²) — every term an exact decimal integer, ONE
     final division (the FMA trap never arises: no double a·b−c·d).
 
@@ -10415,7 +10420,7 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = (
         n * n * F.col("sxy")
         - n * sx * (F.col("sh") + F.col("st"))
-        + (n - F.col("lag")) * sx * sx
+        + F.col("n_pairs").cast(d38) * sx * sx
     ).cast(d38)
     den = (n * n * qx - n * sx * sx).cast(d38)
     return p.crossJoin(F.broadcast(s)).select(
@@ -11680,7 +11685,7 @@ def trailing_7d_purchase_rate(
     nodes AS (SELECT src AS node FROM e UNION ALL SELECT dst FROM e),
     deg AS (SELECT node, CAST(COUNT(*) AS HUGEINT) AS d
             FROM nodes GROUP BY 1),
-    w AS (SELECT CAST(SUM(d*(d-1)/2) AS HUGEINT) AS n_wedges FROM deg)
+    w AS (SELECT CAST(SUM(d*(d-1)//2) AS HUGEINT) AS n_wedges FROM deg)
     SELECT CAST(n_tri AS BIGINT) AS n_triangles,
            CAST(n_wedges AS BIGINT) AS n_wedges,
            CAST(CAST(3*n_tri AS VARCHAR) AS DOUBLE)
@@ -11826,7 +11831,8 @@ def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM k a JOIN k b ON a.fp = b.fp AND a.source < b.source
         GROUP BY 1, 2
         UNION ALL
-        SELECT source, source, CAST(SUM(n*(n-1)/2) AS BIGINT)
+        SELECT source, source,
+               CAST(SUM(CAST(n AS HUGEINT)*(n-1)//2) AS BIGINT)
         FROM k WHERE n > 1 GROUP BY 1, 2)
     SELECT source_a, source_b,
            CAST(SUM(n_pairs) AS BIGINT) AS n_dup_pairs
@@ -11879,6 +11885,7 @@ def dedup_cross_source_matrix(
         .groupBy("source_a", "source_b")
         .agg(F.sum(F.col("na") * F.col("nb")).alias("n_pairs"))
     )
+    d38 = "decimal(38,0)"
     within = (
         k.filter(F.col("n") > 1)
         .groupBy(
@@ -11886,7 +11893,11 @@ def dedup_cross_source_matrix(
             F.col("source").alias("source_b"),
         )
         .agg(
-            F.sum((F.col("n") * (F.col("n") - 1)) / 2)
+            # C(n,2) accumulated in exact decimal — a long `/` would be
+            # a DOUBLE sum (order-dependent past 2^53)
+            F.sum(
+                ((F.col("n").cast(d38) * (F.col("n") - 1)) / 2).cast(d38)
+            )
             .cast("long")
             .alias("n_pairs")
         )

@@ -501,3 +501,52 @@ def test_k_anonymity_config_validation():
     # string quasi_identifiers coerces to a 1-tuple
     r = _rule(**{**base, "quasi_identifiers": "zip"})
     assert r.quasi_identifiers == ("zip",)
+
+
+def test_k_anonymity_rejudged_after_other_filters(dq, spark):
+    """Composition defect (r9 review): another filter rule shrinking a
+    quasi-identifier group below k must not leak the group — the
+    suppression is re-judged on the RELEASED population."""
+    rows = [
+        # group (10,) of exactly 3: one row fails not_null -> released
+        # group would be 2 < k without the re-judge
+        (1, 10, "flu"), (2, 10, "cold"), (3, 10, None),
+        # group (20,) of 4 all-valid: survives both
+        (4, 20, "flu"), (5, 20, "cold"), (6, 20, "flu"), (7, 20, "flu"),
+    ]
+    df = spark.createDataFrame(rows, "id int, zip int, diagnosis string")
+    rules = [
+        _rule(rule_name="nn", rule_type="not_null", column="diagnosis",
+              action_on_failure="filter"),
+        _rule(rule_name="priv", rule_type="k_anonymity",
+              quasi_identifiers=["zip"], k=3, action_on_failure="filter"),
+    ]
+    res = dq.apply(df, rules)
+    kept = {r.id for r in res.df.collect()}
+    assert kept == {4, 5, 6, 7}, kept
+    # metrics still report on the INPUT (valid+invalid=total contract):
+    # pre-filter, group (10,) has size 3 so priv sees all 7 rows valid
+    m = {x.rule_name: x for x in res.metrics}
+    assert m["priv"].total_count == 7 and m["priv"].valid_count == 7
+    assert m["nn"].invalid_count == 1
+
+    # two k_anonymity filter rules: the second re-judges after the
+    # first's suppression (disjoint quasi-ids shrink each other's
+    # groups)
+    rows2 = [
+        (1, 10, "a", "x"), (2, 10, "a", "y"),          # zip 10: size 2
+        (3, 20, "a", "x"), (4, 20, "b", "y"),          # zip 20: size 3
+        (5, 20, "b", "z"),
+    ]
+    df2 = spark.createDataFrame(rows2, "id int, zip int, seg string, s string")
+    rules2 = [
+        _rule(rule_name="kz", rule_type="k_anonymity",
+              quasi_identifiers=["zip"], k=3, action_on_failure="filter"),
+        _rule(rule_name="ks", rule_type="k_anonymity",
+              quasi_identifiers=["seg"], k=2, action_on_failure="filter"),
+    ]
+    res2 = dq.apply(df2, rules2)
+    kept2 = {r.id for r in res2.df.collect()}
+    # kz drops zip 10 (ids 1,2). Pre-filter seg groups: a={1,2,3} b={4,5};
+    # post-kz seg a={3} -> ks must re-judge and drop id 3 too.
+    assert kept2 == {4, 5}, kept2

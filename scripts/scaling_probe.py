@@ -243,6 +243,12 @@ OPS = {
     "ra_linkpredict_permgraph": lambda df: _ra_probe(df),
     # r8: multi-source BFS levels — frontier-join rounds, same graph
     "bfs_levels_permgraph": lambda df: _bfs_probe(df),
+    # r9: dup-flow matrix — the amplifier's copies share 16-token
+    # prefixes, so cluster SIZES grow ~Nx (quadratic pair MASS), but
+    # counts are closed-form n_a*n_b / C(n,2) over the |cluster x
+    # source| frame — cost must stay ~flat while the ANSWER's pair
+    # count grows N^2 (the anti-uncapped-LSH demonstration).
+    "cross_source_matrix": lambda df: _matrix_probe(df),
     # r7 positional phrase search: postings grow linearly with the
     # corpus and the phrase-token filter keeps the join input to the
     # two tokens' df — the curve must stay scan-linear.
@@ -252,6 +258,46 @@ OPS = {
         df, ["table", "table"]
     ),
 }
+
+
+def _matrix_probe(df: DataFrame) -> DataFrame:
+    """dedup_cross_source_matrix's shape over the amplified corpus:
+    fingerprint = md5 of the 16-token prefix (shared across copies —
+    the amplifier appends its copytag at the END), source synthesized
+    as doc_id % 7."""
+    from metadata_driven_etl_spark.operators.text import tokens
+
+    d38 = "decimal(38,0)"
+    d = df.select(
+        F.md5(F.concat_ws(" ", F.slice(tokens("text"), 1, 16))).alias("fp"),
+        (F.col("doc_id") % 7).alias("source"),
+    )
+    c = d.groupBy("fp", "source").agg(F.count(F.lit(1)).alias("n"))
+    dup = (
+        c.groupBy("fp").agg(F.sum("n").alias("tot"))
+        .filter(F.col("tot") > 1).select("fp")
+    )
+    k = c.join(dup, "fp").localCheckpoint(eager=False)
+    a = k.select("fp", F.col("source").alias("sa"), F.col("n").alias("na"))
+    b = k.select("fp", F.col("source").alias("sb"), F.col("n").alias("nb"))
+    cross = (
+        a.join(b, "fp").filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("n_pairs"))
+    )
+    within = (
+        k.filter(F.col("n") > 1)
+        .groupBy(F.col("source").alias("sa"), F.col("source").alias("sb"))
+        .agg(
+            F.sum(((F.col("n").cast(d38) * (F.col("n") - 1)) / 2).cast(d38))
+            .cast("long").alias("n_pairs")
+        )
+    )
+    return (
+        cross.unionByName(within)
+        .groupBy("sa", "sb")
+        .agg(F.sum("n_pairs").alias("n_dup_pairs"))
+    )
 
 
 def _perm_edges(df: DataFrame) -> DataFrame:
@@ -484,7 +530,86 @@ EVENT_OPS = {
     # once size > 1024 and the curve returns to basket-count-linear.
     "assoc_rules_uncapped": lambda df: _assoc_probe(df, None),
     "assoc_rules_cap1024": lambda df: _assoc_probe(df, 1024),
+    # r9: tie-aware Spearman shape — |distinct x| domain frame grows
+    # with the corpus (value cents), rank-carry join back onto the
+    # fact; expectation linear (domain window is single-partition but
+    # narrow: 2 longs per distinct value).
+    "spearman_shape": lambda df: _spearman_probe(df),
+    # r9: concurrent-session peak — sessionizer + per-DAY endpoint
+    # sweep; users grow 100x, day count fixed, so the sweep partitions
+    # grow 100x in SIZE (the hot-partition stress for the running sum).
+    "concurrent_peak": lambda df: _concurrent_probe(df),
 }
+
+
+def _spearman_probe(df: DataFrame) -> DataFrame:
+    """spearman_corr_price_quantity's exact shape over the events table
+    (x = value cents — distinct count grows with the corpus; y = a
+    7-bucket hash — the broadcast side)."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    f = df.select(
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("x"),
+        (F.col("user_id") % 7).cast("long").alias("y"),
+    )
+
+    def ranks(col, out):
+        d = f.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return d.select(
+            col, (2 * F.sum("c").over(w) - F.col("c") + 1).alias(out)
+        )
+
+    j = f.join(ranks("x", "u"), "x").join(F.broadcast(ranks("y", "v")), "y")
+    s = j.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("u").cast(d38)).cast(d38).alias("su"),
+        F.sum(F.col("v").cast(d38)).cast(d38).alias("sv"),
+        F.sum((F.col("u").cast(d38) * F.col("v")).cast(d38)).cast(d38).alias("suv"),
+        F.sum((F.col("u").cast(d38) * F.col("u")).cast(d38)).cast(d38).alias("suu"),
+        F.sum((F.col("v").cast(d38) * F.col("v")).cast(d38)).cast(d38).alias("svv"),
+    )
+    num = (F.col("n") * F.col("suv") - F.col("su") * F.col("sv")).cast(d38)
+    d1 = (F.col("n") * F.col("suu") - F.col("su") * F.col("su")).cast(d38)
+    d2 = (F.col("n") * F.col("svv") - F.col("sv") * F.col("sv")).cast(d38)
+    return s.select(
+        (num.cast("double") / (F.sqrt(d1.cast("double")) * F.sqrt(d2.cast("double")))).alias("rho")
+    )
+
+
+def _concurrent_probe(df: DataFrame) -> DataFrame:
+    """sessions_concurrent_peak_daily's shape: sessionizer + per-day
+    +1/-1 endpoint sweep (day partitions grow 100x in size here)."""
+    from pyspark.sql import Window
+
+    from metadata_driven_etl_spark.operators.windows import sessionize
+
+    s = sessionize(
+        df, "user_id", "ts", gap_seconds=1800, tiebreak=["event_id"]
+    )
+    per = s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")
+    )
+    ep = per.select(
+        F.to_date("start_ts").alias("day"), F.col("start_ts").alias("ts"),
+        F.lit(1).alias("delta"), "user_id", "session_id",
+    ).unionByName(
+        per.select(
+            F.to_date("start_ts").alias("day"), F.col("end_ts").alias("ts"),
+            F.lit(-1).alias("delta"), "user_id", "session_id",
+        )
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("ts", F.desc("delta"), "user_id", "session_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ep.select("day", F.sum("delta").over(w).alias("conc"))
+        .groupBy("day")
+        .agg(F.max("conc").alias("peak"))
+    )
 
 
 def _assoc_probe(df: DataFrame, cap: int | None) -> DataFrame:

@@ -362,6 +362,9 @@ HEADLINE = [
     "token_fertility_by_lang",
     "dedup_cross_source_matrix",
     "pack_efficiency_by_source",
+    "events_before_first_purchase",
+    "tenure_value_matrix",
+    "session_entry_exit_matrix",
 ]
 
 

@@ -11966,6 +11966,211 @@ def pack_efficiency_by_source(
     )
 
 
+@workload(
+    "events_before_first_purchase",
+    oracle="""
+    WITH w AS (
+        SELECT user_id, ts, event_id, event_type,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                 OVER (PARTITION BY user_id) AS fp_ts
+        FROM events WHERE user_id IS NOT NULL),
+    f AS (SELECT w.*,
+                 MIN(CASE WHEN event_type = 'purchase' AND ts = fp_ts
+                          THEN event_id END)
+                   OVER (PARTITION BY user_id) AS fp_id
+          FROM w),
+    per AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN ts < fp_ts
+                               OR (ts = fp_ts AND event_id < fp_id)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_before
+        FROM f WHERE fp_ts IS NOT NULL GROUP BY 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(quantile_disc(n_before, 0.25) AS BIGINT) AS p25,
+           CAST(quantile_disc(n_before, 0.50) AS BIGINT) AS p50,
+           CAST(quantile_disc(n_before, 0.75) AS BIGINT) AS p75,
+           CAST(quantile_disc(n_before, 0.90) AS BIGINT) AS p90
+    FROM per""",
+)
+def events_before_first_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Activation effort: how many events a converting user generates
+    STRICTLY before their first purchase — the activation-funnel
+    length distribution (quantiles of touches-to-first-conversion),
+    the number onboarding experiments move. Users who never purchase
+    are excluded (their effort is censored).
+
+    Determinism: "first purchase" is the (ts, event_id)-minimal
+    purchase (the repo's total-order tie-break); "before" compares the
+    same composite, spelled as two NULL-safe window carries so both
+    engines pick the identical anchor. Quantiles are rank-selection.
+
+    Scale: ONE user-keyed window pass (two conditional carries share
+    the spec), one per-user aggregation, one scalar quantile rollup."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id")
+    fp_ts = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    t = ev.withColumn("fp_ts", fp_ts)
+    fp_id = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") == F.col("fp_ts")),
+            F.col("event_id"),
+        )
+    ).over(w)
+    f = t.withColumn("fp_id", fp_id).filter(F.col("fp_ts").isNotNull())
+    before = F.when(
+        (F.col("ts") < F.col("fp_ts"))
+        | (
+            (F.col("ts") == F.col("fp_ts"))
+            & (F.col("event_id") < F.col("fp_id"))
+        ),
+        1,
+    ).otherwise(0)
+    per = f.groupBy("user_id").agg(F.sum(before).alias("n_before"))
+    return per.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        *[
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY n_before)"
+            )
+            .cast("long")
+            .alias(name)
+            for q, name in (
+                (0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.90, "p90"),
+            )
+        ],
+    )
+
+
+@workload(
+    "tenure_value_matrix",
+    oracle="""
+    WITH c AS (
+        SELECT o_custkey,
+               CAST((year(MAX(o_orderdate)) * 12 + month(MAX(o_orderdate)))
+                    - (year(MIN(o_orderdate)) * 12 + month(MIN(o_orderdate)))
+                    AS BIGINT) AS tenure_months,
+               CAST(SUM(CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1),
+    q AS (SELECT o_custkey, cents,
+                 ntile(4) OVER (ORDER BY tenure_months, o_custkey)
+                   AS tenure_q,
+                 ntile(4) OVER (ORDER BY cents, o_custkey) AS value_q
+          FROM c)
+    SELECT CAST(tenure_q AS INTEGER) AS tenure_q,
+           CAST(value_q AS INTEGER) AS value_q,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM q GROUP BY 1, 2""",
+)
+def tenure_value_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tenure × value quartile matrix: customers cut by GLOBAL
+    quartiles of relationship length (months between first and last
+    order) and of lifetime revenue, cross-tabulated — the
+    loyalty-economics grid ("are long-tenure customers the valuable
+    ones?") behind retention-investment decisions.
+
+    Both cuts ride windows.distributed_ntile CHAINED on one frame (the
+    rfm_segments shape — range shuffle + broadcast offsets each, no
+    single-partition sort); tenure is exact integer calendar months
+    (year·12+month deltas, the cohort_ltv discipline — never float
+    months_between).
+
+    Scale: one fact aggregation to |customers|, two distributed ntile
+    cuts, a 16-cell rollup."""
+    from metadata_driven_etl_spark.operators.windows import (
+        distributed_ntile,
+    )
+
+    mkey = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    cust = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            (
+                mkey(F.max("o_orderdate")) - mkey(F.min("o_orderdate"))
+            )
+            .cast("long")
+            .alias("tenure_months"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("cents"),
+        )
+    )
+    q = distributed_ntile(
+        cust,
+        4,
+        [F.col("tenure_months").asc(), F.col("o_custkey").asc()],
+        "tenure_q",
+    )
+    q = distributed_ntile(
+        q, 4, [F.col("cents").asc(), F.col("o_custkey").asc()], "value_q"
+    )
+    return q.groupBy("tenure_q", "value_q").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+    )
+
+
+@workload(
+    "session_entry_exit_matrix",
+    oracle=f"""
+    WITH s AS ({_SESSIONIZE_SQL}),
+    e AS (SELECT s.user_id, s.session_id, s.ts, s.event_id, ev.event_type
+          FROM s JOIN events ev ON s.event_id = ev.event_id),
+    r AS (SELECT user_id, session_id, event_type,
+                 row_number() OVER (PARTITION BY user_id, session_id
+                                    ORDER BY ts, event_id) AS rn_in,
+                 row_number() OVER (PARTITION BY user_id, session_id
+                                    ORDER BY ts DESC, event_id DESC)
+                   AS rn_out
+          FROM e),
+    per AS (SELECT user_id, session_id,
+                   MAX(CASE WHEN rn_in = 1 THEN event_type END)
+                     AS entry_type,
+                   MAX(CASE WHEN rn_out = 1 THEN event_type END)
+                     AS exit_type
+            FROM r GROUP BY 1, 2)
+    SELECT entry_type, exit_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM per GROUP BY 1, 2""",
+)
+def session_entry_exit_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session entry/exit matrix: the first and last event type of every
+    session, cross-tabulated — landing-to-leaving flow (which entries
+    end in purchases vs errors), the aggregate the per-step funnel and
+    transition matrix don't show.
+
+    Determinism: entry/exit are min_by/max_by over the (ts, event_id)
+    composite — the OHLC open/close idiom (associative extremum state,
+    no per-session sort on the Spark side); the oracle spells the same
+    selection with row_number under the identical total order.
+
+    Scale: the sessionizer's user window, then ONE map-side-combinable
+    (user, session) aggregation; the matrix is |types|²-bounded."""
+    ev = _t(spark, sf_dir, "events")
+    s = window_ops.sessionize(
+        ev, "user_id", "ts", gap_seconds=1800, tiebreak=["event_id"]
+    )
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    per = s.groupBy("user_id", "session_id").agg(
+        F.min_by("event_type", key).alias("entry_type"),
+        F.max_by("event_type", key).alias("exit_type"),
+    )
+    return per.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+
+
 # =========================================================================
 # Driver-facing registry order
 # =========================================================================

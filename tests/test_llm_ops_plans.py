@@ -1393,3 +1393,32 @@ def test_fertility_and_packing_single_rollup(spark, sf_dir):
         plan = _plan(workloads.QUERIES[key](spark, sf_dir))
         assert "Join" not in plan, key
         assert len(_data_shuffles(plan)) <= 1, (key, _data_shuffles(plan))
+
+
+def test_activation_effort_one_window_pass(spark, sf_dir):
+    """Both anchor carries share the user window; one quantile rollup —
+    no join."""
+    plan = _plan(
+        workloads.QUERIES["events_before_first_purchase"](spark, sf_dir)
+    )
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tenure_value_matrix_no_builtin_ntile(spark, sf_dir):
+    """Both quartile cuts ride distributed_ntile (chained, the
+    rfm_segments shape) — never a bare single-partition ntile."""
+    plan = _plan(workloads.QUERIES["tenure_value_matrix"](spark, sf_dir))
+    assert "ntile" not in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_entry_exit_minby_no_session_sort(spark, sf_dir):
+    """Entry/exit come from min_by/max_by extremum state (the OHLC
+    idiom) — one aggregation after the sessionizer, no rank window over
+    sessions."""
+    plan = _plan(
+        workloads.QUERIES["session_entry_exit_matrix"](spark, sf_dir)
+    )
+    assert "row_number" not in plan
+    assert "CartesianProduct" not in plan

@@ -165,9 +165,16 @@ def normalized_fields(total: float, speed: float) -> dict:
     host-speed factor out of the total so cross-round numbers compare at
     a glance regardless of which host state recorded the best, and the
     warning flag fires at ``UNIFORM_SLOWDOWN_WARN`` so a uniform
-    code-level slowdown can't hide inside the normalization."""
+    code-level slowdown can't hide inside the normalization.
+
+    Derived-field consistency: the division uses the SAME 2dp-rounded
+    speed the record stores as ``host_speed_vs_best`` — deriving from
+    the unrounded speed leaves a drift that grows with the total
+    (caught by test_bench_guard once the headline total crossed ~130s)
+    and would fail any reader recomputing the field from the record."""
+    stored_speed = round(speed, 2)
     return {
-        "value_normalized": round(total / speed, 3),
+        "value_normalized": round(total / stored_speed, 3),
         "uniform_slowdown_warning": speed >= UNIFORM_SLOWDOWN_WARN,
     }
 

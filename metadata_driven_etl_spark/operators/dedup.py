@@ -1446,3 +1446,72 @@ def sql_jaccard_brute_force(
     SELECT id_a, id_b, {jac} AS jaccard
     FROM joined WHERE {jac} >= {threshold}
     """
+
+
+def dup_flow_matrix(
+    df: DataFrame,
+    fp_col: str = "fp",
+    container_col: str = "source",
+    out_a: str = "source_a",
+    out_b: str = "source_b",
+) -> DataFrame:
+    """Duplicate-flow matrix between containers: given (fingerprint,
+    container) rows, count duplicate-document PAIRS per container pair
+    (cross) and per container with itself (within) — who copies whom
+    (syndication rings, mirror crawls, shared templates). Backs the
+    ``dedup_cross_source_matrix`` workload AND its scaling probe — one
+    implementation, so the measured curve always describes the shipped
+    operator.
+
+    Scale: fingerprints aggregate to the |cluster × container| frame
+    FIRST (the fact never self-joins); only that metadata-sized frame
+    self-joins on the fingerprint, restricted to clusters with >1 doc.
+    Counts are CLOSED-FORM n_a·n_b and C(n,2) — the pair space is never
+    enumerated, which is why the probe curve stays flat while the
+    implied pair mass grows quadratically (contrast the uncapped-LSH
+    row, where the pair LIST is the answer). C(n,2) accumulates in
+    exact decimal (a long ``/`` would be a double sum, order-dependent
+    past 2⁵³). Emits ``(out_a, out_b, n_dup_pairs long)``.
+    """
+    d38 = "decimal(38,0)"
+    c = df.groupBy(fp_col, container_col).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dup = (
+        c.groupBy(fp_col)
+        .agg(F.sum("n").alias("tot"))
+        .filter(F.col("tot") > 1)
+        .select(fp_col)
+    )
+    k = c.join(dup, fp_col).localCheckpoint(eager=False)
+    a = k.select(
+        fp_col, F.col(container_col).alias(out_a), F.col("n").alias("na")
+    )
+    b = k.select(
+        fp_col, F.col(container_col).alias(out_b), F.col("n").alias("nb")
+    )
+    cross = (
+        a.join(b, fp_col)
+        .filter(F.col(out_a) < F.col(out_b))
+        .groupBy(out_a, out_b)
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("n_pairs"))
+    )
+    within = (
+        k.filter(F.col("n") > 1)
+        .groupBy(
+            F.col(container_col).alias(out_a),
+            F.col(container_col).alias(out_b),
+        )
+        .agg(
+            F.sum(
+                ((F.col("n").cast(d38) * (F.col("n") - 1)) / 2).cast(d38)
+            )
+            .cast("long")
+            .alias("n_pairs")
+        )
+    )
+    return (
+        cross.unionByName(within)
+        .groupBy(out_a, out_b)
+        .agg(F.sum("n_pairs").alias("n_dup_pairs"))
+    )

@@ -963,3 +963,63 @@ def session_scoped(
         key_col,
         F.concat_ws("#", F.col(user_col), F.col("session_id")),
     )
+
+
+def concurrent_session_peaks(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Peak concurrent sessions per day — the +1/−1 endpoint sweep over
+    gap-sessionized intervals (capacity planning: how many sessions
+    overlap at the busiest instant). Convention: at equal timestamps
+    starts sort BEFORE ends (touching sessions count as concurrent) and
+    a session is attributed to its start day; the sweep order
+    (ts, delta DESC, user, session) is a total order, so the running
+    sum is engine-deterministic. Backs the
+    ``sessions_concurrent_peak_daily`` workload AND its scaling probe —
+    one implementation, so the measured curve always describes the
+    shipped operator.
+
+    Scale: the sessionizer's user window + one (user, session)
+    aggregation, then a per-DAY partitioned sweep window (2 endpoint
+    rows per session; day partitions grow with time, never with
+    corpus-per-day beyond session count). Emits
+    ``(day, peak_concurrent long)``.
+    """
+    from metadata_driven_etl_spark.operators.windows import sessionize
+
+    s = sessionize(
+        events, user_col, ts_col, gap_seconds=gap_seconds,
+        tiebreak=[order_col],
+    )
+    per = s.groupBy(user_col, "session_id").agg(
+        F.min(ts_col).alias("start_ts"), F.max(ts_col).alias("end_ts")
+    )
+    starts = per.select(
+        F.to_date("start_ts").alias("day"),
+        F.col("start_ts").alias("ts"),
+        F.lit(1).alias("delta"),
+        user_col,
+        "session_id",
+    )
+    ends = per.select(
+        F.to_date("start_ts").alias("day"),
+        F.col("end_ts").alias("ts"),
+        F.lit(-1).alias("delta"),
+        user_col,
+        "session_id",
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("ts", F.desc("delta"), user_col, "session_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = starts.unionByName(ends).select(
+        "day", F.sum("delta").over(w).alias("conc")
+    )
+    return run.groupBy("day").agg(
+        F.max("conc").alias("peak_concurrent")
+    )

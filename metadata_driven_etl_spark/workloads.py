@@ -11025,40 +11025,13 @@ def sessions_concurrent_peak_daily(
     Scale: the sessionizer's user window + one (user, session)
     aggregation, then a per-DAY partitioned sweep window (2 endpoint
     rows per session; day partitions grow with time, never with
-    corpus-per-day beyond session count)."""
-    from pyspark.sql import Window
+    corpus-per-day beyond session count). Shared core:
+    temporal.concurrent_session_peaks (also the probe's shape — one
+    implementation)."""
+    from metadata_driven_etl_spark.operators import temporal as temporal_ops
 
     ev = _t(spark, sf_dir, "events")
-    s = window_ops.sessionize(
-        ev, "user_id", "ts", gap_seconds=1800, tiebreak=["event_id"]
-    )
-    per = s.groupBy("user_id", "session_id").agg(
-        F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")
-    )
-    starts = per.select(
-        F.to_date("start_ts").alias("day"),
-        F.col("start_ts").alias("ts"),
-        F.lit(1).alias("delta"),
-        "user_id",
-        "session_id",
-    )
-    ends = per.select(
-        F.to_date("start_ts").alias("day"),
-        F.col("end_ts").alias("ts"),
-        F.lit(-1).alias("delta"),
-        "user_id",
-        "session_id",
-    )
-    ep = starts.unionByName(ends)
-    w = (
-        Window.partitionBy("day")
-        .orderBy("ts", F.desc("delta"), "user_id", "session_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    run = ep.select("day", F.sum("delta").over(w).alias("conc"))
-    return run.groupBy("day").agg(
-        F.max("conc").alias("peak_concurrent")
-    )
+    return temporal_ops.concurrent_session_peaks(ev, gap_seconds=1800)
 
 
 @workload(
@@ -11856,7 +11829,9 @@ def dedup_cross_source_matrix(
     with >1 doc. Counts are exact products n_a·n_b / C(n,2).
 
     Cites reference dq_engine.py's duplicate counting (rows only) —
-    this is the cross-container generalization."""
+    this is the cross-container generalization. Shared core:
+    dedup.dup_flow_matrix (also the probe's shape — one
+    implementation)."""
     d = (
         _docs(spark, sf_dir)
         .filter(F.col("text").isNotNull() & F.col("source").isNotNull())
@@ -11869,44 +11844,7 @@ def dedup_cross_source_matrix(
             "source",
         )
     )
-    c = d.groupBy("fp", "source").agg(F.count(F.lit(1)).alias("n"))
-    dup = (
-        c.groupBy("fp")
-        .agg(F.sum("n").alias("tot"))
-        .filter(F.col("tot") > 1)
-        .select("fp")
-    )
-    k = c.join(dup, "fp").localCheckpoint(eager=False)
-    a = k.select("fp", F.col("source").alias("source_a"), F.col("n").alias("na"))
-    b = k.select("fp", F.col("source").alias("source_b"), F.col("n").alias("nb"))
-    cross = (
-        a.join(b, "fp")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(F.sum(F.col("na") * F.col("nb")).alias("n_pairs"))
-    )
-    d38 = "decimal(38,0)"
-    within = (
-        k.filter(F.col("n") > 1)
-        .groupBy(
-            F.col("source").alias("source_a"),
-            F.col("source").alias("source_b"),
-        )
-        .agg(
-            # C(n,2) accumulated in exact decimal — a long `/` would be
-            # a DOUBLE sum (order-dependent past 2^53)
-            F.sum(
-                ((F.col("n").cast(d38) * (F.col("n") - 1)) / 2).cast(d38)
-            )
-            .cast("long")
-            .alias("n_pairs")
-        )
-    )
-    return (
-        cross.unionByName(within)
-        .groupBy("source_a", "source_b")
-        .agg(F.sum("n_pairs").alias("n_dup_pairs"))
-    )
+    return dedup_ops.dup_flow_matrix(d, "fp", "source")
 
 
 _PACK_SEQ_LEN = 256

@@ -261,43 +261,18 @@ OPS = {
 
 
 def _matrix_probe(df: DataFrame) -> DataFrame:
-    """dedup_cross_source_matrix's shape over the amplified corpus:
-    fingerprint = md5 of the 16-token prefix (shared across copies —
-    the amplifier appends its copytag at the END), source synthesized
-    as doc_id % 7."""
+    """dedup_cross_source_matrix's SHARED operator (dedup.dup_flow_matrix
+    — the probe measures the shipped implementation) over the amplified
+    corpus: fingerprint = md5 of the 16-token prefix (shared across
+    copies — the amplifier appends its copytag at the END), source
+    synthesized as doc_id % 7."""
     from metadata_driven_etl_spark.operators.text import tokens
 
-    d38 = "decimal(38,0)"
     d = df.select(
         F.md5(F.concat_ws(" ", F.slice(tokens("text"), 1, 16))).alias("fp"),
         (F.col("doc_id") % 7).alias("source"),
     )
-    c = d.groupBy("fp", "source").agg(F.count(F.lit(1)).alias("n"))
-    dup = (
-        c.groupBy("fp").agg(F.sum("n").alias("tot"))
-        .filter(F.col("tot") > 1).select("fp")
-    )
-    k = c.join(dup, "fp").localCheckpoint(eager=False)
-    a = k.select("fp", F.col("source").alias("sa"), F.col("n").alias("na"))
-    b = k.select("fp", F.col("source").alias("sb"), F.col("n").alias("nb"))
-    cross = (
-        a.join(b, "fp").filter(F.col("sa") < F.col("sb"))
-        .groupBy("sa", "sb")
-        .agg(F.sum(F.col("na") * F.col("nb")).alias("n_pairs"))
-    )
-    within = (
-        k.filter(F.col("n") > 1)
-        .groupBy(F.col("source").alias("sa"), F.col("source").alias("sb"))
-        .agg(
-            F.sum(((F.col("n").cast(d38) * (F.col("n") - 1)) / 2).cast(d38))
-            .cast("long").alias("n_pairs")
-        )
-    )
-    return (
-        cross.unionByName(within)
-        .groupBy("sa", "sb")
-        .agg(F.sum("n_pairs").alias("n_dup_pairs"))
-    )
+    return dedup_ops.dup_flow_matrix(d, "fp", "source")
 
 
 def _perm_edges(df: DataFrame) -> DataFrame:
@@ -579,37 +554,10 @@ def _spearman_probe(df: DataFrame) -> DataFrame:
 
 
 def _concurrent_probe(df: DataFrame) -> DataFrame:
-    """sessions_concurrent_peak_daily's shape: sessionizer + per-day
-    +1/-1 endpoint sweep (day partitions grow 100x in size here)."""
-    from pyspark.sql import Window
-
-    from metadata_driven_etl_spark.operators.windows import sessionize
-
-    s = sessionize(
-        df, "user_id", "ts", gap_seconds=1800, tiebreak=["event_id"]
-    )
-    per = s.groupBy("user_id", "session_id").agg(
-        F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")
-    )
-    ep = per.select(
-        F.to_date("start_ts").alias("day"), F.col("start_ts").alias("ts"),
-        F.lit(1).alias("delta"), "user_id", "session_id",
-    ).unionByName(
-        per.select(
-            F.to_date("start_ts").alias("day"), F.col("end_ts").alias("ts"),
-            F.lit(-1).alias("delta"), "user_id", "session_id",
-        )
-    )
-    w = (
-        Window.partitionBy("day")
-        .orderBy("ts", F.desc("delta"), "user_id", "session_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return (
-        ep.select("day", F.sum("delta").over(w).alias("conc"))
-        .groupBy("day")
-        .agg(F.max("conc").alias("peak"))
-    )
+    """sessions_concurrent_peak_daily's SHARED operator
+    (temporal.concurrent_session_peaks — the probe measures the shipped
+    implementation); day partitions grow 100x in size here."""
+    return temporal_ops.concurrent_session_peaks(df, gap_seconds=1800)
 
 
 def _assoc_probe(df: DataFrame, cap: int | None) -> DataFrame:

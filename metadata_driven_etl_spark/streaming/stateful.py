@@ -262,3 +262,140 @@ def cusum_stateful(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+ZSCORE_OUTPUT_SCHEMA = "event_type string, event_id long, zscore double"
+# exact integer moment registers for the trailing window, plus the
+# current window contents and the pending (post-watermark) buffer as
+# JSON strings — scalar-typed state for the Arrow round-trip (the CUSUM
+# twin's representation)
+ZSCORE_STATE_SCHEMA = "s long, s2 long, win string, pending string"
+
+
+def rolling_zscore_stateful(
+    events: DataFrame,
+    win_rows: int = 100,
+    z_thresh: int = 3,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming trailing-window z-score anomaly alerts per event type —
+    the stateful twin of the batch ``window_rolling_zscore`` workload,
+    with EXACT event-time semantics: for each row, z is computed over
+    the trailing ``win_rows`` rows (inclusive) in strict (event time,
+    id) order via the identity z = (n·x − S) / √(n·S2 − S²) with the
+    moments held as exact int64 registers (the batch probe's 6× lesson:
+    int64 beats decimal for sliding-frame state), alerting |z| > thresh
+    where the variance numerator is positive.
+
+    Parity: Python ints convert to float correctly-rounded (same as the
+    JVM's long→double), and /, √ are correctly rounded in both — so the
+    emitted double is bit-identical to the batch window form
+    (stream ≡ batch pinned in tests/test_streaming.py).
+
+    Ordering discipline (the CUSUM twin's): rows newer than the
+    watermark wait in a per-key PENDING buffer; once the watermark
+    passes a row it is finalized in (ts, id) order through the window
+    registers. Late-beyond-watermark rows drop (the built-in stateful
+    ops' contract). State per key: two int64 moments + ≤win_rows window
+    values + the watermark-bounded pending buffer; an event-time
+    timeout flushes keys that stop receiving batches.
+    """
+    pre = events.select(
+        F.col(type_col).alias("event_type"),
+        F.col(ts_col).alias("ts"),
+        F.col(order_col).alias("event_id"),
+        F.floor(F.col(value_col) * 100 + 0.5).cast("long").alias("x"),
+    )
+    w, thresh = int(win_rows), int(z_thresh)
+
+    def track(key, pdfs, state):
+        import json
+        import math
+
+        import pandas as pd
+
+        def load():
+            if state.exists:
+                s, s2, win_json, pend_json = state.get
+                return (
+                    int(s), int(s2),
+                    json.loads(win_json), json.loads(pend_json),
+                )
+            return 0, 0, [], []
+
+        def emit(rows):
+            if not rows:
+                return None
+            return pd.DataFrame(
+                {
+                    "event_type": [key[0]] * len(rows),
+                    "event_id": [r[0] for r in rows],
+                    "zscore": [r[1] for r in rows],
+                }
+            )
+
+        def finalize(s, s2, win, ready):
+            alerts = []
+            for t_us, eid, x in sorted(ready):
+                x = int(x)
+                win.append(x)
+                s += x
+                s2 += x * x
+                if len(win) > w:
+                    old = win.pop(0)
+                    s -= old
+                    s2 -= old * old
+                n = len(win)
+                var_num = n * s2 - s * s
+                if var_num > 0:
+                    z = float(n * x - s) / math.sqrt(float(var_num))
+                    if z > thresh or z < -thresh:
+                        alerts.append((eid, z))
+            return s, s2, win, alerts
+
+        s, s2, win, pending = load()
+
+        if state.hasTimedOut:
+            s, s2, win, alerts = finalize(s, s2, win, pending)
+            state.update((s, s2, json.dumps(win), json.dumps([])))
+            out = emit(alerts)
+            if out is not None:
+                yield out
+            return
+
+        wm_ms = state.getCurrentWatermarkMs()
+        for pdf in pdfs:
+            ts_ns = pdf["ts"].astype("int64")
+            unit_div = 1000 if pdf["ts"].dtype.str.endswith("[ns]") else 1
+            for t_raw, eid, x in zip(
+                ts_ns.tolist(), pdf["event_id"].tolist(), pdf["x"].tolist()
+            ):
+                t_us = int(t_raw) // unit_div
+                if t_us // 1000 <= wm_ms:
+                    continue  # late beyond the watermark: dropped
+                pending.append([t_us, int(eid), int(x)])
+        ready = [r for r in pending if r[0] // 1000 <= wm_ms]
+        pending = [r for r in pending if r[0] // 1000 > wm_ms]
+        s, s2, win, alerts = finalize(s, s2, win, ready)
+        state.update((s, s2, json.dumps(win), json.dumps(pending)))
+        if pending:
+            state.setTimeoutTimestamp(max(r[0] for r in pending) // 1000 + 1)
+        out = emit(alerts)
+        if out is not None:
+            yield out
+
+    return (
+        pre.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            track,
+            ZSCORE_OUTPUT_SCHEMA,
+            ZSCORE_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

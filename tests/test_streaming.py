@@ -926,3 +926,93 @@ def test_stateful_cusum_matches_batch(spark, sf_dir, tmp_path_factory):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stateful_rolling_zscore_matches_batch(
+    spark, sf_dir, tmp_path_factory
+):
+    """applyInPandasWithState trailing z-score alerts == the batch
+    window_rolling_zscore identity (bit-identical doubles: exact int64
+    moments, one float chain), on chronologically sliced micro-batches
+    with a far-future sentinel flushing pending buffers."""
+    import datetime
+    import time as _time
+
+    from pyspark.sql import Window
+
+    from metadata_driven_etl_spark.streaming.stateful import (
+        rolling_zscore_stateful,
+    )
+
+    win_rows, z_thresh = 100, 3
+    path = str(tmp_path_factory.mktemp("events_zscore"))
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    split_ts = lo + (hi - lo) / 2
+    for i, part_df in enumerate(
+        [
+            events.filter(F.col("ts") <= F.lit(split_ts)),
+            events.filter(F.col("ts") > F.lit(split_ts)),
+        ]
+    ):
+        part_df.coalesce(1).sortWithinPartitions("ts").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/slice={i}")
+        _time.sleep(1.1)
+    sentinel = spark.createDataFrame(
+        [(999_999_999, datetime.datetime(2100, 1, 1), -1, "sentinel", 0.0, "{}")],
+        EVENT_SCHEMA,
+    )
+    sentinel.coalesce(1).write.mode("overwrite").parquet(f"{path}/slice=2")
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
+    q = (
+        rolling_zscore_stateful(
+            stream, win_rows=win_rows, z_thresh=z_thresh
+        )
+        .writeStream.format("memory")
+        .queryName("t_zscore")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.event_type, r.event_id): r.zscore
+        for r in spark.table("t_zscore")
+        .filter(F.col("event_type") != "sentinel")
+        .collect()
+    }
+
+    # batch twin: the window_rolling_zscore exact-moment identity
+    x = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(win_rows - 1), 0)
+    )
+    m = events.select(
+        "event_type", "event_id", "ts", x.alias("x")
+    ).select(
+        "event_type", "event_id", "x",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("s2"),
+    )
+    var_num = F.col("n") * F.col("s2") - F.col("s") * F.col("s")
+    z = (
+        (F.col("n") * F.col("x") - F.col("s")).cast("double")
+        / F.sqrt(var_num.cast("double"))
+    )
+    want = {
+        (r.event_type, r.event_id): r.zscore
+        for r in m.filter(var_num > 0)
+        .select("event_type", "event_id", z.alias("zscore"))
+        .filter((F.col("zscore") > z_thresh) | (F.col("zscore") < -z_thresh))
+        .collect()
+    }
+    assert got == want and len(want) > 0

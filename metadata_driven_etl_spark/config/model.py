@@ -406,6 +406,7 @@ class SilverTransform:
 VALID_EVENT_ANALYSES = {
     "funnel", "attribution", "sessions", "transitions", "cohorts",
     "funnel_rates", "stickiness", "new_vs_returning",
+    "abandonment", "entry_exit",
 }
 VALID_FUNNEL_MODES = {"per_step", "from_first"}
 VALID_ATTRIBUTION_MODELS = {"last_touch", "time_decay"}
@@ -449,6 +450,12 @@ class EventAnalysisConfig:
       (emits ``(day, dau, mau, stickiness)``).
     - ``new_vs_returning`` (r9): per-day acquisition/retention split
       (emits ``(day, new_users, returning_users)``).
+    - ``abandonment`` (r9): share of sessions with ``intent_type`` but
+      no ``conversion_type``, per session-start day over the
+      ``gap_seconds`` sessionizer (emits ``(day, n_intent_sessions,
+      n_abandoned, abandonment_rate)``).
+    - ``entry_exit`` (r9): first/last event type per session,
+      cross-tabulated (emits ``(entry_type, exit_type, n_sessions)``).
 
     ``scope`` (funnel and funnel_rates only): ``user`` (default) runs
     the funnel over each user's whole history under the step ``window``;
@@ -468,10 +475,12 @@ class EventAnalysisConfig:
     steps: tuple[str, ...] = ()
     window: str = "30 minutes"
     funnel_mode: str = "per_step"
-    # attribution knobs
+    # attribution knobs (conversion_type shared with abandonment)
     attribution_model: str = "last_touch"
     conversion_type: str = "purchase"
     lookback_days: int = 7
+    # abandonment knob: the intent signal
+    intent_type: str = "click"
     # sessions knob (also the session-scope funnel sessionizer)
     gap_seconds: int = 1800
     # funnel/funnel_rates scope: user history vs single session
@@ -552,6 +561,19 @@ class EventAnalysisConfig:
                 f"model {model_id}: scope session replaces the step "
                 "window with the session gap — don't set window",
             )
+        if "intent_type" in d:
+            _require(
+                an == "abandonment",
+                f"model {model_id}: intent_type only applies to "
+                "analysis abandonment",
+            )
+        if an == "abandonment":
+            _require(
+                str(d.get("intent_type", "click"))
+                != str(d.get("conversion_type", "purchase")),
+                f"model {model_id}: abandonment needs distinct "
+                "intent_type and conversion_type",
+            )
         wd = d.get("window_days", 30)
         if "window_days" in d:
             _require(
@@ -605,6 +627,7 @@ class EventAnalysisConfig:
             gap_seconds=gap,
             scope=scope,
             window_days=wd,
+            intent_type=str(d.get("intent_type", "click")),
         )
 
 

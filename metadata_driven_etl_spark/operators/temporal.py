@@ -1023,3 +1023,93 @@ def concurrent_session_peaks(
     return run.groupBy("day").agg(
         F.max("conc").alias("peak_concurrent")
     )
+
+
+def abandonment_daily(
+    events: DataFrame,
+    intent_type: str = "click",
+    convert_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Abandonment rate per day: share of sessions showing intent
+    (``intent_type``) but never converting (``convert_type``), bucketed
+    by the session's start day — the conversion-leak KPI. Declarable as
+    gold ``analysis: abandonment``; the ``cart_abandonment_daily``
+    workload is this operator with the click/purchase defaults. Days
+    with zero intent sessions are excluded (the rate is 0/0 there).
+
+    Scale: one user-keyed sessionizer window + one (user, session)
+    aggregation (same key family, no new skew), then a |days| rollup;
+    the rate is one division of exact counts. Emits ``(day,
+    n_intent_sessions long, n_abandoned long, abandonment_rate
+    double)``.
+    """
+    from metadata_driven_etl_spark.operators.windows import sessionize
+
+    s = sessionize(
+        events, user_col, ts_col, gap_seconds=gap_seconds,
+        tiebreak=[order_col],
+    )
+    per = s.groupBy(user_col, "session_id").agg(
+        F.to_date(F.min(ts_col)).alias("day"),
+        F.max(
+            F.when(F.col(type_col) == intent_type, 1).otherwise(0)
+        ).alias("has_intent"),
+        F.max(
+            F.when(F.col(type_col) == convert_type, 1).otherwise(0)
+        ).alias("has_convert"),
+    )
+    aband = F.when(
+        (F.col("has_intent") == 1) & (F.col("has_convert") == 0), 1
+    ).otherwise(0)
+    return (
+        per.groupBy("day")
+        .agg(
+            F.sum("has_intent").alias("n_intent_sessions"),
+            F.sum(aband).alias("n_abandoned"),
+            (
+                F.sum(aband).cast("double")
+                / F.sum("has_intent").cast("double")
+            ).alias("abandonment_rate"),
+        )
+        .filter(F.col("n_intent_sessions") > 0)
+    )
+
+
+def session_entry_exit(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Session entry/exit matrix: first and last event type of every
+    session, cross-tabulated — landing-to-leaving flow. Declarable as
+    gold ``analysis: entry_exit``; the ``session_entry_exit_matrix``
+    workload is this operator on the events table.
+
+    Entry/exit are min_by/max_by over the (ts, order) composite — the
+    OHLC open/close idiom (associative extremum state, ONE map-side-
+    combinable aggregation after the sessionizer, no per-session sort).
+    Emits ``(entry_type, exit_type, n_sessions long)`` — |types|²-
+    bounded.
+    """
+    from metadata_driven_etl_spark.operators.windows import sessionize
+
+    s = sessionize(
+        events, user_col, ts_col, gap_seconds=gap_seconds,
+        tiebreak=[order_col],
+    )
+    key = F.struct(F.col(ts_col), F.col(order_col))
+    per = s.groupBy(user_col, "session_id").agg(
+        F.min_by(type_col, key).alias("entry_type"),
+        F.max_by(type_col, key).alias("exit_type"),
+    )
+    return per.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )

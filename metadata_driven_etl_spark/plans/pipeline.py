@@ -403,6 +403,26 @@ class GoldLayer(_LayerBase):
             return temporal_ops.new_vs_returning(
                 events, user_col=e.user_col, ts_col=e.ts_col
             )
+        if e.analysis == "abandonment":
+            return temporal_ops.abandonment_daily(
+                events,
+                intent_type=e.intent_type,
+                convert_type=e.conversion_type,
+                user_col=e.user_col,
+                ts_col=e.ts_col,
+                type_col=e.type_col,
+                order_col=e.order_col,
+                gap_seconds=e.gap_seconds,
+            )
+        if e.analysis == "entry_exit":
+            return temporal_ops.session_entry_exit(
+                events,
+                user_col=e.user_col,
+                ts_col=e.ts_col,
+                type_col=e.type_col,
+                order_col=e.order_col,
+                gap_seconds=e.gap_seconds,
+            )
         if e.analysis == "attribution":
             if e.attribution_model == "last_touch":
                 return temporal_ops.attribute_last_touch(

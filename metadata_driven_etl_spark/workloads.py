@@ -10791,35 +10791,15 @@ def cart_abandonment_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     0/0 there) — HAVING on both engines.
 
     Scale: one user-keyed sessionizer window + one (user, session)
-    aggregation (same key family, no new skew), then a |days| rollup."""
+    aggregation (same key family, no new skew), then a |days| rollup.
+    Shared core: temporal.abandonment_daily (also the declarable gold
+    ``analysis: abandonment``)."""
+    from metadata_driven_etl_spark.operators import temporal as temporal_ops
+
     ev = _t(spark, sf_dir, "events")
-    s = window_ops.sessionize(
-        ev, "user_id", "ts", gap_seconds=1800, tiebreak=["event_id"]
-    )
-    per = s.groupBy("user_id", "session_id").agg(
-        F.to_date(F.min("ts")).alias("day"),
-        F.max(
-            F.when(F.col("event_type") == "click", 1).otherwise(0)
-        ).alias("has_click"),
-        F.max(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-        ).alias("has_purchase"),
-    )
-    aband = F.when(
-        (F.col("has_click") == 1) & (F.col("has_purchase") == 0), 1
-    ).otherwise(0)
-    return (
-        per.groupBy("day")
-        .agg(
-            F.sum("has_click").alias("n_click_sessions"),
-            F.sum(aband).alias("n_abandoned"),
-            (
-                F.sum(aband).cast("double")
-                / F.sum("has_click").cast("double")
-            ).alias("abandonment_rate"),
-        )
-        .filter(F.col("n_click_sessions") > 0)
-    )
+    return temporal_ops.abandonment_daily(
+        ev, intent_type="click", convert_type="purchase", gap_seconds=1800
+    ).withColumnsRenamed({"n_intent_sessions": "n_click_sessions"})
 
 
 # =========================================================================
@@ -12094,19 +12074,13 @@ def session_entry_exit_matrix(
     selection with row_number under the identical total order.
 
     Scale: the sessionizer's user window, then ONE map-side-combinable
-    (user, session) aggregation; the matrix is |types|²-bounded."""
+    (user, session) aggregation; the matrix is |types|²-bounded.
+    Shared core: temporal.session_entry_exit (also the declarable gold
+    ``analysis: entry_exit``)."""
+    from metadata_driven_etl_spark.operators import temporal as temporal_ops
+
     ev = _t(spark, sf_dir, "events")
-    s = window_ops.sessionize(
-        ev, "user_id", "ts", gap_seconds=1800, tiebreak=["event_id"]
-    )
-    key = F.struct(F.col("ts"), F.col("event_id"))
-    per = s.groupBy("user_id", "session_id").agg(
-        F.min_by("event_type", key).alias("entry_type"),
-        F.max_by("event_type", key).alias("exit_type"),
-    )
-    return per.groupBy("entry_type", "exit_type").agg(
-        F.count(F.lit(1)).alias("n_sessions")
-    )
+    return temporal_ops.session_entry_exit(ev, gap_seconds=1800)
 
 
 # =========================================================================

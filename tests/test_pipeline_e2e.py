@@ -1034,6 +1034,24 @@ def _event_gold_cfg(tmp_path):
                 event:
                   analysis: "new_vs_returning"
                   source_table: "silver.web_events"
+              - model_id: "cart_leak"
+                target_table: "gold.ev_abandon"
+                model_type: "event"
+                refresh_type: "full"
+                event:
+                  analysis: "abandonment"
+                  source_table: "silver.web_events"
+                  intent_type: "cart"
+                  conversion_type: "purchase"
+                  gap_seconds: 1800
+              - model_id: "flow_matrix"
+                target_table: "gold.ev_entry_exit"
+                model_type: "event"
+                refresh_type: "full"
+                event:
+                  analysis: "entry_exit"
+                  source_table: "silver.web_events"
+                  gap_seconds: 1800
             """
         )
     )
@@ -1098,7 +1116,8 @@ def test_gold_event_models_e2e(spark, tmp_path):
     targets = (
         "gold.ev_funnel", "gold.ev_last_touch", "gold.ev_time_decay",
         "gold.ev_sessions", "gold.ev_funnel_rates", "gold.ev_funnel_sess",
-        "gold.ev_stickiness", "gold.ev_new_ret", "silver.web_events",
+        "gold.ev_stickiness", "gold.ev_new_ret", "gold.ev_abandon",
+        "gold.ev_entry_exit", "silver.web_events",
     )
     for t in targets:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
@@ -1108,7 +1127,7 @@ def test_gold_event_models_e2e(spark, tmp_path):
     res = run_pipeline(
         spark, cfg_dir, "2024-01-15", ["gold"], table_format=ParquetFormat()
     )
-    assert [r.status for r in res["gold"]] == ["success"] * 8, [
+    assert [r.status for r in res["gold"]] == ["success"] * 10, [
         (r.unit_id, r.error) for r in res["gold"]
     ]
 
@@ -1216,13 +1235,48 @@ def test_gold_event_models_e2e(spark, tmp_path):
     assert cols == sorted(["day", "new_users", "returning_users"])
     assert got == want
 
+    # abandonment ≡ direct composition (r9): user 1's session has
+    # cart+purchase (converted), user 2's second session has cart but no
+    # purchase within it? (cart at 150, purchase at 151 — same session:
+    # converted); assert exact frame parity and the rate bound
+    got, cols = _rows_of(spark, "gold.ev_abandon")
+    want = sorted(
+        tuple(r)
+        for r in temporal_ops.abandonment_daily(
+            events, intent_type="cart", convert_type="purchase",
+            gap_seconds=1800,
+        ).collect()
+    )
+    assert cols == sorted(
+        ["day", "n_intent_sessions", "n_abandoned", "abandonment_rate"]
+    )
+    assert got == want
+    for r in spark.table("gold.ev_abandon").collect():
+        assert 0.0 <= r.abandonment_rate <= 1.0
+
+    # entry/exit ≡ direct composition (r9); user 4's bounce enters and
+    # exits on the same view event
+    got, cols = _rows_of(spark, "gold.ev_entry_exit")
+    want = sorted(
+        tuple(r)
+        for r in temporal_ops.session_entry_exit(
+            events, gap_seconds=1800
+        ).collect()
+    )
+    assert got == want
+    matrix = {
+        (r.entry_type, r.exit_type): r.n_sessions
+        for r in spark.table("gold.ev_entry_exit").collect()
+    }
+    assert matrix[("view", "view")] >= 1  # the bounce
+
     # incremental event model: second run MERGEs on channel and stays
     # identical (same source -> same aggregate, idempotent upsert)
     before, _ = _rows_of(spark, "gold.ev_last_touch")
     res2 = run_pipeline(
         spark, cfg_dir, "2024-01-16", ["gold"], table_format=ParquetFormat()
     )
-    assert [r.status for r in res2["gold"]] == ["success"] * 8
+    assert [r.status for r in res2["gold"]] == ["success"] * 10
     after, _ = _rows_of(spark, "gold.ev_last_touch")
     assert after == before
 
@@ -1352,6 +1406,29 @@ def test_gold_event_config_validation():
         }}
     )
     assert m_st.event.window_days == 7 and m_st.event.scope == "user"
+    # r9 abandonment knobs: intent_type gated + must differ from
+    # conversion_type
+    with pytest.raises(ConfigError, match="intent_type only applies"):
+        GoldModel.from_dict(
+            {**base, "event": {
+                "analysis": "sessions", "source_table": "s",
+                "intent_type": "click",
+            }}
+        )
+    with pytest.raises(ConfigError, match="distinct intent_type"):
+        GoldModel.from_dict(
+            {**base, "event": {
+                "analysis": "abandonment", "source_table": "s",
+                "intent_type": "purchase",
+            }}
+        )
+    m_ab = GoldModel.from_dict(
+        {**base, "event": {
+            "analysis": "abandonment", "source_table": "s",
+            "intent_type": "cart",
+        }}
+    )
+    assert m_ab.event.intent_type == "cart"
     # incremental event models still need primary_keys
     with pytest.raises(ConfigError, match="primary_keys"):
         GoldModel.from_dict({**base, "refresh_type": "incremental"})

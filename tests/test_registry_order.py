@@ -140,3 +140,36 @@ def test_coverage_counts_match_registry():
     )
     assert int(m.group(1)) == len(workloads.QUERIES)
     assert int(m.group(2)) == len(workloads.ORACLES)
+
+
+# Round-9 post-prefix additions (authoritative machine-readable list for
+# the r10 rotation — mirrors COVERAGE.md "Round-9 post-prefix additions").
+R9_ADDITIONS = {
+    "spearman_corr_price_quantity", "anova_f_value_by_type",
+    "gini_concentration_revenue", "outlier_iqr_group",
+    "acf_daily_revenue", "dow_seasonality_index",
+    "market_basket_substitutes", "fill_rate_sla_monthly",
+    "basket_size_revenue_bands", "repeat_purchase_rate_monthly",
+    "customer_tier_migration", "cart_abandonment_daily",
+    "text_hapax_ratio_by_source", "token_coverage_topk",
+    "graph_degree_histogram", "sessions_concurrent_peak_daily",
+    "doc_length_deciles_by_source", "ab_test_proportions_ztest",
+    "churn_monthly_active", "embedding_dim_range_by_label",
+    "lorenz_deciles_revenue", "aov_trend_monthly",
+    "interarrival_burstiness", "mix_drift_monthly_chi2",
+    "trailing_7d_purchase_rate", "graph_clustering_coefficient",
+    "text_numeric_density_by_source", "token_fertility_by_lang",
+    "dedup_cross_source_matrix", "pack_efficiency_by_source",
+    "events_before_first_purchase", "tenure_value_matrix",
+    "session_entry_exit_matrix",
+}
+
+
+def test_r9_additions_registered_oracle_paired_and_queued():
+    """The r10 rotation queue: every round-9 addition is registered,
+    hash-checkable, and NOT yet in the driver prefix (they take their
+    first driver row next round — 4 core + 33 r9 + 13 stale = 50)."""
+    assert R9_ADDITIONS <= set(workloads.QUERIES)
+    assert R9_ADDITIONS <= set(workloads.ORACLES)
+    assert not (R9_ADDITIONS & set(workloads.DRIVER_PRIORITY))
+    assert len(R9_ADDITIONS) == 33

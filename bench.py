@@ -372,6 +372,23 @@ HEADLINE = [
     "events_before_first_purchase",
     "tenure_value_matrix",
     "session_entry_exit_matrix",
+    # round-9 second wave: hypothesis-testing completion, time-series
+    # diagnostics, LLM-corpus novelty/growth, embedding ML primitives,
+    # retail economics.
+    "welch_ttest_price_by_flag",
+    "kruskal_wallis_value_by_type",
+    "cramers_v_flag_status",
+    "mann_kendall_trend_daily",
+    "crosscorr_revenue_volume",
+    "rsi_14d_daily",
+    "changepoint_mean_shift_daily",
+    "hellinger_drift_monthly",
+    "ngram_novelty_by_source",
+    "vocab_growth_deciles",
+    "kmeans_assign_recompute",
+    "embedding_norm_outliers",
+    "arc_elasticity_monthly_brand",
+    "demand_variability_xyz",
 ]
 
 

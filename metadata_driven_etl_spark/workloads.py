@@ -12084,6 +12084,1411 @@ def session_entry_exit_matrix(
 
 
 # =========================================================================
+# Round-9 additions (second wave): hypothesis-testing completion
+# (Welch t, Kruskal–Wallis, Cramér's V, Mann–Kendall trend)
+# =========================================================================
+
+
+@workload(
+    "welch_ttest_price_by_flag",
+    oracle="""
+    WITH f AS (
+        SELECT l_returnflag AS g,
+               CAST(FLOOR(l_extendedprice*100+0.5) AS BIGINT) AS x
+        FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+    m AS (SELECT
+        CAST(SUM(CASE WHEN g='A' THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+        SUM(CASE WHEN g='A' THEN CAST(x AS HUGEINT) END) AS sa,
+        SUM(CASE WHEN g='A' THEN CAST(x AS HUGEINT)*x END) AS qa,
+        CAST(SUM(CASE WHEN g='R' THEN 1 ELSE 0 END) AS HUGEINT) AS nr,
+        SUM(CASE WHEN g='R' THEN CAST(x AS HUGEINT) END) AS sr,
+        SUM(CASE WHEN g='R' THEN CAST(x AS HUGEINT)*x END) AS qr
+        FROM f),
+    d AS (SELECT
+        CAST(na AS BIGINT) AS n_a, CAST(nr AS BIGINT) AS n_r,
+        CAST(CAST(sa AS VARCHAR) AS DOUBLE) AS sad,
+        CAST(CAST(sr AS VARCHAR) AS DOUBLE) AS srd,
+        CAST(CAST(na AS VARCHAR) AS DOUBLE) AS nad,
+        CAST(CAST(nr AS VARCHAR) AS DOUBLE) AS nrd,
+        CAST(CAST(na*qa - sa*sa AS VARCHAR) AS DOUBLE) AS ca,
+        CAST(CAST(na*(na-1) AS VARCHAR) AS DOUBLE) AS da,
+        CAST(CAST(nr*qr - sr*sr AS VARCHAR) AS DOUBLE) AS cr,
+        CAST(CAST(nr*(nr-1) AS VARCHAR) AS DOUBLE) AS dr
+        FROM m)
+    SELECT n_a, n_r,
+           sad/nad/100.0 AS mean_a, srd/nrd/100.0 AS mean_r,
+           (sad/nad - srd/nrd)
+             / sqrt(ca/da/nad + cr/dr/nrd) AS t_stat,
+           (ca/da/nad + cr/dr/nrd) * (ca/da/nad + cr/dr/nrd)
+             / ((ca/da/nad)*(ca/da/nad)/(nad-1.0)
+                + (cr/dr/nrd)*(cr/dr/nrd)/(nrd-1.0)) AS welch_df
+    FROM d""",
+)
+def welch_ttest_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test (unequal variances) of extended price,
+    returned ('A') vs neither ('R') line items — the default two-group
+    mean-difference test (the parametric sibling of the shipped
+    Mann-Whitney U; CUPED covers the variance-reduced variant). Reports
+    t and the Welch-Satterthwaite degrees of freedom.
+
+    Hash-exact: ONE conditional aggregation yields six exact decimal
+    moments (n, Σx, Σx² per group, x in cents); every derived value —
+    means, sample variances via (n·Q − S²)/(n(n−1)), the pooled
+    standard error, t, df — is a fixed chain of correctly-rounded
+    double ops over exactly-converted operands (sqrt is correctly
+    rounded; ln never appears). Bound: n·Q ≤ 1.2e14·n² < 10³⁸ to
+    ~10¹¹ rows. t and df are cent/dollar scale-invariant; means are
+    reported in dollars (one extra /100 each side).
+
+    Scale: a single map-side-combinable aggregation to ONE row — no
+    shuffle wider than the six-column partial state."""
+    d38 = "decimal(38,0)"
+    f = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("A", "R")
+    ).select(
+        F.col("l_returnflag").alias("g"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("x"),
+    )
+
+    def grp(tag: str, col: str):
+        x = F.when(F.col("g") == tag, F.col(col))
+        return x
+
+    m = f.agg(
+        F.count(F.when(F.col("g") == "A", F.lit(1))).cast(d38).alias("na"),
+        F.sum(grp("A", "x").cast(d38)).cast(d38).alias("sa"),
+        F.sum(
+            (grp("A", "x").cast(d38) * F.col("x")).cast(d38)
+        ).cast(d38).alias("qa"),
+        F.count(F.when(F.col("g") == "R", F.lit(1))).cast(d38).alias("nr"),
+        F.sum(grp("R", "x").cast(d38)).cast(d38).alias("sr"),
+        F.sum(
+            (grp("R", "x").cast(d38) * F.col("x")).cast(d38)
+        ).cast(d38).alias("qr"),
+    )
+    na, nr = F.col("na"), F.col("nr")
+    nad = na.cast("double")
+    nrd = nr.cast("double")
+    sad = F.col("sa").cast("double")
+    srd = F.col("sr").cast("double")
+    ca = (na * F.col("qa") - F.col("sa") * F.col("sa")).cast(d38).cast(
+        "double"
+    )
+    da = (na * (na - 1)).cast(d38).cast("double")
+    cr = (nr * F.col("qr") - F.col("sr") * F.col("sr")).cast(d38).cast(
+        "double"
+    )
+    dr = (nr * (nr - 1)).cast(d38).cast("double")
+    sea = ca / da / nad
+    ser = cr / dr / nrd
+    return m.select(
+        na.cast("long").alias("n_a"),
+        nr.cast("long").alias("n_r"),
+        (sad / nad / F.lit(100.0)).alias("mean_a"),
+        (srd / nrd / F.lit(100.0)).alias("mean_r"),
+        ((sad / nad - srd / nrd) / F.sqrt(sea + ser)).alias("t_stat"),
+        (
+            (sea + ser) * (sea + ser)
+            / (
+                sea * sea / (nad - F.lit(1.0))
+                + ser * ser / (nrd - F.lit(1.0))
+            )
+        ).alias("welch_df"),
+    )
+
+
+# The five event types are testdata literals (shared with the ANOVA /
+# funnel pivots); Kruskal-Wallis needs the fixed-order literal pivot so
+# the 5-term rank-moment sum is a deterministic scalar chain.
+_KW_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@workload(
+    "kruskal_wallis_value_by_type",
+    oracle=f"""
+    WITH f AS (
+        SELECT event_type AS g,
+               CAST(FLOOR(value*100+0.5) AS BIGINT) AS x
+        FROM events),
+    dx AS (SELECT x, CAST(COUNT(*) AS HUGEINT) AS c FROM f GROUP BY 1),
+    ux AS (SELECT x, 2*SUM(c) OVER (ORDER BY x) - c + 1 AS u, c FROM dx),
+    t AS (SELECT SUM(c*c*c - c) AS ties FROM ux),
+    j AS (SELECT g, u FROM f JOIN ux USING (x)),
+    m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        {", ".join(
+            "SUM(CASE WHEN g = '" + g + "' THEN u END) AS u" + str(i)
+            + ", CAST(SUM(CASE WHEN g = '" + g + "' THEN 1 ELSE 0 END)"
+            " AS HUGEINT) AS c" + str(i)
+            for i, g in enumerate(_KW_TYPES)
+        )}
+        FROM j),
+    d AS (SELECT CAST(n AS BIGINT) AS n_rows,
+        CAST(CAST(n AS VARCHAR) AS DOUBLE) AS nd,
+        {" + ".join(
+            "CAST(CAST(u" + str(i) + " AS VARCHAR) AS DOUBLE)"
+            " * CAST(CAST(u" + str(i) + " AS VARCHAR) AS DOUBLE)"
+            " / CAST(CAST(c" + str(i) + " AS VARCHAR) AS DOUBLE)"
+            for i in range(len(_KW_TYPES))
+        )} AS s5,
+        CAST(CAST((SELECT ties FROM t) AS VARCHAR) AS DOUBLE) AS tie,
+        CAST(CAST(n*n*n - n AS VARCHAR) AS DOUBLE) AS n3
+        FROM m)
+    SELECT n_rows,
+           3.0*s5/(nd*(nd+1.0)) - 3.0*(nd+1.0) AS h_stat,
+           1.0 - tie/n3 AS tie_correction,
+           (3.0*s5/(nd*(nd+1.0)) - 3.0*(nd+1.0)) / (1.0 - tie/n3)
+             AS h_adjusted
+    FROM d""",
+)
+def kruskal_wallis_value_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kruskal-Wallis H: do the five event types draw their values from
+    the same distribution? The k-group rank ANOVA — the non-parametric
+    sibling of the shipped one-way F (and the k-group extension of
+    Mann-Whitney U). Reports raw H and the tie-corrected H.
+
+    Hash-exact: DOUBLED average ranks (2·avgrank = 2·cum_before+cnt+1,
+    the Spearman domain-frame idiom) so halves never materialize; with
+    U_i = Σ(2r) per group, H = 3·Σ U_i²/n_i / (N(N+1)) − 3(N+1)
+    (the 12 folds into 3 because U_i = 2R_i). The 5-term Σ pivots into
+    literal columns (ANOVA fixed-order discipline); the tie factor
+    C = 1 − Σ(t³−t)/(N³−N) comes from the same domain frame. Every
+    term converts exactly-once to double; the final chains mirror the
+    oracle token-for-token. Bound: N³ < 10³⁸ to ~10¹² rows.
+
+    Scale: one groupBy to the |distinct cents| domain frame (ranks +
+    tie counts in the SAME pass), one rank-carry join back, ONE pivot
+    aggregation to a single row."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    f = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("x"),
+    )
+    dx = f.groupBy("x").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    ux = dx.select(
+        "x",
+        (2 * F.sum("c").over(w) - F.col("c") + 1).alias("u"),
+        "c",
+    ).localCheckpoint(eager=False)
+    ties = ux.agg(
+        F.sum(
+            (
+                F.col("c").cast(d38) * F.col("c") * F.col("c")
+                - F.col("c")
+            ).cast(d38)
+        ).cast(d38).alias("ties")
+    )
+    j = f.join(ux.select("x", "u"), "x")
+    m = j.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        *[
+            a
+            for i, g in enumerate(_KW_TYPES)
+            for a in (
+                F.sum(
+                    F.when(F.col("g") == g, F.col("u")).cast(d38)
+                ).cast(d38).alias(f"u{i}"),
+                F.count(F.when(F.col("g") == g, F.lit(1)))
+                .cast(d38)
+                .alias(f"c{i}"),
+            )
+        ],
+    ).crossJoin(F.broadcast(ties))
+    nd = F.col("n").cast("double")
+    s5 = None
+    for i in range(len(_KW_TYPES)):
+        ud = F.col(f"u{i}").cast("double")
+        term = ud * ud / F.col(f"c{i}").cast("double")
+        s5 = term if s5 is None else s5 + term
+    tie = F.col("ties").cast("double")
+    n3 = (
+        F.col("n") * F.col("n") * F.col("n") - F.col("n")
+    ).cast(d38).cast("double")
+    h = F.lit(3.0) * s5 / (nd * (nd + F.lit(1.0))) - F.lit(3.0) * (
+        nd + F.lit(1.0)
+    )
+    c = F.lit(1.0) - tie / n3
+    return m.select(
+        F.col("n").cast("long").alias("n_rows"),
+        h.alias("h_stat"),
+        c.alias("tie_correction"),
+        (h / c).alias("h_adjusted"),
+    )
+
+
+# Contingency literals for the Cramér's V cross-tab (TPC-H enumerated
+# domains — the chi² cells must pivot in fixed order).
+_CV_FLAGS = ("A", "N", "R")
+_CV_STATUS = ("F", "O")
+
+
+@workload(
+    "cramers_v_flag_status",
+    oracle=f"""
+    WITH m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        {", ".join(
+            "CAST(SUM(CASE WHEN l_returnflag = '" + fl
+            + "' AND l_linestatus = '" + st + "' THEN 1 ELSE 0 END)"
+            " AS HUGEINT) AS o" + str(i) + "_" + str(j)
+            for i, fl in enumerate(_CV_FLAGS)
+            for j, st in enumerate(_CV_STATUS)
+        )}
+        FROM lineitem),
+    d AS (SELECT CAST(n AS BIGINT) AS n_rows,
+        CAST(CAST(n AS VARCHAR) AS DOUBLE) AS nd,
+        {", ".join(
+            "CAST(CAST(o" + str(i) + "_" + str(j)
+            + " AS VARCHAR) AS DOUBLE) AS c" + str(i) + "_" + str(j)
+            for i in range(3) for j in range(2)
+        )},
+        {", ".join(
+            "CAST(CAST(" + " + ".join(
+                "o" + str(i) + "_" + str(j) for j in range(2)
+            ) + " AS VARCHAR) AS DOUBLE) AS r" + str(i)
+            for i in range(3)
+        )},
+        {", ".join(
+            "CAST(CAST(" + " + ".join(
+                "o" + str(i) + "_" + str(j) for i in range(3)
+            ) + " AS VARCHAR) AS DOUBLE) AS k" + str(j)
+            for j in range(2)
+        )}
+        FROM m)
+    SELECT n_rows,
+           {" + ".join(
+               "(c" + c + " - r" + c[0] + "*k" + c[2] + "/nd)"
+               " * (c" + c + " - r" + c[0] + "*k" + c[2] + "/nd)"
+               " / (r" + c[0] + "*k" + c[2] + "/nd)"
+               for c in ("0_0", "0_1", "1_0", "1_1", "2_0", "2_1")
+           )} AS chi2,
+           CAST(2 AS INTEGER) AS dof,
+           sqrt(({" + ".join(
+               "(c" + c + " - r" + c[0] + "*k" + c[2] + "/nd)"
+               " * (c" + c + " - r" + c[0] + "*k" + c[2] + "/nd)"
+               " / (r" + c[0] + "*k" + c[2] + "/nd)"
+               for c in ("0_0", "0_1", "1_0", "1_1", "2_0", "2_1")
+           )}) / nd) AS cramers_v
+    FROM d""",
+)
+def cramers_v_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V for the returnflag × linestatus contingency — the
+    normalized effect-size companion to the shipped per-cell chi²
+    residuals (chisq_cells_flag_status answers WHERE the association
+    is; V answers HOW STRONG on a 0–1 scale comparable across tables).
+    V = √(χ²/(N·(min(r,c)−1))) with min(3,2)−1 = 1.
+
+    Hash-exact: ONE conditional aggregation pivots the 6 cells into
+    literal columns; row/column margins are literal sums of those
+    cells (exact HUGEINT/decimal before the single double conversion
+    each); the 6-term χ² chain and the final sqrt mirror the oracle
+    token-for-token (sqrt is correctly rounded).
+
+    Scale: a single map-side-combinable aggregation to ONE row."""
+    d38 = "decimal(38,0)"
+    cells = [(i, j) for i in range(3) for j in range(2)]
+    m = _t(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        *[
+            F.count(
+                F.when(
+                    (F.col("l_returnflag") == _CV_FLAGS[i])
+                    & (F.col("l_linestatus") == _CV_STATUS[j]),
+                    F.lit(1),
+                )
+            ).cast(d38).alias(f"o{i}_{j}")
+            for i, j in cells
+        ],
+    )
+    nd = F.col("n").cast("double")
+    cd = {(i, j): F.col(f"o{i}_{j}").cast("double") for i, j in cells}
+    rowt = {
+        i: sum(
+            (F.col(f"o{i}_{j}") for j in range(1, 2)),
+            F.col(f"o{i}_0"),
+        ).cast(d38).cast("double")
+        for i in range(3)
+    }
+    colt = {
+        j: sum(
+            (F.col(f"o{i}_{j}") for i in range(1, 3)),
+            F.col(f"o0_{j}"),
+        ).cast(d38).cast("double")
+        for j in range(2)
+    }
+    chi2 = None
+    for i, j in cells:
+        exp = rowt[i] * colt[j] / nd
+        term = (cd[(i, j)] - exp) * (cd[(i, j)] - exp) / exp
+        chi2 = term if chi2 is None else chi2 + term
+    return m.select(
+        F.col("n").cast("long").alias("n_rows"),
+        chi2.alias("chi2"),
+        F.lit(2).cast("int").alias("dof"),
+        F.sqrt(chi2 / nd).alias("cramers_v"),
+    )
+
+
+@workload(
+    "mann_kendall_trend_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value*100+0.5) AS BIGINT)) AS BIGINT)
+                 AS x
+        FROM events GROUP BY 1),
+    s AS (SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                               WHEN b.x < a.x THEN -1
+                               ELSE 0 END) AS BIGINT) AS s_stat
+          FROM daily a JOIN daily b ON b.day > a.day),
+    t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                 SUM(CAST(c AS HUGEINT)*(c-1)*(2*c+5)) AS tie_term
+          FROM (SELECT x, CAST(COUNT(*) AS BIGINT) AS c
+                FROM daily GROUP BY 1)),
+    v AS (SELECT CAST(n AS BIGINT) AS n_days, s_stat,
+                 CAST(CAST(n*(n-1)*(2*n+5) - tie_term AS VARCHAR)
+                      AS DOUBLE) / 18.0 AS var_s
+          FROM s CROSS JOIN t)
+    SELECT n_days, s_stat, var_s,
+           CASE WHEN s_stat > 0
+                  THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+                WHEN s_stat < 0
+                  THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+                ELSE 0.0 END AS z_stat
+    FROM v""",
+)
+def mann_kendall_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on the daily revenue series — the
+    distribution-free monotone-trend detector (is revenue drifting up
+    or down, ignoring its shape?), the hypothesis-test companion to
+    the ACF/seasonality diagnostics. S = Σ_{i<j} sign(x_j − x_i), with
+    the tie-corrected variance and the continuity-corrected Z.
+
+    Hash-exact: S and the tie term Σt(t−1)(2t+5) are exact integers;
+    var_S = (N(N−1)(2N+5) − ties)/18 is ONE exactly-converted double
+    division; Z is a fixed correctly-rounded chain.
+
+    Scale: the pairwise space is over the DATE DOMAIN, not the fact —
+    one fact aggregation to |days| rows, then a |days|² broadcast
+    nested-loop self-join on the tiny checkpointed frame (the
+    Theil-Sen/changepoint regime: quadratic in calendar days, CONSTANT
+    in fact rows; ~3k days of history = 4.5M sign evaluations)."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("long")
+            ).alias("x")
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    s = (
+        a.join(F.broadcast(b), F.col("db") > F.col("da"))
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            ).cast("long").alias("s_stat")
+        )
+    )
+    d38 = "decimal(38,0)"
+    t = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.count(F.lit(1)).cast(d38).alias("n"),
+            F.sum(
+                (
+                    F.col("c").cast(d38)
+                    * (F.col("c") - 1)
+                    * (2 * F.col("c") + 5)
+                ).cast(d38)
+            ).cast(d38).alias("tie_term"),
+        )
+    )
+    n = F.col("n")
+    var_s = (
+        (n * (n - 1) * (2 * n + 5) - F.col("tie_term")).cast(d38)
+    ).cast("double") / F.lit(18.0)
+    sd = F.col("s_stat").cast("double")
+    return s.crossJoin(F.broadcast(t)).select(
+        n.cast("long").alias("n_days"),
+        "s_stat",
+        var_s.alias("var_s"),
+        F.when(
+            F.col("s_stat") > 0, (sd - F.lit(1.0)) / F.sqrt(var_s)
+        )
+        .when(F.col("s_stat") < 0, (sd + F.lit(1.0)) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+        .alias("z_stat"),
+    )
+
+
+# =========================================================================
+# Round-9 additions (second wave): time-series diagnostics
+# (lagged cross-correlation, RSI, changepoint, Hellinger mix drift)
+# =========================================================================
+
+_XCORR_MAX_LAG = 7
+
+
+@workload(
+    "crosscorr_revenue_volume",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value*100+0.5) AS BIGINT)) AS BIGINT)
+                 AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1),
+    ix AS (SELECT x, y,
+                  CAST(date_diff('day', (SELECT MIN(day) FROM daily), day)
+                       AS BIGINT) AS idx
+           FROM daily),
+    lags AS (SELECT unnest(generate_series(0, {_XCORR_MAX_LAG})) AS lag),
+    p AS (SELECT lag,
+                 CAST(COUNT(*) AS HUGEINT) AS m,
+                 SUM(CAST(h.x AS HUGEINT) * t.y) AS sxy,
+                 SUM(CAST(h.x AS HUGEINT)) AS sx,
+                 SUM(CAST(h.x AS HUGEINT) * h.x) AS qx,
+                 SUM(CAST(t.y AS HUGEINT)) AS sy,
+                 SUM(CAST(t.y AS HUGEINT) * t.y) AS qy
+          FROM lags JOIN ix h ON TRUE JOIN ix t ON t.idx = h.idx + lag
+          GROUP BY 1)
+    SELECT CAST(lag AS INTEGER) AS lag,
+           CAST(m AS BIGINT) AS n_pairs,
+           CAST(CAST(m*sxy - sx*sy AS VARCHAR) AS DOUBLE)
+             / (sqrt(CAST(CAST(m*qx - sx*sx AS VARCHAR) AS DOUBLE))
+                * sqrt(CAST(CAST(m*qy - sy*sy AS VARCHAR) AS DOUBLE)))
+             AS xcorr
+    FROM p""",
+)
+def crosscorr_revenue_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between daily revenue and daily event
+    volume (lags 0–7): does volume LEAD revenue, and by how many days?
+    The lead-lag diagnostic behind demand forecasting with exogenous
+    drivers (the two-series sibling of the shipped ACF).
+
+    Definition: Pearson r over the MATCHED pairs (x_t, y_{t+L}) using
+    pair-restricted moments — on a gappy calendar every moment (both
+    means included) is computed over exactly the m aligned pairs, so
+    no mixed-population term arises (the subtlety the ACF workload
+    documents is avoided rather than cleared here).
+
+    Hash-exact: all six moments are exact decimal integers;
+    r = (m·Σxy − Σx·Σy) / (√(m·Σx²−(Σx)²)·√(m·Σy²−(Σy)²)) is the
+    Spearman final chain (exactly-converted operands, correctly-
+    rounded sqrt/mul/div). Bound: m·Σxy < 10³⁸ to ~10¹⁰ days — the
+    calendar domain never gets there.
+
+    Scale: one fact aggregation to |days|; the 8-lag alignment
+    self-join runs on the tiny checkpointed daily frame."""
+    d38 = "decimal(38,0)"
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("long")
+            ).alias("x"),
+            F.count(F.lit(1)).alias("y"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    d0 = daily.agg(F.min("day").alias("d0"))
+    ix = daily.crossJoin(F.broadcast(d0)).select(
+        "x", "y",
+        F.datediff(F.col("day"), F.col("d0")).cast("long").alias("idx"),
+    ).localCheckpoint(eager=False)
+    lags = spark.range(0, _XCORR_MAX_LAG + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    h = ix.crossJoin(F.broadcast(lags)).select(
+        "lag", F.col("x").alias("xh"),
+        (F.col("idx") + F.col("lag")).alias("tidx"),
+    )
+    t = ix.select(F.col("idx").alias("tidx"), F.col("y").alias("yt"))
+    p = h.join(t, "tidx").groupBy("lag").agg(
+        F.count(F.lit(1)).cast(d38).alias("m"),
+        F.sum((F.col("xh").cast(d38) * F.col("yt")).cast(d38))
+        .cast(d38).alias("sxy"),
+        F.sum(F.col("xh").cast(d38)).cast(d38).alias("sx"),
+        F.sum((F.col("xh").cast(d38) * F.col("xh")).cast(d38))
+        .cast(d38).alias("qx"),
+        F.sum(F.col("yt").cast(d38)).cast(d38).alias("sy"),
+        F.sum((F.col("yt").cast(d38) * F.col("yt")).cast(d38))
+        .cast(d38).alias("qy"),
+    )
+    m = F.col("m")
+    num = (m * F.col("sxy") - F.col("sx") * F.col("sy")).cast(d38)
+    dxx = (m * F.col("qx") - F.col("sx") * F.col("sx")).cast(d38)
+    dyy = (m * F.col("qy") - F.col("sy") * F.col("sy")).cast(d38)
+    return p.select(
+        F.col("lag").cast("int").alias("lag"),
+        m.cast("long").alias("n_pairs"),
+        (
+            num.cast("double")
+            / (F.sqrt(dxx.cast("double")) * F.sqrt(dyy.cast("double")))
+        ).alias("xcorr"),
+    )
+
+
+_RSI_WINDOW = 14
+
+
+@workload(
+    "rsi_14d_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value*100+0.5) AS BIGINT)) AS BIGINT)
+                 AS x
+        FROM events GROUP BY 1),
+    d AS (SELECT day, x - lag(x) OVER (ORDER BY day) AS diff,
+                 row_number() OVER (ORDER BY day) AS rn
+          FROM daily),
+    w AS (SELECT day, rn,
+                 SUM(CASE WHEN diff > 0 THEN diff ELSE 0 END)
+                   OVER (ORDER BY day
+                         ROWS BETWEEN {_RSI_WINDOW - 1} PRECEDING
+                         AND CURRENT ROW) AS gain,
+                 SUM(CASE WHEN diff < 0 THEN -diff ELSE 0 END)
+                   OVER (ORDER BY day
+                         ROWS BETWEEN {_RSI_WINDOW - 1} PRECEDING
+                         AND CURRENT ROW) AS loss
+          FROM d)
+    SELECT day, CAST(gain AS BIGINT) AS gain_cents,
+           CAST(loss AS BIGINT) AS loss_cents,
+           CASE WHEN gain + loss = 0 THEN NULL
+                ELSE 100.0 * CAST(gain AS DOUBLE)
+                     / CAST(gain + loss AS DOUBLE) END AS rsi
+    FROM w WHERE rn > {_RSI_WINDOW}""",
+)
+def rsi_14d_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day Relative Strength Index of daily revenue (simple-average
+    variant): RSI = 100·G/(G+L) where G/L are trailing-14-day sums of
+    up-moves/down-moves — the bounded momentum oscillator (RSI > 70 =
+    overheated growth, < 30 = sustained decline), the CUSUM family's
+    bounded-scale sibling. Emitted only once a full lookback exists
+    (rn > 14: 14 complete diffs).
+
+    Hash-exact: day-over-day diffs, gains, and losses are exact cent
+    integers down ROWS windows; RSI is ONE division of exact integers
+    (NULL on a flat 14-day window rather than 0/0).
+
+    Scale: one fact aggregation to |days|, then ROWS windows on the
+    daily domain frame (single tiny partition by design — the
+    documented domain-frame exemption)."""
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("long")
+            ).alias("x")
+        )
+    )
+    wo = Window.orderBy("day")
+    wr = wo.rowsBetween(-(_RSI_WINDOW - 1), 0)
+    d = daily.select(
+        "day",
+        (F.col("x") - F.lag("x").over(wo)).alias("diff"),
+        F.row_number().over(wo).alias("rn"),
+    )
+    w = d.select(
+        "day", "rn",
+        F.sum(
+            F.when(F.col("diff") > 0, F.col("diff")).otherwise(F.lit(0))
+        ).over(wr).alias("gain"),
+        F.sum(
+            F.when(F.col("diff") < 0, -F.col("diff")).otherwise(F.lit(0))
+        ).over(wr).alias("loss"),
+    )
+    tot = F.col("gain") + F.col("loss")
+    return w.where(F.col("rn") > _RSI_WINDOW).select(
+        "day",
+        F.col("gain").cast("long").alias("gain_cents"),
+        F.col("loss").cast("long").alias("loss_cents"),
+        F.when(tot == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.lit(100.0) * F.col("gain").cast("double")
+            / tot.cast("double")
+        )
+        .alias("rsi"),
+    )
+
+
+@workload(
+    "changepoint_mean_shift_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value*100+0.5) AS BIGINT)) AS BIGINT)
+                 AS x
+        FROM events GROUP BY 1),
+    c AS (SELECT day,
+                 SUM(CAST(x AS HUGEINT)) OVER (ORDER BY day) AS sl,
+                 row_number() OVER (ORDER BY day) AS nl
+          FROM daily),
+    g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                 SUM(CAST(x AS HUGEINT)) AS s FROM daily),
+    m AS (SELECT day, nl, n - nl AS nr,
+                 CAST(CAST(sl*(n-nl) - (s-sl)*nl AS VARCHAR) AS DOUBLE)
+                   AS dd,
+                 sl, s - sl AS sr
+          FROM c CROSS JOIN g WHERE nl < n),
+    sc AS (SELECT day,
+                  CAST(nl AS BIGINT) AS n_left,
+                  CAST(nr AS BIGINT) AS n_right,
+                  CAST(CAST(sl AS VARCHAR) AS DOUBLE)
+                    / CAST(nl AS DOUBLE) / 100.0 AS mean_left,
+                  CAST(CAST(sr AS VARCHAR) AS DOUBLE)
+                    / CAST(CAST(nr AS VARCHAR) AS DOUBLE) / 100.0
+                    AS mean_right,
+                  dd * dd
+                    / CAST(CAST(nl*nr AS VARCHAR) AS DOUBLE) AS g_stat
+           FROM m)
+    SELECT day AS split_day, n_left, n_right, mean_left, mean_right,
+           g_stat
+    FROM sc ORDER BY g_stat DESC, split_day ASC LIMIT 1""",
+)
+def changepoint_mean_shift_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Single changepoint detection on daily revenue: the split day τ
+    maximizing the between-segment scaled mean shift
+    G(τ) = n_l·n_r·(mean_l − mean_r)² — the CUSUM-equivalent offline
+    changepoint locator (AMOC / binary-segmentation step 1). Where
+    cusum_alerts answers "did the level shift recently?", this answers
+    "WHEN did it shift?".
+
+    Hash-exact: prefix sums and counts are exact; the shift score is
+    computed from D = S_l·n_r − S_r·n_l (ONE exact integer, converted
+    once) as D²/(n_l·n_r) — equal to n·G(τ) (constant factor, same
+    argmax). Argmax is ORDER BY (g_stat DESC, day ASC) LIMIT 1: the
+    score is a deterministic double both sides, date breaks ties.
+    Bound: D < Σcents·|days| — exact to ~10³⁴ cent-days, far past any
+    calendar.
+
+    Scale: one fact aggregation to |days|; prefix sums down the daily
+    domain frame; TakeOrderedAndProject(1) — never a global sort of
+    the fact."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("long")
+            ).alias("x")
+        )
+        .localCheckpoint(eager=False)
+    )
+    wo = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = daily.select(
+        "day",
+        F.sum(F.col("x").cast(d38)).over(wo).cast(d38).alias("sl"),
+        F.row_number().over(Window.orderBy("day")).alias("nl"),
+    )
+    g = daily.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).cast(d38).alias("s"),
+    )
+    m = c.crossJoin(F.broadcast(g)).where(F.col("nl") < F.col("n"))
+    nl = F.col("nl").cast(d38)
+    nr = (F.col("n") - nl).cast(d38)
+    sr = (F.col("s") - F.col("sl")).cast(d38)
+    dd = (F.col("sl") * nr - sr * nl).cast(d38).cast("double")
+    sc = m.select(
+        F.col("day").alias("split_day"),
+        nl.cast("long").alias("n_left"),
+        nr.cast("long").alias("n_right"),
+        (
+            F.col("sl").cast("double") / F.col("nl").cast("double")
+            / F.lit(100.0)
+        ).alias("mean_left"),
+        (sr.cast("double") / nr.cast("double") / F.lit(100.0)).alias(
+            "mean_right"
+        ),
+        (dd * dd / (nl * nr).cast(d38).cast("double")).alias("g_stat"),
+    )
+    return sc.orderBy(F.col("g_stat").desc(), F.col("split_day").asc()).limit(1)
+
+
+@workload(
+    "hellinger_drift_monthly",
+    oracle=f"""
+    WITH c AS (
+        SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+               o_orderpriority AS p,
+               CAST(COUNT(*) AS BIGINT) AS obs
+        FROM orders GROUP BY 1, 2),
+    m AS (SELECT month, CAST(SUM(obs) AS BIGINT) AS n_m,
+                 {", ".join(
+                     "CAST(COALESCE(MAX(CASE WHEN p = '" + p + "' "
+                     "THEN obs END), 0) AS BIGINT) AS o" + str(i)
+                     for i, p in enumerate(_PRIORITIES)
+                 )}
+          FROM c GROUP BY 1),
+    g AS (SELECT CAST(SUM(n_m) AS BIGINT) AS n,
+                 {", ".join(
+                     "CAST(SUM(o" + str(i) + ") AS BIGINT) AS g" + str(i)
+                     for i in range(len(_PRIORITIES))
+                 )}
+          FROM m),
+    h AS (SELECT month, n_m,
+        0.5 * ({" + ".join(
+            "(sqrt(CAST(o" + str(i) + " AS DOUBLE) / CAST(n_m AS DOUBLE))"
+            " - sqrt(CAST(g" + str(i) + " AS DOUBLE) / CAST(n AS DOUBLE)))"
+            " * (sqrt(CAST(o" + str(i) + " AS DOUBLE)"
+            " / CAST(n_m AS DOUBLE))"
+            " - sqrt(CAST(g" + str(i) + " AS DOUBLE) / CAST(n AS DOUBLE)))"
+            for i in range(len(_PRIORITIES))
+        )}) AS h2
+        FROM m CROSS JOIN g)
+    SELECT month, n_m, h2, sqrt(h2) AS hellinger
+    FROM h""",
+)
+def hellinger_drift_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hellinger distance of each month's order-priority mix from the
+    all-time mix — the BOUNDED drift metric (0 ≤ H ≤ 1, comparable
+    across months and tables, unlike χ² which scales with n_m; the
+    industry pairing is PSI, but PSI's Σ(p−q)·ln(p/q) cannot
+    hash-match — ln is not correctly rounded in either libm — while
+    H² = ½Σ(√p−√q)² is a pure sqrt chain, and sqrt IS correctly
+    rounded).
+
+    Hash-exact: cell counts pivot into FIVE literal columns (the
+    ANOVA fixed-order discipline); each √(o/n) is one correctly-
+    rounded division then sqrt over exact counts; the 5-term sum is a
+    fixed left-associated chain mirrored token-for-token by the
+    oracle.
+
+    Scale: one (month, priority) aggregation, a |months|-row pivot,
+    1-row global mix broadcast back — the mix_drift_monthly_chi2 plan
+    with a different scalar readout."""
+    c = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.trunc(F.to_date("o_orderdate"), "month").alias("month"),
+            F.col("o_orderpriority").alias("p"),
+        )
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    m = c.groupBy("month").agg(
+        F.sum("obs").alias("n_m"),
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("p") == p, F.col("obs"))), F.lit(0)
+            ).alias(f"o{i}")
+            for i, p in enumerate(_PRIORITIES)
+        ],
+    )
+    g = m.agg(
+        F.sum("n_m").alias("n"),
+        *[
+            F.sum(f"o{i}").alias(f"g{i}")
+            for i in range(len(_PRIORITIES))
+        ],
+    )
+    j = m.crossJoin(F.broadcast(g))
+    h2 = None
+    for i in range(len(_PRIORITIES)):
+        d = F.sqrt(
+            F.col(f"o{i}").cast("double") / F.col("n_m").cast("double")
+        ) - F.sqrt(
+            F.col(f"g{i}").cast("double") / F.col("n").cast("double")
+        )
+        term = d * d
+        h2 = term if h2 is None else h2 + term
+    h2 = F.lit(0.5) * h2
+    return j.select(
+        "month", "n_m", h2.alias("h2"), F.sqrt(h2).alias("hellinger")
+    )
+
+
+# =========================================================================
+# Round-9 additions (second wave): LLM-corpus text ops
+# (trigram novelty, Heaps-law vocabulary growth)
+# =========================================================================
+
+
+@workload(
+    "ngram_novelty_by_source",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {text_ops.sql_tokens('text')} AS toks
+        FROM documents),
+    tri AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 2),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 AS gram
+        FROM tok WHERE len(toks) >= 3),
+    first AS (
+        SELECT gram, MIN(doc_id) AS first_doc FROM tri GROUP BY 1),
+    per AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS slots,
+               CAST(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS novel
+        FROM tri t JOIN first f USING (gram) GROUP BY 1)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.slots) AS BIGINT) AS gram_slots,
+           CAST(SUM(p.novel) AS BIGINT) AS novel_grams,
+           CAST(SUM(p.novel) AS DOUBLE) / CAST(SUM(p.slots) AS DOUBLE)
+             AS novelty_rate
+    FROM per p JOIN documents d USING (doc_id)
+    GROUP BY 1""",
+)
+def ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram novelty per source: the share of each document's DISTINCT
+    word-trigrams that the document itself introduces to the corpus
+    (its doc_id is the trigram's global minimum) — the incremental-
+    information readout behind dedup-aware data valuation (a source
+    whose novelty rate collapses is re-serving the corpus; the
+    cross-source dup matrix says who copies whom, this says who adds
+    anything). Docs with <3 tokens carry no trigram slots.
+
+    Hash-exact: counts and the min-doc first-claimant are exact
+    integers; novelty_rate is ONE division per source row.
+
+    Scale: trigram formation is a per-row array expression (map-side);
+    ONE shuffle groups the gram frame into the |distinct grams| domain
+    (min-doc in the same pass), one inverted-index equi-join carries
+    the first-claimant back, one per-doc then per-source rollup —
+    never all-pairs, the bigram-LM plan with min instead of count. The
+    gram frame is consumed twice (claimant build + scoring) so it is
+    localCheckpoint-materialized once."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", text_ops.tokens("text").alias("toks"))
+    tri = (
+        toks.where(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("toks", i),
+                        F.element_at("toks", i + 1),
+                        F.element_at("toks", i + 2),
+                    ),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    first = tri.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        tri.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("slots"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("novel"),
+        )
+    )
+    return (
+        per.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("slots").alias("gram_slots"),
+            F.sum("novel").alias("novel_grams"),
+            (
+                F.sum("novel").cast("double")
+                / F.sum("slots").cast("double")
+            ).alias("novelty_rate"),
+        )
+    )
+
+
+@workload(
+    "vocab_growth_deciles",
+    oracle=f"""
+    WITH cut AS (
+        SELECT doc_id, ntile(10) OVER (ORDER BY doc_id) AS decile
+        FROM documents),
+    tok AS (
+        SELECT doc_id, unnest({text_ops.sql_tokens('text')}) AS token
+        FROM documents),
+    tpd AS (
+        SELECT c.decile, CAST(COUNT(*) AS BIGINT) AS toks
+        FROM tok t JOIN cut c USING (doc_id) GROUP BY 1),
+    first AS (
+        SELECT token, MIN(doc_id) AS first_doc FROM tok GROUP BY 1),
+    vpd AS (
+        SELECT c.decile, CAST(COUNT(*) AS BIGINT) AS new_vocab
+        FROM first f JOIN cut c ON c.doc_id = f.first_doc GROUP BY 1),
+    dpd AS (
+        SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM cut GROUP BY 1)
+    SELECT CAST(d.decile AS INTEGER) AS decile, d.n_docs,
+           CAST(SUM(COALESCE(t.toks, 0)) OVER (ORDER BY d.decile)
+                AS BIGINT) AS cum_tokens,
+           CAST(SUM(COALESCE(v.new_vocab, 0)) OVER (ORDER BY d.decile)
+                AS BIGINT) AS cum_vocab
+    FROM dpd d LEFT JOIN tpd t USING (decile)
+               LEFT JOIN vpd v USING (decile)""",
+)
+def vocab_growth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: cumulative distinct-token count vs
+    cumulative token count at ten corpus checkpoints (doc-id deciles) —
+    the sublinear V(n) ~ K·n^β curve that sizes tokenizer vocabularies
+    and detects template-saturated corpora (a flat tail = no new
+    language is arriving; near-linear growth = noise/IDs inflating the
+    vocab).
+
+    Hash-exact: the decile cut is windows.distributed_ntile over the
+    unique doc_id (proven hash-identical to the builtin ntile); each
+    token's first-occurrence doc is an exact MIN; cumulative sums run
+    over the 10-row decile frame.
+
+    Scale: ONE shuffle to the |vocabulary| domain frame (min-doc per
+    token), one broadcast join of the 10-row decile map onto it, one
+    map-side token count per decile — the fact is never re-shuffled;
+    windows touch only 10 rows."""
+    from pyspark.sql import Window
+
+    from metadata_driven_etl_spark.operators.windows import (
+        distributed_ntile,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cut = distributed_ntile(
+        docs.select("doc_id"), 10, [F.col("doc_id").asc()], "decile"
+    ).localCheckpoint(eager=False)
+    tok = docs.select(
+        "doc_id", F.explode(text_ops.tokens("text")).alias("token")
+    )
+    tpd = (
+        tok.join(F.broadcast(cut), "doc_id")
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("toks"))
+    )
+    first = tok.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    vpd = (
+        first.join(
+            F.broadcast(cut.withColumnRenamed("doc_id", "first_doc")),
+            "first_doc",
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("new_vocab"))
+    )
+    dpd = cut.groupBy("decile").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    # LEFT joins: a decile that introduces no new vocabulary (a tiny or
+    # template-saturated corpus segment) must still emit its checkpoint
+    # row with the running totals carried forward.
+    return (
+        dpd.join(tpd, "decile", "left")
+        .join(vpd, "decile", "left")
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_docs",
+            F.sum(F.coalesce(F.col("toks"), F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("new_vocab"), F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("cum_vocab"),
+        )
+    )
+
+
+# =========================================================================
+# Round-9 additions (second wave): embedding-space ML primitives
+# (one k-means iteration, norm-outlier screen)
+# =========================================================================
+
+# Quantization scale for exact-integer embedding arithmetic: coarse
+# enough that Σ over dims and the squared per-label moments stay inside
+# decimal(38,0) to ~1e9 vectors (see docstrings), fine enough that the
+# readouts are meaningful.
+_KM_SCALE = 1000
+_KM_K = 8
+
+
+@workload(
+    "kmeans_assign_recompute",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE)*{_KM_SCALE}+0.5)
+                             AS BIGINT)) AS qv
+        FROM embeddings),
+    cent AS (
+        SELECT vec_id AS cid, qv AS cv FROM q
+        ORDER BY vec_id LIMIT {_KM_K}),
+    d AS (
+        SELECT vec_id, cid,
+               list_sum(list_transform(list_zip(qv, cv),
+                        p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+        FROM q CROSS JOIN cent),
+    a AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM d) WHERE rn = 1),
+    g AS (
+        SELECT a.cid AS cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               SUM(qv[1]) AS s1, SUM(qv[2]) AS s2,
+               SUM(qv[3]) AS s3, SUM(qv[4]) AS s4
+        FROM a JOIN q USING (vec_id) GROUP BY 1)
+    SELECT cluster_id, n_members,
+           CAST(s1 AS DOUBLE) / CAST(n_members AS DOUBLE) AS mean_q1,
+           CAST(s2 AS DOUBLE) / CAST(n_members AS DOUBLE) AS mean_q2,
+           CAST(s3 AS DOUBLE) / CAST(n_members AS DOUBLE) AS mean_q3,
+           CAST(s4 AS DOUBLE) / CAST(n_members AS DOUBLE) AS mean_q4
+    FROM g""",
+)
+def kmeans_assign_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact k-means iteration (Lloyd step) over the embedding
+    corpus: assign every vector to its nearest of k=8 seed centroids
+    (the k lowest vec_ids — deterministic seeding), then recompute the
+    cluster means — the iterate the IVF coarse quantizer and semantic-
+    dedup clustering loops both run; emitting sizes plus the first four
+    recomputed centroid coordinates keeps the readout bounded.
+
+    Hash-exact: vectors quantize to integers (q = ⌊x·1000 + 0.5⌋, the
+    covariance idiom), so every squared-L2 distance is an EXACT BIGINT
+    (≤ 64·(2·10³·x_max)² — no float summation order anywhere);
+    assignment ties break by centroid id; recomputed means are one
+    exact-integer division each. Bound: per-label moment sums stay
+    under 10³⁸ past 10⁹ vectors.
+
+    Scale: the centroid frame is TakeOrdered(k) then BROADCAST; the
+    assign stage is a map-side broadcast nested-loop over k=8 (never a
+    shuffle); ONE aggregation by cluster ends the iteration — the
+    canonical distributed Lloyd step (repeat = loop this plan with the
+    new centroids broadcast back)."""
+    q = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _KM_SCALE + 0.5).cast(
+                "long"
+            ),
+        ).alias("qv"),
+    ).localCheckpoint(eager=False)
+    cent = (
+        q.orderBy("vec_id")
+        .limit(_KM_K)
+        .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
+    )
+    d = q.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        F.aggregate(
+            F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dist"),
+    )
+    a = (
+        d.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"))
+    )
+    g = (
+        a.join(q, "vec_id")
+        .groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            *[
+                F.sum(F.element_at("qv", i)).alias(f"s{i}")
+                for i in range(1, 5)
+            ],
+        )
+    )
+    return g.select(
+        "cluster_id",
+        "n_members",
+        *[
+            (
+                F.col(f"s{i}").cast("double")
+                / F.col("n_members").cast("double")
+            ).alias(f"mean_q{i}")
+            for i in range(1, 5)
+        ],
+    )
+
+
+@workload(
+    "embedding_norm_outliers",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, label,
+               list_sum(list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE)*{_KM_SCALE}+0.5)
+                             AS BIGINT)
+                        * CAST(FLOOR(CAST(x AS DOUBLE)*{_KM_SCALE}+0.5)
+                               AS BIGINT))) AS norm2q
+        FROM embeddings),
+    m AS (
+        SELECT label, CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(CAST(norm2q AS HUGEINT)) AS s,
+               SUM(CAST(norm2q AS HUGEINT)*norm2q) AS qq
+        FROM q GROUP BY 1),
+    z AS (
+        SELECT q.vec_id, q.label,
+               CAST(q.norm2q AS BIGINT) AS norm2q,
+               CAST(CAST(n*norm2q - s AS VARCHAR) AS DOUBLE)
+                 / sqrt(CAST(CAST(n*(n*qq - s*s) AS VARCHAR) AS DOUBLE)
+                        / CAST(CAST(n - 1 AS VARCHAR) AS DOUBLE))
+                 AS z_score
+        FROM q JOIN m USING (label))
+    SELECT vec_id, label, norm2q, z_score
+    FROM z WHERE abs(z_score) > 2.0""",
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Norm-outlier screen per label: vectors whose squared-L2 norm
+    z-scores beyond ±2 within their label — the embedding-corpus
+    hygiene gate (degenerate near-zero vectors and exploded-norm
+    vectors both poison cosine ANN; catching them per label avoids
+    flagging a legitimately hot class).
+
+    Hash-exact: norms are exact integers on the quantized grid (the
+    covariance idiom); per-label moments (n, Σ, Σ²) are exact
+    decimals; z = (n·x − Σ) / √(n·(n·Σ² − Σ·Σ)/(n−1)) converts each
+    exact operand once (bound: n·Σ² < 10³⁸ to ~10⁹ vectors at
+    SCALE=10³). The |z| > 2 cut compares identical doubles.
+
+    Scale: one map-side fold per row, one |labels|-row moment
+    aggregation broadcast back onto the fact — the outlier_zscore
+    plan lifted to embedding space."""
+    d38 = "decimal(38,0)"
+    q = _emb(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        F.aggregate(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(
+                    x.cast("double") * _KM_SCALE + 0.5
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v * v,
+        ).alias("norm2q"),
+    )
+    m = q.groupBy("label").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("norm2q").cast(d38)).cast(d38).alias("s"),
+        F.sum((F.col("norm2q").cast(d38) * F.col("norm2q")).cast(d38))
+        .cast(d38)
+        .alias("qq"),
+    )
+    n, s = F.col("n"), F.col("s")
+    num = (n * F.col("norm2q") - s).cast(d38).cast("double")
+    den = F.sqrt(
+        (n * (n * F.col("qq") - s * s)).cast(d38).cast("double")
+        / (n - 1).cast(d38).cast("double")
+    )
+    z = q.join(F.broadcast(m), "label").select(
+        "vec_id", "label", "norm2q", (num / den).alias("z_score")
+    )
+    return z.where(F.abs(F.col("z_score")) > 2.0)
+
+
+# =========================================================================
+# Round-9 additions (second wave): retail economics
+# (arc price elasticity, XYZ demand variability)
+# =========================================================================
+
+
+@workload(
+    "arc_elasticity_monthly_brand",
+    oracle="""
+    WITH bm AS (
+        SELECT p.p_brand AS brand,
+               date_trunc('month', CAST(l.l_shipdate AS DATE)) AS month,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice*100+0.5) AS BIGINT))
+                    AS BIGINT) AS r
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2),
+    lagd AS (
+        SELECT brand, month, q, r,
+               lag(q) OVER (PARTITION BY brand ORDER BY month) AS q0,
+               lag(r) OVER (PARTITION BY brand ORDER BY month) AS r0
+        FROM bm)
+    SELECT brand, month, q AS qty, q0 AS qty_prev,
+           CASE WHEN CAST(r AS HUGEINT)*q0 - CAST(r0 AS HUGEINT)*q = 0
+                  THEN NULL
+                ELSE CAST(CAST(CAST(q - q0 AS HUGEINT)
+                          * (CAST(r AS HUGEINT)*q0 + CAST(r0 AS HUGEINT)*q)
+                          AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(CAST(q + q0 AS HUGEINT)
+                            * (CAST(r AS HUGEINT)*q0
+                               - CAST(r0 AS HUGEINT)*q)
+                            AS VARCHAR) AS DOUBLE) END AS elasticity
+    FROM lagd WHERE q0 IS NOT NULL""",
+)
+def arc_elasticity_monthly_brand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Arc price elasticity of demand per brand, month over month:
+    e = (ΔQ/Q̄)/(ΔP/P̄) with midpoint bases — the pricing-analytics
+    staple (|e| > 1 = elastic demand; the log-log OLS variant cannot
+    hash-match because ln is not correctly rounded, so the arc form IS
+    the exact-arithmetic representative). Average price enters as the
+    rational P = R/Q and is CLEARED by cross-multiplication:
+    (P₂−P₁)/(P₂+P₁) = (R₂Q₁ − R₁Q₂)/(R₂Q₁ + R₁Q₂), so
+    e = (Q₂−Q₁)(R₂Q₁ + R₁Q₂) / ((Q₂+Q₁)(R₂Q₁ − R₁Q₂)) — exact
+    integers, ONE double division (NULL when the price didn't move).
+
+    Hash-exact: revenue in cents, quantities integral; bound
+    Q·R·Q < 10³⁸ holds past 10¹⁰ rows/brand-month.
+
+    Scale: one (brand, month) fact aggregation behind a broadcast part
+    join; the lag window partitions by brand over the |brand×month|
+    domain frame."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bm = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.trunc(F.to_date("l_shipdate"), "month").alias("month"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("q"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+            ).alias("r"),
+        )
+    )
+    w = Window.partitionBy("brand").orderBy("month")
+    lagd = bm.select(
+        "brand", "month", "q", "r",
+        F.lag("q").over(w).alias("q0"),
+        F.lag("r").over(w).alias("r0"),
+    ).where(F.col("q0").isNotNull())
+    rq = (F.col("r").cast(d38) * F.col("q0")).cast(d38)
+    r0q = (F.col("r0").cast(d38) * F.col("q")).cast(d38)
+    num = ((F.col("q") - F.col("q0")).cast(d38) * (rq + r0q)).cast(d38)
+    den = ((F.col("q") + F.col("q0")).cast(d38) * (rq - r0q)).cast(d38)
+    return lagd.select(
+        "brand", "month",
+        F.col("q").alias("qty"),
+        F.col("q0").alias("qty_prev"),
+        F.when((rq - r0q) == 0, F.lit(None).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .alias("elasticity"),
+    )
+
+
+@workload(
+    "demand_variability_xyz",
+    oracle="""
+    WITH bm AS (
+        SELECT p.p_brand AS brand,
+               date_trunc('month', CAST(l.l_shipdate AS DATE)) AS month,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2),
+    m AS (
+        SELECT brand, CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(CAST(q AS HUGEINT)) AS s,
+               SUM(CAST(q AS HUGEINT)*q) AS qq
+        FROM bm GROUP BY 1),
+    cv AS (
+        SELECT brand, CAST(n AS BIGINT) AS n_months,
+               CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                 / CAST(CAST(n AS VARCHAR) AS DOUBLE) AS mean_qty,
+               sqrt(CAST(CAST(n*(n*qq - s*s) AS VARCHAR) AS DOUBLE)
+                    / CAST(CAST(n - 1 AS VARCHAR) AS DOUBLE))
+                 / CAST(CAST(s AS VARCHAR) AS DOUBLE) AS cv
+        FROM m)
+    SELECT brand, n_months, mean_qty, cv,
+           CASE WHEN cv <= 0.5 THEN 'X'
+                WHEN cv <= 1.0 THEN 'Y'
+                ELSE 'Z' END AS xyz_class
+    FROM cv""",
+)
+def demand_variability_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classification per brand: the coefficient
+    of variation of monthly shipped quantity, bucketed X (steady,
+    CV ≤ 0.5) / Y (fluctuating, ≤ 1.0) / Z (erratic) — the standard
+    inventory-planning companion to the shipped ABC revenue
+    classification (pareto_abc_parts): ABC says what matters, XYZ says
+    what's forecastable. Months with no demand for a brand simply
+    don't exist as rows (observed-month CV; the gap-fill workload
+    covers densification).
+
+    Hash-exact: monthly quantities are exact integers;
+    CV = √(n(nQ − S²)/(n−1)) / S converts each exact decimal operand
+    once (the Welch variance identity over months); class cuts compare
+    identical doubles against literals.
+
+    Scale: one (brand, month) fact aggregation behind a broadcast part
+    join, then a |brands|-row moment rollup."""
+    d38 = "decimal(38,0)"
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bm = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.trunc(F.to_date("l_shipdate"), "month").alias("month"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    )
+    m = bm.groupBy("brand").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("q").cast(d38)).cast(d38).alias("s"),
+        F.sum((F.col("q").cast(d38) * F.col("q")).cast(d38))
+        .cast(d38)
+        .alias("qq"),
+    )
+    n, s = F.col("n"), F.col("s")
+    cv = F.sqrt(
+        (n * (n * F.col("qq") - s * s)).cast(d38).cast("double")
+        / (n - 1).cast(d38).cast("double")
+    ) / s.cast("double")
+    out = m.select(
+        "brand",
+        n.cast("long").alias("n_months"),
+        (s.cast("double") / n.cast("double")).alias("mean_qty"),
+        cv.alias("cv"),
+    )
+    return out.select(
+        "brand", "n_months", "mean_qty", "cv",
+        F.when(F.col("cv") <= 0.5, F.lit("X"))
+        .when(F.col("cv") <= 1.0, F.lit("Y"))
+        .otherwise(F.lit("Z"))
+        .alias("xyz_class"),
+    )
+
+
+# =========================================================================
 # Driver-facing registry order
 # =========================================================================
 #

@@ -162,14 +162,25 @@ R9_ADDITIONS = {
     "dedup_cross_source_matrix", "pack_efficiency_by_source",
     "events_before_first_purchase", "tenure_value_matrix",
     "session_entry_exit_matrix",
+    # second wave: hypothesis-testing completion, time-series
+    # diagnostics, corpus novelty/growth, embedding ML, retail economics
+    "welch_ttest_price_by_flag", "kruskal_wallis_value_by_type",
+    "cramers_v_flag_status", "mann_kendall_trend_daily",
+    "crosscorr_revenue_volume", "rsi_14d_daily",
+    "changepoint_mean_shift_daily", "hellinger_drift_monthly",
+    "ngram_novelty_by_source", "vocab_growth_deciles",
+    "kmeans_assign_recompute", "embedding_norm_outliers",
+    "arc_elasticity_monthly_brand", "demand_variability_xyz",
 }
 
 
 def test_r9_additions_registered_oracle_paired_and_queued():
     """The r10 rotation queue: every round-9 addition is registered,
-    hash-checkable, and NOT yet in the driver prefix (they take their
-    first driver row next round — 4 core + 33 r9 + 13 stale = 50)."""
+    hash-checkable, and NOT yet in the driver prefix. 47 queued keys
+    exceed one 50-row prefix (4 core + 46 fit): the r10 rotation takes
+    the first 46 in registration order and the remainder lead r11's
+    queue alongside the then-stalest keys."""
     assert R9_ADDITIONS <= set(workloads.QUERIES)
     assert R9_ADDITIONS <= set(workloads.ORACLES)
     assert not (R9_ADDITIONS & set(workloads.DRIVER_PRIORITY))
-    assert len(R9_ADDITIONS) == 33
+    assert len(R9_ADDITIONS) == 47

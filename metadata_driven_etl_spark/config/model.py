@@ -35,6 +35,7 @@ VALID_RULE_TYPES = {
     "benford_digit",
     "sequence_allowed",
     "k_anonymity",
+    "freshness",
 }
 VALID_ACTIONS = {"filter", "tag", "reject"}
 VALID_REFRESH_TYPES = {"full", "incremental", "delta", "scd2"}
@@ -135,6 +136,11 @@ class DQRuleConfig:
     k: int = 5
     l: int | None = None
     sensitive_column: str | None = None
+    # freshness: batch-level data-arrival gate (max(ts) within
+    # max_lag_hours of the declared as_of — a bound parameter like
+    # incremental watermarks, NEVER wall-clock current_timestamp())
+    as_of: str | None = None
+    max_lag_hours: float = 24.0
 
     @staticmethod
     def from_dict(d: dict[str, Any]) -> "DQRuleConfig":
@@ -244,6 +250,22 @@ class DQRuleConfig:
                     f"rule {name}: sensitive_column given without l — set "
                     "l (the minimum distinct sensitive values per group)",
                 )
+        if rt == "freshness":
+            _require(
+                d.get("column"),
+                f"rule {name}: freshness needs column (the event/load "
+                "timestamp the arrival gate reads)",
+            )
+            _require(
+                d.get("as_of"),
+                f"rule {name}: freshness needs as_of (a bound timestamp "
+                "parameter, e.g. the run's logical date — wall-clock "
+                "'now' would make the gate nondeterministic)",
+            )
+            _require(
+                float(d.get("max_lag_hours", 24.0)) > 0,
+                f"rule {name}: freshness max_lag_hours must be > 0",
+            )
         return DQRuleConfig(
             rule_name=name,
             rule_type=rt,
@@ -262,6 +284,8 @@ class DQRuleConfig:
             k=int(d.get("k", 5)),
             l=int(l_val) if l_val is not None else None,
             sensitive_column=d.get("sensitive_column"),
+            as_of=d.get("as_of"),
+            max_lag_hours=float(d.get("max_lag_hours", 24.0)),
         )
 
     @property

@@ -23,7 +23,7 @@ out (SURVEY.md §2.14 #1/#2/#8/#10):
 
 Rule types: not_null, regex, expression, referential_integrity, uniqueness,
 plus the batch-analytics gates zscore_outlier, benford_digit,
-sequence_allowed, and k_anonymity.
+sequence_allowed, k_anonymity, and freshness.
 Actions: filter (keep valid rows), tag (add flag column), reject (raise if
 any invalid).
 """
@@ -247,6 +247,27 @@ class DataQualityEngine:
                 )
                 cond = cond & (F.col(div_h) >= rule.l)
             return out, cond
+        if rule.rule_type == "freshness":
+            # Batch-level arrival gate (beyond the reference's types):
+            # the batch is VALID iff max(column) is within max_lag_hours
+            # of the DECLARED as_of timestamp (a bound parameter, like
+            # the incremental watermark — never wall-clock now(), which
+            # would make reruns non-reproducible). Like benford_digit,
+            # validity is batch-level by design: either data arrived
+            # recently and every row is valid, or the feed is stale and
+            # the whole batch flags (a single row has no freshness).
+            # An empty batch / all-NULL timestamp column has no max →
+            # INVALID (silence is staleness). One scalar aggregate
+            # broadcast back over the scan; the lag math runs on epoch
+            # seconds (exact integer comparison domain).
+            mx = f"__dq_fresh_{rule.rule_name}"
+            stats = df.agg(F.max(F.col(rule.column)).alias(mx))
+            out = df.crossJoin(F.broadcast(stats))
+            cutoff = F.unix_timestamp(
+                F.to_timestamp(F.lit(rule.as_of))
+            ) - F.lit(int(rule.max_lag_hours * 3600))
+            fresh = F.unix_timestamp(F.col(mx)) >= cutoff
+            return out, F.coalesce(fresh, F.lit(False))
         raise ValueError(f"unknown rule_type {rule.rule_type!r}")
 
     # -- main entry ---------------------------------------------------------

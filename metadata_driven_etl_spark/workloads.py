@@ -13279,7 +13279,10 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one map-side fold per row, one |labels|-row moment
     aggregation broadcast back onto the fact — the outlier_zscore
-    plan lifted to embedding space."""
+    plan lifted to embedding space. The 3-column norm frame is
+    materialized ONCE (both the moment pass and the z join read it),
+    so the 64-dim embedding column is scanned and folded a single
+    time."""
     d38 = "decimal(38,0)"
     q = _emb(spark, sf_dir).select(
         "vec_id",
@@ -13294,7 +13297,7 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
             lambda acc, v: acc + v * v,
         ).alias("norm2q"),
-    )
+    ).localCheckpoint(eager=False)
     m = q.groupBy("label").agg(
         F.count(F.lit(1)).cast(d38).alias("n"),
         F.sum(F.col("norm2q").cast(d38)).cast(d38).alias("s"),

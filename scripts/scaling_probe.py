@@ -257,7 +257,55 @@ OPS = {
     "phrase_search_2tok": lambda df: text_ops.phrase_match_postings(
         df, ["table", "table"]
     ),
+    # r9 second wave: trigram first-claimant novelty — occurrence rows
+    # grow linearly; the |distinct grams| domain grows sublinearly
+    # (copies share their originals' grams, +1 suffixed gram each), so
+    # the curve must stay occurrence-linear like bigram_lm.
+    "ngram_novelty": lambda df: _novelty_probe(df),
 }
+
+
+def _novelty_probe(df: DataFrame) -> DataFrame:
+    """ngram_novelty_by_source's shape: distinct per-doc trigrams →
+    min-doc first claimant → carry back → per-doc → rollup (synthetic
+    source = doc_id % 20; the amplified table drops the source
+    column)."""
+    toks = df.select(
+        "doc_id", text_ops.tokens("text").alias("toks")
+    )
+    tri = (
+        toks.where(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("toks", i),
+                        F.element_at("toks", i + 1),
+                        F.element_at("toks", i + 2),
+                    ),
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    first = tri.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        tri.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("slots"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("novel"),
+        )
+    )
+    return per.groupBy((F.col("doc_id") % 20).alias("source")).agg(
+        F.sum("slots").alias("slots"), F.sum("novel").alias("novel")
+    )
 
 
 def _matrix_probe(df: DataFrame) -> DataFrame:
@@ -514,7 +562,35 @@ EVENT_OPS = {
     # sweep; users grow 100x, day count fixed, so the sweep partitions
     # grow 100x in SIZE (the hot-partition stress for the running sum).
     "concurrent_peak": lambda df: _concurrent_probe(df),
+    # r9 second wave: Mann-Kendall — the pairwise sign join is
+    # quadratic in the DATE DOMAIN only (copies share timestamps, so
+    # |days| is FIXED while fact rows grow 100x); the curve must track
+    # the daily aggregation's linear scan, with the |days|² sign stage
+    # a constant tail.
+    "mann_kendall_shape": lambda df: _mann_kendall_probe(df),
 }
+
+
+def _mann_kendall_probe(df: DataFrame) -> DataFrame:
+    """mann_kendall_trend_daily's shape on an amplified events table:
+    one fact aggregation to |days| (linear term), then the |days|²
+    broadcast sign join on the checkpointed domain frame (constant
+    term — timestamps are shared across copies)."""
+    daily = (
+        _cents_events(df)
+        .groupBy("day")
+        .agg(F.sum("cents").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    return a.join(F.broadcast(b), F.col("db") > F.col("da")).agg(
+        F.sum(
+            F.when(F.col("xb") > F.col("xa"), 1)
+            .when(F.col("xb") < F.col("xa"), -1)
+            .otherwise(0)
+        ).alias("s_stat")
+    )
 
 
 def _spearman_probe(df: DataFrame) -> DataFrame:
@@ -915,6 +991,46 @@ def _semantic_dedup(df: DataFrame) -> DataFrame:
 # embeddings-table ops (--table embeddings): the SemDeDup composition —
 # blocked cosine pairs → connected components → keep-one-per-cluster,
 # exactly the shipped semantic_dedup workload's operator chain.
+def _kmeans_probe(df: DataFrame) -> DataFrame:
+    """One Lloyd step (the kmeans_assign_recompute shape): quantize,
+    broadcast k=8 centroids, assign by exact integer L2, recompute.
+    BINDING term: k·n·d distance multiplies, all map-side behind the
+    broadcast — the curve must be scan-linear in n."""
+    q = df.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast("long"),
+        ).alias("qv"),
+    ).localCheckpoint(eager=False)
+    cent = (
+        q.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
+    )
+    d = q.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid",
+        F.aggregate(
+            F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dist"),
+    )
+    a = (
+        d.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"))
+    )
+    return (
+        a.join(q, "vec_id")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.element_at("qv", 1)).alias("s1"),
+        )
+    )
+
+
 EMB_OPS = {
     "semantic_dedup": _semantic_dedup,
     # r7: single-pass co-moment matrix — aggregation state is constant
@@ -922,6 +1038,8 @@ EMB_OPS = {
     "embedding_comoments_d8": lambda df: sim_ops.embedding_comoments(
         df, "embedding", dims=8, scale=10_000
     ),
+    # r9 second wave: one Lloyd step, k×n×d map-side distance work
+    "kmeans_lloyd_step": _kmeans_probe,
 }
 
 

@@ -550,3 +550,93 @@ def test_k_anonymity_rejudged_after_other_filters(dq, spark):
     # kz drops zip 10 (ids 1,2). Pre-filter seg groups: a={1,2,3} b={4,5};
     # post-kz seg a={3} -> ks must re-judge and drop id 3 too.
     assert kept2 == {4, 5}, kept2
+
+
+def test_freshness_rule(dq, spark):
+    """freshness: the batch is valid iff max(ts) is within max_lag_hours
+    of the DECLARED as_of (a bound parameter, never wall-clock). Batch-
+    level like benford: all rows valid or all flagged."""
+    import datetime as dt
+
+    fresh_rows = [
+        (1, dt.datetime(2024, 1, 15, 8, 0, 0)),
+        (2, dt.datetime(2024, 1, 14, 23, 0, 0)),
+    ]
+    df = spark.createDataFrame(fresh_rows, "id int, ts timestamp")
+    rule = _rule(
+        rule_name="arrival", rule_type="freshness", column="ts",
+        as_of="2024-01-15 12:00:00", max_lag_hours=6,
+        action_on_failure="tag",
+    )
+    res = dq.apply(df, [rule])
+    m = res.metrics[0]
+    assert m.valid_count == 2 and m.invalid_count == 0
+    flags = {r.id: r["dq_arrival_flag"] for r in res.df.collect()}
+    assert set(flags.values()) == {"VALID"}
+
+    # stale feed: newest row is 13h old against a 6h budget -> whole
+    # batch flags
+    stale = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 14, 23, 0, 0))], "id int, ts timestamp"
+    )
+    res_s = dq.apply(stale, [rule])
+    assert res_s.metrics[0].invalid_count == 1
+    assert res_s.metrics[0].valid_count == 0
+
+    # boundary is inclusive: exactly max_lag_hours old passes
+    edge = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 15, 6, 0, 0))], "id int, ts timestamp"
+    )
+    assert dq.apply(edge, [rule]).metrics[0].invalid_count == 0
+
+    # all-NULL timestamps have no max -> INVALID (silence is staleness)
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "id int, ts timestamp"
+    )
+    res_n = dq.apply(nulls, [rule])
+    assert res_n.metrics[0].invalid_count == 2
+
+    # reject action raises on a stale feed
+    rej = _rule(
+        rule_name="arrival", rule_type="freshness", column="ts",
+        as_of="2024-01-15 12:00:00", max_lag_hours=6,
+        action_on_failure="reject",
+    )
+    with pytest.raises(DQRejectError):
+        dq.apply(stale, [rej])
+
+
+def test_freshness_single_pass_metrics(dq, spark):
+    """metrics_df carries freshness next to the other rules in the same
+    one-aggregation pass."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 15, 8, 0), "a"),
+         (2, dt.datetime(2024, 1, 15, 9, 0), None)],
+        "id int, ts timestamp, s string",
+    )
+    rules = [
+        _rule(rule_name="nn", rule_type="not_null", column="s"),
+        _rule(rule_name="arrival", rule_type="freshness", column="ts",
+              as_of="2024-01-15 12:00:00", max_lag_hours=6),
+    ]
+    tall = {r.rule_name: r for r in dq.metrics_df(df, rules).collect()}
+    assert tall["arrival"].valid_count == 2
+    assert tall["nn"].invalid_count == 1
+
+
+def test_freshness_config_validation():
+    from metadata_driven_etl_spark.config.model import ConfigError
+
+    base = {
+        "rule_name": "r", "rule_type": "freshness", "column": "ts",
+        "as_of": "2024-01-15 12:00:00", "max_lag_hours": 6,
+    }
+    with pytest.raises(ConfigError, match="needs column"):
+        _rule(**{k: v for k, v in base.items() if k != "column"})
+    # as_of is mandatory: wall-clock 'now' would be nondeterministic
+    with pytest.raises(ConfigError, match="as_of"):
+        _rule(**{k: v for k, v in base.items() if k != "as_of"})
+    with pytest.raises(ConfigError, match="max_lag_hours"):
+        _rule(**{**base, "max_lag_hours": 0})

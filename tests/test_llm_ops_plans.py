@@ -1422,3 +1422,136 @@ def test_entry_exit_minby_no_session_sort(spark, sf_dir):
     )
     assert "row_number" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --- round-9 second wave ------------------------------------------------
+
+
+def test_single_pass_moment_tests_no_join(spark, sf_dir):
+    """Welch t and Cramér's V are each ONE conditional-moment
+    aggregation to a single row — no join, no window, and only the
+    partial→final aggregate exchange."""
+    for key in ("welch_ttest_price_by_flag", "cramers_v_flag_status"):
+        plan = _plan(workloads.QUERIES[key](spark, sf_dir))
+        assert "Join" not in plan, key
+        assert "Window" not in plan, key
+        assert len(_data_shuffles(plan)) <= 1, (key, _data_shuffles(plan))
+
+
+def test_kruskal_wallis_domain_frame_rank_carry(spark, sf_dir):
+    """Ranks come from the |distinct cents| domain frame; the carry
+    back onto the fact is an equi-join (never cartesian); the 5-group
+    readout is a literal pivot (no per-group join fan-out)."""
+    plan = _plan(
+        workloads.QUERIES["kruskal_wallis_value_by_type"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "ntile" not in plan
+
+
+def test_mann_kendall_pairs_on_date_domain_only(spark, sf_dir):
+    """The quadratic sign join runs on the checkpointed |days| domain
+    frame (broadcast nested-loop by design — both sides are
+    calendar-sized), NEVER on the fact: one parquet scan total."""
+    plan = _plan(
+        workloads.QUERIES["mann_kendall_trend_daily"](spark, sf_dir)
+    )
+    assert plan.count("Scan parquet") <= 1, plan
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_crosscorr_lag_join_on_daily_frame(spark, sf_dir):
+    """The 8-lag alignment self-join reads the materialized daily frame
+    (the ACF shape): one parquet scan, reuse via the checkpoint."""
+    plan = _plan(
+        workloads.QUERIES["crosscorr_revenue_volume"](spark, sf_dir)
+    )
+    assert plan.count("Scan parquet") <= 1, plan
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rsi_windows_after_day_aggregation(spark, sf_dir):
+    """Diff/rolling windows run over the |days| domain frame AFTER the
+    day aggregation — the fact never enters a window; no join."""
+    plan = _plan(workloads.QUERIES["rsi_14d_daily"](spark, sf_dir))
+    assert "Join" not in plan
+    assert len(_data_shuffles(plan)) <= 2, _data_shuffles(plan)
+
+
+def test_changepoint_takeordered_never_global_sort(spark, sf_dir):
+    """The argmax is TakeOrderedAndProject(1) over the |days| score
+    frame; the daily aggregation materializes once for both the prefix
+    window and the global total."""
+    plan = _plan(
+        workloads.QUERIES["changepoint_mean_shift_daily"](spark, sf_dir)
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Scan parquet") <= 1, plan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_hellinger_pivot_no_sort_merge_join(spark, sf_dir):
+    """(month, priority) aggregation → literal pivot → 1-row global
+    mix broadcast — the mix_drift plan with a sqrt readout."""
+    plan = _plan(
+        workloads.QUERIES["hellinger_drift_monthly"](spark, sf_dir)
+    )
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_novelty_single_gram_materialization(spark, sf_dir):
+    """The trigram frame materializes once (first-claimant build and
+    scoring both read the checkpoint); the claimant carry is an
+    equi-join — never cartesian."""
+    plan = _plan(
+        workloads.QUERIES["ngram_novelty_by_source"](spark, sf_dir)
+    )
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_vocab_growth_distributed_ntile_broadcast_cut(spark, sf_dir):
+    """The decile cut rides distributed_ntile (no bare ntile window);
+    the 10-row cut map reaches both token rollups as broadcasts."""
+    plan = _plan(workloads.QUERIES["vocab_growth_deciles"](spark, sf_dir))
+    assert "ntile" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_broadcast_centroids_one_scan(spark, sf_dir):
+    """The k=8 centroid frame broadcasts into a nested-loop assign
+    stage (k-bounded map work, never a shuffle); the quantized fact
+    materializes once for seeding, assignment, and recompute."""
+    plan = _plan(
+        workloads.QUERIES["kmeans_assign_recompute"](spark, sf_dir)
+    )
+    assert plan.count("Scan parquet") <= 1, plan
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_norm_outliers_single_fold_broadcast_moments(spark, sf_dir):
+    """The 64-dim fold runs once (checkpointed 3-column norm frame);
+    the |labels|-row moment frame broadcasts back — no sort-merge
+    join, one parquet scan."""
+    plan = _plan(
+        workloads.QUERIES["embedding_norm_outliers"](spark, sf_dir)
+    )
+    assert plan.count("Scan parquet") <= 1, plan
+    assert "Scan ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_retail_economics_broadcast_part_dim(spark, sf_dir):
+    """Both brand readouts broadcast the part dimension into the fact
+    aggregation — never a sort-merge join on the fact."""
+    for key in ("arc_elasticity_monthly_brand", "demand_variability_xyz"):
+        plan = _plan(workloads.QUERIES[key](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, key
+        assert "SortMergeJoin" not in plan, key
+        assert "CartesianProduct" not in plan, key

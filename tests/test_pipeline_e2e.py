@@ -1598,3 +1598,72 @@ def test_silver_k_anonymity_rule_yaml_e2e(spark, tmp_path):
 
     for t in ("bronze.priv_people", "silver.priv_release"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+# --- DQ rule_type: freshness as declarable YAML ------------------------------
+
+
+def test_silver_freshness_rule_yaml_e2e(spark, tmp_path):
+    """A YAML silver transform with a freshness rule (action reject)
+    fails the unit when the feed is stale relative to the run's bound
+    as_of, and passes once data inside the lag budget exists; the rule's
+    counts land in the metrics plane."""
+    import datetime as dt
+    import textwrap
+
+    for t in ("bronze.feed_rows", "silver.feed_out"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    fmt = ParquetFormat()
+    stale = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 13, 9, 0, 0))], "id int, ts timestamp"
+    )
+    fmt.overwrite(stale, "bronze.feed_rows", None)
+
+    cfg = tmp_path / "silver_config.yaml"
+    cfg.write_text(
+        textwrap.dedent(
+            """
+            transformations:
+              - transform_id: "feed_out"
+                source_table: "bronze.feed_rows"
+                target_table: "silver.feed_out"
+                sql_query: >
+                  SELECT id, ts FROM bronze.feed_rows
+                data_quality:
+                  - rule_name: "arrival"
+                    rule_type: "freshness"
+                    column: "ts"
+                    as_of: "2024-01-15 12:00:00"
+                    max_lag_hours: 24
+                    action_on_failure: "reject"
+            """
+        )
+    )
+    res = run_pipeline(
+        spark, str(tmp_path), "2024-01-15", ["silver"], table_format=fmt
+    )
+    # stale feed (newest row ~51h old vs a 24h budget) -> unit fails via
+    # the reject action, isolated per-unit (no raise out of the runner)
+    assert [r.status for r in res["silver"]] == ["error"]
+    assert "arrival" in (res["silver"][0].error or "")
+
+    fresh = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 15, 9, 0, 0)),
+         (2, dt.datetime(2024, 1, 13, 9, 0, 0))],
+        "id int, ts timestamp",
+    )
+    fmt.overwrite(fresh, "bronze.feed_rows", None)
+    res2 = run_pipeline(
+        spark, str(tmp_path), "2024-01-15", ["silver"], table_format=fmt
+    )
+    assert [r.status for r in res2["silver"]] == ["success"], [
+        (r.unit_id, r.error) for r in res2["silver"]
+    ]
+    assert spark.table("silver.feed_out").count() == 2
+    dqm = spark.table("metadata.data_quality_metrics").filter(
+        "rule_name = 'arrival'"
+    ).collect()
+    assert dqm and dqm[-1].valid_count == 2 and dqm[-1].invalid_count == 0
+
+    for t in ("bronze.feed_rows", "silver.feed_out"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

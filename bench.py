@@ -389,6 +389,11 @@ HEADLINE = [
     "embedding_norm_outliers",
     "arc_elasticity_monthly_brand",
     "demand_variability_xyz",
+    # round-9 third wave: temporal-relational + robust stats
+    "scd2_point_in_time_join",
+    "theil_sen_slope_daily",
+    "knn_geo_topk",
+    "seasonal_strength_dow",
 ]
 
 

@@ -13492,6 +13492,385 @@ def demand_variability_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round-9 additions (third wave): temporal-relational + robust stats
+# (SCD2 point-in-time join, Theil-Sen slope, geo kNN, seasonal strength)
+# =========================================================================
+
+
+@workload(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal - 50 AS bal,
+               DATE '1992-01-01' AS valid_from,
+               CASE WHEN c_custkey % 2 = 0 THEN DATE '1995-07-01' END
+                 AS valid_to,
+               1 AS version
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               DATE '1995-07-01', CAST(NULL AS DATE), 2
+        FROM customer WHERE c_custkey % 2 = 0),
+    j AS (
+        SELECT d.c_mktsegment AS segment,
+               CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+               d.version,
+               CAST(FLOOR(d.bal*100+0.5) AS BIGINT) AS bal_cents
+        FROM orders o JOIN dim d
+          ON o.o_custkey = d.c_custkey
+         AND CAST(o.o_orderdate AS DATE) >= d.valid_from
+         AND (d.valid_to IS NULL
+              OR CAST(o.o_orderdate AS DATE) < d.valid_to))
+    SELECT segment, order_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_on_v2,
+           CAST(SUM(bal_cents) AS BIGINT) AS bal_cents_sum
+    FROM j GROUP BY 1, 2""",
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) join against a type-2 dimension: each order
+    picks the dimension version whose [valid_from, valid_to) interval
+    contains its order date — the query side of SCD2 (the
+    scd2_dimension_update workload builds the history; this is how
+    every fact query then reads it correctly, instead of joining the
+    current row and silently rewriting the past). The versioned dim is
+    derived deterministically from `customer` in both engines: even
+    keys carry two versions split at 1995-07-01 (balance −50 before),
+    odd keys one open-ended version.
+
+    Hash-exact: the interval test is pure date comparison; the readout
+    is exact counts + cent sums per (segment, order year).
+
+    Scale: the join is an EQUI-join on the dimension key carrying the
+    interval predicate as a residual filter — each fact row meets only
+    its key's version rows (2 here; version count per key in general),
+    NEVER a range-only theta join; the dim broadcasts at dimension
+    scale, and at fact-sized dims the same plan shuffles on the key."""
+    cust = _t(spark, sf_dir, "customer")
+    v1 = cust.select(
+        "c_custkey", "c_mktsegment",
+        (F.col("c_acctbal") - 50).alias("bal"),
+        F.lit("1992-01-01").cast("date").alias("valid_from"),
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.lit("1995-07-01").cast("date")
+        ).alias("valid_to"),
+        F.lit(1).alias("version"),
+    )
+    v2 = cust.where(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_mktsegment",
+        F.col("c_acctbal").alias("bal"),
+        F.lit("1995-07-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(2).alias("version"),
+    )
+    dim = v1.unionByName(v2)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("od")
+    )
+    j = o.join(
+        F.broadcast(dim),
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("od") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("od") < F.col("valid_to"))),
+    )
+    return j.groupBy(
+        F.col("c_mktsegment").alias("segment"),
+        F.year("od").cast("int").alias("order_year"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("version") == 2, 1).otherwise(0)).alias(
+            "n_on_v2"
+        ),
+        F.sum(
+            F.floor(F.col("bal") * 100 + 0.5).cast("long")
+        ).alias("bal_cents_sum"),
+    )
+
+
+@workload(
+    "theil_sen_slope_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value*100+0.5) AS BIGINT)) AS BIGINT)
+                 AS x
+        FROM events GROUP BY 1),
+    ix AS (SELECT x,
+                  CAST(date_diff('day', (SELECT MIN(day) FROM daily), day)
+                       AS BIGINT) AS idx
+           FROM daily),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                 CAST(COUNT(*) AS BIGINT)*(CAST(COUNT(*) AS BIGINT)-1)//2
+                   AS n_pairs
+          FROM ix),
+    p AS (SELECT a.idx AS ia, b.idx AS ib,
+                 CAST(b.x - a.x AS DOUBLE) / CAST(b.idx - a.idx AS DOUBLE)
+                   AS slope
+          FROM ix a JOIN ix b ON b.idx > a.idx),
+    r AS (SELECT slope,
+                 row_number() OVER (ORDER BY slope, ia, ib) AS rn
+          FROM p),
+    m AS (SELECT MIN(slope) AS s1, MAX(slope) AS s2
+          FROM r CROSS JOIN g
+          WHERE rn = (n_pairs + 1) // 2 OR rn = (n_pairs + 2) // 2)
+    SELECT n_days, n_pairs,
+           (s1 + s2) / 2.0 AS sen_slope_cents,
+           (s1 + s2) / 2.0 / 100.0 AS sen_slope_dollars
+    FROM g CROSS JOIN m""",
+)
+def theil_sen_slope_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend slope of daily revenue: the median of all
+    pairwise slopes — the outlier-proof companion to the Mann-Kendall
+    test (MK answers IS there a monotone trend; Sen answers HOW STEEP,
+    with up to ~29% contaminated days tolerated where OLS breaks).
+
+    Determinism: every pairwise slope is ONE division of exact integers
+    (identical doubles both engines); the median is selected by rank
+    under the total order (slope, i, j) and the even-count midpoint is
+    (min+max)/2 over the ≤2 selected rows — no floating accumulation
+    anywhere.
+
+    Scale: the pair space is quadratic in the DATE DOMAIN only (the
+    Mann-Kendall probe regime — constant in fact rows); the rank
+    window runs on that calendar-bounded pair frame (documented
+    domain-frame exemption: ~3k days of history = 4.5M pair rows)."""
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("long")
+            ).alias("x")
+        )
+        .localCheckpoint(eager=False)
+    )
+    d0 = daily.agg(F.min("day").alias("d0"))
+    ix = daily.crossJoin(F.broadcast(d0)).select(
+        "x", F.datediff(F.col("day"), F.col("d0")).cast("long").alias("idx")
+    ).localCheckpoint(eager=False)
+    g = ix.agg(F.count(F.lit(1)).cast("long").alias("n_days")).select(
+        "n_days",
+        (F.col("n_days") * (F.col("n_days") - 1) / 2)
+        .cast("long")
+        .alias("n_pairs"),
+    )
+    a = ix.select(F.col("idx").alias("ia"), F.col("x").alias("xa"))
+    b = ix.select(F.col("idx").alias("ib"), F.col("x").alias("xb"))
+    p = a.join(F.broadcast(b), F.col("ib") > F.col("ia")).select(
+        "ia", "ib",
+        (
+            (F.col("xb") - F.col("xa")).cast("double")
+            / (F.col("ib") - F.col("ia")).cast("double")
+        ).alias("slope"),
+    )
+    r = p.select(
+        "slope",
+        F.row_number()
+        .over(Window.orderBy("slope", "ia", "ib"))
+        .alias("rn"),
+    )
+    m = (
+        r.crossJoin(F.broadcast(g))
+        .where(
+            (F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("n_pairs") + 2) / 2))
+        )
+        .agg(F.min("slope").alias("s1"), F.max("slope").alias("s2"))
+    )
+    sen = (F.col("s1") + F.col("s2")) / F.lit(2.0)
+    return g.crossJoin(F.broadcast(m)).select(
+        "n_days", "n_pairs",
+        sen.alias("sen_slope_cents"),
+        (sen / F.lit(100.0)).alias("sen_slope_dollars"),
+    )
+
+
+_KNN_K = 3
+
+
+@workload(
+    "knn_geo_topk",
+    oracle=f"""
+    WITH c AS (SELECT c_custkey,
+                      (c_custkey * 48271) % {_GEO_M} AS cx,
+                      (c_custkey * 16807) % {_GEO_M} AS cy
+               FROM customer),
+    s AS (SELECT s_suppkey,
+                 (s_suppkey * 69621) % {_GEO_M} AS sx,
+                 (s_suppkey * 40692) % {_GEO_M} AS sy
+          FROM supplier),
+    d AS (SELECT s_suppkey, c_custkey,
+                 (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) AS d2
+          FROM s JOIN c
+            ON (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)
+               <= CAST({_GEO_R} AS BIGINT) * {_GEO_R}),
+    r AS (SELECT s_suppkey, c_custkey, CAST(d2 AS BIGINT) AS d2,
+                 row_number() OVER (PARTITION BY s_suppkey
+                                    ORDER BY d2, c_custkey) AS nn_rank
+          FROM d)
+    SELECT s_suppkey, CAST(nn_rank AS INTEGER) AS nn_rank, c_custkey, d2
+    FROM r WHERE nn_rank <= {_KNN_K}""",
+)
+def knn_geo_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbors (k=3) within radius r for every supplier
+    probe point — the bounded-kNN spatial primitive (store-to-nearest-
+    warehouses, sensor-to-neighbors): the radius join's top-k sibling
+    (geo_radius_join counts the catchment; this ranks it). Unbounded
+    kNN cannot grid-prune — the radius bound is what makes the
+    candidate set the 9-cell density, the standard production trade
+    (probe with growing r on the rare empty neighborhood).
+
+    Hash-exact: squared distances are exact integers on the LCG grid;
+    ranking ties break by customer key (total order both sides). The
+    oracle is the brute-force theta join, so the hash match proves the
+    grid pruning loses no neighbor.
+
+    Scale: grid-binned equi-join (cell = r, 3×3 probe explode) then a
+    per-probe top-k window — WindowGroupLimit pushes the k=3 cut below
+    the sort, so no probe's candidate list materializes fully."""
+    from metadata_driven_etl_spark.operators import spatial as spatial_ops
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 48271) % _GEO_M).alias("cx"),
+        ((F.col("c_custkey") * 16807) % _GEO_M).alias("cy"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 69621) % _GEO_M).alias("sx"),
+        ((F.col("s_suppkey") * 40692) % _GEO_M).alias("sy"),
+    )
+    pairs = spatial_ops.grid_radius_join(
+        supp, cust, radius=_GEO_R,
+        left_xy=("sx", "sy"), right_xy=("cx", "cy"), max_coord=_GEO_M,
+    )
+    w = Window.partitionBy("s_suppkey").orderBy("d2", "c_custkey")
+    return (
+        pairs.select(
+            "s_suppkey", "c_custkey", F.col("_d2").alias("d2")
+        )
+        .withColumn("nn_rank", F.row_number().over(w))
+        .where(F.col("nn_rank") <= _KNN_K)
+        .select(
+            "s_suppkey",
+            F.col("nn_rank").cast("int").alias("nn_rank"),
+            "c_custkey",
+            "d2",
+        )
+    )
+
+
+@workload(
+    "seasonal_strength_dow",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value*100+0.5) AS BIGINT)) AS BIGINT)
+                 AS x
+        FROM events GROUP BY 1),
+    d AS (SELECT CAST(isodow(day) AS INTEGER) AS dow, x FROM daily),
+    m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                 SUM(CAST(x AS HUGEINT)) AS s,
+                 SUM(CAST(x AS HUGEINT)*x) AS q,
+                 {", ".join(
+                     "SUM(CASE WHEN dow = " + str(i)
+                     + " THEN CAST(x AS HUGEINT) END) AS s" + str(i)
+                     + ", CAST(SUM(CASE WHEN dow = " + str(i)
+                     + " THEN 1 ELSE 0 END) AS HUGEINT) AS c" + str(i)
+                     for i in range(1, 8)
+                 )}
+          FROM d),
+    v AS (SELECT CAST(n AS BIGINT) AS n_days,
+                 CAST(CAST(n AS VARCHAR) AS DOUBLE) AS nd,
+                 CAST(CAST(s AS VARCHAR) AS DOUBLE) AS sd,
+                 CAST(CAST(q AS VARCHAR) AS DOUBLE) AS qd,
+                 {" + ".join(
+                     "CAST(CAST(COALESCE(s" + str(i)
+                     + ", 0) AS VARCHAR) AS DOUBLE)"
+                     " * CAST(CAST(COALESCE(s" + str(i)
+                     + ", 0) AS VARCHAR) AS DOUBLE)"
+                     " / CAST(CAST(GREATEST(c" + str(i)
+                     + ", 1) AS VARCHAR) AS DOUBLE)"
+                     for i in range(1, 8)
+                 )} AS sum7
+          FROM m)
+    SELECT n_days,
+           sum7 - sd*sd/nd AS ss_between,
+           qd - sd*sd/nd AS ss_total,
+           (sum7 - sd*sd/nd) / (qd - sd*sd/nd) AS seasonal_strength
+    FROM v""",
+)
+def seasonal_strength_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal strength of the weekly cycle: the share of daily-revenue
+    variance explained by ISO weekday (the one-way ANOVA R² with
+    day-of-week as the factor) — the decomposition-quality readout that
+    says whether dow_seasonality_index's multiplicative factors are
+    signal or noise (strength ≈ 0 → don't deseasonalize).
+
+    Hash-exact: per-weekday sums pivot into SEVEN literal columns (the
+    ANOVA fixed-order discipline; an absent weekday contributes 0/1 via
+    COALESCE/GREATEST identically in both engines); SSB = Σ S_d²/n_d −
+    S²/N and SST = Q − S²/N are fixed chains of correctly-rounded
+    double ops over exactly-converted decimal moments.
+
+    Scale: one fact aggregation to |days|, then ONE single-row pivot
+    aggregation — the daily domain frame never re-shuffles."""
+    d38 = "decimal(38,0)"
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("long")
+            ).alias("x")
+        )
+    )
+    d = daily.select(
+        ((F.dayofweek("day") + 5) % 7 + 1).cast("int").alias("dow"), "x"
+    )
+    m = d.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).cast(d38).alias("s"),
+        F.sum((F.col("x").cast(d38) * F.col("x")).cast(d38))
+        .cast(d38)
+        .alias("q"),
+        *[
+            a
+            for i in range(1, 8)
+            for a in (
+                F.sum(
+                    F.when(F.col("dow") == i, F.col("x")).cast(d38)
+                ).cast(d38).alias(f"s{i}"),
+                F.count(F.when(F.col("dow") == i, F.lit(1)))
+                .cast(d38)
+                .alias(f"c{i}"),
+            )
+        ],
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    qd = F.col("q").cast("double")
+    sum7 = None
+    for i in range(1, 8):
+        si = F.coalesce(F.col(f"s{i}"), F.lit(0).cast(d38)).cast("double")
+        ci = F.greatest(F.col(f"c{i}"), F.lit(1).cast(d38)).cast("double")
+        term = si * si / ci
+        sum7 = term if sum7 is None else sum7 + term
+    ssb = sum7 - sd * sd / nd
+    sst = qd - sd * sd / nd
+    return m.select(
+        F.col("n").cast("long").alias("n_days"),
+        ssb.alias("ss_between"),
+        sst.alias("ss_total"),
+        (ssb / sst).alias("seasonal_strength"),
+    )
+
+
+# =========================================================================
 # Driver-facing registry order
 # =========================================================================
 #

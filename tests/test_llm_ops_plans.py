@@ -1555,3 +1555,45 @@ def test_retail_economics_broadcast_part_dim(spark, sf_dir):
         assert "BroadcastHashJoin" in plan, key
         assert "SortMergeJoin" not in plan, key
         assert "CartesianProduct" not in plan, key
+
+
+def test_scd2_point_in_time_equi_join(spark, sf_dir):
+    """The AS OF read is an equi-join on the dimension key with the
+    interval predicate as a residual — never a range-only theta join
+    (no cartesian, no BNLJ); the dim broadcasts."""
+    plan = _plan(
+        workloads.QUERIES["scd2_point_in_time_join"](spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_theil_sen_pairs_on_date_domain_only(spark, sf_dir):
+    """The pairwise slope join runs on the checkpointed |days| frame
+    (the Mann-Kendall regime): one parquet scan total."""
+    plan = _plan(workloads.QUERIES["theil_sen_slope_daily"](spark, sf_dir))
+    assert plan.count("Scan parquet") <= 1, plan
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_geo_window_group_limit(spark, sf_dir):
+    """Grid equi-join candidates, then the k=3 cut pushes below the
+    per-probe sort (WindowGroupLimit) — no probe's candidate list
+    fully materializes; never cartesian. (The only nested-loop in the
+    plan is grid_radius_join's 9-row literal offsets explode — a
+    broadcast of a constant frame, same as geo_radius_join.)"""
+    plan = _plan(workloads.QUERIES["knn_geo_topk"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the cell-id candidate equi-join
+
+
+def test_seasonal_strength_single_pivot(spark, sf_dir):
+    """Day aggregation then ONE single-row pivot aggregation — no join,
+    no window."""
+    plan = _plan(workloads.QUERIES["seasonal_strength_dow"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert len(_data_shuffles(plan)) <= 2, _data_shuffles(plan)

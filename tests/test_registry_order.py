@@ -171,6 +171,9 @@ R9_ADDITIONS = {
     "ngram_novelty_by_source", "vocab_growth_deciles",
     "kmeans_assign_recompute", "embedding_norm_outliers",
     "arc_elasticity_monthly_brand", "demand_variability_xyz",
+    # third wave: temporal-relational + robust stats
+    "scd2_point_in_time_join", "theil_sen_slope_daily",
+    "knn_geo_topk", "seasonal_strength_dow",
 }
 
 
@@ -183,4 +186,4 @@ def test_r9_additions_registered_oracle_paired_and_queued():
     assert R9_ADDITIONS <= set(workloads.QUERIES)
     assert R9_ADDITIONS <= set(workloads.ORACLES)
     assert not (R9_ADDITIONS & set(workloads.DRIVER_PRIORITY))
-    assert len(R9_ADDITIONS) == 47
+    assert len(R9_ADDITIONS) == 51

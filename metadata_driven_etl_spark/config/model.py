@@ -262,6 +262,21 @@ class DQRuleConfig:
                 "parameter, e.g. the run's logical date — wall-clock "
                 "'now' would make the gate nondeterministic)",
             )
+            # parse-time validation: an unparseable as_of would reach
+            # Spark's to_timestamp as NULL and silently mark every
+            # batch stale — fail at config load like the other rules
+            if d.get("as_of"):
+                import datetime as _dt
+
+                try:
+                    _dt.datetime.fromisoformat(str(d["as_of"]))
+                except ValueError:
+                    _require(
+                        False,
+                        f"rule {name}: freshness as_of "
+                        f"{d['as_of']!r} is not an ISO timestamp "
+                        "(expected e.g. '2024-01-15 12:00:00')",
+                    )
             _require(
                 float(d.get("max_lag_hours", 24.0)) > 0,
                 f"rule {name}: freshness max_lag_hours must be > 0",

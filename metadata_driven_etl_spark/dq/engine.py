@@ -256,8 +256,10 @@ class DataQualityEngine:
             # validity is batch-level by design: either data arrived
             # recently and every row is valid, or the feed is stale and
             # the whole batch flags (a single row has no freshness).
-            # An empty batch / all-NULL timestamp column has no max →
-            # INVALID (silence is staleness). One scalar aggregate
+            # An all-NULL timestamp column has no max → every row
+            # INVALID; a 0-row batch has no rows to flag, so apply()
+            # special-cases reject-action freshness on empty input
+            # (silence is staleness either way). One scalar aggregate
             # broadcast back over the scan; the lag math runs on epoch
             # seconds (exact integer comparison domain).
             mx = f"__dq_fresh_{rule.rule_name}"
@@ -357,6 +359,18 @@ class DataQualityEngine:
             )
             metrics.append(m)
             if r.action_on_failure == "reject" and m.invalid_count > 0:
+                rejected.append(r.rule_name)
+            # freshness is a batch-ARRIVAL gate: a 0-row batch has no
+            # rows to flag, but silence is exactly the staleness the
+            # rule exists to catch — an empty feed must not sail
+            # through a reject gate on the technicality that
+            # invalid_count == 0. (filter/tag on an empty batch are
+            # vacuous either way.)
+            if (
+                r.rule_type == "freshness"
+                and r.action_on_failure == "reject"
+                and total == 0
+            ):
                 rejected.append(r.rule_name)
 
         samples: dict[str, list] = {}

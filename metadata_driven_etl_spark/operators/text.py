@@ -481,6 +481,74 @@ def sql_bigrams_from_tokens(toks: str) -> str:
     )
 
 
+def trigrams(toks: Column) -> Column:
+    """Word-trigram list over an already-bound token array; <3 tokens →
+    empty. 1-indexed element_at keeps the expression in lock-step with
+    the DuckDB twin."""
+    return F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def sql_trigrams_from_tokens(toks: str) -> str:
+    """DuckDB trigram list — same bind-once contract as the bigram
+    twin."""
+    return (
+        f"CASE WHEN len({toks}) >= 3 THEN "
+        f"list_transform(generate_series(1, len({toks}) - 2), "
+        f"i -> {toks}[i] || ' ' || {toks}[i + 1] || ' ' || {toks}[i + 2]) "
+        f"ELSE [] END"
+    )
+
+
+def trigram_novelty(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document trigram novelty: (id, slots, novel) where slots is
+    the doc's DISTINCT trigram count and novel the subset whose global
+    first occurrence (min id) is this doc — the incremental-information
+    readout (see workloads.ngram_novelty_by_source for the full
+    rationale). Shared by the workload and the scaling probe so the
+    measured curve always describes the shipped operator.
+
+    Scale: trigram formation is a per-row array expression (map-side);
+    ONE shuffle groups the gram frame into the |distinct grams| domain
+    (min-id in the same pass), one inverted-index equi-join carries the
+    first-claimant back, one per-doc rollup — never all-pairs. The gram
+    frame is consumed twice (claimant build + scoring) and so is
+    localCheckpoint-materialized once."""
+    toks = docs.select(id_col, tokens(text_col).alias("__toks"))
+    tri = (
+        toks.where(F.size("__toks") >= 3)
+        .select(
+            id_col,
+            F.explode(trigrams(F.col("__toks"))).alias("gram"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    first = tri.groupBy("gram").agg(F.min(id_col).alias("__first"))
+    return (
+        tri.join(first, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("slots"),
+            F.sum(
+                F.when(F.col("__first") == F.col(id_col), 1).otherwise(0)
+            ).alias("novel"),
+        )
+    )
+
+
 def bigram_lm_score(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     min_freq: int = 1,

@@ -12408,17 +12408,13 @@ def cramers_v_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = F.col("n").cast("double")
     cd = {(i, j): F.col(f"o{i}_{j}").cast("double") for i, j in cells}
     rowt = {
-        i: sum(
-            (F.col(f"o{i}_{j}") for j in range(1, 2)),
-            F.col(f"o{i}_0"),
-        ).cast(d38).cast("double")
+        i: (F.col(f"o{i}_0") + F.col(f"o{i}_1")).cast(d38).cast("double")
         for i in range(3)
     }
     colt = {
-        j: sum(
-            (F.col(f"o{i}_{j}") for i in range(1, 3)),
-            F.col(f"o0_{j}"),
-        ).cast(d38).cast("double")
+        j: (F.col(f"o0_{j}") + F.col(f"o1_{j}") + F.col(f"o2_{j}"))
+        .cast(d38)
+        .cast("double")
         for j in range(2)
     }
     chi2 = None
@@ -12446,7 +12442,7 @@ def cramers_v_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
                                WHEN b.x < a.x THEN -1
                                ELSE 0 END) AS BIGINT) AS s_stat
           FROM daily a JOIN daily b ON b.day > a.day),
-    t AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+    t AS (SELECT CAST((SELECT COUNT(*) FROM daily) AS HUGEINT) AS n,
                  SUM(CAST(c AS HUGEINT)*(c-1)*(2*c+5)) AS tie_term
           FROM (SELECT x, CAST(COUNT(*) AS BIGINT) AS c
                 FROM daily GROUP BY 1)),
@@ -12501,11 +12497,13 @@ def mann_kendall_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     d38 = "decimal(38,0)"
-    t = (
+    # n is the DAY count; the tie term sums over the |distinct value|
+    # groups — conflating the two (an earlier draft did) under-reports
+    # n_days and mis-scales Var(S) whenever two days tie on revenue.
+    ties = (
         daily.groupBy("x")
         .agg(F.count(F.lit(1)).alias("c"))
         .agg(
-            F.count(F.lit(1)).cast(d38).alias("n"),
             F.sum(
                 (
                     F.col("c").cast(d38)
@@ -12514,6 +12512,9 @@ def mann_kendall_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast(d38)
             ).cast(d38).alias("tie_term"),
         )
+    )
+    t = daily.agg(F.count(F.lit(1)).cast(d38).alias("n")).crossJoin(
+        F.broadcast(ties)
     )
     n = F.col("n")
     var_s = (
@@ -12934,9 +12935,7 @@ def hellinger_drift_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents),
     tri AS (
         SELECT DISTINCT doc_id,
-               unnest(list_transform(generate_series(1, len(toks) - 2),
-                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-                 AS gram
+               unnest({text_ops.sql_trigrams_from_tokens('toks')}) AS gram
         FROM tok WHERE len(toks) >= 3),
     first AS (
         SELECT gram, MIN(doc_id) AS first_doc FROM tri GROUP BY 1),
@@ -12973,39 +12972,10 @@ def ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first-claimant back, one per-doc then per-source rollup —
     never all-pairs, the bigram-LM plan with min instead of count. The
     gram frame is consumed twice (claimant build + scoring) so it is
-    localCheckpoint-materialized once."""
+    localCheckpoint-materialized once. Shared core:
+    text.trigram_novelty (also the scaling probe's subject)."""
     docs = _docs(spark, sf_dir)
-    toks = docs.select("doc_id", text_ops.tokens("text").alias("toks"))
-    tri = (
-        toks.where(F.size("toks") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - 2),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at("toks", i),
-                        F.element_at("toks", i + 1),
-                        F.element_at("toks", i + 2),
-                    ),
-                )
-            ).alias("gram"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    first = tri.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    per = (
-        tri.join(first, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("slots"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("novel"),
-        )
-    )
+    per = text_ops.trigram_novelty(docs, text_col="text", id_col="doc_id")
     return (
         per.join(docs.select("doc_id", "source"), "doc_id")
         .groupBy("source")

@@ -266,43 +266,10 @@ OPS = {
 
 
 def _novelty_probe(df: DataFrame) -> DataFrame:
-    """ngram_novelty_by_source's shape: distinct per-doc trigrams →
-    min-doc first claimant → carry back → per-doc → rollup (synthetic
-    source = doc_id % 20; the amplified table drops the source
-    column)."""
-    toks = df.select(
-        "doc_id", text_ops.tokens("text").alias("toks")
-    )
-    tri = (
-        toks.where(F.size("toks") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - 2),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at("toks", i),
-                        F.element_at("toks", i + 1),
-                        F.element_at("toks", i + 2),
-                    ),
-                )
-            ).alias("gram"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    first = tri.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    per = (
-        tri.join(first, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("slots"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).alias("novel"),
-        )
-    )
+    """ngram_novelty_by_source's SHARED operator (text.trigram_novelty
+    — the probe measures the shipped implementation); synthetic source
+    = doc_id % 20 since the amplified table drops the source column."""
+    per = text_ops.trigram_novelty(df, text_col="text", id_col="doc_id")
     return per.groupBy((F.col("doc_id") % 20).alias("source")).agg(
         F.sum("slots").alias("slots"), F.sum("novel").alias("novel")
     )

@@ -640,3 +640,36 @@ def test_freshness_config_validation():
         _rule(**{k: v for k, v in base.items() if k != "as_of"})
     with pytest.raises(ConfigError, match="max_lag_hours"):
         _rule(**{**base, "max_lag_hours": 0})
+
+
+def test_freshness_empty_batch_rejects(dq, spark):
+    """A 0-row batch has no rows to flag, but silence IS staleness: a
+    reject-action freshness gate must fail on an empty feed rather than
+    pass on the invalid_count == 0 technicality."""
+    empty = spark.createDataFrame([], "id int, ts timestamp")
+    rej = _rule(
+        rule_name="arrival", rule_type="freshness", column="ts",
+        as_of="2024-01-15 12:00:00", max_lag_hours=6,
+        action_on_failure="reject",
+    )
+    with pytest.raises(DQRejectError):
+        dq.apply(empty, [rej])
+    # tag action on an empty batch is vacuous (no rows, no raise)
+    tag = _rule(
+        rule_name="arrival", rule_type="freshness", column="ts",
+        as_of="2024-01-15 12:00:00", max_lag_hours=6,
+        action_on_failure="tag",
+    )
+    assert dq.apply(empty, [tag]).metrics[0].total_count == 0
+
+
+def test_freshness_as_of_must_parse():
+    """An unparseable as_of fails at config load (parse-time contract),
+    not as a silent every-batch-stale gate at run time."""
+    from metadata_driven_etl_spark.config.model import ConfigError
+
+    with pytest.raises(ConfigError, match="ISO timestamp"):
+        _rule(
+            rule_name="r", rule_type="freshness", column="ts",
+            as_of="2024-13-99", max_lag_hours=6,
+        )

@@ -179,9 +179,9 @@ R9_ADDITIONS = {
 
 def test_r9_additions_registered_oracle_paired_and_queued():
     """The r10 rotation queue: every round-9 addition is registered,
-    hash-checkable, and NOT yet in the driver prefix. 47 queued keys
+    hash-checkable, and NOT yet in the driver prefix. 51 queued keys
     exceed one 50-row prefix (4 core + 46 fit): the r10 rotation takes
-    the first 46 in registration order and the remainder lead r11's
+    the first 46 in registration order and the remaining 5 lead r11's
     queue alongside the then-stalest keys."""
     assert R9_ADDITIONS <= set(workloads.QUERIES)
     assert R9_ADDITIONS <= set(workloads.ORACLES)

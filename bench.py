@@ -394,6 +394,12 @@ HEADLINE = [
     "theil_sen_slope_daily",
     "knn_geo_topk",
     "seasonal_strength_dow",
+    # round-9 fourth wave: randomness/serial-correlation, drawdown,
+    # term burstiness
+    "runs_test_daily",
+    "max_drawdown_daily",
+    "durbin_watson_daily",
+    "term_burstiness_vmr",
 ]
 
 

@@ -13841,6 +13841,386 @@ def seasonal_strength_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round-9 additions (fourth wave): randomness/serial-correlation tests,
+# drawdown, term burstiness
+# =========================================================================
+
+
+@workload(
+    "runs_test_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value*100+0.5) AS BIGINT)) AS BIGINT)
+                 AS x
+        FROM events GROUP BY 1),
+    d AS (SELECT day, x - lag(x) OVER (ORDER BY day) AS diff FROM daily),
+    s AS (SELECT day, CASE WHEN diff > 0 THEN 1 ELSE -1 END AS sgn
+          FROM d WHERE diff IS NOT NULL AND diff <> 0),
+    r AS (SELECT sgn, lag(sgn) OVER (ORDER BY day) AS prev FROM s),
+    m AS (SELECT
+        CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+        CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS HUGEINT) AS n2,
+        CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND sgn <> prev
+                          THEN 1 ELSE 0 END) AS HUGEINT) AS runs
+        FROM r),
+    v AS (SELECT CAST(n1 AS BIGINT) AS n_plus,
+                 CAST(n2 AS BIGINT) AS n_minus,
+                 CAST(runs AS BIGINT) AS n_runs,
+                 CAST(CAST(n1 + n2 AS VARCHAR) AS DOUBLE) AS nd,
+                 CAST(CAST(2*n1*n2 AS VARCHAR) AS DOUBLE) AS p2,
+                 CAST(CAST(2*n1*n2*(2*n1*n2 - n1 - n2) AS VARCHAR)
+                      AS DOUBLE) AS vnum,
+                 CAST(CAST((n1+n2)*(n1+n2)*(n1+n2-1) AS VARCHAR)
+                      AS DOUBLE) AS vden,
+                 CAST(CAST(runs AS VARCHAR) AS DOUBLE) AS rd
+          FROM m)
+    SELECT n_plus, n_minus, n_runs,
+           CASE WHEN n_plus = 0 OR n_minus = 0 THEN NULL
+                ELSE (rd - (p2/nd + 1.0)) / sqrt(vnum/vden) END AS z_stat
+    FROM v""",
+)
+def runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the signs of day-over-day revenue
+    moves: too FEW runs = trending/sticky days, too MANY = oscillation
+    — the randomness gate that tells you whether the ACF/Mann-Kendall
+    findings are even worth reading (an i.i.d. series should pass).
+    Zero diffs are excluded (standard treatment).
+
+    Hash-exact: run counting is a lag comparison over the sign
+    sequence; n₁, n₂, R are exact integers; μ = 2n₁n₂/n + 1 and
+    σ² = 2n₁n₂(2n₁n₂−n)/(n²(n−1)) convert each exact decimal operand
+    once into a fixed correctly-rounded chain (NULL z when one sign
+    never occurs).
+
+    Scale: one fact aggregation to |days|; diff/lag windows on the
+    daily domain frame (documented exemption); ONE single-row
+    rollup."""
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("long")
+            ).alias("x")
+        )
+    )
+    wo = Window.orderBy("day")
+    d = daily.select(
+        "day", (F.col("x") - F.lag("x").over(wo)).alias("diff")
+    )
+    s = d.where(F.col("diff").isNotNull() & (F.col("diff") != 0)).select(
+        "day", F.when(F.col("diff") > 0, 1).otherwise(-1).alias("sgn")
+    )
+    r = s.select("sgn", F.lag("sgn").over(Window.orderBy("day")).alias("prev"))
+    d38 = "decimal(38,0)"
+    m = r.agg(
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
+        .cast(d38)
+        .alias("n1"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+        .cast(d38)
+        .alias("n2"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("sgn") != F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+        ).cast(d38).alias("runs"),
+    )
+    n1, n2, runs = F.col("n1"), F.col("n2"), F.col("runs")
+    nd = (n1 + n2).cast(d38).cast("double")
+    p2 = (2 * n1 * n2).cast(d38).cast("double")
+    vnum = (2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)).cast(d38).cast("double")
+    vden = ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1)).cast(d38).cast("double")
+    rd = runs.cast("double")
+    return m.select(
+        n1.cast("long").alias("n_plus"),
+        n2.cast("long").alias("n_minus"),
+        runs.cast("long").alias("n_runs"),
+        F.when(
+            (n1 == 0) | (n2 == 0), F.lit(None).cast("double")
+        ).otherwise(
+            (rd - (p2 / nd + F.lit(1.0))) / F.sqrt(vnum / vden)
+        ).alias("z_stat"),
+    )
+
+
+@workload(
+    "max_drawdown_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value*100+0.5) AS BIGINT)) AS BIGINT)
+                 AS x
+        FROM events GROUP BY 1),
+    c AS (SELECT day,
+                 SUM(CAST(x AS HUGEINT)) OVER (ORDER BY day) AS cum
+          FROM daily),
+    p AS (SELECT day, CAST(cum AS BIGINT) AS cum_cents,
+                 CAST(MAX(cum) OVER (ORDER BY day) AS BIGINT)
+                   AS peak_cents
+          FROM c)
+    SELECT day AS trough_day, cum_cents, peak_cents,
+           peak_cents - cum_cents AS drawdown_cents
+    FROM p ORDER BY drawdown_cents DESC, trough_day ASC LIMIT 1""",
+)
+def max_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of cumulative daily revenue: the deepest
+    peak-to-trough fall of the running total — the worst-case
+    sustained-decline readout (the changepoint locator says WHEN the
+    level shifted; drawdown says HOW MUCH a decline ever cost from its
+    high-water mark).
+
+    Hash-exact: prefix sum and running max are exact cent integers;
+    the argmax row is ORDER BY (drawdown DESC, day ASC) LIMIT 1 —
+    total order, TakeOrderedAndProject.
+
+    Scale: one fact aggregation to |days|; two stacked windows on the
+    daily domain frame (shared sort order — one window pass); never a
+    global sort of the fact."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("long")
+            ).alias("x")
+        )
+    )
+    wo = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = daily.select(
+        "day", F.sum(F.col("x").cast(d38)).over(wo).cast(d38).alias("cum")
+    )
+    p = c.select(
+        "day",
+        F.col("cum").cast("long").alias("cum_cents"),
+        F.max("cum").over(wo).cast("long").alias("peak_cents"),
+    )
+    return (
+        p.select(
+            F.col("day").alias("trough_day"),
+            "cum_cents",
+            "peak_cents",
+            (F.col("peak_cents") - F.col("cum_cents")).alias(
+                "drawdown_cents"
+            ),
+        )
+        .orderBy(F.col("drawdown_cents").desc(), F.col("trough_day").asc())
+        .limit(1)
+    )
+
+
+@workload(
+    "durbin_watson_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value*100+0.5) AS BIGINT)) AS BIGINT)
+                 AS x
+        FROM events GROUP BY 1),
+    ix AS (SELECT x,
+                  CAST(date_diff('day', (SELECT MIN(day) FROM daily), day)
+                       AS BIGINT) AS t
+           FROM daily),
+    m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                 SUM(CAST(t AS HUGEINT)) AS st,
+                 SUM(CAST(x AS HUGEINT)) AS sx,
+                 SUM(CAST(t AS HUGEINT)*t) AS stt,
+                 SUM(CAST(t AS HUGEINT)*x) AS stx
+          FROM ix),
+    co AS (SELECT CAST(n AS BIGINT) AS n_days,
+                  CAST(CAST(n*stx - st*sx AS VARCHAR) AS DOUBLE)
+                    / CAST(CAST(n*stt - st*st AS VARCHAR) AS DOUBLE)
+                    AS beta,
+                  (CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                   - CAST(CAST(n*stx - st*sx AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(n*stt - st*st AS VARCHAR) AS DOUBLE)
+                     * CAST(CAST(st AS VARCHAR) AS DOUBLE))
+                    / CAST(CAST(n AS VARCHAR) AS DOUBLE) AS alpha
+           FROM m),
+    e AS (SELECT t,
+                 CAST(FLOOR(CAST(x AS DOUBLE) - alpha - beta
+                            * CAST(t AS DOUBLE) + 0.5) AS BIGINT) AS eq
+          FROM ix CROSS JOIN co),
+    de AS (SELECT eq, eq - lag(eq) OVER (ORDER BY t) AS d FROM e),
+    agg AS (SELECT SUM(CAST(eq AS HUGEINT)*eq) AS see,
+                   SUM(CAST(d AS HUGEINT)*d) AS sdd
+            FROM de)
+    SELECT (SELECT n_days FROM co) AS n_days,
+           (SELECT beta FROM co) AS beta,
+           CAST(CAST(sdd AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(see AS VARCHAR) AS DOUBLE) AS dw_stat
+    FROM agg""",
+)
+def durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson serial-correlation test on the residuals of the
+    daily-revenue-on-time OLS fit: DW ≈ 2(1−ρ₁) of the RESIDUALS —
+    the autocorrelation-after-detrending diagnostic (the raw ACF
+    conflates trend with persistence; DW is what validates the OLS
+    error assumption that every forecast interval rests on).
+
+    Determinism: α and β are fixed correctly-rounded chains over exact
+    decimal moments; each residual evaluates to an identical double
+    per row and is QUANTIZED to integer cents (⌊e+0.5⌋) — from there
+    Σe², Σ(Δe)² are exact integers and DW is ONE division. (A fully
+    exact rational residual would need Σ(nD·e)² ≈ 10⁵⁰-scale integers
+    — past decimal(38); cent quantization keeps exactness where it
+    matters and is documented as ±0.5-cent per-residual noise, ~1e-9
+    relative on this series.)
+
+    Scale: one fact aggregation to |days|; one moment pass; residual
+    quantization map-side under a broadcast 1-row coefficient frame;
+    lag window on the daily domain frame."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("long")
+            ).alias("x")
+        )
+        .localCheckpoint(eager=False)
+    )
+    d0 = daily.agg(F.min("day").alias("d0"))
+    ix = daily.crossJoin(F.broadcast(d0)).select(
+        "x", F.datediff(F.col("day"), F.col("d0")).cast("long").alias("t")
+    ).localCheckpoint(eager=False)
+    m = ix.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("t").cast(d38)).cast(d38).alias("st"),
+        F.sum(F.col("x").cast(d38)).cast(d38).alias("sx"),
+        F.sum((F.col("t").cast(d38) * F.col("t")).cast(d38))
+        .cast(d38)
+        .alias("stt"),
+        F.sum((F.col("t").cast(d38) * F.col("x")).cast(d38))
+        .cast(d38)
+        .alias("stx"),
+    )
+    n = F.col("n")
+    bnum = (n * F.col("stx") - F.col("st") * F.col("sx")).cast(d38)
+    bden = (n * F.col("stt") - F.col("st") * F.col("st")).cast(d38)
+    beta = bnum.cast("double") / bden.cast("double")
+    alpha = (
+        F.col("sx").cast("double")
+        - bnum.cast("double") / bden.cast("double")
+        * F.col("st").cast("double")
+    ) / n.cast("double")
+    co = m.select(
+        n.cast("long").alias("n_days"),
+        beta.alias("beta"),
+        alpha.alias("alpha"),
+    )
+    e = ix.crossJoin(F.broadcast(co)).select(
+        "t",
+        "n_days",
+        "beta",
+        F.floor(
+            F.col("x").cast("double")
+            - F.col("alpha")
+            - F.col("beta") * F.col("t").cast("double")
+            + 0.5
+        ).cast("long").alias("eq"),
+    )
+    de = e.select(
+        "n_days", "beta", "eq",
+        (F.col("eq") - F.lag("eq").over(Window.orderBy("t"))).alias("d"),
+    )
+    agg = de.groupBy("n_days", "beta").agg(
+        F.sum((F.col("eq").cast(d38) * F.col("eq")).cast(d38))
+        .cast(d38)
+        .alias("see"),
+        F.sum((F.col("d").cast(d38) * F.col("d")).cast(d38))
+        .cast(d38)
+        .alias("sdd"),
+    )
+    return agg.select(
+        "n_days",
+        "beta",
+        (F.col("sdd").cast("double") / F.col("see").cast("double")).alias(
+            "dw_stat"
+        ),
+    )
+
+
+@workload(
+    "term_burstiness_vmr",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({text_ops.sql_tokens('text')}) AS term
+        FROM documents),
+    per AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok GROUP BY 1, 2),
+    t AS (SELECT term,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs_with,
+                 CAST(SUM(c) AS BIGINT) AS total_occ,
+                 CAST(SUM(CAST(c AS HUGEINT)*c) AS HUGEINT) AS q
+          FROM per GROUP BY 1),
+    g AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nd FROM documents)
+    SELECT term, n_docs_with, total_occ,
+           CAST(CAST(nd*q - CAST(total_occ AS HUGEINT)*total_occ
+                     AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(nd*total_occ AS VARCHAR) AS DOUBLE) AS vmr
+    FROM t CROSS JOIN g""",
+)
+def term_burstiness_vmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness as the variance-to-mean ratio of per-document
+    counts (zeros included via the closed form (N·Q − S²)/(N·S)) —
+    the Church-Gale dispersion diagnostic: VMR ≈ 1 is Poisson
+    scatter (function words), VMR ≫ 1 is bursty content vocabulary;
+    stop-word lists, keyword weighting, and boilerplate screens all
+    key off it. Interarrival burstiness covers the TIME axis; this is
+    the document axis.
+
+    Hash-exact: per-(term, doc) counts, their sums/squares, and the
+    document total are exact integers; the population VMR folds the
+    (N − d) zero documents in algebraically — no zero-row
+    densification — and is ONE division per term.
+
+    Scale: one map-side tokenize, one (term, doc) aggregation, one
+    |vocabulary| rollup with the 1-row doc total broadcast back —
+    vocabulary-bounded output, never a doc×term matrix."""
+    d38 = "decimal(38,0)"
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(text_ops.tokens("text")).alias("term")
+    )
+    per = tok.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    t = per.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_docs_with"),
+        F.sum("c").alias("total_occ"),
+        F.sum((F.col("c").cast(d38) * F.col("c")).cast(d38))
+        .cast(d38)
+        .alias("q"),
+    )
+    g = docs.agg(F.count(F.lit(1)).cast(d38).alias("nd"))
+    j = t.crossJoin(F.broadcast(g))
+    num = (
+        F.col("nd") * F.col("q")
+        - F.col("total_occ").cast(d38) * F.col("total_occ")
+    ).cast(d38)
+    den = (F.col("nd") * F.col("total_occ")).cast(d38)
+    return j.select(
+        "term", "n_docs_with", "total_occ",
+        (num.cast("double") / den.cast("double")).alias("vmr"),
+    )
+
+
+# =========================================================================
 # Driver-facing registry order
 # =========================================================================
 #

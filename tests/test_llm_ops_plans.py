@@ -1597,3 +1597,38 @@ def test_seasonal_strength_single_pivot(spark, sf_dir):
     assert "Join" not in plan
     assert "Window" not in plan
     assert len(_data_shuffles(plan)) <= 2, _data_shuffles(plan)
+
+
+def test_runs_test_windows_on_daily_domain(spark, sf_dir):
+    """Diff/lag windows run over the |days| domain frame after the day
+    aggregation; one single-row rollup; no join."""
+    plan = _plan(workloads.QUERIES["runs_test_daily"](spark, sf_dir))
+    assert "Join" not in plan
+    assert len(_data_shuffles(plan)) <= 2, _data_shuffles(plan)
+
+
+def test_max_drawdown_takeordered(spark, sf_dir):
+    """Prefix-sum + running-max share one window sort; the argmax is
+    TakeOrderedAndProject(1) — never a global sort of the fact."""
+    plan = _plan(workloads.QUERIES["max_drawdown_daily"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan
+    assert plan.count("Window") <= 2
+
+
+def test_durbin_watson_broadcast_coefficients(spark, sf_dir):
+    """The 1-row OLS coefficient frame broadcasts back over the daily
+    frame (checkpointed once); one parquet scan."""
+    plan = _plan(workloads.QUERIES["durbin_watson_daily"](spark, sf_dir))
+    assert plan.count("Scan parquet") <= 1, plan
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_burstiness_vmr_vocabulary_rollup(spark, sf_dir):
+    """(term, doc) aggregation → |vocab| rollup → 1-row doc total
+    broadcast: no sort-merge join, no cartesian beyond the 1-row
+    broadcast."""
+    plan = _plan(workloads.QUERIES["term_burstiness_vmr"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -1009,6 +1009,7 @@ VALID_CORPUS_STAGES = {
     "span_dedup",
     "near_dedup",
     "semantic_dedup",
+    "novelty_filter",
     "token_budget",
     "sample_quota",
     "phrase_filter",
@@ -1068,6 +1069,11 @@ class CorpusStageConfig:
     embedding_col: str = "embedding"
     block_col: str | None = "label"
     threshold: float = 0.95
+    # novelty_filter (drop docs whose distinct-trigram novelty rate —
+    # share of the doc's trigrams it introduces to the corpus — falls
+    # below the floor; docs too short to form a trigram carry no
+    # evidence and are KEPT, the repetition_filter NULL convention)
+    min_novelty: float | None = None
     # token_budget
     budget_tokens: int | None = None
     # sample_quota (exact min(k, |group|) docs per group, drawn by
@@ -1120,6 +1126,19 @@ class CorpusStageConfig:
             _require(
                 int(d.get("budget_tokens", 0)) > 0,
                 f"corpus {pipeline_id}: token_budget needs budget_tokens > 0",
+            )
+        mn = d.get("min_novelty")
+        if st == "novelty_filter":
+            _require(
+                mn is not None and 0.0 < float(mn) <= 1.0,
+                f"corpus {pipeline_id}: novelty_filter needs min_novelty "
+                f"in (0, 1], got {mn!r}",
+            )
+        else:
+            _require(
+                mn is None,
+                f"corpus {pipeline_id}: min_novelty only applies to the "
+                "novelty_filter stage",
             )
         phrases_raw = d.get("phrases")
         if st == "phrase_filter":
@@ -1279,6 +1298,7 @@ class CorpusStageConfig:
             # baseline); absent = the operator default block column
             block_col=(d.get("block_col", "label") or None),
             threshold=float(d.get("threshold", 0.95)),
+            min_novelty=float(mn) if mn is not None else None,
             budget_tokens=(
                 int(d["budget_tokens"])
                 if d.get("budget_tokens") is not None

@@ -30,6 +30,10 @@ Stage semantics (all stages preserve the input schema, except ``split``
 - ``token_budget``: greedy best-by-quality prefix whose cumulative token
   count stays ≤ ``budget_tokens`` (distributed prefix-sum selection —
   no single-partition window).
+- ``novelty_filter``: drops docs whose distinct-trigram novelty rate
+  (share of trigrams the doc introduces to the corpus —
+  ``text.trigram_novelty``) is below ``min_novelty``; docs too short to
+  form a trigram are kept (no evidence).
 - ``phrase_filter``: drops docs containing ANY of the banned TOKENIZED
   phrases (adjacency-exact positional match via the phrase-search
   machinery — substring LIKE both over- and under-matches tokenized
@@ -225,6 +229,21 @@ def _apply_stage(
             .withColumn(text_col, F.col("clean_text"))
             .drop("clean_text")
         )
+    if stage.stage == "novelty_filter":
+        # incremental-information screen: drop docs whose distinct-
+        # trigram novelty rate (share of the doc's trigrams whose
+        # global first claimant is this doc — text.trigram_novelty,
+        # the ngram_novelty_by_source core) falls below the floor. A
+        # doc with <3 tokens has no trigram slots → no evidence → KEPT
+        # (the repetition_filter NULL convention). The low-novelty id
+        # set can be corpus-sized, so the anti-join is a plain shuffle
+        # equi-join on the id — never forced broadcast.
+        per = text_ops.trigram_novelty(df, text_col=text_col, id_col=id_col)
+        low = per.where(
+            F.col("novel").cast("double") / F.col("slots").cast("double")
+            < F.lit(stage.min_novelty)
+        ).select(id_col)
+        return df.join(low, id_col, "left_anti")
     if stage.stage == "split":
         from metadata_driven_etl_spark.operators.sampling import (
             split_by_group,

@@ -1093,3 +1093,106 @@ def test_phrase_filter_validation(tmp_path):
                 )
             )
         )
+
+
+def test_novelty_filter_stage(ctx, tmp_path):
+    """novelty_filter drops exactly the docs whose distinct-trigram
+    novelty rate is below the floor (YAML == direct composition);
+    schema-preserving; too-short docs are kept."""
+    from metadata_driven_etl_spark.operators import text as text_ops
+
+    cfg = load_corpus_config(
+        _write_config(
+            tmp_path,
+            f"""
+            corpus_pipelines:
+              - pipeline_id: novelty_v1
+                input_path: "{SF_DOCS}"
+                target_table: corpus.t_novelty_v1
+                stages:
+                  - stage: novelty_filter
+                    min_novelty: 0.5
+            """,
+        )
+    )
+    results = CorpusLayer(ctx, cfg).run("2026-08-15")
+    assert [r.status for r in results] == ["success"]
+    out = ctx.spark.table("corpus.t_novelty_v1")
+    docs = ctx.spark.read.parquet(SF_DOCS)
+    assert out.columns == docs.columns
+
+    # direct composition: keep docs with rate >= 0.5 OR no trigram slots
+    per = text_ops.trigram_novelty(docs, text_col="text", id_col="doc_id")
+    rates = {
+        r.doc_id: r.novel / r.slots for r in per.collect() if r.slots
+    }
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    expect = {
+        d for d in all_ids if d not in rates or rates[d] >= 0.5
+    }
+    got = {r.doc_id for r in out.collect()}
+    assert got == expect
+    assert len(expect) < len(all_ids), (
+        "the floor must bite on the test corpus"
+    )
+
+    # survival metrics recorded for the stage
+    dqm = ctx.spark.table("metadata.corpus_t_dq").filter(
+        "rule_name like '%novelty_filter%'"
+    )
+    assert dqm.count() >= 1
+
+
+def test_novelty_filter_validation(tmp_path):
+    import yaml
+
+    # missing min_novelty
+    with pytest.raises(ConfigError, match="min_novelty"):
+        CorpusConfig.from_dict(
+            yaml.safe_load(
+                textwrap.dedent(
+                    """
+                    corpus_pipelines:
+                      - pipeline_id: bad
+                        input_path: "/x"
+                        target_table: t
+                        stages:
+                          - stage: novelty_filter
+                    """
+                )
+            )
+        )
+    # out of range
+    with pytest.raises(ConfigError, match="min_novelty"):
+        CorpusConfig.from_dict(
+            yaml.safe_load(
+                textwrap.dedent(
+                    """
+                    corpus_pipelines:
+                      - pipeline_id: bad
+                        input_path: "/x"
+                        target_table: t
+                        stages:
+                          - stage: novelty_filter
+                            min_novelty: 1.5
+                    """
+                )
+            )
+        )
+    # min_novelty on another stage is rejected
+    with pytest.raises(ConfigError, match="min_novelty"):
+        CorpusConfig.from_dict(
+            yaml.safe_load(
+                textwrap.dedent(
+                    """
+                    corpus_pipelines:
+                      - pipeline_id: bad
+                        input_path: "/x"
+                        target_table: t
+                        stages:
+                          - stage: quality_filter
+                            min_novelty: 0.5
+                    """
+                )
+            )
+        )

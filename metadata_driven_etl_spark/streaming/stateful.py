@@ -399,3 +399,132 @@ def rolling_zscore_stateful(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+DRAWDOWN_OUTPUT_SCHEMA = (
+    "event_type string, event_id long, drawdown_cents long"
+)
+# three exact integer registers (cumulative cents, running peak, max
+# drawdown so far) + the pending post-watermark buffer as JSON — the
+# CUSUM twin's scalar-typed state representation
+DRAWDOWN_STATE_SCHEMA = "cum long, peak long, maxdd long, pending string"
+
+
+def drawdown_stateful(
+    events: DataFrame,
+    drift_cents: int = 0,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming high-water-mark drawdown alerts per event type — the
+    stateful twin of the batch max_drawdown shape, with EXACT
+    event-time semantics: fold rows strictly in (event time, id)
+    order, cum += cents, peak = max(peak, cum) (peak starts at 0), and
+    emit a row whenever drawdown = peak − cum sets a NEW maximum — the
+    "we are deeper under water than ever before" alert the batch
+    argmax readout can only see after the fact. ``drift_cents`` is
+    subtracted from every value before folding (drawdown of the
+    cumulative NET of the expected run rate — an always-positive value
+    stream never draws down raw, exactly as an always-up equity curve
+    never does; the CUSUM K-drift discipline).
+
+    Same order-sensitivity contract as the CUSUM twin: rows newer than
+    the watermark wait in a per-key pending buffer; the event-time
+    watermark finalizes them in (ts, id) order through the three
+    exact-bigint registers; rows later than the watermark are dropped.
+    State per key: three longs + the bounded pending buffer; the
+    event-time timeout at the newest pending row flushes keys whose
+    batches stop. Batch ≡ stream parity is property-tested in
+    tests/test_streaming.py.
+    """
+    pre = events.select(
+        F.col(type_col).alias("event_type"),
+        F.col(ts_col).alias("ts"),
+        F.col(order_col).alias("event_id"),
+        (
+            F.floor(F.col(value_col) * 100 + 0.5).cast("long")
+            - F.lit(int(drift_cents)).cast("long")
+        ).alias("cents"),
+    )
+
+    def track(key, pdfs, state):
+        import json
+
+        import pandas as pd
+
+        def load():
+            if state.exists:
+                cum, peak, maxdd, pend_json = state.get
+                return int(cum), int(peak), int(maxdd), json.loads(pend_json)
+            return 0, 0, 0, []
+
+        def emit(rows):
+            if not rows:
+                return None
+            return pd.DataFrame(
+                {
+                    "event_type": [key[0]] * len(rows),
+                    "event_id": [r[1] for r in rows],
+                    "drawdown_cents": [r[2] for r in rows],
+                }
+            )
+
+        def finalize(cum, peak, maxdd, ready):
+            alerts = []
+            for t_us, eid, cents in sorted(ready):
+                cum += int(cents)
+                if cum > peak:
+                    peak = cum
+                dd = peak - cum
+                if dd > maxdd:
+                    maxdd = dd
+                    alerts.append((t_us, eid, dd))
+            return cum, peak, maxdd, alerts
+
+        cum, peak, maxdd, pending = load()
+
+        if state.hasTimedOut:
+            cum, peak, maxdd, alerts = finalize(cum, peak, maxdd, pending)
+            state.update((cum, peak, maxdd, json.dumps([])))
+            out = emit(alerts)
+            if out is not None:
+                yield out
+            return
+
+        wm_ms = state.getCurrentWatermarkMs()
+        for pdf in pdfs:
+            ts_ns = pdf["ts"].astype("int64")
+            unit_div = 1000 if pdf["ts"].dtype.str.endswith("[ns]") else 1
+            for t_raw, eid, cents in zip(
+                ts_ns.tolist(),
+                pdf["event_id"].tolist(),
+                pdf["cents"].tolist(),
+            ):
+                t_us = int(t_raw) // unit_div
+                if t_us // 1000 <= wm_ms:
+                    continue  # late beyond the watermark: dropped
+                pending.append([t_us, int(eid), int(cents)])
+        ready = [r for r in pending if r[0] // 1000 <= wm_ms]
+        pending = [r for r in pending if r[0] // 1000 > wm_ms]
+        cum, peak, maxdd, alerts = finalize(cum, peak, maxdd, ready)
+        state.update((cum, peak, maxdd, json.dumps(pending)))
+        if pending:
+            state.setTimeoutTimestamp(max(r[0] for r in pending) // 1000 + 1)
+        out = emit(alerts)
+        if out is not None:
+            yield out
+
+    return (
+        pre.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            track,
+            DRAWDOWN_OUTPUT_SCHEMA,
+            DRAWDOWN_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1016,3 +1016,96 @@ def test_stateful_rolling_zscore_matches_batch(
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stateful_drawdown_matches_batch(spark, sf_dir, tmp_path_factory):
+    """applyInPandasWithState new-max-drawdown alerts == the batch
+    prefix-sum/running-max identity, on chronologically sliced
+    micro-batches with the far-future sentinel flushing the pending
+    buffers via the event-time timeout."""
+    import datetime
+    import time as _time
+
+    from pyspark.sql import Window
+
+    from metadata_driven_etl_spark.streaming.stateful import (
+        drawdown_stateful,
+    )
+
+    path = str(tmp_path_factory.mktemp("events_drawdown"))
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    split_ts = lo + (hi - lo) / 2
+    for i, part_df in enumerate(
+        [
+            events.filter(F.col("ts") <= F.lit(split_ts)),
+            events.filter(F.col("ts") > F.lit(split_ts)),
+        ]
+    ):
+        part_df.coalesce(1).sortWithinPartitions("ts").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/slice={i}")
+        _time.sleep(1.1)
+    sentinel = spark.createDataFrame(
+        [(999_999_999, datetime.datetime(2100, 1, 1), -1, "sentinel", 0.0, "{}")],
+        EVENT_SCHEMA,
+    )
+    sentinel.coalesce(1).write.mode("overwrite").parquet(f"{path}/slice=2")
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
+    # drift at ~the mean event value so the net series meanders and
+    # drawdowns exist at the test SF (an all-positive raw stream never
+    # draws down)
+    drift = 5_500
+    q = (
+        drawdown_stateful(stream, drift_cents=drift)
+        .writeStream.format("memory")
+        .queryName("t_drawdown")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.event_type, r.event_id): r.drawdown_cents
+        for r in spark.table("t_drawdown")
+        .filter(F.col("event_type") != "sentinel")
+        .collect()
+    }
+
+    # batch twin: cum prefix sum, peak = max(0, running max cum),
+    # emit rows whose drawdown strictly exceeds every previous one
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long") - drift
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wprev = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    p = (
+        events.select(
+            "event_type", "event_id", "ts", cents.alias("cents")
+        )
+        .withColumn("cum", F.sum("cents").over(w))
+        .withColumn(
+            "peak", F.greatest(F.lit(0), F.max("cum").over(w))
+        )
+        .withColumn("dd", F.col("peak") - F.col("cum"))
+        .withColumn(
+            "prev_max",
+            F.coalesce(F.max("dd").over(wprev), F.lit(0)),
+        )
+    )
+    want = {
+        (r.event_type, r.event_id): r.dd
+        for r in p.filter(F.col("dd") > F.col("prev_max")).collect()
+    }
+    assert got == want and len(want) > 0

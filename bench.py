@@ -400,6 +400,9 @@ HEADLINE = [
     "max_drawdown_daily",
     "durbin_watson_daily",
     "term_burstiness_vmr",
+    # round-9 fifth wave: nearest as-of, intra-label sim histogram
+    "join_asof_nearest",
+    "embedding_sim_histogram_intra_label",
 ]
 
 

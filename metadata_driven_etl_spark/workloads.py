@@ -14221,6 +14221,197 @@ def term_burstiness_vmr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round-9 additions (fifth wave): nearest as-of join, intra-label
+# similarity histogram
+# =========================================================================
+
+
+@workload(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, value FROM events
+          WHERE event_type = 'click'),
+    b AS (SELECT p.event_id, c.ts AS bts
+          FROM p ASOF LEFT JOIN c
+            ON p.user_id = c.user_id AND p.ts >= c.ts),
+    f AS (SELECT p.event_id, c.ts AS fts
+          FROM p ASOF LEFT JOIN c
+            ON p.user_id = c.user_id AND p.ts <= c.ts),
+    j AS (SELECT p.event_id, p.user_id, p.ts, b.bts, f.fts,
+                 epoch_us(p.ts) - epoch_us(b.bts) AS bdt,
+                 epoch_us(f.fts) - epoch_us(p.ts) AS fdt
+          FROM p JOIN b USING (event_id) JOIN f USING (event_id))
+    SELECT event_id, user_id, ts,
+           CASE WHEN bts IS NULL AND fts IS NULL THEN NULL
+                WHEN fts IS NULL THEN bts
+                WHEN bts IS NULL THEN fts
+                WHEN bdt <= fdt THEN bts ELSE fts END AS nearest_click_ts,
+           CASE WHEN bts IS NULL AND fts IS NULL THEN NULL
+                WHEN fts IS NULL THEN bdt
+                WHEN bts IS NULL THEN fdt
+                WHEN bdt <= fdt THEN bdt ELSE fdt END AS nearest_dt_us,
+           CASE WHEN bts IS NULL AND fts IS NULL THEN NULL
+                WHEN fts IS NULL THEN 'backward'
+                WHEN bts IS NULL THEN 'forward'
+                WHEN bdt <= fdt THEN 'backward'
+                ELSE 'forward' END AS side
+    FROM j""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas ``merge_asof
+    direction='nearest'``): for each purchase, the user's click closest
+    in time in EITHER direction, ties to the earlier click — the third
+    direction completing the as-of family (backward = feature lookup,
+    forward = next-event, nearest = sensor/beacon alignment where
+    "which reading belongs to this moment" has no preferred side).
+
+    Composed from the SHARED asof operator run once per direction (the
+    union + last_value window each way — never a theta join); the pick
+    is an exact integer-microsecond comparison map-side, NULL-complete
+    on both one-sided and no-click users.
+
+    Hash-exact: timestamps and Δt are exact microseconds; the
+    backward-on-tie contract is the same deterministic total order
+    both engines evaluate.
+
+    Scale: two user-keyed window shuffles (one per direction) on the
+    same frame + one equi-join to align them — each linear; the
+    nearest pick adds no shuffle."""
+    from metadata_driven_etl_spark.operators import temporal
+
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    back = temporal.asof_join(
+        purchases, clicks, key="user_id", left_ts="ts",
+        right_ts="click_ts", right_cols=["click_ts"], prefix="b_",
+        direction="backward",
+    ).select("event_id", F.col("b_click_ts").alias("bts"))
+    fwd = temporal.asof_join(
+        purchases, clicks, key="user_id", left_ts="ts",
+        right_ts="click_ts", right_cols=["click_ts"], prefix="f_",
+        direction="forward",
+    ).select("event_id", F.col("f_click_ts").alias("fts"))
+    j = purchases.join(back, "event_id").join(fwd, "event_id")
+    bdt = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("bts"))
+    fdt = F.unix_micros(F.col("fts")) - F.unix_micros(F.col("ts"))
+    both_null = F.col("bts").isNull() & F.col("fts").isNull()
+    pick_b = F.col("fts").isNull() | (
+        F.col("bts").isNotNull() & (bdt <= fdt)
+    )
+    return j.select(
+        "event_id", "user_id", "ts",
+        F.when(both_null, F.lit(None).cast("timestamp"))
+        .when(pick_b, F.col("bts"))
+        .otherwise(F.col("fts"))
+        .alias("nearest_click_ts"),
+        F.when(both_null, F.lit(None).cast("long"))
+        .when(pick_b, bdt)
+        .otherwise(fdt)
+        .alias("nearest_dt_us"),
+        F.when(both_null, F.lit(None).cast("string"))
+        .when(pick_b, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("side"),
+    )
+
+
+_SIM_HIST_BINS = 20
+
+
+@workload(
+    "embedding_sim_histogram_intra_label",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE)*{_KM_SCALE}+0.5)
+                             AS BIGINT)) AS qv
+        FROM embeddings),
+    n AS (SELECT vec_id, label, qv,
+                 list_sum(list_transform(qv, v -> v*v)) AS n2
+          FROM q),
+    p AS (SELECT a.label,
+                 CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+                      z -> z[1]*z[2])) AS DOUBLE)
+                   / (sqrt(CAST(a.n2 AS DOUBLE))
+                      * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+          FROM n a JOIN n b
+            ON a.label = b.label AND a.vec_id < b.vec_id),
+    h AS (SELECT CAST(FLOOR(cos * {_SIM_HIST_BINS}) AS INTEGER) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n_pairs
+          FROM p GROUP BY 1)
+    SELECT bin, n_pairs FROM h""",
+)
+def embedding_sim_histogram_intra_label(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Within-label cosine-similarity histogram (bins of 1/20) — the
+    embedding-space health diagnostic ANN tuning starts from: a
+    near-dup threshold or IVF n_probe is chosen off exactly this
+    distribution, and a collapsed/anisotropic embedding space shows up
+    as mass piling against 1.0.
+
+    Pair generation is BLOCKED on the label (the IVF/SemDeDup coarse-
+    cell posture): the pair space is Σ_cells |cell|² — never corpus-
+    quadratic; at 100 TB the label is ivf_build_index's cell id, cells
+    stay bounded, and cells only multiply.
+
+    Determinism: quantized integer dot products and squared norms are
+    exact; each cosine is one fixed correctly-rounded chain; binning
+    floors identical doubles.
+
+    Scale: one equi-join on the label, map-side fold per pair, one
+    |bins| rollup."""
+    q = _emb(spark, sf_dir).select(
+        "vec_id", "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _KM_SCALE + 0.5).cast(
+                "long"
+            ),
+        ).alias("qv"),
+    )
+    n = q.select(
+        "vec_id", "label", "qv",
+        F.aggregate(
+            "qv", F.lit(0).cast("long"), lambda acc, v: acc + v * v
+        ).alias("n2"),
+    ).localCheckpoint(eager=False)
+    a = n.select(
+        F.col("label"), F.col("vec_id").alias("ia"),
+        F.col("qv").alias("qa"), F.col("n2").alias("na"),
+    )
+    b = n.select(
+        F.col("label"), F.col("vec_id").alias("ib"),
+        F.col("qv").alias("qb"), F.col("n2").alias("nb"),
+    )
+    pairs = a.join(b, "label").where(F.col("ia") < F.col("ib"))
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cos = dot.cast("double") / (
+        F.sqrt(F.col("na").cast("double"))
+        * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        pairs.select(
+            F.floor(cos * _SIM_HIST_BINS).cast("int").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# =========================================================================
 # Driver-facing registry order
 # =========================================================================
 #

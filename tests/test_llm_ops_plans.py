@@ -1632,3 +1632,27 @@ def test_burstiness_vmr_vocabulary_rollup(spark, sf_dir):
     plan = _plan(workloads.QUERIES["term_burstiness_vmr"](spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_nearest_two_window_passes_no_theta(spark, sf_dir):
+    """Each direction is the union + last_value window asof machinery;
+    alignment is an equi-join on the purchase id — never a theta join
+    over the touches x purchases pair space."""
+    plan = _plan(workloads.QUERIES["join_asof_nearest"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sim_histogram_blocked_pair_join(spark, sf_dir):
+    """Pair generation is an equi-join on the label (the coarse-cell
+    posture) over the checkpointed quantized frame — never cartesian;
+    one |bins| rollup."""
+    plan = _plan(
+        workloads.QUERIES["embedding_sim_histogram_intra_label"](
+            spark, sf_dir
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("Scan parquet") <= 1, plan

@@ -314,7 +314,7 @@ class DQRuleConfig:
 
 
 VALID_ENRICHMENT_TYPES = {"asof"}
-VALID_ASOF_DIRECTIONS = {"backward", "forward"}
+VALID_ASOF_DIRECTIONS = {"backward", "forward", "nearest"}
 
 
 @dataclass(frozen=True)
@@ -324,8 +324,9 @@ class EnrichmentConfig:
     enriched columns).
 
     ``type: asof`` is the feature-store staleness-bounded lookup: for
-    each output row, the latest (direction=backward) or next
-    (direction=forward) row of ``right_table`` with a matching key and a
+    each output row, the latest (direction=backward), next
+    (direction=forward), or closest-either-way (direction=nearest, ties
+    backward) row of ``right_table`` with a matching key and a
     timestamp within ``tolerance_seconds``, as ``<prefix><col>`` columns
     — the shape inline SQL cannot express without hand-writing the
     union+window trick (operators/temporal.py:asof_join, which this

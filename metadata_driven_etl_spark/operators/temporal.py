@@ -45,25 +45,38 @@ def asof_join(
       right.ts <= left.ts and matching key.
     - ``direction="forward"``: the EARLIEST right row with
       right.ts >= left.ts (the "next event after" query shape).
+    - ``direction="nearest"``: whichever of those two is closer in
+      time, ties to the backward match (pandas ``merge_asof``
+      direction='nearest') — both carries run over the SAME union
+      frame (two window passes, no alignment join), and the pick is a
+      map-side exact comparison.
     - ``tolerance_seconds``: if set, a match farther than this from
       left.ts reads as NO match (all prefixed columns NULL) — the
       staleness bound every feature-store as-of lookup needs. Units are
       seconds for timestamp columns, native units for numeric ts
-      columns.
+      columns. With ``nearest`` the bound applies per side BEFORE the
+      pick (a too-stale backward match loses to an in-range forward
+      one).
 
     Right timestamps should be unique per key (the standard as-of
     contract; with duplicates the latest-in-sort-order row wins,
     deterministically).
 
     Plan shape is unchanged by the new knobs: union + ONE key-partitioned
-    window carrying right values across the time-sorted stream — never
-    the |L|x|R| theta-join pair space; tolerance is a map-side CASE on
-    the carried match timestamp afterward.
+    window carrying right values across the time-sorted stream (TWO for
+    ``nearest`` — one per sort direction) — never the |L|x|R| theta-join
+    pair space; tolerance is a map-side CASE on the carried match
+    timestamp afterward.
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
-            f"asof_join: direction must be 'backward' or 'forward', "
-            f"got {direction!r}"
+            f"asof_join: direction must be 'backward', 'forward' or "
+            f"'nearest', got {direction!r}"
+        )
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, key, left_ts, right_ts, right_cols, prefix,
+            tolerance_seconds,
         )
     keys = [key] if isinstance(key, str) else list(key)
     marker, ts = "_asof_is_left", "_asof_ts"
@@ -119,6 +132,108 @@ def asof_join(
         for c in (f"{prefix}{c}" for c in right_cols):
             u = u.withColumn(c, F.when(ok, F.col(c)))
     return u.filter(F.col(marker) == 1).drop(marker, ts, match_ts)
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    prefix: str,
+    tolerance_seconds: float | None,
+) -> DataFrame:
+    """nearest-direction as-of: both directional carries over ONE union
+    frame (ascending and descending window passes), then a map-side
+    pick of the closer match, ties backward. See asof_join."""
+    from pyspark.sql.types import TimestampType
+
+    keys = [key] if isinstance(key, str) else list(key)
+    marker, ts = "_asof_is_left", "_asof_ts"
+
+    lt = left.withColumn(marker, F.lit(1)).withColumn(ts, F.col(left_ts))
+    side_cols = [
+        f"_asof_{side}_{c}"
+        for side in ("b", "f")
+        for c in (*right_cols, "_mts")
+    ]
+    for side in ("b", "f"):
+        for c in right_cols:
+            lt = lt.withColumn(
+                f"_asof_{side}_{c}",
+                F.lit(None).cast(right.schema[c].dataType),
+            )
+        lt = lt.withColumn(
+            f"_asof_{side}__mts",
+            F.lit(None).cast(right.schema[right_ts].dataType),
+        )
+    rt = right.select(
+        *keys,
+        F.lit(0).alias(marker),
+        F.col(right_ts).alias(ts),
+        *[
+            F.col(c).alias(f"_asof_{side}_{c}")
+            for side in ("b", "f")
+            for c in right_cols
+        ],
+        *[
+            F.col(right_ts).alias(f"_asof_{side}__mts")
+            for side in ("b", "f")
+        ],
+    )
+    for c in left.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    u = lt.unionByName(rt.select(*lt.columns))
+
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts), F.col(marker))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts).desc(), F.col(marker))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in (*right_cols, "_mts"):
+        u = u.withColumn(
+            f"_asof_b_{c}",
+            F.last(f"_asof_b_{c}", ignorenulls=True).over(wb),
+        )
+    for c in (*right_cols, "_mts"):
+        u = u.withColumn(
+            f"_asof_f_{c}",
+            F.last(f"_asof_f_{c}", ignorenulls=True).over(wf),
+        )
+
+    def _num(col):
+        if isinstance(right.schema[right_ts].dataType, TimestampType):
+            return F.unix_micros(col)
+        return col
+
+    bmts, fmts = F.col("_asof_b__mts"), F.col("_asof_f__mts")
+    bdt = _num(F.col(ts)) - _num(bmts)
+    fdt = _num(fmts) - _num(F.col(ts))
+    b_ok, f_ok = bmts.isNotNull(), fmts.isNotNull()
+    if tolerance_seconds is not None:
+        tol = (
+            tolerance_seconds * 1_000_000
+            if isinstance(right.schema[right_ts].dataType, TimestampType)
+            else tolerance_seconds
+        )
+        b_ok = b_ok & (bdt <= F.lit(tol))
+        f_ok = f_ok & (fdt <= F.lit(tol))
+    pick_b = b_ok & (~f_ok | (bdt <= fdt))
+    for c in right_cols:
+        u = u.withColumn(
+            f"{prefix}{c}",
+            F.when(pick_b, F.col(f"_asof_b_{c}")).when(
+                f_ok, F.col(f"_asof_f_{c}")
+            ),
+        )
+    return u.filter(F.col(marker) == 1).drop(marker, ts, *side_cols)
 
 
 def range_join_binned(

@@ -14267,18 +14267,19 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     forward = next-event, nearest = sensor/beacon alignment where
     "which reading belongs to this moment" has no preferred side).
 
-    Composed from the SHARED asof operator run once per direction (the
-    union + last_value window each way — never a theta join); the pick
-    is an exact integer-microsecond comparison map-side, NULL-complete
-    on both one-sided and no-click users.
+    Routed through the SHARED operator (temporal.asof_join
+    direction='nearest' — also reachable as the declarable silver
+    enrichment knob): BOTH directional carries run over ONE union
+    frame as two window passes (ascending + descending), no alignment
+    join; the pick is an exact integer-microsecond comparison
+    map-side, NULL-complete on both one-sided and no-click users.
 
     Hash-exact: timestamps and Δt are exact microseconds; the
     backward-on-tie contract is the same deterministic total order
     both engines evaluate.
 
-    Scale: two user-keyed window shuffles (one per direction) on the
-    same frame + one equi-join to align them — each linear; the
-    nearest pick adds no shuffle."""
+    Scale: two user-keyed window passes on the same frame — each
+    linear; the nearest pick adds no shuffle and NO join at all."""
     from metadata_driven_etl_spark.operators import temporal
 
     events = _t(spark, sf_dir, "events")
@@ -14288,35 +14289,25 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = events.filter(F.col("event_type") == "click").select(
         "user_id", F.col("ts").alias("click_ts")
     )
-    back = temporal.asof_join(
+    out = temporal.asof_join(
         purchases, clicks, key="user_id", left_ts="ts",
-        right_ts="click_ts", right_cols=["click_ts"], prefix="b_",
-        direction="backward",
-    ).select("event_id", F.col("b_click_ts").alias("bts"))
-    fwd = temporal.asof_join(
-        purchases, clicks, key="user_id", left_ts="ts",
-        right_ts="click_ts", right_cols=["click_ts"], prefix="f_",
-        direction="forward",
-    ).select("event_id", F.col("f_click_ts").alias("fts"))
-    j = purchases.join(back, "event_id").join(fwd, "event_id")
-    bdt = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("bts"))
-    fdt = F.unix_micros(F.col("fts")) - F.unix_micros(F.col("ts"))
-    both_null = F.col("bts").isNull() & F.col("fts").isNull()
-    pick_b = F.col("fts").isNull() | (
-        F.col("bts").isNotNull() & (bdt <= fdt)
+        right_ts="click_ts", right_cols=["click_ts"], prefix="near_",
+        direction="nearest",
     )
-    return j.select(
+    nts = F.col("near_click_ts")
+    dt = F.when(
+        nts.isNotNull(),
+        F.when(
+            nts <= F.col("ts"),
+            F.unix_micros(F.col("ts")) - F.unix_micros(nts),
+        ).otherwise(F.unix_micros(nts) - F.unix_micros(F.col("ts"))),
+    )
+    return out.select(
         "event_id", "user_id", "ts",
-        F.when(both_null, F.lit(None).cast("timestamp"))
-        .when(pick_b, F.col("bts"))
-        .otherwise(F.col("fts"))
-        .alias("nearest_click_ts"),
-        F.when(both_null, F.lit(None).cast("long"))
-        .when(pick_b, bdt)
-        .otherwise(fdt)
-        .alias("nearest_dt_us"),
-        F.when(both_null, F.lit(None).cast("string"))
-        .when(pick_b, F.lit("backward"))
+        nts.alias("nearest_click_ts"),
+        dt.cast("long").alias("nearest_dt_us"),
+        F.when(nts.isNull(), F.lit(None).cast("string"))
+        .when(nts <= F.col("ts"), F.lit("backward"))
         .otherwise(F.lit("forward"))
         .alias("side"),
     )

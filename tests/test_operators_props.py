@@ -1883,3 +1883,58 @@ def test_spearman_hand_check(spark_global, tmp_path):
     ).collect()[0]
     assert out.n_rows == 4
     assert abs(out.spearman_rho - 1.0) < 1e-12
+
+
+def test_asof_nearest_equals_two_direction_compose(spark):
+    """direction='nearest' == run backward and forward separately and
+    pick the closer match (ties backward), including tolerance applied
+    per side BEFORE the pick."""
+    import datetime as dt
+
+    from metadata_driven_etl_spark.operators.temporal import asof_join
+
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [
+            (1, 10, T(2024, 1, 1, 12, 0, 0)),   # b 11:59, f 12:03 -> b
+            (2, 10, T(2024, 1, 1, 12, 2, 0)),   # b 11:59(3m), f 12:03(1m) -> f
+            (3, 10, T(2024, 1, 1, 12, 1, 0)),   # tie 2m/2m -> backward
+            (4, 20, T(2024, 1, 1, 9, 0, 0)),    # only forward exists
+            (5, 30, T(2024, 1, 1, 9, 0, 0)),    # no right rows at all
+        ],
+        "id int, k int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, T(2024, 1, 1, 11, 59, 0), 1.0),
+            (10, T(2024, 1, 1, 12, 3, 0), 2.0),
+            (20, T(2024, 1, 1, 10, 0, 0), 3.0),
+        ],
+        "k int, ts timestamp, v double",
+    )
+    near = {
+        r.id: (r.asof_ts, r.asof_v)
+        for r in asof_join(
+            left, right, key="k", right_cols=["ts", "v"],
+            direction="nearest",
+        ).collect()
+    }
+    assert near[1] == (T(2024, 1, 1, 11, 59, 0), 1.0)
+    assert near[2] == (T(2024, 1, 1, 12, 3, 0), 2.0)
+    assert near[3] == (T(2024, 1, 1, 11, 59, 0), 1.0)  # tie -> backward
+    assert near[4] == (T(2024, 1, 1, 10, 0, 0), 3.0)
+    assert near[5] == (None, None)
+
+    # tolerance per side before the pick: 90s kills both of id 3's
+    # 2-minute matches; id 2 keeps its 60s forward match
+    tol = {
+        r.id: (r.asof_ts, r.asof_v)
+        for r in asof_join(
+            left, right, key="k", right_cols=["ts", "v"],
+            direction="nearest", tolerance_seconds=90,
+        ).collect()
+    }
+    assert tol[2] == (T(2024, 1, 1, 12, 3, 0), 2.0)
+    assert tol[3] == (None, None)
+    assert tol[1] == (T(2024, 1, 1, 11, 59, 0), 1.0)
+    assert tol[4] == (None, None)  # 1h away > 90s

@@ -528,6 +528,21 @@ def test_asof_enrichment_config_validation():
         with _pytest.raises(ConfigError, match=msg):
             SilverTransform.from_dict({**base, "enrichments": [enr]})
 
+    # direction=nearest is a valid declarable direction (routed to the
+    # operator's single-pass nearest implementation)
+    ok = SilverTransform.from_dict(
+        {
+            **base,
+            "enrichments": [
+                {
+                    "type": "asof", "right_table": "x", "keys": ["k"],
+                    "right_cols": ["v"], "direction": "nearest",
+                }
+            ],
+        }
+    )
+    assert ok.enrichments[0].direction == "nearest"
+
 
 def _delta_gold_cfg(tmp_path):
     import textwrap

@@ -62,178 +62,139 @@ def asof_join(
     contract; with duplicates the latest-in-sort-order row wins,
     deterministically).
 
-    Plan shape is unchanged by the new knobs: union + ONE key-partitioned
-    window carrying right values across the time-sorted stream (TWO for
-    ``nearest`` — one per sort direction) — never the |L|x|R| theta-join
-    pair space; tolerance is a map-side CASE on the carried match
-    timestamp afterward.
+    The matched right row is carried ATOMICALLY as one struct through
+    ``last(ignorenulls)`` — a right row whose VALUE column is NULL
+    still matches as a row (its NULL is the answer), rather than
+    letting an older row's non-NULL value bleed forward under a newer
+    match timestamp (the per-column-carry defect a first draft had:
+    values and tolerance distances could come from different rows).
+
+    Plan shape is unchanged by the knobs: union + ONE key-partitioned
+    window carrying the right-row struct across the time-sorted stream
+    (TWO for ``nearest`` — one per sort direction) — never the |L|x|R|
+    theta-join pair space; tolerance is a map-side CASE on the carried
+    match timestamp afterward.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
             f"asof_join: direction must be 'backward', 'forward' or "
             f"'nearest', got {direction!r}"
         )
-    if direction == "nearest":
-        return _asof_nearest(
-            left, right, key, left_ts, right_ts, right_cols, prefix,
-            tolerance_seconds,
-        )
     keys = [key] if isinstance(key, str) else list(key)
-    marker, ts = "_asof_is_left", "_asof_ts"
-    match_ts = "_asof_match_ts"
-
-    lt = left.withColumn(marker, F.lit(1)).withColumn(ts, F.col(left_ts))
-    for c in right_cols:
-        lt = lt.withColumn(f"{prefix}{c}", F.lit(None).cast(right.schema[c].dataType))
-    lt = lt.withColumn(match_ts, F.lit(None).cast(right.schema[right_ts].dataType))
-    rt = right.select(
-        *keys,
-        F.lit(0).alias(marker),
-        F.col(right_ts).alias(ts),
-        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
-        F.col(right_ts).alias(match_ts),
+    u, marker, ts, src = _asof_union(
+        left, right, keys, left_ts, right_ts, right_cols
     )
-    for c in left.columns:
-        if c not in rt.columns:
-            rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    u = lt.unionByName(rt.select(*lt.columns))
 
-    # right rows (marker 0) sort BEFORE left rows at equal ts → the match
-    # is inclusive in both directions; last(ignorenulls) carries right
-    # values forward along the (a/de)scending time stream
-    order = F.col(ts) if direction == "backward" else F.col(ts).desc()
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(order, F.col(marker))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = [*(f"{prefix}{c}" for c in right_cols), match_ts]
-    for c in carried:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    if tolerance_seconds is not None:
-        from pyspark.sql.types import TimestampType
-
-        def _num(col):
-            if isinstance(right.schema[right_ts].dataType, TimestampType):
-                return F.unix_micros(col)
-            return col
-
-        tol = (
-            tolerance_seconds * 1_000_000
-            if isinstance(right.schema[right_ts].dataType, TimestampType)
-            else tolerance_seconds
+    def carry(order_desc: bool) -> Column:
+        # right rows (marker 0) sort BEFORE left rows at equal ts → the
+        # match is inclusive in both directions; last(ignorenulls) of
+        # the ROW STRUCT carries the whole matched row along the
+        # (a/de)scending time stream
+        order = F.col(ts).desc() if order_desc else F.col(ts)
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(order, F.col(marker))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        gap = (
-            _num(F.col(ts)) - _num(F.col(match_ts))
-            if direction == "backward"
-            else _num(F.col(match_ts)) - _num(F.col(ts))
-        )
-        ok = F.col(match_ts).isNotNull() & (gap <= F.lit(tol))
-        for c in (f"{prefix}{c}" for c in right_cols):
-            u = u.withColumn(c, F.when(ok, F.col(c)))
-    return u.filter(F.col(marker) == 1).drop(marker, ts, match_ts)
+        return F.last(src, ignorenulls=True).over(w)
 
+    tol = _asof_tolerance(right, right_ts, tolerance_seconds)
 
-def _asof_nearest(
-    left: DataFrame,
-    right: DataFrame,
-    key: str | Sequence[str],
-    left_ts: str,
-    right_ts: str,
-    right_cols: Sequence[str],
-    prefix: str,
-    tolerance_seconds: float | None,
-) -> DataFrame:
-    """nearest-direction as-of: both directional carries over ONE union
-    frame (ascending and descending window passes), then a map-side
-    pick of the closer match, ties backward. See asof_join."""
-    from pyspark.sql.types import TimestampType
+    def gap(m: Column, forward: bool) -> Column:
+        a = _asof_num(right, right_ts, m["_mts"])
+        b = _asof_num(right, right_ts, F.col(ts))
+        return a - b if forward else b - a
 
-    keys = [key] if isinstance(key, str) else list(key)
-    marker, ts = "_asof_is_left", "_asof_ts"
-
-    lt = left.withColumn(marker, F.lit(1)).withColumn(ts, F.col(left_ts))
-    side_cols = [
-        f"_asof_{side}_{c}"
-        for side in ("b", "f")
-        for c in (*right_cols, "_mts")
-    ]
-    for side in ("b", "f"):
-        for c in right_cols:
-            lt = lt.withColumn(
-                f"_asof_{side}_{c}",
-                F.lit(None).cast(right.schema[c].dataType),
+    if direction in ("backward", "forward"):
+        m = "_asof_m"
+        u = u.withColumn(m, carry(order_desc=direction == "forward"))
+        ok = F.col(m).isNotNull()
+        if tol is not None:
+            ok = ok & (
+                gap(F.col(m), forward=direction == "forward")
+                <= F.lit(tol)
             )
-        lt = lt.withColumn(
-            f"_asof_{side}__mts",
-            F.lit(None).cast(right.schema[right_ts].dataType),
-        )
-    rt = right.select(
-        *keys,
-        F.lit(0).alias(marker),
-        F.col(right_ts).alias(ts),
-        *[
-            F.col(c).alias(f"_asof_{side}_{c}")
-            for side in ("b", "f")
-            for c in right_cols
-        ],
-        *[
-            F.col(right_ts).alias(f"_asof_{side}__mts")
-            for side in ("b", "f")
-        ],
-    )
-    for c in left.columns:
-        if c not in rt.columns:
-            rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    u = lt.unionByName(rt.select(*lt.columns))
+        for c in right_cols:
+            u = u.withColumn(f"{prefix}{c}", F.when(ok, F.col(m)[c]))
+        return u.filter(F.col(marker) == 1).drop(marker, ts, src, m)
 
-    wb = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col(ts), F.col(marker))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # nearest: both carries over the SAME union frame, map-side pick
+    mb, mf = "_asof_mb", "_asof_mf"
+    u = u.withColumn(mb, carry(order_desc=False)).withColumn(
+        mf, carry(order_desc=True)
     )
-    wf = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col(ts).desc(), F.col(marker))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    for c in (*right_cols, "_mts"):
-        u = u.withColumn(
-            f"_asof_b_{c}",
-            F.last(f"_asof_b_{c}", ignorenulls=True).over(wb),
-        )
-    for c in (*right_cols, "_mts"):
-        u = u.withColumn(
-            f"_asof_f_{c}",
-            F.last(f"_asof_f_{c}", ignorenulls=True).over(wf),
-        )
-
-    def _num(col):
-        if isinstance(right.schema[right_ts].dataType, TimestampType):
-            return F.unix_micros(col)
-        return col
-
-    bmts, fmts = F.col("_asof_b__mts"), F.col("_asof_f__mts")
-    bdt = _num(F.col(ts)) - _num(bmts)
-    fdt = _num(fmts) - _num(F.col(ts))
-    b_ok, f_ok = bmts.isNotNull(), fmts.isNotNull()
-    if tolerance_seconds is not None:
-        tol = (
-            tolerance_seconds * 1_000_000
-            if isinstance(right.schema[right_ts].dataType, TimestampType)
-            else tolerance_seconds
-        )
+    bdt = gap(F.col(mb), forward=False)
+    fdt = gap(F.col(mf), forward=True)
+    b_ok, f_ok = F.col(mb).isNotNull(), F.col(mf).isNotNull()
+    if tol is not None:
         b_ok = b_ok & (bdt <= F.lit(tol))
         f_ok = f_ok & (fdt <= F.lit(tol))
     pick_b = b_ok & (~f_ok | (bdt <= fdt))
     for c in right_cols:
         u = u.withColumn(
             f"{prefix}{c}",
-            F.when(pick_b, F.col(f"_asof_b_{c}")).when(
-                f_ok, F.col(f"_asof_f_{c}")
-            ),
+            F.when(pick_b, F.col(mb)[c]).when(f_ok, F.col(mf)[c]),
         )
-    return u.filter(F.col(marker) == 1).drop(marker, ts, *side_cols)
+    return u.filter(F.col(marker) == 1).drop(marker, ts, src, mb, mf)
+
+
+def _asof_union(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+):
+    """Shared union-frame builder for every as-of direction: left rows
+    marked 1, right rows marked 0 carrying their (match-ts, values)
+    struct in ONE column — the payload is shuffled once regardless of
+    how many directional carries read it."""
+    from pyspark.sql.types import StructField, StructType
+
+    marker, ts, src = "_asof_is_left", "_asof_ts", "_asof_src"
+    src_type = StructType(
+        [StructField("_mts", right.schema[right_ts].dataType)]
+        + [StructField(c, right.schema[c].dataType) for c in right_cols]
+    )
+    lt = (
+        left.withColumn(marker, F.lit(1))
+        .withColumn(ts, F.col(left_ts))
+        .withColumn(src, F.lit(None).cast(src_type))
+    )
+    rt = right.select(
+        *keys,
+        F.lit(0).alias(marker),
+        F.col(right_ts).alias(ts),
+        F.struct(
+            F.col(right_ts).alias("_mts"),
+            *[F.col(c) for c in right_cols],
+        ).alias(src),
+    )
+    for c in left.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    return lt.unionByName(rt.select(*lt.columns)), marker, ts, src
+
+
+def _asof_num(right: DataFrame, right_ts: str, col: Column) -> Column:
+    from pyspark.sql.types import TimestampType
+
+    if isinstance(right.schema[right_ts].dataType, TimestampType):
+        return F.unix_micros(col)
+    return col
+
+
+def _asof_tolerance(
+    right: DataFrame, right_ts: str, tolerance_seconds: float | None
+):
+    if tolerance_seconds is None:
+        return None
+    from pyspark.sql.types import TimestampType
+
+    if isinstance(right.schema[right_ts].dataType, TimestampType):
+        return tolerance_seconds * 1_000_000
+    return tolerance_seconds
 
 
 def range_join_binned(

@@ -1938,3 +1938,40 @@ def test_asof_nearest_equals_two_direction_compose(spark):
     assert tol[3] == (None, None)
     assert tol[1] == (T(2024, 1, 1, 11, 59, 0), 1.0)
     assert tol[4] == (None, None)  # 1h away > 90s
+
+
+def test_asof_carry_is_row_atomic_with_null_values(spark):
+    """A matched right row whose VALUE column is NULL answers NULL — an
+    older row's non-NULL value must not bleed forward under the newer
+    match timestamp (and tolerance must measure the MATCHED row's
+    distance, not another row's)."""
+    import datetime as dt
+
+    from metadata_driven_etl_spark.operators.temporal import asof_join
+
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [(1, 10, T(2024, 1, 1, 12, 0, 3))], "id int, k int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, T(2024, 1, 1, 12, 0, 1), 10.0),
+            (10, T(2024, 1, 1, 12, 0, 2), None),
+        ],
+        "k int, ts timestamp, v double",
+    )
+    for direction in ("backward", "nearest"):
+        out = asof_join(
+            left, right, key="k", right_cols=["ts", "v"],
+            direction=direction,
+        ).collect()[0]
+        assert out.asof_ts == T(2024, 1, 1, 12, 0, 2), direction
+        assert out.asof_v is None, direction
+
+    # the matched row sits 1s back; a 0.5s tolerance nulls the whole
+    # match — it must never fall back to the older row's value
+    out = asof_join(
+        left, right, key="k", right_cols=["ts", "v"],
+        direction="backward", tolerance_seconds=0.5,
+    ).collect()[0]
+    assert out.asof_ts is None and out.asof_v is None

@@ -81,6 +81,19 @@ def asof_join(
             f"'nearest', got {direction!r}"
         )
     keys = [key] if isinstance(key, str) else list(key)
+    reserved = {"_asof_is_left", "_asof_ts", "_asof_src", "_asof_m",
+                "_asof_mb", "_asof_mf"}
+    clashes = reserved & set(left.columns)
+    if clashes:
+        raise ValueError(
+            f"asof_join: left columns {sorted(clashes)} collide with "
+            "reserved helper names"
+        )
+    if "_mts" in right_cols:
+        raise ValueError(
+            "asof_join: right_cols may not contain the reserved struct "
+            "field '_mts'"
+        )
     u, marker, ts, src = _asof_union(
         left, right, keys, left_ts, right_ts, right_cols
     )
@@ -105,10 +118,14 @@ def asof_join(
         b = _asof_num(right, right_ts, F.col(ts))
         return a - b if forward else b - a
 
+    # a NULL left timestamp can match nothing (no inequality against
+    # NULL is true) — without this gate the DESCENDING carry would sort
+    # NULL ts last and hand those rows the earliest right row's match
+    has_ts = F.col(ts).isNotNull()
     if direction in ("backward", "forward"):
         m = "_asof_m"
         u = u.withColumn(m, carry(order_desc=direction == "forward"))
-        ok = F.col(m).isNotNull()
+        ok = has_ts & F.col(m).isNotNull()
         if tol is not None:
             ok = ok & (
                 gap(F.col(m), forward=direction == "forward")
@@ -125,7 +142,8 @@ def asof_join(
     )
     bdt = gap(F.col(mb), forward=False)
     fdt = gap(F.col(mf), forward=True)
-    b_ok, f_ok = F.col(mb).isNotNull(), F.col(mf).isNotNull()
+    b_ok = has_ts & F.col(mb).isNotNull()
+    f_ok = has_ts & F.col(mf).isNotNull()
     if tol is not None:
         b_ok = b_ok & (bdt <= F.lit(tol))
         f_ok = f_ok & (fdt <= F.lit(tol))

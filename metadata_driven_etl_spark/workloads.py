@@ -1652,22 +1652,12 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH p AS (SELECT event_id, user_id, ts FROM events
                WHERE event_type = 'purchase'),
-    c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
-    u AS (
-        SELECT user_id, ts, 1 AS is_left, event_id,
-               CAST(NULL AS TIMESTAMP) AS cts, CAST(NULL AS DOUBLE) AS cval
-        FROM p
-        UNION ALL
-        SELECT user_id, ts, 0, NULL, ts, value FROM c),
-    w AS (
-        SELECT *,
-               last_value(cts IGNORE NULLS) OVER (
-                   PARTITION BY user_id ORDER BY ts DESC, is_left
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mts,
-               last_value(cval IGNORE NULLS) OVER (
-                   PARTITION BY user_id ORDER BY ts DESC, is_left
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mval
-        FROM u)
+    c AS (SELECT user_id, ts, value FROM events
+          WHERE event_type = 'click'),
+    j AS (SELECT p.event_id, p.user_id, p.ts,
+                 c.ts AS mts, c.value AS mval
+          FROM p ASOF LEFT JOIN c
+            ON p.user_id = c.user_id AND p.ts <= c.ts)
     SELECT event_id, user_id, ts,
            CASE WHEN mts IS NOT NULL
                      AND epoch_us(mts) - epoch_us(ts) <= 1800 * 1000000
@@ -1675,17 +1665,19 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN mts IS NOT NULL
                      AND epoch_us(mts) - epoch_us(ts) <= 1800 * 1000000
                 THEN mval END AS next_click_value
-    FROM w WHERE is_left = 1""",
+    FROM j""",
 )
 def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of join with a staleness bound (pandas merge_asof
     ``direction='forward', tolerance=30min``): for each purchase, the
     user's NEXT click at-or-after it, or NULL if none lands within 30
     minutes — the "did the purchase lead anywhere" / feature-freshness
-    query shape. The oracle spells out the identical union + descending
-    carry-forward window + tolerance CASE, so the hash pins both the
-    direction and the tolerance semantics. Same single-shuffle plan as
-    the backward as-of: never a theta join."""
+    query shape. The oracle is DuckDB's native forward ASOF JOIN plus
+    the tolerance CASE — row-atomic like the engine's struct carry, so
+    the hash pins direction, tolerance, AND the matched-row atomicity
+    (an earlier per-column-carry oracle replicated the defect the
+    engine fixed and couldn't catch NULL-value bleed-through). Same
+    single-shuffle plan as the backward as-of: never a theta join."""
     from metadata_driven_etl_spark.operators import temporal
 
     events = _t(spark, sf_dir, "events")

@@ -1975,3 +1975,56 @@ def test_asof_carry_is_row_atomic_with_null_values(spark):
         direction="backward", tolerance_seconds=0.5,
     ).collect()[0]
     assert out.asof_ts is None and out.asof_v is None
+
+
+def test_asof_null_left_ts_never_matches(spark):
+    """A NULL left timestamp satisfies no inequality: every direction
+    must return NULL matches for it (the descending carry would
+    otherwise hand NULL-ts rows the earliest right row)."""
+    import datetime as dt
+
+    from metadata_driven_etl_spark.operators.temporal import asof_join
+
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [(1, 10, None), (2, 10, T(2024, 1, 1, 12, 0))],
+        "id int, k int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, T(2024, 1, 1, 11, 0), 5.0), (10, T(2024, 1, 1, 13, 0), 7.0)],
+        "k int, ts timestamp, v double",
+    )
+    for direction in ("backward", "forward", "nearest"):
+        rows = {
+            r.id: (r.asof_ts, r.asof_v)
+            for r in asof_join(
+                left, right, key="k", right_cols=["ts", "v"],
+                direction=direction,
+            ).collect()
+        }
+        assert rows[1] == (None, None), direction
+        assert rows[2][0] is not None, direction
+
+
+def test_asof_reserved_names_guarded(spark):
+    """Helper-column collisions fail loudly instead of silently
+    clobbering user data."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from metadata_driven_etl_spark.operators.temporal import asof_join
+
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [(1, 10, T(2024, 1, 1), "x")],
+        "id int, k int, ts timestamp, _asof_src string",
+    )
+    right = spark.createDataFrame(
+        [(10, T(2024, 1, 1), 1.0)], "k int, ts timestamp, v double"
+    )
+    with _pytest.raises(ValueError, match="reserved helper"):
+        asof_join(left, right, key="k", right_cols=["v"])
+    left_ok = left.drop("_asof_src")
+    with _pytest.raises(ValueError, match="_mts"):
+        asof_join(left_ok, right, key="k", right_cols=["_mts"])

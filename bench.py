@@ -403,6 +403,10 @@ HEADLINE = [
     # round-9 fifth wave: nearest as-of, intra-label sim histogram
     "join_asof_nearest",
     "embedding_sim_histogram_intra_label",
+    # round-9 sixth wave: ops-capacity + inventory planning
+    "hourly_load_profile",
+    "safety_stock_reorder_point",
+    "dwell_time_by_type",
 ]
 
 

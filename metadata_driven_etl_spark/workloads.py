@@ -14395,6 +14395,202 @@ def embedding_sim_histogram_intra_label(
 
 
 # =========================================================================
+# Round-9 additions (sixth wave): ops-capacity and inventory planning
+# =========================================================================
+
+
+@workload(
+    "hourly_load_profile",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(isodow(CAST(ts AS DATE)) AS INTEGER) AS dow,
+               CAST(hour(ts) AS INTEGER) AS hour
+        FROM events),
+    c AS (SELECT dow, hour, CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM e GROUP BY 1, 2),
+    g AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM c)
+    SELECT dow, hour, n_events,
+           CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE) AS load_share
+    FROM c CROSS JOIN g""",
+)
+def hourly_load_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour traffic heatmap: event counts and load share per
+    (ISO weekday, hour-of-day) cell — the capacity-planning staple
+    (autoscaling schedules, maintenance windows, on-call load) and the
+    finer-grained sibling of dow_seasonality_index.
+
+    Hash-exact: counts are exact; each share is ONE division against
+    the broadcast 1-row total; the ISO weekday formula is the shared
+    (dayofweek+5)%7+1 ≡ isodow identity.
+
+    Scale: one map-side (dow, hour) extraction, one 168-cell-bounded
+    aggregation, 1-row total broadcast back."""
+    e = _t(spark, sf_dir, "events").select(
+        ((F.dayofweek(F.to_date("ts")) + 5) % 7 + 1)
+        .cast("int")
+        .alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    )
+    c = e.groupBy("dow", "hour").agg(F.count(F.lit(1)).alias("n_events"))
+    g = c.agg(F.sum("n_events").alias("total"))
+    return c.crossJoin(F.broadcast(g)).select(
+        "dow", "hour", "n_events",
+        (
+            F.col("n_events").cast("double") / F.col("total").cast("double")
+        ).alias("load_share"),
+    )
+
+
+# Literal service-level knobs for the safety-stock readout: z at 95%
+# service level, 7-day replenishment lead time. Literals so the readout
+# is a fixed correctly-rounded chain both engines evaluate identically.
+_SS_Z = 1.645
+_SS_LEAD_DAYS = 7
+
+
+@workload(
+    "safety_stock_reorder_point",
+    oracle=f"""
+    WITH bd AS (
+        SELECT p.p_brand AS brand,
+               CAST(l.l_shipdate AS DATE) AS day,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2),
+    m AS (SELECT brand, CAST(COUNT(*) AS HUGEINT) AS n,
+                 SUM(CAST(q AS HUGEINT)) AS s,
+                 SUM(CAST(q AS HUGEINT)*q) AS qq
+          FROM bd GROUP BY 1),
+    d AS (SELECT brand, CAST(n AS BIGINT) AS n_days,
+                 CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(n AS VARCHAR) AS DOUBLE) AS mu,
+                 sqrt(CAST(CAST(n*(n*qq - s*s) AS VARCHAR) AS DOUBLE)
+                      / CAST(CAST(n - 1 AS VARCHAR) AS DOUBLE))
+                   / CAST(CAST(n AS VARCHAR) AS DOUBLE) AS sigma
+          FROM m)
+    SELECT brand, n_days, mu AS mu_daily, sigma AS sigma_daily,
+           {_SS_Z} * sigma * sqrt(CAST({_SS_LEAD_DAYS} AS DOUBLE))
+             AS safety_stock,
+           mu * {_SS_LEAD_DAYS}
+             + {_SS_Z} * sigma * sqrt(CAST({_SS_LEAD_DAYS} AS DOUBLE))
+             AS reorder_point
+    FROM d""",
+)
+def safety_stock_reorder_point(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Safety stock and reorder point per brand at a 95% service level:
+    SS = z·σ_daily·√L, ROP = μ_daily·L + SS (z = 1.645, L = 7 days) —
+    the inventory-planning readout that CONSUMES the demand-variability
+    classification (XYZ says which brands are forecastable; this says
+    how much buffer the variability costs in units). Observed shipping
+    days only, like the XYZ workload.
+
+    Hash-exact: daily quantities are exact integers; μ and σ convert
+    each exact decimal moment once (σ via the Welch identity
+    √(n(nQ−S²)/(n−1))/n — note the /n: the identity's radical is n²·
+    sample-variance); SS/ROP are fixed correctly-rounded chains with
+    literal z and √L.
+
+    Scale: one (brand, day) fact aggregation behind a broadcast part
+    join, then a |brands|-row moment rollup — the demand_variability
+    plan at daily grain."""
+    d38 = "decimal(38,0)"
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bd = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.to_date("l_shipdate").alias("day"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    )
+    m = bd.groupBy("brand").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("q").cast(d38)).cast(d38).alias("s"),
+        F.sum((F.col("q").cast(d38) * F.col("q")).cast(d38))
+        .cast(d38)
+        .alias("qq"),
+    )
+    n, sm = F.col("n"), F.col("s")
+    mu = sm.cast("double") / n.cast("double")
+    sigma = F.sqrt(
+        (n * (n * F.col("qq") - sm * sm)).cast(d38).cast("double")
+        / (n - 1).cast(d38).cast("double")
+    ) / n.cast("double")
+    ss = F.lit(_SS_Z) * sigma * F.sqrt(F.lit(float(_SS_LEAD_DAYS)))
+    return m.select(
+        "brand",
+        n.cast("long").alias("n_days"),
+        mu.alias("mu_daily"),
+        sigma.alias("sigma_daily"),
+        ss.alias("safety_stock"),
+        (mu * _SS_LEAD_DAYS + ss).alias("reorder_point"),
+    )
+
+
+@workload(
+    "dwell_time_by_type",
+    oracle="""
+    WITH w AS (
+        SELECT event_type, ts,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS nxt
+        FROM events WHERE user_id IS NOT NULL),
+    d AS (SELECT event_type,
+                 epoch_us(nxt) - epoch_us(ts) AS gap_us
+          FROM w WHERE nxt IS NOT NULL)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_dwells,
+           CAST(SUM(gap_us) AS BIGINT) AS total_dwell_us,
+           CAST(SUM(gap_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             / 1000000.0 AS avg_dwell_sec
+    FROM d GROUP BY 1""",
+)
+def dwell_time_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average dwell time after each event type: the gap to the user's
+    next event (any type) — the engagement readout behind "which pages
+    hold attention" (a long dwell after view = reading; a long dwell
+    after error = abandonment risk; session_metrics sums the visit,
+    this attributes the time to the step that held it). Last events
+    per user have no successor and carry no dwell.
+
+    Hash-exact: gaps are exact integer microseconds under the (ts,
+    event_id) total order; the average is ONE division of exact sums.
+
+    Scale: ONE user-keyed window shuffle (the sessionizer/funnel
+    family's shuffle), then a |types|-row partial-aggregated rollup."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "event_type", "ts",
+            F.lead("ts").over(w).alias("nxt"),
+        )
+        .where(F.col("nxt").isNotNull())
+        .select(
+            "event_type",
+            (
+                F.unix_micros(F.col("nxt")) - F.unix_micros(F.col("ts"))
+            ).alias("gap_us"),
+        )
+    )
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_dwells"),
+        F.sum("gap_us").alias("total_dwell_us"),
+        (
+            F.sum("gap_us").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("avg_dwell_sec"),
+    )
+
+
+# =========================================================================
 # Driver-facing registry order
 # =========================================================================
 #

@@ -1656,3 +1656,28 @@ def test_sim_histogram_blocked_pair_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Scan ExistingRDD" in plan
     assert plan.count("Scan parquet") <= 1, plan
+
+
+def test_hourly_profile_cell_bounded_rollup(spark, sf_dir):
+    """Map-side (dow, hour) extraction, one 168-cell-bounded rollup,
+    1-row total broadcast — no sort-merge join."""
+    plan = _plan(workloads.QUERIES["hourly_load_profile"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_safety_stock_broadcast_part_dim(spark, sf_dir):
+    """The part dimension broadcasts into the (brand, day) fact
+    aggregation — never a sort-merge join on the fact."""
+    plan = _plan(
+        workloads.QUERIES["safety_stock_reorder_point"](spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dwell_time_single_user_window(spark, sf_dir):
+    """ONE user-keyed window shuffle then a |types| rollup — no join."""
+    plan = _plan(workloads.QUERIES["dwell_time_by_type"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Window") == 1

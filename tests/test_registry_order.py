@@ -179,16 +179,19 @@ R9_ADDITIONS = {
     "term_burstiness_vmr",
     # fifth wave: nearest as-of, intra-label similarity histogram
     "join_asof_nearest", "embedding_sim_histogram_intra_label",
+    # sixth wave: ops-capacity + inventory planning
+    "hourly_load_profile", "safety_stock_reorder_point",
+    "dwell_time_by_type",
 }
 
 
 def test_r9_additions_registered_oracle_paired_and_queued():
     """The r10 rotation queue: every round-9 addition is registered,
-    hash-checkable, and NOT yet in the driver prefix. 57 queued keys
+    hash-checkable, and NOT yet in the driver prefix. 60 queued keys
     exceed one 50-row prefix (4 core + 46 fit): the r10 rotation takes
-    the first 46 in registration order and the remaining 11 lead r11's
+    the first 46 in registration order and the remaining 14 lead r11's
     queue alongside the then-stalest keys."""
     assert R9_ADDITIONS <= set(workloads.QUERIES)
     assert R9_ADDITIONS <= set(workloads.ORACLES)
     assert not (R9_ADDITIONS & set(workloads.DRIVER_PRIORITY))
-    assert len(R9_ADDITIONS) == 57
+    assert len(R9_ADDITIONS) == 60

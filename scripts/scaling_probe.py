@@ -1007,7 +1007,52 @@ EMB_OPS = {
     ),
     # r9 second wave: one Lloyd step, k×n×d map-side distance work
     "kmeans_lloyd_step": _kmeans_probe,
+    # r9 sixth wave: within-cell cosine histogram — pair space is
+    # Σ_cells |cell|²; the amplifier grows CELL COUNT at constant cell
+    # size (the coarse-quantizer posture), so the curve must be linear
+    "sim_histogram_blocked": lambda df: _sim_hist_probe(df),
 }
+
+
+def _sim_hist_probe(df: DataFrame) -> DataFrame:
+    """embedding_sim_histogram_intra_label's shape: quantize, block on
+    the label, pair within blocks, bin the cosine."""
+    q = df.select(
+        "vec_id", "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000 + 0.5).cast("long"),
+        ).alias("qv"),
+    )
+    n = q.select(
+        "vec_id", "label", "qv",
+        F.aggregate(
+            "qv", F.lit(0).cast("long"), lambda acc, v: acc + v * v
+        ).alias("n2"),
+    ).localCheckpoint(eager=False)
+    a = n.select(
+        "label", F.col("vec_id").alias("ia"),
+        F.col("qv").alias("qa"), F.col("n2").alias("na"),
+    )
+    b = n.select(
+        "label", F.col("vec_id").alias("ib"),
+        F.col("qv").alias("qb"), F.col("n2").alias("nb"),
+    )
+    pairs = a.join(b, "label").where(F.col("ia") < F.col("ib"))
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cos = dot.cast("double") / (
+        F.sqrt(F.col("na").cast("double"))
+        * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        pairs.select(F.floor(cos * 20).cast("int").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
 
 
 def run_op(build, df: DataFrame) -> float:

@@ -13370,6 +13370,29 @@ def arc_elasticity_monthly_brand(
     )
 
 
+def _brand_qty_moments(spark: SparkSession, sf_dir: str, grain):
+    """Shared (brand, grain) demand-moment rollup: broadcast part join,
+    exact integer quantities per (brand, grain) bucket, then per-brand
+    decimal moments (n, Σq, Σq²) — the frame both the XYZ variability
+    classification (monthly grain) and the safety-stock readout (daily
+    grain) derive their Welch-identity statistics from."""
+    d38 = "decimal(38,0)"
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), grain)
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    )
+    return per.groupBy("brand").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("q").cast(d38)).cast(d38).alias("s"),
+        F.sum((F.col("q").cast(d38) * F.col("q")).cast(d38))
+        .cast(d38)
+        .alias("qq"),
+    )
+
+
 @workload(
     "demand_variability_xyz",
     oracle="""
@@ -13416,22 +13439,9 @@ def demand_variability_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one (brand, month) fact aggregation behind a broadcast part
     join, then a |brands|-row moment rollup."""
     d38 = "decimal(38,0)"
-    li = _t(spark, sf_dir, "lineitem")
-    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    bm = (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
-        .groupBy(
-            F.col("p_brand").alias("brand"),
-            F.trunc(F.to_date("l_shipdate"), "month").alias("month"),
-        )
-        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
-    )
-    m = bm.groupBy("brand").agg(
-        F.count(F.lit(1)).cast(d38).alias("n"),
-        F.sum(F.col("q").cast(d38)).cast(d38).alias("s"),
-        F.sum((F.col("q").cast(d38) * F.col("q")).cast(d38))
-        .cast(d38)
-        .alias("qq"),
+    m = _brand_qty_moments(
+        spark, sf_dir,
+        F.trunc(F.to_date("l_shipdate"), "month").alias("month"),
     )
     n, s = F.col("n"), F.col("s")
     cv = F.sqrt(
@@ -14496,22 +14506,8 @@ def safety_stock_reorder_point(
     join, then a |brands|-row moment rollup — the demand_variability
     plan at daily grain."""
     d38 = "decimal(38,0)"
-    li = _t(spark, sf_dir, "lineitem")
-    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    bd = (
-        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
-        .groupBy(
-            F.col("p_brand").alias("brand"),
-            F.to_date("l_shipdate").alias("day"),
-        )
-        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
-    )
-    m = bd.groupBy("brand").agg(
-        F.count(F.lit(1)).cast(d38).alias("n"),
-        F.sum(F.col("q").cast(d38)).cast(d38).alias("s"),
-        F.sum((F.col("q").cast(d38) * F.col("q")).cast(d38))
-        .cast(d38)
-        .alias("qq"),
+    m = _brand_qty_moments(
+        spark, sf_dir, F.to_date("l_shipdate").alias("day")
     )
     n, sm = F.col("n"), F.col("s")
     mu = sm.cast("double") / n.cast("double")

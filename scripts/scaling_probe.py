@@ -998,22 +998,6 @@ def _kmeans_probe(df: DataFrame) -> DataFrame:
     )
 
 
-EMB_OPS = {
-    "semantic_dedup": _semantic_dedup,
-    # r7: single-pass co-moment matrix — aggregation state is constant
-    # (45 decimal cells), so the curve should be pure scan-linear
-    "embedding_comoments_d8": lambda df: sim_ops.embedding_comoments(
-        df, "embedding", dims=8, scale=10_000
-    ),
-    # r9 second wave: one Lloyd step, k×n×d map-side distance work
-    "kmeans_lloyd_step": _kmeans_probe,
-    # r9 sixth wave: within-cell cosine histogram — pair space is
-    # Σ_cells |cell|²; the amplifier grows CELL COUNT at constant cell
-    # size (the coarse-quantizer posture), so the curve must be linear
-    "sim_histogram_blocked": lambda df: _sim_hist_probe(df),
-}
-
-
 def _sim_hist_probe(df: DataFrame) -> DataFrame:
     """embedding_sim_histogram_intra_label's shape: quantize, block on
     the label, pair within blocks, bin the cosine."""
@@ -1053,6 +1037,22 @@ def _sim_hist_probe(df: DataFrame) -> DataFrame:
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+EMB_OPS = {
+    "semantic_dedup": _semantic_dedup,
+    # r7: single-pass co-moment matrix — aggregation state is constant
+    # (45 decimal cells), so the curve should be pure scan-linear
+    "embedding_comoments_d8": lambda df: sim_ops.embedding_comoments(
+        df, "embedding", dims=8, scale=10_000
+    ),
+    # r9 second wave: one Lloyd step, k×n×d map-side distance work
+    "kmeans_lloyd_step": _kmeans_probe,
+    # r9 sixth wave: within-cell cosine histogram — pair space is
+    # Σ_cells |cell|²; the amplifier grows CELL COUNT at constant cell
+    # size (the coarse-quantizer posture), so the curve must be linear
+    "sim_histogram_blocked": _sim_hist_probe,
+}
+
 
 
 def run_op(build, df: DataFrame) -> float:

@@ -2028,3 +2028,73 @@ def test_asof_reserved_names_guarded(spark):
     left_ok = left.drop("_asof_src")
     with _pytest.raises(ValueError, match="_mts"):
         asof_join(left_ok, right, key="k", right_cols=["_mts"])
+
+
+def test_trigram_novelty_conservation(spark, sf_dir):
+    """Every distinct trigram has exactly ONE first claimant, so the
+    novel counts summed over documents equal the global distinct-gram
+    count, and per-doc novel <= slots."""
+    from metadata_driven_etl_spark.catalog import load_table
+    from metadata_driven_etl_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = text_ops.trigram_novelty(docs, text_col="text", id_col="doc_id")
+    rows = per.collect()
+    assert all(0 <= r.novel <= r.slots for r in rows)
+    toks = docs.select(
+        "doc_id", text_ops.tokens("text").alias("t")
+    ).where(F.size("t") >= 3)
+    distinct_grams = (
+        toks.select(
+            F.explode(text_ops.trigrams(F.col("t"))).alias("g")
+        )
+        .agg(F.countDistinct("g"))
+        .first()[0]
+    )
+    assert sum(r.novel for r in rows) == distinct_grams
+
+
+def test_second_session_workload_invariants(spark, sf_dir):
+    """Cheap structural invariants over the second-session registry
+    keys (beyond the oracle hash): cluster sizes partition the corpus,
+    probability-like outputs stay in range, rank tests stay bounded."""
+    from metadata_driven_etl_spark.catalog import load_table
+    from metadata_driven_etl_spark.workloads import QUERIES
+
+    # kmeans: assignments partition the vector set
+    km = QUERIES["kmeans_assign_recompute"](spark, sf_dir).collect()
+    n_vec = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_members for r in km) == n_vec
+
+    # hellinger: bounded in [0, 1]
+    h = QUERIES["hellinger_drift_monthly"](spark, sf_dir).collect()
+    assert h and all(0.0 <= r.hellinger <= 1.0 for r in h)
+
+    # runs test: 1 <= runs <= n_plus + n_minus
+    rt = QUERIES["runs_test_daily"](spark, sf_dir).collect()[0]
+    assert 1 <= rt.n_runs <= rt.n_plus + rt.n_minus
+
+    # load profile: shares sum to 1 (within double tolerance), cells
+    # within the 7x24 grid
+    lp = QUERIES["hourly_load_profile"](spark, sf_dir).collect()
+    assert abs(sum(r.load_share for r in lp) - 1.0) < 1e-9
+    assert all(1 <= r.dow <= 7 and 0 <= r.hour <= 23 for r in lp)
+
+    # seasonal strength: an R^2, within [0, 1]
+    ss = QUERIES["seasonal_strength_dow"](spark, sf_dir).collect()[0]
+    assert 0.0 <= ss.seasonal_strength <= 1.0
+
+    # sim histogram: pair conservation within labels
+    sh = QUERIES["embedding_sim_histogram_intra_label"](
+        spark, sf_dir
+    ).collect()
+    from collections import Counter
+
+    label_sizes = Counter(
+        r.label
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("label")
+        .collect()
+    )
+    want_pairs = sum(n * (n - 1) // 2 for n in label_sizes.values())
+    assert sum(r.n_pairs for r in sh) == want_pairs

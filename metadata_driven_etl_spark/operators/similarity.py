@@ -360,7 +360,7 @@ def ivf_build_index(
     ``assigned`` is write-once index state: persist it with
     ``TableFormat.overwrite_bucketed(..., bucket_cols=["_cell"])`` so
     repeated query batches skip both the fit and the probe-join shuffle
-    (see ``workloads.similarity_ann_ivf`` / tests/test_similarity.py).
+    (see tests/test_incremental_index_e2e.py / tests/test_similarity.py).
     ``centroids`` is n_cells rows — always broadcastable.
     """
     from pyspark.ml.clustering import KMeans

@@ -652,12 +652,45 @@ def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@workload("approx_count_distinct")  # no oracle: approximate by design
+@workload(
+    "approx_count_distinct",
+    oracle="""
+    SELECT count(DISTINCT l_partkey) AS exact_parts,
+           1 AS parts_within_bound,
+           count(DISTINCT l_orderkey) AS exact_orders,
+           1 AS orders_within_bound
+    FROM lineitem""",
+)
 def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Extended surface: HLL-sketch distinct count (rows-only check)."""
-    return _t(spark, sf_dir, "lineitem").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    """HLL-sketch GLOBAL distinct count at the DEFAULT rsd (0.05), hash-
+    gated (VERDICT r9 item 3 — this key was the registry's last rows-only
+    HLL row): Spark computes the default-rsd estimate AND the exact
+    distinct count and emits the exact count plus a deterministic
+    |approx − exact| ≤ 15%·exact boolean (3× the configured rsd — HLL++
+    is deterministic for a given dataset, so this is a stable contract,
+    not a flaky tolerance); the DuckDB twin computes the same exact
+    counts with literal-1 bounds. Complements
+    ``approx_count_distinct_bounded`` (per-group, rsd=0.02, 5% gate):
+    together they cover both the tuned and the default sketch configs.
+
+    At 100 TB: one map-side-combinable aggregation — sketch buffers and
+    the exact countDistinct's expand both merge associatively; the exact
+    side exists only because the contract needs it (the production call
+    is the sketch alone)."""
+    within = lambda a, e: (  # noqa: E731
+        (F.abs(a - e) <= F.lit(0.15) * e).cast("int")
+    )
+    agg = _t(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey").alias("ap"),
+        F.countDistinct("l_partkey").cast("long").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey").alias("ao"),
+        F.countDistinct("l_orderkey").cast("long").alias("exact_orders"),
+    )
+    return agg.select(
+        "exact_parts",
+        within(F.col("ap"), F.col("exact_parts")).alias("parts_within_bound"),
+        "exact_orders",
+        within(F.col("ao"), F.col("exact_orders")).alias("orders_within_bound"),
     )
 
 
@@ -1146,22 +1179,6 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.brute_force_topk(emb, queries, k=5)
 
 
-@workload("similarity_ann_lsh")  # approximate by design: rows-only check
-def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN top-k (the scale path; recall<1 ⇒ no SQL oracle).
-
-    Multi-table + Hamming-1 multi-probe: ≥0.9 recall@5 on the synthetic
-    embeddings (pinned by tests/test_ann_recall.py) while scoring only
-    bucket candidates."""
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding")
-    )
-    return sim_ops.lsh_topk(
-        emb, queries, dim=64, k=5, num_bits=4, num_tables=4, hamming=1
-    )
-
-
 @workload(
     "similarity_ann_lsh_exact",
     oracle=sim_ops.sql_brute_force_topk(num_queries=5),
@@ -1173,9 +1190,13 @@ def similarity_ann_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This gives the LSH machinery (signature computation, multi-probe ball,
     bucket equi-join, candidate dedup, within-bucket ranking) a real
-    driver hash row; the production approximate setting
-    (``similarity_ann_lsh``) differs only in the radius/table knobs and
-    stays recall-pinned by tests/test_ann_recall.py."""
+    driver hash row; the production approximate setting (num_tables=4,
+    hamming=1 — run verbatim inside ``similarity_ann_lsh_bounded``)
+    differs only in the radius/table knobs and stays recall-pinned by
+    tests/test_ann_recall.py. The former free-running rows-only
+    ``similarity_ann_lsh`` key was retired in r10 (VERDICT r9 item 3):
+    its exact knobs live on in the bounded contract, so every registry
+    key is hash-gated."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
@@ -1512,37 +1533,6 @@ def dq_metrics_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DataQualityEngine(spark).metrics_df(orders, rules)
 
 
-@workload("similarity_ann_ivf")  # approximate by design: rows-only check
-def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-k: KMeans coarse quantizer + n_probe nearest cells —
-    the index-backed scale path next to similarity_ann_lsh's hash path.
-
-    Demonstrates the full write-once index lifecycle: the quantizer is fit
-    on a SAMPLE (at 100 TB a 16-centroid fit never needs the whole corpus),
-    cell assignments are persisted as a bucketed table on ``_cell`` (repeat
-    query batches skip both the fit and the probe-join shuffle), and the
-    probe runs against the stored index. Falls back to the in-memory index
-    if the session has no writable warehouse."""
-    emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding")
-    )
-    assigned, centroids = sim_ops.ivf_build_index(
-        emb, n_cells=16, seed=42, fit_fraction=0.5
-    )
-    try:
-        from metadata_driven_etl_spark.io.writer import ParquetFormat
-
-        index_table = "ivf_index.embeddings_cells"
-        ParquetFormat().overwrite_bucketed(
-            assigned, index_table, bucket_cols=["_cell"], num_buckets=16
-        )
-        assigned = spark.table(index_table)
-    except Exception:
-        pass  # read-only warehouse: probe the in-memory assignment
-    return sim_ops.ivf_probe(assigned, centroids, queries, k=5, n_probe=4)
-
-
 @workload(
     "similarity_ann_ivf_exact",
     oracle=sim_ops.sql_brute_force_topk(num_queries=5),
@@ -1554,8 +1544,12 @@ def similarity_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF machinery (KMeans quantizer, cell assignment, centroid-probe
     ranking, within-cell scoring) a real driver hash row regardless of
     where the quantizer places centroids; the production approximate
-    setting (``similarity_ann_ivf``) differs only in n_probe and stays
-    property-pinned by tests/test_similarity.py.
+    setting (probe-limited, run verbatim inside
+    ``similarity_ann_ivf_bounded``) differs only in n_probe and stays
+    property-pinned by tests/test_similarity.py. The former free-running
+    rows-only ``similarity_ann_ivf`` key was retired in r10 (VERDICT r9
+    item 3); its write-once bucketed-index lifecycle stays covered by
+    tests/test_incremental_index_e2e.py and tests/test_operators_props.py.
 
     fit_fraction is deliberately small (0.1): at full probe the output is
     exact REGARDLESS of where the quantizer puts centroids (every cell is
@@ -3034,30 +3028,47 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@workload("agg_approx_percentile")  # approximate by design: rows-only check
+@workload(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag, 1 AS p50_within_bound, 1 AS p90_within_bound
+    FROM lineitem GROUP BY 1""",
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate grouped percentiles — the 100 TB path next to exact
-    agg_percentile: approx_percentile's sketch buffers are mergeable
-    map-side (no per-group value buffering), accuracy bounded by the
-    relative-error parameter (1/10000 here). Tolerance vs the exact
-    percentile is property-tested in tests/test_operators_props.py.
+    """Approximate grouped percentiles at HIGH accuracy (1/10000 relative
+    rank error), hash-gated (VERDICT r9 item 3 — this key was the
+    registry's last rows-only sketch row): the GK sketch guarantees rank
+    error ≤ n/accuracy, so the accuracy=10000 approx q-quantile must lie
+    between the EXACT (q−0.001)- and (q+0.001)-quantiles (10× margin on
+    the published bound). Spark computes both sides and emits the
+    deterministic containment boolean per group; the DuckDB twin is
+    literal 1, so the driver hash-checks the tight envelope.
+    Complements ``agg_approx_percentile_bounded`` (accuracy=1000, ±0.005
+    band): together they prove the bound at both sketch budgets.
 
-    Output is two SCALAR columns (p50/p90 via element_at), not the raw
-    sketch array — the driver's pandas canonicalizer cannot hash ArrayType
-    cells (CORRECTNESS_r04 red-row class, guarded by
-    tests/oracle_check.py:_reject_complex_columns)."""
-    sk = F.expr(
+    At 100 TB this is still the percentile path to ship: sketch buffers
+    merge map-side with no per-group value buffering; the exact side
+    exists only because the contract needs it."""
+    li = _t(spark, sf_dir, "lineitem")
+    approx = F.expr(
         "approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)"
     )
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(sk.alias("_pp"))
-        .select(
-            "l_returnflag",
-            F.element_at("_pp", 1).alias("price_p50"),
-            F.element_at("_pp", 2).alias("price_p90"),
-        )
+    exact = F.expr(
+        "percentile(l_extendedprice, "
+        "array(0.499, 0.501, 0.899, 0.901))"
+    )
+    agg = (
+        li.groupBy("l_returnflag")
+        .agg(approx.alias("_ap"), exact.alias("_ex"))
+    )
+    contained = lambda i, lo, hi: (  # noqa: E731
+        (F.element_at("_ap", i) >= F.element_at("_ex", lo))
+        & (F.element_at("_ap", i) <= F.element_at("_ex", hi))
+    ).cast("int")
+    return agg.select(
+        "l_returnflag",
+        contained(1, 1, 2).alias("p50_within_bound"),
+        contained(2, 3, 4).alias("p90_within_bound"),
     )
 
 
@@ -14598,40 +14609,42 @@ def dwell_time_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order.
 
 DRIVER_PRIORITY: list[str] = [
-    # --- round-9 rotation (COVERAGE.md + VERDICT r8 item 1): pinned
-    # flagship core (4) + ALL 26 round-8 operator keys that registered
-    # after the r8 prefix froze (first driver check; each locally
-    # hash-verified at sf0.01 on registration, swept 76/76 in the r8
-    # pre-ship vanilla session, and oracle-gated every pytest run) +
-    # the 14 remaining round-4-cohort stale keys + the 6 stalest
-    # round-5 flagship keys.  Keys rotated OUT are green in a prior
-    # artifact and stay locally oracle-checked by
-    # tests/test_workload_parity.py.
+    # --- round-10 rotation (VERDICT r9 item 1): pinned flagship core
+    # (4) + the FIRST 46 of the 60 round-9 additions in registration
+    # order (first driver check; each locally hash-verified at sf0.01
+    # on registration, swept 110/110 in the r9 pre-ship vanilla
+    # session, and oracle-gated every pytest run via
+    # tests/test_workload_parity.py).  The remaining 14 round-9 keys
+    # lead the r11 queue (pinned machine-readably as R10_LEFTOVER in
+    # tests/test_registry_order.py).  Keys rotated OUT are green in a
+    # prior artifact and stay locally oracle-checked.
     # --- pinned flagship core ---
     "agg_daily_sales", "merge_upsert", "dq_metrics_single_pass",
     "corpus_clean_pipeline",
-    # --- round-8 additions (first driver check) ---
-    "decile_lift_table", "assoc_rules_copurchase", "cusum_alerts_by_type",
-    "keyword_rake_topk", "srm_check_by_priority",
-    "neyman_allocation_strata", "session_funnel_depth",
-    "window_rolling_zscore", "embedding_centroid_drift",
-    "window_cume_dist", "agg_mode_per_group", "histogram_equi_depth",
-    "rank_movers_monthly", "audience_overlap_jaccard",
-    "distinctive_terms_by_source", "bfs_levels_copurchase",
-    "percent_of_parent_rollup", "dau_mau_stickiness",
-    "new_vs_returning_daily", "sequence_violations_by_user",
-    "k_anonymity_audit", "interpurchase_gap_quantiles",
-    "cohort_ltv_monthly", "text_readability_flesch", "funnel_step_rates",
-    "supplier_hhi_by_nation",
-    # --- stale refresh: remaining round-4 cohort (14 of 26) ---
-    "multimodal_phash_dedup", "profile_drift_orders", "profile_orders",
-    "sample_domain_weighted", "scan_orc", "select_token_budget",
-    "setop_except_all", "setop_intersect_all", "text_bigram_lm_score",
-    "text_chunk_windows", "text_repetition", "text_tf_df_score",
-    "training_order", "window_cumulative_distinct",
-    # --- stale refresh: 6 flagship round-5 keys ---
-    "dedup_exact", "dedup_minhash_lsh", "sessionize_events",
-    "join_asof", "tpch_q1_pricing", "scd2_dimension_update",
+    # --- round-9 additions, first 46 in registration order ---
+    "spearman_corr_price_quantity", "anova_f_value_by_type",
+    "gini_concentration_revenue", "outlier_iqr_group",
+    "acf_daily_revenue", "dow_seasonality_index",
+    "market_basket_substitutes", "fill_rate_sla_monthly",
+    "basket_size_revenue_bands", "repeat_purchase_rate_monthly",
+    "customer_tier_migration", "cart_abandonment_daily",
+    "text_hapax_ratio_by_source", "token_coverage_topk",
+    "graph_degree_histogram", "sessions_concurrent_peak_daily",
+    "doc_length_deciles_by_source", "ab_test_proportions_ztest",
+    "churn_monthly_active", "embedding_dim_range_by_label",
+    "lorenz_deciles_revenue", "aov_trend_monthly",
+    "interarrival_burstiness", "mix_drift_monthly_chi2",
+    "trailing_7d_purchase_rate", "graph_clustering_coefficient",
+    "text_numeric_density_by_source", "token_fertility_by_lang",
+    "dedup_cross_source_matrix", "pack_efficiency_by_source",
+    "events_before_first_purchase", "tenure_value_matrix",
+    "session_entry_exit_matrix", "welch_ttest_price_by_flag",
+    "kruskal_wallis_value_by_type", "cramers_v_flag_status",
+    "mann_kendall_trend_daily", "crosscorr_revenue_volume",
+    "rsi_14d_daily", "changepoint_mean_shift_daily",
+    "hellinger_drift_monthly", "ngram_novelty_by_source",
+    "vocab_growth_deciles", "kmeans_assign_recompute",
+    "embedding_norm_outliers", "arc_elasticity_monthly_brand",
 ]
 
 

@@ -3,11 +3,18 @@
 Round-1 evidence: CORRECTNESS_r01.json contained exactly the first 50
 registry entries in insertion order.  DRIVER_PRIORITY is the curated
 prefix.  The driver-verification ledger was finished in round 4 (every
-registered key has a driver CORRECTNESS row).  The round-9 rotation:
-pinned flagship core, ALL 26 round-8 keys that registered after the r8
-prefix froze (first driver check), the 14 remaining round-4-cohort
-stale keys, and the 6 stalest round-5 flagship keys.  Keys rotated out
-stay locally oracle-checked by tests/test_workload_parity.py.
+registered key has a driver CORRECTNESS row).  The round-10 rotation
+(VERDICT r9 item 1): pinned flagship core + the FIRST 46 of the 60
+round-9 additions in registration order (first driver check).  The
+remaining 14 round-9 keys lead the r11 queue (R10_LEFTOVER below,
+VERDICT r9 item 5), followed by the stalest round-5-cohort keys.  Keys
+rotated out stay locally oracle-checked by tests/test_workload_parity.py.
+
+Round 10 also closed VERDICT r9 item 3: the registry no longer carries
+ANY rows-only key — the two free-running ANN keys were retired (their
+production knobs run verbatim inside the *_bounded recall contracts) and
+the two sketch keys were converted to literal-1 bound-oracle contracts,
+so ``len(QUERIES) == len(ORACLES)`` is now an invariant.
 """
 
 from __future__ import annotations
@@ -25,51 +32,76 @@ CORE = [
     "corpus_clean_pipeline",
 ]
 
-# Round-8 additions: registered after the r8 prefix froze, so round 9
+# Round-9 additions: registered after the r9 prefix froze, so round 10
 # is their first driver check (each locally hash-verified at sf0.01 on
-# registration and swept 76/76 in the r8 pre-ship vanilla session).
-R8_ADDITIONS = {
-    "decile_lift_table", "assoc_rules_copurchase", "cusum_alerts_by_type",
-    "keyword_rake_topk", "srm_check_by_priority",
-    "neyman_allocation_strata", "session_funnel_depth",
-    "window_rolling_zscore", "embedding_centroid_drift",
-    "window_cume_dist", "agg_mode_per_group", "histogram_equi_depth",
-    "rank_movers_monthly", "audience_overlap_jaccard",
-    "distinctive_terms_by_source", "bfs_levels_copurchase",
-    "percent_of_parent_rollup", "dau_mau_stickiness",
-    "new_vs_returning_daily", "sequence_violations_by_user",
-    "k_anonymity_audit", "interpurchase_gap_quantiles",
-    "cohort_ltv_monthly", "text_readability_flesch", "funnel_step_rates",
-    "supplier_hhi_by_nation",
-}
+# registration, swept 110/110 in the r9 pre-ship vanilla session, and
+# oracle-gated every pytest run).  60 keys > one 46-slot tail, so the
+# r10 rotation takes the FIRST 46 in registration order; the ordered
+# list below IS the prefix tail.
+R10_ROTATION = [
+    "spearman_corr_price_quantity", "anova_f_value_by_type",
+    "gini_concentration_revenue", "outlier_iqr_group",
+    "acf_daily_revenue", "dow_seasonality_index",
+    "market_basket_substitutes", "fill_rate_sla_monthly",
+    "basket_size_revenue_bands", "repeat_purchase_rate_monthly",
+    "customer_tier_migration", "cart_abandonment_daily",
+    "text_hapax_ratio_by_source", "token_coverage_topk",
+    "graph_degree_histogram", "sessions_concurrent_peak_daily",
+    "doc_length_deciles_by_source", "ab_test_proportions_ztest",
+    "churn_monthly_active", "embedding_dim_range_by_label",
+    "lorenz_deciles_revenue", "aov_trend_monthly",
+    "interarrival_burstiness", "mix_drift_monthly_chi2",
+    "trailing_7d_purchase_rate", "graph_clustering_coefficient",
+    "text_numeric_density_by_source", "token_fertility_by_lang",
+    "dedup_cross_source_matrix", "pack_efficiency_by_source",
+    "events_before_first_purchase", "tenure_value_matrix",
+    "session_entry_exit_matrix", "welch_ttest_price_by_flag",
+    "kruskal_wallis_value_by_type", "cramers_v_flag_status",
+    "mann_kendall_trend_daily", "crosscorr_revenue_volume",
+    "rsi_14d_daily", "changepoint_mean_shift_daily",
+    "hellinger_drift_monthly", "ngram_novelty_by_source",
+    "vocab_growth_deciles", "kmeans_assign_recompute",
+    "embedding_norm_outliers", "arc_elasticity_monthly_brand",
+]
 
-# Stale refresh: the 14 remaining round-4-cohort keys (latest driver
-# rows round 4; the first 12 were refreshed in the r8 rotation).
-STALE_R4_COHORT = {
-    "multimodal_phash_dedup", "profile_drift_orders", "profile_orders",
-    "sample_domain_weighted", "scan_orc", "select_token_budget",
-    "setop_except_all", "setop_intersect_all", "text_bigram_lm_score",
-    "text_chunk_windows", "text_repetition", "text_tf_df_score",
-    "training_order", "window_cumulative_distinct",
-}
+# The 14 round-9 additions that did NOT fit the r10 prefix — they lead
+# the r11 rotation queue (VERDICT r9 item 5; registration order).
+R10_LEFTOVER = [
+    "demand_variability_xyz", "scd2_point_in_time_join",
+    "theil_sen_slope_daily", "knn_geo_topk", "seasonal_strength_dow",
+    "runs_test_daily", "max_drawdown_daily", "durbin_watson_daily",
+    "term_burstiness_vmr", "join_asof_nearest",
+    "embedding_sim_histogram_intra_label", "hourly_load_profile",
+    "safety_stock_reorder_point", "dwell_time_by_type",
+]
 
-# Stale refresh: 6 flagship keys whose latest driver row is round 5
-# (chosen for headline-capability coverage: exact + MinHash dedup,
-# sessionization, as-of join, TPC-H Q1, SCD2).
-STALE_R5_FLAGSHIP = {
-    "dedup_exact", "dedup_minhash_lsh", "sessionize_events",
-    "join_asof", "tpch_q1_pricing", "scd2_dimension_update",
-}
+# Stale refresh for r11: after the r10 rotation the oldest driver rows
+# are the round-5 cohort (37 keys once the two retired ANN rows-only
+# keys are excluded; the two converted sketch-contract keys are
+# included — their r5 rows measured the old rows-only shape).  The r11
+# queue = CORE + R10_LEFTOVER (14) + the FIRST 32 of these in
+# registration order; the last 5 roll to r12 with the r6 cohort.
+STALE_R5_COHORT = [
+    "agg_customer_summary", "agg_product_perf", "agg_count",
+    "pivot_linestatus", "approx_count_distinct",
+    "window_tumbling_events", "doc_fingerprint", "text_token_count",
+    "text_quality", "text_lang_id", "dedup_lsh_bucket_capped",
+    "dedup_ngram_jaccard", "dedup_simhash", "similarity_topk",
+    "similarity_ann_lsh_exact", "embedding_near_dup",
+    "window_lag_lead", "window_rank_ntile", "window_running_sum",
+    "setop_intersect", "setop_except", "multimodal_features",
+    "similarity_ann_ivf_exact", "tpch_q3_topk",
+    "tpch_q5_region_revenue", "agg_grouping_sets", "dedup_cluster_cc",
+    "dedup_incremental_lsh", "text_pii_redact",
+    "agg_approx_percentile", "pack_sequences",
+    "decontaminate_ngram_overlap", "embedding_random_projection",
+    "text_feature_hash_embed", "funnel_strict_from_first",
+    "embedding_quantize_int8", "text_bigram_lm_pruned",
+]
 
-# Approximate-by-design ops: no exact SQL twin exists, so the driver
-# records a rows-only row; each is pinned by a property test instead
-# (rank-tolerance for the percentile sketch, recall@k for the ANN pair,
-# HLL error bound) — and each also has a hash-checked contract twin
-# (the r6 bounded sketch contracts, the r7 ANN recall contracts).
-APPROX_ROWS_ONLY = {
-    "agg_approx_percentile", "approx_count_distinct",
-    "similarity_ann_lsh", "similarity_ann_ivf",
-}
+# Machine-readable r11 queue (VERDICT r9 item 5): pinned BEFORE r10
+# closes so the next rotation is mechanical.
+R11_QUEUE = CORE + R10_LEFTOVER + STALE_R5_COHORT[:32]
 
 
 def test_priority_is_dedup_and_registered():
@@ -93,18 +125,41 @@ def test_core_keys_never_rotate():
 
 
 def test_rotation_tail_matches_coverage_plan():
-    tail = set(workloads.DRIVER_PRIORITY[len(CORE):])
-    assert tail == (R8_ADDITIONS | STALE_R4_COHORT | STALE_R5_FLAGSHIP)
+    tail = workloads.DRIVER_PRIORITY[len(CORE):]
+    assert tail == R10_ROTATION
 
 
-def test_priority_entries_all_have_oracles():
-    # Every driver-prefix row is hash-checkable: the rows-only
-    # approximate keys stay rotated out (their accuracy is driver-checked
-    # via the bounded-contract twins instead).
-    no_oracle = set(workloads.DRIVER_PRIORITY) - set(workloads.ORACLES)
-    assert no_oracle == set(), (
-        f"unexpected rows-only keys in prefix: {no_oracle}"
-    )
+def test_r10_leftover_queued_not_in_prefix():
+    """The 14 round-9 keys that didn't fit the r10 prefix are
+    registered, hash-checkable, and waiting for r11."""
+    leftover = set(R10_LEFTOVER)
+    assert leftover <= set(workloads.QUERIES)
+    assert leftover <= set(workloads.ORACLES)
+    assert not (leftover & set(workloads.DRIVER_PRIORITY))
+    assert len(R10_LEFTOVER) == 14
+    assert len(R10_ROTATION) == 46
+    assert not (set(R10_ROTATION) & leftover)
+
+
+def test_r11_queue_pinned():
+    """VERDICT r9 item 5: the r11 rotation is pinned machine-readably
+    before r10 closes — core + the 14 r9 leftovers + the 32 stalest
+    round-5-cohort keys, exactly one driver prefix."""
+    assert len(R11_QUEUE) == DRIVER_SUBSET_SIZE
+    assert len(set(R11_QUEUE)) == DRIVER_SUBSET_SIZE
+    assert set(R11_QUEUE) <= set(workloads.QUERIES)
+    assert set(R11_QUEUE) <= set(workloads.ORACLES)
+    assert len(STALE_R5_COHORT) == 37
+    assert set(STALE_R5_COHORT) <= set(workloads.QUERIES)
+
+
+def test_every_registry_key_is_hash_gated():
+    """VERDICT r9 item 3 closed: zero rows-only keys. Every registered
+    query has a DuckDB oracle, so no future CORRECTNESS artifact can
+    contain a ``no_oracle`` row."""
+    assert set(workloads.QUERIES) == set(workloads.ORACLES)
+    retired = {"similarity_ann_lsh", "similarity_ann_ivf"}
+    assert not (retired & set(workloads.QUERIES))
 
 
 def test_oracles_subset_of_queries():
@@ -140,58 +195,3 @@ def test_coverage_counts_match_registry():
     )
     assert int(m.group(1)) == len(workloads.QUERIES)
     assert int(m.group(2)) == len(workloads.ORACLES)
-
-
-# Round-9 post-prefix additions (authoritative machine-readable list for
-# the r10 rotation — mirrors COVERAGE.md "Round-9 post-prefix additions").
-R9_ADDITIONS = {
-    "spearman_corr_price_quantity", "anova_f_value_by_type",
-    "gini_concentration_revenue", "outlier_iqr_group",
-    "acf_daily_revenue", "dow_seasonality_index",
-    "market_basket_substitutes", "fill_rate_sla_monthly",
-    "basket_size_revenue_bands", "repeat_purchase_rate_monthly",
-    "customer_tier_migration", "cart_abandonment_daily",
-    "text_hapax_ratio_by_source", "token_coverage_topk",
-    "graph_degree_histogram", "sessions_concurrent_peak_daily",
-    "doc_length_deciles_by_source", "ab_test_proportions_ztest",
-    "churn_monthly_active", "embedding_dim_range_by_label",
-    "lorenz_deciles_revenue", "aov_trend_monthly",
-    "interarrival_burstiness", "mix_drift_monthly_chi2",
-    "trailing_7d_purchase_rate", "graph_clustering_coefficient",
-    "text_numeric_density_by_source", "token_fertility_by_lang",
-    "dedup_cross_source_matrix", "pack_efficiency_by_source",
-    "events_before_first_purchase", "tenure_value_matrix",
-    "session_entry_exit_matrix",
-    # second wave: hypothesis-testing completion, time-series
-    # diagnostics, corpus novelty/growth, embedding ML, retail economics
-    "welch_ttest_price_by_flag", "kruskal_wallis_value_by_type",
-    "cramers_v_flag_status", "mann_kendall_trend_daily",
-    "crosscorr_revenue_volume", "rsi_14d_daily",
-    "changepoint_mean_shift_daily", "hellinger_drift_monthly",
-    "ngram_novelty_by_source", "vocab_growth_deciles",
-    "kmeans_assign_recompute", "embedding_norm_outliers",
-    "arc_elasticity_monthly_brand", "demand_variability_xyz",
-    # third wave: temporal-relational + robust stats
-    "scd2_point_in_time_join", "theil_sen_slope_daily",
-    "knn_geo_topk", "seasonal_strength_dow",
-    # fourth wave: randomness/serial-correlation, drawdown, burstiness
-    "runs_test_daily", "max_drawdown_daily", "durbin_watson_daily",
-    "term_burstiness_vmr",
-    # fifth wave: nearest as-of, intra-label similarity histogram
-    "join_asof_nearest", "embedding_sim_histogram_intra_label",
-    # sixth wave: ops-capacity + inventory planning
-    "hourly_load_profile", "safety_stock_reorder_point",
-    "dwell_time_by_type",
-}
-
-
-def test_r9_additions_registered_oracle_paired_and_queued():
-    """The r10 rotation queue: every round-9 addition is registered,
-    hash-checkable, and NOT yet in the driver prefix. 60 queued keys
-    exceed one 50-row prefix (4 core + 46 fit): the r10 rotation takes
-    the first 46 in registration order and the remaining 14 lead r11's
-    queue alongside the then-stalest keys."""
-    assert R9_ADDITIONS <= set(workloads.QUERIES)
-    assert R9_ADDITIONS <= set(workloads.ORACLES)
-    assert not (R9_ADDITIONS & set(workloads.DRIVER_PRIORITY))
-    assert len(R9_ADDITIONS) == 60

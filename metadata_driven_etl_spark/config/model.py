@@ -447,6 +447,7 @@ VALID_EVENT_ANALYSES = {
     "funnel", "attribution", "sessions", "transitions", "cohorts",
     "funnel_rates", "stickiness", "new_vs_returning",
     "abandonment", "entry_exit",
+    "hourly_load", "dwell_time", "concurrent_peaks",
 }
 VALID_FUNNEL_MODES = {"per_step", "from_first"}
 VALID_ATTRIBUTION_MODELS = {"last_touch", "time_decay"}
@@ -496,6 +497,14 @@ class EventAnalysisConfig:
       n_abandoned, abandonment_rate)``).
     - ``entry_exit`` (r9): first/last event type per session,
       cross-tabulated (emits ``(entry_type, exit_type, n_sessions)``).
+    - ``hourly_load`` (r10, VERDICT r9 item 4): weekday × hour traffic
+      heatmap (emits ``(dow, hour, n_events, load_share)``).
+    - ``dwell_time`` (r10): gap to each user's next event, rolled up by
+      the type that held the attention (emits ``(type_col, n_dwells,
+      total_dwell_us, avg_dwell_sec)``).
+    - ``concurrent_peaks`` (r10): peak concurrent sessions per day via
+      the +1/−1 endpoint sweep over ``gap_seconds`` sessions (emits
+      ``(day, peak_concurrent)``).
 
     ``scope`` (funnel and funnel_rates only): ``user`` (default) runs
     the funnel over each user's whole history under the step ``window``;

@@ -1119,6 +1119,88 @@ def concurrent_session_peaks(
     )
 
 
+def hourly_load_profile(
+    events: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekday × hour traffic heatmap: event counts and load share per
+    (ISO weekday, hour-of-day) cell — the capacity-planning staple
+    (autoscaling schedules, maintenance windows, on-call load).
+    Declarable as gold ``analysis: hourly_load``; the
+    ``hourly_load_profile`` workload is this operator on the events
+    table.
+
+    ISO weekday via the (dayofweek+5)%7+1 identity (Mon=1..Sun=7);
+    each share is ONE division against the broadcast 1-row total.
+
+    Scale: one map-side (dow, hour) extraction, one 168-cell-bounded
+    aggregation, 1-row total broadcast back. Emits ``(dow int,
+    hour int, n_events long, load_share double)``.
+    """
+    e = events.select(
+        ((F.dayofweek(F.to_date(ts_col)) + 5) % 7 + 1)
+        .cast("int")
+        .alias("dow"),
+        F.hour(ts_col).cast("int").alias("hour"),
+    )
+    c = e.groupBy("dow", "hour").agg(F.count(F.lit(1)).alias("n_events"))
+    g = c.agg(F.sum("n_events").alias("total"))
+    return c.crossJoin(F.broadcast(g)).select(
+        "dow", "hour", "n_events",
+        (
+            F.col("n_events").cast("double") / F.col("total").cast("double")
+        ).alias("load_share"),
+    )
+
+
+def dwell_time_by_type(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Average dwell time after each event type: the gap to the user's
+    next event (any type) — the engagement readout behind "which pages
+    hold attention". Declarable as gold ``analysis: dwell_time``; the
+    ``dwell_time_by_type`` workload is this operator on the events
+    table. Last events per user have no successor and carry no dwell;
+    null-user rows are excluded (no per-user order exists for them).
+
+    Gaps are exact integer microseconds under the (ts, order) total
+    order; the average is ONE division of exact sums.
+
+    Scale: ONE user-keyed window shuffle (the sessionizer/funnel
+    family's shuffle), then a |types|-row partial-aggregated rollup.
+    Emits ``(type_col, n_dwells long, total_dwell_us long,
+    avg_dwell_sec double)``.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    d = (
+        events.where(F.col(user_col).isNotNull())
+        .select(
+            type_col, ts_col,
+            F.lead(ts_col).over(w).alias("_nxt"),
+        )
+        .where(F.col("_nxt").isNotNull())
+        .select(
+            type_col,
+            (
+                F.unix_micros(F.col("_nxt")) - F.unix_micros(F.col(ts_col))
+            ).alias("_gap_us"),
+        )
+    )
+    return d.groupBy(type_col).agg(
+        F.count(F.lit(1)).alias("n_dwells"),
+        F.sum("_gap_us").alias("total_dwell_us"),
+        (
+            F.sum("_gap_us").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1_000_000.0)
+        ).alias("avg_dwell_sec"),
+    )
+
+
 def abandonment_daily(
     events: DataFrame,
     intent_type: str = "click",

@@ -423,6 +423,24 @@ class GoldLayer(_LayerBase):
                 order_col=e.order_col,
                 gap_seconds=e.gap_seconds,
             )
+        if e.analysis == "hourly_load":
+            return temporal_ops.hourly_load_profile(events, ts_col=e.ts_col)
+        if e.analysis == "dwell_time":
+            return temporal_ops.dwell_time_by_type(
+                events,
+                user_col=e.user_col,
+                ts_col=e.ts_col,
+                type_col=e.type_col,
+                order_col=e.order_col,
+            )
+        if e.analysis == "concurrent_peaks":
+            return temporal_ops.concurrent_session_peaks(
+                events,
+                user_col=e.user_col,
+                ts_col=e.ts_col,
+                order_col=e.order_col,
+                gap_seconds=e.gap_seconds,
+            )
         if e.analysis == "attribution":
             if e.attribution_model == "last_touch":
                 return temporal_ops.attribute_last_touch(

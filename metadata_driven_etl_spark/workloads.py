@@ -14445,21 +14445,12 @@ def hourly_load_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dayofweek+5)%7+1 ≡ isodow identity.
 
     Scale: one map-side (dow, hour) extraction, one 168-cell-bounded
-    aggregation, 1-row total broadcast back."""
-    e = _t(spark, sf_dir, "events").select(
-        ((F.dayofweek(F.to_date("ts")) + 5) % 7 + 1)
-        .cast("int")
-        .alias("dow"),
-        F.hour("ts").cast("int").alias("hour"),
-    )
-    c = e.groupBy("dow", "hour").agg(F.count(F.lit(1)).alias("n_events"))
-    g = c.agg(F.sum("n_events").alias("total"))
-    return c.crossJoin(F.broadcast(g)).select(
-        "dow", "hour", "n_events",
-        (
-            F.col("n_events").cast("double") / F.col("total").cast("double")
-        ).alias("load_share"),
-    )
+    aggregation, 1-row total broadcast back. Shared core:
+    temporal.hourly_load_profile (also gold ``analysis: hourly_load``
+    — one implementation, YAML ≡ direct by construction)."""
+    from metadata_driven_etl_spark.operators import temporal as temporal_ops
+
+    return temporal_ops.hourly_load_profile(_t(spark, sf_dir, "events"))
 
 
 # Literal service-level knobs for the safety-stock readout: z at 95%
@@ -14567,34 +14558,12 @@ def dwell_time_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id) total order; the average is ONE division of exact sums.
 
     Scale: ONE user-keyed window shuffle (the sessionizer/funnel
-    family's shuffle), then a |types|-row partial-aggregated rollup."""
-    from pyspark.sql import Window
+    family's shuffle), then a |types|-row partial-aggregated rollup.
+    Shared core: temporal.dwell_time_by_type (also gold ``analysis:
+    dwell_time`` — one implementation, YAML ≡ direct by construction)."""
+    from metadata_driven_etl_spark.operators import temporal as temporal_ops
 
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    d = (
-        _t(spark, sf_dir, "events")
-        .where(F.col("user_id").isNotNull())
-        .select(
-            "event_type", "ts",
-            F.lead("ts").over(w).alias("nxt"),
-        )
-        .where(F.col("nxt").isNotNull())
-        .select(
-            "event_type",
-            (
-                F.unix_micros(F.col("nxt")) - F.unix_micros(F.col("ts"))
-            ).alias("gap_us"),
-        )
-    )
-    return d.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_dwells"),
-        F.sum("gap_us").alias("total_dwell_us"),
-        (
-            F.sum("gap_us").cast("double")
-            / F.count(F.lit(1)).cast("double")
-            / F.lit(1_000_000.0)
-        ).alias("avg_dwell_sec"),
-    )
+    return temporal_ops.dwell_time_by_type(_t(spark, sf_dir, "events"))
 
 
 # =========================================================================

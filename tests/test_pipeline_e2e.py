@@ -1067,6 +1067,28 @@ def _event_gold_cfg(tmp_path):
                   analysis: "entry_exit"
                   source_table: "silver.web_events"
                   gap_seconds: 1800
+              - model_id: "load_heatmap"
+                target_table: "gold.ev_hourly_load"
+                model_type: "event"
+                refresh_type: "full"
+                event:
+                  analysis: "hourly_load"
+                  source_table: "silver.web_events"
+              - model_id: "attention"
+                target_table: "gold.ev_dwell"
+                model_type: "event"
+                refresh_type: "full"
+                event:
+                  analysis: "dwell_time"
+                  source_table: "silver.web_events"
+              - model_id: "capacity_peaks"
+                target_table: "gold.ev_conc_peaks"
+                model_type: "event"
+                refresh_type: "full"
+                event:
+                  analysis: "concurrent_peaks"
+                  source_table: "silver.web_events"
+                  gap_seconds: 1800
             """
         )
     )
@@ -1132,7 +1154,8 @@ def test_gold_event_models_e2e(spark, tmp_path):
         "gold.ev_funnel", "gold.ev_last_touch", "gold.ev_time_decay",
         "gold.ev_sessions", "gold.ev_funnel_rates", "gold.ev_funnel_sess",
         "gold.ev_stickiness", "gold.ev_new_ret", "gold.ev_abandon",
-        "gold.ev_entry_exit", "silver.web_events",
+        "gold.ev_entry_exit", "gold.ev_hourly_load", "gold.ev_dwell",
+        "gold.ev_conc_peaks", "silver.web_events",
     )
     for t in targets:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
@@ -1142,7 +1165,7 @@ def test_gold_event_models_e2e(spark, tmp_path):
     res = run_pipeline(
         spark, cfg_dir, "2024-01-15", ["gold"], table_format=ParquetFormat()
     )
-    assert [r.status for r in res["gold"]] == ["success"] * 10, [
+    assert [r.status for r in res["gold"]] == ["success"] * 13, [
         (r.unit_id, r.error) for r in res["gold"]
     ]
 
@@ -1285,13 +1308,60 @@ def test_gold_event_models_e2e(spark, tmp_path):
     }
     assert matrix[("view", "view")] >= 1  # the bounce
 
+    # hourly_load ≡ direct composition (r10, VERDICT r9 item 4): every
+    # event lands in a (dow, hour) cell and shares sum to 1
+    got, cols = _rows_of(spark, "gold.ev_hourly_load")
+    want = sorted(
+        tuple(r)
+        for r in temporal_ops.hourly_load_profile(events).collect()
+    )
+    assert cols == sorted(["dow", "hour", "n_events", "load_share"])
+    assert got == want
+    shares = [r.load_share for r in spark.table("gold.ev_hourly_load").collect()]
+    assert abs(sum(shares) - 1.0) < 1e-9
+
+    # dwell_time ≡ direct composition (r10): user 4's single event has
+    # no successor, so 'view' dwells come from multi-event users only
+    got, cols = _rows_of(spark, "gold.ev_dwell")
+    want = sorted(
+        tuple(r)
+        for r in temporal_ops.dwell_time_by_type(events).collect()
+    )
+    assert cols == sorted(
+        ["event_type", "n_dwells", "total_dwell_us", "avg_dwell_sec"]
+    )
+    assert got == want
+    dwells = {
+        r.event_type: r.n_dwells
+        for r in spark.table("gold.ev_dwell").collect()
+    }
+    # purchases are terminal for users 1-3 and 5 -> never a dwell source
+    assert "purchase" not in dwells and dwells["view"] >= 2
+
+    # concurrent_peaks ≡ direct composition (r10): the endpoint sweep
+    # sees users 1-4 all in-session on the main day -> peak >= 2
+    got, cols = _rows_of(spark, "gold.ev_conc_peaks")
+    want = sorted(
+        tuple(r)
+        for r in temporal_ops.concurrent_session_peaks(
+            events, gap_seconds=1800
+        ).collect()
+    )
+    assert cols == sorted(["day", "peak_concurrent"])
+    assert got == want
+    peaks = {
+        r.day: r.peak_concurrent
+        for r in spark.table("gold.ev_conc_peaks").collect()
+    }
+    assert max(peaks.values()) >= 2
+
     # incremental event model: second run MERGEs on channel and stays
     # identical (same source -> same aggregate, idempotent upsert)
     before, _ = _rows_of(spark, "gold.ev_last_touch")
     res2 = run_pipeline(
         spark, cfg_dir, "2024-01-16", ["gold"], table_format=ParquetFormat()
     )
-    assert [r.status for r in res2["gold"]] == ["success"] * 10
+    assert [r.status for r in res2["gold"]] == ["success"] * 13
     after, _ = _rows_of(spark, "gold.ev_last_touch")
     assert after == before
 

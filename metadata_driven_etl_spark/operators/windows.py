@@ -181,6 +181,104 @@ def _exact_floor_div(a: Column, b: Column) -> Column:
     return ((a - a % b) / b).cast("long")
 
 
+def _global_rank_frame(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    checkpoint_dir: str | None = None,
+) -> tuple[DataFrame, Column, Column]:
+    """Shared core of :func:`distributed_ntile` / :func:`distributed_rank`:
+    range-repartition on the order expressions, sort within partitions,
+    freeze ``monotonically_increasing_id``, and join back the broadcast
+    per-partition offsets.  Returns ``(frame, rank_col, total_col)``
+    where ``rank_col`` is the 1-based global rank under ``order_by``
+    (which MUST be a total order) and ``total_col`` the frame size —
+    ONE data shuffle, no single-partition data exchange anywhere.
+
+    The returned frame still carries the ``_dnt_*`` scratch columns;
+    callers drop them after deriving their output."""
+    ranged = _materialize_ranked(df, order_by, checkpoint_dir)
+    pid = F.shiftright(F.col("_dnt_mid"), 33)
+    local_ix = F.col("_dnt_mid").bitwiseAND(F.lit((1 << 33) - 1))
+    counts = (
+        ranged.select(pid.alias("_dnt_pid"))
+        .groupBy("_dnt_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    offsets = counts.select(
+        "_dnt_pid",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_dnt_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("_dnt_off"),
+        F.sum("_n")
+        .over(
+            Window.orderBy("_dnt_pid").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("_dnt_tot"),
+    )
+    ranked = ranged.withColumn("_dnt_pid", pid).join(
+        F.broadcast(offsets), "_dnt_pid"
+    )
+    r = (F.col("_dnt_off") + local_ix + 1).cast("long")
+    total = F.col("_dnt_tot").cast("long")
+    return ranked, r, total
+
+
+def _materialize_ranked(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    checkpoint_dir: str | None,
+) -> DataFrame:
+    from metadata_driven_etl_spark.operators.dedup import _materialize
+
+    return _materialize(
+        df.repartitionByRange(*order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("_dnt_mid", F.monotonically_increasing_id()),
+        checkpoint_dir,
+    )
+
+
+def distributed_rank(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    out_col: str,
+    total_col: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """``row_number() OVER (ORDER BY ...)`` without the single-partition
+    sort — the rank sibling of :func:`distributed_ntile` (VERDICT r9
+    item 7: the theil-sen median selection was the last global-rank
+    consumer still riding a bare unpartitioned window).  ``order_by``
+    MUST be a total order (callers include a unique tie-break).  When
+    ``total_col`` is given, the frame size rides along — exactly what
+    rank-based median selection needs (rank == (N+1)//2 etc.) without a
+    second count pass.
+
+    Scale shape: identical to distributed_ntile — ONE range exchange
+    (materialized once), a metadata-sized per-partition count cumsum,
+    and a broadcast join on partition id."""
+    for tmp in ("_dnt_mid", "_dnt_pid", "_dnt_off", "_dnt_tot"):
+        if tmp in df.columns:
+            raise ValueError(f"distributed_rank: column {tmp!r} reserved")
+    for c in (out_col, total_col):
+        if c is not None and c in df.columns:
+            raise ValueError(
+                f"distributed_rank: output column {c!r} collides with input"
+            )
+    ranked, r, total = _global_rank_frame(df, order_by, checkpoint_dir)
+    out = ranked.withColumn(out_col, r)
+    if total_col is not None:
+        out = out.withColumn(total_col, total)
+    return out.drop("_dnt_mid", "_dnt_pid", "_dnt_off", "_dnt_tot")
+
+
 def distributed_ntile(
     df: DataFrame,
     n: int,
@@ -235,44 +333,7 @@ def distributed_ntile(
     # loss recomputes the range shuffle); a durable path survives it —
     # same `_materialize` contract as connected_components, including the
     # eager-materialization caveat in its docstring.
-    from metadata_driven_etl_spark.operators.dedup import _materialize
-
-    ranged = _materialize(
-        df.repartitionByRange(*order_by)
-        .sortWithinPartitions(*order_by)
-        .withColumn("_dnt_mid", F.monotonically_increasing_id()),
-        checkpoint_dir,
-    )
-    pid = F.shiftright(F.col("_dnt_mid"), 33)
-    local_ix = F.col("_dnt_mid").bitwiseAND(F.lit((1 << 33) - 1))
-    counts = (
-        ranged.select(pid.alias("_dnt_pid"))
-        .groupBy("_dnt_pid")
-        .agg(F.count(F.lit(1)).alias("_n"))
-    )
-    offsets = counts.select(
-        "_dnt_pid",
-        F.coalesce(
-            F.sum("_n").over(
-                Window.orderBy("_dnt_pid").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
-        ).alias("_dnt_off"),
-        F.sum("_n")
-        .over(
-            Window.orderBy("_dnt_pid").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        )
-        .alias("_dnt_tot"),
-    )
-    ranked = ranged.withColumn("_dnt_pid", pid).join(
-        F.broadcast(offsets), "_dnt_pid"
-    )
-    r = (F.col("_dnt_off") + local_ix + 1).cast("long")
-    total = F.col("_dnt_tot").cast("long")
+    ranked, r, total = _global_rank_frame(df, order_by, checkpoint_dir)
     q = _exact_floor_div(total, F.lit(n).cast("long"))
     rem = total % n
     big = rem * (q + 1)

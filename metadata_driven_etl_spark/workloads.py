@@ -13615,10 +13615,14 @@ def theil_sen_slope_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere.
 
     Scale: the pair space is quadratic in the DATE DOMAIN only (the
-    Mann-Kendall probe regime — constant in fact rows); the rank
-    window runs on that calendar-bounded pair frame (documented
-    domain-frame exemption: ~3k days of history = 4.5M pair rows)."""
-    from pyspark.sql import Window
+    Mann-Kendall probe regime — constant in fact rows). The median is
+    selected by windows.distributed_rank (r10, VERDICT r9 item 7):
+    range shuffle + broadcast offsets — NO single-partition sort over
+    the pair frame at any calendar length (the former bare
+    Window.orderBy funneled all ~4.5M pair rows through one task;
+    probe row `theil_sen_pairframe` in SCALE.md measures the two
+    forms at 10× days = 100× pairs)."""
+    from metadata_driven_etl_spark.operators.windows import distributed_rank
 
     daily = (
         _t(spark, sf_dir, "events")
@@ -13649,20 +13653,16 @@ def theil_sen_slope_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("ib") - F.col("ia")).cast("double")
         ).alias("slope"),
     )
-    r = p.select(
-        "slope",
-        F.row_number()
-        .over(Window.orderBy("slope", "ia", "ib"))
-        .alias("rn"),
+    r = distributed_rank(
+        p,
+        [F.col("slope").asc(), F.col("ia").asc(), F.col("ib").asc()],
+        "rn",
+        total_col="n_tot",
     )
-    m = (
-        r.crossJoin(F.broadcast(g))
-        .where(
-            (F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2))
-            | (F.col("rn") == F.floor((F.col("n_pairs") + 2) / 2))
-        )
-        .agg(F.min("slope").alias("s1"), F.max("slope").alias("s2"))
-    )
+    m = r.where(
+        (F.col("rn") == F.floor((F.col("n_tot") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n_tot") + 2) / 2))
+    ).agg(F.min("slope").alias("s1"), F.max("slope").alias("s2"))
     sen = (F.col("s1") + F.col("s2")) / F.lit(2.0)
     return g.crossJoin(F.broadcast(m)).select(
         "n_days", "n_pairs",

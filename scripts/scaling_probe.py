@@ -535,7 +535,80 @@ EVENT_OPS = {
     # the daily aggregation's linear scan, with the |days|² sign stage
     # a constant tail.
     "mann_kendall_shape": lambda df: _mann_kendall_probe(df),
+    # r10 (VERDICT r9 item 7): theil-sen's median-of-pairwise-slopes —
+    # here each copy CONTRIBUTES ITS OWN CALENDAR STRETCH (copy-offset
+    # HOUR index: the sf0.1 events table spans only 30 days, so hour
+    # grain stands in for the multi-year daily domain), so the time
+    # domain grows Nx and the pair frame N²x: 1x = 720 points ≈ 259k
+    # pairs (well under the documented 3k-day regime), 10x = 7200
+    # points ≈ 26M pairs (~6× OVER it). Run with --scales 1,10. Two
+    # forms: the SHIPPED distributed_rank median selection vs the
+    # former bare global row_number window (single-partition sort of
+    # the whole pair frame) — the delta is the number the switch is
+    # built on.
+    "theil_sen_distrank": lambda df: _theil_sen_probe(df, distributed=True),
+    "theil_sen_windowrank": lambda df: _theil_sen_probe(
+        df, distributed=False
+    ),
 }
+
+
+def _theil_sen_probe(df: DataFrame, distributed: bool) -> DataFrame:
+    """theil_sen_slope_daily's shape with a copy-expanded time domain:
+    per-period frame keyed by copy*100000 + hour-index (|periods| grows
+    Nx), broadcast pair join, then median-by-rank — via the SHIPPED
+    windows.distributed_rank or the former single-partition window."""
+    from pyspark.sql import Window
+
+    from metadata_driven_etl_spark.operators.windows import distributed_rank
+
+    copy = (F.col("user_id") / 1500).cast("long")  # amplifier offset
+    hour_ix = F.floor(
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lit("2024-01-01").cast("timestamp"))
+        )
+        / 3600
+    ).cast("long")
+    daily = (
+        df.groupBy((copy * 100_000 + hour_ix).alias("idx"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("long")
+            ).alias("x")
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = daily.select(F.col("idx").alias("ia"), F.col("x").alias("xa"))
+    b = daily.select(F.col("idx").alias("ib"), F.col("x").alias("xb"))
+    p = a.join(F.broadcast(b), F.col("ib") > F.col("ia")).select(
+        "ia", "ib",
+        (
+            (F.col("xb") - F.col("xa")).cast("double")
+            / (F.col("ib") - F.col("ia")).cast("double")
+        ).alias("slope"),
+    )
+    if distributed:
+        r = distributed_rank(
+            p,
+            [F.col("slope").asc(), F.col("ia").asc(), F.col("ib").asc()],
+            "rn",
+            total_col="n_tot",
+        )
+    else:
+        g = p.agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
+        r = p.select(
+            "slope", "ia", "ib",
+            F.row_number()
+            .over(Window.orderBy("slope", "ia", "ib"))
+            .alias("rn"),
+        ).crossJoin(F.broadcast(g))
+    return r.where(
+        (F.col("rn") == F.floor((F.col("n_tot") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n_tot") + 2) / 2))
+    ).agg(
+        ((F.min("slope") + F.max("slope")) / 2.0).alias("sen_slope_cents")
+    )
 
 
 def _mann_kendall_probe(df: DataFrame) -> DataFrame:

@@ -14567,6 +14567,622 @@ def dwell_time_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round-10 additions, wave 1: hypothesis-testing / effect-size /
+# robust-stats completion — Kendall tau-b, Brown-Forsythe, Cohen's d,
+# Mood's median test, jackknife influence, ridge regression.
+# =========================================================================
+
+
+@workload(
+    "kendall_tau_revenue_volume",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value*100+0.5) AS BIGINT)) AS BIGINT)
+                 AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1),
+    p AS (SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+          FROM daily a JOIN daily b ON b.day > a.day),
+    c AS (SELECT
+        CAST(COUNT(*) AS BIGINT) AS n0,
+        CAST(SUM(CASE WHEN (xa < xb AND ya < yb)
+                        OR (xa > xb AND ya > yb) THEN 1 ELSE 0 END)
+             AS BIGINT) AS conc,
+        CAST(SUM(CASE WHEN (xa < xb AND ya > yb)
+                        OR (xa > xb AND ya < yb) THEN 1 ELSE 0 END)
+             AS BIGINT) AS disc,
+        CAST(SUM(CASE WHEN xa = xb THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+        CAST(SUM(CASE WHEN ya = yb THEN 1 ELSE 0 END) AS BIGINT) AS ty
+        FROM p),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily)
+    SELECT n_days, n0 AS n_pairs, conc AS concordant, disc AS discordant,
+           CAST(conc - disc AS DOUBLE)
+             / (sqrt(CAST(n0 - tx AS DOUBLE))
+                * sqrt(CAST(n0 - ty AS DOUBLE))) AS tau_b
+    FROM c CROSS JOIN g""",
+)
+def kendall_tau_revenue_volume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kendall's tau-b between daily revenue and daily event volume —
+    the concordance-based rank correlation (the robust sibling of the
+    shipped Spearman: tau counts pair INVERSIONS, so a single wild day
+    moves it by at most 2(n−1) pairs, and tau-b's tie correction
+    handles the discrete volume counts Spearman's midranks smear).
+
+    Hash-exact: every pair verdict (concordant / discordant / tied) is
+    an integer comparison; tau_b = (C−D)/(√(n0−t_x)·√(n0−t_y)) is a
+    fixed chain over exactly-converted counts (sqrt factors taken
+    separately on both sides — one √(a·b) would round differently).
+
+    Scale: one fact aggregation to |days|, then the calendar-bounded
+    pair join (quadratic in the DATE DOMAIN only — the Mann-Kendall /
+    theil-sen probe regime; SCALE.md `mann_kendall_shape` row) with
+    the small side broadcast. The verdict aggregation is map-side."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("long")
+            ).alias("x"),
+            F.count(F.lit(1)).alias("y"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = daily.select(
+        F.col("day").alias("da"), F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+    )
+    b = daily.select(
+        F.col("day").alias("db"), F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    p = a.join(F.broadcast(b), F.col("db") > F.col("da"))
+    conc = (
+        ((F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb")))
+        | ((F.col("xa") > F.col("xb")) & (F.col("ya") > F.col("yb")))
+    ).cast("long")
+    disc = (
+        ((F.col("xa") < F.col("xb")) & (F.col("ya") > F.col("yb")))
+        | ((F.col("xa") > F.col("xb")) & (F.col("ya") < F.col("yb")))
+    ).cast("long")
+    c = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(conc).alias("conc"),
+        F.sum(disc).alias("disc"),
+        F.sum((F.col("xa") == F.col("xb")).cast("long")).alias("tx"),
+        F.sum((F.col("ya") == F.col("yb")).cast("long")).alias("ty"),
+    )
+    g = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    tau = (F.col("conc") - F.col("disc")).cast("double") / (
+        F.sqrt((F.col("n0") - F.col("tx")).cast("double"))
+        * F.sqrt((F.col("n0") - F.col("ty")).cast("double"))
+    )
+    return c.crossJoin(F.broadcast(g)).select(
+        "n_days",
+        F.col("n0").alias("n_pairs"),
+        F.col("conc").alias("concordant"),
+        F.col("disc").alias("discordant"),
+        tau.alias("tau_b"),
+    )
+
+
+@workload(
+    "brown_forsythe_variance_test",
+    oracle=f"""
+    WITH f AS (
+        SELECT event_type AS g,
+               CAST(FLOOR(value*100+0.5) AS BIGINT) AS cents
+        FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+    d AS (SELECT g, cents, CAST(COUNT(*) AS BIGINT) AS c
+          FROM f GROUP BY 1, 2),
+    w AS (SELECT g, cents, c,
+                 CAST(SUM(c) OVER (PARTITION BY g ORDER BY cents
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS BIGINT)
+                   AS cum,
+                 CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS tot
+          FROM d),
+    med AS (SELECT g,
+                   CAST(MIN(CASE WHEN 2*cum >= tot THEN cents END)
+                        AS BIGINT) AS med
+            FROM w GROUP BY 1),
+    z AS (SELECT f.g, ABS(f.cents - med.med) AS z
+          FROM f JOIN med ON med.g = f.g),
+    gm AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS n_g,
+                  SUM(CAST(z AS HUGEINT)) AS s_g,
+                  SUM(CAST(z AS HUGEINT)*z) AS q_g
+           FROM z GROUP BY 1),
+    pv AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                  CAST(SUM(n_g) AS BIGINT) AS n_rows,
+                  CAST(CAST(SUM(s_g) AS VARCHAR) AS DOUBLE) AS s,
+                  CAST(CAST(SUM(q_g) AS VARCHAR) AS DOUBLE) AS q,
+                  {", ".join(
+                      "COALESCE(MAX(CASE WHEN g = '" + t + "' THEN "
+                      "CAST(CAST(s_g*s_g AS VARCHAR) AS DOUBLE)"
+                      " / CAST(n_g AS DOUBLE) END), 0.0) AS t_" + t
+                      for t in _KW_TYPES
+                  )}
+           FROM gm),
+    e AS (SELECT k, n_rows, s, q,
+                 {" + ".join("t_" + t for t in _KW_TYPES)} AS st
+          FROM pv)
+    SELECT k, n_rows,
+           ((st - s*s/CAST(n_rows AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+             / ((q - st) / CAST(n_rows - k AS DOUBLE)) AS bf_stat
+    FROM e""",
+)
+def brown_forsythe_variance_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Brown-Forsythe test for equal variances across event types: the
+    one-way ANOVA F computed on z = |x − group MEDIAN| — the
+    heteroscedasticity gate to run BEFORE trusting the plain ANOVA
+    (Levene's mean-centered form is itself outlier-sensitive; the
+    median-centered variant is the robust standard). Lower-median
+    convention (smallest x with 2·cum ≥ n) keeps the center an exact
+    integer, so every z is an exact integer.
+
+    Hash-exact: per-group medians by integer cross-multiplication over
+    the |group × distinct cents| domain frame; z integer; the F chain
+    is the shipped ANOVA pivot (per-group S²/n as literal columns,
+    left-associated scalar sum, fixed double ops).
+
+    Scale: one domain-frame median pass (the weighted-median
+    discipline), one broadcast 5-row median join back onto the fact,
+    one map-side-combinable moment aggregation."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    f = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        F.col("event_type").alias("g"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    d = f.groupBy("g", "cents").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.partitionBy("g").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("g")
+    med = (
+        d.select(
+            "g", "cents",
+            F.sum("c").over(wc).alias("cum"),
+            F.sum("c").over(wt).alias("tot"),
+        )
+        .groupBy("g")
+        .agg(
+            F.min(
+                F.when(2 * F.col("cum") >= F.col("tot"), F.col("cents"))
+            ).alias("med")
+        )
+    )
+    z = f.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("cents") - F.col("med")).alias("z")
+    )
+    gm = z.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum(F.col("z").cast(d38)).cast(d38).alias("s_g"),
+        F.sum((F.col("z").cast(d38) * F.col("z")).cast(d38))
+        .cast(d38)
+        .alias("q_g"),
+    )
+    term = (
+        (F.col("s_g").cast(d38) * F.col("s_g")).cast(d38).cast("double")
+        / F.col("n_g").cast("double")
+    )
+    pv = gm.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n_rows"),
+        F.sum(F.col("s_g")).cast(d38).cast("double").alias("s"),
+        F.sum(F.col("q_g")).cast(d38).cast("double").alias("q"),
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("g") == t, term)), F.lit(0.0)
+            ).alias(f"t_{t}")
+            for t in _KW_TYPES
+        ],
+    )
+    st = F.col(f"t_{_KW_TYPES[0]}")
+    for t in _KW_TYPES[1:]:
+        st = st + F.col(f"t_{t}")
+    e = pv.select("k", "n_rows", "s", "q", st.alias("st"))
+    ssb = F.col("st") - F.col("s") * F.col("s") / F.col("n_rows").cast(
+        "double"
+    )
+    ssw = F.col("q") - F.col("st")
+    return e.select(
+        "k", "n_rows",
+        (
+            (ssb / (F.col("k") - 1).cast("double"))
+            / (ssw / (F.col("n_rows") - F.col("k")).cast("double"))
+        ).alias("bf_stat"),
+    )
+
+
+@workload(
+    "effect_size_cohens_d",
+    oracle="""
+    WITH f AS (
+        SELECT l_returnflag AS g,
+               CAST(FLOOR(l_extendedprice*100+0.5) AS BIGINT) AS x
+        FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+    m AS (SELECT
+        CAST(SUM(CASE WHEN g='A' THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+        SUM(CASE WHEN g='A' THEN CAST(x AS HUGEINT) END) AS sa,
+        SUM(CASE WHEN g='A' THEN CAST(x AS HUGEINT)*x END) AS qa,
+        CAST(SUM(CASE WHEN g='R' THEN 1 ELSE 0 END) AS HUGEINT) AS nr,
+        SUM(CASE WHEN g='R' THEN CAST(x AS HUGEINT) END) AS sr,
+        SUM(CASE WHEN g='R' THEN CAST(x AS HUGEINT)*x END) AS qr
+        FROM f),
+    d AS (SELECT
+        CAST(na AS BIGINT) AS n_a, CAST(nr AS BIGINT) AS n_r,
+        CAST(CAST(sa AS VARCHAR) AS DOUBLE) AS sad,
+        CAST(CAST(sr AS VARCHAR) AS DOUBLE) AS srd,
+        CAST(CAST(na AS VARCHAR) AS DOUBLE) AS nad,
+        CAST(CAST(nr AS VARCHAR) AS DOUBLE) AS nrd,
+        CAST(CAST(na*qa - sa*sa AS VARCHAR) AS DOUBLE) AS ca,
+        CAST(CAST(nr*qr - sr*sr AS VARCHAR) AS DOUBLE) AS cr
+        FROM m)
+    SELECT n_a, n_r,
+           (sad/nad - srd/nrd) / 100.0 AS mean_diff_dollars,
+           (sad/nad - srd/nrd)
+             / sqrt((ca/nad + cr/nrd)
+                    / CAST(n_a + n_r - 2 AS DOUBLE)) AS cohens_d,
+           ((sad/nad - srd/nrd)
+             / sqrt((ca/nad + cr/nrd)
+                    / CAST(n_a + n_r - 2 AS DOUBLE)))
+             * (1.0 - 3.0 / (4.0*CAST(n_a + n_r AS DOUBLE) - 9.0))
+             AS hedges_g
+    FROM d""",
+)
+def effect_size_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d (pooled-SD standardized mean difference) and the
+    Hedges' g small-sample correction, returned ('A') vs neither ('R')
+    line items — the EFFECT SIZE the shipped Welch t omits: with
+    millions of rows any difference is "significant"; d says whether it
+    is LARGE. Pooled sum of squares via the Welch identity
+    (n·Q − S²)/n = (n−1)·s², so the pooled variance is
+    (c_A/n_A + c_R/n_R)/(n_A+n_R−2).
+
+    Hash-exact: the same six exact decimal moments as the Welch twin;
+    d, g, and the dollar mean-difference are fixed chains of
+    correctly-rounded double ops (d is cent/dollar scale-invariant).
+
+    Scale: ONE map-side-combinable conditional aggregation to one
+    row."""
+    d38 = "decimal(38,0)"
+    f = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("A", "R")
+    ).select(
+        F.col("l_returnflag").alias("g"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("x"),
+    )
+    cond = lambda tag: F.when(F.col("g") == tag, F.col("x"))  # noqa: E731
+    m = f.agg(
+        F.count(F.when(F.col("g") == "A", F.lit(1))).cast(d38).alias("na"),
+        F.sum(cond("A").cast(d38)).cast(d38).alias("sa"),
+        F.sum((cond("A").cast(d38) * F.col("x")).cast(d38))
+        .cast(d38)
+        .alias("qa"),
+        F.count(F.when(F.col("g") == "R", F.lit(1))).cast(d38).alias("nr"),
+        F.sum(cond("R").cast(d38)).cast(d38).alias("sr"),
+        F.sum((cond("R").cast(d38) * F.col("x")).cast(d38))
+        .cast(d38)
+        .alias("qr"),
+    )
+    na, nr = F.col("na"), F.col("nr")
+    nad, nrd = na.cast("double"), nr.cast("double")
+    sad, srd = F.col("sa").cast("double"), F.col("sr").cast("double")
+    ca = (na * F.col("qa") - F.col("sa") * F.col("sa")).cast(d38).cast(
+        "double"
+    )
+    cr = (nr * F.col("qr") - F.col("sr") * F.col("sr")).cast(d38).cast(
+        "double"
+    )
+    diff = sad / nad - srd / nrd
+    pooled = F.sqrt(
+        (ca / nad + cr / nrd)
+        / (na + nr - 2).cast(d38).cast("double")
+    )
+    d_val = diff / pooled
+    j = F.lit(1.0) - F.lit(3.0) / (
+        F.lit(4.0) * (na + nr).cast(d38).cast("double") - F.lit(9.0)
+    )
+    return m.select(
+        na.cast("long").alias("n_a"),
+        nr.cast("long").alias("n_r"),
+        (diff / F.lit(100.0)).alias("mean_diff_dollars"),
+        d_val.alias("cohens_d"),
+        (d_val * j).alias("hedges_g"),
+    )
+
+
+@workload(
+    "mood_median_test",
+    oracle="""
+    WITH f AS (
+        SELECT event_type AS g,
+               CAST(FLOOR(value*100+0.5) AS BIGINT) AS cents
+        FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+    d AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS c FROM f GROUP BY 1),
+    w AS (SELECT cents,
+                 CAST(SUM(c) OVER (ORDER BY cents
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS BIGINT)
+                   AS cum,
+                 CAST(SUM(c) OVER () AS BIGINT) AS tot
+          FROM d),
+    med AS (SELECT CAST(MIN(CASE WHEN 2*cum >= tot THEN cents END)
+                        AS BIGINT) AS med
+            FROM w),
+    ct AS (SELECT g,
+                  CAST(SUM(CASE WHEN cents > med THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_above,
+                  CAST(SUM(CASE WHEN cents <= med THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_le
+           FROM f CROSS JOIN med GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_above) AS BIGINT) AS ta,
+                   CAST(SUM(n_le) AS BIGINT) AS tl,
+                   CAST(SUM(n_above + n_le) AS BIGINT) AS n
+            FROM ct)
+    SELECT g AS event_type, n_above, n_le,
+           (CAST(n_above AS DOUBLE)
+              - CAST(n_above + n_le AS DOUBLE) * CAST(ta AS DOUBLE)
+                / CAST(n AS DOUBLE))
+             * (CAST(n_above AS DOUBLE)
+                - CAST(n_above + n_le AS DOUBLE) * CAST(ta AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+             / (CAST(n_above + n_le AS DOUBLE) * CAST(ta AS DOUBLE)
+                / CAST(n AS DOUBLE))
+           + (CAST(n_le AS DOUBLE)
+              - CAST(n_above + n_le AS DOUBLE) * CAST(tl AS DOUBLE)
+                / CAST(n AS DOUBLE))
+             * (CAST(n_le AS DOUBLE)
+                - CAST(n_above + n_le AS DOUBLE) * CAST(tl AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+             / (CAST(n_above + n_le AS DOUBLE) * CAST(tl AS DOUBLE)
+                / CAST(n AS DOUBLE)) AS chi2_contrib
+    FROM ct CROSS JOIN tot""",
+)
+def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across event types: classify every value as
+    above / at-or-below the GLOBAL lower median, then the 2×k
+    chi-square on the contingency — the median-based k-group location
+    test (more robust than Kruskal-Wallis when tails are wild, and the
+    natural consumer of the repo's integer-median machinery). One row
+    per type with its chi-square contribution (Σ over rows = the
+    statistic, df = k−1).
+
+    Hash-exact: the global median comes from the |distinct cents|
+    domain frame by integer cross-multiplication; cell counts are
+    exact; each contribution (o−e)²/e is a fixed double chain over
+    exactly-converted counts (no FMA-shaped a·b−c·d anywhere — e is a
+    mul/div chain, the square is an explicit diff·diff).
+
+    Scale: one domain-frame median pass (domain window over |distinct
+    cents| rows — calendar/value-domain bounded, the skyline
+    exemption), one broadcast median join, one map-side contingency
+    aggregation to k rows."""
+    from pyspark.sql import Window
+
+    f = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        F.col("event_type").alias("g"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    d = f.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    med = (
+        d.select(
+            "cents",
+            F.sum("c").over(wc).alias("cum"),
+            F.sum("c").over(wt).alias("tot"),
+        )
+        .agg(
+            F.min(
+                F.when(2 * F.col("cum") >= F.col("tot"), F.col("cents"))
+            ).alias("med")
+        )
+    )
+    ct = f.crossJoin(F.broadcast(med)).groupBy("g").agg(
+        F.sum((F.col("cents") > F.col("med")).cast("long")).alias(
+            "n_above"
+        ),
+        F.sum((F.col("cents") <= F.col("med")).cast("long")).alias("n_le"),
+    )
+    tot = ct.agg(
+        F.sum("n_above").alias("ta"),
+        F.sum("n_le").alias("tl"),
+        F.sum(F.col("n_above") + F.col("n_le")).alias("n"),
+    )
+    row_n = (F.col("n_above") + F.col("n_le")).cast("double")
+    nd = F.col("n").cast("double")
+    ea = row_n * F.col("ta").cast("double") / nd
+    el = row_n * F.col("tl").cast("double") / nd
+    da = F.col("n_above").cast("double") - ea
+    dl = F.col("n_le").cast("double") - el
+    return ct.crossJoin(F.broadcast(tot)).select(
+        F.col("g").alias("event_type"),
+        "n_above",
+        "n_le",
+        (da * da / ea + dl * dl / el).alias("chi2_contrib"),
+    )
+
+
+@workload(
+    "jackknife_loo_monthly",
+    oracle="""
+    WITH m AS (
+        SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_m,
+               CAST(SUM(CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT))
+                    AS BIGINT) AS s_m
+        FROM orders GROUP BY 1),
+    g AS (SELECT CAST(SUM(n_m) AS BIGINT) AS n,
+                 CAST(SUM(s_m) AS BIGINT) AS s
+          FROM m)
+    SELECT month, n_m AS n_orders,
+           CAST(s - s_m AS DOUBLE) / CAST(n - n_m AS DOUBLE) / 100.0
+             AS loo_mean_dollars,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+             - CAST(s - s_m AS DOUBLE) / CAST(n - n_m AS DOUBLE) / 100.0
+             AS influence_dollars
+    FROM m CROSS JOIN g""",
+)
+def jackknife_loo_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-month-out jackknife of the mean order value: for each
+    month, the grand mean recomputed WITHOUT that month, and the
+    month's influence (grand − LOO) — the delete-a-block jackknife
+    that answers "is the headline average propped up by one month?"
+    (block = month because orders within a month are correlated; the
+    classic delete-1 jackknife under-states influence there).
+
+    Hash-exact: LOO means are (S−s_m)/(n−n_m) over exact integer
+    sums — no resampling, no randomness; influence is a fixed double
+    chain.
+
+    Scale: one monthly aggregation, a 1-row broadcast of the grand
+    totals, map-side arithmetic per month row."""
+    m = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_m"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("s_m"),
+        )
+    )
+    g = m.agg(F.sum("n_m").alias("n"), F.sum("s_m").alias("s"))
+    loo = (
+        (F.col("s") - F.col("s_m")).cast("double")
+        / (F.col("n") - F.col("n_m")).cast("double")
+        / F.lit(100.0)
+    )
+    grand = (
+        F.col("s").cast("double") / F.col("n").cast("double") / F.lit(100.0)
+    )
+    return m.crossJoin(F.broadcast(g)).select(
+        "month",
+        F.col("n_m").alias("n_orders"),
+        loo.alias("loo_mean_dollars"),
+        (grand - loo).alias("influence_dollars"),
+    )
+
+
+# Ridge penalty per unit of x-variance (literal so the shrinkage chain
+# is deterministic): b_ridge = Sxy_c / (Sxx_c + RIDGE_LAMBDA·n²) — i.e.
+# cov(x,y)/(var(x)+λ) after dividing through by n².
+_RIDGE_LAMBDA = 100
+
+
+@workload(
+    "ridge_regression_price_quantity",
+    oracle=f"""
+    WITH f AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x,
+               CAST(FLOOR(l_extendedprice*100+0.5) AS BIGINT) AS y
+        FROM lineitem),
+    m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                 SUM(CAST(x AS HUGEINT)) AS sx,
+                 SUM(CAST(y AS HUGEINT)) AS sy,
+                 SUM(CAST(x AS HUGEINT)*y) AS sxy,
+                 SUM(CAST(x AS HUGEINT)*x) AS sxx
+          FROM f),
+    d AS (SELECT CAST(n AS BIGINT) AS n_rows,
+                 CAST(CAST(n*sxy - sx*sy AS VARCHAR) AS DOUBLE) AS cxy,
+                 CAST(CAST(n*sxx - sx*sx AS VARCHAR) AS DOUBLE) AS cxx,
+                 CAST(CAST(n*sxx - sx*sx
+                           + {_RIDGE_LAMBDA}*n*n AS VARCHAR) AS DOUBLE)
+                   AS cxx_r,
+                 CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+                 CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+                 CAST(CAST(n AS VARCHAR) AS DOUBLE) AS nd
+          FROM m)
+    SELECT n_rows,
+           cxy / cxx AS slope_ols_cents,
+           cxy / cxx_r AS slope_ridge_cents,
+           cxx / cxx_r AS shrinkage,
+           (syd - (cxy / cxx) * sxd) / nd / 100.0
+             AS intercept_ols_dollars
+    FROM d""",
+)
+def ridge_regression_price_quantity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ridge-regularized simple regression of line price on quantity
+    next to its OLS twin: b_ridge = cov/(var+λ) with λ = 100 cents²
+    per unit of x-variance — the L2-shrunk slope (the one-feature
+    normal-equation case where ridge is closed-form; the shrinkage
+    column shows exactly how much the penalty bites). Complements the
+    shipped linreg workload with the regularized estimator a feature
+    pipeline actually ships.
+
+    Hash-exact: all five moments exact decimal; the centered
+    cross/auto moments n·Σxy−ΣxΣy stay in decimal (the FMA trap), the
+    ridge denominator adds λ·n² IN DECIMAL before the single double
+    conversion; every reported value is a fixed double chain.
+
+    Scale: ONE map-side-combinable aggregation to one row."""
+    d38 = "decimal(38,0)"
+    f = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("y"),
+    )
+    m = f.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).cast(d38).alias("sx"),
+        F.sum(F.col("y").cast(d38)).cast(d38).alias("sy"),
+        F.sum((F.col("x").cast(d38) * F.col("y")).cast(d38))
+        .cast(d38)
+        .alias("sxy"),
+        F.sum((F.col("x").cast(d38) * F.col("x")).cast(d38))
+        .cast(d38)
+        .alias("sxx"),
+    )
+    n = F.col("n")
+    cxy = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast(d38).cast(
+        "double"
+    )
+    cxx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast(d38).cast(
+        "double"
+    )
+    cxx_r = (
+        n * F.col("sxx")
+        - F.col("sx") * F.col("sx")
+        + F.lit(_RIDGE_LAMBDA) * n * n
+    ).cast(d38).cast("double")
+    slope = cxy / cxx
+    return m.select(
+        n.cast("long").alias("n_rows"),
+        slope.alias("slope_ols_cents"),
+        (cxy / cxx_r).alias("slope_ridge_cents"),
+        (cxx / cxx_r).alias("shrinkage"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / n.cast("double")
+            / F.lit(100.0)
+        ).alias("intercept_ols_dollars"),
+    )
+
+
+# =========================================================================
 # Driver-facing registry order
 # =========================================================================
 #

@@ -15183,6 +15183,667 @@ def ridge_regression_price_quantity(
 
 
 # =========================================================================
+# Round-10 additions, wave 2: retail economics / ETL reconciliation —
+# unit-value price index, promo diff-in-diff, shift-share growth
+# decomposition, order-total reconciliation, growth accounting,
+# naive-forecast error baselines, partition-skew report.
+# =========================================================================
+
+
+@workload(
+    "unit_value_index_monthly_brand",
+    oracle="""
+    WITH m AS (
+        SELECT p.p_brand AS brand,
+               strftime(CAST(l.l_shipdate AS DATE), '%Y-%m') AS month,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice*100+0.5) AS BIGINT))
+                    AS BIGINT) AS rev,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2),
+    b AS (SELECT brand, MIN(month) AS m0 FROM m GROUP BY 1),
+    base AS (SELECT m.brand, m.rev AS rev0, m.qty AS qty0
+             FROM m JOIN b ON b.brand = m.brand AND m.month = b.m0)
+    SELECT m.brand, m.month, m.rev AS rev_cents, m.qty,
+           CAST(CAST(CAST(m.rev AS HUGEINT) * base.qty0 AS VARCHAR)
+                AS DOUBLE)
+             / CAST(CAST(CAST(m.qty AS HUGEINT) * base.rev0 AS VARCHAR)
+                    AS DOUBLE) AS unit_value_index
+    FROM m JOIN base ON base.brand = m.brand""",
+)
+def unit_value_index_monthly_brand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unit-value price index per brand-month against the brand's first
+    shipping month: UVI = (Rev_m/Qty_m)/(Rev_0/Qty_0) — the trade-
+    statistics price index that needs no constant item price (unit
+    prices VARY per part in this data, so Laspeyres basket reweighting
+    has no fixed p to hold; the unit-value form is the estimator
+    actually used on transaction data).
+
+    Hash-exact: the rational ratio-of-ratios is cleared to ONE integer
+    cross-product per side — Rev_m·Qty_0 and Qty_m·Rev_0 in exact
+    decimal — then a single double division (the arc-elasticity
+    cross-multiplication discipline).
+
+    Scale: one (brand, month) fact aggregation behind a broadcast part
+    join; the base-month frame is |brands| rows, broadcast back."""
+    d38 = "decimal(38,0)"
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    m = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.date_format(F.to_date("l_shipdate"), "yyyy-MM").alias(
+                "month"
+            ),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+            ).alias("rev"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    base = m.groupBy("brand").agg(
+        F.min_by("rev", "month").alias("rev0"),
+        F.min_by("qty", "month").alias("qty0"),
+    )
+    num = (F.col("rev").cast(d38) * F.col("qty0")).cast(d38).cast("double")
+    den = (F.col("qty").cast(d38) * F.col("rev0")).cast(d38).cast("double")
+    return m.join(F.broadcast(base), "brand").select(
+        "brand", "month",
+        F.col("rev").alias("rev_cents"),
+        "qty",
+        (num / den).alias("unit_value_index"),
+    )
+
+
+# DiD period boundary: orders span 1995-2001 in the synthetic data; the
+# literal split keeps both cells populated at every SF.
+_DID_SPLIT = "1998-01-01"
+
+
+@workload(
+    "promo_uplift_did",
+    oracle=f"""
+    WITH f AS (
+        SELECT CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END
+                 AS is_promo,
+               CASE WHEN CAST(o.o_orderdate AS DATE)
+                         >= DATE '{_DID_SPLIT}' THEN 1 ELSE 0 END
+                 AS is_late,
+               CAST(FLOOR(l.l_extendedprice*100+0.5) AS BIGINT) AS cents
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey),
+    m AS (SELECT
+        SUM(CASE WHEN is_promo=1 AND is_late=0 THEN CAST(cents AS HUGEINT)
+            END) AS s_pe,
+        CAST(SUM(CASE WHEN is_promo=1 AND is_late=0 THEN 1 ELSE 0 END)
+             AS HUGEINT) AS n_pe,
+        SUM(CASE WHEN is_promo=1 AND is_late=1 THEN CAST(cents AS HUGEINT)
+            END) AS s_pl,
+        CAST(SUM(CASE WHEN is_promo=1 AND is_late=1 THEN 1 ELSE 0 END)
+             AS HUGEINT) AS n_pl,
+        SUM(CASE WHEN is_promo=0 AND is_late=0 THEN CAST(cents AS HUGEINT)
+            END) AS s_oe,
+        CAST(SUM(CASE WHEN is_promo=0 AND is_late=0 THEN 1 ELSE 0 END)
+             AS HUGEINT) AS n_oe,
+        SUM(CASE WHEN is_promo=0 AND is_late=1 THEN CAST(cents AS HUGEINT)
+            END) AS s_ol,
+        CAST(SUM(CASE WHEN is_promo=0 AND is_late=1 THEN 1 ELSE 0 END)
+             AS HUGEINT) AS n_ol
+        FROM f),
+    d AS (SELECT
+        CAST(CAST(s_pe AS VARCHAR) AS DOUBLE)/CAST(n_pe AS DOUBLE)/100.0
+          AS mean_promo_early,
+        CAST(CAST(s_pl AS VARCHAR) AS DOUBLE)/CAST(n_pl AS DOUBLE)/100.0
+          AS mean_promo_late,
+        CAST(CAST(s_oe AS VARCHAR) AS DOUBLE)/CAST(n_oe AS DOUBLE)/100.0
+          AS mean_other_early,
+        CAST(CAST(s_ol AS VARCHAR) AS DOUBLE)/CAST(n_ol AS DOUBLE)/100.0
+          AS mean_other_late
+        FROM m)
+    SELECT mean_promo_early, mean_promo_late,
+           mean_other_early, mean_other_late,
+           (mean_promo_late - mean_promo_early)
+             - (mean_other_late - mean_other_early) AS did_dollars
+    FROM d""",
+)
+def promo_uplift_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences uplift of promo-type parts: the change
+    in mean line revenue for PROMO parts across the period split minus
+    the same change for everything else — the quasi-experimental
+    estimator that nets out market-wide drift a naive before/after
+    comparison absorbs (the observational sibling of the shipped
+    CUPED/AB-z experiment readouts).
+
+    Hash-exact: ONE conditional aggregation yields the 2×2 cell sums
+    and counts in exact decimal; the four means and the DiD are fixed
+    double chains (means computed once in a CTE, the DiD subtracts the
+    named columns — no mult anywhere near a subtraction, so no FMA
+    exposure on either engine).
+
+    Scale: fact join behind a broadcast part dim, one map-side 2×2
+    aggregation to one row."""
+    d38 = "decimal(38,0)"
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.to_date("o_orderdate") >= F.lit(_DID_SPLIT))
+        .cast("int")
+        .alias("is_late"),
+    )
+    pt = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_type").startswith("PROMO").cast("int").alias("is_promo"),
+    )
+    f = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(pt), li.l_partkey == pt.p_partkey
+    )
+
+    def cell(p: int, late: int):
+        cond = (F.col("is_promo") == p) & (F.col("is_late") == late)
+        s = F.sum(F.when(cond, F.col("cents")).cast(d38)).cast(d38)
+        n = F.count(F.when(cond, F.lit(1))).cast(d38)
+        return s, n
+
+    s_pe, n_pe = cell(1, 0)
+    s_pl, n_pl = cell(1, 1)
+    s_oe, n_oe = cell(0, 0)
+    s_ol, n_ol = cell(0, 1)
+    m = f.agg(
+        s_pe.alias("s_pe"), n_pe.alias("n_pe"),
+        s_pl.alias("s_pl"), n_pl.alias("n_pl"),
+        s_oe.alias("s_oe"), n_oe.alias("n_oe"),
+        s_ol.alias("s_ol"), n_ol.alias("n_ol"),
+    )
+    mean = lambda s, n: (  # noqa: E731
+        F.col(s).cast("double") / F.col(n).cast("double") / F.lit(100.0)
+    )
+    d = m.select(
+        mean("s_pe", "n_pe").alias("mean_promo_early"),
+        mean("s_pl", "n_pl").alias("mean_promo_late"),
+        mean("s_oe", "n_oe").alias("mean_other_early"),
+        mean("s_ol", "n_ol").alias("mean_other_late"),
+    )
+    return d.select(
+        "mean_promo_early", "mean_promo_late",
+        "mean_other_early", "mean_other_late",
+        (
+            (F.col("mean_promo_late") - F.col("mean_promo_early"))
+            - (F.col("mean_other_late") - F.col("mean_other_early"))
+        ).alias("did_dollars"),
+    )
+
+
+@workload(
+    "shift_share_nation_growth",
+    oracle=f"""
+    WITH f AS (
+        SELECT n.n_name AS nation,
+               CASE WHEN CAST(o.o_orderdate AS DATE)
+                         >= DATE '{_DID_SPLIT}' THEN 1 ELSE 0 END
+                 AS is_late,
+               CAST(FLOOR(o.o_totalprice*100+0.5) AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey),
+    per AS (SELECT nation,
+                   CAST(SUM(CASE WHEN is_late=0 THEN cents ELSE 0 END)
+                        AS BIGINT) AS r0,
+                   CAST(SUM(CASE WHEN is_late=1 THEN cents ELSE 0 END)
+                        AS BIGINT) AS r1
+            FROM f GROUP BY 1),
+    tot AS (SELECT CAST(SUM(r0) AS BIGINT) AS t0,
+                   CAST(SUM(r1) AS BIGINT) AS t1
+            FROM per),
+    e AS (SELECT nation, r0, r1,
+                 CAST(r1 - r0 AS DOUBLE) AS actual_growth,
+                 CAST(r0 AS DOUBLE)
+                   * (CAST(t1 AS DOUBLE)/CAST(t0 AS DOUBLE) - 1.0)
+                   AS expected_growth
+          FROM per CROSS JOIN tot)
+    SELECT nation, r0 AS rev_early_cents, r1 AS rev_late_cents,
+           expected_growth AS expected_growth_cents,
+           actual_growth - expected_growth AS competitive_shift_cents
+    FROM e""",
+)
+def shift_share_nation_growth(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shift-share decomposition of revenue growth by customer nation:
+    each nation's actual growth across the period split, the growth it
+    would have had at the GLOBAL rate (the "share" term), and the
+    residual competitive shift — the regional-economics standard for
+    separating "the market grew" from "this nation outgrew the market".
+
+    Hash-exact: period revenues are exact integers; expected growth
+    r0·(T1/T0 − 1) and the shift are computed in SEQUENTIAL select
+    stages so the shift subtraction references a named column, never
+    an inline a − b·c (the FMA trap).
+
+    Scale: one fact aggregation to |nations| behind broadcast dims, a
+    1-row total broadcast back."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.to_date("o_orderdate") >= F.lit(_DID_SPLIT))
+        .cast("int")
+        .alias("is_late"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    f = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    per = f.groupBy(F.col("n_name").alias("nation")).agg(
+        F.sum(
+            F.when(F.col("is_late") == 0, F.col("cents")).otherwise(0)
+        ).alias("r0"),
+        F.sum(
+            F.when(F.col("is_late") == 1, F.col("cents")).otherwise(0)
+        ).alias("r1"),
+    )
+    tot = per.agg(F.sum("r0").alias("t0"), F.sum("r1").alias("t1"))
+    e = per.crossJoin(F.broadcast(tot)).select(
+        "nation", "r0", "r1",
+        (F.col("r1") - F.col("r0")).cast("double").alias("actual_growth"),
+        (
+            F.col("r0").cast("double")
+            * (
+                F.col("t1").cast("double") / F.col("t0").cast("double")
+                - F.lit(1.0)
+            )
+        ).alias("expected_growth"),
+    )
+    return e.select(
+        "nation",
+        F.col("r0").alias("rev_early_cents"),
+        F.col("r1").alias("rev_late_cents"),
+        F.col("expected_growth").alias("expected_growth_cents"),
+        (F.col("actual_growth") - F.col("expected_growth")).alias(
+            "competitive_shift_cents"
+        ),
+    )
+
+
+@workload(
+    "reconcile_order_totals",
+    oracle="""
+    WITH s AS (
+        SELECT l_orderkey,
+               SUM(CAST(FLOOR(l_extendedprice*100+0.5) AS HUGEINT)
+                   * (100 - CAST(FLOOR(l_discount*100+0.5) AS BIGINT))
+                   * (100 + CAST(FLOOR(l_tax*100+0.5) AS BIGINT)))
+                 AS micro
+        FROM lineitem GROUP BY 1),
+    d AS (SELECT CAST(FLOOR(o.o_totalprice*100+0.5) AS HUGEINT) * 10000
+                   - s.micro AS diff,
+                 s.micro AS micro
+          FROM orders o JOIN s ON s.l_orderkey = o.o_orderkey),
+    b AS (SELECT CASE
+                   WHEN diff = 0 THEN 'exact'
+                   WHEN ABS(diff)*1000 <= micro THEN 'within_0.1pct'
+                   WHEN ABS(diff)*100 <= micro THEN 'within_1pct'
+                   WHEN ABS(diff)*10 <= micro THEN 'within_10pct'
+                   ELSE 'over_10pct' END AS bucket,
+                 diff
+          FROM d)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(ABS(diff)) AS VARCHAR) AS total_abs_diff_microcents
+    FROM b GROUP BY 1""",
+)
+def reconcile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact reconciliation: does each order's header total equal
+    Σ extendedprice·(1−discount)·(1+tax) over its lines? The classic
+    warehouse integrity audit (header vs detail) — and on THIS
+    synthetic data the generator does NOT maintain the identity, which
+    is exactly what the report surfaces: relative-error buckets with
+    counts and total absolute drift.
+
+    Hash-exact: the line formula is computed entirely in integer
+    micro-cents (cents × (100−d) × (100+t)); the header side scales to
+    the same grid; bucket thresholds are integer cross-multiplications
+    (|diff|·1000 ≤ micro ⟺ rel ≤ 0.1%), so no float division decides a
+    bucket. The 38-digit decimal column is emitted as VARCHAR (exact
+    on both engines; the driver hashes strings).
+
+    Scale: one per-order line aggregation (the natural join key), one
+    equi-join to headers, a ≤5-row bucket rollup."""
+    d38 = "decimal(38,0)"
+    li = _t(spark, sf_dir, "lineitem")
+    micro_line = (
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast(d38)
+        * (
+            F.lit(100)
+            - F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
+        )
+        * (
+            F.lit(100) + F.floor(F.col("l_tax") * 100 + 0.5).cast("long")
+        )
+    ).cast(d38)
+    s = li.groupBy("l_orderkey").agg(
+        F.sum(micro_line).cast(d38).alias("micro")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast(d38)
+            * F.lit(10000)
+        ).cast(d38).alias("header_micro"),
+    )
+    d = o.join(s, o.o_orderkey == s.l_orderkey).select(
+        (F.col("header_micro") - F.col("micro")).cast(d38).alias("diff"),
+        "micro",
+    )
+    adiff = F.abs(F.col("diff")).cast(d38)
+    bucket = (
+        F.when(F.col("diff") == 0, F.lit("exact"))
+        .when((adiff * 1000).cast(d38) <= F.col("micro"), "within_0.1pct")
+        .when((adiff * 100).cast(d38) <= F.col("micro"), "within_1pct")
+        .when((adiff * 10).cast(d38) <= F.col("micro"), "within_10pct")
+        .otherwise("over_10pct")
+    )
+    return d.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(adiff)
+        .cast(d38)
+        .cast("string")
+        .alias("total_abs_diff_microcents"),
+    )
+
+
+@workload(
+    "growth_accounting_monthly",
+    oracle="""
+    WITH a AS (
+        SELECT DISTINCT o_custkey AS u,
+               (year(CAST(o_orderdate AS DATE)) - 1995) * 12
+                 + month(CAST(o_orderdate AS DATE)) - 1 AS mi
+        FROM orders),
+    fm AS (SELECT u, MIN(mi) AS first_mi FROM a GROUP BY 1),
+    cls AS (SELECT a.u, a.mi,
+                   CASE WHEN a.mi = fm.first_mi THEN 'new'
+                        WHEN p.u IS NOT NULL THEN 'retained'
+                        ELSE 'resurrected' END AS kind
+            FROM a JOIN fm ON fm.u = a.u
+            LEFT JOIN a p ON p.u = a.u AND p.mi = a.mi - 1),
+    act AS (SELECT mi,
+                   CAST(SUM(CASE WHEN kind='new' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_new,
+                   CAST(SUM(CASE WHEN kind='retained' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_retained,
+                   CAST(SUM(CASE WHEN kind='resurrected' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_resurrected
+            FROM cls GROUP BY 1),
+    ch AS (SELECT prev.mi + 1 AS mi,
+                  CAST(COUNT(*) AS BIGINT) AS n_churned
+           FROM a prev
+           LEFT JOIN a cur ON cur.u = prev.u AND cur.mi = prev.mi + 1
+           WHERE cur.u IS NULL
+           GROUP BY 1)
+    SELECT act.mi AS month_index, act.n_new, act.n_retained,
+           act.n_resurrected,
+           COALESCE(ch.n_churned, 0) AS n_churned
+    FROM act LEFT JOIN ch ON ch.mi = act.mi""",
+)
+def growth_accounting_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Monthly growth accounting over ordering customers: new (first
+    active month), retained (also active the previous month),
+    resurrected (active before, skipped last month), and churned
+    (active last month, not this) — the canonical DAU/MAU-era growth
+    decomposition whose four flows sum to the month-over-month active
+    delta (new + resurrected − churned = Δactive, an identity the
+    e2e-style test below can assert from the output itself).
+
+    Churn is attributed to the FIRST inactive month and reported only
+    for months that appear in the activity domain (the final month's
+    trailing churn has no month row to land on).
+
+    Hash-exact: everything is integer counts over the distinct
+    (customer, month-index) frame under literal calendar arithmetic.
+
+    Scale: one distinct on (customer, month), then self-equi-joins on
+    (u, mi±1) — the same key family, co-partitioned by the first
+    shuffle; rollups are |months|-row."""
+    a = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("u"),
+            (
+                (F.year(F.to_date("o_orderdate")) - 1995) * 12
+                + F.month(F.to_date("o_orderdate"))
+                - 1
+            ).alias("mi"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    fm = a.groupBy("u").agg(F.min("mi").alias("first_mi"))
+    p = a.select(F.col("u").alias("pu"), (F.col("mi") + 1).alias("pmi"))
+    cls = (
+        a.join(fm, "u")
+        .join(
+            p,
+            (F.col("u") == F.col("pu")) & (F.col("mi") == F.col("pmi")),
+            "left",
+        )
+        .select(
+            "mi",
+            F.when(F.col("mi") == F.col("first_mi"), "new")
+            .when(F.col("pu").isNotNull(), "retained")
+            .otherwise("resurrected")
+            .alias("kind"),
+        )
+    )
+    act = cls.groupBy("mi").agg(
+        F.sum((F.col("kind") == "new").cast("long")).alias("n_new"),
+        F.sum((F.col("kind") == "retained").cast("long")).alias(
+            "n_retained"
+        ),
+        F.sum((F.col("kind") == "resurrected").cast("long")).alias(
+            "n_resurrected"
+        ),
+    )
+    cur = a.select(F.col("u").alias("cu"), F.col("mi").alias("cmi"))
+    ch = (
+        a.join(
+            cur,
+            (F.col("u") == F.col("cu"))
+            & (F.col("cmi") == F.col("mi") + 1),
+            "left_anti",
+        )
+        .groupBy((F.col("mi") + 1).alias("chmi"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return act.join(ch, act.mi == ch.chmi, "left").select(
+        F.col("mi").alias("month_index"),
+        "n_new", "n_retained", "n_resurrected",
+        F.coalesce(F.col("n_churned"), F.lit(0)).alias("n_churned"),
+    )
+
+
+@workload(
+    "forecast_mase_naive",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM orders GROUP BY 1),
+    e1 AS (SELECT ABS(t.x - h.x) AS ae
+           FROM daily t JOIN daily h ON h.day = t.day - INTERVAL 1 DAY),
+    e7 AS (SELECT ABS(t.x - h.x) AS ae
+           FROM daily t JOIN daily h ON h.day = t.day - INTERVAL 7 DAY),
+    m AS (SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM e1) AS n_1d,
+        (SELECT CAST(CAST(SUM(CAST(ae AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+         FROM e1) AS s1,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM e7) AS n_7d,
+        (SELECT CAST(CAST(SUM(CAST(ae AS HUGEINT)) AS VARCHAR) AS DOUBLE)
+         FROM e7) AS s7)
+    SELECT n_1d, n_7d,
+           s1 / CAST(n_1d AS DOUBLE) / 100.0 AS mae_naive_dollars,
+           s7 / CAST(n_7d AS DOUBLE) / 100.0 AS mae_snaive7_dollars,
+           (s7 / CAST(n_7d AS DOUBLE))
+             / (s1 / CAST(n_1d AS DOUBLE)) AS mase_snaive_vs_naive
+    FROM m""",
+)
+def forecast_mase_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecastability baselines for daily revenue: the mean absolute
+    error of the NAIVE forecast (yesterday's value) and the SEASONAL
+    NAIVE (same weekday last week), date-aligned — plus their ratio,
+    the MASE of the weekly-seasonal model scaled by the naive
+    benchmark (<1 ⟺ weekly seasonality carries real signal; this is
+    the denominator convention every MASE-reported model comparison
+    needs computed on the same data).
+
+    Hash-exact: absolute errors are exact integers under DATE-aligned
+    equi-joins (calendar gaps drop pairs on both engines identically);
+    the two MAEs and the ratio are fixed double chains.
+
+    Scale: one fact aggregation to |days|, two calendar-key
+    equi-joins on the tiny daily frame."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("x")
+        )
+        .localCheckpoint(eager=False)
+    )
+    d38 = "decimal(38,0)"
+
+    def err(lag_days: int) -> DataFrame:
+        h = daily.select(
+            F.date_add(F.col("day"), lag_days).alias("tday"),
+            F.col("x").alias("hx"),
+        )
+        return daily.join(h, daily.day == h.tday).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.abs(F.col("x") - F.col("hx")).cast(d38))
+            .cast(d38)
+            .cast("double")
+            .alias("s"),
+        )
+
+    e1 = err(1).select(
+        F.col("n").alias("n_1d"), F.col("s").alias("s1")
+    )
+    e7 = err(7).select(
+        F.col("n").alias("n_7d"), F.col("s").alias("s7")
+    )
+    m = e1.crossJoin(F.broadcast(e7))
+    mae1 = F.col("s1") / F.col("n_1d").cast("double")
+    mae7 = F.col("s7") / F.col("n_7d").cast("double")
+    return m.select(
+        "n_1d", "n_7d",
+        (mae1 / F.lit(100.0)).alias("mae_naive_dollars"),
+        (mae7 / F.lit(100.0)).alias("mae_snaive7_dollars"),
+        (mae7 / mae1).alias("mase_snaive_vs_naive"),
+    )
+
+
+@workload(
+    "partition_skew_report",
+    oracle="""
+    WITH m AS (
+        SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1),
+    w AS (SELECT month, n,
+                 CAST(SUM(1) OVER (ORDER BY n, month
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS BIGINT)
+                   AS rnk,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS k
+          FROM m)
+    SELECT CAST(MAX(k) AS BIGINT) AS n_partitions,
+           CAST(SUM(n) AS BIGINT) AS total_rows,
+           CAST(MAX(n) AS BIGINT) AS max_rows,
+           CAST(MIN(CASE WHEN 2*rnk >= k THEN n END) AS BIGINT)
+             AS median_rows,
+           MAX_BY(month, lpad(CAST(n AS VARCHAR), 20, '0') || '|' || month)
+             AS largest_partition,
+           CAST(MAX(n) AS DOUBLE)
+             / CAST(MIN(CASE WHEN 2*rnk >= k THEN n END) AS DOUBLE)
+             AS skew_ratio
+    FROM w""",
+)
+def partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-layout skew audit for a month-partitioned orders
+    table: partition count, max and median partition row counts, the
+    hottest partition, and the max/median skew ratio — the number that
+    decides whether a date-partitioned 100 TB layout needs salting or
+    finer grain BEFORE a hot partition stalls a stage (the planning
+    twin of the runtime AQE skew-join handling).
+
+    Hash-exact: counts are integers; the median partition size is
+    rank-selected by integer cross-multiplication under the (n, month)
+    total order; the hottest partition uses the same total order
+    (max_by with a composite key); the ratio is one double division.
+
+    Scale: one fact aggregation to |months|, one |months|-row domain
+    window (metadata-sized by construction)."""
+    from pyspark.sql import Window
+
+    m = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wr = Window.orderBy("n", "month").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wk = Window.orderBy("n", "month").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w = m.select(
+        "month", "n",
+        F.sum(F.lit(1)).over(wr).alias("rnk"),
+        F.count(F.lit(1)).over(wk).alias("k"),
+    )
+    med = F.min(F.when(2 * F.col("rnk") >= F.col("k"), F.col("n")))
+    return w.agg(
+        F.max("k").alias("n_partitions"),
+        F.sum("n").alias("total_rows"),
+        F.max("n").alias("max_rows"),
+        med.alias("median_rows"),
+        F.max_by(
+            "month",
+            F.concat(
+                F.lpad(F.col("n").cast("string"), 20, "0"),
+                F.lit("|"),
+                F.col("month"),
+            ),
+        ).alias("largest_partition"),
+        (F.max("n").cast("double") / med.cast("double")).alias(
+            "skew_ratio"
+        ),
+    )
+
+
+# =========================================================================
 # Driver-facing registry order
 # =========================================================================
 #

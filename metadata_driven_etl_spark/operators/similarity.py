@@ -712,3 +712,185 @@ def embedding_comoments(
         F.col("n").cast("long").alias("n_rows"),
         F.col("cell.cov").alias("cov"),
     )
+
+
+def mmr_select(
+    vectors: DataFrame,
+    query_id: int = 0,
+    m: int = 32,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance selection (Carbonell & Goldstein 1998)
+    at λ = 0.5: greedily pick ``k`` items from the top-``m``
+    most-query-relevant candidates, each step maximizing
+    ``(relevance − max-similarity-to-already-selected) / 2`` — the
+    diversity-aware re-ranker a training-data pipeline uses to pick
+    varied exemplars (pure relevance top-k returns near-duplicates; MMR
+    trades relevance for coverage). λ is fixed at 0.5 so the score is
+    the single-subtraction form ``(rel − maxsim)/2`` — one sub then one
+    mul, never the FMA-shaped ``λ·a − (1−λ)·b`` (oracle-parity
+    discipline). The first pick's maxsim over the empty set is 0.
+
+    Determinism: relevance and pairwise cosines round to 6 dp (the
+    brute_force_topk contract); every argmax tie-breaks on the id, so
+    the greedy trajectory is a total-order walk both engines replay
+    identically.
+
+    Scale shape: stage 1 (query-relevance top-m) is the DISTRIBUTED
+    part — brute force here, the ANN index probe at corpus scale.
+    Stages 2+ run on the m-row candidate frame and its m×(m−1) pairwise
+    sims (re-rank windows are small by construction — m is the
+    operator's contract, like every re-ranker's); the k greedy steps
+    are k tiny jobs over checkpointed metadata-sized frames, not a
+    driver collect.
+    """
+    q = vectors.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec"), norm(F.col(vec_col)).alias("_qnorm")
+    )
+    v = vectors.withColumn("_vnorm", norm(F.col(vec_col)))
+    rel = (
+        v.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != query_id)
+        .select(
+            id_col,
+            vec_col,
+            "_vnorm",
+            F.round(
+                dot(F.col("_qvec"), F.col(vec_col))
+                / (F.col("_qnorm") * F.col("_vnorm")),
+                6,
+            ).alias("rel"),
+        )
+    )
+    cand = (
+        rel.orderBy(F.desc("rel"), F.col(id_col))
+        .limit(m)
+        .localCheckpoint(eager=False)
+    )
+    a = cand.select(
+        F.col(id_col).alias("ia"),
+        F.col(vec_col).alias("_va"),
+        F.col("_vnorm").alias("_na"),
+    )
+    b = cand.select(
+        F.col(id_col).alias("ib"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_vnorm").alias("_nb"),
+    )
+    sims = (
+        a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.round(
+                dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    candr = cand.select(id_col, "rel").localCheckpoint(eager=False)
+    selected = (
+        candr.orderBy(F.desc("rel"), F.col(id_col))
+        .limit(1)
+        .select(
+            F.lit(1).cast("int").alias("select_rank"),
+            F.col(id_col),
+            "rel",
+            (F.col("rel") / F.lit(2.0)).alias("mmr_score"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for step in range(2, k + 1):
+        sel_ids = selected.select(id_col)
+        rem = candr.join(sel_ids, id_col, "left_anti")
+        ms = (
+            sims.join(
+                sel_ids.withColumnRenamed(id_col, "ib"), "ib"
+            )
+            .groupBy("ia")
+            .agg(F.max("sim").alias("_maxsim"))
+        )
+        pick = (
+            rem.join(ms, rem[id_col] == ms["ia"], "left")
+            .select(
+                F.lit(step).cast("int").alias("select_rank"),
+                rem[id_col],
+                "rel",
+                (
+                    (
+                        F.col("rel")
+                        - F.coalesce(F.col("_maxsim"), F.lit(0.0))
+                    )
+                    / F.lit(2.0)
+                ).alias("mmr_score"),
+            )
+            .orderBy(F.desc("mmr_score"), F.col(id_col))
+            .limit(1)
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=False)
+    return selected
+
+
+def sql_mmr_select(
+    table: str = "embeddings",
+    query_id: int = 0,
+    m: int = 32,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`mmr_select`: the greedy loop unrolled into
+    k chained CTE stages (recursive CTEs disallow the per-step argmax
+    aggregate), each replaying the same rounded-cosine, id-tie-broken
+    selection."""
+    cos_q = sql_cosine(f"q.{vec_col}", f"v.{vec_col}")
+    cos_p = sql_cosine(f"a.{vec_col}", f"b.{vec_col}")
+
+    def sel_union(i: int) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {id_col} FROM sel{j}" for j in range(1, i + 1)
+        )
+
+    parts = [
+        f"""
+    WITH q AS (SELECT {vec_col} FROM {table} WHERE {id_col} = {query_id}),
+    scored AS (SELECT v.{id_col}, v.{vec_col},
+                      round({cos_q}, 6) AS rel
+               FROM {table} v CROSS JOIN q
+               WHERE v.{id_col} <> {query_id}),
+    cand AS (SELECT {id_col}, {vec_col}, rel FROM (
+               SELECT *, row_number() OVER (ORDER BY rel DESC, {id_col})
+                        AS rnk
+               FROM scored)
+             WHERE rnk <= {m}),
+    sims AS (SELECT a.{id_col} AS ia, b.{id_col} AS ib,
+                    round({cos_p}, 6) AS sim
+             FROM cand a JOIN cand b ON a.{id_col} <> b.{id_col}),
+    sel1 AS (SELECT {id_col}, rel, rel / 2.0 AS mmr_score FROM cand
+             ORDER BY rel DESC, {id_col} LIMIT 1)"""
+    ]
+    for i in range(2, k + 1):
+        prev = sel_union(i - 1)
+        parts.append(
+            f""",
+    sel{i} AS (
+      SELECT {id_col}, rel, mmr_score FROM (
+        SELECT c.{id_col}, c.rel,
+               (c.rel - COALESCE((SELECT MAX(s.sim) FROM sims s
+                                  WHERE s.ia = c.{id_col}
+                                    AND s.ib IN ({prev})), 0.0)) / 2.0
+                 AS mmr_score
+        FROM cand c
+        WHERE c.{id_col} NOT IN ({prev}))
+      ORDER BY mmr_score DESC, {id_col} LIMIT 1)"""
+        )
+    tail = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS select_rank, {id_col}, rel,"
+        f" mmr_score FROM sel{i}"
+        for i in range(1, k + 1)
+    )
+    return "".join(parts) + "\n    " + tail

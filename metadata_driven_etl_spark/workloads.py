@@ -15844,6 +15844,140 @@ def partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round-10 additions, wave 3: diversity-aware selection (MMR), text /
+# binary-file sources, systematic sampling over the distributed rank.
+# =========================================================================
+
+
+@workload(
+    "mmr_diverse_topk",
+    oracle=sim_ops.sql_mmr_select(query_id=0, m=32, k=5),
+)
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance selection of 5 diverse exemplars from
+    the 32 embeddings most relevant to query vector 0 (λ = 0.5) — the
+    diversity-aware re-ranker for training-data curation: pure
+    relevance top-k returns near-duplicates; each MMR step penalizes
+    similarity to what's already selected. The DuckDB twin replays the
+    greedy trajectory as 5 unrolled CTE stages, so the driver hash
+    proves the whole selection PATH, not just the final set.
+
+    Hash-exact: rounded-6dp cosines, id tie-breaks at every argmax,
+    the λ=0.5 score kept in the single-subtraction form (rel−maxsim)/2
+    (never the FMA-shaped λ·a − (1−λ)·b).
+
+    Scale: the distributed stage is the relevance top-m (brute force
+    here, the ANN probe at corpus scale); the greedy loop is k tiny
+    jobs over the checkpointed m-row candidate frame — a re-rank
+    window, not a corpus pass."""
+    return sim_ops.mmr_select(
+        _emb(spark, sf_dir), query_id=0, m=32, k=5
+    )
+
+
+@workload("scan_text_lines", oracle="SELECT n_name AS value FROM nation")
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family (extended): whole-line text source — ``spark.read.text``
+    is the ingestion path for raw LLM corpus drops (one document/line
+    per row, no schema). Round-trips nation names through a text file
+    in a session-unique temp dir so the oracle verifies the read
+    against the original table (write-once setup, same contract as
+    scan_csv)."""
+    path = _scan_fixture(
+        spark,
+        sf_dir,
+        "scan_text",
+        lambda p: _t(spark, sf_dir, "nation")
+        .select("n_name")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(p),
+    )
+    return spark.read.text(path)
+
+
+@workload(
+    "scan_binary_files",
+    oracle="""
+    SELECT 'r' || CAST(r_regionkey AS VARCHAR) || '.bin' AS file_name,
+           CAST(strlen(r_name) AS BIGINT) AS n_bytes,
+           md5(r_name) AS content_md5
+    FROM region""",
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family (extended): ``binaryFile`` source — the opaque-bytes
+    ingestion path the multimodal stack sits on (images/audio land as
+    whole files; Spark exposes path/length/content). Writes one file
+    per region row (name = bytes) in a session-unique temp dir, reads
+    them back as binary, and emits (file_name, byte length, md5 of
+    content) — so the oracle value-checks the CONTENT round-trip, not
+    just file counts.
+
+    Scale: binaryFile is Spark's distributed whole-file reader
+    (maxPartitionBytes-sized tasks); the md5 is one JVM expression per
+    file — the same shape the phash/multimodal operators consume."""
+    import os as _os
+
+    def write_files(p: str) -> None:
+        rows = (
+            _t(spark, sf_dir, "region")
+            .select("r_regionkey", "r_name")
+            .collect()
+        )  # 5 dimension rows — fixture setup, not a data path
+        _os.makedirs(p, exist_ok=True)
+        for r in rows:
+            with open(
+                _os.path.join(p, f"r{r.r_regionkey}.bin"), "wb"
+            ) as fh:
+                fh.write(r.r_name.encode("utf-8"))
+
+    path = _scan_fixture(spark, sf_dir, "scan_binary", write_files)
+    df = spark.read.format("binaryFile").load(path)
+    return df.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
+@workload(
+    "systematic_sample_every_k",
+    oracle="""
+    WITH r AS (
+        SELECT doc_id, n_chars,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+        FROM documents)
+    SELECT doc_id, n_chars, rn AS sample_rank
+    FROM r WHERE rn % 47 = 1""",
+)
+def systematic_sample_every_k(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Systematic (every-k-th) sampling of documents under the
+    (n_chars, doc_id) total order — the equal-interval design that
+    guarantees coverage across the whole length distribution (a
+    hash/Bernoulli sample can cluster; every-47th cannot). The global
+    rank rides windows.distributed_rank (range shuffle + broadcast
+    offsets — r10's rank operator, here its first direct oracle
+    consumer), so there is NO single-partition sort at any corpus
+    size.
+
+    Hash-exact: rank selection under a total order; the k-th filter is
+    integer modulo."""
+    from metadata_driven_etl_spark.operators.windows import distributed_rank
+
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    r = distributed_rank(
+        d,
+        [F.col("n_chars").asc(), F.col("doc_id").asc()],
+        "sample_rank",
+    )
+    return r.where(F.col("sample_rank") % 47 == 1).select(
+        "doc_id", "n_chars", "sample_rank"
+    )
+
+
+# =========================================================================
 # Driver-facing registry order
 # =========================================================================
 #

@@ -1289,3 +1289,82 @@ def session_entry_exit(
     return per.groupBy("entry_type", "exit_type").agg(
         F.count(F.lit(1)).alias("n_sessions")
     )
+
+
+def resample_linear_interp(
+    obs: DataFrame,
+    keys: Sequence[str],
+    day_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Dense per-key DAILY grid with LINEAR interpolation across gaps —
+    the numeric sibling of :func:`resample_gap_fill` (which fills with
+    constants) and of the as-of carry (which steps): missing days get
+    the straight line between the surrounding observed values, the
+    standard treatment for downstream models that can't see calendar
+    holes. ``obs`` must hold ONE row per (keys, day) with an exact
+    integer ``value_col`` (the cents discipline); the grid spans each
+    key's own [min day, max day], so endpoints are observed and every
+    gap is two-sided.
+
+    Interpolation is exact-rational: the numerator
+    v0·(d1−d) + v1·(d−d0) stays in decimal and ONE double division by
+    (d1−d0) produces the value — engine-identical, no float
+    accumulation. Emits ``(keys..., day, value_filled double,
+    is_observed int)``.
+
+    Scale: bounds + grid explode are |keys|-sized metadata; the carry
+    runs as TWO window passes (previous/next observed) over the
+    grid-joined frame, partitioned by the keys — one shuffle on the
+    key, the sessionizer family's shape.
+    """
+    key_cols = [F.col(k) for k in keys]
+    bounds = obs.groupBy(*keys).agg(
+        F.min(day_col).alias("_d0"), F.max(day_col).alias("_d1")
+    )
+    grid = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence("_d0", "_d1", F.expr("interval 1 day"))
+        ).alias(day_col),
+    )
+    g = grid.join(obs, [*keys, day_col], "left")
+    w_prev = (
+        Window.partitionBy(*key_cols)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(*key_cols)
+        .orderBy(day_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    c = g.select(
+        *keys,
+        day_col,
+        v,
+        F.last(v, ignorenulls=True).over(w_prev).alias("_v0"),
+        F.last(
+            F.when(v.isNotNull(), F.col(day_col)), ignorenulls=True
+        ).over(w_prev).alias("_p0"),
+        F.first(v, ignorenulls=True).over(w_next).alias("_v1"),
+        F.first(
+            F.when(v.isNotNull(), F.col(day_col)), ignorenulls=True
+        ).over(w_next).alias("_p1"),
+    )
+    d38 = "decimal(38,0)"
+    span = F.datediff(F.col("_p1"), F.col("_p0"))
+    num = (
+        F.col("_v0").cast(d38) * F.datediff(F.col("_p1"), F.col(day_col))
+        + F.col("_v1").cast(d38) * F.datediff(F.col(day_col), F.col("_p0"))
+    ).cast(d38)
+    interp = num.cast("double") / span.cast("double")
+    return c.select(
+        *keys,
+        day_col,
+        F.when(v.isNotNull(), v.cast("double"))
+        .otherwise(interp)
+        .alias("value_filled"),
+        v.isNotNull().cast("int").alias("is_observed"),
+    )

@@ -15978,6 +15978,288 @@ def systematic_sample_every_k(
 
 
 # =========================================================================
+# Round-10 additions, wave 4: ML feature engineering (leakage-safe
+# target encoding, k-fold assignment), privacy generalization ladder,
+# linear-interpolation gap fill.
+# =========================================================================
+
+
+@workload(
+    "target_encode_loo_brand",
+    oracle="""
+    WITH f AS (
+        SELECT l_orderkey, l_linenumber, p.p_brand AS brand,
+               CAST(FLOOR(l_extendedprice*100+0.5) AS BIGINT) AS y
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    g AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_b,
+                 CAST(SUM(y) AS BIGINT) AS s_b
+          FROM f GROUP BY 1)
+    SELECT f.l_orderkey, f.l_linenumber, f.brand,
+           CASE WHEN g.n_b > 1
+                THEN CAST(g.s_b - f.y AS DOUBLE)
+                       / CAST(g.n_b - 1 AS DOUBLE) / 100.0
+           END AS brand_loo_mean_dollars
+    FROM f JOIN g ON g.brand = f.brand""",
+)
+def target_encode_loo_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of part brand by line revenue: each
+    row's feature is the brand's mean revenue computed WITHOUT that row
+    — the leakage-safe categorical encoding (plain target encoding
+    leaks the label through its own row; LOO is the standard fix, and
+    (S−y)/(n−1) makes it one broadcast join, not a per-row recompute).
+    Singleton brands encode NULL (no other rows to learn from) rather
+    than an invented prior.
+
+    Hash-exact: per-brand sums/counts are exact integers; each encoding
+    is a fixed double chain.
+
+    Scale: one brand aggregation (|brands| rows, broadcast back), one
+    map-side expression per fact row — the fact shuffles zero times."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("y"),
+    )
+    pt = _t(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    f = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+    g = f.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n_b"), F.sum("y").alias("s_b")
+    )
+    return f.join(F.broadcast(g), "brand").select(
+        "l_orderkey", "l_linenumber", "brand",
+        F.when(
+            F.col("n_b") > 1,
+            (F.col("s_b") - F.col("y")).cast("double")
+            / (F.col("n_b") - 1).cast("double")
+            / F.lit(100.0),
+        ).alias("brand_loo_mean_dollars"),
+    )
+
+
+@workload(
+    "kfold_assignment_balance",
+    oracle="""
+    WITH a AS (
+        SELECT lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    ::BIGINT % 5 AS INTEGER) AS fold
+        FROM documents),
+    c AS (SELECT lang, fold, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM a GROUP BY 1, 2),
+    t AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_lang
+          FROM c GROUP BY 1)
+    SELECT c.lang, c.fold, c.n_docs,
+           CAST(c.n_docs AS DOUBLE) / CAST(t.n_lang AS DOUBLE)
+             AS fold_share
+    FROM c JOIN t ON t.lang = c.lang""",
+)
+def kfold_assignment_balance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment by key hash
+    (md5-mod — reproducible across runs/engines/partitionings, the
+    sample_hash discipline) with the per-language balance audit: fold
+    shares per stratum should sit near 0.2, and this readout is how a
+    training pipeline PROVES its folds didn't cluster (random fold
+    columns can't even be compared across engines).
+
+    Hash-exact: fold membership is a pure function of doc_id; counts
+    integer; shares one division.
+
+    Scale: one map-side fold expression + one (lang, fold) aggregation
+    — 5·|langs| output rows."""
+    a = _docs(spark, sf_dir).select(
+        "lang",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 5
+        ).cast("int").alias("fold"),
+    )
+    c = a.groupBy("lang", "fold").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = c.groupBy("lang").agg(F.sum("n_docs").alias("n_lang"))
+    return c.join(F.broadcast(t), "lang").select(
+        "lang", "fold", "n_docs",
+        (
+            F.col("n_docs").cast("double") / F.col("n_lang").cast("double")
+        ).alias("fold_share"),
+    )
+
+
+@workload(
+    "anonymization_ladder",
+    oracle="""
+    WITH c AS (
+        SELECT n.n_name AS nation, c_mktsegment AS segment,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band
+        FROM customer JOIN nation n ON n.n_nationkey = c_nationkey),
+    l0 AS (SELECT 0 AS level, COUNT(*) AS n_g,
+                  MIN(n) AS k_achieved,
+                  SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS suppressed
+           FROM (SELECT COUNT(*) AS n FROM c GROUP BY nation, segment,
+                 bal_band)),
+    l1 AS (SELECT 1 AS level, COUNT(*) AS n_g,
+                  MIN(n) AS k_achieved,
+                  SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS suppressed
+           FROM (SELECT COUNT(*) AS n FROM c GROUP BY nation, segment)),
+    l2 AS (SELECT 2 AS level, COUNT(*) AS n_g,
+                  MIN(n) AS k_achieved,
+                  SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS suppressed
+           FROM (SELECT COUNT(*) AS n FROM c GROUP BY segment))
+    SELECT CAST(level AS INTEGER) AS level,
+           CAST(n_g AS BIGINT) AS n_groups,
+           CAST(k_achieved AS BIGINT) AS k_achieved,
+           CAST(suppressed AS BIGINT) AS rows_suppressed_at_k5
+    FROM (SELECT * FROM l0 UNION ALL SELECT * FROM l1
+          UNION ALL SELECT * FROM l2)""",
+)
+def anonymization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalization ladder for the customer quasi-identifiers
+    (nation, market segment, $1000 balance band): at each of three
+    generalization levels — full QI, drop the balance band, drop the
+    nation — the k-anonymity actually achieved (the SMALLEST group)
+    and the row cost of suppressing to k=5 instead. This is the
+    planning readout that DECIDES the k_anonymity DQ rule's
+    configuration: generalize another level, or pay the suppression.
+
+    Hash-exact: pure integer group counts at three literal
+    granularities.
+
+    Scale: three aggregations over the dimension table (or ONE
+    grouping-sets pass — kept as three explicit rollups so each
+    level's plan is independently visible); output is 3 rows."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_name"
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias(
+                "bal_band"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def level(i: int, cols: list[str]) -> DataFrame:
+        g = c.groupBy(*cols).agg(F.count(F.lit(1)).alias("n"))
+        return g.agg(
+            F.lit(i).cast("int").alias("level"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.min("n").alias("k_achieved"),
+            F.sum(
+                F.when(F.col("n") < 5, F.col("n")).otherwise(0)
+            ).alias("rows_suppressed_at_k5"),
+        )
+
+    return (
+        level(0, ["nation", "segment", "bal_band"])
+        .unionByName(level(1, ["nation", "segment"]))
+        .unionByName(level(2, ["segment"]))
+        .select(
+            "level", "n_groups", "k_achieved", "rows_suppressed_at_k5"
+        )
+    )
+
+
+@workload(
+    "resample_linear_interp_daily",
+    oracle="""
+    WITH obs AS (
+        SELECT o_orderpriority AS priority,
+               CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders GROUP BY 1, 2),
+    b AS (SELECT priority, MIN(day) AS d0, MAX(day) AS d1
+          FROM obs GROUP BY 1),
+    grid AS (SELECT priority,
+                    CAST(unnest(generate_series(d0, d1,
+                         INTERVAL 1 DAY)) AS DATE) AS day
+             FROM b),
+    g AS (SELECT grid.priority, grid.day, obs.v
+          FROM grid LEFT JOIN obs
+            ON obs.priority = grid.priority AND obs.day = grid.day),
+    c AS (SELECT priority, day, v,
+                 last_value(v IGNORE NULLS) OVER
+                   (PARTITION BY priority ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS v0,
+                 last_value(CASE WHEN v IS NOT NULL THEN day END
+                            IGNORE NULLS) OVER
+                   (PARTITION BY priority ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS p0,
+                 first_value(v IGNORE NULLS) OVER
+                   (PARTITION BY priority ORDER BY day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS v1,
+                 first_value(CASE WHEN v IS NOT NULL THEN day END
+                             IGNORE NULLS) OVER
+                   (PARTITION BY priority ORDER BY day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS p1
+          FROM g)
+    SELECT priority, day,
+           CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+                ELSE CAST(CAST(CAST(v0 AS HUGEINT)
+                               * date_diff('day', day, p1)
+                               + CAST(v1 AS HUGEINT)
+                               * date_diff('day', p0, day)
+                          AS VARCHAR) AS DOUBLE)
+                     / CAST(date_diff('day', p0, p1) AS DOUBLE)
+           END AS value_filled,
+           CAST(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+             AS is_observed
+    FROM c""",
+)
+def resample_linear_interp_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily revenue per order priority on a DENSE calendar with LINEAR
+    interpolation across gap days (~28% of per-priority days have no
+    orders in this data): the numeric gap treatment downstream
+    forecasting models need, next to resample_gap_fill's constant fill
+    and the as-of step carry. Exercises temporal.resample_linear_interp
+    — grid explode, two ignore-nulls carries, exact-rational
+    interpolation with ONE double division.
+
+    Hash-exact: observed days emit the exact integer as double;
+    interpolated days divide a decimal numerator v0·(d1−d)+v1·(d−d0)
+    by the integer span — engine-identical fixed chains."""
+    from metadata_driven_etl_spark.operators import temporal as temporal_ops
+
+    obs = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("v")
+        )
+    )
+    return temporal_ops.resample_linear_interp(
+        obs, keys=["priority"], day_col="day", value_col="v"
+    )
+
+
+# =========================================================================
 # Driver-facing registry order
 # =========================================================================
 #

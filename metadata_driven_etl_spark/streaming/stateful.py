@@ -528,3 +528,115 @@ def drawdown_stateful(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+GAP_RECORD_OUTPUT_SCHEMA = "event_type string, event_id long, gap_us long"
+GAP_RECORD_STATE_SCHEMA = "last_us long, max_gap long, pending string"
+
+
+def gap_record_stateful(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Streaming record-silence alerts per event type — the stateful
+    twin of the batch ``silence_record_alerts`` workload: fold events
+    strictly in (event time, id) order, track the last event time and
+    the maximum interarrival gap seen, and emit a row whenever a gap
+    sets a NEW per-type record (the first gap always alerts, matching
+    the batch form's NULL prev-max) — the zero-configuration outage
+    detector ("we have never been this quiet") a fixed staleness
+    threshold approximates badly.
+
+    Same order-sensitivity contract as the CUSUM/z-score/drawdown
+    twins: rows newer than the watermark wait in a per-key pending
+    buffer; the event-time watermark finalizes them in (ts, id) order
+    through the two exact-bigint registers; rows later than the
+    watermark are dropped. State per key: two longs + the bounded
+    pending buffer. Batch ≡ stream parity is property-tested in
+    tests/test_streaming.py.
+    """
+    pre = events.where(F.col(user_col).isNotNull()).select(
+        F.col(type_col).alias("event_type"),
+        F.col(ts_col).alias("ts"),
+        F.col(order_col).alias("event_id"),
+    )
+
+    def track(key, pdfs, state):
+        import json
+
+        import pandas as pd
+
+        def load():
+            if state.exists:
+                last_us, max_gap, pend_json = state.get
+                return int(last_us), int(max_gap), json.loads(pend_json)
+            return -1, -1, []
+
+        def emit(rows):
+            if not rows:
+                return None
+            return pd.DataFrame(
+                {
+                    "event_type": [key[0]] * len(rows),
+                    "event_id": [r[1] for r in rows],
+                    "gap_us": [r[2] for r in rows],
+                }
+            )
+
+        def finalize(last_us, max_gap, ready):
+            alerts = []
+            for t_us, eid in sorted(ready):
+                if last_us >= 0:
+                    gap = t_us - last_us
+                    if gap > max_gap:
+                        alerts.append((t_us, eid, gap))
+                        max_gap = gap
+                last_us = t_us
+            return last_us, max_gap, alerts
+
+        last_us, max_gap, pending = load()
+
+        if state.hasTimedOut:
+            last_us, max_gap, alerts = finalize(last_us, max_gap, pending)
+            state.update((last_us, max_gap, json.dumps([])))
+            out = emit(alerts)
+            if out is not None:
+                yield out
+            return
+
+        wm_ms = state.getCurrentWatermarkMs()
+        for pdf in pdfs:
+            ts_ns = pdf["ts"].astype("int64")
+            unit_div = 1000 if pdf["ts"].dtype.str.endswith("[ns]") else 1
+            for t_raw, eid in zip(
+                ts_ns.tolist(), pdf["event_id"].tolist()
+            ):
+                t_us = int(t_raw) // unit_div
+                if t_us // 1000 <= wm_ms:
+                    continue  # late beyond the watermark: dropped
+                pending.append([t_us, int(eid)])
+        ready = [r for r in pending if r[0] // 1000 <= wm_ms]
+        pending = [r for r in pending if r[0] // 1000 > wm_ms]
+        last_us, max_gap, alerts = finalize(last_us, max_gap, ready)
+        state.update((last_us, max_gap, json.dumps(pending)))
+        if pending:
+            state.setTimeoutTimestamp(max(r[0] for r in pending) // 1000 + 1)
+        out = emit(alerts)
+        if out is not None:
+            yield out
+
+    return (
+        pre.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            track,
+            GAP_RECORD_OUTPUT_SCHEMA,
+            GAP_RECORD_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

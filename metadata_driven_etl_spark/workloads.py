@@ -16260,6 +16260,206 @@ def resample_linear_interp_daily(
 
 
 # =========================================================================
+# Round-10 additions, wave 5: exact trimmed mean, schema-evolution
+# reads, interarrival silence-record alerts (batch form of the fourth
+# stateful streaming twin).
+# =========================================================================
+
+
+@workload(
+    "trimmed_mean_price_by_flag",
+    oracle="""
+    WITH d AS (
+        SELECT l_returnflag AS g,
+               CAST(FLOOR(l_extendedprice*100+0.5) AS BIGINT) AS cents,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2),
+    w AS (SELECT g, cents, c,
+                 CAST(SUM(c) OVER (PARTITION BY g ORDER BY cents
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS BIGINT)
+                   AS cum,
+                 CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n
+          FROM d),
+    inc AS (SELECT g, cents, n, n // 10 AS k,
+                   GREATEST(CAST(0 AS BIGINT),
+                            LEAST(cum, n - n // 10)
+                              - GREATEST(cum - c, n // 10)) AS m
+            FROM w)
+    SELECT g AS l_returnflag,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(MAX(k) AS BIGINT) AS n_trimmed_each_side,
+           CAST(CAST(SUM(CAST(cents AS HUGEINT) * m) AS VARCHAR)
+                AS DOUBLE)
+             / CAST(MAX(n) - 2 * MAX(k) AS DOUBLE) / 100.0
+             AS trimmed_mean_dollars
+    FROM inc GROUP BY 1""",
+)
+def trimmed_mean_price_by_flag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """10% trimmed mean of extended price per return flag: drop the
+    ⌊n/10⌋ lowest and highest rows per group, average the rest — the
+    robust-location estimator between the median (drops everything but
+    rank n/2) and the mean (drops nothing), and the companion to the
+    shipped winsorized form (winsorize CLAMPS the tails; trimming
+    DROPS them — different bias under asymmetric outliers).
+
+    Hash-exact WITHOUT per-row ranking: over the |group × distinct
+    cents| domain frame, each value's included multiplicity is the
+    integer interval intersection of its cumulative range (cum−c, cum]
+    with the kept band (k, n−k] — so ties at the trim boundary split
+    exactly, no row-order sensitivity anywhere; one decimal
+    sum-of-products, one double division.
+
+    Scale: the KS domain-frame discipline — one map-side groupBy to
+    the domain frame, group-partitioned cum/total windows, one
+    rollup."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.groupBy(
+        F.col("l_returnflag").alias("g"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.partitionBy("g").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("g")
+    w = d.select(
+        "g", "cents", "c",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(wt).alias("n"),
+    )
+    k = F.floor(F.col("n") / 10).cast("long")
+    m = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum"), F.col("n") - k)
+        - F.greatest(F.col("cum") - F.col("c"), k),
+    )
+    inc = w.select("g", "cents", "n", k.alias("k"), m.alias("m"))
+    return inc.groupBy(F.col("g").alias("l_returnflag")).agg(
+        F.max("n").alias("n_rows"),
+        F.max("k").alias("n_trimmed_each_side"),
+        (
+            F.sum((F.col("cents").cast(d38) * F.col("m")).cast(d38))
+            .cast(d38)
+            .cast("double")
+            / (F.max("n") - 2 * F.max("k")).cast("double")
+            / F.lit(100.0)
+        ).alias("trimmed_mean_dollars"),
+    )
+
+
+@workload(
+    "scan_parquet_schema_evolution",
+    oracle="""
+    SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey,
+           'a' AS batch
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey, CAST(NULL AS VARCHAR), n_regionkey, 'b'
+    FROM nation""",
+)
+def scan_parquet_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """S-family (extended): schema-evolution read — two parquet batches
+    with DIFFERENT column sets (an early drop without n_regionkey, a
+    later one without n_name) land under one root; ``mergeSchema``
+    unions the footers and fills the missing columns with NULLs, and
+    the ``batch=`` directory layout comes back as a partition column.
+    This is the ingestion reality every long-lived bronze table hits
+    when upstream adds or drops fields.
+
+    Session-unique write-once fixture (the scan_csv contract); the
+    oracle rebuilds both batches from the source table."""
+    nat = _t(spark, sf_dir, "nation")
+
+    def write_batches(p: str) -> None:
+        nat.select("n_nationkey", "n_name").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{p}/batch=a")
+        nat.select("n_nationkey", "n_regionkey").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{p}/batch=b")
+
+    path = _scan_fixture(
+        spark, sf_dir, "scan_parquet_evolution", write_batches
+    )
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .select("n_nationkey", "n_name", "n_regionkey", "batch")
+    )
+
+
+@workload(
+    "silence_record_alerts",
+    oracle="""
+    WITH g AS (
+        SELECT event_type, event_id,
+               epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
+               row_number() OVER w AS rn
+        FROM events WHERE user_id IS NOT NULL
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+    r AS (SELECT event_type, event_id, gap_us,
+                 MAX(gap_us) OVER (PARTITION BY event_type ORDER BY rn
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING) AS prev_max
+          FROM g WHERE gap_us IS NOT NULL)
+    SELECT event_type, event_id, CAST(gap_us AS BIGINT) AS gap_us
+    FROM r WHERE prev_max IS NULL OR gap_us > prev_max""",
+)
+def silence_record_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-silence alerts per event type: emit a row whenever the
+    interarrival gap to the previous event sets a NEW per-type maximum
+    — the zero-configuration outage detector (a fixed threshold needs
+    tuning per stream; "longer than we have ever been quiet" does
+    not). Batch form of the fourth stateful streaming twin
+    (streaming/stateful.py gap_record_stateful — exact event-time
+    fold, bit-identical alerts, stream ≡ batch property-tested).
+
+    Hash-exact: gaps are exact integer microseconds under the
+    (ts, event_id) total order; the record test compares against the
+    running max over STRICTLY EARLIER gaps (first gap always alerts).
+
+    Scale: ONE type-keyed window shuffle shared by the lag and the
+    running max — the sessionizer family's shape."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "event_type", "event_id",
+            (
+                F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.lag("ts").over(w))
+            ).alias("gap_us"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("gap_us").isNotNull())
+    )
+    wm = (
+        Window.partitionBy("event_type")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = g.select(
+        "event_type", "event_id", "gap_us",
+        F.max("gap_us").over(wm).alias("prev_max"),
+    )
+    return r.where(
+        F.col("prev_max").isNull() | (F.col("gap_us") > F.col("prev_max"))
+    ).select("event_type", "event_id", "gap_us")
+
+
+# =========================================================================
 # Driver-facing registry order
 # =========================================================================
 #

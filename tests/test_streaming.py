@@ -1109,3 +1109,92 @@ def test_stateful_drawdown_matches_batch(spark, sf_dir, tmp_path_factory):
         for r in p.filter(F.col("dd") > F.col("prev_max")).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stateful_gap_record_matches_batch(spark, sf_dir, tmp_path_factory):
+    """applyInPandasWithState record-silence alerts == the batch
+    lag + strictly-earlier running-max identity (the
+    silence_record_alerts workload shape), on chronologically sliced
+    micro-batches with the far-future sentinel flushing the pending
+    buffers via the event-time timeout."""
+    import datetime
+    import time as _time
+
+    from pyspark.sql import Window
+
+    from metadata_driven_etl_spark.streaming.stateful import (
+        gap_record_stateful,
+    )
+
+    path = str(tmp_path_factory.mktemp("events_gap_record"))
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    split_ts = lo + (hi - lo) / 2
+    for i, part_df in enumerate(
+        [
+            events.filter(F.col("ts") <= F.lit(split_ts)),
+            events.filter(F.col("ts") > F.lit(split_ts)),
+        ]
+    ):
+        part_df.coalesce(1).sortWithinPartitions("ts").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/slice={i}")
+        _time.sleep(1.1)
+    sentinel = spark.createDataFrame(
+        [(999_999_999, datetime.datetime(2100, 1, 1), -1, "sentinel", 0.0, "{}")],
+        EVENT_SCHEMA,
+    )
+    sentinel.coalesce(1).write.mode("overwrite").parquet(f"{path}/slice=2")
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
+    q = (
+        gap_record_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("t_gap_record")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.event_type, r.event_id): r.gap_us
+        for r in spark.table("t_gap_record")
+        .filter(F.col("event_type") != "sentinel")
+        .collect()
+    }
+
+    # batch twin: lag gap + running max over STRICTLY EARLIER gaps
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = (
+        events.where(F.col("user_id").isNotNull())
+        .select(
+            "event_type", "event_id",
+            (
+                F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.lag("ts").over(w))
+            ).alias("gap_us"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("gap_us").isNotNull())
+    )
+    wm = (
+        Window.partitionBy("event_type")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = g.select(
+        "event_type", "event_id", "gap_us",
+        F.max("gap_us").over(wm).alias("prev_max"),
+    )
+    want = {
+        (row.event_type, row.event_id): row.gap_us
+        for row in r.where(
+            F.col("prev_max").isNull()
+            | (F.col("gap_us") > F.col("prev_max"))
+        ).collect()
+    }
+    assert got == want and len(want) > 0

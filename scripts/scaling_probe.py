@@ -550,7 +550,74 @@ EVENT_OPS = {
     "theil_sen_windowrank": lambda df: _theil_sen_probe(
         df, distributed=False
     ),
+    # r10 wave 2: growth accounting — the distinct (user, month) frame
+    # and its (u, mi±1) self-joins grow linearly with users (the
+    # amplified dimension); expectation linear.
+    "growth_accounting": lambda df: _growth_probe(df),
+    # r10 wave 4: linear-interp gap fill — grid explode + two
+    # ignore-nulls carries partitioned by event_type (5 keys share the
+    # calendar, so the per-key grid is FIXED while observed rows grow;
+    # the carry windows run over the constant-size grid frame —
+    # expectation flat once the daily aggregation saturates).
+    "linear_interp_daily": lambda df: _interp_probe(df),
 }
+
+
+def _growth_probe(df: DataFrame) -> DataFrame:
+    """growth_accounting_monthly's shape on the amplified events table
+    (user, month-index) — users grow Nx, months fixed."""
+    a = (
+        df.select(
+            F.col("user_id").alias("u"),
+            (
+                (F.year(F.to_date("ts")) - 2024) * 12
+                + F.month(F.to_date("ts"))
+                - 1
+            ).alias("mi"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    fm = a.groupBy("u").agg(F.min("mi").alias("first_mi"))
+    p = a.select(F.col("u").alias("pu"), (F.col("mi") + 1).alias("pmi"))
+    cls = (
+        a.join(fm, "u")
+        .join(
+            p,
+            (F.col("u") == F.col("pu")) & (F.col("mi") == F.col("pmi")),
+            "left",
+        )
+        .select(
+            "mi",
+            F.when(F.col("mi") == F.col("first_mi"), "new")
+            .when(F.col("pu").isNotNull(), "retained")
+            .otherwise("resurrected")
+            .alias("kind"),
+        )
+    )
+    return cls.groupBy("mi", "kind").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _interp_probe(df: DataFrame) -> DataFrame:
+    """resample_linear_interp_daily's SHARED operator over the amplified
+    events table (the probe measures the shipped implementation):
+    sparse observed frame synthesized by keeping ~1/3 of (type, day)
+    cells, so every scale point has real gaps to interpolate."""
+    obs = (
+        df.groupBy(
+            F.col("event_type").alias("k"),
+            F.to_date("ts").alias("day"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("long")
+            ).alias("v")
+        )
+        .where(F.dayofmonth("day") % 3 == 0)
+    )
+    return temporal_ops.resample_linear_interp(
+        obs, keys=["k"], day_col="day", value_col="v"
+    )
 
 
 def _theil_sen_probe(df: DataFrame, distributed: bool) -> DataFrame:
@@ -1111,8 +1178,19 @@ def _sim_hist_probe(df: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
 
+def _mmr_probe(df: DataFrame) -> DataFrame:
+    """mmr_diverse_topk's SHARED operator (similarity.mmr_select): the
+    distributed stage is the relevance top-m over the whole corpus
+    (m, k fixed — the re-rank window does not grow with data), so the
+    curve must be scan-linear in corpus size."""
+    return sim_ops.mmr_select(df, query_id=0, m=32, k=5)
+
+
 EMB_OPS = {
     "semantic_dedup": _semantic_dedup,
+    # r10 wave 3: MMR diverse selection — corpus grows Nx, the m=32
+    # re-rank window and k=5 greedy steps are constants.
+    "mmr_diverse_select": _mmr_probe,
     # r7: single-pass co-moment matrix — aggregation state is constant
     # (45 decimal cells), so the curve should be pure scan-linear
     "embedding_comoments_d8": lambda df: sim_ops.embedding_comoments(

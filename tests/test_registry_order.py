@@ -104,6 +104,43 @@ STALE_R5_COHORT = [
 R11_QUEUE = CORE + R10_LEFTOVER + STALE_R5_COHORT[:32]
 
 
+# Round-10 post-prefix additions (authoritative machine-readable list
+# for future rotations — mirrors COVERAGE.md "Round-10 wave" sections).
+# They queue BEHIND R11_QUEUE: the r11 rotation is already full with
+# the 14 r9 leftovers + the stalest r5 keys, so these lead r12's tail
+# together with the then-stalest r5/r6 keys.
+R10_ADDITIONS = {
+    # wave 1: hypothesis testing / effect size / robust stats
+    "kendall_tau_revenue_volume", "brown_forsythe_variance_test",
+    "effect_size_cohens_d", "mood_median_test", "jackknife_loo_monthly",
+    "ridge_regression_price_quantity",
+    # wave 2: retail economics / ETL reconciliation
+    "unit_value_index_monthly_brand", "promo_uplift_did",
+    "shift_share_nation_growth", "reconcile_order_totals",
+    "growth_accounting_monthly", "forecast_mase_naive",
+    "partition_skew_report",
+    # wave 3: diversity selection / sources / sampling
+    "mmr_diverse_topk", "scan_text_lines", "scan_binary_files",
+    "systematic_sample_every_k",
+    # wave 4: ML features / privacy / interpolation
+    "target_encode_loo_brand", "kfold_assignment_balance",
+    "anonymization_ladder", "resample_linear_interp_daily",
+    # wave 5: robust location / schema evolution / outage detection
+    "trimmed_mean_price_by_flag", "scan_parquet_schema_evolution",
+    "silence_record_alerts",
+}
+
+
+def test_r10_additions_registered_oracle_paired_and_queued():
+    """Every round-10 addition is registered, hash-checkable, and NOT
+    in the r10 driver prefix (they queue behind R11_QUEUE)."""
+    assert R10_ADDITIONS <= set(workloads.QUERIES)
+    assert R10_ADDITIONS <= set(workloads.ORACLES)
+    assert not (R10_ADDITIONS & set(workloads.DRIVER_PRIORITY))
+    assert not (R10_ADDITIONS & set(R11_QUEUE))
+    assert len(R10_ADDITIONS) == 24
+
+
 def test_priority_is_dedup_and_registered():
     names = workloads.DRIVER_PRIORITY
     assert len(names) == len(set(names)), "duplicate priority keys"

@@ -448,6 +448,7 @@ VALID_EVENT_ANALYSES = {
     "funnel_rates", "stickiness", "new_vs_returning",
     "abandonment", "entry_exit",
     "hourly_load", "dwell_time", "concurrent_peaks",
+    "growth_accounting",
 }
 VALID_FUNNEL_MODES = {"per_step", "from_first"}
 VALID_ATTRIBUTION_MODELS = {"last_touch", "time_decay"}
@@ -505,6 +506,10 @@ class EventAnalysisConfig:
     - ``concurrent_peaks`` (r10): peak concurrent sessions per day via
       the +1/−1 endpoint sweep over ``gap_seconds`` sessions (emits
       ``(day, peak_concurrent)``).
+    - ``growth_accounting`` (r10): monthly new / retained /
+      resurrected / churned user flows (emits ``(month_index, n_new,
+      n_retained, n_resurrected, n_churned)``); ``epoch_year`` anchors
+      the integer month index.
 
     ``scope`` (funnel and funnel_rates only): ``user`` (default) runs
     the funnel over each user's whole history under the step ``window``;
@@ -536,6 +541,8 @@ class EventAnalysisConfig:
     scope: str = "user"
     # stickiness knob: trailing window size in days
     window_days: int = 30
+    # growth_accounting knob: month-index anchor year
+    epoch_year: int = 1995
 
     @staticmethod
     def from_dict(d: dict[str, Any], model_id: str) -> "EventAnalysisConfig":
@@ -630,6 +637,18 @@ class EventAnalysisConfig:
                 f"model {model_id}: window_days only applies to "
                 "analysis stickiness",
             )
+        ey = d.get("epoch_year", 1995)
+        if "epoch_year" in d:
+            _require(
+                an == "growth_accounting",
+                f"model {model_id}: epoch_year only applies to "
+                "analysis growth_accounting",
+            )
+        _require(
+            isinstance(ey, int) and not isinstance(ey, bool)
+            and 1900 <= ey <= 2200,
+            f"model {model_id}: epoch_year must be a year int, got {ey!r}",
+        )
         _require(
             isinstance(wd, int) and not isinstance(wd, bool) and wd >= 1,
             f"model {model_id}: window_days must be a positive int, "
@@ -676,6 +695,7 @@ class EventAnalysisConfig:
             gap_seconds=gap,
             scope=scope,
             window_days=wd,
+            epoch_year=ey,
             intent_type=str(d.get("intent_type", "click")),
         )
 

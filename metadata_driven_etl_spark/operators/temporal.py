@@ -1368,3 +1368,81 @@ def resample_linear_interp(
         .alias("value_filled"),
         v.isNotNull().cast("int").alias("is_observed"),
     )
+
+
+def growth_accounting(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    epoch_year: int = 1995,
+) -> DataFrame:
+    """Monthly growth accounting over active users: new (first active
+    month), retained (also active the previous month), resurrected
+    (active before, skipped last month), and churned (active last
+    month, not this) — the canonical growth decomposition whose flows
+    satisfy new + resurrected − churned = Δactive. Declarable as gold
+    ``analysis: growth_accounting``; the ``growth_accounting_monthly``
+    workload is this operator over ordering customers. Churn lands on
+    the FIRST inactive month and only on months present in the
+    activity domain. ``epoch_year`` anchors the integer month index.
+
+    Scale: one distinct on (user, month-index), then self-equi-joins
+    on (u, mi±1) — the same key family, co-partitioned after the first
+    shuffle; rollups are |months|-row. Emits ``(month_index, n_new,
+    n_retained, n_resurrected, n_churned)``.
+    """
+    a = (
+        events.where(F.col(user_col).isNotNull())
+        .select(
+            F.col(user_col).alias("u"),
+            (
+                (F.year(F.to_date(ts_col)) - epoch_year) * 12
+                + F.month(F.to_date(ts_col))
+                - 1
+            ).alias("mi"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    fm = a.groupBy("u").agg(F.min("mi").alias("first_mi"))
+    p = a.select(F.col("u").alias("pu"), (F.col("mi") + 1).alias("pmi"))
+    cls = (
+        a.join(fm, "u")
+        .join(
+            p,
+            (F.col("u") == F.col("pu")) & (F.col("mi") == F.col("pmi")),
+            "left",
+        )
+        .select(
+            "mi",
+            F.when(F.col("mi") == F.col("first_mi"), "new")
+            .when(F.col("pu").isNotNull(), "retained")
+            .otherwise("resurrected")
+            .alias("kind"),
+        )
+    )
+    act = cls.groupBy("mi").agg(
+        F.sum((F.col("kind") == "new").cast("long")).alias("n_new"),
+        F.sum((F.col("kind") == "retained").cast("long")).alias(
+            "n_retained"
+        ),
+        F.sum((F.col("kind") == "resurrected").cast("long")).alias(
+            "n_resurrected"
+        ),
+    )
+    cur = a.select(F.col("u").alias("cu"), F.col("mi").alias("cmi"))
+    ch = (
+        a.join(
+            cur,
+            (F.col("u") == F.col("cu"))
+            & (F.col("cmi") == F.col("mi") + 1),
+            "left_anti",
+        )
+        .groupBy((F.col("mi") + 1).alias("chmi"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return act.join(ch, act.mi == ch.chmi, "left").select(
+        F.col("mi").alias("month_index"),
+        "n_new", "n_retained", "n_resurrected",
+        F.coalesce(F.col("n_churned"), F.lit(0)).alias("n_churned"),
+    )

@@ -441,6 +441,13 @@ class GoldLayer(_LayerBase):
                 order_col=e.order_col,
                 gap_seconds=e.gap_seconds,
             )
+        if e.analysis == "growth_accounting":
+            return temporal_ops.growth_accounting(
+                events,
+                user_col=e.user_col,
+                ts_col=e.ts_col,
+                epoch_year=e.epoch_year,
+            )
         if e.analysis == "attribution":
             if e.attribution_model == "last_touch":
                 return temporal_ops.attribute_last_touch(

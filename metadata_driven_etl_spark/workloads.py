@@ -15619,61 +15619,17 @@ def growth_accounting_monthly(
 
     Scale: one distinct on (customer, month), then self-equi-joins on
     (u, mi±1) — the same key family, co-partitioned by the first
-    shuffle; rollups are |months|-row."""
-    a = (
-        _t(spark, sf_dir, "orders")
-        .select(
-            F.col("o_custkey").alias("u"),
-            (
-                (F.year(F.to_date("o_orderdate")) - 1995) * 12
-                + F.month(F.to_date("o_orderdate"))
-                - 1
-            ).alias("mi"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    fm = a.groupBy("u").agg(F.min("mi").alias("first_mi"))
-    p = a.select(F.col("u").alias("pu"), (F.col("mi") + 1).alias("pmi"))
-    cls = (
-        a.join(fm, "u")
-        .join(
-            p,
-            (F.col("u") == F.col("pu")) & (F.col("mi") == F.col("pmi")),
-            "left",
-        )
-        .select(
-            "mi",
-            F.when(F.col("mi") == F.col("first_mi"), "new")
-            .when(F.col("pu").isNotNull(), "retained")
-            .otherwise("resurrected")
-            .alias("kind"),
-        )
-    )
-    act = cls.groupBy("mi").agg(
-        F.sum((F.col("kind") == "new").cast("long")).alias("n_new"),
-        F.sum((F.col("kind") == "retained").cast("long")).alias(
-            "n_retained"
-        ),
-        F.sum((F.col("kind") == "resurrected").cast("long")).alias(
-            "n_resurrected"
-        ),
-    )
-    cur = a.select(F.col("u").alias("cu"), F.col("mi").alias("cmi"))
-    ch = (
-        a.join(
-            cur,
-            (F.col("u") == F.col("cu"))
-            & (F.col("cmi") == F.col("mi") + 1),
-            "left_anti",
-        )
-        .groupBy((F.col("mi") + 1).alias("chmi"))
-        .agg(F.count(F.lit(1)).alias("n_churned"))
-    )
-    return act.join(ch, act.mi == ch.chmi, "left").select(
-        F.col("mi").alias("month_index"),
-        "n_new", "n_retained", "n_resurrected",
-        F.coalesce(F.col("n_churned"), F.lit(0)).alias("n_churned"),
+    shuffle; rollups are |months|-row. Shared core:
+    temporal.growth_accounting (also gold ``analysis:
+    growth_accounting`` — one implementation, YAML ≡ direct by
+    construction)."""
+    from metadata_driven_etl_spark.operators import temporal as temporal_ops
+
+    return temporal_ops.growth_accounting(
+        _t(spark, sf_dir, "orders"),
+        user_col="o_custkey",
+        ts_col="o_orderdate",
+        epoch_year=1995,
     )
 
 

@@ -564,38 +564,11 @@ EVENT_OPS = {
 
 
 def _growth_probe(df: DataFrame) -> DataFrame:
-    """growth_accounting_monthly's shape on the amplified events table
-    (user, month-index) — users grow Nx, months fixed."""
-    a = (
-        df.select(
-            F.col("user_id").alias("u"),
-            (
-                (F.year(F.to_date("ts")) - 2024) * 12
-                + F.month(F.to_date("ts"))
-                - 1
-            ).alias("mi"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    fm = a.groupBy("u").agg(F.min("mi").alias("first_mi"))
-    p = a.select(F.col("u").alias("pu"), (F.col("mi") + 1).alias("pmi"))
-    cls = (
-        a.join(fm, "u")
-        .join(
-            p,
-            (F.col("u") == F.col("pu")) & (F.col("mi") == F.col("pmi")),
-            "left",
-        )
-        .select(
-            "mi",
-            F.when(F.col("mi") == F.col("first_mi"), "new")
-            .when(F.col("pu").isNotNull(), "retained")
-            .otherwise("resurrected")
-            .alias("kind"),
-        )
-    )
-    return cls.groupBy("mi", "kind").agg(F.count(F.lit(1)).alias("n"))
+    """growth_accounting_monthly's SHARED operator
+    (temporal.growth_accounting — the probe measures the shipped
+    implementation) on the amplified events table — users grow Nx,
+    months fixed."""
+    return temporal_ops.growth_accounting(df, epoch_year=2024)
 
 
 def _interp_probe(df: DataFrame) -> DataFrame:

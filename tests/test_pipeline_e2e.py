@@ -1089,6 +1089,14 @@ def _event_gold_cfg(tmp_path):
                   analysis: "concurrent_peaks"
                   source_table: "silver.web_events"
                   gap_seconds: 1800
+              - model_id: "user_flows"
+                target_table: "gold.ev_growth"
+                model_type: "event"
+                refresh_type: "full"
+                event:
+                  analysis: "growth_accounting"
+                  source_table: "silver.web_events"
+                  epoch_year: 2024
             """
         )
     )
@@ -1155,7 +1163,7 @@ def test_gold_event_models_e2e(spark, tmp_path):
         "gold.ev_sessions", "gold.ev_funnel_rates", "gold.ev_funnel_sess",
         "gold.ev_stickiness", "gold.ev_new_ret", "gold.ev_abandon",
         "gold.ev_entry_exit", "gold.ev_hourly_load", "gold.ev_dwell",
-        "gold.ev_conc_peaks", "silver.web_events",
+        "gold.ev_conc_peaks", "gold.ev_growth", "silver.web_events",
     )
     for t in targets:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
@@ -1165,7 +1173,7 @@ def test_gold_event_models_e2e(spark, tmp_path):
     res = run_pipeline(
         spark, cfg_dir, "2024-01-15", ["gold"], table_format=ParquetFormat()
     )
-    assert [r.status for r in res["gold"]] == ["success"] * 13, [
+    assert [r.status for r in res["gold"]] == ["success"] * 14, [
         (r.unit_id, r.error) for r in res["gold"]
     ]
 
@@ -1355,13 +1363,47 @@ def test_gold_event_models_e2e(spark, tmp_path):
     }
     assert max(peaks.values()) >= 2
 
+    # growth_accounting ≡ direct composition (r10): the whole fixture
+    # lands in January 2024 (the "stale" touches are Jan 2), so month 0
+    # classifies all five users as new with zero churn/resurrection —
+    # and the Δactive identity loop below stays general for richer data
+    got, cols = _rows_of(spark, "gold.ev_growth")
+    want = sorted(
+        tuple(r)
+        for r in temporal_ops.growth_accounting(
+            events, epoch_year=2024
+        ).collect()
+    )
+    assert cols == sorted(
+        ["month_index", "n_new", "n_retained", "n_resurrected",
+         "n_churned"]
+    )
+    assert got == want
+    flows = {
+        r.month_index: r
+        for r in spark.table("gold.ev_growth").collect()
+    }
+    active = {
+        mi: f.n_new + f.n_retained + f.n_resurrected
+        for mi, f in flows.items()
+    }
+    for mi, f in flows.items():
+        if mi - 1 in active:
+            assert active[mi] == (
+                active[mi - 1]
+                + f.n_new + f.n_resurrected - f.n_churned
+            )
+    first = flows[min(flows)]
+    assert first.n_new == 5
+    assert first.n_resurrected == 0 and first.n_churned == 0
+
     # incremental event model: second run MERGEs on channel and stays
     # identical (same source -> same aggregate, idempotent upsert)
     before, _ = _rows_of(spark, "gold.ev_last_touch")
     res2 = run_pipeline(
         spark, cfg_dir, "2024-01-16", ["gold"], table_format=ParquetFormat()
     )
-    assert [r.status for r in res2["gold"]] == ["success"] * 13
+    assert [r.status for r in res2["gold"]] == ["success"] * 14
     after, _ = _rows_of(spark, "gold.ev_last_touch")
     assert after == before
 

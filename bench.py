@@ -407,6 +407,30 @@ HEADLINE = [
     "hourly_load_profile",
     "safety_stock_reorder_point",
     "dwell_time_by_type",
+    # round 10: hypothesis-testing/effect-size completion, retail
+    # economics / reconciliation, diversity selection, ML features,
+    # interpolation, robust location, outage detection.
+    "kendall_tau_revenue_volume",
+    "brown_forsythe_variance_test",
+    "effect_size_cohens_d",
+    "mood_median_test",
+    "jackknife_loo_monthly",
+    "ridge_regression_price_quantity",
+    "unit_value_index_monthly_brand",
+    "promo_uplift_did",
+    "shift_share_nation_growth",
+    "reconcile_order_totals",
+    "growth_accounting_monthly",
+    "forecast_mase_naive",
+    "partition_skew_report",
+    "mmr_diverse_topk",
+    "systematic_sample_every_k",
+    "target_encode_loo_brand",
+    "kfold_assignment_balance",
+    "anonymization_ladder",
+    "resample_linear_interp_daily",
+    "trimmed_mean_price_by_flag",
+    "silence_record_alerts",
 ]
 
 

@@ -1316,9 +1316,13 @@ def resample_linear_interp(
     Scale: bounds + grid explode are |keys|-sized metadata; the carry
     runs as TWO window passes (previous/next observed) over the
     grid-joined frame, partitioned by the keys — one shuffle on the
-    key, the sessionizer family's shape.
+    key, the sessionizer family's shape. ``obs`` has two consumers
+    (the bounds and the grid join) and is materialized ONCE (the
+    repo-wide materialize-once discipline — the un-checkpointed form
+    recomputed the upstream aggregation twice and benched 2× slower).
     """
     key_cols = [F.col(k) for k in keys]
+    obs = obs.localCheckpoint(eager=False)
     bounds = obs.groupBy(*keys).agg(
         F.min(day_col).alias("_d0"), F.max(day_col).alias("_d1")
     )

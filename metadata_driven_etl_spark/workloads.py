@@ -16416,6 +16416,200 @@ def silence_record_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round-10 additions, wave 6: parameter-sensitivity readouts (funnel
+# window, dedup threshold) and malformed-record ingestion.
+# =========================================================================
+
+
+def _sql_funnel_rates_at(win_label: str, interval_sql: str) -> str:
+    """One funnel_step_rates oracle block at a given step window —
+    the funnel_window_sensitivity workload unions three of these."""
+    return f"""
+    SELECT '{win_label}' AS win, step, step_name, n_reached, step_rate,
+           cum_rate
+    FROM (
+      WITH w1 AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS q1,
+                 max(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS v_prev
+          FROM events),
+      w2 AS (
+          SELECT *,
+                 CASE WHEN event_type = 'click' AND v_prev IS NOT NULL
+                           AND v_prev > ts - INTERVAL {interval_sql}
+                      THEN 1 ELSE 0 END AS q2
+          FROM w1),
+      w3 AS (
+          SELECT *,
+                 CASE WHEN event_type = 'purchase' AND c_prev IS NOT NULL
+                           AND c_prev > ts - INTERVAL {interval_sql}
+                      THEN 1 ELSE 0 END AS q3
+          FROM (SELECT *,
+                       max(CASE WHEN q2 = 1 THEN ts END)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS c_prev
+                FROM w2)),
+      d AS (SELECT user_id,
+                   CAST(max(q1) + max(q2) + max(q3) AS INT) AS depth
+            FROM w3 GROUP BY 1),
+      c AS (SELECT
+              CAST(SUM(CASE WHEN depth >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS r1,
+              CAST(SUM(CASE WHEN depth >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS r2,
+              CAST(SUM(CASE WHEN depth >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                AS r3,
+              CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM d)
+      SELECT 1 AS step, 'view' AS step_name, r1 AS n_reached,
+             CAST(r1 AS DOUBLE) / CAST(n_users AS DOUBLE) AS step_rate,
+             CAST(r1 AS DOUBLE) / CAST(n_users AS DOUBLE) AS cum_rate
+      FROM c
+      UNION ALL
+      SELECT 2, 'click', r2,
+             CAST(r2 AS DOUBLE) / CAST(r1 AS DOUBLE),
+             CAST(r2 AS DOUBLE) / CAST(n_users AS DOUBLE)
+      FROM c
+      UNION ALL
+      SELECT 3, 'purchase', r3,
+             CAST(r3 AS DOUBLE) / CAST(r2 AS DOUBLE),
+             CAST(r3 AS DOUBLE) / CAST(n_users AS DOUBLE)
+      FROM c)"""
+
+
+_FUNNEL_WINDOWS = [
+    ("30m", "30 minutes", "30 MINUTE"),
+    ("2h", "2 hours", "2 HOUR"),
+    ("1d", "1 day", "1 DAY"),
+]
+
+
+@workload(
+    "funnel_window_sensitivity",
+    oracle="\n    UNION ALL\n".join(
+        _sql_funnel_rates_at(lbl, sql) for lbl, _, sql in _FUNNEL_WINDOWS
+    ),
+)
+def funnel_window_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Funnel-chart rates at THREE step windows (30m / 2h / 1d) in one
+    table — the parameter-sensitivity readout behind every funnel
+    config decision: if conversion jumps between 30m and 2h, the 30m
+    window is cutting real journeys; if 1d ≈ 2h, the funnel has
+    converged and the window is safe. Reuses temporal.funnel_rates
+    per window (the declarable analysis), labeled and unioned.
+
+    Scale: three funnel passes — each ONE user-keyed window shuffle
+    (the knob changes a comparison constant, not the plan); the union
+    is 9 literal rows."""
+    from metadata_driven_etl_spark.operators import temporal as temporal_ops
+
+    ev = _t(spark, sf_dir, "events")
+    out = None
+    for lbl, win, _ in _FUNNEL_WINDOWS:
+        r = temporal_ops.funnel_rates(
+            ev, ["view", "click", "purchase"], window=win
+        ).select(
+            F.lit(lbl).alias("win"),
+            "step", "step_name", "n_reached", "step_rate", "cum_rate",
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+@workload(
+    "dedup_threshold_curve",
+    oracle=f"""
+    WITH pairs AS ({dedup_ops.sql_jaccard_brute_force(threshold=0.5)})
+    SELECT CAST(FLOOR(jaccard * 10) AS INTEGER) AS sim_band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY 1""",
+)
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pair counts by similarity band (J ∈ [0.5, 1.0],
+    0.1-wide bands) from ONE exact prefix-filter pass at the loosest
+    threshold — the dedup-tuning curve: where the mass sits decides
+    whether the production threshold at 0.7 vs 0.8 removes 2% or 20%
+    of the corpus, and running the candidate pass once per CANDIDATE
+    threshold (the naive approach) multiplies the join cost by the
+    number of thresholds probed.
+
+    Band edges are computed on the same rounded-6dp jaccard both
+    engines emit, so the floor(j·10) banding is engine-identical even
+    at binary-representation boundaries (both sides floor the same
+    double).
+
+    Scale: one prefix-filtered set-similarity join at t=0.5 (the
+    SSJoin machinery with its measured candidate collapse), one
+    ≤6-row band rollup."""
+    pairs = dedup_ops.jaccard_prefix_pairs(
+        _docs(spark, sf_dir), threshold=0.5
+    )
+    return pairs.groupBy(
+        F.floor(F.col("jaccard") * 10).cast("int").alias("sim_band")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@workload(
+    "scan_csv_malformed",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
+           CAST(3 AS BIGINT) AS n_corrupt,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation""",
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family (extended): malformed-record handling — a CSV drop with
+    3 corrupt rows (non-numeric keys) read in PERMISSIVE mode with a
+    ``columnNameOfCorruptRecord`` column: good rows parse, bad rows
+    land whole in the corrupt column instead of killing the job — the
+    quarantine-don't-crash ingestion contract every bronze feed needs
+    (FAILFAST is a retry storm; DROPMALFORMED is silent data loss).
+    The oracle value-checks all three: good count, corrupt count, and
+    the parsed key sum (proving corrupt rows contributed no values).
+
+    Session-unique write-once fixture (the scan_csv contract): the
+    nation table round-trips through CSV plus three appended garbage
+    lines."""
+    import os as _os
+
+    def write_files(p: str) -> None:
+        rows = (
+            _t(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .collect()
+        )  # 25 dimension rows — fixture setup, not a data path
+        _os.makedirs(p, exist_ok=True)
+        with open(_os.path.join(p, "part-0.csv"), "w") as fh:
+            for r in rows:
+                fh.write(f"{r.n_nationkey}|{r.n_name}|{r.n_regionkey}\n")
+            fh.write("oops|BROKEN|x\n")
+            fh.write("NaNkey|GARBAGE|9\n")
+            fh.write("12.5|HALF|2\n")
+
+    path = _scan_fixture(spark, sf_dir, "scan_csv_malformed", write_files)
+    df = spark.read.options(
+        delimiter="|",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_bad",
+    ).schema(
+        "n_nationkey int, n_name string, n_regionkey int, _bad string"
+    ).csv(path)
+    return df.agg(
+        F.count(F.when(F.col("_bad").isNull(), F.lit(1))).alias("n_good"),
+        F.count(F.col("_bad")).alias("n_corrupt"),
+        F.sum(
+            F.when(F.col("_bad").isNull(), F.col("n_nationkey"))
+        ).alias("key_sum"),
+    )
+
+
+# =========================================================================
 # Driver-facing registry order
 # =========================================================================
 #

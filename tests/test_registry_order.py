@@ -128,6 +128,9 @@ R10_ADDITIONS = {
     # wave 5: robust location / schema evolution / outage detection
     "trimmed_mean_price_by_flag", "scan_parquet_schema_evolution",
     "silence_record_alerts",
+    # wave 6: parameter sensitivity + malformed ingestion
+    "funnel_window_sensitivity", "dedup_threshold_curve",
+    "scan_csv_malformed",
 }
 
 
@@ -138,7 +141,7 @@ def test_r10_additions_registered_oracle_paired_and_queued():
     assert R10_ADDITIONS <= set(workloads.ORACLES)
     assert not (R10_ADDITIONS & set(workloads.DRIVER_PRIORITY))
     assert not (R10_ADDITIONS & set(R11_QUEUE))
-    assert len(R10_ADDITIONS) == 24
+    assert len(R10_ADDITIONS) == 27
 
 
 def test_priority_is_dedup_and_registered():

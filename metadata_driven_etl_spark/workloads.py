@@ -16610,6 +16610,289 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round-10 additions, wave 7: ML evaluation — clustering agreement
+# (Rand index), thresholded precision/recall/F1, exact rank AUC.
+# =========================================================================
+
+
+@workload(
+    "rand_index_kmeans_labels",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE)*{_KM_SCALE}+0.5)
+                             AS BIGINT)) AS qv
+        FROM embeddings),
+    cent AS (
+        SELECT vec_id AS cid, qv AS cv FROM q
+        ORDER BY vec_id LIMIT {_KM_K}),
+    d AS (
+        SELECT vec_id, label, cid,
+               list_sum(list_transform(list_zip(qv, cv),
+                        p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+        FROM q CROSS JOIN cent),
+    a AS (
+        SELECT vec_id, label, cid FROM (
+            SELECT vec_id, label, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cid) AS rn
+            FROM d) WHERE rn = 1),
+    ct AS (SELECT cid, label, CAST(COUNT(*) AS HUGEINT) AS nij
+           FROM a GROUP BY 1, 2),
+    m AS (SELECT
+            CAST(SUM(nij) AS HUGEINT) AS n,
+            SUM(nij*(nij-1)//2) AS s_ij
+          FROM ct),
+    ma AS (SELECT SUM(ai*(ai-1)//2) AS s_a FROM (
+             SELECT CAST(SUM(nij) AS HUGEINT) AS ai FROM ct GROUP BY cid)),
+    mb AS (SELECT SUM(bj*(bj-1)//2) AS s_b FROM (
+             SELECT CAST(SUM(nij) AS HUGEINT) AS bj FROM ct
+             GROUP BY label))
+    SELECT CAST(n AS BIGINT) AS n_vectors,
+           CAST(s_ij AS BIGINT) AS agree_same_pairs,
+           CAST(CAST(n*(n-1)//2 - s_a - s_b + 2*s_ij AS VARCHAR)
+                AS DOUBLE)
+             / CAST(CAST(n*(n-1)//2 AS VARCHAR) AS DOUBLE) AS rand_index
+    FROM m CROSS JOIN ma CROSS JOIN mb""",
+)
+def rand_index_kmeans_labels(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rand index between the exact quantized k-means assignment
+    (the kmeans_assign_recompute Lloyd step, same deterministic
+    seeding) and the ground-truth labels — the clustering-evaluation
+    readout that closes the loop on the embedding-ML family: assign,
+    recompute, THEN score against labels. RI = (same-same + diff-diff
+    pair agreements)/C(n,2), computed from the |clusters × labels|
+    contingency by the closed-form identity
+    agreements = C(n,2) − ΣC(a_i,2) − ΣC(b_j,2) + 2·ΣC(n_ij,2) —
+    pair space never enumerated (the dup-flow-matrix discipline).
+
+    Hash-exact: assignment distances are exact bigints with cid
+    tie-breaks; all pair counts are exact integers; the index is one
+    double division.
+
+    Scale: the Lloyd assign stage (broadcast k centroids, map-side)
+    + one contingency aggregation (k·|labels| rows) — counts close
+    the pair space in O(cells)."""
+    d38 = "decimal(38,0)"
+    q = _emb(spark, sf_dir).select(
+        "vec_id", "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _KM_SCALE + 0.5).cast(
+                "long"
+            ),
+        ).alias("qv"),
+    ).localCheckpoint(eager=False)
+    cent = (
+        q.orderBy("vec_id")
+        .limit(_KM_K)
+        .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
+    )
+    dist = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d = q.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "cid", dist.alias("dist")
+    )
+    a = (
+        d.groupBy("vec_id", "label")
+        .agg(F.min(F.struct("dist", "cid")).alias("m"))
+        .select("vec_id", "label", F.col("m.cid").alias("cid"))
+    )
+    ct = a.groupBy("cid", "label").agg(
+        F.count(F.lit(1)).cast(d38).alias("nij")
+    ).localCheckpoint(eager=False)
+    c2 = lambda c: (c * (c - 1) / 2).cast(d38)  # noqa: E731
+    m = ct.agg(
+        F.sum("nij").cast(d38).alias("n"),
+        F.sum(c2(F.col("nij"))).cast(d38).alias("s_ij"),
+    )
+    ma = (
+        ct.groupBy("cid").agg(F.sum("nij").cast(d38).alias("ai"))
+        .agg(F.sum(c2(F.col("ai"))).cast(d38).alias("s_a"))
+    )
+    mb = (
+        ct.groupBy("label").agg(F.sum("nij").cast(d38).alias("bj"))
+        .agg(F.sum(c2(F.col("bj"))).cast(d38).alias("s_b"))
+    )
+    tot = m.crossJoin(F.broadcast(ma)).crossJoin(F.broadcast(mb))
+    npairs = c2(F.col("n"))
+    agree = (
+        npairs - F.col("s_a") - F.col("s_b") + 2 * F.col("s_ij")
+    ).cast(d38)
+    return tot.select(
+        F.col("n").cast("long").alias("n_vectors"),
+        F.col("s_ij").cast("long").alias("agree_same_pairs"),
+        (agree.cast("double") / npairs.cast("double")).alias(
+            "rand_index"
+        ),
+    )
+
+
+# Classification threshold for the precision/recall readout: order
+# totals at or above this many cents predict "urgent" (literal so the
+# confusion matrix is a fixed deterministic cut at every SF).
+_PR_THRESHOLD_CENTS = 15_000_000
+
+
+@workload(
+    "precision_recall_at_threshold",
+    oracle=f"""
+    WITH f AS (
+        SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                 AS y,
+               CASE WHEN CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT)
+                         >= {_PR_THRESHOLD_CENTS} THEN 1 ELSE 0 END
+                 AS yhat
+        FROM orders),
+    c AS (SELECT
+        CAST(SUM(y*yhat) AS BIGINT) AS tp,
+        CAST(SUM((1-y)*yhat) AS BIGINT) AS fp,
+        CAST(SUM(y*(1-yhat)) AS BIGINT) AS fn,
+        CAST(SUM((1-y)*(1-yhat)) AS BIGINT) AS tn
+        FROM f),
+    r AS (SELECT tp, fp, fn, tn,
+                 CAST(tp AS DOUBLE)/CAST(tp+fp AS DOUBLE) AS precision,
+                 CAST(tp AS DOUBLE)/CAST(tp+fn AS DOUBLE) AS recall
+          FROM c)
+    SELECT tp, fp, fn, tn, precision, recall,
+           2.0*precision*recall/(precision+recall) AS f1
+    FROM r""",
+)
+def precision_recall_at_threshold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Confusion matrix + precision/recall/F1 for a thresholded score
+    (order total ≥ $150k predicts urgent priority) — the model-eval
+    readout every scored pipeline reports; with the exact AUC and the
+    decile lift table this completes the binary-classifier evaluation
+    family. Counts come from ONE conditional aggregation; the rates
+    are fixed double chains over exact integers (precision/recall are
+    named CTE columns, so the F1 expression carries no
+    subtraction-next-to-product FMA shape).
+
+    Scale: one map-side-combinable aggregation to one row."""
+    f = _t(spark, sf_dir, "orders").select(
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("y"),
+        (
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            >= F.lit(_PR_THRESHOLD_CENTS)
+        ).cast("int").alias("yhat"),
+    )
+    c = f.agg(
+        F.sum(F.col("y") * F.col("yhat")).alias("tp"),
+        F.sum((1 - F.col("y")) * F.col("yhat")).alias("fp"),
+        F.sum(F.col("y") * (1 - F.col("yhat"))).alias("fn"),
+        F.sum((1 - F.col("y")) * (1 - F.col("yhat"))).alias("tn"),
+    )
+    r = c.select(
+        "tp", "fp", "fn", "tn",
+        (
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fp")).cast("double")
+        ).alias("precision"),
+        (
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fn")).cast("double")
+        ).alias("recall"),
+    )
+    return r.select(
+        "tp", "fp", "fn", "tn", "precision", "recall",
+        (
+            F.lit(2.0) * F.col("precision") * F.col("recall")
+            / (F.col("precision") + F.col("recall"))
+        ).alias("f1"),
+    )
+
+
+@workload(
+    "roc_auc_urgent_price",
+    oracle="""
+    WITH f AS (
+        SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                 AS y,
+               CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT) AS s
+        FROM orders),
+    d AS (SELECT s, CAST(COUNT(*) AS HUGEINT) AS t,
+                 CAST(SUM(y) AS HUGEINT) AS p
+          FROM f GROUP BY 1),
+    w AS (SELECT s, t, p,
+                 CAST(COALESCE(SUM(t) OVER (ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS HUGEINT)
+                   AS before_
+          FROM d),
+    m AS (SELECT CAST(SUM(p) AS HUGEINT) AS n1,
+                 CAST(SUM(t - p) AS HUGEINT) AS n0,
+                 SUM(p * (2*before_ + t + 1)) AS r2
+          FROM w)
+    SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+           CAST(CAST(r2 - n1*(n1+1) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(2*n1*n0 AS VARCHAR) AS DOUBLE) AS auc
+    FROM m""",
+)
+def roc_auc_urgent_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC AUC of order total as a predictor of urgent priority,
+    via the midrank identity AUC = (R⁺ − n₁(n₁+1)/2)/(n₁n₀) — the
+    threshold-free companion to the fixed-cut precision/recall
+    readout (the Mann-Whitney U connection makes the whole ROC curve's
+    area one rank statistic; no curve sampling, no trapezoid error).
+
+    Hash-exact: midranks over tied scores stay integer by the 2×
+    scaling trick — Σ 2·midrank = Σ p_c·(2·cum_before + t_c + 1) over
+    the |distinct cents| domain frame — so AUC is ONE double division
+    of exact integers.
+
+    Scale: one map-side groupBy to the score-domain frame, one
+    domain-bounded cumulative window (the KS discipline), one 1-row
+    rollup."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    f = _t(spark, sf_dir, "orders").select(
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("y"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("s"),
+    )
+    d = f.groupBy("s").agg(
+        F.count(F.lit(1)).cast(d38).alias("t"),
+        F.sum("y").cast(d38).alias("p"),
+    )
+    wb = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    w = d.select(
+        "s", "t", "p",
+        F.coalesce(F.sum("t").over(wb), F.lit(0)).cast(d38).alias(
+            "before_"
+        ),
+    )
+    m = w.agg(
+        F.sum("p").cast(d38).alias("n1"),
+        F.sum(F.col("t") - F.col("p")).cast(d38).alias("n0"),
+        F.sum(
+            (F.col("p") * (2 * F.col("before_") + F.col("t") + 1)).cast(
+                d38
+            )
+        ).cast(d38).alias("r2"),
+    )
+    return m.select(
+        F.col("n1").cast("long").alias("n_pos"),
+        F.col("n0").cast("long").alias("n_neg"),
+        (
+            (F.col("r2") - F.col("n1") * (F.col("n1") + 1))
+            .cast(d38)
+            .cast("double")
+            / (2 * F.col("n1") * F.col("n0")).cast(d38).cast("double")
+        ).alias("auc"),
+    )
+
+
+# =========================================================================
 # Driver-facing registry order
 # =========================================================================
 #

@@ -131,6 +131,9 @@ R10_ADDITIONS = {
     # wave 6: parameter sensitivity + malformed ingestion
     "funnel_window_sensitivity", "dedup_threshold_curve",
     "scan_csv_malformed",
+    # wave 7: ML evaluation
+    "rand_index_kmeans_labels", "precision_recall_at_threshold",
+    "roc_auc_urgent_price",
 }
 
 
@@ -141,7 +144,7 @@ def test_r10_additions_registered_oracle_paired_and_queued():
     assert R10_ADDITIONS <= set(workloads.ORACLES)
     assert not (R10_ADDITIONS & set(workloads.DRIVER_PRIORITY))
     assert not (R10_ADDITIONS & set(R11_QUEUE))
-    assert len(R10_ADDITIONS) == 27
+    assert len(R10_ADDITIONS) == 30
 
 
 def test_priority_is_dedup_and_registered():

@@ -1681,3 +1681,54 @@ def test_dwell_time_single_user_window(spark, sf_dir):
     plan = _plan(workloads.QUERIES["dwell_time_by_type"](spark, sf_dir))
     assert "Join" not in plan
     assert plan.count("Window") == 1
+
+
+# --- round-10 scale claims ---------------------------------------------------
+
+
+def test_theil_sen_rank_is_distributed(spark, sf_dir):
+    """SCALE.md r10: the theil-sen median selection rides
+    windows.distributed_rank — the plan carries the RANGE exchange (the
+    one data shuffle of the rank) and at most ONE SinglePartition
+    exchange (the metadata-sized per-partition-count cumsum), never a
+    global row_number window over the pair frame."""
+    plan = _plan(workloads.QUERIES["theil_sen_slope_daily"](spark, sf_dir))
+    # the range exchange lives INSIDE the materialize-once checkpoint
+    # (plan shows the checkpointed ranged frame as an RDD scan); the
+    # machinery's scratch partition-id column marks the distributed
+    # rank, and the only SinglePartition exchange is the
+    # partition-count cumsum (metadata-sized by construction)
+    assert "_dnt_pid" in plan, plan
+    # the pair frame itself never passes a global row_number window
+    # (the pre-r10 form); the plan's SinglePartition exchanges are the
+    # scalar rollups (n_days/n_pairs, the 2-row median min/max) and
+    # the partition-count cumsum — aggregate state, not the pair frame
+    assert "row_number" not in plan, plan
+
+
+def test_systematic_sample_rank_is_distributed(spark, sf_dir):
+    """Same contract for the sampling consumer of distributed_rank."""
+    plan = _plan(
+        workloads.QUERIES["systematic_sample_every_k"](spark, sf_dir)
+    )
+    assert "_dnt_pid" in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_target_encode_fact_never_sort_merges(spark, sf_dir):
+    """SCALE.md r10: LOO target encoding is one broadcast dim join +
+    one broadcast stats join back — the fact side must never fall into
+    a sort-merge join (only aggregate STATE shuffles, for the
+    |brands|-row stats frame)."""
+    plan = _plan(workloads.QUERIES["target_encode_loo_brand"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_silence_record_single_key_shuffle(spark, sf_dir):
+    """SCALE.md r10: the lag and the strictly-earlier running max share
+    ONE event_type partitioning — exactly one hash exchange in the
+    whole plan."""
+    plan = _plan(workloads.QUERIES["silence_record_alerts"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan, plan

@@ -18,17 +18,13 @@ def test_oracle_parity(spark, sf_dir, name):
     assert ok, msg
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_runs(spark, sf_dir, name):
-    df = workloads.QUERIES[name](spark, sf_dir)
-    # Rows-only keys still go through the driver's pandas canonicalizer,
-    # which crashes on Array/Map/Struct cells (CORRECTNESS_r04 red-row
-    # class) — the scalar-output contract applies to every registered key.
-    from tests.oracle_check import reject_complex_columns
-
-    err = reject_complex_columns(df, name)
-    assert err is None, err
-    assert df.count() >= 0
+def test_no_rows_only_keys_remain():
+    """Since r10 (VERDICT r9 item 3) every registered key is
+    oracle-paired — the former rows-only execution path is permanently
+    empty. If a key ever lands here again, give it an oracle (bounded
+    contracts exist for approximate ops) instead of reviving the
+    weaker check."""
+    assert ROWS_ONLY == []
 
 
 def test_gate_rejects_array_output(spark):

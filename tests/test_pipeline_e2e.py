@@ -59,13 +59,30 @@ def test_gold_models(spark, pipeline_run):
     summary = spark.table("gold.customer_purchase_summary")
     assert summary.count() > 0
     assert summary.groupBy("customer_id").count().filter("count > 1").count() == 0
+    # the example EVENT model (growth accounting over ordering
+    # customers) lands next to the sql models and its flows satisfy
+    # the delta-active identity
+    flows = {
+        r.month_index: r
+        for r in spark.table("gold.customer_growth_flows").collect()
+    }
+    assert flows and all(f.n_new >= 0 for f in flows.values())
+    active = {
+        mi: f.n_new + f.n_retained + f.n_resurrected
+        for mi, f in flows.items()
+    }
+    for mi, f in flows.items():
+        if mi - 1 in active:
+            assert active[mi] == (
+                active[mi - 1] + f.n_new + f.n_resurrected - f.n_churned
+            )
 
 
 def test_metadata_plane(spark, pipeline_run):
     control = spark.table("metadata.etl_control_table")
     assert control.filter("layer = 'bronze'").count() == 4
     assert control.filter("layer = 'silver'").count() == 4
-    assert control.filter("layer = 'gold'").count() == 3
+    assert control.filter("layer = 'gold'").count() == 4
     assert dict(control.dtypes)["records_processed"] == "bigint"
 
     audit = spark.table("metadata.etl_audit_log")

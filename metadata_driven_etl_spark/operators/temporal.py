@@ -1390,6 +1390,17 @@ def growth_accounting(
     the FIRST inactive month and only on months present in the
     activity domain. ``epoch_year`` anchors the integer month index.
 
+    Gap-month caveat (ADVICE r10): output rows exist only for ACTIVE
+    months — an interior month with zero total activity emits no row,
+    so churn attributed to it is silently absent from the output and
+    the n_new + n_resurrected − n_churned = Δactive identity holds
+    only across CONTIGUOUS active months. For monthly business data
+    this is the natural domain (a fully-dark month is itself the
+    alert); a consumer that needs the dense identity should densify
+    the month domain (min..max mi) before differencing rather than
+    assume it here — densifying unconditionally would emit unbounded
+    all-zero rows for sparse entity-level inputs.
+
     Scale: one distinct on (user, month-index), then self-equi-joins
     on (u, mi±1) — the same key family, co-partitioned after the first
     shuffle; rollups are |months|-row. Emits ``(month_index, n_new,

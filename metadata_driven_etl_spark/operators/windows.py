@@ -267,6 +267,12 @@ def distributed_rank(
     for tmp in ("_dnt_mid", "_dnt_pid", "_dnt_off", "_dnt_tot"):
         if tmp in df.columns:
             raise ValueError(f"distributed_rank: column {tmp!r} reserved")
+    if total_col is not None and total_col == out_col:
+        # ADVICE r10: without this, the total silently overwrites the
+        # rank column instead of raising like every other collision.
+        raise ValueError(
+            f"distributed_rank: out_col and total_col are both {out_col!r}"
+        )
     for c in (out_col, total_col):
         if c is not None and c in df.columns:
             raise ValueError(
@@ -277,6 +283,102 @@ def distributed_rank(
     if total_col is not None:
         out = out.withColumn(total_col, total)
     return out.drop("_dnt_mid", "_dnt_pid", "_dnt_off", "_dnt_tot")
+
+
+def distributed_running_sum(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    value_col: str,
+    out_col: str,
+    total_col: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Inclusive ``SUM(value) OVER (ORDER BY ...)`` without the
+    single-partition sort — the cumulative-sum sibling of
+    :func:`distributed_rank` (VERDICT r10 item 4: ``pareto_abc_parts``
+    was the last bare global window over an entity-growing frame; its
+    cumulative-revenue ranking needs a running SUM, not just a rank).
+    ``order_by`` MUST be a total order (callers include a unique
+    tie-break).  When ``total_col`` is given, the grand total rides
+    along — exactly what Pareto/Lorenz class bounds need (cum·100 ≤
+    total·80) without a separate count/total pass or crossJoin.
+
+    Scale shape: the range exchange (materialized once), a
+    metadata-sized per-partition SUM aggregate whose exclusive cumsum
+    (a ~#partitions-row SinglePartition window, same intentional shape
+    as distributed_ntile's offsets) broadcasts back on partition id,
+    then a within-partition running sum whose Window is PARTITIONED by
+    ``_dnt_pid`` — every task folds one range partition, so no data
+    frame ever funnels through one task.  Cost vs distributed_rank:
+    one extra hash exchange of the frame on ``_dnt_pid`` (Spark cannot
+    see that the checkpoint is already pid-clustered); both shuffles
+    move the |frame| rows once — fine for the |parts|/|customers|
+    -sized frames this serves, and still O(frame/partitions) per task
+    at any scale.
+
+    Exactness: the running sum is plain ``F.sum`` — callers keep
+    ``value_col`` in integer cents (the repo-wide money discipline) so
+    every partial and the grand total are exact longs; float values
+    would be order-sensitive and break oracle hash parity.
+    """
+    for tmp in ("_dnt_mid", "_dnt_pid", "_dnt_voff", "_dnt_vtot"):
+        if tmp in df.columns:
+            raise ValueError(
+                f"distributed_running_sum: column {tmp!r} reserved"
+            )
+    if total_col is not None and total_col == out_col:
+        raise ValueError(
+            "distributed_running_sum: out_col and total_col are both "
+            f"{out_col!r}"
+        )
+    for c in (out_col, total_col):
+        if c is not None and c in df.columns:
+            raise ValueError(
+                f"distributed_running_sum: output column {c!r} collides "
+                "with input"
+            )
+    if value_col not in df.columns:
+        raise ValueError(
+            f"distributed_running_sum: value column {value_col!r} missing"
+        )
+    ranged = _materialize_ranked(df, order_by, checkpoint_dir)
+    pid = F.shiftright(F.col("_dnt_mid"), 33)
+    sums = (
+        ranged.select(pid.alias("_dnt_pid"), F.col(value_col).alias("_v"))
+        .groupBy("_dnt_pid")
+        .agg(F.sum("_v").alias("_s"))
+    )
+    offsets = sums.select(
+        "_dnt_pid",
+        F.coalesce(
+            F.sum("_s").over(
+                Window.orderBy("_dnt_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0).cast("long"),
+        ).alias("_dnt_voff"),
+        F.sum("_s")
+        .over(
+            Window.orderBy("_dnt_pid").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("_dnt_vtot"),
+    )
+    local_run = F.sum(value_col).over(
+        Window.partitionBy("_dnt_pid")
+        .orderBy("_dnt_mid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        ranged.withColumn("_dnt_pid", pid)
+        .join(F.broadcast(offsets), "_dnt_pid")
+        .withColumn(out_col, F.col("_dnt_voff") + local_run)
+    )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col("_dnt_vtot"))
+    return out.drop("_dnt_mid", "_dnt_pid", "_dnt_voff", "_dnt_vtot")
 
 
 def distributed_ntile(

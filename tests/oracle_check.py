@@ -104,14 +104,28 @@ def compare(spark_df, oracle_sql: str, sf_dir: str, name: str = "?"):
     # default for SUM over integers) serializes differently from Spark's
     # BIGINT even when every value is equal — the one red row of round 1.
     # Spark never produces int128, so any HUGEINT column is an oracle bug.
-    hyge = [
-        t for t in duckdb_result_types(oracle_sql, sf_dir)
-        if "HUGEINT" in t
-    ]
+    types = duckdb_result_types(oracle_sql, sf_dir)
+    hyge = [t for t in types if "HUGEINT" in t]
     if hyge:
         return False, (
             f"{name}: oracle result has {hyge} column(s) — wrap the "
             "aggregate in CAST(... AS BIGINT) to match Spark's long"
+        )
+    # Same divergence class for FLOAT (float32): the driver's pandas
+    # canonicalizer keeps float32, whose repr differs from the double
+    # the Spark side emits even when every value is equal — the one red
+    # row of round 10 (embedding_dim_range_by_label: MIN/MAX over a
+    # float column).  The local checker historically widened both sides
+    # through Python floats, so it passed where the driver failed; gate
+    # it here like HUGEINT.  float→double widening is exact, so
+    # CAST(... AS DOUBLE) in the oracle is always lossless.
+    flt = [t for t in types if "FLOAT" in t]
+    if flt:
+        return False, (
+            f"{name}: oracle result has FLOAT column(s) {flt} — the "
+            "driver's pandas canonicalizer keeps float32 whose repr "
+            "differs from Spark's double (CORRECTNESS_r10); wrap in "
+            "CAST(... AS DOUBLE) (exact widening)"
         )
     res = duckdb_run(oracle_sql, sf_dir)
     d_cols = [d[0] for d in res.description]

@@ -1732,3 +1732,21 @@ def test_silence_record_single_key_shuffle(spark, sf_dir):
     plan = _plan(workloads.QUERIES["silence_record_alerts"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+# --- round-11 scale claims ----------------------------------------------------
+
+
+def test_pareto_abc_cumsum_is_distributed(spark, sf_dir):
+    """VERDICT r10 item 4: pareto_abc_parts was the last bare global
+    window over an entity-growing (|parts|) frame.  It now rides
+    windows.distributed_running_sum — the plan carries the machinery's
+    scratch partition-id column, every Window over data rows is
+    PARTITIONED by _dnt_pid (the unpartitioned ones are the
+    ~#partitions-row offsets cumsum), and the grand total rides along
+    so the old crossJoin'd 1-row total aggregate is gone."""
+    plan = _plan(workloads.QUERIES["pareto_abc_parts"](spark, sf_dir))
+    assert "_dnt_pid" in plan, plan
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert all("_dnt_pid" in ln for ln in win_lines), win_lines
+    assert plan.count("Exchange SinglePartition") <= 1, plan

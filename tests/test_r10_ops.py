@@ -164,3 +164,30 @@ def test_trimmed_mean_boundary_ties(spark_global):
     kept = sorted(vals)[1:-1]  # python reference
     assert got.cnt == len(kept)
     assert got.s == sum(kept)
+
+
+def test_kw_types_domain_pins_event_types(spark_global, sf_dir):
+    """ADVICE r10: brown_forsythe_variance_test (and the KW/ANOVA
+    pivots that share the literal _KW_TYPES tuple) build the
+    between-group term ONLY from the 5 literal types while k and the
+    moment sums aggregate over all groups actually present — a sixth
+    event_type would corrupt the F statistic identically on both
+    engines, so the oracle hash would PASS and mask it.  Pin the
+    testdata domain loudly instead: this test fails on domain drift
+    before any silently-wrong-but-matching statistic can ship."""
+    from metadata_driven_etl_spark.workloads import _KW_TYPES
+
+    got = {
+        r[0]
+        for r in spark_global.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type")
+        .where(F.col("event_type").isNotNull())
+        .distinct()
+        .collect()
+    }
+    assert got == set(_KW_TYPES), (
+        f"event_type domain drifted: data={sorted(got)} vs "
+        f"_KW_TYPES={sorted(_KW_TYPES)} — update _KW_TYPES AND re-check "
+        "every pivot that folds per-type literal columns "
+        "(brown_forsythe / kruskal_wallis / anova / funnel)"
+    )

@@ -3,18 +3,19 @@
 Round-1 evidence: CORRECTNESS_r01.json contained exactly the first 50
 registry entries in insertion order.  DRIVER_PRIORITY is the curated
 prefix.  The driver-verification ledger was finished in round 4 (every
-registered key has a driver CORRECTNESS row).  The round-10 rotation
-(VERDICT r9 item 1): pinned flagship core + the FIRST 46 of the 60
-round-9 additions in registration order (first driver check).  The
-remaining 14 round-9 keys lead the r11 queue (R10_LEFTOVER below,
-VERDICT r9 item 5), followed by the stalest round-5-cohort keys.  Keys
-rotated out stay locally oracle-checked by tests/test_workload_parity.py.
+registered key has a driver CORRECTNESS row).  The round-11 rotation
+(VERDICT r10 items 1+3): pinned flagship core, then
+``embedding_dim_range_by_label`` (the r10 red row — an oracle
+float32-typing artifact, oracle fixed, must be refuted this round; it
+was NOT in the pre-pinned R11_QUEUE, so it displaces the last stale-r5
+slot), then the 14 round-9 leftovers (first driver rows) and the 31
+stalest round-5-cohort keys.  Keys rotated out stay locally
+oracle-checked by tests/test_workload_parity.py.
 
-Round 10 also closed VERDICT r9 item 3: the registry no longer carries
-ANY rows-only key — the two free-running ANN keys were retired (their
-production knobs run verbatim inside the *_bounded recall contracts) and
-the two sketch keys were converted to literal-1 bound-oracle contracts,
-so ``len(QUERIES) == len(ORACLES)`` is now an invariant.
+Rotation-debt invariant (VERDICT r9 item 5 / r10 item 6): each round
+pins the NEXT round's queue machine-readably before it closes, so the
+next rotation is mechanical and CORRECTNESS_r{N+1}'s expected contents
+are derivable from the repo alone.
 """
 
 from __future__ import annotations
@@ -32,40 +33,8 @@ CORE = [
     "corpus_clean_pipeline",
 ]
 
-# Round-9 additions: registered after the r9 prefix froze, so round 10
-# is their first driver check (each locally hash-verified at sf0.01 on
-# registration, swept 110/110 in the r9 pre-ship vanilla session, and
-# oracle-gated every pytest run).  60 keys > one 46-slot tail, so the
-# r10 rotation takes the FIRST 46 in registration order; the ordered
-# list below IS the prefix tail.
-R10_ROTATION = [
-    "spearman_corr_price_quantity", "anova_f_value_by_type",
-    "gini_concentration_revenue", "outlier_iqr_group",
-    "acf_daily_revenue", "dow_seasonality_index",
-    "market_basket_substitutes", "fill_rate_sla_monthly",
-    "basket_size_revenue_bands", "repeat_purchase_rate_monthly",
-    "customer_tier_migration", "cart_abandonment_daily",
-    "text_hapax_ratio_by_source", "token_coverage_topk",
-    "graph_degree_histogram", "sessions_concurrent_peak_daily",
-    "doc_length_deciles_by_source", "ab_test_proportions_ztest",
-    "churn_monthly_active", "embedding_dim_range_by_label",
-    "lorenz_deciles_revenue", "aov_trend_monthly",
-    "interarrival_burstiness", "mix_drift_monthly_chi2",
-    "trailing_7d_purchase_rate", "graph_clustering_coefficient",
-    "text_numeric_density_by_source", "token_fertility_by_lang",
-    "dedup_cross_source_matrix", "pack_efficiency_by_source",
-    "events_before_first_purchase", "tenure_value_matrix",
-    "session_entry_exit_matrix", "welch_ttest_price_by_flag",
-    "kruskal_wallis_value_by_type", "cramers_v_flag_status",
-    "mann_kendall_trend_daily", "crosscorr_revenue_volume",
-    "rsi_14d_daily", "changepoint_mean_shift_daily",
-    "hellinger_drift_monthly", "ngram_novelty_by_source",
-    "vocab_growth_deciles", "kmeans_assign_recompute",
-    "embedding_norm_outliers", "arc_elasticity_monthly_brand",
-]
-
-# The 14 round-9 additions that did NOT fit the r10 prefix — they lead
-# the r11 rotation queue (VERDICT r9 item 5; registration order).
+# The 14 round-9 additions that did NOT fit the r10 prefix — their
+# FIRST driver check is round 11 (registration order).
 R10_LEFTOVER = [
     "demand_variability_xyz", "scd2_point_in_time_join",
     "theil_sen_slope_daily", "knn_geo_topk", "seasonal_strength_dow",
@@ -76,11 +45,10 @@ R10_LEFTOVER = [
 ]
 
 # Stale refresh for r11: after the r10 rotation the oldest driver rows
-# are the round-5 cohort (37 keys once the two retired ANN rows-only
-# keys are excluded; the two converted sketch-contract keys are
-# included — their r5 rows measured the old rows-only shape).  The r11
-# queue = CORE + R10_LEFTOVER (14) + the FIRST 32 of these in
-# registration order; the last 5 roll to r12 with the r6 cohort.
+# are the round-5 cohort (37 keys; registration order).  The shipped
+# r11 prefix takes the FIRST 31 (one fewer than the pre-pinned 32 —
+# the r10 red-row key claims that slot); the 6 rolled keys lead
+# R12_QUEUE's stale tail.
 STALE_R5_COHORT = [
     "agg_customer_summary", "agg_product_perf", "agg_count",
     "pivot_linestatus", "approx_count_distinct",
@@ -99,17 +67,27 @@ STALE_R5_COHORT = [
     "embedding_quantize_int8", "text_bigram_lm_pruned",
 ]
 
-# Machine-readable r11 queue (VERDICT r9 item 5): pinned BEFORE r10
-# closes so the next rotation is mechanical.
+# The queue as pinned BEFORE r10 closed (VERDICT r9 item 5).  The
+# shipped prefix deviates by exactly one planned substitution:
+# embedding_dim_range_by_label (the r10 red row, ordered into the r11
+# prefix by VERDICT r10 item 1) displaces STALE_R5_COHORT[31], which
+# rolls to R12_QUEUE.  test_r11_prefix_derivable_from_pinned_queue
+# asserts exactly this relationship.
 R11_QUEUE = CORE + R10_LEFTOVER + STALE_R5_COHORT[:32]
 
+# The shipped r11 driver prefix.
+R11_PREFIX = (
+    CORE
+    + ["embedding_dim_range_by_label"]
+    + R10_LEFTOVER
+    + STALE_R5_COHORT[:31]
+)
 
-# Round-10 post-prefix additions (authoritative machine-readable list
-# for future rotations — mirrors COVERAGE.md "Round-10 wave" sections).
-# They queue BEHIND R11_QUEUE: the r11 rotation is already full with
-# the 14 r9 leftovers + the stalest r5 keys, so these lead r12's tail
-# together with the then-stalest r5/r6 keys.
-R10_ADDITIONS = {
+
+# Round-10 post-prefix additions in REGISTRATION ORDER (mirrors
+# COVERAGE.md "Round-10 wave" sections; derived from list(QUERIES) and
+# pinned here).  Their first driver check is round 12.
+R10_ADDITIONS_ORDERED = [
     # wave 1: hypothesis testing / effect size / robust stats
     "kendall_tau_revenue_volume", "brown_forsythe_variance_test",
     "effect_size_cohens_d", "mood_median_test", "jackknife_loo_monthly",
@@ -134,17 +112,56 @@ R10_ADDITIONS = {
     # wave 7: ML evaluation
     "rand_index_kmeans_labels", "precision_recall_at_threshold",
     "roc_auc_urgent_price",
-}
+]
+R10_ADDITIONS = set(R10_ADDITIONS_ORDERED)
+
+# Round-6-stale cohort: keys whose LATEST driver CORRECTNESS row is
+# round 6 (derived from CORRECTNESS_r01..r10; registration order).
+# The first 10 fill R12_QUEUE's tail; the rest queue for r13+.
+R6_STALE_COHORT = [
+    "scan_parquet", "scan_csv", "scan_json", "project_select",
+    "filter_date_param", "filter_not_null", "filter_regex",
+    "filter_expr", "case_when_flag", "join_inner", "join_anti",
+    "join_semi", "join_left_flag", "join_self_groupcount",
+    "join_salted_skew", "fuzzy_match_levenshtein", "distinct_keys",
+    "approx_count_distinct_bounded", "window_row_number_dedup",
+    "topk_order_limit", "topk_per_group", "sort_by", "union_all",
+    "snapshot_diff_orders", "incremental_agg_orders",
+    "window_sliding_events", "tpch_q10_returned_topk",
+    "tpch_q12_priority_counts", "agg_approx_percentile_bounded",
+    "decontaminate_bloom_prefilter", "split_leakage_safe",
+    "split_by_dedup_cluster", "tpch_q4_priority_exists",
+    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit", "tpch_q11_important_stock",
+    "semantic_dedup", "interval_overlap_orders",
+    "outlier_zscore_group", "text_bm25_score", "domain_mix_weights",
+    "collocation_pmi_topk", "outlier_mad_group",
+]
+
+# Machine-readable r12 queue (VERDICT r10 item 6): pinned BEFORE r11
+# closes.  Core + the 30 round-10 additions (first driver rows, in
+# registration order) + the 6 stale-r5 keys rolled out of the r11
+# prefix + the 10 stalest round-6-cohort keys = exactly one prefix.
+R12_QUEUE = (
+    CORE
+    + R10_ADDITIONS_ORDERED
+    + STALE_R5_COHORT[31:]
+    + R6_STALE_COHORT[:10]
+)
 
 
 def test_r10_additions_registered_oracle_paired_and_queued():
     """Every round-10 addition is registered, hash-checkable, and NOT
-    in the r10 driver prefix (they queue behind R11_QUEUE)."""
+    in the r11 driver prefix (they lead R12_QUEUE's tail)."""
     assert R10_ADDITIONS <= set(workloads.QUERIES)
     assert R10_ADDITIONS <= set(workloads.ORACLES)
     assert not (R10_ADDITIONS & set(workloads.DRIVER_PRIORITY))
-    assert not (R10_ADDITIONS & set(R11_QUEUE))
     assert len(R10_ADDITIONS) == 30
+    assert len(R10_ADDITIONS_ORDERED) == 30
+    # pinned order matches actual registration order
+    reg_order = [k for k in workloads.QUERIES if k in R10_ADDITIONS]
+    assert reg_order == R10_ADDITIONS_ORDERED
 
 
 def test_priority_is_dedup_and_registered():
@@ -167,33 +184,38 @@ def test_core_keys_never_rotate():
     assert workloads.DRIVER_PRIORITY[: len(CORE)] == CORE
 
 
-def test_rotation_tail_matches_coverage_plan():
-    tail = workloads.DRIVER_PRIORITY[len(CORE):]
-    assert tail == R10_ROTATION
+def test_rotation_matches_r11_plan():
+    """The shipped prefix is exactly the r11 plan: core, the r10
+    red-row key, the 14 r9 leftovers, the 31 stalest r5 keys."""
+    assert workloads.DRIVER_PRIORITY == R11_PREFIX
 
 
-def test_r10_leftover_queued_not_in_prefix():
-    """The 14 round-9 keys that didn't fit the r10 prefix are
-    registered, hash-checkable, and waiting for r11."""
-    leftover = set(R10_LEFTOVER)
-    assert leftover <= set(workloads.QUERIES)
-    assert leftover <= set(workloads.ORACLES)
-    assert not (leftover & set(workloads.DRIVER_PRIORITY))
-    assert len(R10_LEFTOVER) == 14
-    assert len(R10_ROTATION) == 46
-    assert not (set(R10_ROTATION) & leftover)
-
-
-def test_r11_queue_pinned():
-    """VERDICT r9 item 5: the r11 rotation is pinned machine-readably
-    before r10 closes — core + the 14 r9 leftovers + the 32 stalest
-    round-5-cohort keys, exactly one driver prefix."""
+def test_r11_prefix_derivable_from_pinned_queue():
+    """VERDICT r10 item 1 ordered exactly one substitution into the
+    pre-pinned R11_QUEUE: the red-row key enters right after core, the
+    last stale-r5 slot rolls to r12.  Nothing else moved."""
     assert len(R11_QUEUE) == DRIVER_SUBSET_SIZE
-    assert len(set(R11_QUEUE)) == DRIVER_SUBSET_SIZE
-    assert set(R11_QUEUE) <= set(workloads.QUERIES)
-    assert set(R11_QUEUE) <= set(workloads.ORACLES)
+    rolled = STALE_R5_COHORT[31]
+    assert set(R11_PREFIX) == (
+        set(R11_QUEUE) - {rolled} | {"embedding_dim_range_by_label"}
+    )
+    assert rolled in R12_QUEUE
+
+
+def test_r12_queue_pinned():
+    """Rotation-debt invariant: the r12 rotation is pinned
+    machine-readably before r11 closes — exactly one driver prefix,
+    every key registered and oracle-paired, disjoint from the r11
+    prefix (these are the keys whose attestations r12 must create or
+    refresh)."""
+    assert len(R12_QUEUE) == DRIVER_SUBSET_SIZE
+    assert len(set(R12_QUEUE)) == DRIVER_SUBSET_SIZE
+    assert set(R12_QUEUE) <= set(workloads.QUERIES)
+    assert set(R12_QUEUE) <= set(workloads.ORACLES)
+    assert not (set(R12_QUEUE) - set(CORE)) & set(workloads.DRIVER_PRIORITY)
     assert len(STALE_R5_COHORT) == 37
-    assert set(STALE_R5_COHORT) <= set(workloads.QUERIES)
+    assert len(R6_STALE_COHORT) == 46
+    assert set(R6_STALE_COHORT) <= set(workloads.QUERIES)
 
 
 def test_every_registry_key_is_hash_gated():

@@ -41,6 +41,35 @@ def test_gate_rejects_array_output(spark):
     assert not ok and "complex column" in msg
 
 
+def test_gate_rejects_float_oracle(spark, sf_dir):
+    """VERDICT r10 item 2: a FLOAT-typed oracle column must fail the
+    local gate — the driver's pandas canonicalizer keeps float32, whose
+    repr differs from Spark's double even when values are identical
+    (the one red row of CORRECTNESS_r10)."""
+    from pyspark.sql import functions as F
+
+    from tests.oracle_check import compare
+
+    df = spark.range(1).select(F.lit(1.0).alias("v"))
+    ok, msg = compare(df, "SELECT CAST(1 AS FLOAT) AS v", sf_dir, "fake")
+    assert not ok and "FLOAT" in msg
+
+
+def test_all_oracles_float_free(sf_dir):
+    """Fast DuckDB-only sweep (no Spark): no registered oracle may carry
+    a FLOAT (float32) result column — closes the r10 red-row class at
+    registration time, mirroring the HUGEINT scan inside compare()."""
+    from tests.oracle_check import duckdb_result_types
+
+    offenders = {}
+    for name, sql in workloads.ORACLES.items():
+        types = duckdb_result_types(sql, sf_dir)
+        flt = [t for t in types if "FLOAT" in t]
+        if flt:
+            offenders[name] = flt
+    assert not offenders, offenders
+
+
 def test_entry_smoke(spark):
     import importlib.util
 

@@ -148,7 +148,89 @@ def test_shipped_example_config_loads_and_validates():
     assert {p.pipeline_id for p in cfg.pipelines} == {
         "clean_web_v1",
         "span_clean_v1",
+        "clean_exact_budget_v1",
     }
+    # the compliance-grade example (VERDICT r10 item 5) carries the
+    # exact-sweep knob at the documented near-dup regime
+    exact = {p.pipeline_id: p for p in cfg.pipelines}[
+        "clean_exact_budget_v1"
+    ]
+    assert [s.stage for s in exact.stages] == [
+        "quality_filter", "near_dedup", "token_budget",
+    ]
+    assert exact.stages[1].method == "prefix"
+    assert exact.stages[1].jaccard_threshold == 0.7
+
+
+def test_shipped_exact_budget_pipeline_matches_composition(ctx):
+    """VERDICT r10 item 5: the SHIPPED clean_exact_budget_v1 pipeline
+    (quality floor → EXACT prefix-filter near-dup keep-best → token
+    budget) produces exactly the survivors of composing the operators
+    directly — the YAML ≡ composition contract on a config users can
+    copy, not just on test-local YAML."""
+    import dataclasses
+
+    from metadata_driven_etl_spark.operators import text as text_ops
+    from metadata_driven_etl_spark.operators.dedup import (
+        connected_components,
+        jaccard_prefix_pairs,
+        keep_best_per_cluster,
+    )
+    from metadata_driven_etl_spark.operators.sampling import (
+        select_within_token_budget,
+    )
+
+    full = load_corpus_config("/root/repo/configs/corpus_config.yaml")
+    target = [
+        p for p in full.pipelines
+        if p.pipeline_id == "clean_exact_budget_v1"
+    ]
+    cfg = dataclasses.replace(full, pipelines=tuple(target))
+    results = CorpusLayer(ctx, cfg).run("2026-08-16")
+    assert [r.status for r in results] == ["success"]
+    out = ctx.spark.table("corpus.clean_exact_budget_v1")
+    docs = ctx.spark.read.parquet(SF_DOCS)
+    assert out.columns == docs.columns
+    got = {r.doc_id for r in out.collect()}
+
+    # stage 1: quality floor
+    q = text_ops.quality_features(docs)
+    s1 = docs.join(
+        q.filter(
+            (F.col("quality_score") >= 0.5) & (F.col("n_tokens") >= 5)
+        ).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    # stage 2: exact prefix-filter near-dup, keep best (token count,
+    # ties -> lowest id)
+    pairs = jaccard_prefix_pairs(
+        s1.select("doc_id", "text"), threshold=0.7
+    ).select("id_a", "id_b")
+    clusters = connected_components(s1.select("doc_id"), pairs)
+    scored = s1.select(
+        "doc_id",
+        F.size(text_ops.tokens("text")).cast("long").alias("kept_score"),
+    )
+    keep = keep_best_per_cluster(clusters, scored).select(
+        F.col("kept_doc_id").alias("doc_id")
+    )
+    s2 = s1.join(keep, "doc_id", "left_semi")
+    # stage 3: greedy token budget over the survivors
+    qx2 = text_ops.quality_features(s2)
+    kept3 = select_within_token_budget(
+        qx2.select(
+            "doc_id",
+            F.col("quality_score").alias("_score"),
+            F.col("n_tokens").alias("_n_tokens"),
+        ),
+        budget_tokens=5000,
+        score_col="_score",
+        token_col="_n_tokens",
+        id_col="doc_id",
+    )
+    want = {r.doc_id for r in kept3.collect()}
+    assert got == want and 0 < len(got) < docs.count()
 
 
 @pytest.mark.parametrize(
@@ -271,9 +353,10 @@ def test_cli_runs_corpus_layer(spark, tmp_path):
         table_format=ParquetFormat(),
     )
     assert set(results) == {"corpus"}
-    assert [r.status for r in results["corpus"]] == ["success", "success"]
+    assert [r.status for r in results["corpus"]] == ["success"] * 3
     assert spark.table("corpus.clean_web_v1").count() > 0
     assert spark.table("corpus.span_clean_v1").count() > 0
+    assert spark.table("corpus.clean_exact_budget_v1").count() > 0
 
 
 def test_quality_top_fraction_cut(ctx, tmp_path):

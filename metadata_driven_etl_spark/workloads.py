@@ -16914,6 +16914,461 @@ def roc_auc_urgent_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round-11 additions, wave 1: agreement / interval / paired-sample
+# statistics — Cohen's kappa, Matthews correlation, Wilson score CI,
+# Wilcoxon signed-rank, Friedman test, Poisson rate CI.
+# =========================================================================
+
+
+@workload(
+    "cohens_kappa_status_priority",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                         AND o_orderstatus = 'F' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n11,
+          CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                         AND o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n10,
+          CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+                         AND o_orderstatus = 'F' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n01,
+          CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+                         AND o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n00
+        FROM orders),
+    d AS (SELECT n, n11, n00,
+            CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+            CAST((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00) AS DOUBLE)
+              / CAST(n*n AS DOUBLE) AS pe
+          FROM m)
+    SELECT n AS n_orders, po AS observed_agreement,
+           pe AS expected_agreement,
+           (po - pe) / (1.0 - pe) AS kappa
+    FROM d""",
+)
+def cohens_kappa_status_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cohen's kappa between two binary labelings of orders — is URGENT
+    priority "agreeing" with finished status beyond chance? The
+    inter-rater-agreement statistic every labeling pipeline QA needs
+    (two annotators / a model vs gold): raw agreement po is inflated by
+    class imbalance; kappa removes the chance floor pe.
+
+    Hash-exact: the 2×2 cell counts are exact; po and pe are each ONE
+    division of exact integers (marginal products kept in decimal on
+    the Spark side — they exceed int64 beyond ~3e9 rows — and both
+    sides' integers are < 2⁵³ at test SFs, so the doubles agree
+    bit-for-bit); kappa is a fixed (po−pe)/(1−pe) chain.
+
+    Scale: one map-side-combinable aggregation to a single row."""
+    d38 = "decimal(38,0)"
+    urg = F.col("o_orderpriority") == "1-URGENT"
+    fin = F.col("o_orderstatus") == "F"
+    m = _t(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((urg & fin).cast("long")).alias("n11"),
+        F.sum((urg & ~fin).cast("long")).alias("n10"),
+        F.sum((~urg & fin).cast("long")).alias("n01"),
+        F.sum((~urg & ~fin).cast("long")).alias("n00"),
+    )
+    n = F.col("n")
+    po = (F.col("n11") + F.col("n00")).cast("double") / n.cast("double")
+    pe = (
+        (F.col("n11") + F.col("n10")).cast(d38)
+        * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")).cast(d38)
+        * (F.col("n10") + F.col("n00"))
+    ).cast(d38).cast("double") / (n.cast(d38) * n).cast(d38).cast("double")
+    return m.select(
+        n.alias("n_orders"),
+        po.alias("observed_agreement"),
+        pe.alias("expected_agreement"),
+        ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )
+
+
+@workload(
+    "matthews_corrcoef_urgent_price",
+    oracle="""
+    WITH m AS (
+        SELECT
+          CAST(SUM(CASE WHEN FLOOR(o_totalprice*100+0.5) > 15000000
+                         AND o_orderpriority = '1-URGENT'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+          CAST(SUM(CASE WHEN FLOOR(o_totalprice*100+0.5) > 15000000
+                         AND o_orderpriority <> '1-URGENT'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+          CAST(SUM(CASE WHEN FLOOR(o_totalprice*100+0.5) <= 15000000
+                         AND o_orderpriority = '1-URGENT'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+          CAST(SUM(CASE WHEN FLOOR(o_totalprice*100+0.5) <= 15000000
+                         AND o_orderpriority <> '1-URGENT'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM orders)
+    SELECT tp, fp, fn, tn,
+      CASE WHEN (tp+fp)*(tp+fn) = 0 OR (tn+fp)*(tn+fn) = 0 THEN NULL
+           ELSE CAST(CAST(CAST(tp AS HUGEINT)*tn
+                          - CAST(fp AS HUGEINT)*fn AS VARCHAR) AS DOUBLE)
+             / sqrt(CAST(CAST(CAST(tp+fp AS HUGEINT)*(tp+fn)
+                              *(tn+fp)*(tn+fn) AS VARCHAR) AS DOUBLE))
+      END AS mcc
+    FROM m""",
+)
+def matthews_corrcoef_urgent_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matthews correlation coefficient for the "price > $150k predicts
+    URGENT" classifier — the balanced single-number binary-classifier
+    score (unlike accuracy/F1 it uses all four confusion cells, so a
+    degenerate always-positive predictor can't score well). Complements
+    precision_recall_at_threshold / roc_auc_urgent_price with the
+    chance-corrected summary.
+
+    Hash-exact: the numerator tp·tn − fp·fn stays in exact integers
+    (HUGEINT / decimal38 — NEVER folded in doubles, the FMA-contraction
+    trap); the 4-factor denominator product exceeds int64 and rides
+    HUGEINT→VARCHAR→DOUBLE / decimal38→double (the established exact-
+    conversion pair); zero marginals emit NULL on both engines.
+
+    Scale: one map-side-combinable aggregation to a single row."""
+    d38 = "decimal(38,0)"
+    pred = F.floor(F.col("o_totalprice") * 100 + 0.5) > 15000000
+    act = F.col("o_orderpriority") == "1-URGENT"
+    m = _t(spark, sf_dir, "orders").agg(
+        F.sum((pred & act).cast("long")).alias("tp"),
+        F.sum((pred & ~act).cast("long")).alias("fp"),
+        F.sum((~pred & act).cast("long")).alias("fn"),
+        F.sum((~pred & ~act).cast("long")).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    num = (tp.cast(d38) * tn - fp.cast(d38) * fn).cast(d38)
+    den = (
+        ((tp + fp).cast(d38) * (tp + fn)).cast(d38)
+        * ((tn + fp).cast(d38) * (tn + fn)).cast(d38)
+    ).cast(d38)
+    mcc = F.when(
+        ((tp + fp) * (tp + fn) != 0) & ((tn + fp) * (tn + fn) != 0),
+        num.cast("double") / F.sqrt(den.cast("double")),
+    )
+    return m.select("tp", "fp", "fn", "tn", mcc.alias("mcc"))
+
+
+@workload(
+    "wilson_ci_status_by_priority",
+    oracle="""
+    WITH g AS (
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k
+        FROM orders GROUP BY 1),
+    c AS (SELECT priority, n, k,
+                 CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+                 1.96 * 1.96 / CAST(n AS DOUBLE) AS z2n
+          FROM g)
+    SELECT priority, n AS n_orders, k AS n_finished, p AS p_hat,
+      (p + z2n/2.0 - 1.96*sqrt(p*(1.0-p)/CAST(n AS DOUBLE)
+                               + z2n/(4.0*CAST(n AS DOUBLE))))
+        / (1.0 + z2n) AS ci_low,
+      (p + z2n/2.0 + 1.96*sqrt(p*(1.0-p)/CAST(n AS DOUBLE)
+                               + z2n/(4.0*CAST(n AS DOUBLE))))
+        / (1.0 + z2n) AS ci_high
+    FROM c""",
+)
+def wilson_ci_status_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wilson score 95% confidence interval for the finished-order rate
+    per priority class — the interval every rate dashboard should use
+    instead of the Wald ±1.96√(p(1−p)/n) (which collapses to zero width
+    at p∈{0,1} and escapes [0,1] at small n; Wilson stays inside and
+    never degenerates).
+
+    Hash-exact: k and n are exact; the Wilson chain is written
+    token-for-token identically on both engines over the SAME p = k/n
+    double (every operand of every IEEE op matches, so the results
+    match bit-for-bit — the safety_stock fixed-chain discipline).
+
+    Scale: one map-side-combinable |priorities|-row aggregation."""
+    g = _t(spark, sf_dir, "orders").groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            (F.col("o_orderstatus") == "F").cast("long")
+        ).alias("k"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("k").cast("double") / nd
+    z = F.lit(1.96)
+    z2n = z * z / nd
+    margin = z * F.sqrt(
+        p * (F.lit(1.0) - p) / nd + z2n / (F.lit(4.0) * nd)
+    )
+    return g.select(
+        "priority",
+        F.col("n").alias("n_orders"),
+        F.col("k").alias("n_finished"),
+        p.alias("p_hat"),
+        ((p + z2n / 2.0 - margin) / (F.lit(1.0) + z2n)).alias("ci_low"),
+        ((p + z2n / 2.0 + margin) / (F.lit(1.0) + z2n)).alias("ci_high"),
+    )
+
+
+@workload(
+    "wilcoxon_signed_rank_yoy",
+    oracle="""
+    WITH mr AS (
+        SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS yr,
+               CAST(month(CAST(o_orderdate AS DATE)) AS INTEGER) AS mo,
+               CAST(SUM(CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders
+        WHERE year(CAST(o_orderdate AS DATE)) IN (1994, 1995)
+        GROUP BY 1, 2),
+    d AS (SELECT b.cents - a.cents AS diff
+          FROM mr a JOIN mr b ON a.mo = b.mo
+          WHERE a.yr = 1994 AND b.yr = 1995 AND b.cents <> a.cents),
+    dm AS (SELECT ABS(diff) AS ad, CAST(COUNT(*) AS BIGINT) AS c,
+                  CAST(SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS cpos
+           FROM d GROUP BY 1),
+    u AS (SELECT ad, c, cpos,
+                 2*COALESCE(SUM(c) OVER (ORDER BY ad
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + c + 1 AS dmr
+          FROM dm),
+    s AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                 CAST(SUM(cpos*dmr) AS BIGINT) AS wp_dbl,
+                 CAST(SUM((c-cpos)*dmr) AS BIGINT) AS wm_dbl
+          FROM u)
+    SELECT n AS n_pairs, wp_dbl AS w_plus_doubled,
+           wm_dbl AS w_minus_doubled,
+           CAST(2*wp_dbl - n*(n+1) AS DOUBLE)
+             / (4.0*sqrt(CAST(n*(n+1)*(2*n+1) AS DOUBLE)/24.0)) AS z_stat
+    FROM s""",
+)
+def wilcoxon_signed_rank_yoy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wilcoxon signed-rank test on paired year-over-year monthly
+    revenue (1995 vs 1994, paired by calendar month) — the paired
+    sibling of the shipped Mann-Whitney U (independent samples): did
+    revenue shift between the years, without assuming normality of the
+    monthly differences? Zero differences drop (standard Wilcoxon).
+
+    Hash-exact: monthly revenues are exact cents; |d| ranks use DOUBLED
+    midranks over the |distinct |d|| domain frame (2·cum_before+c+1 —
+    the Spearman/KW idiom, halves never materialize), so W⁺/W⁻ are
+    exact integers; z = (4W⁺ − n(n+1)) / (4√(n(n+1)(2n+1)/24)) folds
+    the doubling into exact integer arithmetic before ONE conversion
+    each side.
+
+    Scale: the fact aggregates to ≤24 (year,month) rows; everything
+    after is constant-size (the ≤12-row domain window is value-bounded
+    by the calendar — the documented skyline exemption class)."""
+    from pyspark.sql import Window
+
+    mr = (
+        _t(spark, sf_dir, "orders")
+        .withColumn("yr", F.year(F.to_date("o_orderdate")))
+        .filter(F.col("yr").isin(1994, 1995))
+        .groupBy(
+            "yr",
+            F.month(F.to_date("o_orderdate")).alias("mo"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("cents")
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = mr.filter(F.col("yr") == 1994).select(
+        "mo", F.col("cents").alias("ca")
+    )
+    b = mr.filter(F.col("yr") == 1995).select(
+        "mo", F.col("cents").alias("cb")
+    )
+    d = (
+        a.join(F.broadcast(b), "mo")
+        .filter(F.col("cb") != F.col("ca"))
+        .select((F.col("cb") - F.col("ca")).alias("diff"))
+    )
+    dm = d.groupBy(F.abs(F.col("diff")).alias("ad")).agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum((F.col("diff") > 0).cast("long")).alias("cpos"),
+    )
+    w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    u = dm.select(
+        "ad", "c", "cpos",
+        (
+            2 * F.coalesce(F.sum("c").over(w), F.lit(0).cast("long"))
+            + F.col("c") + 1
+        ).alias("dmr"),
+    )
+    s = u.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("cpos") * F.col("dmr")).cast("long").alias("wp_dbl"),
+        F.sum((F.col("c") - F.col("cpos")) * F.col("dmr"))
+        .cast("long")
+        .alias("wm_dbl"),
+    )
+    n = F.col("n")
+    z = (2 * F.col("wp_dbl") - n * (n + 1)).cast("double") / (
+        F.lit(4.0)
+        * F.sqrt((n * (n + 1) * (2 * n + 1)).cast("double") / F.lit(24.0))
+    )
+    return s.select(
+        n.alias("n_pairs"),
+        F.col("wp_dbl").alias("w_plus_doubled"),
+        F.col("wm_dbl").alias("w_minus_doubled"),
+        z.alias("z_stat"),
+    )
+
+
+@workload(
+    "friedman_test_daily_type",
+    oracle="""
+    WITH dt AS (
+        SELECT CAST(ts AS DATE) AS day, event_type AS g,
+               CAST(SUM(CAST(FLOOR(value*100+0.5) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1, 2),
+    fd AS (SELECT day FROM dt GROUP BY 1 HAVING COUNT(*) = 5),
+    r AS (SELECT d.g,
+                 2*(RANK() OVER (PARTITION BY d.day ORDER BY d.cents))
+                   + CAST(COUNT(*) OVER (PARTITION BY d.day, d.cents)
+                          AS BIGINT) - 1 AS dmr
+          FROM dt d JOIN fd ON fd.day = d.day),
+    uj AS (SELECT g, CAST(SUM(dmr) AS BIGINT) AS u FROM r GROUP BY 1),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM fd),
+    p AS (SELECT CAST(SUM(u*u) AS BIGINT) AS su2 FROM uj)
+    SELECT n AS n_blocks,
+           CAST(su2 AS DOUBLE) / CAST(10*n AS DOUBLE)
+             - CAST(18*n AS DOUBLE) AS q_stat
+    FROM p CROSS JOIN nb""",
+)
+def friedman_test_daily_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test: do the five event types draw the same daily-total
+    distribution, treating each day as a BLOCK? The repeated-measures
+    sibling of the shipped Kruskal-Wallis (which pools all rows —
+    confounded by day effects; Friedman ranks WITHIN each day, so a
+    hot day lifts all types equally and cancels). Only complete blocks
+    (all 5 types present) enter, the standard completeness rule.
+    Ties share doubled midranks; Q is the uncorrected statistic
+    (documented — the tie correction is a separate multiplier).
+
+    Hash-exact: within-block ranks are exact integers under the
+    doubled-midrank idiom (2·rank + ties − 1 from RANK + a tie count —
+    both window functions agree across engines); U_j = Σ2R_j and ΣU²
+    are exact longs (U_j ≤ 10·n_blocks); Q = ΣU²/(10n) − 18n folds the
+    k=5 constants into exact integers, ONE conversion per operand.
+
+    Scale: one fact aggregation to the |days × 5| frame; the ranking
+    window is PARTITIONED by day (5 rows per partition, fully
+    parallel); rollups are |types|- and 1-row."""
+    from pyspark.sql import Window
+
+    dt = (
+        _t(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isNotNull() & F.col("value").isNotNull()
+        )
+        .groupBy(
+            F.to_date("ts").alias("day"),
+            F.col("event_type").alias("g"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("long")
+            ).alias("cents")
+        )
+        .localCheckpoint(eager=False)
+    )
+    fd = dt.groupBy("day").agg(F.count(F.lit(1)).alias("nt")).filter(
+        F.col("nt") == 5
+    ).select("day")
+    wr = Window.partitionBy("day").orderBy("cents")
+    wt = Window.partitionBy("day", "cents")
+    r = dt.join(fd, "day").select(
+        "g",
+        (
+            2 * F.rank().over(wr)
+            + F.count(F.lit(1)).over(wt).cast("long")
+            - 1
+        ).alias("dmr"),
+    )
+    uj = r.groupBy("g").agg(F.sum("dmr").cast("long").alias("u"))
+    nb = fd.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    p = uj.agg(F.sum(F.col("u") * F.col("u")).cast("long").alias("su2"))
+    return p.crossJoin(F.broadcast(nb)).select(
+        F.col("n").alias("n_blocks"),
+        (
+            F.col("su2").cast("double")
+            / (10 * F.col("n")).cast("double")
+            - (18 * F.col("n")).cast("double")
+        ).alias("q_stat"),
+    )
+
+
+@workload(
+    "poisson_rate_ci_by_type",
+    oracle="""
+    WITH t AS (SELECT event_type,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY 1),
+    d AS (SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days
+          FROM events)
+    SELECT event_type, n AS n_events, days AS n_days,
+           CAST(n AS DOUBLE) / CAST(days AS DOUBLE) AS rate_per_day,
+           CAST(n AS DOUBLE) / CAST(days AS DOUBLE)
+             - 1.96*sqrt(CAST(n AS DOUBLE))/CAST(days AS DOUBLE) AS ci_low,
+           CAST(n AS DOUBLE) / CAST(days AS DOUBLE)
+             + 1.96*sqrt(CAST(n AS DOUBLE))/CAST(days AS DOUBLE) AS ci_high
+    FROM t CROSS JOIN d""",
+)
+def poisson_rate_ci_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily event rate with a 95% Poisson CI (normal
+    approximation λ̂ ± 1.96√N/days) — the alerting baseline: a day whose
+    count falls outside its type's band is the anomaly candidate, and
+    the band width is what separates "error rate doubled" from "error
+    count is small, everything is noise".
+
+    Hash-exact: N and the day count are exact integers; the rate and
+    interval are a fixed √/division chain over exactly-converted
+    operands, written token-identically on both engines.
+
+    Scale: one map-side-combinable |types|-row count plus a global
+    distinct-days aggregate (|days| state), broadcast back — no
+    fact-sized shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    t = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    d = ev.agg(
+        F.countDistinct(F.to_date("ts")).cast("long").alias("days")
+    )
+    nd = F.col("n").cast("double")
+    dd = F.col("days").cast("double")
+    rate = nd / dd
+    half = F.lit(1.96) * F.sqrt(nd) / dd
+    return t.crossJoin(F.broadcast(d)).select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.col("days").alias("n_days"),
+        rate.alias("rate_per_day"),
+        (rate - half).alias("ci_low"),
+        (rate + half).alias("ci_high"),
+    )
+
+
+# =========================================================================
 # Driver-facing registry order
 # =========================================================================
 #

@@ -226,6 +226,18 @@ OPS = {
     "jaccard_prefix_t07": lambda df: dedup_ops.jaccard_prefix_pairs(
         df, threshold=0.7
     ),
+    # r11 (VERDICT r10 item 8): the dedup_threshold_curve shape — ONE
+    # prefix-filter candidate pass at the LOOSEST shipped threshold
+    # (0.5) plus the <=6-row band rollup.  Looser t admits shorter
+    # prefixes (more postings per doc), so its constant sits above the
+    # t=0.7 row; the curve class is the same duplicate-mass-quadratic
+    # as jaccard_prefix_t07 (copies ARE pairs), measured here with its
+    # OWN row instead of reasoning from the t=0.7 probe.
+    "dedup_threshold_curve_t05": lambda df: dedup_ops.jaccard_prefix_pairs(
+        df, threshold=0.5
+    ).groupBy(
+        F.floor(F.col("jaccard") * 10).cast("int").alias("sim_band")
+    ).count(),
     # 3 fixed-point PageRank rounds over a degree-4 multiplicative-
     # permutation graph on the doc ids (|E| = 4|V|, in/out degree ~4):
     # per-round cost is one equi-join + one sum on |E| rows, so the

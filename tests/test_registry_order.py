@@ -151,6 +151,31 @@ R12_QUEUE = (
 )
 
 
+# Round-11 post-prefix additions in registration order (extended as
+# each wave lands; mirrors COVERAGE.md "Round-11 wave" sections).
+# They queue behind R12_QUEUE for their first driver rows (r13).
+R11_ADDITIONS_ORDERED = [
+    # wave 1: agreement / interval / paired-sample statistics
+    "cohens_kappa_status_priority", "matthews_corrcoef_urgent_price",
+    "wilson_ci_status_by_priority", "wilcoxon_signed_rank_yoy",
+    "friedman_test_daily_type", "poisson_rate_ci_by_type",
+]
+R11_ADDITIONS = set(R11_ADDITIONS_ORDERED)
+
+
+def test_r11_additions_registered_oracle_paired_and_queued():
+    """Every round-11 addition is registered, hash-checkable, NOT in
+    the r11 driver prefix, and NOT colliding with the pinned r12
+    queue (their first driver check is r13)."""
+    assert R11_ADDITIONS <= set(workloads.QUERIES)
+    assert R11_ADDITIONS <= set(workloads.ORACLES)
+    assert not (R11_ADDITIONS & set(workloads.DRIVER_PRIORITY))
+    assert not (R11_ADDITIONS & set(R12_QUEUE))
+    assert len(R11_ADDITIONS) == len(R11_ADDITIONS_ORDERED)
+    reg_order = [k for k in workloads.QUERIES if k in R11_ADDITIONS]
+    assert reg_order == R11_ADDITIONS_ORDERED
+
+
 def test_r10_additions_registered_oracle_paired_and_queued():
     """Every round-10 addition is registered, hash-checkable, and NOT
     in the r11 driver prefix (they lead R12_QUEUE's tail)."""

@@ -17369,6 +17369,495 @@ def poisson_rate_ci_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round-11 additions, wave 2: financial / retail analytics — exact
+# basis-point return moments, historical VaR + expected shortfall,
+# Bollinger band breaks, the ABC×XYZ planning matrix, customer
+# revenue concentration.
+# =========================================================================
+
+
+@workload(
+    "daily_return_stats",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1),
+    r AS (SELECT cents, lag(cents) OVER (ORDER BY day) AS prev FROM d),
+    b AS (SELECT CAST(FLOOR(CAST((cents - prev)*10000 AS DOUBLE)
+                            / CAST(prev AS DOUBLE)) AS BIGINT) AS bp
+          FROM r WHERE prev IS NOT NULL),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(bp AS HUGEINT)) AS s,
+                 SUM(CAST(bp AS HUGEINT)*bp) AS q,
+                 CAST(MIN(bp) AS BIGINT) AS mn,
+                 CAST(MAX(bp) AS BIGINT) AS mx
+          FROM b)
+    SELECT n AS n_days,
+           CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+             AS mean_bp,
+           sqrt(CAST(CAST(n*q - s*s AS VARCHAR) AS DOUBLE)
+                / CAST(CAST(n*(n-1) AS VARCHAR) AS DOUBLE)) AS std_bp,
+           mn AS min_bp, mx AS max_bp
+    FROM m""",
+)
+def daily_return_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue return distribution in QUANTIZED basis points —
+    the volatility readout behind risk sizing (max_drawdown gives the
+    worst path; this gives the per-step dispersion). Returns are
+    floor-quantized to integer bp, which makes every downstream moment
+    EXACT — the trick that turns an unhashable float-return series
+    into decimal-sum arithmetic.
+
+    Hash-exact: (Δcents)·10000 is exact integer; ONE identical IEEE
+    division by prev and an identical floor on both engines yield the
+    same integer bp; mean/std ride exact decimal Σbp, Σbp² (Welch
+    identity, VARCHAR-route conversion).
+
+    Scale: one fact aggregation to |days|; the lag window is over the
+    calendar-bounded daily frame (the documented exemption class);
+    moments are one map-side-combinable rollup."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    d = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("cents")
+        )
+    )
+    r = d.select(
+        "cents", F.lag("cents").over(Window.orderBy("day")).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    b = r.select(
+        F.floor(
+            ((F.col("cents") - F.col("prev")) * 10000).cast("double")
+            / F.col("prev").cast("double")
+        ).cast("long").alias("bp")
+    )
+    m = b.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("bp").cast(d38)).cast(d38).alias("s"),
+        F.sum((F.col("bp").cast(d38) * F.col("bp")).cast(d38))
+        .cast(d38)
+        .alias("q"),
+        F.min("bp").alias("mn"),
+        F.max("bp").alias("mx"),
+    )
+    n = F.col("n")
+    return m.select(
+        n.alias("n_days"),
+        (F.col("s").cast("double") / n.cast("double")).alias("mean_bp"),
+        F.sqrt(
+            (n.cast(d38) * F.col("q") - F.col("s") * F.col("s"))
+            .cast(d38)
+            .cast("double")
+            / (n.cast(d38) * (n - 1)).cast(d38).cast("double")
+        ).alias("std_bp"),
+        F.col("mn").alias("min_bp"),
+        F.col("mx").alias("max_bp"),
+    )
+
+
+@workload(
+    "value_at_risk_daily",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1),
+    r AS (SELECT cents, lag(cents) OVER (ORDER BY day) AS prev FROM d),
+    b AS (SELECT CAST(FLOOR(CAST((cents - prev)*10000 AS DOUBLE)
+                            / CAST(prev AS DOUBLE)) AS BIGINT) AS bp
+          FROM r WHERE prev IS NOT NULL),
+    dm AS (SELECT bp, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1),
+    w AS (SELECT bp, c,
+                 CAST(COALESCE(SUM(c) OVER (ORDER BY bp
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cumb
+          FROM dm),
+    kk AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                  CAST((5*SUM(c) + 99) // 100 AS BIGINT) AS k
+           FROM dm),
+    cr AS (SELECT w.bp AS kth, w.cumb AS cumb_k
+           FROM w CROSS JOIN kk
+           WHERE w.cumb < kk.k AND w.cumb + w.c >= kk.k),
+    fs AS (SELECT CAST(COALESCE(SUM(w.c*w.bp), 0) AS BIGINT) AS full_sum
+           FROM w CROSS JOIN kk WHERE w.cumb + w.c < kk.k)
+    SELECT n AS n_days, k AS k_tail, kth AS var_bp,
+           CAST(full_sum + (k - cumb_k)*kth AS DOUBLE)
+             / CAST(k AS DOUBLE) AS es_bp
+    FROM kk CROSS JOIN cr CROSS JOIN fs""",
+)
+def value_at_risk_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical 5% Value-at-Risk and Expected Shortfall of the daily
+    revenue return series (quantized bp, daily_return_stats' series):
+    VaR = the k-th worst return with k = ⌈0.05·n⌉, ES = the exact mean
+    of the k worst — the tail pair every risk report carries (ES is
+    the coherent one; VaR alone hides tail shape).
+
+    Hash-exact: selection by rank over the |distinct bp| domain frame
+    (exact integer cum counts — no percentile interpolation); the tail
+    sum adds full below-threshold groups plus the exact partial at the
+    boundary group, all integers; ES is ONE division. k = ⌈0.05n⌉ via
+    integer (5n+99) div 100 on both engines.
+
+    Scale: |days|-bounded domain frame (calendar exemption); the
+    boundary row and k are 1-row broadcasts."""
+    from pyspark.sql import Window
+
+    d = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("cents")
+        )
+    )
+    r = d.select(
+        "cents", F.lag("cents").over(Window.orderBy("day")).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    b = r.select(
+        F.floor(
+            ((F.col("cents") - F.col("prev")) * 10000).cast("double")
+            / F.col("prev").cast("double")
+        ).cast("long").alias("bp")
+    )
+    dm = b.groupBy("bp").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wspec = Window.orderBy("bp").rowsBetween(Window.unboundedPreceding, -1)
+    w = dm.select(
+        "bp", "c",
+        F.coalesce(F.sum("c").over(wspec), F.lit(0).cast("long")).alias(
+            "cumb"
+        ),
+    ).localCheckpoint(eager=False)
+    kk = dm.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.expr("CAST((5*SUM(c) + 99) DIV 100 AS BIGINT)").alias("k"),
+    )
+    cr = (
+        w.crossJoin(F.broadcast(kk))
+        .filter(
+            (F.col("cumb") < F.col("k"))
+            & (F.col("cumb") + F.col("c") >= F.col("k"))
+        )
+        .select(F.col("bp").alias("kth"), F.col("cumb").alias("cumb_k"))
+    )
+    fs = (
+        w.crossJoin(F.broadcast(kk))
+        .filter(F.col("cumb") + F.col("c") < F.col("k"))
+        .agg(
+            F.coalesce(F.sum(F.col("c") * F.col("bp")), F.lit(0))
+            .cast("long")
+            .alias("full_sum")
+        )
+    )
+    return (
+        kk.crossJoin(F.broadcast(cr))
+        .crossJoin(F.broadcast(fs))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("k").alias("k_tail"),
+            F.col("kth").alias("var_bp"),
+            (
+                (
+                    F.col("full_sum")
+                    + (F.col("k") - F.col("cumb_k")) * F.col("kth")
+                ).cast("double")
+                / F.col("k").cast("double")
+            ).alias("es_bp"),
+        )
+    )
+
+
+@workload(
+    "bollinger_band_breaks",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1),
+    w AS (SELECT day, cents,
+            CAST(COUNT(*) OVER win AS BIGINT) AS m,
+            SUM(CAST(cents AS HUGEINT)) OVER win AS s,
+            SUM(CAST(cents AS HUGEINT)*cents) OVER win AS q
+          FROM d
+          WINDOW win AS (ORDER BY day
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+    x AS (SELECT cents,
+            CAST(CAST(s AS VARCHAR) AS DOUBLE) / 20.0 AS mu,
+            sqrt(CAST(CAST(20*q - s*s AS VARCHAR) AS DOUBLE) / 380.0)
+              AS sd
+          FROM w WHERE m = 20)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN CAST(cents AS DOUBLE) > mu + 2.0*sd
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_breaks_up,
+           CAST(SUM(CASE WHEN CAST(cents AS DOUBLE) < mu - 2.0*sd
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_breaks_down
+    FROM x""",
+)
+def bollinger_band_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger band breaks on daily revenue: a 20-day trailing mean
+    ± 2σ envelope, counting the days that close outside it — the
+    mean-reversion / regime-shift screen (RSI's volatility-aware
+    sibling: RSI normalizes by gain/loss mix, Bollinger by local σ).
+    Only full 20-day windows count (the first 19 days carry no band).
+
+    Hash-exact: the window Σx and Σx² are exact decimal (cents exceed
+    int64 when squared); μ = s/20 and σ = √((20q−s²)/380) convert each
+    exact operand ONCE via the VARCHAR/decimal route; the band
+    comparison tests the same exact-integer cents against identically
+    computed doubles on both engines.
+
+    Scale: |days|-frame trailing window over the calendar-bounded
+    daily rollup (exemption class); the rollup itself is
+    map-side-combinable over the fact."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    d = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("cents")
+        )
+    )
+    win = Window.orderBy("day").rowsBetween(-19, 0)
+    w = d.select(
+        "cents",
+        F.count(F.lit(1)).over(win).alias("m"),
+        F.sum(F.col("cents").cast(d38)).over(win).cast(d38).alias("s"),
+        F.sum((F.col("cents").cast(d38) * F.col("cents")).cast(d38))
+        .over(win)
+        .cast(d38)
+        .alias("q"),
+    ).filter(F.col("m") == 20)
+    mu = F.col("s").cast("double") / F.lit(20.0)
+    sd = F.sqrt(
+        (20 * F.col("q") - F.col("s") * F.col("s")).cast(d38).cast("double")
+        / F.lit(380.0)
+    )
+    cd = F.col("cents").cast("double")
+    return w.agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum((cd > mu + 2.0 * sd).cast("long")).alias("n_breaks_up"),
+        F.sum((cd < mu - 2.0 * sd).cast("long")).alias("n_breaks_down"),
+    )
+
+
+@workload(
+    "abc_xyz_matrix",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*100+0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem GROUP BY 1),
+    t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM rev),
+    c AS (SELECT l_partkey, cents,
+                 CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey)
+                      AS BIGINT) AS cum
+          FROM rev),
+    abc AS (SELECT l_partkey, cents,
+                   CASE WHEN cum*100 <= total*80 THEN 'A'
+                        WHEN cum*100 <= total*95 THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM c CROSS JOIN t),
+    pm AS (SELECT l_partkey,
+                  date_trunc('month', CAST(l_shipdate AS DATE)) AS month,
+                  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qn
+           FROM lineitem GROUP BY 1, 2),
+    mo AS (SELECT l_partkey, CAST(COUNT(*) AS HUGEINT) AS n,
+                  SUM(CAST(qn AS HUGEINT)) AS s,
+                  SUM(CAST(qn AS HUGEINT)*qn) AS qq
+           FROM pm GROUP BY 1),
+    xyz AS (SELECT l_partkey,
+              CASE WHEN n = 1 THEN 'Z'
+                   WHEN sqrt(CAST(CAST(n*(n*qq - s*s) AS VARCHAR)
+                                  AS DOUBLE)
+                             / CAST(CAST(n - 1 AS VARCHAR) AS DOUBLE))
+                        / CAST(CAST(s AS VARCHAR) AS DOUBLE) <= 0.5
+                     THEN 'X'
+                   WHEN sqrt(CAST(CAST(n*(n*qq - s*s) AS VARCHAR)
+                                  AS DOUBLE)
+                             / CAST(CAST(n - 1 AS VARCHAR) AS DOUBLE))
+                        / CAST(CAST(s AS VARCHAR) AS DOUBLE) <= 1.0
+                     THEN 'Y'
+                   ELSE 'Z' END AS xyz_class
+            FROM mo)
+    SELECT abc.abc_class, xyz.xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(abc.cents) AS BIGINT) AS cell_cents
+    FROM abc JOIN xyz ON xyz.l_partkey = abc.l_partkey
+    GROUP BY 1, 2""",
+)
+def abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ABC×XYZ planning matrix — the composition every inventory
+    team actually uses: revenue importance (pareto_abc_parts' exact
+    integer class bounds) crossed with demand forecastability
+    (demand_variability_xyz's CV buckets, here at PART grain). AX
+    cells get tight automated replenishment; CZ cells get manual
+    review. Single-month parts class Z (CV undefined — treated
+    erratic, documented; both engines share the CASE order).
+
+    Hash-exact: both classifications reuse their parents' disciplines —
+    integer cross-multiplied cumulative-revenue bounds; CV =
+    √(n(nQ−S²)/(n−1))/S with exactly-once decimal→double conversions.
+
+    Scale: the cumulative-revenue ranking rides
+    windows.distributed_running_sum (the pareto machinery — range
+    exchange + broadcast offsets, never a single-partition sort of the
+    |parts| frame); the CV side is two map-side-combinable
+    aggregations; the final join is |parts|-keyed and the rollup is
+    ≤9 rows."""
+    from metadata_driven_etl_spark.operators.windows import (
+        distributed_running_sum,
+    )
+
+    d38 = "decimal(38,0)"
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        ).alias("cents")
+    )
+    c = distributed_running_sum(
+        rev,
+        [F.col("cents").desc(), F.col("l_partkey")],
+        value_col="cents",
+        out_col="cum",
+        total_col="total",
+    )
+    abc = c.select(
+        "l_partkey", "cents",
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    pm = li.groupBy(
+        "l_partkey", F.trunc(F.to_date("l_shipdate"), "month").alias("month")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("qn"))
+    mo = pm.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("qn").cast(d38)).cast(d38).alias("s"),
+        F.sum((F.col("qn").cast(d38) * F.col("qn")).cast(d38))
+        .cast(d38)
+        .alias("qq"),
+    )
+    n, s = F.col("n"), F.col("s")
+    cv = F.sqrt(
+        (n * (n * F.col("qq") - s * s)).cast(d38).cast("double")
+        / (n - 1).cast(d38).cast("double")
+    ) / s.cast("double")
+    xyz = mo.select(
+        "l_partkey",
+        F.when(n == 1, "Z")
+        .when(cv <= 0.5, "X")
+        .when(cv <= 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    return abc.join(xyz, "l_partkey").groupBy(
+        "abc_class", "xyz_class"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("cents").cast("long").alias("cell_cents"),
+    )
+
+
+@workload(
+    "customer_concentration_topk",
+    oracle="""
+    WITH cr AS (
+        SELECT c.c_nationkey AS nk, o.o_custkey AS ck,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice*100+0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2),
+    r AS (SELECT nk, cents,
+                 row_number() OVER (PARTITION BY nk
+                                    ORDER BY cents DESC, ck) AS rn
+          FROM cr),
+    a AS (SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_customers,
+                 CAST(SUM(cents) AS BIGINT) AS total_cents,
+                 CAST(SUM(CASE WHEN rn <= 20 THEN cents ELSE 0 END)
+                      AS BIGINT) AS top20_cents
+          FROM r GROUP BY 1)
+    SELECT n.n_name AS nation, a.n_customers, a.total_cents,
+           a.top20_cents,
+           CAST(a.top20_cents AS DOUBLE) / CAST(a.total_cents AS DOUBLE)
+             AS top20_share
+    FROM a JOIN nation n ON n.n_nationkey = a.nk""",
+)
+def customer_concentration_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Revenue concentration per nation: the share held by each
+    nation's top-20 customers — the key-account-risk readout (a nation
+    where 20 accounts carry 60% of revenue fails differently from one
+    at 8%; the HHI workload gives the continuous index, this gives the
+    planning-friendly top-k cut).
+
+    Hash-exact: per-customer revenue in exact cents; the top-20 cut is
+    a row_number under the (cents desc, custkey) total order; ONE
+    share division of exact longs.
+
+    Scale: one (nation, customer) fact aggregation (the orders⋈customer
+    join shuffles on custkey); the ranking window is PARTITIONED by
+    nation (parallel, |customers-per-nation| frames); nation join
+    broadcast."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    cdim = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    cr = (
+        o.join(cdim, o.o_custkey == cdim.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.col("o_custkey").alias("ck"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("cents")
+        )
+    )
+    wr = Window.partitionBy("nk").orderBy(
+        F.col("cents").desc(), F.col("ck")
+    )
+    r = cr.select("nk", "cents", F.row_number().over(wr).alias("rn"))
+    a = r.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(F.when(F.col("rn") <= 20, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("top20_cents"),
+    )
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), F.col("n_name").alias("nation")
+    )
+    return a.join(F.broadcast(nat), "nk").select(
+        "nation", "n_customers", "total_cents", "top20_cents",
+        (
+            F.col("top20_cents").cast("double")
+            / F.col("total_cents").cast("double")
+        ).alias("top20_share"),
+    )
+
+
+# =========================================================================
 # Driver-facing registry order
 # =========================================================================
 #

@@ -159,6 +159,10 @@ R11_ADDITIONS_ORDERED = [
     "cohens_kappa_status_priority", "matthews_corrcoef_urgent_price",
     "wilson_ci_status_by_priority", "wilcoxon_signed_rank_yoy",
     "friedman_test_daily_type", "poisson_rate_ci_by_type",
+    # wave 2: financial / retail analytics
+    "daily_return_stats", "value_at_risk_daily",
+    "bollinger_band_breaks", "abc_xyz_matrix",
+    "customer_concentration_topk",
 ]
 R11_ADDITIONS = set(R11_ADDITIONS_ORDERED)
 

@@ -17858,6 +17858,304 @@ def customer_concentration_topk(
 
 
 # =========================================================================
+# Round-11 additions, wave 3: ETL / data-platform audits — referential
+# integrity, source fingerprinting, corrupt-JSONL quarantine,
+# out-of-order arrival (watermark sizing), l-diversity privacy audit.
+# =========================================================================
+
+
+@workload(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS check_name,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem->part',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'supplier->nation',
+           CAST((SELECT COUNT(*) FROM supplier) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM supplier s
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = s.s_nationkey))
+                AS BIGINT)""",
+)
+def referential_integrity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Foreign-key orphan audit across the star schema: for each
+    fact→dimension edge, total rows and rows whose key has no parent —
+    the silent-join-loss detector (an inner join downstream of a
+    broken FK doesn't error, it just drops revenue; this audit makes
+    the loss a number BEFORE the join does it silently). Clean
+    testdata reports zeros — the zeros are the assertion.
+
+    Hash-exact: four exact count pairs.
+
+    Scale: per edge, ONE left join on the projected key pair with a
+    null-parent count folded into the same aggregation — the dimension
+    side is key-projected (never wide rows); small dims broadcast, the
+    orders probe shuffles key-only frames."""
+    def check(name, fact, fkey, dim, dkey):
+        d = dim.select(F.col(dkey).alias("_dk")).distinct()
+        j = fact.select(F.col(fkey).alias("_fk")).join(
+            d, F.col("_fk") == F.col("_dk"), "left"
+        )
+        return j.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("_dk").isNull().cast("long"))
+            .cast("long")
+            .alias("n_orphans"),
+        )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        check("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(check("orders->customer", o, "o_custkey", c, "c_custkey"))
+        .unionByName(check("lineitem->part", li, "l_partkey", p, "p_partkey"))
+        .unionByName(
+            check("supplier->nation", s, "s_nationkey", n, "n_nationkey")
+        )
+    )
+
+
+@workload(
+    "source_fingerprint_audit",
+    oracle="""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+           MIN(md5(text)) AS min_md5, MAX(md5(text)) AS max_md5,
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes
+    FROM documents GROUP BY 1""",
+)
+def source_fingerprint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source content fingerprint: doc count, distinct-text count,
+    the min/max MD5 of the texts, and total byte volume — the
+    cheap-to-recompute audit signature for feed reconciliation (two
+    deliveries of "the same" source that agree on counts but disagree
+    on the md5 envelope differ in CONTENT; the envelope catches it
+    without shipping the texts).
+
+    Hash-exact: MD5 hex strings are identical across engines
+    (lowercase hex of the same bytes); byte lengths via
+    octet_length/strlen (both UTF-8); counts exact.
+
+    Scale: one map-side-combinable aggregation — hashes computed
+    map-side, only (source, md5-extremes, counts) state shuffles; the
+    distinct-text count is the one expand (same class as
+    approx_count_distinct's exact side — swap to the HLL sketch when
+    the audit tolerates its bound)."""
+    return _docs(spark, sf_dir).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("text").cast("long").alias("n_distinct_texts"),
+        F.min(F.md5(F.col("text").cast("binary"))).alias("min_md5"),
+        F.max(F.md5(F.col("text").cast("binary"))).alias("max_md5"),
+        F.sum(F.octet_length("text").cast("long"))
+        .cast("long")
+        .alias("total_bytes"),
+    )
+
+
+@workload(
+    "scan_jsonl_corrupt_records",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
+           CAST(3 AS BIGINT) AS n_corrupt,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation""",
+)
+def scan_jsonl_corrupt_records(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """S-family (extended): malformed JSON-lines handling — the JSONL
+    sibling of scan_csv_malformed, exercising the JSON parser's
+    PERMISSIVE + columnNameOfCorruptRecord path (a DIFFERENT code path
+    from CSV: the corrupt column must be part of the declared schema
+    for JSON, and syntactically-broken lines land there whole). Good
+    rows parse; three broken lines quarantine; the key sum proves
+    corrupt rows contributed no values.
+
+    Session-unique write-once fixture (the scan_csv contract): the
+    nation table round-trips through JSONL plus three appended garbage
+    lines."""
+    import os as _os
+
+    def write_files(p: str) -> None:
+        rows = (
+            _t(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .collect()
+        )  # 25 dimension rows — fixture setup, not a data path
+        _os.makedirs(p, exist_ok=True)
+        with open(_os.path.join(p, "part-0.jsonl"), "w") as fh:
+            for r in rows:
+                fh.write(
+                    '{"n_nationkey": %d, "n_name": "%s", '
+                    '"n_regionkey": %d}\n'
+                    % (r.n_nationkey, r.n_name, r.n_regionkey)
+                )
+            fh.write("oops not json\n")
+            fh.write('{"n_nationkey": 1, \n')
+            fh.write("}{\n")
+
+    path = _scan_fixture(
+        spark, sf_dir, "scan_jsonl_corrupt_records", write_files
+    )
+    df = spark.read.options(
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_bad",
+    ).schema(
+        "n_nationkey int, n_name string, n_regionkey int, _bad string"
+    ).json(path)
+    return df.agg(
+        F.count(F.when(F.col("_bad").isNull(), F.lit(1))).alias("n_good"),
+        F.count(F.col("_bad")).alias("n_corrupt"),
+        F.sum(
+            F.when(F.col("_bad").isNull(), F.col("n_nationkey"))
+        ).alias("key_sum"),
+    )
+
+
+@workload(
+    "out_of_order_arrival_stats",
+    oracle="""
+    WITH w AS (
+        SELECT event_type, epoch_us(ts) AS tus,
+               MAX(epoch_us(ts)) OVER (PARTITION BY event_type
+                   ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS mx
+        FROM events),
+    l AS (SELECT event_type,
+                 CASE WHEN mx IS NOT NULL AND mx > tus
+                      THEN mx - tus ELSE 0 END AS late_us,
+                 CASE WHEN mx IS NOT NULL AND mx > tus
+                      THEN 1 ELSE 0 END AS is_late
+          FROM w)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(is_late) AS BIGINT) AS n_late,
+           CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+           CAST(SUM(CAST(late_us AS HUGEINT)) AS BIGINT) AS total_late_us
+    FROM l GROUP BY 1""",
+)
+def out_of_order_arrival_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Out-of-order arrival profile per event type, treating event_id
+    as ingestion order: how many events carry a timestamp EARLIER than
+    something already ingested, and by how much — exactly the
+    distribution that sizes a Structured Streaming WATERMARK (the
+    max-lateness column IS the no-data-loss watermark bound; the
+    total/count give the mean disorder the state store pays for).
+
+    Hash-exact: lateness is exact integer microseconds against the
+    strictly-earlier running max (rows ... AND 1 PRECEDING — an
+    event is never late against itself); counts and sums exact.
+
+    Scale: ONE type-keyed window shuffle (the sessionizer family's
+    key), then a |types|-row rollup; lateness sums fit int64 to ~10³
+    years of span × 10⁶ late events per type (documented)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+        F.col("event_id"),
+    )
+    x = ev.select(
+        "event_type", "tus", F.max("tus").over(w).alias("mx")
+    )
+    late = F.when(
+        F.col("mx").isNotNull() & (F.col("mx") > F.col("tus")),
+        F.col("mx") - F.col("tus"),
+    ).otherwise(F.lit(0).cast("long"))
+    is_late = F.when(
+        F.col("mx").isNotNull() & (F.col("mx") > F.col("tus")), 1
+    ).otherwise(0)
+    return x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(is_late).cast("long").alias("n_late"),
+        F.max(late).cast("long").alias("max_late_us"),
+        F.sum(late).cast("long").alias("total_late_us"),
+    )
+
+
+@workload(
+    "l_diversity_audit",
+    oracle="""
+    WITH g AS (
+        SELECT c_nationkey,
+               CAST(FLOOR(c_acctbal/1000.0) AS BIGINT) AS bal_band,
+               CAST(COUNT(*) AS BIGINT) AS n_cust,
+               CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l
+        FROM customer GROUP BY 1, 2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(l) AS BIGINT) AS min_l,
+           CAST(MAX(l) AS BIGINT) AS max_l,
+           CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_groups_below_l3,
+           CAST(SUM(CASE WHEN l < 3 THEN n_cust ELSE 0 END) AS BIGINT)
+             AS n_customers_below_l3
+    FROM g""",
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over the (nation, balance-band) quasi-
+    identifier: k-anonymity (the shipped k_anonymity_audit) only says
+    each group is big; if every member SHARES the sensitive value the
+    group still leaks it. l = distinct sensitive values (market
+    segment) per QI group; groups below l=3 are the homogeneity-attack
+    surface, reported with their customer exposure.
+
+    Hash-exact: the band floor runs the same IEEE divide-and-floor on
+    both engines; everything else is exact counts.
+
+    Scale: one QI-keyed aggregation (the distinct-sensitive count is
+    per-group constant state — ≤|segments| = 5), one 1-row rollup."""
+    g = _t(spark, sf_dir, "customer").groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("bal_band"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.countDistinct("c_mktsegment").cast("long").alias("l"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("l").cast("long").alias("min_l"),
+        F.max("l").cast("long").alias("max_l"),
+        F.sum((F.col("l") < 3).cast("long")).cast("long").alias(
+            "n_groups_below_l3"
+        ),
+        F.sum(F.when(F.col("l") < 3, F.col("n_cust")).otherwise(0))
+        .cast("long")
+        .alias("n_customers_below_l3"),
+    )
+
+
+# =========================================================================
 # Driver-facing registry order
 # =========================================================================
 #

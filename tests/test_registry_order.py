@@ -163,6 +163,10 @@ R11_ADDITIONS_ORDERED = [
     "daily_return_stats", "value_at_risk_daily",
     "bollinger_band_breaks", "abc_xyz_matrix",
     "customer_concentration_topk",
+    # wave 3: ETL / data-platform audits
+    "referential_integrity_audit", "source_fingerprint_audit",
+    "scan_jsonl_corrupt_records", "out_of_order_arrival_stats",
+    "l_diversity_audit",
 ]
 R11_ADDITIONS = set(R11_ADDITIONS_ORDERED)
 

@@ -18156,6 +18156,200 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round-11 additions, wave 4: LLM-corpus / embedding analytics —
+# token-budget decile curve, inter-label centroid separation.
+# =========================================================================
+
+
+@workload(
+    "token_budget_decile_curve",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               round(least(len({text_ops.sql_tokens("text")}) / 100.0,
+                           1.0), 6) AS score,
+               CAST(len({text_ops.sql_tokens("text")}) AS BIGINT)
+                 AS n_tokens
+        FROM documents),
+    d AS (SELECT n_tokens,
+                 ntile(10) OVER (ORDER BY score DESC, doc_id) AS decile
+          FROM s),
+    g AS (SELECT CAST(decile AS INTEGER) AS decile,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS decile_tokens
+          FROM d GROUP BY 1),
+    t AS (SELECT CAST(SUM(decile_tokens) AS BIGINT) AS tot FROM g)
+    SELECT decile, n_docs, decile_tokens,
+           CAST(SUM(decile_tokens) OVER (ORDER BY decile) AS BIGINT)
+             AS cum_tokens,
+           CAST(CAST(SUM(decile_tokens) OVER (ORDER BY decile) AS BIGINT)
+                AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_token_share
+    FROM g CROSS JOIN t""",
+)
+def token_budget_decile_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The token-budget planning curve: docs ranked by quality score
+    into deciles, with per-decile and cumulative token mass — answers
+    "how many tokens do the best 20% of documents buy?" BEFORE
+    committing to a budget (select_token_budget executes one point on
+    this curve; this emits the whole curve in one pass).
+
+    Hash-exact: the score is the select_token_budget scoring chain
+    (round(least(len/100,1),6) — parity proven there); the decile cut
+    is distributed_ntile under the (score desc, doc_id) total order
+    (bucket-identical to the builtin by construction); token sums and
+    the cumulative are exact longs; ONE share division.
+
+    Scale: tokenization map-side; the decile cut rides
+    windows.distributed_ntile (range exchange + broadcast offsets,
+    never a single-partition ntile of |docs|); the cumulative window
+    runs over the 10-row rollup."""
+    from pyspark.sql import Window
+
+    from metadata_driven_etl_spark.operators.windows import (
+        distributed_ntile,
+    )
+
+    s = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(
+            F.least(
+                F.size(text_ops.tokens("text")) / F.lit(100.0), F.lit(1.0)
+            ),
+            6,
+        ).alias("score"),
+        F.size(text_ops.tokens("text")).cast("long").alias("n_tokens"),
+    )
+    d = distributed_ntile(
+        s, 10, [F.col("score").desc(), F.col("doc_id").asc()], "decile"
+    )
+    g = d.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("decile_tokens"),
+    )
+    t = g.agg(F.sum("decile_tokens").cast("long").alias("tot"))
+    cum = (
+        F.sum("decile_tokens")
+        .over(
+            Window.orderBy("decile").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .cast("long")
+    )
+    return (
+        g.select("decile", "n_docs", "decile_tokens", cum.alias("cum_tokens"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "decile", "n_docs", "decile_tokens", "cum_tokens",
+            (
+                F.col("cum_tokens").cast("double")
+                / F.col("tot").cast("double")
+            ).alias("cum_token_share"),
+        )
+    )
+
+
+_CM_SCALE = 1 << 20  # centroid quantization: float32 is exact at 2^-20
+
+
+@workload(
+    "embedding_interlabel_centroid_dist",
+    oracle=f"""
+    WITH q AS (
+        SELECT label, unnest(embedding) AS v,
+               unnest(generate_series(1, len(embedding))) AS dim
+        FROM embeddings),
+    s AS (SELECT label, dim,
+                 SUM(CAST(FLOOR(CAST(v AS DOUBLE)*{_CM_SCALE}+0.5)
+                          AS HUGEINT)) AS sv
+          FROM q GROUP BY 1, 2),
+    n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS nv
+          FROM embeddings GROUP BY 1),
+    p AS (SELECT a.label AS label_a, b.label AS label_b,
+                 na.nv AS n_a, nb.nv AS n_b,
+                 SUM((a.sv*nb.nv - b.sv*na.nv)
+                     * (a.sv*nb.nv - b.sv*na.nv)) AS ssq
+          FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+          JOIN n na ON na.label = a.label
+          JOIN n nb ON nb.label = b.label
+          GROUP BY 1, 2, 3, 4)
+    SELECT label_a, label_b, n_a, n_b,
+           sqrt(CAST(CAST(ssq AS VARCHAR) AS DOUBLE))
+             / CAST(n_a*n_b AS DOUBLE) / {_CM_SCALE}.0 AS centroid_dist
+    FROM p""",
+)
+def embedding_interlabel_centroid_dist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise Euclidean distance between per-label embedding
+    centroids — the class-separability map (labels whose centroids
+    nearly coincide are the confusion risk; the intra-label similarity
+    histogram gives cohesion, this gives separation — together they
+    are the Fisher-style ratio).
+
+    Hash-exact: mean floats are order-sensitive, so values quantize to
+    integers at 2⁻²⁰ (exact for float32 in [-1,1] range — the kmeans
+    quantization discipline) and the mean DIFFERENCE cross-multiplies:
+    Σ_d (s_a·n_b − s_b·n_a)² stays exact decimal/HUGEINT (< 10³⁸ to
+    ~10⁷ vectors/label at 64 dims, documented), then ONE √ and two
+    exact divisions recover the distance in original units.
+
+    Scale: a 64× map-side posexplode into the |labels × dims| frame
+    (tiny); the pair join is |labels|²·dims — label cardinality is
+    bounded (a 10⁶-label regime belongs to ANN, not a dense pair
+    matrix)."""
+    d38 = "decimal(38,0)"
+    e = _emb(spark, sf_dir)
+    q = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("v").cast("double") * _CM_SCALE + 0.5)
+        .cast("long")
+        .alias("qv"),
+    )
+    s = q.groupBy("label", "dim").agg(
+        F.sum(F.col("qv").cast(d38)).cast(d38).alias("sv")
+    )
+    n = e.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    a = s.select(
+        F.col("label").alias("label_a"), "dim", F.col("sv").alias("sa")
+    )
+    b = s.select(
+        F.col("label").alias("label_b"),
+        F.col("dim").alias("dim_b"),
+        F.col("sv").alias("sb"),
+    )
+    na = n.select(F.col("label").alias("label_a"), F.col("nv").alias("n_a"))
+    nb = n.select(F.col("label").alias("label_b"), F.col("nv").alias("n_b"))
+    diff = (
+        F.col("sa") * F.col("n_b") - F.col("sb") * F.col("n_a")
+    ).cast(d38)
+    p = (
+        a.join(
+            b,
+            (F.col("dim") == F.col("dim_b"))
+            & (F.col("label_a") < F.col("label_b")),
+        )
+        .join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .groupBy("label_a", "label_b", "n_a", "n_b")
+        .agg(F.sum((diff * diff).cast(d38)).cast(d38).alias("ssq"))
+    )
+    return p.select(
+        "label_a", "label_b", "n_a", "n_b",
+        (
+            F.sqrt(F.col("ssq").cast("double"))
+            / (F.col("n_a") * F.col("n_b")).cast("double")
+            / F.lit(float(_CM_SCALE))
+        ).alias("centroid_dist"),
+    )
+
+
+# =========================================================================
 # Driver-facing registry order
 # =========================================================================
 #

@@ -167,6 +167,8 @@ R11_ADDITIONS_ORDERED = [
     "referential_integrity_audit", "source_fingerprint_audit",
     "scan_jsonl_corrupt_records", "out_of_order_arrival_stats",
     "l_diversity_audit",
+    # wave 4: LLM-corpus / embedding analytics
+    "token_budget_decile_curve", "embedding_interlabel_centroid_dist",
 ]
 R11_ADDITIONS = set(R11_ADDITIONS_ORDERED)
 

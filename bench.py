@@ -431,6 +431,33 @@ HEADLINE = [
     "resample_linear_interp_daily",
     "trimmed_mean_price_by_flag",
     "silence_record_alerts",
+    # round-10 waves 6-7 (registered after the r10 bench freeze; the
+    # scan_* fixture workloads stay excluded by convention)
+    "funnel_window_sensitivity",
+    "dedup_threshold_curve",
+    "rand_index_kmeans_labels",
+    "precision_recall_at_threshold",
+    "roc_auc_urgent_price",
+    # round 11: agreement/interval/paired statistics, financial/retail
+    # analytics, ETL audits, LLM-corpus curves (scan_jsonl fixture
+    # workload excluded by the same convention)
+    "cohens_kappa_status_priority",
+    "matthews_corrcoef_urgent_price",
+    "wilson_ci_status_by_priority",
+    "wilcoxon_signed_rank_yoy",
+    "friedman_test_daily_type",
+    "poisson_rate_ci_by_type",
+    "daily_return_stats",
+    "value_at_risk_daily",
+    "bollinger_band_breaks",
+    "abc_xyz_matrix",
+    "customer_concentration_topk",
+    "referential_integrity_audit",
+    "source_fingerprint_audit",
+    "out_of_order_arrival_stats",
+    "l_diversity_audit",
+    "token_budget_decile_curve",
+    "embedding_interlabel_centroid_dist",
 ]
 
 

@@ -640,3 +640,94 @@ def gap_record_stateful(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+LATENESS_OUTPUT_SCHEMA = (
+    "event_type string, n_events long, n_late long, "
+    "max_late_us long, total_late_us long"
+)
+LATENESS_STATE_SCHEMA = (
+    "max_us long, n long, n_late long, max_late long, total_late long"
+)
+
+
+def lateness_monitor_stateful(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Streaming out-of-order-arrival monitor per event type — the
+    stateful twin of the batch ``out_of_order_arrival_stats`` workload:
+    each arriving event is compared against the maximum EVENT TIME seen
+    so far for its type; an earlier timestamp is a late arrival and its
+    lateness (µs) accumulates into exact-bigint counters. Emits one
+    cumulative snapshot row per key per micro-batch; the latest row IS
+    the live watermark-sizing readout (max_late_us is the smallest
+    no-data-loss watermark).
+
+    Ordering contract — deliberately DIFFERENT from the CUSUM/z-score/
+    drawdown/gap twins: those repair disorder (pending buffer + event-
+    time watermark, folding in (ts, id) order) because their statistic
+    is defined over event time. Here the disorder IS the statistic, so
+    rows fold in ARRIVAL order (micro-batch order, ``order_col``-sorted
+    within each batch — the per-batch ingestion tiebreak). Replaying a
+    stream in ingestion order reproduces the batch workload's event_id
+    fold bit-for-bit (tests/test_streaming.py); no pending buffer, no
+    timeout — state per key is five longs, strictly bounded.
+
+    Scale: one hash shuffle on the type key; per-key state O(1); the
+    emitted stream is |keys| rows per micro-batch."""
+    pre = events.select(
+        F.col(type_col).alias("event_type"),
+        F.col(ts_col).alias("ts"),
+        F.col(order_col).alias("event_id"),
+    )
+
+    def track(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            max_us, n, n_late, max_late, total_late = (
+                int(x) for x in state.get
+            )
+        else:
+            max_us, n, n_late, max_late, total_late = -1, 0, 0, 0, 0
+
+        rows = []
+        for pdf in pdfs:
+            ts_raw = pdf["ts"].astype("int64")
+            unit_div = 1000 if pdf["ts"].dtype.str.endswith("[ns]") else 1
+            rows.extend(
+                (int(eid), int(t) // unit_div)
+                for eid, t in zip(pdf["event_id"].tolist(), ts_raw.tolist())
+            )
+        rows.sort()  # per-batch ingestion tiebreak: event_id order
+        for _eid, t_us in rows:
+            n += 1
+            if max_us >= 0 and max_us > t_us:
+                late = max_us - t_us
+                n_late += 1
+                total_late += late
+                if late > max_late:
+                    max_late = late
+            if t_us > max_us:
+                max_us = t_us
+        state.update((max_us, n, n_late, max_late, total_late))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_events": [n],
+                "n_late": [n_late],
+                "max_late_us": [max_late],
+                "total_late_us": [total_late],
+            }
+        )
+
+    return pre.groupBy("event_type").applyInPandasWithState(
+        track,
+        LATENESS_OUTPUT_SCHEMA,
+        LATENESS_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

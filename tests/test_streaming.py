@@ -1198,3 +1198,157 @@ def test_stateful_gap_record_matches_batch(spark, sf_dir, tmp_path_factory):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stateful_lateness_monitor_matches_batch(
+    spark, sf_dir, tmp_path_factory
+):
+    """applyInPandasWithState lateness monitor == the batch
+    out_of_order_arrival_stats workload, bit-for-bit, when the stream
+    is replayed in ingestion (event_id) order — three event_id-range
+    micro-batches, each sorted by event_id. Unlike the event-time-
+    ordered twins there is no pending buffer to flush: the final
+    cumulative snapshot per key IS the answer."""
+    from metadata_driven_etl_spark import workloads
+    from metadata_driven_etl_spark.streaming.stateful import (
+        lateness_monitor_stateful,
+    )
+
+    path = str(tmp_path_factory.mktemp("events_lateness"))
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = events.agg(F.min("event_id"), F.max("event_id")).first()
+    b1 = lo + (hi - lo) // 3
+    b2 = lo + 2 * (hi - lo) // 3
+    slices = [
+        events.filter(F.col("event_id") <= b1),
+        events.filter((F.col("event_id") > b1) & (F.col("event_id") <= b2)),
+        events.filter(F.col("event_id") > b2),
+    ]
+    import time as _time
+
+    for i, part_df in enumerate(slices):
+        part_df.coalesce(1).sortWithinPartitions("event_id").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/slice={i}")
+        _time.sleep(1.1)  # file mtime order drives trigger order
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
+    q = (
+        lateness_monitor_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("t_lateness_monitor")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.table("t_lateness_monitor").collect()
+    assert rows, "no snapshots emitted"
+    got = {}
+    for r in rows:  # latest cumulative snapshot per key
+        cur = got.get(r.event_type)
+        if cur is None or r.n_events > cur[0]:
+            got[r.event_type] = (
+                r.n_events, r.n_late, r.max_late_us, r.total_late_us
+            )
+
+    batch = workloads.QUERIES["out_of_order_arrival_stats"](spark, sf_dir)
+    want = {
+        r.event_type: (
+            r.n_events, r.n_late, r.max_late_us, r.total_late_us
+        )
+        for r in batch.collect()
+    }
+    # the testdata's ts is monotone in event_id, so the natural-order
+    # replay proves the NO-FALSE-POSITIVE side (all-zero lateness,
+    # matching the workload exactly)
+    assert got == want and sum(v[1] for v in want.values()) == 0
+
+
+def test_stateful_lateness_monitor_detects_disorder(
+    spark, sf_dir, tmp_path_factory
+):
+    """Same twin under a DISORDERED arrival permutation (event_id XOR 1
+    swaps adjacent pairs, so with monotone ts every odd-first pair makes
+    its even partner late): the streaming fold must equal the batch
+    formula computed over the same permuted ingestion order, and the
+    lateness counters must actually bite."""
+    import time as _time
+
+    from pyspark.sql import Window
+
+    from metadata_driven_etl_spark.streaming.stateful import (
+        lateness_monitor_stateful,
+    )
+
+    path = str(tmp_path_factory.mktemp("events_lateness_perm"))
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "event_id", F.col("event_id").bitwiseXOR(F.lit(1))
+    )
+    lo, hi = events.agg(F.min("event_id"), F.max("event_id")).first()
+    b1 = lo + (hi - lo) // 2
+    slices = [
+        events.filter(F.col("event_id") <= b1),
+        events.filter(F.col("event_id") > b1),
+    ]
+    for i, part_df in enumerate(slices):
+        part_df.coalesce(1).sortWithinPartitions("event_id").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/slice={i}")
+        _time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
+    q = (
+        lateness_monitor_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("t_lateness_perm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {}
+    for r in spark.table("t_lateness_perm").collect():
+        cur = got.get(r.event_type)
+        if cur is None or r.n_events > cur[0]:
+            got[r.event_type] = (
+                r.n_events, r.n_late, r.max_late_us, r.total_late_us
+            )
+
+    # batch formula over the same permuted ingestion order
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    x = events.select(
+        "event_type",
+        F.unix_micros("ts").alias("tus"),
+        "event_id",
+    ).select("event_type", "tus", F.max("tus").over(w).alias("mx"))
+    late = F.when(
+        F.col("mx").isNotNull() & (F.col("mx") > F.col("tus")),
+        F.col("mx") - F.col("tus"),
+    ).otherwise(F.lit(0).cast("long"))
+    is_late = F.when(
+        F.col("mx").isNotNull() & (F.col("mx") > F.col("tus")), 1
+    ).otherwise(0)
+    want = {
+        r.event_type: (r.n, r.nl, r.ml, r.tl)
+        for r in x.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(is_late).cast("long").alias("nl"),
+            F.max(late).cast("long").alias("ml"),
+            F.sum(late).cast("long").alias("tl"),
+        ).collect()
+    }
+    assert got == want
+    assert sum(v[1] for v in want.values()) > 0, "permutation must bite"

@@ -448,7 +448,7 @@ VALID_EVENT_ANALYSES = {
     "funnel_rates", "stickiness", "new_vs_returning",
     "abandonment", "entry_exit",
     "hourly_load", "dwell_time", "concurrent_peaks",
-    "growth_accounting",
+    "growth_accounting", "arrival_disorder",
 }
 VALID_FUNNEL_MODES = {"per_step", "from_first"}
 VALID_ATTRIBUTION_MODELS = {"last_touch", "time_decay"}

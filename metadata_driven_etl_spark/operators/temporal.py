@@ -1153,6 +1153,54 @@ def hourly_load_profile(
     )
 
 
+def out_of_order_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Out-of-order arrival profile per event type, treating
+    ``order_col`` as ingestion order: events whose timestamp precedes
+    the strictly-earlier running ingestion maximum are late, and their
+    lateness distribution is exactly what sizes a Structured Streaming
+    watermark (max_late_us is the smallest no-data-loss bound).
+    Declarable as gold ``analysis: arrival_disorder``; the
+    ``out_of_order_arrival_stats`` workload is this operator on the
+    events table, and ``streaming.stateful.lateness_monitor_stateful``
+    is its bit-identical streaming twin (arrival-order fold).
+
+    Lateness is exact integer microseconds against the running max
+    over ``ROWS ... AND 1 PRECEDING`` (an event is never late against
+    itself).
+
+    Scale: ONE type-keyed window shuffle, then a |types|-row rollup.
+    Emits ``(type_col, n_events long, n_late long, max_late_us long,
+    total_late_us long)``."""
+    w = (
+        Window.partitionBy(type_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    x = events.select(
+        type_col,
+        F.unix_micros(F.col(ts_col)).alias("_tus"),
+        F.col(order_col),
+    ).select(type_col, "_tus", F.max("_tus").over(w).alias("_mx"))
+    late = F.when(
+        F.col("_mx").isNotNull() & (F.col("_mx") > F.col("_tus")),
+        F.col("_mx") - F.col("_tus"),
+    ).otherwise(F.lit(0).cast("long"))
+    is_late = F.when(
+        F.col("_mx").isNotNull() & (F.col("_mx") > F.col("_tus")), 1
+    ).otherwise(0)
+    return x.groupBy(type_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(is_late).cast("long").alias("n_late"),
+        F.max(late).cast("long").alias("max_late_us"),
+        F.sum(late).cast("long").alias("total_late_us"),
+    )
+
+
 def dwell_time_by_type(
     events: DataFrame,
     user_col: str = "user_id",

@@ -448,6 +448,13 @@ class GoldLayer(_LayerBase):
                 ts_col=e.ts_col,
                 epoch_year=e.epoch_year,
             )
+        if e.analysis == "arrival_disorder":
+            return temporal_ops.out_of_order_stats(
+                events,
+                ts_col=e.ts_col,
+                type_col=e.type_col,
+                order_col=e.order_col,
+            )
         if e.analysis == "attribution":
             if e.attribution_model == "last_touch":
                 return temporal_ops.attribute_last_touch(

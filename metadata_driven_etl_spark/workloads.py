@@ -18075,33 +18075,15 @@ def out_of_order_arrival_stats(
 
     Scale: ONE type-keyed window shuffle (the sessionizer family's
     key), then a |types|-row rollup; lateness sums fit int64 to ~10³
-    years of span × 10⁶ late events per type (documented)."""
-    from pyspark.sql import Window
+    years of span × 10⁶ late events per type (documented).
 
-    w = Window.partitionBy("event_type").orderBy("event_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    ev = _t(spark, sf_dir, "events").select(
-        "event_type",
-        F.unix_micros("ts").alias("tus"),
-        F.col("event_id"),
-    )
-    x = ev.select(
-        "event_type", "tus", F.max("tus").over(w).alias("mx")
-    )
-    late = F.when(
-        F.col("mx").isNotNull() & (F.col("mx") > F.col("tus")),
-        F.col("mx") - F.col("tus"),
-    ).otherwise(F.lit(0).cast("long"))
-    is_late = F.when(
-        F.col("mx").isNotNull() & (F.col("mx") > F.col("tus")), 1
-    ).otherwise(0)
-    return x.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.sum(is_late).cast("long").alias("n_late"),
-        F.max(late).cast("long").alias("max_late_us"),
-        F.sum(late).cast("long").alias("total_late_us"),
-    )
+    Routed through operators.temporal.out_of_order_stats — the same
+    operator a YAML gold ``analysis: arrival_disorder`` model
+    dispatches to, and the batch form of the
+    lateness_monitor_stateful streaming twin."""
+    from metadata_driven_etl_spark.operators import temporal as temporal_ops
+
+    return temporal_ops.out_of_order_stats(_t(spark, sf_dir, "events"))
 
 
 @workload(

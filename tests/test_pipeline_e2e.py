@@ -1114,6 +1114,13 @@ def _event_gold_cfg(tmp_path):
                   analysis: "growth_accounting"
                   source_table: "silver.web_events"
                   epoch_year: 2024
+              - model_id: "watermark_sizing"
+                target_table: "gold.ev_arrival_disorder"
+                model_type: "event"
+                refresh_type: "full"
+                event:
+                  analysis: "arrival_disorder"
+                  source_table: "silver.web_events"
             """
         )
     )
@@ -1190,7 +1197,7 @@ def test_gold_event_models_e2e(spark, tmp_path):
     res = run_pipeline(
         spark, cfg_dir, "2024-01-15", ["gold"], table_format=ParquetFormat()
     )
-    assert [r.status for r in res["gold"]] == ["success"] * 14, [
+    assert [r.status for r in res["gold"]] == ["success"] * 15, [
         (r.unit_id, r.error) for r in res["gold"]
     ]
 
@@ -1414,13 +1421,33 @@ def test_gold_event_models_e2e(spark, tmp_path):
     assert first.n_new == 5
     assert first.n_resurrected == 0 and first.n_churned == 0
 
+    # arrival_disorder ≡ direct composition (r11): user 3's stale 'ads'
+    # touch has a HIGHER event_id than user 2's on-time one but an
+    # 8-days-earlier timestamp, so the disorder counters must bite
+    got, cols = _rows_of(spark, "gold.ev_arrival_disorder")
+    want = sorted(
+        tuple(r)
+        for r in temporal_ops.out_of_order_stats(events).collect()
+    )
+    assert cols == sorted(
+        ["event_type", "n_events", "n_late", "max_late_us",
+         "total_late_us"]
+    )
+    assert got == want
+    disorder = {
+        r.event_type: r
+        for r in spark.table("gold.ev_arrival_disorder").collect()
+    }
+    assert disorder["ads"].n_late >= 1
+    assert disorder["ads"].max_late_us >= 8 * 86400 * 1_000_000
+
     # incremental event model: second run MERGEs on channel and stays
     # identical (same source -> same aggregate, idempotent upsert)
     before, _ = _rows_of(spark, "gold.ev_last_touch")
     res2 = run_pipeline(
         spark, cfg_dir, "2024-01-16", ["gold"], table_format=ParquetFormat()
     )
-    assert [r.status for r in res2["gold"]] == ["success"] * 14
+    assert [r.status for r in res2["gold"]] == ["success"] * 15
     after, _ = _rows_of(spark, "gold.ev_last_touch")
     assert after == before
 

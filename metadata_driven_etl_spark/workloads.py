@@ -18332,6 +18332,314 @@ def embedding_interlabel_centroid_dist(
 
 
 # =========================================================================
+# Round-11 additions, wave 5: operations / forecasting / distribution —
+# error retry bursts, Theil's U2 forecastability, exact per-group
+# quartiles, product adoption curve.
+# =========================================================================
+
+
+@workload(
+    "error_burst_stats",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts, event_id FROM events
+        WHERE event_type = 'error' AND user_id IS NOT NULL),
+    w AS (SELECT user_id, ts, event_id,
+            CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id))
+                     > 60000000
+                 THEN 1 ELSE 0 END AS new_burst
+          FROM e),
+    b AS (SELECT user_id,
+            CAST(SUM(new_burst) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS burst_id
+          FROM w),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS blen
+          FROM b GROUP BY user_id, burst_id)
+    SELECT CAST(SUM(blen) AS BIGINT) AS n_errors,
+           CAST(COUNT(*) AS BIGINT) AS n_bursts,
+           CAST(MAX(blen) AS BIGINT) AS max_burst_len,
+           CAST(SUM(blen - 1) AS BIGINT) AS n_retries,
+           CAST(SUM(blen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS avg_burst_len
+    FROM s""",
+)
+def error_burst_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error retry-burst profile: consecutive error events by the same
+    user within 60s chain into bursts (gaps-and-islands over the error
+    stream); every error after the first in a burst is a RETRY — the
+    retry-storm readout that separates "many users each failed once"
+    (incident) from "few users hammering retries" (client bug /
+    thundering herd).
+
+    Hash-exact: burst boundaries are integer-microsecond gap
+    comparisons under the (ts, event_id) total order; burst lengths,
+    retry counts exact; ONE division for the mean.
+
+    Scale: both stacked windows share ONE user-keyed partitioning
+    (the gaps-islands discipline — lag and the running burst-id
+    cumsum reuse the same exchange); burst sizes are a (user,
+    burst)-keyed aggregation; the final rollup is 1 row."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "error") & F.col("user_id").isNotNull()
+    ).select("user_id", "ts", "event_id")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_burst = F.when(
+        F.lag("ts").over(wo).isNull()
+        | (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wo))
+            > 60000000
+        ),
+        1,
+    ).otherwise(0)
+    w = e.select("user_id", "ts", "event_id", new_burst.alias("nb"))
+    b = w.select(
+        "user_id",
+        F.sum("nb")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("burst_id"),
+    )
+    s = b.groupBy("user_id", "burst_id").agg(
+        F.count(F.lit(1)).cast("long").alias("blen")
+    )
+    return s.agg(
+        F.sum("blen").cast("long").alias("n_errors"),
+        F.count(F.lit(1)).cast("long").alias("n_bursts"),
+        F.max("blen").cast("long").alias("max_burst_len"),
+        F.sum(F.col("blen") - 1).cast("long").alias("n_retries"),
+        (
+            F.sum("blen").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_burst_len"),
+    )
+
+
+@workload(
+    "theil_u2_forecast",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1),
+    l AS (SELECT cents,
+                 lag(cents, 1) OVER (ORDER BY day) AS p1,
+                 lag(cents, 7) OVER (ORDER BY day) AS p7
+          FROM d),
+    v AS (SELECT CAST(cents - p7 AS HUGEINT)*(cents - p7) AS e7,
+                 CAST(cents - p1 AS HUGEINT)*(cents - p1) AS e1
+          FROM l WHERE p7 IS NOT NULL),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(e7) AS s7, SUM(e1) AS s1
+          FROM v)
+    SELECT n AS n_days,
+           sqrt(CAST(CAST(s7 AS VARCHAR) AS DOUBLE)
+                / CAST(n AS DOUBLE)) AS rmse_seasonal,
+           sqrt(CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+                / CAST(n AS DOUBLE)) AS rmse_naive,
+           sqrt(CAST(CAST(s7 AS VARCHAR) AS DOUBLE)
+                / CAST(CAST(s1 AS VARCHAR) AS DOUBLE)) AS u2
+    FROM m""",
+)
+def theil_u2_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U2 for the weekly-seasonal-naive forecast of daily
+    revenue against the plain naive (yesterday's value): U2 < 1 means
+    the day-of-week pattern genuinely predicts (the forecastability
+    gate to run BEFORE fitting anything fancier — MASE scores one
+    model, U2 compares two baselines head-to-head on the same days).
+
+    Hash-exact: both squared-error sums stay in exact decimal/HUGEINT
+    over integer cents differences; RMSEs and U2 are fixed √/division
+    chains over exactly-once-converted operands.
+
+    Scale: one fact aggregation to |days|; the two lags share ONE
+    calendar-bounded window (exemption class); the rollup is 1 row."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    d = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("cents")
+        )
+    )
+    wo = Window.orderBy("day")
+    x = d.select(
+        "cents",
+        F.lag("cents", 1).over(wo).alias("p1"),
+        F.lag("cents", 7).over(wo).alias("p7"),
+    ).filter(F.col("p7").isNotNull())
+    e7 = (F.col("cents") - F.col("p7")).cast(d38) * (
+        F.col("cents") - F.col("p7")
+    )
+    e1 = (F.col("cents") - F.col("p1")).cast(d38) * (
+        F.col("cents") - F.col("p1")
+    )
+    m = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(e7.cast(d38)).cast(d38).alias("s7"),
+        F.sum(e1.cast(d38)).cast(d38).alias("s1"),
+    )
+    nd = F.col("n").cast("double")
+    s7d = F.col("s7").cast("double")
+    s1d = F.col("s1").cast("double")
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.sqrt(s7d / nd).alias("rmse_seasonal"),
+        F.sqrt(s1d / nd).alias("rmse_naive"),
+        F.sqrt(s7d / s1d).alias("u2"),
+    )
+
+
+@workload(
+    "exact_quartiles_price_by_flag",
+    oracle="""
+    WITH f AS (
+        SELECT l_returnflag AS g,
+               CAST(FLOOR(l_extendedprice*100+0.5) AS BIGINT) AS cents
+        FROM lineitem),
+    dm AS (SELECT g, cents, CAST(COUNT(*) AS BIGINT) AS c
+           FROM f GROUP BY 1, 2),
+    w AS (SELECT g, cents,
+                 CAST(SUM(c) OVER (PARTITION BY g ORDER BY cents)
+                      AS BIGINT) AS cum
+          FROM dm),
+    nn AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM dm GROUP BY 1)
+    SELECT w.g AS returnflag, nn.n AS n_rows,
+           CAST(MIN(CASE WHEN cum >= (1*nn.n + 3)//4 THEN cents END)
+                AS BIGINT) AS q1_cents,
+           CAST(MIN(CASE WHEN cum >= (2*nn.n + 3)//4 THEN cents END)
+                AS BIGINT) AS q2_cents,
+           CAST(MIN(CASE WHEN cum >= (3*nn.n + 3)//4 THEN cents END)
+                AS BIGINT) AS q3_cents
+    FROM w JOIN nn ON nn.g = w.g
+    GROUP BY 1, 2""",
+)
+def exact_quartiles_price_by_flag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT per-group price quartiles (type-1/lower-value convention:
+    the value at rank ⌈kn/4⌉) — the deterministic sibling of the
+    t-digest approx_percentile pair: sketches carry an error bound,
+    this carries none, and at 100 TB it still never sorts data rows
+    (selection over the value DOMAIN, the weighted-median discipline
+    generalized to three ranks in one pass).
+
+    Hash-exact: ranks are exact integer ⌈kn/4⌉ = (kn+3) div 4 on both
+    engines; quartiles are exact integer cents — no interpolation.
+
+    Scale: one (group, cents) domain aggregation, a group-partitioned
+    cum-count window over the domain frame, a ≤|groups|-row rollup."""
+    from pyspark.sql import Window
+
+    f = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    dm = f.groupBy("g", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = dm.select(
+        "g", "cents",
+        F.sum("c")
+        .over(
+            Window.partitionBy("g").orderBy("cents").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .cast("long")
+        .alias("cum"),
+    )
+    nn = dm.groupBy("g").agg(F.sum("c").cast("long").alias("n"))
+    j = w.join(F.broadcast(nn), "g")
+
+    def qk(k: int):
+        rank = F.expr(f"CAST(({k}*n + 3) DIV 4 AS BIGINT)")
+        return (
+            F.min(F.when(F.col("cum") >= rank, F.col("cents")))
+            .cast("long")
+            .alias(f"q{k}_cents")
+        )
+
+    return j.groupBy(
+        F.col("g").alias("returnflag"), F.col("n").alias("n_rows")
+    ).agg(qk(1), qk(2), qk(3))
+
+
+@workload(
+    "part_adoption_monthly",
+    oracle="""
+    WITH fo AS (SELECT l_partkey,
+                       MIN(CAST(l_shipdate AS DATE)) AS first_ship
+                FROM lineitem GROUP BY 1),
+    m AS (SELECT date_trunc('month', first_ship) AS month,
+                 CAST(COUNT(*) AS BIGINT) AS n_new_parts
+          FROM fo GROUP BY 1),
+    t AS (SELECT CAST(SUM(n_new_parts) AS BIGINT) AS total FROM m)
+    SELECT month, n_new_parts,
+           CAST(SUM(n_new_parts) OVER (ORDER BY month) AS BIGINT)
+             AS cum_parts,
+           CAST(CAST(SUM(n_new_parts) OVER (ORDER BY month) AS BIGINT)
+                AS DOUBLE) / CAST(total AS DOUBLE) AS adoption_share
+    FROM m CROSS JOIN t""",
+)
+def part_adoption_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product adoption curve: parts by FIRST shipment month, with the
+    cumulative count and share — the assortment-rollout readout (a
+    catalog whose adoption curve flattened stopped introducing
+    products; the month a cohort of parts first moves is when its
+    carrying cost starts earning).
+
+    Hash-exact: first-ship dates are exact MIN over dates; counts and
+    the cumulative are exact; ONE share division.
+
+    Scale: one |parts|-keyed min aggregation (map-side combinable),
+    a ≤|months| rollup, and a cumulative window over that ≤84-row
+    frame (value-bounded by the calendar)."""
+    from pyspark.sql import Window
+
+    fo = _t(spark, sf_dir, "lineitem").groupBy("l_partkey").agg(
+        F.min(F.to_date("l_shipdate")).alias("first_ship")
+    )
+    m = fo.groupBy(
+        F.trunc("first_ship", "month").alias("month")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_new_parts"))
+    t = m.agg(F.sum("n_new_parts").cast("long").alias("total"))
+    cum = (
+        F.sum("n_new_parts")
+        .over(
+            Window.orderBy("month").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .cast("long")
+    )
+    return (
+        m.select("month", "n_new_parts", cum.alias("cum_parts"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "month", "n_new_parts", "cum_parts",
+            (
+                F.col("cum_parts").cast("double")
+                / F.col("total").cast("double")
+            ).alias("adoption_share"),
+        )
+    )
+
+
+# =========================================================================
 # Driver-facing registry order
 # =========================================================================
 #

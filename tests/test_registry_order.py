@@ -169,6 +169,9 @@ R11_ADDITIONS_ORDERED = [
     "l_diversity_audit",
     # wave 4: LLM-corpus / embedding analytics
     "token_budget_decile_curve", "embedding_interlabel_centroid_dist",
+    # wave 5: operations / forecasting / distribution
+    "error_burst_stats", "theil_u2_forecast",
+    "exact_quartiles_price_by_flag", "part_adoption_monthly",
 ]
 R11_ADDITIONS = set(R11_ADDITIONS_ORDERED)
 

@@ -18640,6 +18640,162 @@ def part_adoption_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round-11 additions, wave 6: shipping logistics — fulfillment latency
+# quartiles, late-delivery compliance trend.
+# =========================================================================
+
+
+@workload(
+    "ship_latency_quartiles_by_priority",
+    oracle="""
+    WITH f AS (
+        SELECT o.o_orderpriority AS priority,
+               datediff('day', CAST(o.o_orderdate AS DATE),
+                        CAST(l.l_shipdate AS DATE)) AS lat_days
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    dm AS (SELECT priority, lat_days, CAST(COUNT(*) AS BIGINT) AS c
+           FROM f GROUP BY 1, 2),
+    w AS (SELECT priority, lat_days,
+                 CAST(SUM(c) OVER (PARTITION BY priority
+                                   ORDER BY lat_days) AS BIGINT) AS cum
+          FROM dm),
+    nn AS (SELECT priority, CAST(SUM(c) AS BIGINT) AS n,
+                  SUM(CAST(lat_days AS HUGEINT)*c) AS s
+           FROM dm GROUP BY 1)
+    SELECT w.priority, nn.n AS n_lines,
+           CAST(MIN(CASE WHEN cum >= (1*nn.n + 3)//4 THEN lat_days END)
+                AS BIGINT) AS q1_days,
+           CAST(MIN(CASE WHEN cum >= (2*nn.n + 3)//4 THEN lat_days END)
+                AS BIGINT) AS q2_days,
+           CAST(MIN(CASE WHEN cum >= (3*nn.n + 3)//4 THEN lat_days END)
+                AS BIGINT) AS q3_days,
+           CAST(CAST(MAX(nn.s) AS VARCHAR) AS DOUBLE)
+             / CAST(nn.n AS DOUBLE) AS mean_days
+    FROM w JOIN nn ON nn.priority = w.priority
+    GROUP BY 1, 2""",
+)
+def ship_latency_quartiles_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-to-ship latency distribution per order priority: exact
+    type-1 quartiles plus the mean, in days — does URGENT actually
+    ship faster? fill_rate_sla_monthly answers "what share beat the
+    SLA threshold"; this emits the latency DISTRIBUTION the threshold
+    was cut from (means hide the P75 tail the priority promise is
+    really about).
+
+    Hash-exact: latencies are exact integer day differences; quartile
+    selection is the ⌈kn/4⌉ domain-frame discipline
+    (exact_quartiles_price_by_flag); the mean is ONE division of an
+    exact decimal sum.
+
+    Scale: the orders join shuffles on orderkey (J1 class); the
+    latency DOMAIN per priority is calendar-bounded, so the quartile
+    window is metadata-sized."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("sd")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.to_date("o_orderdate").alias("od"),
+    )
+    f = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff("sd", "od").cast("long").alias("lat_days"),
+    )
+    dm = f.groupBy("priority", "lat_days").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = dm.select(
+        "priority", "lat_days",
+        F.sum("c")
+        .over(
+            Window.partitionBy("priority").orderBy("lat_days").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .cast("long")
+        .alias("cum"),
+    )
+    nn = dm.groupBy("priority").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("lat_days").cast(d38) * F.col("c"))
+        .cast(d38)
+        .alias("s"),
+    )
+    j = w.join(F.broadcast(nn), "priority")
+
+    def qk(k: int):
+        rank = F.expr(f"CAST(({k}*n + 3) DIV 4 AS BIGINT)")
+        return (
+            F.min(F.when(F.col("cum") >= rank, F.col("lat_days")))
+            .cast("long")
+            .alias(f"q{k}_days")
+        )
+
+    return j.groupBy(
+        F.col("priority"), F.col("n").alias("n_lines")
+    ).agg(
+        qk(1), qk(2), qk(3),
+        (
+            F.max(F.col("s")).cast("double")
+            / F.col("n").cast("double")
+        ).alias("mean_days"),
+    )
+
+
+@workload(
+    "discount_band_volume",
+    oracle="""
+    SELECT CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT) AS discount_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+           CAST(SUM(CAST(FLOOR(l_extendedprice*(1 - l_discount)*100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS net_revenue_cents
+    FROM lineitem GROUP BY 1""",
+)
+def discount_band_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume response by discount band: per integer discount percent,
+    line counts, quantity, average quantity, and net revenue — the
+    "does discounting actually move units" readout (TPC-H Q6 prices a
+    single hypothetical band; promotions teams need the whole response
+    curve, and a flat avg_qty across bands means the discounts bought
+    nothing).
+
+    Hash-exact: the band is an integer percent floor (the same
+    floor+0.5 cents idiom); quantities exact; net revenue uses the
+    TPC-H price*(1−discount) product floor-quantized to cents
+    identically on both engines; ONE division for the mean.
+
+    Scale: one map-side-combinable ≤11-group aggregation — no join,
+    no window."""
+    li = _t(spark, sf_dir, "lineitem")
+    net = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    return li.groupBy(
+        F.floor(F.col("l_discount") * 100 + 0.5)
+        .cast("long")
+        .alias("discount_pct")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias(
+            "total_qty"
+        ),
+        (
+            F.sum(F.col("l_quantity").cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_qty"),
+        F.sum(net).cast("long").alias("net_revenue_cents"),
+    )
+
+
+# =========================================================================
 # Driver-facing registry order
 # =========================================================================
 #

@@ -172,6 +172,8 @@ R11_ADDITIONS_ORDERED = [
     # wave 5: operations / forecasting / distribution
     "error_burst_stats", "theil_u2_forecast",
     "exact_quartiles_price_by_flag", "part_adoption_monthly",
+    # wave 6: shipping logistics / promotion response
+    "ship_latency_quartiles_by_priority", "discount_band_volume",
 ]
 R11_ADDITIONS = set(R11_ADDITIONS_ORDERED)
 

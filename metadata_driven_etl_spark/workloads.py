@@ -18796,6 +18796,207 @@ def discount_band_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round-11 additions, wave 7: order / catalog profiling — order size
+# histogram, never-sold parts, unit-price dispersion, price endings.
+# =========================================================================
+
+
+@workload(
+    "order_size_histogram",
+    oracle="""
+    WITH s AS (SELECT l_orderkey,
+                      CAST(COUNT(*) AS BIGINT) AS n_lines,
+                      CAST(SUM(CAST(FLOOR(l_extendedprice*100+0.5)
+                                    AS BIGINT)) AS BIGINT) AS cents
+               FROM lineitem GROUP BY 1)
+    SELECT n_lines,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+           CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS avg_order_cents
+    FROM s GROUP BY 1""",
+)
+def order_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order size distribution: orders bucketed by line count, with
+    revenue per bucket — the order-shape profile behind picking-cost
+    models and batch-size tuning (an order stream dominated by
+    single-line orders prices fulfillment differently from one
+    dominated by 7-line baskets).
+
+    Hash-exact: line counts and cents sums exact; ONE mean division.
+
+    Scale: one orderkey-keyed aggregation (map-side combinable — the
+    natural lineitem clustering makes the shuffle nearly free), then a
+    ≤7-row rollup."""
+    s = _t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        ).cast("long").alias("cents"),
+    )
+    return s.groupBy("n_lines").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+        (
+            F.sum("cents").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avg_order_cents"),
+    )
+
+
+@workload(
+    "cold_start_parts",
+    oracle="""
+    WITH sold AS (SELECT DISTINCT l_partkey FROM lineitem)
+    SELECT p.p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CASE WHEN s.l_partkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_never_sold,
+           CAST(SUM(CASE WHEN s.l_partkey IS NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS never_sold_rate
+    FROM part p LEFT JOIN sold s ON s.l_partkey = p.p_partkey
+    GROUP BY 1""",
+)
+def cold_start_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-stock screen: per brand, catalog size and the parts that
+    have NEVER shipped — the assortment-rationalization counterpart of
+    part_adoption_monthly (that one times when parts start moving;
+    this finds the ones that never did, the carrying-cost leak).
+
+    Hash-exact: a null-parent count over the distinct-sold key set;
+    ONE rate division.
+
+    Scale: the sold side is a key-projected distinct (|sold parts|
+    keys, never wide rows); the left join shuffles on partkey; the
+    rollup is |brands|-row."""
+    sold = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("sk"))
+        .distinct()
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = p.join(sold, p.p_partkey == sold.sk, "left")
+    never = F.col("sk").isNull().cast("long")
+    return j.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(never).cast("long").alias("n_never_sold"),
+        (
+            F.sum(never).cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("never_sold_rate"),
+    )
+
+
+@workload(
+    "unit_price_dispersion_by_brand",
+    oracle="""
+    WITH u AS (
+        SELECT p.p_brand AS brand,
+               CAST(FLOOR(CAST(l.l_extendedprice*100 AS DOUBLE)
+                          / CAST(l.l_quantity AS DOUBLE) + 0.5)
+                    AS BIGINT) AS unit_cents
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    m AS (SELECT brand, CAST(COUNT(*) AS HUGEINT) AS n,
+                 SUM(CAST(unit_cents AS HUGEINT)) AS s,
+                 SUM(CAST(unit_cents AS HUGEINT)*unit_cents) AS qq
+          FROM u GROUP BY 1)
+    SELECT brand, CAST(n AS BIGINT) AS n_lines,
+           CAST(CAST(s AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(n AS VARCHAR) AS DOUBLE) / 100.0
+             AS mean_unit_price,
+           sqrt(CAST(CAST(n*qq - s*s AS VARCHAR) AS DOUBLE)
+                / CAST(CAST(n*(n-1) AS VARCHAR) AS DOUBLE))
+             / (CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                / CAST(CAST(n AS VARCHAR) AS DOUBLE)) AS unit_price_cv
+    FROM m""",
+)
+def unit_price_dispersion_by_brand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Realized unit-price dispersion per brand: the coefficient of
+    variation of per-line price-per-unit — the price-integrity screen
+    (a brand whose identical units transact at widely varying realized
+    prices leaks margin through inconsistent pricing; the XYZ CV
+    classifies demand, this classifies PRICE discipline).
+
+    Hash-exact: the unit price is ONE identical IEEE division
+    (extprice·100 exact / quantity) floored to integer cents on both
+    engines; moments ride exact decimal sums; CV is the Welch-identity
+    fixed chain.
+
+    Scale: one broadcast part join (dim side), one (brand)-keyed
+    moment aggregation — map-side combinable."""
+    d38 = "decimal(38,0)"
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(
+            (F.col("l_extendedprice") * 100).cast("double")
+            / F.col("l_quantity").cast("double")
+            + 0.5
+        ).cast("long").alias("unit_cents"),
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    u = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("p_brand").alias("brand"), "unit_cents"
+    )
+    m = u.groupBy("brand").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("unit_cents").cast(d38)).cast(d38).alias("s"),
+        F.sum(
+            (F.col("unit_cents").cast(d38) * F.col("unit_cents")).cast(d38)
+        ).cast(d38).alias("qq"),
+    )
+    n, s = F.col("n"), F.col("s")
+    mean = s.cast("double") / n.cast("double")
+    sd = F.sqrt(
+        (n * F.col("qq") - s * s).cast(d38).cast("double")
+        / (n * (n - 1)).cast(d38).cast("double")
+    )
+    return m.select(
+        "brand",
+        n.cast("long").alias("n_lines"),
+        (mean / F.lit(100.0)).alias("mean_unit_price"),
+        (sd / mean).alias("unit_price_cv"),
+    )
+
+
+@workload(
+    "price_ending_profile",
+    oracle="""
+    WITH e AS (SELECT CAST(FLOOR(p_retailprice*100+0.5) AS BIGINT) % 100
+                 AS cents_ending
+               FROM part),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM e)
+    SELECT cents_ending,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(COUNT(*) AS DOUBLE) / CAST(MAX(total) AS DOUBLE) AS share
+    FROM e CROSS JOIN t GROUP BY 1""",
+)
+def price_ending_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog price-ending distribution: retail prices bucketed by
+    their cents ending (0-99) — the pricing-convention audit (human-
+    set catalogs cluster on .99/.95/.00; a uniform ending profile is
+    the signature of generated or converted prices — the trailing-
+    digit sibling of the shipped Benford leading-digit screen).
+
+    Hash-exact: endings are exact integer cents mod 100; ONE share
+    division against the broadcast total.
+
+    Scale: one map-side ≤100-group aggregation over the part dim."""
+    e = _t(spark, sf_dir, "part").select(
+        (
+            F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long") % 100
+        ).alias("cents_ending")
+    )
+    t = e.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    return e.crossJoin(F.broadcast(t)).groupBy("cents_ending").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        (
+            F.count(F.lit(1)).cast("double")
+            / F.max("total").cast("double")
+        ).alias("share"),
+    )
+
+
+# =========================================================================
 # Driver-facing registry order
 # =========================================================================
 #

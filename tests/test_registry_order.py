@@ -174,6 +174,9 @@ R11_ADDITIONS_ORDERED = [
     "exact_quartiles_price_by_flag", "part_adoption_monthly",
     # wave 6: shipping logistics / promotion response
     "ship_latency_quartiles_by_priority", "discount_band_volume",
+    # wave 7: order / catalog profiling
+    "order_size_histogram", "cold_start_parts",
+    "unit_price_dispersion_by_brand", "price_ending_profile",
 ]
 R11_ADDITIONS = set(R11_ADDITIONS_ORDERED)
 

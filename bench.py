@@ -458,6 +458,16 @@ HEADLINE = [
     "l_diversity_audit",
     "token_budget_decile_curve",
     "embedding_interlabel_centroid_dist",
+    "error_burst_stats",
+    "theil_u2_forecast",
+    "exact_quartiles_price_by_flag",
+    "part_adoption_monthly",
+    "ship_latency_quartiles_by_priority",
+    "discount_band_volume",
+    "order_size_histogram",
+    "cold_start_parts",
+    "unit_price_dispersion_by_brand",
+    "price_ending_profile",
 ]
 
 

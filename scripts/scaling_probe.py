@@ -465,6 +465,13 @@ EVENT_OPS = {
     "funnel_steps": lambda df: temporal_ops.funnel_steps(
         df, steps=("view", "click", "purchase"), window="30 minutes"
     ),
+    # r11: the new distributed_running_sum machinery (pareto/abc_xyz's
+    # cumulative-revenue spine) measured directly on the amplified
+    # event frame: global inclusive cumsum over (cents desc, event_id)
+    # — the range exchange + pid-partitioned local fold must stay
+    # linear; a super-linear curve would mean the fold funneled into
+    # one task (the exact failure the operator exists to prevent).
+    "distributed_running_sum": lambda df: _running_sum_probe(df),
     "cohort_retention": lambda df: temporal_ops.cohort_retention(df),
     # interval-overlap join, 15-min event windows keyed by user.
     # bin_width sensitivity: = span (each row explodes to ~2 bins, the
@@ -1010,6 +1017,20 @@ def _cents_events(df: DataFrame) -> DataFrame:
         "ts",
         "event_id",
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+
+
+def _running_sum_probe(df: DataFrame) -> DataFrame:
+    from metadata_driven_etl_spark.operators.windows import (
+        distributed_running_sum,
+    )
+
+    return distributed_running_sum(
+        _cents_events(df).select("event_id", "cents"),
+        [F.col("cents").desc(), F.col("event_id")],
+        value_col="cents",
+        out_col="cum",
+        total_col="total",
     )
 
 

@@ -1750,3 +1750,15 @@ def test_pareto_abc_cumsum_is_distributed(spark, sf_dir):
     win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
     assert all("_dnt_pid" in ln for ln in win_lines), win_lines
     assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_abc_xyz_cumsum_is_distributed(spark, sf_dir):
+    """The matrix's ABC spine must ride the same distributed_running_sum
+    machinery as pareto_abc_parts: scratch pid column present, every
+    data-frame Window partitioned by _dnt_pid, at most ONE
+    SinglePartition exchange (the metadata-sized offsets cumsum)."""
+    plan = _plan(workloads.QUERIES["abc_xyz_matrix"](spark, sf_dir))
+    assert "_dnt_pid" in plan, plan
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert all("_dnt_pid" in ln for ln in win_lines), win_lines
+    assert plan.count("Exchange SinglePartition") <= 1, plan

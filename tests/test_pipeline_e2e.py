@@ -339,7 +339,10 @@ def test_cli_corpus_layer_e2e(spark, monkeypatch, capsys):
     and a re-run is idempotent (overwrite semantics)."""
     from metadata_driven_etl_spark.plans import runner
 
-    tables = ("corpus.clean_web_v1", "corpus.span_clean_v1")
+    tables = (
+        "corpus.clean_web_v1", "corpus.span_clean_v1",
+        "corpus.clean_exact_budget_v1",
+    )
     for t in tables:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
@@ -356,7 +359,7 @@ def test_cli_corpus_layer_e2e(spark, monkeypatch, capsys):
     audit = spark.table("metadata.etl_audit_log").filter("layer = 'corpus'")
     assert audit.filter("status = 'ERROR'").count() == 0
     success = audit.filter("status = 'SUCCESS'")
-    assert success.count() >= 3  # layer_run + 2 pipelines
+    assert success.count() >= 4  # layer_run + 3 pipelines
     assert {
         r.target_table
         for r in success.collect()
@@ -382,7 +385,9 @@ def test_cli_corpus_layer_e2e(spark, monkeypatch, capsys):
         for line in out.splitlines()
         if line.startswith("[corpus]")
     }
-    assert listed == {"clean_web_v1", "span_clean_v1"}
+    assert listed == {
+        "clean_web_v1", "span_clean_v1", "clean_exact_budget_v1"
+    }
 
     # idempotent re-run: same row counts (overwrite, not append)
     rc2 = runner.main(

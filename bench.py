@@ -53,6 +53,12 @@ BEST_SINCE: dict[str, float] = {
     # earlier 0.4s best measured the plan that cannot scale (SCALE.md
     # "Known bench-gate artifact (r8)"); ~1.3s is the new baseline.
     "rfm_segments": 1786810000.0,
+    # r11 (VERDICT r10 item 4): the cumulative-revenue ranking moved
+    # from a bare global window over the |parts| frame to
+    # windows.distributed_running_sum — the earlier ~0.41s best
+    # measured the single-task-sort plan (the theil_sen_windowrank
+    # failure shape at scale); ~0.6s is the new baseline.
+    "pareto_abc_parts": 1786887000.0,
 }
 
 

@@ -474,6 +474,9 @@ HEADLINE = [
     "cold_start_parts",
     "unit_price_dispersion_by_brand",
     "price_ending_profile",
+    "seasonal_dow_additive",
+    "abc_class_migration_halves",
+    "z_chart_monthly_revenue",
 ]
 
 

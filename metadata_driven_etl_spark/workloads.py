@@ -18997,6 +18997,246 @@ def price_ending_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round-11 additions, wave 8: classic reporting / decomposition —
+# additive day-of-week decomposition, ABC class migration, Z-chart.
+# =========================================================================
+
+
+@workload(
+    "seasonal_dow_additive",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value*100+0.5) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM events GROUP BY 1),
+    w AS (SELECT day, cents,
+            CAST(COUNT(*) OVER win AS BIGINT) AS m,
+            CAST(SUM(cents) OVER win AS BIGINT) AS s7
+          FROM d
+          WINDOW win AS (ORDER BY day
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    x AS (SELECT CAST(isodow(day) AS INTEGER) AS dow,
+                 7*cents - s7 AS det7
+          FROM w WHERE m = 7),
+    g AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+                 SUM(CAST(det7 AS HUGEINT)) AS sd
+          FROM x GROUP BY 1)
+    SELECT dow, n_days,
+           CAST(CAST(sd AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(7*n_days AS VARCHAR) AS DOUBLE)
+             AS mean_detrended_cents
+    FROM g""",
+)
+def seasonal_dow_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive day-of-week decomposition of daily revenue: detrend
+    with a centered 7-day moving average, then average the residual
+    per ISO weekday — the STL-lite seasonal component in CENTS
+    ("Mondays run ~X dollars below trend"), complementing
+    dow_seasonality_index's multiplicative ratio (additive effects are
+    what you subtract for anomaly detection; ratios are what you
+    divide for forecasting).
+
+    Hash-exact via the ×7 trick: the centered MA is s7/7, so the
+    detrended value scales to 7·cents − s7 — an exact integer — and
+    the per-dow mean divides the exact decimal Σ by 7n ONCE at the
+    end. ISO weekday shared exactly: Spark (dayofweek+5)%7+1 ≡ DuckDB
+    isodow. Edge days (incomplete 7-day window) drop, the standard
+    centered-MA convention.
+
+    Scale: one fact aggregation to |days|; one calendar-bounded
+    centered window (exemption class); a 7-row rollup."""
+    from pyspark.sql import Window
+
+    d38 = "decimal(38,0)"
+    d = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("long")
+            ).alias("cents")
+        )
+    )
+    win = Window.orderBy("day").rowsBetween(-3, 3)
+    w = d.select(
+        "day", "cents",
+        F.count(F.lit(1)).over(win).alias("m"),
+        F.sum("cents").over(win).cast("long").alias("s7"),
+    ).filter(F.col("m") == 7)
+    x = w.select(
+        (((F.dayofweek("day") + 5) % 7) + 1).cast("int").alias("dow"),
+        (7 * F.col("cents") - F.col("s7")).alias("det7"),
+    )
+    g = x.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.col("det7").cast(d38)).cast(d38).alias("sd"),
+    )
+    return g.select(
+        "dow", "n_days",
+        (
+            F.col("sd").cast("double")
+            / (7 * F.col("n_days")).cast(d38).cast("double")
+        ).alias("mean_detrended_cents"),
+    )
+
+
+@workload(
+    "abc_class_migration_halves",
+    oracle="""
+    WITH h1 AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*100+0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem WHERE CAST(l_shipdate AS DATE) < DATE '1995-07-01'
+        GROUP BY 1),
+    h2 AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*100+0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem WHERE CAST(l_shipdate AS DATE) >= DATE '1995-07-01'
+        GROUP BY 1),
+    t1 AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM h1),
+    t2 AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM h2),
+    c1 AS (SELECT l_partkey,
+                  CASE WHEN CAST(SUM(cents) OVER (ORDER BY cents DESC,
+                            l_partkey) AS BIGINT)*100 <= total*80 THEN 'A'
+                       WHEN CAST(SUM(cents) OVER (ORDER BY cents DESC,
+                            l_partkey) AS BIGINT)*100 <= total*95 THEN 'B'
+                       ELSE 'C' END AS cls
+           FROM h1 CROSS JOIN t1),
+    c2 AS (SELECT l_partkey,
+                  CASE WHEN CAST(SUM(cents) OVER (ORDER BY cents DESC,
+                            l_partkey) AS BIGINT)*100 <= total*80 THEN 'A'
+                       WHEN CAST(SUM(cents) OVER (ORDER BY cents DESC,
+                            l_partkey) AS BIGINT)*100 <= total*95 THEN 'B'
+                       ELSE 'C' END AS cls
+           FROM h2 CROSS JOIN t2)
+    SELECT COALESCE(c1.cls, 'N') AS class_h1,
+           COALESCE(c2.cls, 'N') AS class_h2,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM c1 FULL OUTER JOIN c2 ON c2.l_partkey = c1.l_partkey
+    GROUP BY 1, 2""",
+)
+def abc_class_migration_halves(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ABC class migration between the two halves of the shipping
+    calendar (split at 1995-07-01): the matrix of parts that moved
+    between revenue classes — A→C decays are the delisting candidates,
+    C→A risers the replenishment surprises, and 'N' rows the
+    entries/exits the static classification can't show. The temporal
+    companion of abc_xyz_matrix (same classes, time axis instead of
+    variability axis).
+
+    Hash-exact: both classifications are the pareto integer
+    cross-multiplication; the matrix is exact counts over the
+    full-outer join with 'N' for absent halves (same COALESCE both
+    engines).
+
+    Scale: two half-filtered part aggregations, each ranked by
+    windows.distributed_running_sum (never a single-partition sort);
+    one |parts|-keyed full-outer join; a ≤16-row rollup."""
+    from metadata_driven_etl_spark.operators.windows import (
+        distributed_running_sum,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+
+    def classify(half):
+        rev = half.groupBy("l_partkey").agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+            ).alias("cents")
+        )
+        c = distributed_running_sum(
+            rev,
+            [F.col("cents").desc(), F.col("l_partkey")],
+            value_col="cents",
+            out_col="cum",
+            total_col="total",
+        )
+        return c.select(
+            "l_partkey",
+            F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+            .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+            .otherwise("C")
+            .alias("cls"),
+        )
+
+    cut = F.to_date("l_shipdate") < F.lit("1995-07-01").cast("date")
+    c1 = classify(li.filter(cut)).select(
+        F.col("l_partkey").alias("k1"), F.col("cls").alias("cls1")
+    )
+    c2 = classify(li.filter(~cut)).select(
+        F.col("l_partkey").alias("k2"), F.col("cls").alias("cls2")
+    )
+    j = c1.join(c2, c1.k1 == c2.k2, "full_outer")
+    return j.groupBy(
+        F.coalesce(F.col("cls1"), F.lit("N")).alias("class_h1"),
+        F.coalesce(F.col("cls2"), F.lit("N")).alias("class_h2"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+
+
+@workload(
+    "z_chart_monthly_revenue",
+    oracle="""
+    WITH m AS (
+        SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+               CAST(SUM(CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1)
+    SELECT month, cents,
+           CAST(SUM(cents) OVER (PARTITION BY year(month)
+                                 ORDER BY month) AS BIGINT) AS ytd_cents,
+           CASE WHEN CAST(COUNT(*) OVER mat AS BIGINT) = 12
+                THEN CAST(SUM(cents) OVER mat AS BIGINT) END
+             AS mat_cents
+    FROM m
+    WINDOW mat AS (ORDER BY month
+                   ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)""",
+)
+def z_chart_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-chart: monthly revenue, year-to-date cumulative, and the
+    12-month moving annual total on one frame — the classic
+    management-report triple (the MAT line flattens seasonality so
+    trend breaks are visible; the YTD line resets each January; the
+    monthly line carries the noise). MAT is NULL until 12 months
+    exist, the standard convention.
+
+    Hash-exact: all three lines are exact integer cents; the MAT
+    NULL-gate is the same COUNT=12 comparison on both engines.
+
+    Scale: one fact aggregation to |months|, then year-partitioned and
+    calendar-bounded windows over the ≤84-row rollup."""
+    from pyspark.sql import Window
+
+    m = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.trunc(F.to_date("o_orderdate"), "month").alias("month")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).alias("cents")
+        )
+    )
+    ytd = Window.partitionBy(F.year("month")).orderBy("month").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    mat = Window.orderBy("month").rowsBetween(-11, 0)
+    return m.select(
+        "month", "cents",
+        F.sum("cents").over(ytd).cast("long").alias("ytd_cents"),
+        F.when(
+            F.count(F.lit(1)).over(mat) == 12,
+            F.sum("cents").over(mat).cast("long"),
+        ).alias("mat_cents"),
+    )
+
+
+# =========================================================================
 # Driver-facing registry order
 # =========================================================================
 #

@@ -177,6 +177,9 @@ R11_ADDITIONS_ORDERED = [
     # wave 7: order / catalog profiling
     "order_size_histogram", "cold_start_parts",
     "unit_price_dispersion_by_brand", "price_ending_profile",
+    # wave 8: classic reporting / decomposition
+    "seasonal_dow_additive", "abc_class_migration_halves",
+    "z_chart_monthly_revenue",
 ]
 R11_ADDITIONS = set(R11_ADDITIONS_ORDERED)
 

@@ -477,6 +477,9 @@ HEADLINE = [
     "seasonal_dow_additive",
     "abc_class_migration_halves",
     "z_chart_monthly_revenue",
+    "session_duration_quartiles",
+    "customer_order_frequency_histogram",
+    "part_staleness_profile",
 ]
 
 

@@ -19237,6 +19237,226 @@ def z_chart_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round-11 additions, wave 9: engagement / lifecycle distributions —
+# session duration quartiles, order-frequency histogram, part
+# staleness profile.
+# =========================================================================
+
+
+@workload(
+    "session_duration_quartiles",
+    oracle=f"""
+    WITH s AS ({_SESSIONIZE_SQL}),
+    per_session AS (
+        SELECT user_id, session_id,
+               CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000
+                    AS BIGINT) AS dur_s
+        FROM s GROUP BY 1, 2),
+    dm AS (SELECT dur_s, CAST(COUNT(*) AS BIGINT) AS c
+           FROM per_session GROUP BY 1),
+    w AS (SELECT dur_s,
+                 CAST(SUM(c) OVER (ORDER BY dur_s) AS BIGINT) AS cum
+          FROM dm),
+    nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM dm)
+    SELECT nn.n AS n_sessions,
+           CAST(MIN(CASE WHEN cum >= (1*nn.n + 3)//4 THEN dur_s END)
+                AS BIGINT) AS q1_sec,
+           CAST(MIN(CASE WHEN cum >= (2*nn.n + 3)//4 THEN dur_s END)
+                AS BIGINT) AS q2_sec,
+           CAST(MIN(CASE WHEN cum >= (3*nn.n + 3)//4 THEN dur_s END)
+                AS BIGINT) AS q3_sec
+    FROM w CROSS JOIN nn GROUP BY 1""",
+)
+def session_duration_quartiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact session-duration quartiles (whole seconds) over the
+    gap-sessionized event stream — the engagement distribution behind
+    session_metrics_daily's averages (a median session of 40s under a
+    mean of 4 minutes means a bounce-heavy product with a long-tail
+    power cohort; averages alone cannot show that).
+
+    Hash-exact: the sessionizer is the shared 30-min-gap window
+    (sessionize_events' exact shape); durations floor-quantize to
+    SECONDS so the quartile domain is value-bounded (µs durations
+    would make the domain |sessions|-sized and put a single-partition
+    sort back in the plan — the quantization IS the scale fix);
+    selection is the ⌈kn/4⌉ discipline.
+
+    Scale: ONE user-keyed sessionizer shuffle, a (user, session)
+    rollup, then a value-domain-bounded cum window (seconds ≤ max
+    session length — skyline exemption class)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    wlag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = F.when(
+        F.lag("ts").over(wlag).isNull()
+        | (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wlag))
+            > 1800000000
+        ),
+        1,
+    ).otherwise(0)
+    s = ev.select(
+        "user_id", "ts", "event_id", new_sess.alias("ns")
+    ).select(
+        "user_id", "ts",
+        F.sum("ns")
+        .over(wlag.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("session_id"),
+    )
+    per = s.groupBy("user_id", "session_id").agg(
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            / F.lit(1000000)
+        ).cast("long").alias("dur_s")
+    )
+    dm = per.groupBy("dur_s").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = dm.select(
+        "dur_s",
+        F.sum("c")
+        .over(
+            Window.orderBy("dur_s").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .cast("long")
+        .alias("cum"),
+    )
+    nn = dm.agg(F.sum("c").cast("long").alias("n"))
+    j = w.crossJoin(F.broadcast(nn))
+
+    def qk(k: int):
+        rank = F.expr(f"CAST(({k}*n + 3) DIV 4 AS BIGINT)")
+        return (
+            F.min(F.when(F.col("cum") >= rank, F.col("dur_s")))
+            .cast("long")
+            .alias(f"q{k}_sec")
+        )
+
+    return j.groupBy(F.col("n").alias("n_sessions")).agg(
+        qk(1), qk(2), qk(3)
+    )
+
+
+@workload(
+    "customer_order_frequency_histogram",
+    oracle="""
+    WITH oc AS (
+        SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1),
+    c AS (SELECT c.c_custkey,
+                 COALESCE(oc.n_orders, 0) AS n_orders,
+                 COALESCE(oc.cents, 0) AS cents
+          FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey)
+    SELECT n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM c GROUP BY 1""",
+)
+def customer_order_frequency_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-frequency histogram over the FULL customer base,
+    dormant accounts included: customers per lifetime order count with
+    the revenue each frequency band carries — the base-health profile
+    (TPC-H Q13's customer-distribution shape, extended with the
+    revenue column that turns it into a value-concentration readout;
+    bucket 0 is the dormant book Q22 bills as idle).
+
+    Hash-exact: counts and cents sums exact; no divisions at all.
+
+    Scale: one custkey-keyed order aggregation, a left join from the
+    customer dim (COALESCE keeps the zero bucket), a ≤|max orders per
+    customer|-row rollup."""
+    oc = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        ).cast("long").alias("cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    j = c.join(oc, c.c_custkey == oc.o_custkey, "left").select(
+        F.coalesce(F.col("n_orders"), F.lit(0).cast("long")).alias(
+            "n_orders"
+        ),
+        F.coalesce(F.col("cents"), F.lit(0).cast("long")).alias("cents"),
+    )
+    return j.groupBy("n_orders").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+
+
+@workload(
+    "part_staleness_profile",
+    oracle="""
+    WITH ls AS (
+        SELECT l_partkey,
+               MAX(year(CAST(l_shipdate AS DATE))*12
+                   + month(CAST(l_shipdate AS DATE))) AS last_mi,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*100+0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem GROUP BY 1),
+    mx AS (SELECT MAX(last_mi) AS anchor FROM ls),
+    b AS (SELECT CASE WHEN anchor - last_mi < 3 THEN '0-2mo'
+                      WHEN anchor - last_mi < 6 THEN '3-5mo'
+                      WHEN anchor - last_mi < 12 THEN '6-11mo'
+                      ELSE '12mo+' END AS staleness,
+                 cents
+          FROM ls CROSS JOIN mx)
+    SELECT staleness,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS lifetime_cents
+    FROM b GROUP BY 1""",
+)
+def part_staleness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inventory staleness profile: parts bucketed by months since
+    their LAST shipment (anchored at the corpus's latest shipping
+    month), with the lifetime revenue each staleness band represents —
+    the slow-mover screen between cold_start_parts (never sold) and
+    the ABC classes (how much, ever): a 12mo+ band carrying real
+    lifetime revenue is the discontinue-or-promote decision queue.
+
+    Hash-exact: month indices are exact integers (year·12+month);
+    bucket cuts are integer comparisons against the broadcast anchor;
+    counts and cents exact.
+
+    Scale: one |parts|-keyed max/sum aggregation, a 1-row anchor
+    broadcast, a 4-row rollup."""
+    mi = F.year(F.to_date("l_shipdate")) * 12 + F.month(
+        F.to_date("l_shipdate")
+    )
+    ls = _t(spark, sf_dir, "lineitem").groupBy("l_partkey").agg(
+        F.max(mi).alias("last_mi"),
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        ).cast("long").alias("cents"),
+    )
+    mx = ls.agg(F.max("last_mi").alias("anchor"))
+    age = F.col("anchor") - F.col("last_mi")
+    bucket = (
+        F.when(age < 3, "0-2mo")
+        .when(age < 6, "3-5mo")
+        .when(age < 12, "6-11mo")
+        .otherwise("12mo+")
+    )
+    return (
+        ls.crossJoin(F.broadcast(mx))
+        .groupBy(bucket.alias("staleness"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("cents").cast("long").alias("lifetime_cents"),
+        )
+    )
+
+
+# =========================================================================
 # Driver-facing registry order
 # =========================================================================
 #

@@ -180,6 +180,9 @@ R11_ADDITIONS_ORDERED = [
     # wave 8: classic reporting / decomposition
     "seasonal_dow_additive", "abc_class_migration_halves",
     "z_chart_monthly_revenue",
+    # wave 9: engagement / lifecycle distributions
+    "session_duration_quartiles", "customer_order_frequency_histogram",
+    "part_staleness_profile",
 ]
 R11_ADDITIONS = set(R11_ADDITIONS_ORDERED)
 

@@ -19468,42 +19468,46 @@ def part_staleness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order.
 
 DRIVER_PRIORITY: list[str] = [
-    # --- round-11 rotation (VERDICT r10 items 1+3): pinned flagship
-    # core (4), then embedding_dim_range_by_label FIRST in the tail —
-    # the r10 red row (an oracle float32-typing artifact, engine output
-    # value-identical; oracle fixed with CAST(...AS DOUBLE) above) must
-    # be refuted THIS round, and it was not in the pre-pinned R11_QUEUE.
-    # Then the 14 round-9 leftovers (first driver rows) and the 31
-    # stalest round-5-cohort keys (refreshed attestations — one fewer
-    # than the pinned 32 to make room for the red-row key; the 6 rolled
-    # r5 keys lead R12_QUEUE, pinned in tests/test_registry_order.py).
-    # Keys rotated OUT are green in a prior artifact and stay locally
-    # oracle-checked every pytest run via tests/test_workload_parity.py.
+    # --- round-12 rotation (VERDICT r11 item 1): ships the queue
+    # pinned BEFORE r11 closed (R12_QUEUE in tests/test_registry_order.py,
+    # verbatim — zero substitutions this round).  Pinned flagship core
+    # (4), then the 30 round-10 additions in registration order (their
+    # FIRST driver attestations), the 6 round-5-cohort keys rolled out
+    # of the r11 prefix, and the 10 stalest round-6-cohort keys (whose
+    # latest driver rows date to r6).  The 34 round-11 additions queue
+    # behind as R13_QUEUE (pinned before this round closes — the
+    # rotation-debt invariant).  Keys rotated OUT are green in a prior
+    # artifact and stay locally oracle-checked on every pytest run via
+    # tests/test_workload_parity.py.
     # --- pinned flagship core ---
     "agg_daily_sales", "merge_upsert", "dq_metrics_single_pass",
     "corpus_clean_pipeline",
-    # --- r10 red-row refutation (VERDICT r10 item 1) ---
-    "embedding_dim_range_by_label",
-    # --- round-9 leftovers (first driver check), registration order ---
-    "demand_variability_xyz", "scd2_point_in_time_join",
-    "theil_sen_slope_daily", "knn_geo_topk", "seasonal_strength_dow",
-    "runs_test_daily", "max_drawdown_daily", "durbin_watson_daily",
-    "term_burstiness_vmr", "join_asof_nearest",
-    "embedding_sim_histogram_intra_label", "hourly_load_profile",
-    "safety_stock_reorder_point", "dwell_time_by_type",
-    # --- stale round-5 cohort refresh, first 31 in registration order ---
-    "agg_customer_summary", "agg_product_perf", "agg_count",
-    "pivot_linestatus", "approx_count_distinct",
-    "window_tumbling_events", "doc_fingerprint", "text_token_count",
-    "text_quality", "text_lang_id", "dedup_lsh_bucket_capped",
-    "dedup_ngram_jaccard", "dedup_simhash", "similarity_topk",
-    "similarity_ann_lsh_exact", "embedding_near_dup",
-    "window_lag_lead", "window_rank_ntile", "window_running_sum",
-    "setop_intersect", "setop_except", "multimodal_features",
-    "similarity_ann_ivf_exact", "tpch_q3_topk",
-    "tpch_q5_region_revenue", "agg_grouping_sets", "dedup_cluster_cc",
-    "dedup_incremental_lsh", "text_pii_redact",
-    "agg_approx_percentile", "pack_sequences",
+    # --- round-10 additions (first driver check), registration order ---
+    "kendall_tau_revenue_volume", "brown_forsythe_variance_test",
+    "effect_size_cohens_d", "mood_median_test", "jackknife_loo_monthly",
+    "ridge_regression_price_quantity",
+    "unit_value_index_monthly_brand", "promo_uplift_did",
+    "shift_share_nation_growth", "reconcile_order_totals",
+    "growth_accounting_monthly", "forecast_mase_naive",
+    "partition_skew_report",
+    "mmr_diverse_topk", "scan_text_lines", "scan_binary_files",
+    "systematic_sample_every_k",
+    "target_encode_loo_brand", "kfold_assignment_balance",
+    "anonymization_ladder", "resample_linear_interp_daily",
+    "trimmed_mean_price_by_flag", "scan_parquet_schema_evolution",
+    "silence_record_alerts",
+    "funnel_window_sensitivity", "dedup_threshold_curve",
+    "scan_csv_malformed",
+    "rand_index_kmeans_labels", "precision_recall_at_threshold",
+    "roc_auc_urgent_price",
+    # --- round-5 cohort keys rolled out of the r11 prefix ---
+    "decontaminate_ngram_overlap", "embedding_random_projection",
+    "text_feature_hash_embed", "funnel_strict_from_first",
+    "embedding_quantize_int8", "text_bigram_lm_pruned",
+    # --- stale round-6 cohort refresh, first 10 in registration order ---
+    "scan_parquet", "scan_csv", "scan_json", "project_select",
+    "filter_date_param", "filter_not_null", "filter_regex",
+    "filter_expr", "case_when_flag", "join_inner",
 ]
 
 

@@ -187,10 +187,21 @@ R11_ADDITIONS_ORDERED = [
 R11_ADDITIONS = set(R11_ADDITIONS_ORDERED)
 
 
+# Machine-readable r13 queue (rotation-debt invariant, VERDICT r11
+# item 1): pinned BEFORE r12 closes.  Core + the 34 round-11 additions
+# (first driver rows, registration order) + the next 12 stale
+# round-6-cohort keys = exactly one prefix.
+R13_QUEUE = (
+    CORE
+    + R11_ADDITIONS_ORDERED
+    + R6_STALE_COHORT[10:22]
+)
+
+
 def test_r11_additions_registered_oracle_paired_and_queued():
     """Every round-11 addition is registered, hash-checkable, NOT in
-    the r11 driver prefix, and NOT colliding with the pinned r12
-    queue (their first driver check is r13)."""
+    the r12 driver prefix (their first driver check is r13, via
+    R13_QUEUE)."""
     assert R11_ADDITIONS <= set(workloads.QUERIES)
     assert R11_ADDITIONS <= set(workloads.ORACLES)
     assert not (R11_ADDITIONS & set(workloads.DRIVER_PRIORITY))
@@ -201,16 +212,19 @@ def test_r11_additions_registered_oracle_paired_and_queued():
 
 
 def test_r10_additions_registered_oracle_paired_and_queued():
-    """Every round-10 addition is registered, hash-checkable, and NOT
-    in the r11 driver prefix (they lead R12_QUEUE's tail)."""
+    """Every round-10 addition is registered, hash-checkable, and IN
+    the r12 driver prefix (this round creates their first driver
+    rows)."""
     assert R10_ADDITIONS <= set(workloads.QUERIES)
     assert R10_ADDITIONS <= set(workloads.ORACLES)
-    assert not (R10_ADDITIONS & set(workloads.DRIVER_PRIORITY))
+    assert R10_ADDITIONS <= set(workloads.DRIVER_PRIORITY)
     assert len(R10_ADDITIONS) == 30
     assert len(R10_ADDITIONS_ORDERED) == 30
-    # pinned order matches actual registration order
-    reg_order = [k for k in workloads.QUERIES if k in R10_ADDITIONS]
-    assert reg_order == R10_ADDITIONS_ORDERED
+    # pinned order matches the prefix order (core first, then the 30)
+    prefix_order = [
+        k for k in workloads.DRIVER_PRIORITY if k in R10_ADDITIONS
+    ]
+    assert prefix_order == R10_ADDITIONS_ORDERED
 
 
 def test_priority_is_dedup_and_registered():
@@ -233,10 +247,11 @@ def test_core_keys_never_rotate():
     assert workloads.DRIVER_PRIORITY[: len(CORE)] == CORE
 
 
-def test_rotation_matches_r11_plan():
-    """The shipped prefix is exactly the r11 plan: core, the r10
-    red-row key, the 14 r9 leftovers, the 31 stalest r5 keys."""
-    assert workloads.DRIVER_PRIORITY == R11_PREFIX
+def test_rotation_matches_r12_plan():
+    """The shipped r12 prefix is exactly the queue pinned before r11
+    closed — zero substitutions: core, the 30 r10 additions, the 6
+    rolled r5 keys, the 10 stalest r6 keys."""
+    assert workloads.DRIVER_PRIORITY == R12_QUEUE
 
 
 def test_r11_prefix_derivable_from_pinned_queue():
@@ -252,19 +267,31 @@ def test_r11_prefix_derivable_from_pinned_queue():
 
 
 def test_r12_queue_pinned():
-    """Rotation-debt invariant: the r12 rotation is pinned
-    machine-readably before r11 closes — exactly one driver prefix,
-    every key registered and oracle-paired, disjoint from the r11
-    prefix (these are the keys whose attestations r12 must create or
-    refresh)."""
+    """The r12 queue (pinned before r11 closed) is well-formed and is
+    now the SHIPPED prefix — the rotation landed with zero
+    substitutions."""
     assert len(R12_QUEUE) == DRIVER_SUBSET_SIZE
     assert len(set(R12_QUEUE)) == DRIVER_SUBSET_SIZE
     assert set(R12_QUEUE) <= set(workloads.QUERIES)
     assert set(R12_QUEUE) <= set(workloads.ORACLES)
-    assert not (set(R12_QUEUE) - set(CORE)) & set(workloads.DRIVER_PRIORITY)
+    assert workloads.DRIVER_PRIORITY == R12_QUEUE
     assert len(STALE_R5_COHORT) == 37
     assert len(R6_STALE_COHORT) == 46
     assert set(R6_STALE_COHORT) <= set(workloads.QUERIES)
+
+
+def test_r13_queue_pinned():
+    """Rotation-debt invariant: the r13 rotation is pinned
+    machine-readably before r12 closes — exactly one driver prefix,
+    every key registered and oracle-paired, disjoint from the shipped
+    r12 prefix outside core (these are the keys whose attestations
+    r13 must create or refresh: the 34 round-11 additions get their
+    FIRST driver rows, plus the next 12 stale-r6 keys)."""
+    assert len(R13_QUEUE) == DRIVER_SUBSET_SIZE
+    assert len(set(R13_QUEUE)) == DRIVER_SUBSET_SIZE
+    assert set(R13_QUEUE) <= set(workloads.QUERIES)
+    assert set(R13_QUEUE) <= set(workloads.ORACLES)
+    assert not (set(R13_QUEUE) - set(CORE)) & set(workloads.DRIVER_PRIORITY)
 
 
 def test_every_registry_key_is_hash_gated():

@@ -704,14 +704,20 @@ def lateness_monitor_stateful(
             )
         rows.sort()  # per-batch ingestion tiebreak: event_id order
         for _eid, t_us in rows:
-            n += 1
-            if max_us >= 0 and max_us > t_us:
+            # "no max yet" is n == 0, NOT a timestamp sentinel: a -1
+            # sentinel would silently swallow pre-epoch (negative
+            # unix-micro) timestamps and break stream≡batch bit-parity
+            # with out_of_order_arrival_stats, whose window MAX starts
+            # NULL (ADVICE r11). Once any event has folded, compare
+            # unconditionally.
+            if n > 0 and max_us > t_us:
                 late = max_us - t_us
                 n_late += 1
                 total_late += late
                 if late > max_late:
                     max_late = late
-            if t_us > max_us:
+            n += 1
+            if n == 1 or t_us > max_us:
                 max_us = t_us
         state.update((max_us, n, n_late, max_late, total_late))
         yield pd.DataFrame(

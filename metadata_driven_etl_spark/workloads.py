@@ -10905,22 +10905,22 @@ def token_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically in both engines.
 
     Scale: one tokenizer explode + token aggregation (the TF/DF shape),
-    one rank window over the |vocab| domain frame, one scalar rollup
-    unpivoted into 3 literal rows."""
-    from pyspark.sql import Window
-
+    then the global rank rides windows.distributed_rank (range
+    exchange + broadcast per-partition offsets — VERDICT r11 item 2:
+    the |vocab| frame is CORPUS-GROWING under Heaps' law, not a
+    value-bounded domain, so a bare unpartitioned row_number would
+    funnel 10^8-10^9 types through ONE task at web scale; ranks under
+    the shared total order are identical, oracle hash unchanged), and
+    a scalar rollup unpivoted into 3 literal rows."""
     d = _docs(spark, sf_dir)
     tc = (
         d.select(F.explode(text_ops.tokens("text")).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    r = tc.select(
-        "c",
-        F.row_number()
-        .over(Window.orderBy(F.desc("c"), F.asc("tok")))
-        .alias("rnk"),
-    )
+    r = window_ops.distributed_rank(
+        tc, [F.desc("c"), F.asc("tok")], "rnk"
+    ).select("c", "rnk")
     aggs = [
         F.sum("c").alias("total"),
         F.count(F.lit(1)).alias("vocab"),

@@ -1314,6 +1314,22 @@ def test_token_coverage_materializes_rank_frame(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_token_coverage_rank_is_distributed(spark, sf_dir):
+    """VERDICT r11 item 2: the |vocab| frame is corpus-growing under
+    Heaps' law, NOT a value-bounded domain — the head-token rank must
+    ride windows.distributed_rank (range exchange + broadcast
+    per-partition offsets), never a bare unpartitioned row_number that
+    funnels every distinct type through one task.  Pinned: no
+    row_number in the plan (rank is offset+local-index arithmetic),
+    every surviving Window is the metadata-sized _dnt_pid offsets
+    cumsum, at most ONE SinglePartition exchange."""
+    plan = _plan(workloads.QUERIES["token_coverage_topk"](spark, sf_dir))
+    assert "row_number" not in plan, plan
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert all("_dnt_pid" in ln for ln in win_lines), win_lines
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
 def test_acf_lag_join_on_tiny_daily_frame(spark, sf_dir):
     """The lag self-join runs on the materialized |days| frame (never
     the fact); the moment frame broadcasts."""

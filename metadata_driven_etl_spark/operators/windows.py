@@ -320,6 +320,16 @@ def distributed_running_sum(
     ``value_col`` in integer cents (the repo-wide money discipline) so
     every partial and the grand total are exact longs; float values
     would be order-sensitive and break oracle hash parity.
+
+    NULL semantics (ADVICE r11): NULL values are SKIPPED, like the
+    builtin — the partition-local inclusive sum coalesces to 0 so a
+    leading run of NULLs inside a later range partition carries the
+    prior partitions' offset forward instead of nulling the output.
+    One documented divergence from ``SUM(...) OVER``: rows before the
+    FIRST non-null value in the whole order get 0 here where the
+    builtin yields NULL (the broadcast offsets already coalesce away
+    the "no prior non-null exists" distinction); callers needing that
+    head-NULL convention should filter nulls first.
     """
     for tmp in ("_dnt_mid", "_dnt_pid", "_dnt_voff", "_dnt_vtot"):
         if tmp in df.columns:
@@ -374,7 +384,12 @@ def distributed_running_sum(
     out = (
         ranged.withColumn("_dnt_pid", pid)
         .join(F.broadcast(offsets), "_dnt_pid")
-        .withColumn(out_col, F.col("_dnt_voff") + local_run)
+        # coalesce = null-skipping: a leading NULL run in a partition
+        # must carry the prior offset forward, not null the output
+        .withColumn(
+            out_col,
+            F.col("_dnt_voff") + F.coalesce(local_run, F.lit(0).cast("long")),
+        )
     )
     if total_col is not None:
         out = out.withColumn(total_col, F.col("_dnt_vtot"))

@@ -2702,8 +2702,11 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS DOUBLE) AS cxy
         FROM m)
     SELECT c_mktsegment, n,
-           sqrt(vx / (n * (n - 1))) / 100 AS stddev_price,
-           cxy / (sqrt(vx) * sqrt(vy)) AS corr_price_bal
+           CASE WHEN n > 1 THEN sqrt(vx / (n * (n - 1))) / 100
+                ELSE NULL END AS stddev_price,
+           CASE WHEN vx > 0 AND vy > 0
+                THEN cxy / (sqrt(vx) * sqrt(vy))
+                ELSE NULL END AS corr_price_bal
     FROM d""",
 )
 def agg_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2744,13 +2747,19 @@ def agg_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double").alias("cxy"),
     )
     n = F.col("n")
+    # degenerate-denominator guards (ADVICE r11 class): single-row
+    # groups and constant columns emit NULL explicitly on BOTH sides —
+    # unguarded, Spark yields NULL where DuckDB yields inf/nan
     return d.select(
         "c_mktsegment",
         "n",
-        (F.sqrt(F.col("vx") / (n * (n - 1))) / 100).alias("stddev_price"),
-        (F.col("cxy") / (F.sqrt(F.col("vx")) * F.sqrt(F.col("vy")))).alias(
-            "corr_price_bal"
+        F.when(n > 1, F.sqrt(F.col("vx") / (n * (n - 1))) / 100).alias(
+            "stddev_price"
         ),
+        F.when(
+            (F.col("vx") > 0) & (F.col("vy") > 0),
+            F.col("cxy") / (F.sqrt(F.col("vx")) * F.sqrt(F.col("vy"))),
+        ).alias("corr_price_bal"),
     )
 
 
@@ -17397,8 +17406,10 @@ def poisson_rate_ci_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n AS n_days,
            CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
              AS mean_bp,
-           sqrt(CAST(CAST(n*q - s*s AS VARCHAR) AS DOUBLE)
-                / CAST(CAST(n*(n-1) AS VARCHAR) AS DOUBLE)) AS std_bp,
+           CASE WHEN n > 1 THEN
+             sqrt(CAST(CAST(n*q - s*s AS VARCHAR) AS DOUBLE)
+                  / CAST(CAST(n*(n-1) AS VARCHAR) AS DOUBLE))
+           ELSE NULL END AS std_bp,
            mn AS min_bp, mx AS max_bp
     FROM m""",
 )
@@ -17452,11 +17463,16 @@ def daily_return_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         n.alias("n_days"),
         (F.col("s").cast("double") / n.cast("double")).alias("mean_bp"),
-        F.sqrt(
-            (n.cast(d38) * F.col("q") - F.col("s") * F.col("s"))
-            .cast(d38)
-            .cast("double")
-            / (n.cast(d38) * (n - 1)).cast(d38).cast("double")
+        # n>1 guard (ADVICE r11, kendall_tau discipline): a 1-return
+        # extract would divide by n·(n−1)=0 — Spark NULL vs DuckDB inf
+        F.when(
+            n > 1,
+            F.sqrt(
+                (n.cast(d38) * F.col("q") - F.col("s") * F.col("s"))
+                .cast(d38)
+                .cast("double")
+                / (n.cast(d38) * (n - 1)).cast(d38).cast("double")
+            ),
         ).alias("std_bp"),
         F.col("mn").alias("min_bp"),
         F.col("mx").alias("max_bp"),
@@ -18902,10 +18918,12 @@ def cold_start_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(s AS VARCHAR) AS DOUBLE)
              / CAST(CAST(n AS VARCHAR) AS DOUBLE) / 100.0
              AS mean_unit_price,
-           sqrt(CAST(CAST(n*qq - s*s AS VARCHAR) AS DOUBLE)
-                / CAST(CAST(n*(n-1) AS VARCHAR) AS DOUBLE))
-             / (CAST(CAST(s AS VARCHAR) AS DOUBLE)
-                / CAST(CAST(n AS VARCHAR) AS DOUBLE)) AS unit_price_cv
+           CASE WHEN n > 1 THEN
+             sqrt(CAST(CAST(n*qq - s*s AS VARCHAR) AS DOUBLE)
+                  / CAST(CAST(n*(n-1) AS VARCHAR) AS DOUBLE))
+               / (CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                  / CAST(CAST(n AS VARCHAR) AS DOUBLE))
+           ELSE NULL END AS unit_price_cv
     FROM m""",
 )
 def unit_price_dispersion_by_brand(
@@ -18920,7 +18938,11 @@ def unit_price_dispersion_by_brand(
     Hash-exact: the unit price is ONE identical IEEE division
     (extprice·100 exact / quantity) floored to integer cents on both
     engines; moments ride exact decimal sums; CV is the Welch-identity
-    fixed chain.
+    fixed chain.  A single-line brand emits NULL cv explicitly on BOTH
+    sides (ADVICE r11 — the kendall_tau discipline: n·(n−1)=0 would be
+    Spark-NULL vs DuckDB-inf, the exact cross-engine degenerate-
+    denominator divergence; latent at TPC-H SFs but not at filtered or
+    tiny extracts).
 
     Scale: one broadcast part join (dim side), one (brand)-keyed
     moment aggregation — map-side combinable."""
@@ -18954,7 +18976,7 @@ def unit_price_dispersion_by_brand(
         "brand",
         n.cast("long").alias("n_lines"),
         (mean / F.lit(100.0)).alias("mean_unit_price"),
-        (sd / mean).alias("unit_price_cv"),
+        F.when(n > 1, sd / mean).alias("unit_price_cv"),
     )
 
 

@@ -1783,6 +1783,54 @@ def test_distributed_running_sum_matches_builtin(spark_global):
         distributed_rank(df, order, "rn", total_col="rn")
 
 
+def test_distributed_running_sum_null_skipping(spark_global):
+    """ADVICE r11: NULLs in value_col must be SKIPPED like the builtin —
+    a leading NULL run inside a later range partition carries the prior
+    cumulative forward instead of nulling out_col.  Documented
+    divergence: rows before the FIRST non-null value anywhere get 0
+    where the builtin yields NULL (pinned here too)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from metadata_driven_etl_spark.operators.windows import (
+        distributed_running_sum,
+    )
+
+    # 301 rows, value NULL on every 3rd row INCLUDING the head of the
+    # order (id=0,3,6...) so both the global-head run and mid-partition
+    # leading runs occur across the range partitions.
+    df = spark_global.range(301).select(
+        "id",
+        F.when(F.col("id") % 3 != 0, (F.col("id") * 7 % 23) + 1)
+        .cast("long")
+        .alias("cents"),
+    )
+    order = [F.col("id").asc()]
+    got = {
+        r.id: r.cum
+        for r in distributed_running_sum(
+            df, order, "cents", "cum"
+        ).collect()
+    }
+    want = {
+        r.id: r.cum
+        for r in df.select(
+            "id",
+            F.sum("cents")
+            .over(
+                Window.orderBy(*order).rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            .alias("cum"),
+        ).collect()
+    }
+    # builtin yields NULL at id=0 (no non-null yet); we document 0 there
+    assert want[0] is None and got[0] == 0
+    for k in range(1, 301):
+        assert got[k] == want[k], k
+
+
 def test_distributed_ntile_durable_checkpoint_seam(spark_global, tmp_path):
     """VERDICT r8 item 5: the durable `checkpoint_dir=` seam must produce
     the same buckets as the localCheckpoint default (and actually write

@@ -1352,3 +1352,93 @@ def test_stateful_lateness_monitor_detects_disorder(
     }
     assert got == want
     assert sum(v[1] for v in want.values()) > 0, "permutation must bite"
+
+
+def test_stateful_lateness_monitor_pre_epoch(spark, tmp_path_factory):
+    """ADVICE r11: pre-1970 timestamps have NEGATIVE unix micros — a
+    '-1 means no max yet' sentinel would never fold them into the
+    running maximum and never count them late, silently breaking the
+    stream≡batch bit-parity contract.  Synthetic 1969 events with a
+    disordered pair per type must match the batch window formula (whose
+    MAX starts NULL) exactly, and lateness must actually bite."""
+    import time as _time
+
+    from pyspark.sql import Window
+
+    from metadata_driven_etl_spark.streaming.stateful import (
+        lateness_monitor_stateful,
+    )
+
+    path = str(tmp_path_factory.mktemp("events_lateness_preepoch"))
+    # arrival order = event_id; per type: t=-100s, -300s (LATE by 200s),
+    # -50s — every timestamp is pre-epoch (negative micros)
+    rows = [
+        (1, "1969-12-31 23:58:20", 1, "a", 0.0, "{}"),
+        (2, "1969-12-31 23:55:00", 1, "a", 0.0, "{}"),
+        (3, "1969-12-31 23:59:10", 1, "a", 0.0, "{}"),
+        (4, "1969-06-01 00:00:30", 2, "b", 0.0, "{}"),
+        (5, "1969-06-01 00:00:00", 2, "b", 0.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        [(i, __import__("datetime").datetime.fromisoformat(ts), u, et, v, p)
+         for i, ts, u, et, v, p in rows],
+        schema=EVENT_SCHEMA,
+    )
+    slices = [
+        events.filter(F.col("event_id") <= 2),
+        events.filter(F.col("event_id") > 2),
+    ]
+    for i, part_df in enumerate(slices):
+        part_df.coalesce(1).sortWithinPartitions("event_id").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/slice={i}")
+        _time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
+    q = (
+        lateness_monitor_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("t_lateness_preepoch")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {}
+    for r in spark.table("t_lateness_preepoch").collect():
+        cur = got.get(r.event_type)
+        if cur is None or r.n_events > cur[0]:
+            got[r.event_type] = (
+                r.n_events, r.n_late, r.max_late_us, r.total_late_us
+            )
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    x = events.select(
+        "event_type", F.unix_micros("ts").alias("tus"), "event_id"
+    ).select("event_type", "tus", F.max("tus").over(w).alias("mx"))
+    late = F.when(
+        F.col("mx").isNotNull() & (F.col("mx") > F.col("tus")),
+        F.col("mx") - F.col("tus"),
+    ).otherwise(F.lit(0).cast("long"))
+    is_late = F.when(
+        F.col("mx").isNotNull() & (F.col("mx") > F.col("tus")), 1
+    ).otherwise(0)
+    want = {
+        r.event_type: (r.n, r.nl, r.ml, r.tl)
+        for r in x.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(is_late).cast("long").alias("nl"),
+            F.max(late).cast("long").alias("ml"),
+            F.sum(late).cast("long").alias("tl"),
+        ).collect()
+    }
+    assert got == want
+    assert want["a"][1] == 1 and want["b"][1] == 1, "lateness must bite"

@@ -70,6 +70,79 @@ def test_all_oracles_float_free(sf_dir):
     assert not offenders, offenders
 
 
+DEGENERATE_KEYS = [
+    "unit_price_dispersion_by_brand",  # 1-line brand: n*(n-1) = 0
+    "daily_return_stats",              # 1 return: n*(n-1) = 0
+    "agg_exact_stats",                 # constant-price segment: vx = 0
+]
+
+
+@pytest.mark.parametrize("name", DEGENERATE_KEYS)
+def test_degenerate_denominator_parity(spark, tmp_path_factory, name):
+    """ADVICE r11: single-row groups must hash-match at the degenerate
+    point itself, not just at shipped SFs — unguarded, Spark yields
+    NULL where DuckDB yields inf/nan for x/0.0, the exact cross-engine
+    divergence the kendall_tau fix closed.  A 1-row-per-group fixture
+    forces every guarded denominator to zero and runs the SAME
+    engine-vs-oracle compare the driver uses."""
+    import duckdb
+
+    fx = str(tmp_path_factory.mktemp(f"degenerate_{name}"))
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (SELECT 1::BIGINT AS o_orderkey, 1::BIGINT AS o_custkey,
+                     'O' AS o_orderstatus, 100.25::DOUBLE AS o_totalprice,
+                     TIMESTAMP '1995-01-01' AS o_orderdate,
+                     '1-URGENT' AS o_orderpriority
+              UNION ALL
+              SELECT 2, 1, 'O', 100.25, TIMESTAMP '1995-01-02', '1-URGENT')
+        TO '{fx}/orders.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+        COPY (SELECT 1::BIGINT AS l_orderkey, 1::BIGINT AS l_partkey,
+                     1::BIGINT AS l_suppkey, 1::INTEGER AS l_linenumber,
+                     4.0::DOUBLE AS l_quantity,
+                     100.25::DOUBLE AS l_extendedprice,
+                     0.05::DOUBLE AS l_discount, 0.02::DOUBLE AS l_tax,
+                     'N' AS l_returnflag, 'O' AS l_linestatus,
+                     TIMESTAMP '1995-01-03' AS l_shipdate)
+        TO '{fx}/lineitem.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+        COPY (SELECT 1::BIGINT AS p_partkey, 'one part' AS p_name,
+                     'Brand#11' AS p_brand, 'TYPE A' AS p_type,
+                     7::INTEGER AS p_size, 900.10::DOUBLE AS p_retailprice)
+        TO '{fx}/part.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+        COPY (SELECT 1::BIGINT AS c_custkey, 'cust one' AS c_name,
+                     3::INTEGER AS c_nationkey, 55.50::DOUBLE AS c_acctbal,
+                     'BUILDING' AS c_mktsegment)
+        TO '{fx}/customer.parquet' (FORMAT PARQUET)""")
+    # compare() registers every view; empty schema-only copies suffice
+    # for the tables these workloads never touch
+    for t in ("region", "nation", "supplier", "events", "documents",
+              "embeddings"):
+        con.execute(
+            f"COPY (SELECT * FROM '/root/testdata/sf0.001/{t}.parquet' "
+            f"LIMIT 0) TO '{fx}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+
+    df = workloads.QUERIES[name](spark, fx)
+    ok, msg = compare(df, workloads.ORACLES[name], fx, name)
+    assert ok, msg
+    rows = df.collect()
+    assert rows, name
+    null_col = {
+        "unit_price_dispersion_by_brand": "unit_price_cv",
+        "daily_return_stats": "std_bp",
+        # n=2 here but both prices equal: vx = 0, so the correlation's
+        # 0/0 is the degenerate axis (stddev is a legitimate 0.0)
+        "agg_exact_stats": "corr_price_bal",
+    }[name]
+    assert all(r[null_col] is None for r in rows), (
+        f"{name}: {null_col} must be NULL at the degenerate point"
+    )
+
+
 def test_entry_smoke(spark):
     import importlib.util
 

@@ -480,7 +480,78 @@ HEADLINE = [
     "session_duration_quartiles",
     "customer_order_frequency_histogram",
     "part_staleness_profile",
+    # round-12 (VERDICT r11 item 4): the HEADLINE inclusion rule is now
+    # explicit — see BENCH_EXEMPT below.  These 62 keys were registered
+    # across rounds 1-9 without bench rows despite carrying at least one
+    # Exchange in their physical plan; under the written rule they are
+    # HEADLINE.  Plan-derived (the classifying sweep is reproducible:
+    # any Exchange hash/range/SinglePartition node at sf0.001).
+    "agg_approx_percentile", "agg_argmax_per_group", "agg_count",
+    "agg_grouping_sets", "agg_histogram", "agg_percentile", "agg_rollup",
+    "approx_count_distinct", "array_explode_centroid",
+    "corpus_stats_report", "correlated_scalar_subquery",
+    "decontaminate_ngram_overlap", "dedup_keep_best", "dedup_simhash",
+    "distinct_keys", "join_asof", "join_asof_tolerance",
+    "join_full_outer", "join_left_flag", "join_null_safe", "join_range",
+    "json_extract_agg", "multimodal_frame_sample",
+    "multimodal_phash_dedup", "pack_sequences", "pivot_linestatus",
+    "profile_drift_orders", "profile_orders", "regexp_word_freq",
+    "sample_stratified", "select_token_budget", "setop_except",
+    "setop_except_all", "setop_intersect", "setop_intersect_all",
+    "sort_by", "string_agg_sorted", "text_tf_df_score",
+    "tpch_q2_min_cost_supplier", "tpch_q4_priority_exists",
+    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q11_important_stock",
+    "tpch_q12_priority_counts", "tpch_q13_custdist",
+    "tpch_q14_promo_share", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt", "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders", "tpch_q19_disjunctive_revenue",
+    "tpch_q20_promotion_suppliers", "tpch_q21_waiting_supplier",
+    "tpch_q22_idle_customers", "window_cumulative_distinct",
+    "window_first_last", "window_lag_lead", "window_moving_avg",
+    "window_percent_rank", "window_rank_ntile", "window_sliding_events",
 ]
+
+# HEADLINE inclusion rule (VERDICT r11 item 4 — written down so bench
+# gaps can't accumulate silently again):
+#
+#   Every registered workload whose physical plan carries at least one
+#   Exchange (hash / range / SinglePartition — i.e. anything that would
+#   shuffle on a cluster) is HEADLINE.  Exempt are exactly two classes:
+#
+#   (a) fixture-parse scans — workloads that write a tiny in-test
+#       fixture and read it back to prove parse/option/corruption
+#       fidelity (malformed CSV, corrupt JSONL, schema evolution, text/
+#       binary/ORC round-trips).  Their wall time measures fixture
+#       setup, not engine throughput; benching them would add noise
+#       rows, not signal.
+#   (b) map-only primitives — plans with NO Exchange: pure projections,
+#       filters, samples, map-side text/embedding transforms, scan-and-
+#       limit shapes.  Their cost is the shared parquet scan, already
+#       priced by every benched key that reads the same table.
+#
+#   The partition below is EXPLICIT and total: every registry key is in
+#   HEADLINE or BENCH_EXEMPT, never neither, never both
+#   (tests/test_bench_guard.py::test_headline_exempt_partition_is_total).
+#   A new workload must be placed deliberately; putting a shuffle-
+#   bearing key into BENCH_EXEMPT requires editing this list, and the
+#   guard test re-derives the plan class to reject it.
+BENCH_EXEMPT = {
+    # (a) fixture-parse scans (two carry a tiny count over the fixture,
+    # still fixture-bound: scan_csv_malformed, scan_jsonl_corrupt_records)
+    "scan_csv", "scan_json", "scan_orc", "scan_text_lines",
+    "scan_binary_files", "scan_csv_malformed",
+    "scan_jsonl_corrupt_records", "scan_parquet_schema_evolution",
+    # (b) map-only primitives (no Exchange in the physical plan)
+    "scan_parquet", "project_select", "case_when_flag",
+    "filter_date_param", "filter_expr", "filter_not_null",
+    "filter_regex", "join_anti", "join_semi", "doc_fingerprint",
+    "embedding_random_projection", "sample_domain_weighted",
+    "sample_hash", "scalar_date_string", "split_leakage_safe",
+    "text_chunk_windows", "text_feature_hash_embed", "text_pii_redact",
+    "text_repetition", "text_token_count", "topk_order_limit",
+    "union_all", "unpivot_measures",
+}
 
 
 def _loadavg() -> list[float]:

@@ -1183,7 +1183,10 @@ def out_of_order_stats(
     )
     x = events.select(
         type_col,
-        F.unix_micros(F.col(ts_col)).alias("_tus"),
+        # cast tolerates DATE-typed event times (midnight micros) —
+        # a no-op for TIMESTAMP inputs, so the events-table workload
+        # and streaming twin are byte-identical either way
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_tus"),
         F.col(order_col),
     ).select(type_col, "_tus", F.max("_tus").over(w).alias("_mx"))
     late = F.when(

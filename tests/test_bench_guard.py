@@ -175,3 +175,43 @@ def test_best_times_respects_shape_epochs():
     best = bench.best_times(history, 0.1)
     assert best[q] == 0.9      # pre-reshape 0.3 excluded
     assert best["other"] == 1.0  # un-epoched queries keep the true best
+
+
+def test_headline_exempt_partition_is_total():
+    """VERDICT r11 item 4: the HEADLINE/BENCH_EXEMPT partition is
+    explicit and total — every registry key is in exactly one of the
+    two, so a new workload can never silently skip the bench; it must
+    be PLACED, and the placement is reviewable."""
+    from metadata_driven_etl_spark import workloads
+
+    hl, ex = set(bench.HEADLINE), set(bench.BENCH_EXEMPT)
+    assert len(bench.HEADLINE) == len(hl), "duplicate HEADLINE keys"
+    assert not hl & ex, sorted(hl & ex)
+    reg = set(workloads.QUERIES)
+    assert hl | ex == reg, {
+        "unplaced": sorted(reg - hl - ex),
+        "stale": sorted((hl | ex) - reg),
+    }
+
+
+def test_exempt_keys_satisfy_the_written_rule(spark, sf_dir):
+    """The exemption rule is re-derived, not trusted: every BENCH_EXEMPT
+    key is either a fixture-parse scan (class a, scan_* by name) or
+    compiles to a plan with NO data Exchange (class b).  Parking a
+    shuffle-bearing workload in the exempt list fails here."""
+    from metadata_driven_etl_spark import workloads
+
+    data_exchanges = (
+        "Exchange hashpartitioning",
+        "Exchange rangepartitioning",
+        "Exchange SinglePartition",
+    )
+    offenders = []
+    for name in sorted(bench.BENCH_EXEMPT):
+        if name.startswith("scan_"):
+            continue  # class (a): fixture-parse / bare-scan round trips
+        df = workloads.QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if any(s in plan for s in data_exchanges):
+            offenders.append(name)
+    assert not offenders, offenders

@@ -510,6 +510,13 @@ HEADLINE = [
     "tpch_q22_idle_customers", "window_cumulative_distinct",
     "window_first_last", "window_lag_lead", "window_moving_avg",
     "window_percent_rank", "window_rank_ntile", "window_sliding_events",
+    # round-12 additions (all shuffle-bearing → HEADLINE by the rule)
+    "surrogate_key_gap_islands", "linenumber_sequence_audit",
+    "duplicate_payment_screen", "p_chart_return_rate_monthly",
+    "month_end_closing_spike", "token_len_histogram",
+    "stopword_share_by_source", "token_simpson_diversity_by_source",
+    "embedding_active_dims_quartiles", "active_days_histogram",
+    "order_backlog_depth_daily",
 ]
 
 # HEADLINE inclusion rule (VERDICT r11 item 4 — written down so bench

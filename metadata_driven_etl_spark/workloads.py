@@ -19479,6 +19479,786 @@ def part_staleness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round-12 additions, wave 1: ETL surrogate-key / sequence / payment
+# audits — the data-platform integrity screens between the referential
+# audits (do FKs resolve?) and the DQ rules (is each row valid?):
+# is the KEY SPACE itself healthy (gaps, dense line sequences,
+# double-billing fingerprints)?
+# =========================================================================
+
+
+@workload(
+    "surrogate_key_gap_islands",
+    oracle="""
+    WITH r AS (
+        SELECT o_orderkey AS k,
+               row_number() OVER (ORDER BY o_orderkey) AS rnk
+        FROM orders),
+    i AS (SELECT k - rnk AS island,
+                 CAST(COUNT(*) AS BIGINT) AS ilen,
+                 CAST(MIN(k) AS BIGINT) AS mn,
+                 CAST(MAX(k) AS BIGINT) AS mx
+          FROM r GROUP BY 1)
+    SELECT CAST(SUM(ilen) AS BIGINT) AS n_keys,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(MAX(ilen) AS BIGINT) AS max_island_len,
+           CAST(MIN(mn) AS BIGINT) AS min_key,
+           CAST(MAX(mx) AS BIGINT) AS max_key,
+           CAST(MAX(mx) - MIN(mn) + 1 - SUM(ilen) AS BIGINT) AS n_missing
+    FROM i""",
+)
+def surrogate_key_gap_islands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Surrogate-key continuity audit: islands of CONSECUTIVE order
+    keys (the gaps-islands identity key − rank) — the key-space health
+    readout behind sequence-generator monitoring (a sudden island
+    break-up means a generator reset, a partial load, or deletes; the
+    TPC-H key space is deliberately sparse, so the audit bites).  The
+    |days|-domain sibling is ``gaps_islands_daily``; THIS frame grows
+    with the entity count, so the rank rides
+    ``windows.distributed_rank`` (range exchange + broadcast offsets —
+    the SCALE.md §2 classification rule: entity-growing frames never
+    get a bare global window).
+
+    Hash-exact: rank under the unique-key total order is identical to
+    row_number; islands, lengths, and the missing-count identity
+    (max − min + 1 − n) are exact integers.
+
+    Scale: the range exchange, one island-keyed aggregation (island
+    ids inherit the key distribution — uniform), a 1-row rollup."""
+    k = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    r = window_ops.distributed_rank(k, [F.asc("k")], "rnk")
+    isl = r.groupBy((F.col("k") - F.col("rnk")).alias("island")).agg(
+        F.count(F.lit(1)).cast("long").alias("ilen"),
+        F.min("k").cast("long").alias("mn"),
+        F.max("k").cast("long").alias("mx"),
+    )
+    return isl.agg(
+        F.sum("ilen").cast("long").alias("n_keys"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.max("ilen").cast("long").alias("max_island_len"),
+        F.min("mn").cast("long").alias("min_key"),
+        F.max("mx").cast("long").alias("max_key"),
+        (F.max("mx") - F.min("mn") + 1 - F.sum("ilen"))
+        .cast("long")
+        .alias("n_missing"),
+    )
+
+
+@workload(
+    "linenumber_sequence_audit",
+    oracle="""
+    WITH l AS (
+        SELECT l_orderkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MAX(l_linenumber) AS BIGINT) AS mx,
+               CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS d
+        FROM lineitem GROUP BY 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN mx = n AND d = n THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_complete,
+           CAST(SUM(CASE WHEN d < n THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_linenumbers,
+           CAST(SUM(CASE WHEN mx > n THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gapped,
+           CAST(SUM(CASE WHEN mx = n AND d = n THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS complete_rate
+    FROM l""",
+)
+def linenumber_sequence_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dense-sequence completeness audit: every order's line numbers
+    must be exactly 1..n (no duplicates, no gaps) — the detail-table
+    integrity contract an order-lines loader is supposed to preserve,
+    checked in closed form per group: complete ⇔ max = count AND
+    distinct = count.  The ordering sibling is
+    ``sequence_violations_by_user`` (event ordering); this audits
+    SEQUENCE DENSITY.
+
+    Hash-exact: counts, max, distinct counts, and the two boolean
+    identities are exact integers; one rate division.
+
+    Scale: one order-keyed aggregation (count-distinct planned as the
+    two-phase expand), a 1-row rollup."""
+    l_ = _t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("l_linenumber").cast("long").alias("mx"),
+        F.countDistinct("l_linenumber").cast("long").alias("d"),
+    )
+    complete = F.when(
+        (F.col("mx") == F.col("n")) & (F.col("d") == F.col("n")), 1
+    ).otherwise(0)
+    return l_.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(complete).cast("long").alias("n_complete"),
+        F.sum(F.when(F.col("d") < F.col("n"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_linenumbers"),
+        F.sum(F.when(F.col("mx") > F.col("n"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_gapped"),
+        (
+            F.sum(complete).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("complete_rate"),
+    )
+
+
+@workload(
+    "duplicate_payment_screen",
+    oracle="""
+    WITH g AS (
+        SELECT o_custkey,
+               CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT) AS cents,
+               CAST(o_orderdate AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1, 2, 3)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(COALESCE(SUM(CASE WHEN c > 1 THEN 1 END), 0) AS BIGINT)
+             AS n_dup_groups,
+           CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+             AS n_dup_orders,
+           CAST(COALESCE(SUM(CASE WHEN c > 1 THEN (c-1)*cents END), 0)
+                AS BIGINT) AS exposure_cents
+    FROM g""",
+)
+def duplicate_payment_screen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Double-billing fingerprint screen: orders sharing an exact
+    (customer, amount, date) triple — the classic AP-audit duplicate-
+    payment test (same payee, same amount, same day ⇒ investigate).
+    ``exposure_cents`` prices the risk: every copy beyond the first in
+    a group counts its full amount.  The content-hash sibling is
+    ``dedup_exact`` (payload identity); this screens BUSINESS-KEY
+    collisions.
+
+    Hash-exact: the triple is exact integers/dates; counts and the
+    (c−1)·cents exposure are exact; COALESCE pins the zero-duplicate
+    corpus to 0 on both engines (no NULL-vs-0 drift).
+
+    Scale: one hash aggregation on the triple (uniform — amount·date
+    scatter), a 1-row rollup."""
+    g = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    dup = F.col("c") > 1
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.coalesce(F.sum(F.when(dup, 1)), F.lit(0))
+        .cast("long")
+        .alias("n_dup_groups"),
+        F.coalesce(F.sum(F.when(dup, F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias("n_dup_orders"),
+        F.coalesce(
+            F.sum(F.when(dup, (F.col("c") - 1) * F.col("cents"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("exposure_cents"),
+    )
+
+
+# =========================================================================
+# Round-12 additions, wave 2: statistical process control + calendar
+# artifacts — the p-chart (attribute SPC with binomial 3σ limits, the
+# proportion sibling of the shipped z-chart/CUSUM family) and the
+# month-end closing-spike screen (books-closing revenue pull-forward).
+# =========================================================================
+
+
+@workload(
+    "p_chart_return_rate_monthly",
+    oracle="""
+    WITH m AS (
+        SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_returned
+        FROM lineitem GROUP BY 1),
+    t AS (SELECT CAST(SUM(n_lines) AS BIGINT) AS tn,
+                 CAST(SUM(n_returned) AS BIGINT) AS tr
+          FROM m)
+    SELECT month, n_lines, n_returned,
+           CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE) AS p,
+           CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE) AS p_bar,
+           (CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE))
+             + 3.0 * sqrt((CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE))
+                          * (1.0 - CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE))
+                          / CAST(n_lines AS DOUBLE)) AS ucl,
+           greatest(0.0,
+             (CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE))
+               - 3.0 * sqrt((CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE))
+                            * (1.0 - CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE))
+                            / CAST(n_lines AS DOUBLE))) AS lcl,
+           CAST(CASE WHEN CAST(n_returned AS DOUBLE)
+                            / CAST(n_lines AS DOUBLE)
+                          > (CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE))
+                            + 3.0 * sqrt((CAST(tr AS DOUBLE)
+                                          / CAST(tn AS DOUBLE))
+                                * (1.0 - CAST(tr AS DOUBLE)
+                                         / CAST(tn AS DOUBLE))
+                                / CAST(n_lines AS DOUBLE))
+                       OR CAST(n_returned AS DOUBLE)
+                            / CAST(n_lines AS DOUBLE)
+                          < greatest(0.0,
+                              (CAST(tr AS DOUBLE) / CAST(tn AS DOUBLE))
+                                - 3.0 * sqrt((CAST(tr AS DOUBLE)
+                                              / CAST(tn AS DOUBLE))
+                                    * (1.0 - CAST(tr AS DOUBLE)
+                                             / CAST(tn AS DOUBLE))
+                                    / CAST(n_lines AS DOUBLE)))
+                     THEN 1 ELSE 0 END AS BIGINT) AS out_of_control
+    FROM m CROSS JOIN t""",
+)
+def p_chart_return_rate_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Attribute SPC p-chart: monthly returned-line proportion against
+    binomial 3σ control limits around the pooled rate — the
+    proportion-defective sibling of the shipped z-chart (levels) and
+    CUSUM (drift) controls; per-month limits widen as 1/√n, the
+    variable-subgroup-size form.
+
+    Hash-exact: counts exact; p, p̄, and the limits are the SAME fixed
+    IEEE chain on both engines (each input division correctly rounded,
+    sqrt correctly rounded, no fusable a·b±c shape), so the
+    out-of-control comparison can never flip per engine; LCL clamps at
+    0 via greatest on both sides.
+
+    Scale: one map-side-combinable month aggregation over the fact,
+    a broadcast 1-row pooled total, map-side limit arithmetic over the
+    ≤84-row month frame."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        F.trunc(F.to_date("l_shipdate"), "month").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("n_returned"),
+    )
+    t = m.agg(
+        F.sum("n_lines").cast("long").alias("tn"),
+        F.sum("n_returned").cast("long").alias("tr"),
+    )
+    p = F.col("n_returned").cast("double") / F.col("n_lines").cast("double")
+    pbar = F.col("tr").cast("double") / F.col("tn").cast("double")
+    sd = F.sqrt(
+        pbar * (F.lit(1.0) - pbar) / F.col("n_lines").cast("double")
+    )
+    ucl = pbar + F.lit(3.0) * sd
+    lcl = F.greatest(F.lit(0.0), pbar - F.lit(3.0) * sd)
+    return m.crossJoin(F.broadcast(t)).select(
+        "month", "n_lines", "n_returned",
+        p.alias("p"),
+        pbar.alias("p_bar"),
+        ucl.alias("ucl"),
+        lcl.alias("lcl"),
+        F.when((p > ucl) | (p < lcl), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("out_of_control"),
+    )
+
+
+@workload(
+    "month_end_closing_spike",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+               CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT) AS cents
+        FROM orders),
+    m AS (SELECT month,
+                 CAST(SUM(cents) AS BIGINT) AS month_cents,
+                 CAST(SUM(CASE WHEN day >= last_day(day) - 2
+                               THEN cents ELSE 0 END) AS BIGINT)
+                   AS tail3_cents,
+                 CAST(date_diff('day', month,
+                                last_day(month)) + 1 AS BIGINT)
+                   AS days_in_month
+          FROM d GROUP BY 1)
+    SELECT month, month_cents, tail3_cents, days_in_month,
+           CAST(tail3_cents AS DOUBLE) / CAST(month_cents AS DOUBLE)
+             AS tail3_share,
+           (CAST(tail3_cents AS DOUBLE) / CAST(month_cents AS DOUBLE))
+             * CAST(days_in_month AS DOUBLE) / 3.0 AS spike_index
+    FROM m""",
+)
+def month_end_closing_spike(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Books-closing artifact screen: the share of each month's
+    revenue landing in its LAST THREE days, and the spike index (share
+    ÷ the uniform 3/days expectation — index ≈ 1 means no pull-
+    forward; sales teams gaming month-end quotas show up as a
+    sustained index ≫ 1).  The seasonal sibling decomposes WHICH dow
+    (seasonal_dow_additive); this screens WITHIN-MONTH position.
+
+    Hash-exact: the last-3-days test is exact date arithmetic
+    (last_day − 2) on both engines; cents exact; share and index are
+    an identical two-division chain.
+
+    Scale: one map-side-combinable month aggregation (the tail test is
+    a per-row date predicate), a ≤84-row readout."""
+    d = _t(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day"),
+        F.trunc(F.to_date("o_orderdate"), "month").alias("month"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    m = d.groupBy("month").agg(
+        F.sum("cents").cast("long").alias("month_cents"),
+        F.sum(
+            F.when(
+                F.col("day") >= F.date_sub(F.last_day("day"), 2),
+                F.col("cents"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("tail3_cents"),
+        (
+            F.datediff(F.last_day(F.first("month")), F.first("month")) + 1
+        )
+        .cast("long")
+        .alias("days_in_month"),
+    )
+    share = (
+        F.col("tail3_cents").cast("double")
+        / F.col("month_cents").cast("double")
+    )
+    return m.select(
+        "month", "month_cents", "tail3_cents", "days_in_month",
+        share.alias("tail3_share"),
+        (share * F.col("days_in_month").cast("double") / F.lit(3.0)).alias(
+            "spike_index"
+        ),
+    )
+
+
+# =========================================================================
+# Round-12 additions, wave 3: LLM-corpus tokenizer/lexical diagnostics
+# — token length spectrum (tokenizer budget sizing), stopword mass per
+# source (boilerplate/function-word screen), and Simpson lexical
+# diversity (the RATIONAL entropy substitute: ln-free, hence
+# hash-checkable — the numerics discipline prefers 1 − Σp² over
+# Shannon H).
+# =========================================================================
+
+_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "on",
+    "for", "it", "with", "as", "at", "by", "be", "this", "that",
+)
+
+
+@workload(
+    "token_len_histogram",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({text_ops.sql_tokens("text")}) AS t
+        FROM documents),
+    c AS (SELECT CAST(length(t) AS INTEGER) AS tok_len,
+                 CAST(COUNT(*) AS BIGINT) AS n_tokens
+          FROM tok GROUP BY 1),
+    tt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM c)
+    SELECT tok_len, n_tokens,
+           CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS share
+    FROM c CROSS JOIN tt""",
+)
+def token_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token length spectrum: corpus-wide distribution of token
+    character lengths — the tokenizer-budget diagnostic (a corpus
+    whose mass sits at length ≥ 12 fragments badly under a word-piece
+    vocab; OCR noise shows up as a length-1/2 spike).  The
+    frequency-rank sibling is ``token_coverage_topk``; this profiles
+    SHAPE, not rank.
+
+    Hash-exact: lengths and counts are exact integers; ONE share
+    division against the broadcast total.
+
+    Scale: one tokenizer explode + a length-bounded (≤ max token
+    chars) aggregation — a true value-domain frame."""
+    tok = _docs(spark, sf_dir).select(
+        F.explode(text_ops.tokens("text")).alias("t")
+    )
+    c = tok.groupBy(
+        F.length("t").cast("int").alias("tok_len")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    tt = c.agg(F.sum("n_tokens").cast("long").alias("total"))
+    return c.crossJoin(F.broadcast(tt)).select(
+        "tok_len", "n_tokens",
+        (
+            F.col("n_tokens").cast("double") / F.col("total").cast("double")
+        ).alias("share"),
+    )
+
+
+@workload(
+    "stopword_share_by_source",
+    oracle=f"""
+    WITH d AS (
+        SELECT source,
+               {text_ops.sql_tokens("text")} AS toks
+        FROM documents WHERE source IS NOT NULL),
+    p AS (SELECT source,
+                 CAST(len(toks) AS BIGINT) AS n_tok,
+                 CAST(len(list_filter(toks,
+                     x -> list_contains({list(_STOPWORDS)!r}, x)))
+                   AS BIGINT) AS n_stop
+          FROM d)
+    SELECT source,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_stop) AS BIGINT) AS n_stopwords,
+           CAST(SUM(n_stop) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE)
+             AS stopword_share
+    FROM p GROUP BY 1""",
+)
+def stopword_share_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Function-word mass per source: the share of tokens that are
+    English stopwords — the cheap language/boilerplate screen (organic
+    English prose sits near 0.3-0.45; keyword-stuffed spam, code, and
+    non-English text fall far below; the per-doc quality scorer uses
+    the same signal, this is the SOURCE-level rollout readout).
+
+    Hash-exact: both counts are map-side integer filters against the
+    same literal list; one share division.
+
+    Scale: map-only tokenize + filter per row (JVM higher-order
+    functions, no explode), one |sources|-row aggregation."""
+    sw = list(_STOPWORDS)
+    toks = text_ops.tokens("text")
+    p = (
+        _docs(spark, sf_dir)
+        .filter(F.col("source").isNotNull())
+        .select(
+            "source",
+            F.size(toks).cast("long").alias("n_tok"),
+            F.size(
+                F.filter(toks, lambda t: t.isin(sw))
+            ).cast("long").alias("n_stop"),
+        )
+    )
+    return p.groupBy("source").agg(
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("n_stop").cast("long").alias("n_stopwords"),
+        (
+            F.sum("n_stop").cast("double") / F.sum("n_tok").cast("double")
+        ).alias("stopword_share"),
+    )
+
+
+@workload(
+    "token_simpson_diversity_by_source",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest({text_ops.sql_tokens("text")}) AS t
+        FROM documents WHERE source IS NOT NULL),
+    tc AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+           FROM tok GROUP BY 1, 2),
+    m AS (SELECT source,
+                 CAST(SUM(c) AS BIGINT) AS n,
+                 CAST(COUNT(*) AS BIGINT) AS vocab,
+                 SUM(CAST(c AS HUGEINT) * c) AS ssq
+          FROM tc GROUP BY 1)
+    SELECT source, n AS n_tokens, vocab,
+           1.0 - CAST(CAST(ssq AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(CAST(n AS HUGEINT) * n AS VARCHAR)
+                          AS DOUBLE) AS simpson_diversity,
+           CAST(CAST(CAST(n AS HUGEINT) * n AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(ssq AS VARCHAR) AS DOUBLE)
+             AS effective_vocab
+    FROM m""",
+)
+def token_simpson_diversity_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lexical diversity per source via the SIMPSON index 1 − Σp² and
+    its inverse (effective vocabulary = how many equally-common types
+    would produce the same repeat-probability) — the ln-free diversity
+    measure (Shannon entropy is the textbook choice but Math.log isn't
+    correctly-rounded cross-engine; Simpson is rational in exact
+    counts, the repo's documented entropy substitute).  Template/spam
+    sources collapse toward few effective types; organic prose holds
+    thousands.
+
+    Hash-exact: Σc and Σc² ride exact decimal; each output is ONE
+    division of VARCHAR-routed exacts (the decimal→double discipline);
+    1.0 − x is exact IEEE.
+
+    Scale: the TF/DF shuffle shape — one (source, token) aggregation,
+    one |sources|-row moment rollup; Σc² bounds: c ≤ 10¹² tokens per
+    source keeps c² < 10²⁴ ≪ 10³⁸."""
+    d38 = "decimal(38,0)"
+    tc = (
+        _docs(spark, sf_dir)
+        .filter(F.col("source").isNotNull())
+        .select("source", F.explode(text_ops.tokens("text")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    m = tc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.col("c").cast(d38) * F.col("c")).cast(d38).alias("ssq"),
+    )
+    ssq_d = F.col("ssq").cast(d38).cast("double")
+    nn_d = (F.col("n").cast(d38) * F.col("n")).cast(d38).cast("double")
+    return m.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        "vocab",
+        (F.lit(1.0) - ssq_d / nn_d).alias("simpson_diversity"),
+        (nn_d / ssq_d).alias("effective_vocab"),
+    )
+
+
+# =========================================================================
+# Round-12 additions, wave 4: embedding sparsity profile — per-label
+# quartiles of the active-dimension count (|x| above a magnitude
+# floor), the representation-health readout behind pruning/quantization
+# decisions (a label whose vectors activate few dimensions survives
+# aggressive int8/JL compression; a dense one doesn't).
+# =========================================================================
+
+
+@workload(
+    "embedding_active_dims_quartiles",
+    oracle="""
+    WITH a AS (
+        SELECT label,
+               CAST(len(list_filter(embedding, x -> abs(x) > 0.1))
+                    AS BIGINT) AS active
+        FROM embeddings),
+    dm AS (SELECT label, active, CAST(COUNT(*) AS BIGINT) AS c
+           FROM a GROUP BY 1, 2),
+    w AS (SELECT label, active,
+                 CAST(SUM(c) OVER (PARTITION BY label ORDER BY active)
+                      AS BIGINT) AS cum
+          FROM dm),
+    nn AS (SELECT label, CAST(SUM(c) AS BIGINT) AS n FROM dm GROUP BY 1)
+    SELECT w.label, nn.n AS n_vectors,
+           CAST(MIN(CASE WHEN cum >= (1*nn.n + 3)//4 THEN active END)
+                AS BIGINT) AS q1_active,
+           CAST(MIN(CASE WHEN cum >= (2*nn.n + 3)//4 THEN active END)
+                AS BIGINT) AS q2_active,
+           CAST(MIN(CASE WHEN cum >= (3*nn.n + 3)//4 THEN active END)
+                AS BIGINT) AS q3_active
+    FROM w JOIN nn ON nn.label = w.label
+    GROUP BY 1, 2""",
+)
+def embedding_active_dims_quartiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding sparsity quartiles per label: the distribution of how
+    many dimensions carry magnitude above 0.1 — the compression-
+    planning readout (quantization/JL budgets size to the ACTIVE
+    support, not the nominal dim; a label whose q3 is far below the
+    vector width is over-provisioned).  The magnitude sibling profiles
+    norms (``embedding_norm_outliers``); this profiles SUPPORT.
+
+    Hash-exact: the activity test |x| > 0.1 promotes float32 to
+    double identically on both engines (exact widening), so the count
+    is exact integer; quartiles select at ⌈kn/4⌉ over the ≤(dim+1)-row
+    per-label domain — no interpolation, no data sort.
+
+    Scale: map-side higher-order filter (no explode), a |labels ×
+    (dim+1)|-bounded domain aggregation, group-partitioned cum windows
+    over that domain frame."""
+    from pyspark.sql import Window
+
+    a = _emb(spark, sf_dir).select(
+        "label",
+        F.size(
+            F.filter(F.col("embedding"), lambda x: F.abs(x) > F.lit(0.1))
+        )
+        .cast("long")
+        .alias("active"),
+    )
+    dm = a.groupBy("label", "active").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = dm.select(
+        "label", "active",
+        F.sum("c")
+        .over(
+            Window.partitionBy("label")
+            .orderBy("active")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("long")
+        .alias("cum"),
+    )
+    nn = dm.groupBy("label").agg(F.sum("c").cast("long").alias("n"))
+    j = w.join(F.broadcast(nn), "label")
+
+    def qk(k: int):
+        rank = F.expr(f"CAST(({k}*n + 3) DIV 4 AS BIGINT)")
+        return (
+            F.min(F.when(F.col("cum") >= rank, F.col("active")))
+            .cast("long")
+            .alias(f"q{k}_active")
+        )
+
+    return j.groupBy(
+        F.col("label"), F.col("n").alias("n_vectors")
+    ).agg(qk(1), qk(2), qk(3))
+
+
+# =========================================================================
+# Round-12 additions, wave 5: engagement depth + order-book operations
+# — the active-days histogram (how LONG users stay active, the depth
+# axis the frequency histogram doesn't see) and the daily order
+# backlog depth (open-order pressure via the endpoint-sweep identity).
+# =========================================================================
+
+
+@workload(
+    "active_days_histogram",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                 AS n_active_days
+        FROM events GROUP BY 1),
+    h AS (SELECT n_active_days, CAST(COUNT(*) AS BIGINT) AS n_users
+          FROM u GROUP BY 1),
+    t AS (SELECT CAST(SUM(n_users) AS BIGINT) AS total FROM h)
+    SELECT n_active_days, n_users,
+           CAST(n_users AS DOUBLE) / CAST(total AS DOUBLE) AS user_share
+    FROM h CROSS JOIN t""",
+)
+def active_days_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement depth histogram: users bucketed by how many DISTINCT
+    days they were active — the tenure-depth axis orthogonal to
+    per-day actives (DAU counts heads; this counts habits; the
+    orders-table sibling ``customer_order_frequency_histogram`` counts
+    transactions).  The heavy-left shape is the churn signature; mass
+    in the tail is the habit cohort retention campaigns protect.
+
+    Hash-exact: distinct-day counts and the histogram are exact
+    integers; ONE share division against the broadcast total.
+
+    Scale: one user-keyed distinct aggregation (two-phase expand),
+    then a calendar-bounded (≤|days|) histogram rollup."""
+    u = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct(F.to_date("ts"))
+            .cast("long")
+            .alias("n_active_days")
+        )
+    )
+    h = u.groupBy("n_active_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    t = h.agg(F.sum("n_users").cast("long").alias("total"))
+    return h.crossJoin(F.broadcast(t)).select(
+        "n_active_days", "n_users",
+        (
+            F.col("n_users").cast("double") / F.col("total").cast("double")
+        ).alias("user_share"),
+    )
+
+
+@workload(
+    "order_backlog_depth_daily",
+    oracle="""
+    WITH cl AS (
+        SELECT l_orderkey,
+               MAX(CAST(l_shipdate AS DATE)) AS close_day
+        FROM lineitem GROUP BY 1),
+    o AS (SELECT o.o_orderkey,
+                 CAST(o.o_orderdate AS DATE) AS open_day,
+                 cl.close_day
+          FROM orders o JOIN cl ON cl.l_orderkey = o.o_orderkey),
+    ev AS (SELECT open_day AS day, 1 AS opened, 0 AS closed FROM o
+           UNION ALL
+           SELECT close_day, 0, 1 FROM o),
+    d AS (SELECT day,
+                 CAST(SUM(opened) AS BIGINT) AS n_opened,
+                 CAST(SUM(closed) AS BIGINT) AS n_closed
+          FROM ev GROUP BY 1)
+    SELECT day, n_opened, n_closed,
+           CAST(SUM(n_opened - n_closed) OVER (ORDER BY day)
+                AS BIGINT) AS backlog_depth
+    FROM d""",
+)
+def order_backlog_depth_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily order-book backlog: orders opened but not yet fully
+    shipped at each day's close, via the +1/−1 endpoint sweep (+1 on
+    the order date, −1 on the LAST shipment date; the running sum IS
+    the open-order count — an order fully shipped the day it was
+    placed never appears).  The intraday sibling is
+    ``sessions_concurrent_peak_daily`` (second-resolution peaks);
+    this is the operations burn-down curve fulfillment teams staff
+    against.
+
+    Hash-exact: endpoint deltas and the running depth are exact
+    integers under the shared day order.
+
+    Scale: one order-keyed close aggregation, a 2-row-per-order
+    endpoint union partial-aggregated into the |days| frame, one
+    calendar-bounded cumulative window (the documented exemption
+    class)."""
+    from pyspark.sql import Window
+
+    cl = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("close_day"))
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", F.to_date("o_orderdate").alias("open_day"))
+        .join(cl, F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    ev = o.select(
+        F.col("open_day").alias("day"),
+        F.lit(1).alias("opened"),
+        F.lit(0).alias("closed"),
+    ).unionByName(
+        o.select(
+            F.col("close_day").alias("day"),
+            F.lit(0).alias("opened"),
+            F.lit(1).alias("closed"),
+        )
+    )
+    d = ev.groupBy("day").agg(
+        F.sum("opened").cast("long").alias("n_opened"),
+        F.sum("closed").cast("long").alias("n_closed"),
+    )
+    return d.select(
+        "day", "n_opened", "n_closed",
+        F.sum(F.col("n_opened") - F.col("n_closed"))
+        .over(
+            Window.orderBy("day").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .cast("long")
+        .alias("backlog_depth"),
+    )
+
+
+# =========================================================================
 # Driver-facing registry order
 # =========================================================================
 #

@@ -1314,6 +1314,23 @@ def test_token_coverage_materializes_rank_frame(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_surrogate_key_islands_rank_is_distributed(spark, sf_dir):
+    """The r12 gaps-islands audit ranks an ENTITY-growing key frame —
+    must ride distributed_rank, never a bare row_number: no row_number
+    in the plan, every surviving Window is the _dnt_pid offsets cumsum,
+    at most one SinglePartition exchange."""
+    plan = _plan(
+        workloads.QUERIES["surrogate_key_gap_islands"](spark, sf_dir)
+    )
+    assert "row_number" not in plan, plan
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert all("_dnt_pid" in ln for ln in win_lines), win_lines
+    # two legitimate SinglePartition exchanges: the metadata-sized
+    # offsets cumsum AND the final 1-row scalar rollup (both fed by
+    # partial aggregates, never by the data frame)
+    assert plan.count("Exchange SinglePartition") <= 2, plan
+
+
 def test_token_coverage_rank_is_distributed(spark, sf_dir):
     """VERDICT r11 item 2: the |vocab| frame is corpus-growing under
     Heaps' law, NOT a value-bounded domain — the head-token rank must

@@ -187,6 +187,27 @@ R11_ADDITIONS_ORDERED = [
 R11_ADDITIONS = set(R11_ADDITIONS_ORDERED)
 
 
+# Round-12 post-prefix additions in registration order (mirrors
+# COVERAGE.md "Round-12 wave" sections).  They queue behind R13_QUEUE
+# for their first driver rows (r14) — 11 keys, well under the ≤34
+# debt-policy cap (COVERAGE.md).
+R12_ADDITIONS_ORDERED = [
+    # wave 1: ETL surrogate-key / sequence / payment audits
+    "surrogate_key_gap_islands", "linenumber_sequence_audit",
+    "duplicate_payment_screen",
+    # wave 2: SPC + calendar artifacts
+    "p_chart_return_rate_monthly", "month_end_closing_spike",
+    # wave 3: tokenizer / lexical diagnostics
+    "token_len_histogram", "stopword_share_by_source",
+    "token_simpson_diversity_by_source",
+    # wave 4: embedding sparsity profile
+    "embedding_active_dims_quartiles",
+    # wave 5: engagement depth + order-book operations
+    "active_days_histogram", "order_backlog_depth_daily",
+]
+R12_ADDITIONS = set(R12_ADDITIONS_ORDERED)
+
+
 # Machine-readable r13 queue (rotation-debt invariant, VERDICT r11
 # item 1): pinned BEFORE r12 closes.  Core + the 34 round-11 additions
 # (first driver rows, registration order) + the next 12 stale
@@ -196,6 +217,20 @@ R13_QUEUE = (
     + R11_ADDITIONS_ORDERED
     + R6_STALE_COHORT[10:22]
 )
+
+
+def test_r12_additions_registered_oracle_paired_and_queued():
+    """Every round-12 addition is registered, hash-checkable, NOT in
+    the r12 driver prefix, and NOT colliding with the pinned r13
+    queue (their first driver check is r14)."""
+    assert R12_ADDITIONS <= set(workloads.QUERIES)
+    assert R12_ADDITIONS <= set(workloads.ORACLES)
+    assert not (R12_ADDITIONS & set(workloads.DRIVER_PRIORITY))
+    assert not (R12_ADDITIONS & set(R13_QUEUE))
+    assert len(R12_ADDITIONS) == len(R12_ADDITIONS_ORDERED)
+    assert len(R12_ADDITIONS) <= 34  # the COVERAGE.md debt-policy cap
+    reg_order = [k for k in workloads.QUERIES if k in R12_ADDITIONS]
+    assert reg_order == R12_ADDITIONS_ORDERED
 
 
 def test_r11_additions_registered_oracle_paired_and_queued():

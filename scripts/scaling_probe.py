@@ -183,6 +183,22 @@ def _running_sum_zipf_probe(df: DataFrame) -> DataFrame:
     )
 
 
+def _gap_islands_probe(df: DataFrame) -> DataFrame:
+    """surrogate_key_gap_islands' shape over the amplified event_id
+    key space: distributed_rank, the key−rank island identity, one
+    island-keyed aggregation, a scalar rollup."""
+    from metadata_driven_etl_spark.operators import windows as window_ops
+
+    k = df.select(F.col("event_id").alias("k"))
+    r = window_ops.distributed_rank(k, [F.asc("k")], "rnk")
+    isl = r.groupBy((F.col("k") - F.col("rnk")).alias("island")).agg(
+        F.count(F.lit(1)).alias("ilen")
+    )
+    return isl.agg(
+        F.count(F.lit(1)).alias("n_islands"), F.max("ilen").alias("mx")
+    )
+
+
 def _decontam_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """~1% of the amplified corpus acts as the eval suite — so the eval
     side GROWS with scale, which is exactly the regime that separates the
@@ -540,6 +556,12 @@ EVENT_OPS = {
     # linear; a super-linear curve would mean the fold funneled into
     # one task (the exact failure the operator exists to prevent).
     "distributed_running_sum": lambda df: _running_sum_probe(df),
+    # r12: the surrogate_key_gap_islands shape on the amplified
+    # event_id key space (keys grow Nx; the amplifier's per-copy
+    # offsets leave inter-copy gaps, so islands exist at every scale):
+    # distributed_rank + the island groupBy must stay linear — island
+    # ids inherit the key distribution, so no hot groups.
+    "gap_islands_keys": lambda df: _gap_islands_probe(df),
     "cohort_retention": lambda df: temporal_ops.cohort_retention(df),
     # interval-overlap join, 15-min event windows keyed by user.
     # bin_width sensitivity: = span (each row explodes to ~2 bins, the

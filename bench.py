@@ -516,7 +516,7 @@ HEADLINE = [
     "month_end_closing_spike", "token_len_histogram",
     "stopword_share_by_source", "token_simpson_diversity_by_source",
     "embedding_active_dims_quartiles", "active_days_histogram",
-    "order_backlog_depth_daily",
+    "order_backlog_depth_daily", "langid_confusion_matrix",
 ]
 
 # HEADLINE inclusion rule (VERDICT r11 item 4 — written down so bench

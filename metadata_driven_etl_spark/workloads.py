@@ -20259,6 +20259,73 @@ def order_backlog_depth_daily(
 
 
 # =========================================================================
+# Round-12 additions, wave 6: operator-quality evaluation — the lang-id
+# heuristic scored against the documents table's ground-truth lang
+# column as a full confusion matrix (the eval harness pattern: the
+# engine's own classifier is itself a query under oracle check).
+# =========================================================================
+
+
+@workload(
+    "langid_confusion_matrix",
+    oracle=f"""
+    WITH p AS (
+        SELECT lang AS lang_actual,
+               {text_ops.sql_lang_id("text")} AS lang_pred
+        FROM documents WHERE lang IS NOT NULL),
+    c AS (SELECT lang_actual, lang_pred,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM p GROUP BY 1, 2),
+    a AS (SELECT lang_actual, CAST(SUM(n_docs) AS BIGINT) AS n_actual
+          FROM c GROUP BY 1)
+    SELECT c.lang_actual, c.lang_pred, c.n_docs,
+           CAST(c.n_docs AS DOUBLE) / CAST(a.n_actual AS DOUBLE)
+             AS share_of_actual
+    FROM c JOIN a ON a.lang_actual = c.lang_actual""",
+)
+def langid_confusion_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Language-ID confusion matrix: the n-gram-marker classifier
+    (``text.lang_id_df``) scored cell-by-cell against the corpus's
+    ground-truth lang column — the operator-quality eval as a QUERY
+    (``precision_recall_at_threshold``/``roc_auc`` grade scores; this
+    grades the shipped classifier itself; the diagonal shares are
+    per-language recall, the off-diagonal mass says which marker sets
+    collide).
+
+    Hash-exact: the classifier is the same deterministic JVM/DuckDB
+    expression twin the ``text_lang_id`` workload hash-gates (fixed
+    tie order, und on zero overlap); counts exact, one share division
+    per cell.
+
+    Scale: map-side classification (no explode survives the
+    projection), one ≤|langs|²-cell aggregation, a broadcast
+    |langs|-row actual-total join."""
+    p = (
+        _docs(spark, sf_dir)
+        .filter(F.col("lang").isNotNull())
+        .select(F.col("lang").alias("lang_actual"), "text")
+    )
+    p = text_ops.lang_id_df(p, "text", "lang_pred").select(
+        "lang_actual", "lang_pred"
+    )
+    c = p.groupBy("lang_actual", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    a = c.groupBy("lang_actual").agg(
+        F.sum("n_docs").cast("long").alias("n_actual")
+    )
+    return c.join(F.broadcast(a), "lang_actual").select(
+        "lang_actual", "lang_pred", "n_docs",
+        (
+            F.col("n_docs").cast("double")
+            / F.col("n_actual").cast("double")
+        ).alias("share_of_actual"),
+    )
+
+
+# =========================================================================
 # Driver-facing registry order
 # =========================================================================
 #

@@ -204,6 +204,8 @@ R12_ADDITIONS_ORDERED = [
     "embedding_active_dims_quartiles",
     # wave 5: engagement depth + order-book operations
     "active_days_histogram", "order_backlog_depth_daily",
+    # wave 6: operator-quality evaluation
+    "langid_confusion_matrix",
 ]
 R12_ADDITIONS = set(R12_ADDITIONS_ORDERED)
 

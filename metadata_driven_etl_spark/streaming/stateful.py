@@ -737,3 +737,68 @@ def lateness_monitor_stateful(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+ACTIVE_DAYS_OUTPUT_SCHEMA = "user_id long, n_active_days long"
+# the distinct-day set rides as a JSON int list: calendar-bounded
+# (|days| ≤ a few thousand for any realistic observation window), and
+# scalar-typed for the Arrow round-trip like every other twin's state
+ACTIVE_DAYS_STATE_SCHEMA = "days string, n long"
+
+
+def active_days_monitor_stateful(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming distinct-active-days counter per user — the stateful
+    twin of the batch ``active_days_histogram``'s per-user core, and a
+    NEW point in the twin taxonomy: the statistic is a SET UNION, so it
+    is COMMUTATIVE in arrival order.  The CUSUM/z-score/drawdown/gap
+    twins must repair disorder (pending buffer + watermark) because
+    their folds are order-sensitive; the lateness monitor deliberately
+    folds in arrival order because disorder IS its statistic; here
+    neither machinery exists because no ordering can change the
+    answer — replaying the stream in ANY batch partition of the events
+    reproduces the batch count bit-for-bit (tests prove an adversarial
+    interleaving).
+
+    State per user is the distinct-day set (days since epoch, exact
+    integer floor division — pre-epoch timestamps land on negative
+    indexes, no sentinel involved) as a JSON int list plus its size:
+    bounded by the CALENDAR, not the event volume, the same
+    value-domain bound the batch histogram rides.  Emits one cumulative
+    (user, n_active_days) snapshot per key per micro-batch; the latest
+    row per key is the live engagement-depth readout.
+
+    Scale: one hash shuffle on the user key; per-key state O(|days|);
+    emitted rows per batch = keys present in that batch only."""
+    import json
+
+    pre = events.select(
+        F.col(user_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("tus"),
+    )
+
+    def track(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            days_json, n = state.get
+            days = set(json.loads(days_json))
+        else:
+            days = set()
+        for pdf in pdfs:
+            for t_us in pdf["tus"].astype("int64").tolist():
+                days.add(int(t_us) // 86_400_000_000)
+        n = len(days)
+        state.update((json.dumps(sorted(days)), n))
+        yield pd.DataFrame({"user_id": [key[0]], "n_active_days": [n]})
+
+    return pre.groupBy("user_id").applyInPandasWithState(
+        track,
+        ACTIVE_DAYS_OUTPUT_SCHEMA,
+        ACTIVE_DAYS_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1442,3 +1442,64 @@ def test_stateful_lateness_monitor_pre_epoch(spark, tmp_path_factory):
     }
     assert got == want
     assert want["a"][1] == 1 and want["b"][1] == 1, "lateness must bite"
+
+
+def test_stateful_active_days_matches_batch_any_order(
+    spark, sf_dir, tmp_path_factory
+):
+    """Sixth twin — the SET-UNION point of the taxonomy: distinct
+    active days per user is commutative in arrival order, so an
+    ADVERSARIAL interleaving (slices by event_id mod 3 — each slice
+    scatters every user's timeline across the full time range, the
+    opposite of ingestion order) must still reproduce the batch
+    count bit-for-bit, with no pending buffer and no watermark."""
+    import time as _time
+
+    from metadata_driven_etl_spark.streaming.stateful import (
+        active_days_monitor_stateful,
+    )
+
+    path = str(tmp_path_factory.mktemp("events_active_days"))
+    events = load_table(spark, sf_dir, "events")
+    slices = [
+        events.filter(F.col("event_id") % 3 == i) for i in range(3)
+    ]
+    for i, part_df in enumerate(slices):
+        part_df.coalesce(1).write.mode("overwrite").parquet(
+            f"{path}/slice={i}"
+        )
+        _time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
+    q = (
+        active_days_monitor_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("t_active_days")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {}
+    seen_updates = 0
+    for r in spark.table("t_active_days").collect():
+        seen_updates += 1
+        cur = got.get(r.user_id)
+        if cur is None or r.n_active_days >= cur:
+            got[r.user_id] = r.n_active_days
+
+    want = {
+        r.user_id: r.n
+        for r in events.groupBy("user_id")
+        .agg(F.countDistinct(F.to_date("ts")).cast("long").alias("n"))
+        .collect()
+    }
+    assert got == want
+    # the interleaving must actually exercise cross-batch state growth:
+    # more snapshot rows than users means keys were updated in multiple
+    # micro-batches
+    assert seen_updates > len(want)

@@ -1244,17 +1244,28 @@ def similarity_ann_lsh_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = sim_ops.lsh_topk(
         emb, queries, dim=64, k=5, num_bits=4, num_tables=4, hamming=1
     ).select("query_id", "neighbor_id")
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
     per_q = (
         approx.join(exact, ["query_id", "neighbor_id"], "leftsemi")
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+    # recall@k >= 0.6 with the TRUE denominator |exact top-k| (< k on a
+    # corpus smaller than k — the hard-coded >=3 form was unachievable
+    # there, r12 degenerate sweep); 5*hits >= 3*n_exact is the exact
+    # integer cross-multiplication, identical to >=3 when n_exact = 5
     return (
         queries.select("query_id")
         .join(per_q, ["query_id"], "left")
+        .join(n_exact, ["query_id"], "left")
         .select(
             "query_id",
-            (F.coalesce(F.col("n_hits"), F.lit(0)) >= F.lit(3))
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)) * 5
+                >= F.coalesce(F.col("n_exact"), F.lit(0)) * 3
+            )
             .cast("int")
             .alias("recall_ok"),
         )
@@ -2638,8 +2649,10 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH bounds AS (
         SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
-    SELECT CAST(least(floor((o_totalprice - lo) / (hi - lo) * 20), 19)
-                AS INTEGER) AS bin,
+    SELECT CAST(CASE WHEN hi <> lo
+                     THEN least(floor((o_totalprice - lo) / (hi - lo) * 20),
+                                19)
+                     ELSE 0 END AS INTEGER) AS bin,
            COUNT(*) AS n,
            min(o_totalprice) AS bin_min,
            max(o_totalprice) AS bin_max
@@ -2650,21 +2663,28 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extended §2.5: equal-width histogram/feature binning. Bounds come
     from one tiny aggregate broadcast back over the scan (two passes, both
     map-side partial); identical IEEE bin arithmetic in both engines makes
-    the binning deterministic."""
+    the binning deterministic. A constant column (hi = lo) degrades to
+    one bin 0 on BOTH engines instead of a divide-by-zero (r12
+    degenerate sweep — under ANSI the bare division is a job-killing
+    exception, not an inf)."""
     orders = _t(spark, sf_dir, "orders")
     bounds = orders.agg(
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     )
     binned = orders.crossJoin(F.broadcast(bounds)).select(
         "o_totalprice",
-        F.least(
-            F.floor(
-                (F.col("o_totalprice") - F.col("lo"))
-                / (F.col("hi") - F.col("lo"))
-                * 20
+        F.when(
+            F.col("hi") != F.col("lo"),
+            F.least(
+                F.floor(
+                    (F.col("o_totalprice") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * 20
+                ),
+                F.lit(19),
             ),
-            F.lit(19),
         )
+        .otherwise(0)
         .cast("int")
         .alias("bin"),
     )
@@ -5004,9 +5024,16 @@ def interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
         SELECT o_orderpriority, n,
                CAST(CAST(sx AS VARCHAR) AS DOUBLE) / n AS mu,
-               sqrt(CAST(CAST(CAST(n AS DECIMAL(20,0)) * sxx - sx * sx
-                              AS VARCHAR) AS DOUBLE)
-                    / (n * (n - 1))) AS sigma
+               -- guard (r12 degenerate sweep): a 1-row or constant
+               -- group has no z-score; unguarded, Spark-ANSI throws
+               -- where DuckDB emits inf rows
+               CASE WHEN n > 1
+                     AND CAST(CAST(CAST(n AS DECIMAL(20,0)) * sxx - sx * sx
+                                   AS VARCHAR) AS DOUBLE) > 0
+                    THEN sqrt(CAST(CAST(CAST(n AS DECIMAL(20,0)) * sxx
+                                        - sx * sx AS VARCHAR) AS DOUBLE)
+                              / (n * (n - 1)))
+                    ELSE NULL END AS sigma
         FROM m)
     SELECT c.o_orderkey, c.o_orderpriority,
            round((c.cx - s.mu) / s.sigma, 6) AS zscore
@@ -5041,12 +5068,16 @@ def outlier_zscore_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("cx") * F.col("cx")).cast(d28)).cast(d28).alias("sxx"),
     )
     n, nd = F.col("n"), F.col("n").cast(d20)
+    vxd = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     s = m.select(
         "o_orderpriority",
         (F.col("sx").cast("double") / n).alias("mu"),
-        F.sqrt(
-            (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-            / (n * (n - 1))
+        # guard (r12 degenerate sweep): 1-row / constant groups have no
+        # z-score — NULL sigma makes every downstream row drop on both
+        # engines instead of an ANSI divide-by-zero job failure
+        F.when(
+            (n > 1) & (vxd > 0),
+            F.sqrt(vxd / (n * (n - 1))),
         ).alias("sigma"),
     )
     z = (F.col("cx") - F.col("mu")) / F.col("sigma")
@@ -6117,10 +6148,12 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd
         FROM m)
     SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-           (cxy / vx) / 100 AS slope,
-           ((syd - (cxy / vx) * sxd) / n) / 100 AS intercept,
-           (cxy / (sqrt(vx) * sqrt(vy)))
-             * (cxy / (sqrt(vx) * sqrt(vy))) AS r2
+           CASE WHEN vx > 0 THEN (cxy / vx) / 100 END AS slope,
+           CASE WHEN vx > 0
+                THEN ((syd - (cxy / vx) * sxd) / n) / 100 END AS intercept,
+           CASE WHEN vx > 0 AND vy > 0
+                THEN (cxy / (sqrt(vx) * sqrt(vy)))
+                     * (cxy / (sqrt(vx) * sqrt(vy))) END AS r2
     FROM d""",
 )
 def linreg_price_on_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6163,16 +6196,19 @@ def linreg_price_on_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sx").cast("double").alias("sxd"),
         F.col("sy").cast("double").alias("syd"),
     )
+    # degenerate guards (r12 sweep): a constant-x group has no fit
     slope_cents = F.col("cxy") / F.col("vx")
     r = F.col("cxy") / (F.sqrt(F.col("vx")) * F.sqrt(F.col("vy")))
+    vx_ok = F.col("vx") > 0
     return d.select(
         "l_returnflag",
         "n",
-        (slope_cents / 100).alias("slope"),
-        (((F.col("syd") - slope_cents * F.col("sxd")) / F.col("n")) / 100).alias(
-            "intercept"
-        ),
-        (r * r).alias("r2"),
+        F.when(vx_ok, slope_cents / 100).alias("slope"),
+        F.when(
+            vx_ok,
+            ((F.col("syd") - slope_cents * F.col("sxd")) / F.col("n")) / 100,
+        ).alias("intercept"),
+        F.when(vx_ok & (F.col("vy") > 0), r * r).alias("r2"),
     )
 
 
@@ -7291,14 +7327,20 @@ def allocate_largest_remainder(
           FROM u GROUP BY 1)
     SELECT variant, n_units,
            CAST(ty_g AS DOUBLE) / CAST(n_units AS DOUBLE) AS raw_mean,
-           CAST(CAST(n * sxy - tx * ty AS VARCHAR) AS DOUBLE)
-             / CAST(CAST(n * sxx - tx * tx AS VARCHAR) AS DOUBLE) AS theta,
-           CAST(ty_g AS DOUBLE) / CAST(n_units AS DOUBLE)
-             - (CAST(CAST(n * sxy - tx * ty AS VARCHAR) AS DOUBLE)
-                / CAST(CAST(n * sxx - tx * tx AS VARCHAR) AS DOUBLE))
-               * (CAST(tx_g AS DOUBLE) / CAST(n_units AS DOUBLE)
-                  - CAST(CAST(tx AS VARCHAR) AS DOUBLE)
-                    / CAST(CAST(n AS VARCHAR) AS DOUBLE)) AS adj_mean
+           -- guards (r12 degenerate sweep): theta is undefined when
+           -- the covariate is constant (var X = 0)
+           CASE WHEN n * sxx - tx * tx > 0 THEN
+             CAST(CAST(n * sxy - tx * ty AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(n * sxx - tx * tx AS VARCHAR) AS DOUBLE)
+           END AS theta,
+           CASE WHEN n * sxx - tx * tx > 0 THEN
+             CAST(ty_g AS DOUBLE) / CAST(n_units AS DOUBLE)
+               - (CAST(CAST(n * sxy - tx * ty AS VARCHAR) AS DOUBLE)
+                  / CAST(CAST(n * sxx - tx * tx AS VARCHAR) AS DOUBLE))
+                 * (CAST(tx_g AS DOUBLE) / CAST(n_units AS DOUBLE)
+                    - CAST(CAST(tx AS VARCHAR) AS DOUBLE)
+                      / CAST(CAST(n AS VARCHAR) AS DOUBLE))
+           END AS adj_mean
     FROM v CROSS JOIN g""",
 )
 def cuped_adjusted_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7346,19 +7388,21 @@ def cuped_adjusted_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").alias("tx_g"),
         F.sum("y").alias("ty_g"),
     )
+    varx = F.col("n") * F.col("sxx") - F.col("tx") * F.col("tx")
     theta = (
         (F.col("n") * F.col("sxy") - F.col("tx") * F.col("ty"))
         .cast(d38)
         .cast("double")
-        / (F.col("n") * F.col("sxx") - F.col("tx") * F.col("tx"))
-        .cast(d38)
-        .cast("double")
+        / varx.cast(d38).cast("double")
     )
     raw_mean = F.col("ty_g").cast("double") / F.col("n_units").cast("double")
     adj = raw_mean - theta * (
         F.col("tx_g").cast("double") / F.col("n_units").cast("double")
         - F.col("tx").cast("double") / F.col("n").cast("double")
     )
+    # guards (r12 degenerate sweep): constant covariate => no theta
+    theta = F.when(varx > 0, theta)
+    adj = F.when(varx > 0, adj)
     return v.crossJoin(F.broadcast(g)).select(
         "variant",
         "n_units",
@@ -10029,10 +10073,12 @@ def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
                  SUM(u) AS su, SUM(v) AS sv, SUM(u*v) AS suv,
                  SUM(u*u) AS suu, SUM(v*v) AS svv FROM j)
     SELECT CAST(n AS BIGINT) AS n_rows,
-           CAST(CAST(n*suv - su*sv AS VARCHAR) AS DOUBLE)
-             / (sqrt(CAST(CAST(n*suu - su*su AS VARCHAR) AS DOUBLE))
-                * sqrt(CAST(CAST(n*svv - sv*sv AS VARCHAR) AS DOUBLE)))
-             AS spearman_rho
+           -- guard (r12 degenerate sweep): a constant axis has no rho
+           CASE WHEN n*suu - su*su > 0 AND n*svv - sv*sv > 0 THEN
+             CAST(CAST(n*suv - su*sv AS VARCHAR) AS DOUBLE)
+               / (sqrt(CAST(CAST(n*suu - su*su AS VARCHAR) AS DOUBLE))
+                  * sqrt(CAST(CAST(n*svv - sv*sv AS VARCHAR) AS DOUBLE)))
+           END AS spearman_rho
     FROM s""",
 )
 def spearman_corr_price_quantity(
@@ -10094,9 +10140,11 @@ def spearman_corr_price_quantity(
     d2 = (F.col("n") * F.col("svv") - F.col("sv") * F.col("sv")).cast(d38)
     return s.select(
         F.col("n").cast("long").alias("n_rows"),
-        (
+        # guard (r12 degenerate sweep): a constant axis has no rho
+        F.when(
+            (d1 > 0) & (d2 > 0),
             num.cast("double")
-            / (F.sqrt(d1.cast("double")) * F.sqrt(d2.cast("double")))
+            / (F.sqrt(d1.cast("double")) * F.sqrt(d2.cast("double"))),
         ).alias("spearman_rho"),
     )
 
@@ -10136,8 +10184,12 @@ _ANOVA_TYPES = ("click", "error", "purchase", "signup", "view")
                  {" + ".join("t_" + t for t in _ANOVA_TYPES)} AS st
           FROM p)
     SELECT k, n_rows,
-           ((st - s*s/CAST(n_rows AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
-             / ((q - st) / CAST(n_rows - k AS DOUBLE)) AS f_stat
+           -- guards (r12 degenerate sweep): F is undefined with one
+           -- group, no within-group df, or zero within-group variance
+           CASE WHEN k > 1 AND n_rows > k AND q - st > 0 THEN
+             ((st - s*s/CAST(n_rows AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+               / ((q - st) / CAST(n_rows - k AS DOUBLE))
+           END AS f_stat
     FROM e""",
 )
 def anova_f_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10193,9 +10245,13 @@ def anova_f_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "k",
         "n_rows",
-        (
+        # guards (r12 degenerate sweep): one group / no df / zero SSW
+        F.when(
+            (F.col("k") > 1)
+            & (F.col("n_rows") > F.col("k"))
+            & (ssw > 0),
             (ssb / (F.col("k") - 1).cast("double"))
-            / (ssw / (F.col("n_rows") - F.col("k")).cast("double"))
+            / (ssw / (F.col("n_rows") - F.col("k")).cast("double")),
         ).alias("f_stat"),
     )
 
@@ -11087,15 +11143,20 @@ def doc_length_deciles_by_source(
                  AS BIGINT) AS conv_1
           FROM u)
     SELECT n_0, n_1, conv_0, conv_1,
-           (CAST(conv_0 AS DOUBLE) / CAST(n_0 AS DOUBLE)
-            - CAST(conv_1 AS DOUBLE) / CAST(n_1 AS DOUBLE))
-           / sqrt(
-               (CAST(conv_0 + conv_1 AS DOUBLE)
-                / CAST(n_0 + n_1 AS DOUBLE))
-               * (1.0 - CAST(conv_0 + conv_1 AS DOUBLE)
-                        / CAST(n_0 + n_1 AS DOUBLE))
-               * (1.0 / CAST(n_0 AS DOUBLE) + 1.0 / CAST(n_1 AS DOUBLE)))
-             AS z_stat
+           -- guards (r12 degenerate sweep): z is undefined with an
+           -- empty arm or an all-0/all-1 pooled rate
+           CASE WHEN n_0 > 0 AND n_1 > 0
+                 AND conv_0 + conv_1 > 0
+                 AND conv_0 + conv_1 < n_0 + n_1 THEN
+             (CAST(conv_0 AS DOUBLE) / CAST(n_0 AS DOUBLE)
+              - CAST(conv_1 AS DOUBLE) / CAST(n_1 AS DOUBLE))
+             / sqrt(
+                 (CAST(conv_0 + conv_1 AS DOUBLE)
+                  / CAST(n_0 + n_1 AS DOUBLE))
+                 * (1.0 - CAST(conv_0 + conv_1 AS DOUBLE)
+                          / CAST(n_0 + n_1 AS DOUBLE))
+                 * (1.0 / CAST(n_0 AS DOUBLE) + 1.0 / CAST(n_1 AS DOUBLE)))
+           END AS z_stat
     FROM v""",
 )
 def ab_test_proportions_ztest(
@@ -11152,6 +11213,15 @@ def ab_test_proportions_ztest(
         pooled
         * (F.lit(1.0) - pooled)
         * (F.lit(1.0) / dbl("n_0") + F.lit(1.0) / dbl("n_1"))
+    )
+    # guards (r12 degenerate sweep): empty arm / all-0 / all-1 rate
+    conv = F.col("conv_0") + F.col("conv_1")
+    z = F.when(
+        (F.col("n_0") > 0)
+        & (F.col("n_1") > 0)
+        & (conv > 0)
+        & (conv < F.col("n_0") + F.col("n_1")),
+        z,
     )
     return v.select("n_0", "n_1", "conv_0", "conv_1", z.alias("z_stat"))
 
@@ -11527,13 +11597,14 @@ _PRIORITIES = (
           FROM m)
     SELECT month, n_m,
            {" + ".join(
+               "(CASE WHEN g" + str(i) + " > 0 THEN "
                "(CAST(o" + str(i) + " AS DOUBLE) - CAST(n_m AS DOUBLE)"
                " * CAST(g" + str(i) + " AS DOUBLE) / CAST(n AS DOUBLE))"
                " * (CAST(o" + str(i) + " AS DOUBLE)"
                " - CAST(n_m AS DOUBLE) * CAST(g" + str(i) + " AS DOUBLE)"
                " / CAST(n AS DOUBLE))"
                " / (CAST(n_m AS DOUBLE) * CAST(g" + str(i) + " AS DOUBLE)"
-               " / CAST(n AS DOUBLE))"
+               " / CAST(n AS DOUBLE)) ELSE 0.0 END)"
                for i in range(len(_PRIORITIES))
            )} AS chi2
     FROM m CROSS JOIN g""",
@@ -11580,7 +11651,12 @@ def mix_drift_monthly_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     chi2 = None
     for i in range(len(_PRIORITIES)):
         exp = dbl("n_m") * dbl(f"g{i}") / dbl("n")
-        term = (dbl(f"o{i}") - exp) * (dbl(f"o{i}") - exp) / exp
+        # guard (r12 degenerate sweep): a category with zero GLOBAL
+        # mass has no expectation — it contributes 0, not a /0 error
+        term = F.when(
+            F.col(f"g{i}") > 0,
+            (dbl(f"o{i}") - exp) * (dbl(f"o{i}") - exp) / exp,
+        ).otherwise(F.lit(0.0))
         chi2 = term if chi2 is None else chi2 + term
     return j.select("month", "n_m", chi2.alias("chi2"))
 
@@ -12121,10 +12197,12 @@ def session_entry_exit_matrix(
                CAST(FLOOR(l_extendedprice*100+0.5) AS BIGINT) AS x
         FROM lineitem WHERE l_returnflag IN ('A', 'R')),
     m AS (SELECT
-        CAST(SUM(CASE WHEN g='A' THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+        -- COUNT, not SUM(CASE..1 ELSE 0): over ZERO input rows SUM is
+        -- NULL while the engine's F.count is 0 (r12 degenerate sweep)
+        CAST(COUNT(CASE WHEN g='A' THEN 1 END) AS HUGEINT) AS na,
         SUM(CASE WHEN g='A' THEN CAST(x AS HUGEINT) END) AS sa,
         SUM(CASE WHEN g='A' THEN CAST(x AS HUGEINT)*x END) AS qa,
-        CAST(SUM(CASE WHEN g='R' THEN 1 ELSE 0 END) AS HUGEINT) AS nr,
+        CAST(COUNT(CASE WHEN g='R' THEN 1 END) AS HUGEINT) AS nr,
         SUM(CASE WHEN g='R' THEN CAST(x AS HUGEINT) END) AS sr,
         SUM(CASE WHEN g='R' THEN CAST(x AS HUGEINT)*x END) AS qr
         FROM f),
@@ -12386,18 +12464,21 @@ _CV_STATUS = ("F", "O")
         FROM m)
     SELECT n_rows,
            {" + ".join(
+               "(CASE WHEN r" + c[0] + "*k" + c[2] + " > 0 THEN "
                "(c" + c + " - r" + c[0] + "*k" + c[2] + "/nd)"
                " * (c" + c + " - r" + c[0] + "*k" + c[2] + "/nd)"
-               " / (r" + c[0] + "*k" + c[2] + "/nd)"
+               " / (r" + c[0] + "*k" + c[2] + "/nd) ELSE 0.0 END)"
                for c in ("0_0", "0_1", "1_0", "1_1", "2_0", "2_1")
            )} AS chi2,
            CAST(2 AS INTEGER) AS dof,
+           CASE WHEN nd > 0 THEN
            sqrt(({" + ".join(
+               "(CASE WHEN r" + c[0] + "*k" + c[2] + " > 0 THEN "
                "(c" + c + " - r" + c[0] + "*k" + c[2] + "/nd)"
                " * (c" + c + " - r" + c[0] + "*k" + c[2] + "/nd)"
-               " / (r" + c[0] + "*k" + c[2] + "/nd)"
+               " / (r" + c[0] + "*k" + c[2] + "/nd) ELSE 0.0 END)"
                for c in ("0_0", "0_1", "1_0", "1_1", "2_0", "2_1")
-           )}) / nd) AS cramers_v
+           )}) / nd) END AS cramers_v
     FROM d""",
 )
 def cramers_v_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12444,13 +12525,18 @@ def cramers_v_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     chi2 = None
     for i, j in cells:
         exp = rowt[i] * colt[j] / nd
-        term = (cd[(i, j)] - exp) * (cd[(i, j)] - exp) / exp
+        # guard (r12 degenerate sweep): an empty row/column margin has
+        # no expectation — the cell contributes 0, not a /0 error
+        term = F.when(
+            rowt[i] * colt[j] > 0,
+            (cd[(i, j)] - exp) * (cd[(i, j)] - exp) / exp,
+        ).otherwise(F.lit(0.0))
         chi2 = term if chi2 is None else chi2 + term
     return m.select(
         F.col("n").cast("long").alias("n_rows"),
         chi2.alias("chi2"),
         F.lit(2).cast("int").alias("dof"),
-        F.sqrt(chi2 / nd).alias("cramers_v"),
+        F.when(F.col("n") > 0, F.sqrt(chi2 / nd)).alias("cramers_v"),
     )
 
 
@@ -12591,10 +12677,12 @@ _XCORR_MAX_LAG = 7
           GROUP BY 1)
     SELECT CAST(lag AS INTEGER) AS lag,
            CAST(m AS BIGINT) AS n_pairs,
-           CAST(CAST(m*sxy - sx*sy AS VARCHAR) AS DOUBLE)
-             / (sqrt(CAST(CAST(m*qx - sx*sx AS VARCHAR) AS DOUBLE))
-                * sqrt(CAST(CAST(m*qy - sy*sy AS VARCHAR) AS DOUBLE)))
-             AS xcorr
+           -- guard (r12 degenerate sweep): a constant series has no r
+           CASE WHEN m*qx - sx*sx > 0 AND m*qy - sy*sy > 0 THEN
+             CAST(CAST(m*sxy - sx*sy AS VARCHAR) AS DOUBLE)
+               / (sqrt(CAST(CAST(m*qx - sx*sx AS VARCHAR) AS DOUBLE))
+                  * sqrt(CAST(CAST(m*qy - sy*sy AS VARCHAR) AS DOUBLE)))
+           END AS xcorr
     FROM p""",
 )
 def crosscorr_revenue_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12660,9 +12748,11 @@ def crosscorr_revenue_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         F.col("lag").cast("int").alias("lag"),
         m.cast("long").alias("n_pairs"),
-        (
+        # guard (r12 degenerate sweep): a constant series has no r
+        F.when(
+            (dxx > 0) & (dyy > 0),
             num.cast("double")
-            / (F.sqrt(dxx.cast("double")) * F.sqrt(dyy.cast("double")))
+            / (F.sqrt(dxx.cast("double")) * F.sqrt(dyy.cast("double"))),
         ).alias("xcorr"),
     )
 
@@ -13250,10 +13340,13 @@ def kmeans_assign_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
     z AS (
         SELECT q.vec_id, q.label,
                CAST(q.norm2q AS BIGINT) AS norm2q,
-               CAST(CAST(n*norm2q - s AS VARCHAR) AS DOUBLE)
-                 / sqrt(CAST(CAST(n*(n*qq - s*s) AS VARCHAR) AS DOUBLE)
-                        / CAST(CAST(n - 1 AS VARCHAR) AS DOUBLE))
-                 AS z_score
+               -- guard (r12 degenerate sweep): 1-vector / constant-norm
+               -- labels have no z
+               CASE WHEN n > 1 AND n*qq - s*s > 0 THEN
+                 CAST(CAST(n*norm2q - s AS VARCHAR) AS DOUBLE)
+                   / sqrt(CAST(CAST(n*(n*qq - s*s) AS VARCHAR) AS DOUBLE)
+                          / CAST(CAST(n - 1 AS VARCHAR) AS DOUBLE))
+               END AS z_score
         FROM q JOIN m USING (label))
     SELECT vec_id, label, norm2q, z_score
     FROM z WHERE abs(z_score) > 2.0""",
@@ -13301,12 +13394,15 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, s = F.col("n"), F.col("s")
     num = (n * F.col("norm2q") - s).cast(d38).cast("double")
+    var_num = (n * F.col("qq") - s * s).cast(d38)
     den = F.sqrt(
         (n * (n * F.col("qq") - s * s)).cast(d38).cast("double")
         / (n - 1).cast(d38).cast("double")
     )
+    # guard (r12 degenerate sweep): 1-vector / constant-norm labels
+    zcol = F.when((n > 1) & (var_num > 0), num / den)
     z = q.join(F.broadcast(m), "label").select(
-        "vec_id", "label", "norm2q", (num / den).alias("z_score")
+        "vec_id", "label", "norm2q", zcol.alias("z_score")
     )
     return z.where(F.abs(F.col("z_score")) > 2.0)
 
@@ -13443,12 +13539,17 @@ def _brand_qty_moments(spark: SparkSession, sf_dir: str, grain):
         SELECT brand, CAST(n AS BIGINT) AS n_months,
                CAST(CAST(s AS VARCHAR) AS DOUBLE)
                  / CAST(CAST(n AS VARCHAR) AS DOUBLE) AS mean_qty,
-               sqrt(CAST(CAST(n*(n*qq - s*s) AS VARCHAR) AS DOUBLE)
-                    / CAST(CAST(n - 1 AS VARCHAR) AS DOUBLE))
-                 / CAST(CAST(s AS VARCHAR) AS DOUBLE) AS cv
+               -- guard (r12 degenerate sweep): a 1-month brand has no
+               -- CV, hence no class
+               CASE WHEN n > 1 THEN
+                 sqrt(CAST(CAST(n*(n*qq - s*s) AS VARCHAR) AS DOUBLE)
+                      / CAST(CAST(n - 1 AS VARCHAR) AS DOUBLE))
+                   / CAST(CAST(s AS VARCHAR) AS DOUBLE)
+               END AS cv
         FROM m)
     SELECT brand, n_months, mean_qty, cv,
-           CASE WHEN cv <= 0.5 THEN 'X'
+           CASE WHEN cv IS NULL THEN NULL
+                WHEN cv <= 0.5 THEN 'X'
                 WHEN cv <= 1.0 THEN 'Y'
                 ELSE 'Z' END AS xyz_class
     FROM cv""",
@@ -13476,10 +13577,14 @@ def demand_variability_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trunc(F.to_date("l_shipdate"), "month").alias("month"),
     )
     n, s = F.col("n"), F.col("s")
-    cv = F.sqrt(
-        (n * (n * F.col("qq") - s * s)).cast(d38).cast("double")
-        / (n - 1).cast(d38).cast("double")
-    ) / s.cast("double")
+    # guard (r12 degenerate sweep): a 1-month brand has no CV/class
+    cv = F.when(
+        n > 1,
+        F.sqrt(
+            (n * (n * F.col("qq") - s * s)).cast(d38).cast("double")
+            / (n - 1).cast(d38).cast("double")
+        ) / s.cast("double"),
+    )
     out = m.select(
         "brand",
         n.cast("long").alias("n_months"),
@@ -13488,7 +13593,8 @@ def demand_variability_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "brand", "n_months", "mean_qty", "cv",
-        F.when(F.col("cv") <= 0.5, F.lit("X"))
+        F.when(F.col("cv").isNull(), F.lit(None).cast("string"))
+        .when(F.col("cv") <= 0.5, F.lit("X"))
         .when(F.col("cv") <= 1.0, F.lit("Y"))
         .otherwise(F.lit("Z"))
         .alias("xyz_class"),
@@ -13805,7 +13911,11 @@ def knn_geo_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_days,
            sum7 - sd*sd/nd AS ss_between,
            qd - sd*sd/nd AS ss_total,
-           (sum7 - sd*sd/nd) / (qd - sd*sd/nd) AS seasonal_strength
+           -- guard (r12 degenerate sweep): constant / 1-day series has
+           -- no seasonal share (SST = 0)
+           CASE WHEN qd - sd*sd/nd > 0
+                THEN (sum7 - sd*sd/nd) / (qd - sd*sd/nd)
+           END AS seasonal_strength
     FROM v""",
 )
 def seasonal_strength_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13870,7 +13980,8 @@ def seasonal_strength_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_days"),
         ssb.alias("ss_between"),
         sst.alias("ss_total"),
-        (ssb / sst).alias("seasonal_strength"),
+        # guard (r12 degenerate sweep): SST = 0 has no seasonal share
+        F.when(sst > 0, ssb / sst).alias("seasonal_strength"),
     )
 
 
@@ -14841,10 +14952,12 @@ def brown_forsythe_variance_test(
                CAST(FLOOR(l_extendedprice*100+0.5) AS BIGINT) AS x
         FROM lineitem WHERE l_returnflag IN ('A', 'R')),
     m AS (SELECT
-        CAST(SUM(CASE WHEN g='A' THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+        -- COUNT, not SUM(CASE..1 ELSE 0): over ZERO input rows SUM is
+        -- NULL while the engine's F.count is 0 (r12 degenerate sweep)
+        CAST(COUNT(CASE WHEN g='A' THEN 1 END) AS HUGEINT) AS na,
         SUM(CASE WHEN g='A' THEN CAST(x AS HUGEINT) END) AS sa,
         SUM(CASE WHEN g='A' THEN CAST(x AS HUGEINT)*x END) AS qa,
-        CAST(SUM(CASE WHEN g='R' THEN 1 ELSE 0 END) AS HUGEINT) AS nr,
+        CAST(COUNT(CASE WHEN g='R' THEN 1 END) AS HUGEINT) AS nr,
         SUM(CASE WHEN g='R' THEN CAST(x AS HUGEINT) END) AS sr,
         SUM(CASE WHEN g='R' THEN CAST(x AS HUGEINT)*x END) AS qr
         FROM f),
@@ -17076,7 +17189,13 @@ def matthews_corrcoef_urgent_price(
         FROM orders GROUP BY 1),
     c AS (SELECT priority, n, k,
                  CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
-                 1.96 * 1.96 / CAST(n AS DOUBLE) AS z2n
+                 -- CAST both factors: a bare 1.96*1.96 is DECIMAL in
+                 -- DuckDB (z2 = 1.9208 EXACT) while Spark's double
+                 -- chain gives 1.9207999999999998 — a last-ulp fork
+                 -- that surfaces at the p=0/1 boundary (r12 degenerate
+                 -- sweep finding)
+                 CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+                   / CAST(n AS DOUBLE) AS z2n
           FROM g)
     SELECT priority, n AS n_orders, k AS n_finished, p AS p_hat,
       (p + z2n/2.0 - 1.96*sqrt(p*(1.0-p)/CAST(n AS DOUBLE)
@@ -20041,7 +20160,13 @@ def token_simpson_diversity_by_source(
     oracle="""
     WITH a AS (
         SELECT label,
-               CAST(len(list_filter(embedding, x -> abs(x) > 0.1))
+               -- CAST the threshold: a bare 0.1 is DECIMAL in DuckDB
+               -- (float x compares under decimal semantics) while
+               -- Spark's literal is DOUBLE; a float value exactly at
+               -- the boundary flips between the two (r12 degenerate
+               -- sweep finding)
+               CAST(len(list_filter(embedding,
+                        x -> abs(x) > CAST(0.1 AS DOUBLE)))
                     AS BIGINT) AS active
         FROM embeddings),
     dm AS (SELECT label, active, CAST(COUNT(*) AS BIGINT) AS c

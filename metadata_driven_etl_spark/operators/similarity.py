@@ -369,9 +369,36 @@ def ivf_build_index(
     spark = vectors.sparkSession
     v = vectors.withColumn("_feat", array_to_vector(_as_double(F.col(vec_col))))
     fit_on = v.sample(fraction=fit_fraction, seed=seed) if fit_fraction else v
-    model = KMeans(
-        k=n_cells, seed=seed, featuresCol="_feat", predictionCol="_cell"
-    ).fit(fit_on)
+
+    def _fit(k: int):
+        return KMeans(
+            k=k, seed=seed, featuresCol="_feat", predictionCol="_cell"
+        ).fit(fit_on)
+
+    try:
+        model = _fit(n_cells)
+    except Exception:
+        # degenerate corpus (fewer distinct vectors than cells — the
+        # r12 degenerate sweep shape): clamp k and retry rather than
+        # killing the job. The healthy path pays nothing — the distinct
+        # count runs only after a failed fit.
+        n_distinct = fit_on.select(vec_col).distinct().count()
+        if n_distinct >= 2:
+            model = _fit(min(n_cells, n_distinct))
+        else:
+            # 0/1 distinct vectors: quantization is trivial (KMeans
+            # requires k >= 2) — one cell holding everything
+            assigned = v.withColumn("_cell", F.lit(0)).drop("_feat")
+            first = vectors.select(vec_col).first()
+            centroid = (
+                [float(x) for x in first[0]]
+                if first is not None and first[0] is not None
+                else []
+            )
+            centroids = spark.createDataFrame(
+                [(0, centroid)], "_cell int, _centroid array<double>"
+            )
+            return assigned, centroids
     assigned = model.transform(v).drop("_feat")
 
     centroids = spark.createDataFrame(

@@ -913,12 +913,19 @@ def funnel_rates(
     out = None
     for k, name in enumerate(steps, start=1):
         prev = "n_users" if k == 1 else f"r{k - 1}"
+        # guards (r12 degenerate sweep): an unreached previous step (or
+        # an empty corpus) has no conversion rate — NULL, not an ANSI
+        # divide-by-zero job failure
         part = c.select(
             F.lit(k).cast("int").alias("step"),
             F.lit(name).alias("step_name"),
             F.col(f"r{k}").alias("n_reached"),
-            (dbl(f"r{k}") / dbl(prev)).alias("step_rate"),
-            (dbl(f"r{k}") / dbl("n_users")).alias("cum_rate"),
+            F.when(F.col(prev) > 0, dbl(f"r{k}") / dbl(prev)).alias(
+                "step_rate"
+            ),
+            F.when(
+                F.col("n_users") > 0, dbl(f"r{k}") / dbl("n_users")
+            ).alias("cum_rate"),
         )
         out = part if out is None else out.unionByName(part)
     return out

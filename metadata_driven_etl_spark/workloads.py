@@ -1619,11 +1619,22 @@ def similarity_ann_ivf_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = approx.join(
         exact, ["query_id", "neighbor_id"], "leftsemi"
     ).agg(F.count(F.lit(1)).alias("n_hits"))
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     nq = queries.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
-    # bound: aggregate recall >= 0.5 over 20 queries * k=5 -> >= 50 hits
-    return nq.crossJoin(F.broadcast(hits)).select(
-        "n_queries",
-        (F.col("n_hits") >= F.lit(50)).cast("int").alias("recall_ok"),
+    # bound: aggregate recall >= 0.5 with the TRUE denominator |exact
+    # top-k rows| (= 20 queries * k=5 = 100 at shipped SFs, so the
+    # former literal >= 50 is unchanged there; on corpora smaller than
+    # k the hard-coded form was unachievable — r12 degenerate sweep).
+    # 2*hits >= n_exact is the exact integer cross-multiplication.
+    return (
+        nq.crossJoin(F.broadcast(hits))
+        .crossJoin(F.broadcast(n_exact))
+        .select(
+            "n_queries",
+            (F.col("n_hits") * 2 >= F.col("n_exact"))
+            .cast("int")
+            .alias("recall_ok"),
+        )
     )
 
 
@@ -8276,10 +8287,15 @@ def session_metrics_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT decile, n_units, n_resp, cum_resp,
            CAST(n_resp AS DOUBLE) / CAST(n_units AS DOUBLE)
              AS response_rate,
-           (CAST(n_resp AS DOUBLE) / CAST(n_units AS DOUBLE))
-             / (CAST(r_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)) AS lift,
-           CAST(cum_resp AS DOUBLE) / CAST(r_tot AS DOUBLE)
-             AS cum_capture
+           -- guards (r12 degenerate sweep): zero responders => no base
+           -- rate, hence no lift or capture
+           CASE WHEN r_tot > 0 THEN
+             (CAST(n_resp AS DOUBLE) / CAST(n_units AS DOUBLE))
+               / (CAST(r_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))
+           END AS lift,
+           CASE WHEN r_tot > 0 THEN
+             CAST(cum_resp AS DOUBLE) / CAST(r_tot AS DOUBLE)
+           END AS cum_capture
     FROM c CROSS JOIN t""",
 )
 def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8337,15 +8353,19 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rate = F.col("n_resp").cast("double") / F.col("n_units").cast("double")
     base = F.col("r_tot").cast("double") / F.col("n_tot").cast("double")
+    # guards (r12 degenerate sweep): zero responders => no base rate
+    has_resp = F.col("r_tot") > 0
     return c.crossJoin(F.broadcast(t)).select(
         "decile",
         "n_units",
         "n_resp",
         "cum_resp",
         rate.alias("response_rate"),
-        (rate / base).alias("lift"),
-        (
-            F.col("cum_resp").cast("double") / F.col("r_tot").cast("double")
+        F.when(has_resp, rate / base).alias("lift"),
+        F.when(
+            has_resp,
+            F.col("cum_resp").cast("double")
+            / F.col("r_tot").cast("double"),
         ).alias("cum_capture"),
     )
 
@@ -8631,8 +8651,14 @@ _NEYMAN_BUDGET = 1000
            FROM s),
     tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS w FROM wq),
     b AS (SELECT stratum, n_rows, weight,
-                 CAST(({_NEYMAN_BUDGET} * weight) // w AS BIGINT) AS base,
-                 CAST(({_NEYMAN_BUDGET} * weight) % w AS BIGINT) AS rem
+                 -- guard (r12 degenerate sweep): all-zero weights
+                 -- (every stratum constant) make Neyman undefined
+                 CAST(CASE WHEN w > 0
+                           THEN ({_NEYMAN_BUDGET} * weight) // w
+                      END AS BIGINT) AS base,
+                 CAST(CASE WHEN w > 0
+                           THEN ({_NEYMAN_BUDGET} * weight) % w
+                      END AS BIGINT) AS rem
           FROM wq CROSS JOIN tot),
     l AS (SELECT CAST({_NEYMAN_BUDGET} - SUM(base) AS BIGINT)
                    AS leftover FROM b),
@@ -8688,8 +8714,14 @@ def neyman_allocation_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stratum",
         "n_rows",
         "weight",
-        F.expr(f"({_NEYMAN_BUDGET} * weight) DIV w").alias("base"),
-        ((_NEYMAN_BUDGET * F.col("weight")) % F.col("w")).alias("rem"),
+        # guard (r12 degenerate sweep): all-zero weights => undefined
+        F.expr(
+            f"CASE WHEN w > 0 THEN ({_NEYMAN_BUDGET} * weight) DIV w END"
+        ).alias("base"),
+        F.when(
+            F.col("w") > 0,
+            (_NEYMAN_BUDGET * F.col("weight")) % F.col("w"),
+        ).alias("rem"),
     ).localCheckpoint(eager=False)
     leftover = b.agg(
         (F.lit(_NEYMAN_BUDGET) - F.sum("base")).alias("leftover")
@@ -9950,18 +9982,24 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
             CAST(COUNT(*) AS BIGINT) AS n_users
           FROM d)
     SELECT 1 AS step, 'view' AS step_name, r1 AS n_reached,
-           CAST(r1 AS DOUBLE) / CAST(n_users AS DOUBLE) AS step_rate,
-           CAST(r1 AS DOUBLE) / CAST(n_users AS DOUBLE) AS cum_rate
+           CASE WHEN n_users > 0 THEN
+             CAST(r1 AS DOUBLE) / CAST(n_users AS DOUBLE) END AS step_rate,
+           CASE WHEN n_users > 0 THEN
+             CAST(r1 AS DOUBLE) / CAST(n_users AS DOUBLE) END AS cum_rate
     FROM c
     UNION ALL
     SELECT 2, 'click', r2,
-           CAST(r2 AS DOUBLE) / CAST(r1 AS DOUBLE),
-           CAST(r2 AS DOUBLE) / CAST(n_users AS DOUBLE)
+           CASE WHEN r1 > 0 THEN
+             CAST(r2 AS DOUBLE) / CAST(r1 AS DOUBLE) END,
+           CASE WHEN n_users > 0 THEN
+             CAST(r2 AS DOUBLE) / CAST(n_users AS DOUBLE) END
     FROM c
     UNION ALL
     SELECT 3, 'purchase', r3,
-           CAST(r3 AS DOUBLE) / CAST(r2 AS DOUBLE),
-           CAST(r3 AS DOUBLE) / CAST(n_users AS DOUBLE)
+           CASE WHEN r2 > 0 THEN
+             CAST(r3 AS DOUBLE) / CAST(r2 AS DOUBLE) END,
+           CASE WHEN n_users > 0 THEN
+             CAST(r3 AS DOUBLE) / CAST(n_users AS DOUBLE) END
     FROM c""",
 )
 def funnel_step_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -14184,14 +14222,19 @@ def max_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                  SUM(CAST(t AS HUGEINT)*x) AS stx
           FROM ix),
     co AS (SELECT CAST(n AS BIGINT) AS n_days,
-                  CAST(CAST(n*stx - st*sx AS VARCHAR) AS DOUBLE)
-                    / CAST(CAST(n*stt - st*st AS VARCHAR) AS DOUBLE)
-                    AS beta,
-                  (CAST(CAST(sx AS VARCHAR) AS DOUBLE)
-                   - CAST(CAST(n*stx - st*sx AS VARCHAR) AS DOUBLE)
-                     / CAST(CAST(n*stt - st*st AS VARCHAR) AS DOUBLE)
-                     * CAST(CAST(st AS VARCHAR) AS DOUBLE))
-                    / CAST(CAST(n AS VARCHAR) AS DOUBLE) AS alpha
+                  -- guard (r12 degenerate sweep): a 1-day series has
+                  -- no time variance, hence no fit
+                  CASE WHEN n*stt - st*st > 0 THEN
+                    CAST(CAST(n*stx - st*sx AS VARCHAR) AS DOUBLE)
+                      / CAST(CAST(n*stt - st*st AS VARCHAR) AS DOUBLE)
+                  END AS beta,
+                  CASE WHEN n*stt - st*st > 0 THEN
+                    (CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+                     - CAST(CAST(n*stx - st*sx AS VARCHAR) AS DOUBLE)
+                       / CAST(CAST(n*stt - st*st AS VARCHAR) AS DOUBLE)
+                       * CAST(CAST(st AS VARCHAR) AS DOUBLE))
+                      / CAST(CAST(n AS VARCHAR) AS DOUBLE)
+                  END AS alpha
            FROM m),
     e AS (SELECT t,
                  CAST(FLOOR(CAST(x AS DOUBLE) - alpha - beta
@@ -14203,8 +14246,10 @@ def max_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM de)
     SELECT (SELECT n_days FROM co) AS n_days,
            (SELECT beta FROM co) AS beta,
-           CAST(CAST(sdd AS VARCHAR) AS DOUBLE)
-             / CAST(CAST(see AS VARCHAR) AS DOUBLE) AS dw_stat
+           CASE WHEN see > 0 THEN
+             CAST(CAST(sdd AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(see AS VARCHAR) AS DOUBLE)
+           END AS dw_stat
     FROM agg""",
 )
 def durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -14257,12 +14302,16 @@ def durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n")
     bnum = (n * F.col("stx") - F.col("st") * F.col("sx")).cast(d38)
     bden = (n * F.col("stt") - F.col("st") * F.col("st")).cast(d38)
-    beta = bnum.cast("double") / bden.cast("double")
-    alpha = (
-        F.col("sx").cast("double")
-        - bnum.cast("double") / bden.cast("double")
-        * F.col("st").cast("double")
-    ) / n.cast("double")
+    # guard (r12 degenerate sweep): a 1-day series has no fit
+    beta = F.when(bden > 0, bnum.cast("double") / bden.cast("double"))
+    alpha = F.when(
+        bden > 0,
+        (
+            F.col("sx").cast("double")
+            - bnum.cast("double") / bden.cast("double")
+            * F.col("st").cast("double")
+        ) / n.cast("double"),
+    )
     co = m.select(
         n.cast("long").alias("n_days"),
         beta.alias("beta"),
@@ -14294,9 +14343,10 @@ def durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "n_days",
         "beta",
-        (F.col("sdd").cast("double") / F.col("see").cast("double")).alias(
-            "dw_stat"
-        ),
+        F.when(
+            F.col("see") > 0,
+            F.col("sdd").cast("double") / F.col("see").cast("double"),
+        ).alias("dw_stat"),
     )
 
 
@@ -14608,9 +14658,13 @@ _SS_LEAD_DAYS = 7
     d AS (SELECT brand, CAST(n AS BIGINT) AS n_days,
                  CAST(CAST(s AS VARCHAR) AS DOUBLE)
                    / CAST(CAST(n AS VARCHAR) AS DOUBLE) AS mu,
-                 sqrt(CAST(CAST(n*(n*qq - s*s) AS VARCHAR) AS DOUBLE)
-                      / CAST(CAST(n - 1 AS VARCHAR) AS DOUBLE))
-                   / CAST(CAST(n AS VARCHAR) AS DOUBLE) AS sigma
+                 -- guard (r12 degenerate sweep): one shipping day has
+                 -- no daily sigma
+                 CASE WHEN n > 1 THEN
+                   sqrt(CAST(CAST(n*(n*qq - s*s) AS VARCHAR) AS DOUBLE)
+                        / CAST(CAST(n - 1 AS VARCHAR) AS DOUBLE))
+                     / CAST(CAST(n AS VARCHAR) AS DOUBLE)
+                 END AS sigma
           FROM m)
     SELECT brand, n_days, mu AS mu_daily, sigma AS sigma_daily,
            {_SS_Z} * sigma * sqrt(CAST({_SS_LEAD_DAYS} AS DOUBLE))
@@ -14645,10 +14699,14 @@ def safety_stock_reorder_point(
     )
     n, sm = F.col("n"), F.col("s")
     mu = sm.cast("double") / n.cast("double")
-    sigma = F.sqrt(
-        (n * (n * F.col("qq") - sm * sm)).cast(d38).cast("double")
-        / (n - 1).cast(d38).cast("double")
-    ) / n.cast("double")
+    # guard (r12 degenerate sweep): one shipping day has no sigma
+    sigma = F.when(
+        n > 1,
+        F.sqrt(
+            (n * (n * F.col("qq") - sm * sm)).cast(d38).cast("double")
+            / (n - 1).cast(d38).cast("double")
+        ) / n.cast("double"),
+    )
     ss = F.lit(_SS_Z) * sigma * F.sqrt(F.lit(float(_SS_LEAD_DAYS)))
     return m.select(
         "brand",
@@ -14851,8 +14909,12 @@ def kendall_tau_revenue_volume(
                  {" + ".join("t_" + t for t in _KW_TYPES)} AS st
           FROM pv)
     SELECT k, n_rows,
-           ((st - s*s/CAST(n_rows AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
-             / ((q - st) / CAST(n_rows - k AS DOUBLE)) AS bf_stat
+           -- guards (r12 degenerate sweep): same df/SSW conditions as
+           -- the plain ANOVA F
+           CASE WHEN k > 1 AND n_rows > k AND q - st > 0 THEN
+             ((st - s*s/CAST(n_rows AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+               / ((q - st) / CAST(n_rows - k AS DOUBLE))
+           END AS bf_stat
     FROM e""",
 )
 def brown_forsythe_variance_test(
@@ -14937,9 +14999,13 @@ def brown_forsythe_variance_test(
     ssw = F.col("q") - F.col("st")
     return e.select(
         "k", "n_rows",
-        (
+        # guards (r12 degenerate sweep): same conditions as ANOVA F
+        F.when(
+            (F.col("k") > 1)
+            & (F.col("n_rows") > F.col("k"))
+            & (ssw > 0),
             (ssb / (F.col("k") - 1).cast("double"))
-            / (ssw / (F.col("n_rows") - F.col("k")).cast("double"))
+            / (ssw / (F.col("n_rows") - F.col("k")).cast("double")),
         ).alias("bf_stat"),
     )
 
@@ -15075,22 +15141,27 @@ def effect_size_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(SUM(n_above + n_le) AS BIGINT) AS n
             FROM ct)
     SELECT g AS event_type, n_above, n_le,
-           (CAST(n_above AS DOUBLE)
-              - CAST(n_above + n_le AS DOUBLE) * CAST(ta AS DOUBLE)
-                / CAST(n AS DOUBLE))
-             * (CAST(n_above AS DOUBLE)
+           -- guards (r12 degenerate sweep): an empty margin (all
+           -- values on one side of the median) has zero expectation
+           -- and contributes 0, not a /0 error
+           (CASE WHEN ta > 0 THEN
+             (CAST(n_above AS DOUBLE)
                 - CAST(n_above + n_le AS DOUBLE) * CAST(ta AS DOUBLE)
                   / CAST(n AS DOUBLE))
-             / (CAST(n_above + n_le AS DOUBLE) * CAST(ta AS DOUBLE)
-                / CAST(n AS DOUBLE))
-           + (CAST(n_le AS DOUBLE)
-              - CAST(n_above + n_le AS DOUBLE) * CAST(tl AS DOUBLE)
-                / CAST(n AS DOUBLE))
-             * (CAST(n_le AS DOUBLE)
+               * (CAST(n_above AS DOUBLE)
+                  - CAST(n_above + n_le AS DOUBLE) * CAST(ta AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+               / (CAST(n_above + n_le AS DOUBLE) * CAST(ta AS DOUBLE)
+                  / CAST(n AS DOUBLE)) ELSE 0.0 END)
+           + (CASE WHEN tl > 0 THEN
+             (CAST(n_le AS DOUBLE)
                 - CAST(n_above + n_le AS DOUBLE) * CAST(tl AS DOUBLE)
                   / CAST(n AS DOUBLE))
-             / (CAST(n_above + n_le AS DOUBLE) * CAST(tl AS DOUBLE)
-                / CAST(n AS DOUBLE)) AS chi2_contrib
+               * (CAST(n_le AS DOUBLE)
+                  - CAST(n_above + n_le AS DOUBLE) * CAST(tl AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+               / (CAST(n_above + n_le AS DOUBLE) * CAST(tl AS DOUBLE)
+                  / CAST(n AS DOUBLE)) ELSE 0.0 END) AS chi2_contrib
     FROM ct CROSS JOIN tot""",
 )
 def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -15158,7 +15229,11 @@ def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("g").alias("event_type"),
         "n_above",
         "n_le",
-        (da * da / ea + dl * dl / el).alias("chi2_contrib"),
+        # guards (r12 degenerate sweep): empty margins contribute 0
+        (
+            F.when(F.col("ta") > 0, da * da / ea).otherwise(F.lit(0.0))
+            + F.when(F.col("tl") > 0, dl * dl / el).otherwise(F.lit(0.0))
+        ).alias("chi2_contrib"),
     )
 
 
@@ -15175,11 +15250,15 @@ def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(SUM(s_m) AS BIGINT) AS s
           FROM m)
     SELECT month, n_m AS n_orders,
-           CAST(s - s_m AS DOUBLE) / CAST(n - n_m AS DOUBLE) / 100.0
-             AS loo_mean_dollars,
-           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
-             - CAST(s - s_m AS DOUBLE) / CAST(n - n_m AS DOUBLE) / 100.0
-             AS influence_dollars
+           -- guard (r12 degenerate sweep): a single-month corpus has
+           -- no leave-one-out complement
+           CASE WHEN n > n_m THEN
+             CAST(s - s_m AS DOUBLE) / CAST(n - n_m AS DOUBLE) / 100.0
+           END AS loo_mean_dollars,
+           CASE WHEN n > n_m THEN
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+               - CAST(s - s_m AS DOUBLE) / CAST(n - n_m AS DOUBLE) / 100.0
+           END AS influence_dollars
     FROM m CROSS JOIN g""",
 )
 def jackknife_loo_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -15219,11 +15298,13 @@ def jackknife_loo_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     grand = (
         F.col("s").cast("double") / F.col("n").cast("double") / F.lit(100.0)
     )
+    # guard (r12 degenerate sweep): single-month corpus has no LOO
+    has_rest = F.col("n") > F.col("n_m")
     return m.crossJoin(F.broadcast(g)).select(
         "month",
         F.col("n_m").alias("n_orders"),
-        loo.alias("loo_mean_dollars"),
-        (grand - loo).alias("influence_dollars"),
+        F.when(has_rest, loo).alias("loo_mean_dollars"),
+        F.when(has_rest, grand - loo).alias("influence_dollars"),
     )
 
 
@@ -15257,11 +15338,13 @@ _RIDGE_LAMBDA = 100
                  CAST(CAST(n AS VARCHAR) AS DOUBLE) AS nd
           FROM m)
     SELECT n_rows,
-           cxy / cxx AS slope_ols_cents,
-           cxy / cxx_r AS slope_ridge_cents,
-           cxx / cxx_r AS shrinkage,
-           (syd - (cxy / cxx) * sxd) / nd / 100.0
-             AS intercept_ols_dollars
+           -- guards (r12 degenerate sweep): constant x / empty input
+           CASE WHEN cxx > 0 THEN cxy / cxx END AS slope_ols_cents,
+           CASE WHEN cxx_r > 0 THEN cxy / cxx_r END AS slope_ridge_cents,
+           CASE WHEN cxx_r > 0 THEN cxx / cxx_r END AS shrinkage,
+           CASE WHEN cxx > 0 THEN
+             (syd - (cxy / cxx) * sxd) / nd / 100.0
+           END AS intercept_ols_dollars
     FROM d""",
 )
 def ridge_regression_price_quantity(
@@ -15312,15 +15395,17 @@ def ridge_regression_price_quantity(
         + F.lit(_RIDGE_LAMBDA) * n * n
     ).cast(d38).cast("double")
     slope = cxy / cxx
+    # guards (r12 degenerate sweep): constant x / empty input
     return m.select(
         n.cast("long").alias("n_rows"),
-        slope.alias("slope_ols_cents"),
-        (cxy / cxx_r).alias("slope_ridge_cents"),
-        (cxx / cxx_r).alias("shrinkage"),
-        (
+        F.when(cxx > 0, slope).alias("slope_ols_cents"),
+        F.when(cxx_r > 0, cxy / cxx_r).alias("slope_ridge_cents"),
+        F.when(cxx_r > 0, cxx / cxx_r).alias("shrinkage"),
+        F.when(
+            cxx > 0,
             (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
             / n.cast("double")
-            / F.lit(100.0)
+            / F.lit(100.0),
         ).alias("intercept_ols_dollars"),
     )
 
@@ -16609,18 +16694,26 @@ def _sql_funnel_rates_at(win_label: str, interval_sql: str) -> str:
               CAST(COUNT(*) AS BIGINT) AS n_users
             FROM d)
       SELECT 1 AS step, 'view' AS step_name, r1 AS n_reached,
-             CAST(r1 AS DOUBLE) / CAST(n_users AS DOUBLE) AS step_rate,
-             CAST(r1 AS DOUBLE) / CAST(n_users AS DOUBLE) AS cum_rate
+             CASE WHEN n_users > 0 THEN
+               CAST(r1 AS DOUBLE) / CAST(n_users AS DOUBLE)
+             END AS step_rate,
+             CASE WHEN n_users > 0 THEN
+               CAST(r1 AS DOUBLE) / CAST(n_users AS DOUBLE)
+             END AS cum_rate
       FROM c
       UNION ALL
       SELECT 2, 'click', r2,
-             CAST(r2 AS DOUBLE) / CAST(r1 AS DOUBLE),
-             CAST(r2 AS DOUBLE) / CAST(n_users AS DOUBLE)
+             CASE WHEN r1 > 0 THEN
+               CAST(r2 AS DOUBLE) / CAST(r1 AS DOUBLE) END,
+             CASE WHEN n_users > 0 THEN
+               CAST(r2 AS DOUBLE) / CAST(n_users AS DOUBLE) END
       FROM c
       UNION ALL
       SELECT 3, 'purchase', r3,
-             CAST(r3 AS DOUBLE) / CAST(r2 AS DOUBLE),
-             CAST(r3 AS DOUBLE) / CAST(n_users AS DOUBLE)
+             CASE WHEN r2 > 0 THEN
+               CAST(r3 AS DOUBLE) / CAST(r2 AS DOUBLE) END,
+             CASE WHEN n_users > 0 THEN
+               CAST(r3 AS DOUBLE) / CAST(n_users AS DOUBLE) END
       FROM c)"""
 
 
@@ -16900,11 +16993,19 @@ _PR_THRESHOLD_CENTS = 15_000_000
         CAST(SUM((1-y)*(1-yhat)) AS BIGINT) AS tn
         FROM f),
     r AS (SELECT tp, fp, fn, tn,
-                 CAST(tp AS DOUBLE)/CAST(tp+fp AS DOUBLE) AS precision,
-                 CAST(tp AS DOUBLE)/CAST(tp+fn AS DOUBLE) AS recall
+                 -- guards (r12 degenerate sweep): no predicted / no
+                 -- actual positives => undefined rate
+                 CASE WHEN tp+fp > 0 THEN
+                   CAST(tp AS DOUBLE)/CAST(tp+fp AS DOUBLE)
+                 END AS precision,
+                 CASE WHEN tp+fn > 0 THEN
+                   CAST(tp AS DOUBLE)/CAST(tp+fn AS DOUBLE)
+                 END AS recall
           FROM c)
     SELECT tp, fp, fn, tn, precision, recall,
-           2.0*precision*recall/(precision+recall) AS f1
+           CASE WHEN precision + recall > 0 THEN
+             2.0*precision*recall/(precision+recall)
+           END AS f1
     FROM r""",
 )
 def precision_recall_at_threshold(
@@ -16933,22 +17034,26 @@ def precision_recall_at_threshold(
         F.sum(F.col("y") * (1 - F.col("yhat"))).alias("fn"),
         F.sum((1 - F.col("y")) * (1 - F.col("yhat"))).alias("tn"),
     )
+    # guards (r12 degenerate sweep): no predicted / actual positives
     r = c.select(
         "tp", "fp", "fn", "tn",
-        (
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
             F.col("tp").cast("double")
-            / (F.col("tp") + F.col("fp")).cast("double")
+            / (F.col("tp") + F.col("fp")).cast("double"),
         ).alias("precision"),
-        (
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
             F.col("tp").cast("double")
-            / (F.col("tp") + F.col("fn")).cast("double")
+            / (F.col("tp") + F.col("fn")).cast("double"),
         ).alias("recall"),
     )
     return r.select(
         "tp", "fp", "fn", "tn", "precision", "recall",
-        (
+        F.when(
+            F.col("precision") + F.col("recall") > 0,
             F.lit(2.0) * F.col("precision") * F.col("recall")
-            / (F.col("precision") + F.col("recall"))
+            / (F.col("precision") + F.col("recall")),
         ).alias("f1"),
     )
 
@@ -16975,8 +17080,11 @@ def precision_recall_at_threshold(
                  SUM(p * (2*before_ + t + 1)) AS r2
           FROM w)
     SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
-           CAST(CAST(r2 - n1*(n1+1) AS VARCHAR) AS DOUBLE)
-             / CAST(CAST(2*n1*n0 AS VARCHAR) AS DOUBLE) AS auc
+           -- guard (r12 degenerate sweep): one-class labels have no AUC
+           CASE WHEN n1 > 0 AND n0 > 0 THEN
+             CAST(CAST(r2 - n1*(n1+1) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(2*n1*n0 AS VARCHAR) AS DOUBLE)
+           END AS auc
     FROM m""",
 )
 def roc_auc_urgent_price(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -17026,11 +17134,13 @@ def roc_auc_urgent_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         F.col("n1").cast("long").alias("n_pos"),
         F.col("n0").cast("long").alias("n_neg"),
-        (
+        # guard (r12 degenerate sweep): one-class labels have no AUC
+        F.when(
+            (F.col("n1") > 0) & (F.col("n0") > 0),
             (F.col("r2") - F.col("n1") * (F.col("n1") + 1))
             .cast(d38)
             .cast("double")
-            / (2 * F.col("n1") * F.col("n0")).cast(d38).cast("double")
+            / (2 * F.col("n1") * F.col("n0")).cast(d38).cast("double"),
         ).alias("auc"),
     )
 

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import pytest
 
+from pathlib import Path
+
 from metadata_driven_etl_spark import workloads
 from tests.oracle_check import compare
 
@@ -141,6 +143,44 @@ def test_degenerate_denominator_parity(spark, tmp_path_factory, name):
     assert all(r[null_col] is None for r in rows), (
         f"{name}: {null_col} must be NULL at the degenerate point"
     )
+
+
+DEGENERATE_SWEEP_SUBSET = [
+    # one representative per degenerate class closed in r12 (the full
+    # sweep is scripts/degenerate_sweep.py — all 361 keys, kept empty)
+    "outlier_zscore_group",        # ANSI /0 via n·(n−1) + sigma=0 rows
+    "anova_f_value_by_type",       # one-group / zero-SSW F
+    "cramers_v_flag_status",       # empty contingency margins
+    "mix_drift_monthly_chi2",      # zero global category mass
+    "funnel_step_rates",           # unreached previous step (operator)
+    "decile_lift_table",           # zero responders => no base rate
+    "neyman_allocation_strata",    # all-zero Neyman weights
+    "durbin_watson_daily",         # 1-day series: no fit, no DW
+    "wilson_ci_status_by_priority",  # DuckDB decimal-literal z²
+    "embedding_active_dims_quartiles",  # decimal-vs-double threshold
+    "welch_ttest_price_by_flag",   # empty-input COUNT-vs-SUM encoding
+    "similarity_ann_lsh_bounded",  # recall denominator < k corpus
+    "similarity_ann_ivf_exact",    # KMeans fit below k distinct
+]
+
+
+@pytest.mark.parametrize("name", DEGENERATE_SWEEP_SUBSET)
+def test_degenerate_sweep_subset(spark, tmp_path_factory, name):
+    """One representative per r12 degenerate-robustness class, driven
+    through the full 10-table pathological fixture and the same
+    engine-vs-oracle compare the driver uses — the fast pin for
+    scripts/degenerate_sweep.py's repo-wide invariant (no key crashes
+    or hash-diverges on degenerate slices)."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from scripts.degenerate_sweep import build_fixture
+
+    fx = str(tmp_path_factory.mktemp("degenerate_full") / "fx")
+    build_fixture(fx)
+    df = workloads.QUERIES[name](spark, fx)
+    ok, msg = compare(df, workloads.ORACLES[name], fx, name)
+    assert ok, msg
 
 
 def test_entry_smoke(spark):

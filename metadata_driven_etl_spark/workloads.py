@@ -617,7 +617,12 @@ def distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS cnt, {sql_isum('l_quantity')} AS total_qty
-    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    -- empty-input alignment (r12 empty-corpus sweep): ANSI ROLLUP
+    -- emits the grand-total row even over zero rows; Spark's rollup
+    -- emits nothing. HAVING cnt>0 is a no-op on any non-empty input
+    -- (every real grouping-set row counts at least one row).
+    HAVING COUNT(*) > 0""",
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extended surface: ROLLUP — near-free in Spark (SURVEY.md §2.5)."""
@@ -1371,7 +1376,9 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS cnt, {sql_isum('l_quantity')} AS total_qty
-    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    -- empty-input alignment (r12): see agg_rollup
+    HAVING COUNT(*) > 0""",
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extended §2.5: CUBE — all grouping-set combinations in one pass
@@ -2024,7 +2031,9 @@ def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS cnt,
            {sql_isum('l_quantity')} AS total_qty
     FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""",
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    -- empty-input alignment (r12): see agg_rollup
+    HAVING COUNT(*) > 0""",
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extended §2.5: explicit GROUPING SETS (between ROLLUP and CUBE) with
@@ -14241,7 +14250,8 @@ def max_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                             * CAST(t AS DOUBLE) + 0.5) AS BIGINT) AS eq
           FROM ix CROSS JOIN co),
     de AS (SELECT eq, eq - lag(eq) OVER (ORDER BY t) AS d FROM e),
-    agg AS (SELECT SUM(CAST(eq AS HUGEINT)*eq) AS see,
+    agg AS (SELECT COUNT(*) AS nr,
+                   SUM(CAST(eq AS HUGEINT)*eq) AS see,
                    SUM(CAST(d AS HUGEINT)*d) AS sdd
             FROM de)
     SELECT (SELECT n_days FROM co) AS n_days,
@@ -14250,7 +14260,10 @@ def max_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(CAST(sdd AS VARCHAR) AS DOUBLE)
                / CAST(CAST(see AS VARCHAR) AS DOUBLE)
            END AS dw_stat
-    FROM agg""",
+    FROM agg
+    -- empty-input alignment (r12): the engine's grouped aggregate
+    -- emits no rows over an empty series; nr>0 is a no-op otherwise
+    WHERE nr > 0""",
 )
 def durbin_watson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Durbin-Watson serial-correlation test on the residuals of the
@@ -18161,10 +18174,14 @@ def referential_integrity_audit(
         j = fact.select(F.col(fkey).alias("_fk")).join(
             d, F.col("_fk") == F.col("_dk"), "left"
         )
+        # COALESCE the orphan SUM: over an EMPTY fact it is NULL while
+        # the oracle's COUNT is 0 (r12 empty-corpus sweep)
         return j.agg(
             F.lit(name).alias("check_name"),
             F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.sum(F.col("_dk").isNull().cast("long"))
+            F.coalesce(
+                F.sum(F.col("_dk").isNull().cast("long")), F.lit(0)
+            )
             .cast("long")
             .alias("n_orphans"),
         )

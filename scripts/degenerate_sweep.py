@@ -17,6 +17,14 @@ stay empty. Run it whenever a wave of statistics workloads lands:
 
     python scripts/degenerate_sweep.py            # all keys, ~8 min
     python scripts/degenerate_sweep.py key1,key2  # subset
+    python scripts/degenerate_sweep.py --empty    # all-EMPTY tables
+
+The --empty mode sweeps the second pathological slice class: every
+table present but ZERO rows (a fresh partition, a filtered-out day).
+r12 ran it too and closed its 5 findings (ANSI ROLLUP/CUBE emit a
+grand-total row over zero rows where Spark emits none — oracles align
+via a no-op HAVING; grouped-vs-global empty aggregates; NULL orphan
+sums); it must also stay empty.
 
 Exit code 1 on any mismatch or error. The fast per-pytest pin lives in
 tests/test_workload_parity.py::test_degenerate_denominator_parity
@@ -32,6 +40,22 @@ import sys
 import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_empty_fixture(fx: str) -> None:
+    """Write schema-only (zero-row) copies of all 10 tables."""
+    import duckdb
+
+    shutil.rmtree(fx, ignore_errors=True)
+    os.makedirs(fx)
+    con = duckdb.connect()
+    for t in ("region", "nation", "supplier", "customer", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"COPY (SELECT * FROM '/root/testdata/sf0.001/{t}.parquet' "
+            f"LIMIT 0) TO '{fx}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
 
 
 def build_fixture(fx: str) -> None:
@@ -119,11 +143,14 @@ def main() -> int:
     from metadata_driven_etl_spark.session import get_local_spark
     from tests.oracle_check import compare
 
-    wanted = (
-        set(sys.argv[1].split(",")) if len(sys.argv) > 1 else None
+    args = [a for a in sys.argv[1:] if a != "--empty"]
+    empty = "--empty" in sys.argv[1:]
+    wanted = set(args[0].split(",")) if args else None
+    fx = os.path.join(
+        tempfile.gettempdir(),
+        "empty_sweep_fx" if empty else "degenerate_sweep_fx",
     )
-    fx = os.path.join(tempfile.gettempdir(), "degenerate_sweep_fx")
-    build_fixture(fx)
+    (build_empty_fixture if empty else build_fixture)(fx)
     spark = get_local_spark(extra_conf={"spark.ui.enabled": "false"})
     spark.sparkContext.setLogLevel("FATAL")
     mismatch, errors = [], []

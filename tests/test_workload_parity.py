@@ -183,6 +183,38 @@ def test_degenerate_sweep_subset(spark, tmp_path_factory, name):
     assert ok, msg
 
 
+EMPTY_SWEEP_SUBSET = [
+    # one representative per r12 EMPTY-corpus finding class (the full
+    # sweep is scripts/degenerate_sweep.py --empty — must stay empty)
+    "agg_rollup",                   # ANSI grand-total row over 0 rows
+    "agg_cube",
+    "agg_grouping_sets",
+    "durbin_watson_daily",          # grouped-vs-global empty aggregate
+    "referential_integrity_audit",  # NULL orphan SUM over empty fact
+    "welch_ttest_price_by_flag",    # empty-input count encodings
+    "token_coverage_topk",          # distributed rank over 0 rows
+    "surrogate_key_gap_islands",
+]
+
+
+@pytest.mark.parametrize("name", EMPTY_SWEEP_SUBSET)
+def test_empty_corpus_subset(spark, tmp_path_factory, name):
+    """Zero-row tables are the second pathological slice class (a fresh
+    partition, a filtered-out day): each representative must run and
+    hash-match through the same engine-vs-oracle compare the driver
+    uses."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from scripts.degenerate_sweep import build_empty_fixture
+
+    fx = str(tmp_path_factory.mktemp("empty_corpus") / "fx")
+    build_empty_fixture(fx)
+    df = workloads.QUERIES[name](spark, fx)
+    ok, msg = compare(df, workloads.ORACLES[name], fx, name)
+    assert ok, msg
+
+
 def test_entry_smoke(spark):
     import importlib.util
 

@@ -729,13 +729,31 @@ def connected_components(
 ) -> DataFrame:
     """Cluster ids for the near-dup graph: (id, cluster_id = min reachable id).
 
-    Min-label propagation: every node starts labelled with itself; each round
-    a node takes the min of its own label and its neighbors' labels. Labels
-    are monotone non-increasing and bounded below by the component minimum →
-    converges in ≤ graph-diameter rounds. Convergence is detected with one
-    tiny action per ``check_every``-round block (SUM of labels, exact bigint
-    arithmetic — stable across a block iff the block changed nothing);
-    lineage is truncated at each check so plans stay O(check_every) deep.
+    Borůvka-style contraction (r12 — replaced the min-label propagation
+    loop, which pays ~DIAMETER rounds; measured 22 rounds on the sf0.1
+    semantic near-dup graph, whose components are chains, not the cliques
+    the earlier design assumed). Each outer round:
+
+    1. ``rmap``: every CLASS (current label value) maps to
+       min(itself, minimum adjacent class) over the contracted class-edge
+       list — the Borůvka hook.
+    2. ``rmap`` is POINTER-COMPRESSED to idempotence (t ← rmap[t] until
+       stable): merge chains c1→c2→…→ck collapse to their minimum in
+       O(log chain) self-joins of the class-map — a frame of #classes
+       rows, orders smaller than the corpus.
+    3. Node labels and class edges are relabelled through the compressed
+       map; self-loop class edges drop out, duplicates are deduped.
+
+    Every class with at least one edge merges into another class each
+    round, so live classes at least HALVE per round → ≤ log₂(largest
+    component) outer rounds, with the class-edge frame SHRINKING each
+    round — versus diameter rounds over full-size frames for plain
+    propagation. Termination: the class-edge list is empty (each
+    component is one class). The output is IDENTICAL to the propagation
+    fixpoint: labels only ever move to reachable smaller ids, the
+    component minimum always maps to itself, and contraction stops
+    exactly when each component carries one label — cluster_id = min
+    reachable id, as before.
 
     ``checkpoint_dir``: where to truncate lineage. ``None`` (local-mode
     default) uses ``localCheckpoint`` — blocks live in executor memory, so
@@ -743,34 +761,45 @@ def connected_components(
     durable path (HDFS/S3): it is set as the context's checkpoint dir and
     each round uses reliable ``checkpoint()``, surviving executor loss.
 
-    This is the standard scalable CC shape (cf. "large-star/small-star",
-    Kiveris et al., which optimizes round count; plain propagation is optimal
-    here because LSH dedup graphs are overwhelmingly tiny cliques with
-    diameter ≤ 3).
-
     Small-graph regime: below ``SMALL_GRAPH_EDGE_ROWS`` directed edges the
     loop plans with AQE off, edge-count-sized shuffle partitions, and the
-    label side broadcast — per-round SCHEDULING (not data) dominates there,
-    and this cuts it ~3× (measured, SCALE.md round-7). Above the threshold
-    the plan is byte-identical to before. Output labels are identical in
+    class-map sides broadcast — per-round SCHEDULING (not data) dominates
+    there (measured, SCALE.md round-7). Above the threshold the joins
+    shuffle — the large-graph posture. Output labels are identical in
     both regimes (the regime changes physical planning only).
 
-    ``max_iter`` exhaustion (partial-label contract): propagation needs
-    ~diameter rounds, so a graph whose diameter exceeds ``max_iter`` (never
-    the LSH case, but possible for arbitrary edge inputs) returns PARTIAL
-    labels: every label is still a reachable node id ≤ the node's own id
-    (so labels are well-formed and any two nodes with EQUAL labels are
-    truly connected — no false merges, ever), but two nodes of one
-    component may still carry different labels (under-merged). Callers
-    clustering adversarially deep graphs should raise ``max_iter`` to the
-    expected diameter; pinned by
+    ``max_iter`` exhaustion (partial-label contract): a component needing
+    more halving rounds than ``max_iter`` (adversarially deep merge
+    structures; never the LSH case) returns PARTIAL labels: every label
+    is still a reachable node id ≤ the node's own id (so labels are
+    well-formed and any two nodes with EQUAL labels are truly connected —
+    no false merges, ever), but two nodes of one component may still
+    carry different labels (under-merged). ``check_every`` is retained
+    for API compatibility; contraction needs one action per outer round
+    regardless (the class-edge count IS the convergence signal). Pinned by
     ``tests/test_operators_props.py::test_cc_max_iter_exhaustion_partial_labels``.
     """
     _truncate = lambda df: _materialize(df, checkpoint_dir)  # noqa: E731
 
+    # Symmetrize via ONE explode pass, not a union of two selects: Spark
+    # shares no plan subtrees across union branches, so the union form
+    # executed the whole (potentially expensive) pair-generation subtree
+    # twice — measured r12 on semantic_dedup: the edge materialization
+    # cost ~2× the pair join alone. The exploded [(a,b), (b,a)] per pair
+    # row is the same directed-edge multiset in a single pass.
     edges = _truncate(
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                    ),
+                )
+            ).alias("_e")
+        ).select("_e.src", "_e.dst")
     )
     # Gate the small-graph regime on the directed-edge count. The count
     # action also eagerly pays the edge materialization the seed action
@@ -804,73 +833,97 @@ def connected_components(
             )
         )
         rounds_done = 1
-        # Seed the convergence signal with the fused-round labels: the sum
-        # is strictly decreasing while any label changes, so a block whose
-        # sum equals the seed means the graph was ALREADY converged — LSH
-        # dedup graphs (near-cliques) routinely settle in the fused round,
-        # and the seed lets them exit after one block instead of two (2
-        # fewer corpus-wide join rounds). The action also eagerly
-        # materializes the labels checkpoint it would have paid at the
-        # first block check.
-        prev_sum = labels.agg(F.sum("cluster_id")).first()[0]
-        # First block is ONE round: the common dedup graph (near-clique)
-        # converges in the fused round, and a 1-round first block lets it
-        # exit after a single extra propagation instead of check_every of
-        # them. Deep graphs pay one extra convergence action total.
-        block = 1
+
+        def _bcast(df: DataFrame) -> DataFrame:
+            return F.broadcast(df) if small_parts is not None else df
+
+        # Class-edge list: edges projected into label space. Self-loops
+        # (both endpoints in one class) drop out; duplicates collapse.
+        # Symmetry is preserved by construction (each directed edge maps
+        # to a directed class edge, and the input holds both directions),
+        # so a single groupBy("_cs") sees every class's full neighborhood.
+        lab_s = labels.select(
+            F.col("node").alias("_ns"), F.col("cluster_id").alias("_cs")
+        )
+        lab_d = labels.select(
+            F.col("node").alias("_nd"), F.col("cluster_id").alias("_cd")
+        )
+        cedges = _truncate(
+            edges.join(_bcast(lab_s), edges["src"] == F.col("_ns"))
+            .join(_bcast(lab_d), edges["dst"] == F.col("_nd"))
+            .filter(F.col("_cs") != F.col("_cd"))
+            .select("_cs", "_cd")
+            .distinct()
+        )
         while rounds_done < max_iter:
-            # Run `block` propagation rounds per convergence check:
-            # labels sums are monotone non-increasing, so the sum is
-            # stable across a block iff no label changed in it — same
-            # fixed point, half (or 1/k) the actions. Rounds between
-            # checks are pure lineage; the block executes as ONE job at
-            # the check, so the per-round scheduling+action overhead —
-            # which dominates when the label table is small — is paid
-            # once per block.
-            for _ in range(block):
-                # Small regime: the label frame (≤ |edge rows|) rides as
-                # a broadcast on both per-round joins — zero Exchange per
-                # round. Large regime: plain shuffle joins, unchanged.
-                lab_j = (
-                    F.broadcast(labels) if small_parts is not None
-                    else labels
-                )
-                nbr_min = (
-                    edges.join(lab_j, edges["dst"] == lab_j["node"])
-                    .groupBy("src")
-                    .agg(F.min("cluster_id").alias("nbr_label"))
-                )
-                nbr_j = (
-                    F.broadcast(nbr_min) if small_parts is not None
-                    else nbr_min
-                )
-                labels = (
-                    labels.join(
-                        nbr_j, labels["node"] == nbr_j["src"], "left"
-                    )
-                    .select(
-                        "node",
-                        F.least(
-                            F.col("cluster_id"),
-                            F.coalesce(
-                                F.col("nbr_label"), F.col("cluster_id")
-                            ),
-                        ).alias("cluster_id"),
-                    )
-                )
-                rounds_done += 1
-                if rounds_done >= max_iter:
-                    break
-            # lazy checkpoint: the convergence aggregate below is the
-            # first action, so ONE job both materializes this block's
-            # labels (truncating lineage) and computes the convergence
-            # signal.
-            labels = _truncate(labels)
-            cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
-            if cur_sum == prev_sum:
+            # ONE action per outer round: the class-edge count is both
+            # the convergence signal (0 = every component is one class)
+            # and the eager materialization of this round's frames.
+            if cedges.count() == 0:
                 break
-            prev_sum = cur_sum
-            block = check_every
+            # Borůvka hook: class → min(self, min adjacent class).
+            rmap = _truncate(
+                cedges.groupBy("_cs")
+                .agg(F.min("_cd").alias("_mn"))
+                .select(
+                    F.col("_cs").alias("_c"),
+                    F.least(F.col("_cs"), F.col("_mn")).alias("_t"),
+                )
+            )
+            # Pointer-compress the merge map to idempotence: without
+            # this, merge CHAINS (c1→c2→…→ck, each class hooking to a
+            # smaller neighbor that itself hooks onward) advance only
+            # one step per round and contraction degenerates to the
+            # diameter-bound propagation this design replaces. The map
+            # is #classes rows — the self-joins here are on the small
+            # frame, not the corpus.
+            while True:
+                r2 = rmap.select(
+                    F.col("_c").alias("_c2"), F.col("_t").alias("_t2")
+                )
+                composed = (
+                    rmap.join(_bcast(r2), rmap["_t"] == r2["_c2"], "left")
+                    .select(
+                        "_c",
+                        F.coalesce(F.col("_t2"), F.col("_t")).alias("_t"),
+                        (F.col("_t2") < F.col("_t")).alias("_moved"),
+                    )
+                )
+                composed = _truncate(composed)
+                moved = composed.filter(F.col("_moved")).count()
+                rmap = composed.select("_c", "_t")
+                if moved == 0:
+                    break
+            # Relabel node labels and class edges through the compressed
+            # map. Classes with no smaller neighbor map to themselves;
+            # left join + coalesce keeps classes absent from rmap (none,
+            # given symmetric edges — defensive only).
+            labels = _truncate(
+                labels.join(
+                    _bcast(rmap), labels["cluster_id"] == rmap["_c"], "left"
+                ).select(
+                    "node",
+                    F.coalesce(F.col("_t"), F.col("cluster_id")).alias(
+                        "cluster_id"
+                    ),
+                )
+            )
+            rmap_s = rmap.select(
+                F.col("_c").alias("_ca"), F.col("_t").alias("_ta")
+            )
+            rmap_d = rmap.select(
+                F.col("_c").alias("_cb"), F.col("_t").alias("_tb")
+            )
+            cedges = _truncate(
+                cedges.join(_bcast(rmap_s), cedges["_cs"] == F.col("_ca"))
+                .join(_bcast(rmap_d), cedges["_cd"] == F.col("_cb"))
+                .filter(F.col("_ta") != F.col("_tb"))
+                .select(
+                    F.col("_ta").alias("_cs"), F.col("_tb").alias("_cd")
+                )
+                .distinct()
+            )
+            rounds_done += 1
     connected = labels.select(F.col("node").alias(id_col), "cluster_id")
     isolated = (
         nodes.select(F.col(id_col))
@@ -887,6 +940,7 @@ def keep_best_per_cluster(
     id_col: str = "doc_id",
     cluster_col: str = "cluster_id",
     score_col: str = "kept_score",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Canonical-document selection: per near-dup cluster keep the single
     highest-scoring member (ties broken by lowest id — fully deterministic).
@@ -905,6 +959,19 @@ def keep_best_per_cluster(
     (their own best copy by definition), so at 100 TB the expensive
     window shuffle carries only the near-dup subset, not the corpus.
     Singletons pass straight through with one broadcast-able semi-split.
+
+    The split's two branches both consume the clusters⋈scored⋈members
+    frame, and Spark evaluates each union branch's subtree independently
+    (no DAG sharing) — so the frame is materialized ONCE here (lineage
+    truncated, blocks reused by both branches). Before this, every
+    upstream operator (the CC assembly, the scorer join, the member
+    counts — 12 Exchanges in the dedup_keep_best plan) executed twice,
+    once per branch (measured r12: the final plan held two copies of the
+    whole subtree). The materialized frame is 4 narrow columns per
+    document — linear, far cheaper than re-running the join tree at any
+    scale. ``checkpoint_dir=None`` (local default) uses localCheckpoint;
+    pass a durable path on a real cluster (same seam as
+    ``connected_components``).
     """
     from metadata_driven_etl_spark.operators.windows import topk_per_group
 
@@ -912,6 +979,17 @@ def keep_best_per_cluster(
         F.count(F.lit(1)).alias("n_members")
     )
     joined = clusters.join(scored, id_col).join(members, cluster_col)
+    # EAGER on the local path: the two union branches below execute as
+    # concurrent stages of ONE job, and a lazy localCheckpoint would let
+    # both compute the RDD simultaneously (no reuse — measured r12: the
+    # lazy form was ~13% slower than no checkpoint at all, paying
+    # persistence cost without deduplication). Eager runs one job up
+    # front; both branches then read the persisted blocks.
+    joined = (
+        _materialize(joined, checkpoint_dir)
+        if checkpoint_dir is not None
+        else joined.localCheckpoint(eager=True)
+    )
     singles = joined.filter(F.col("n_members") == 1).select(
         cluster_col,
         F.col(id_col).alias(f"kept_{id_col}"),

@@ -3686,9 +3686,7 @@ def training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@workload(
-    "corpus_clean_pipeline",
-    oracle=f"""
+_CORPUS_CLEAN_ORACLE = f"""
     WITH q AS ({text_ops.sql_quality_features('documents')}),
     r AS ({text_ops.sql_repetition_features('documents')}),
     c AS ({decontam_ops.sql_ngram_overlap(eval_pred="source = 'src0'", n=4)}),
@@ -3710,22 +3708,14 @@ def training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         score_expr=f"CAST(len({text_ops.sql_tokens('text')}) AS BIGINT)",
         table='clean',
-    )})""",
-)
-def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship composed pipeline: the full corpus build a training-data
-    team runs, end to end — quality filter + repetition filter +
-    benchmark decontamination, then near-dup clustering over the SURVIVORS
-    with best-copy selection. Every stage is an operator from this library
-    with its own green oracle; this workload proves they compose.
+    )})"""
 
-    Plan shape: quality + repetition are per-row expressions FUSED into
-    one projection over the corpus scan (zero joins, zero shuffles — an
-    earlier revision computed them as separate frames joined back on
-    doc_id, three corpus-wide shuffles); decontamination is a broadcast
-    anti-join against the small contaminated-id set. Only the filtered
-    subset reaches the LSH shuffle — at 100 TB the expensive dedup runs
-    on the post-filter corpus, which is the right order."""
+
+def _corpus_clean_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's pre-dedup stage (quality + repetition + decontam),
+    exposed so the decontamination plan pin can check the broadcast-anti
+    shape directly: the full pipeline's final plan is truncated at the
+    keep-best materialization (r12), which hides this stage's plan."""
     from metadata_driven_etl_spark.operators.dedup import (
         shingles_from_tokens,
     )
@@ -3776,6 +3766,29 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(contaminated), "doc_id", "left_anti")
         .select("doc_id", "text", "_toks")
     )
+    return clean
+
+
+@workload(
+    "corpus_clean_pipeline",
+    oracle=_CORPUS_CLEAN_ORACLE,
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composed pipeline: the full corpus build a training-data
+    team runs, end to end — quality filter + repetition filter +
+    benchmark decontamination, then near-dup clustering over the SURVIVORS
+    with best-copy selection. Every stage is an operator from this library
+    with its own green oracle; this workload proves they compose.
+
+    Plan shape: quality + repetition are per-row expressions FUSED into
+    one projection over the corpus scan (zero joins, zero shuffles — an
+    earlier revision computed them as separate frames joined back on
+    doc_id, three corpus-wide shuffles); decontamination is a broadcast
+    anti-join against the small contaminated-id set (pinned on
+    ``_corpus_clean_survivors``). Only the filtered subset reaches the
+    LSH shuffle — at 100 TB the expensive dedup runs on the post-filter
+    corpus, which is the right order."""
+    clean = _corpus_clean_survivors(spark, sf_dir)
     # clean feeds THREE consumers (pair generation, the CC vertex set, and
     # keep-best scoring) — materialize it once instead of recomputing the
     # scan→tokenize→filter→anti-join chain per branch. localCheckpoint
@@ -11077,11 +11090,15 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg≤256 contracts are calibrated from exactly this readout).
 
     Scale: edges are the capped basket-pair frame; degrees are one
-    count over the unioned endpoint list (2|E| rows, map-side
-    combinable), the histogram one more tiny rollup."""
+    count over the endpoint list (2|E| rows, map-side combinable), the
+    histogram one more tiny rollup. Endpoints come from ONE explode of
+    [src, dst] per edge row — the earlier unionAll of two selects made
+    Spark execute the whole edge subtree (basket gather + pair
+    aggregation, 2 shuffles) once per branch (r12 plan: 12 Exchanges →
+    5); an explode is the same multiset in a single pass."""
     e = _copurchase_edges(spark, sf_dir)
-    nodes = e.select(F.col("src").alias("node")).unionAll(
-        e.select(F.col("dst").alias("node"))
+    nodes = e.select(
+        F.explode(F.array(F.col("src"), F.col("dst"))).alias("node")
     )
     deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -104,10 +104,19 @@ def test_bucket_cap_is_broadcast_anti_join(spark, sf_dir):
 
 
 def test_corpus_clean_decontamination_is_broadcast_anti(spark, sf_dir):
-    plan = _plan(workloads.QUERIES["corpus_clean_pipeline"](spark, sf_dir))
+    # The full pipeline's final plan is truncated at the keep-best
+    # materialization (r12), so the decontamination stage is pinned on
+    # the exposed pre-dedup survivors frame — the stage whose anti join
+    # must be broadcast.
+    plan = _plan(workloads._corpus_clean_survivors(spark, sf_dir))
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # and the assembled pipeline must never degrade to a cartesian /
+    # nested-loop tail past the materialization boundary
+    full = _plan(workloads.QUERIES["corpus_clean_pipeline"](spark, sf_dir))
+    assert "CartesianProduct" not in full
+    assert "BroadcastNestedLoopJoin" not in full
 
 
 # --- map-only text ops: zero data shuffles ----------------------------------

@@ -383,30 +383,39 @@ def test_cc_converges_on_adversarial_long_paths(spark):
 
 
 def test_cc_max_iter_exhaustion_partial_labels(spark):
-    """The documented partial-label contract on max_iter exhaustion: a
-    30-node path cannot converge in 5 rounds, but the returned labels must
-    still be well-formed — every label a reachable id <= the node's own id
-    and >= the component minimum, so equal labels never falsely merge —
-    while at least one node remains under-merged (not fully converged)."""
+    """The documented partial-label contract on max_iter exhaustion.
+
+    With the r12 Borůvka contraction a MONOTONE-id path collapses in one
+    round (the merge map is a single chain, compressed to its minimum),
+    so the adversarial graph is a path with SHUFFLED ids: local minima
+    along the path become separate classes and merging needs ~log2
+    rounds. max_iter=2 (fused round + one contraction) must leave the
+    labels PARTIAL but well-formed — every label a reachable id <= the
+    node's own id, so equal labels never falsely merge — while at least
+    one node remains under-merged (not fully converged)."""
+    import random
+
     from metadata_driven_etl_spark.operators.dedup import connected_components
 
-    n = 30
-    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    n = 64
+    ids = list(range(n))
+    random.Random(7).shuffle(ids)
+    nodes = spark.createDataFrame([(i,) for i in ids], "doc_id long")
     pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+        [(ids[k], ids[k + 1]) for k in range(n - 1)], "id_a long, id_b long"
     )
     got = {
         r.doc_id: r.cluster_id
-        for r in connected_components(nodes, pairs, max_iter=5).collect()
+        for r in connected_components(nodes, pairs, max_iter=2).collect()
     }
     assert set(got) == set(range(n))
     for i, label in got.items():
-        assert 0 <= label <= i  # reachable id (path: all j<i), never above own
+        assert 0 <= label <= i  # never above the node's own id
     assert any(label > 0 for label in got.values()), (
-        "a 30-deep path must NOT converge in 5 rounds - if it did, the "
-        "exhaustion contract is untested"
+        "a 64-node shuffled-id path must NOT converge in 2 rounds - if it "
+        "did, the exhaustion contract is untested"
     )
-    # raising max_iter past the diameter converges fully
+    # raising max_iter past the ~log2(n) contraction depth converges fully
     full = {
         r.doc_id: r.cluster_id
         for r in connected_components(nodes, pairs, max_iter=40).collect()

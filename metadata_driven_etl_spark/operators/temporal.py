@@ -931,6 +931,109 @@ def funnel_rates(
     return out
 
 
+def funnel_rates_multi(
+    events: DataFrame,
+    steps: Sequence[str],
+    windows: Sequence[tuple[str, str]],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    mode: str = "per_step",
+) -> DataFrame:
+    """:func:`funnel_rates` at SEVERAL step windows in ONE event pass —
+    the window-sensitivity readout. ``windows`` is (label, interval)
+    pairs, e.g. ``[("30m", "30 minutes"), ("2h", "2 hours")]``; output
+    is the labeled union of the per-window funnel tables, row-identical
+    to running :func:`funnel_rates` once per window (pinned by
+    tests/test_operators_props.py::test_funnel_rates_multi_equals_per_window).
+
+    Why not just loop funnel_rates: each call re-shuffles and re-sorts
+    the whole event table on ``user_col`` to change ONE comparison
+    constant. Every per-window qualifying flag here is a window function
+    over the SAME (partition, ordering) spec, so Catalyst stacks all of
+    them over a single Exchange+Sort (guide §2.4: operations keyed the
+    same way share one exchange) — |windows|× fewer corpus shuffles,
+    which at 100 TB is the entire cost of the sweep. Step-1 flags and
+    anchors are window-independent and computed once.
+    """
+    if mode not in ("per_step", "from_first"):
+        raise ValueError(
+            f"funnel_rates_multi mode must be 'per_step' or "
+            f"'from_first', got {mode!r}"
+        )
+    w_prev = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    df = events.select(user_col, type_col, ts_col, order_col).withColumn(
+        "_q1", F.when(F.col(type_col) == steps[0], 1).otherwise(0)
+    ).withColumn("_a1", F.when(F.col(type_col) == steps[0], F.col(ts_col)))
+    for i, (_, interval) in enumerate(windows):
+        for k, step in enumerate(steps[1:], start=2):
+            prev_col = "_a1" if k == 2 else f"_a{k - 1}_{i}"
+            prev_anchor = F.max(F.col(prev_col)).over(w_prev)
+            qualifies = (
+                (F.col(type_col) == step)
+                & prev_anchor.isNotNull()
+                & (
+                    prev_anchor
+                    > F.col(ts_col) - F.expr(f"INTERVAL {interval}")
+                )
+            )
+            df = df.withColumn(
+                f"_q{k}_{i}", F.when(qualifies, 1).otherwise(0)
+            ).withColumn(
+                f"_a{k}_{i}",
+                F.when(
+                    qualifies,
+                    F.col(ts_col) if mode == "per_step" else prev_anchor,
+                ),
+            )
+    reached = [F.max("_q1").alias("_s1")] + [
+        F.max(f"_q{k}_{i}").alias(f"_s{k}_{i}")
+        for i in range(len(windows))
+        for k in range(2, len(steps) + 1)
+    ]
+    per_user = df.groupBy(user_col).agg(*reached)
+    aggs = [F.count(F.lit(1)).alias("n_users"), F.sum("_s1").alias("_r1")]
+    for i in range(len(windows)):
+        # depth_i >= k  ⇔  every step flag 1..k is set for window i
+        # (flags are monotone by construction: _q{k} requires a
+        # qualifying _a{k-1}); reached-count per level is the sum of the
+        # per-user products, identical to funnel_rates' depth >= k.
+        prod = F.col("_s1")
+        for k in range(2, len(steps) + 1):
+            prod = prod * F.col(f"_s{k}_{i}")
+            aggs.append(F.sum(prod).alias(f"_r{k}_{i}"))
+    c = per_user.agg(*aggs).localCheckpoint(eager=False)
+    dbl = lambda name: F.col(name).cast("double")  # noqa: E731
+    out = None
+    for i, (label, _) in enumerate(windows):
+        for k, name in enumerate(steps, start=1):
+            rk = "_r1" if k == 1 else f"_r{k}_{i}"
+            prev = (
+                "n_users"
+                if k == 1
+                else ("_r1" if k == 2 else f"_r{k - 1}_{i}")
+            )
+            part = c.select(
+                F.lit(label).alias("win"),
+                F.lit(k).cast("int").alias("step"),
+                F.lit(name).alias("step_name"),
+                F.col(rk).alias("n_reached"),
+                F.when(F.col(prev) > 0, dbl(rk) / dbl(prev)).alias(
+                    "step_rate"
+                ),
+                F.when(
+                    F.col("n_users") > 0, dbl(rk) / dbl("n_users")
+                ).alias("cum_rate"),
+            )
+            out = part if out is None else out.unionByName(part)
+    return out
+
+
 def stickiness_daily(
     events: DataFrame,
     user_col: str = "user_id",

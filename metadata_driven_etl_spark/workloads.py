@@ -16783,25 +16783,23 @@ def funnel_window_sensitivity(
     table — the parameter-sensitivity readout behind every funnel
     config decision: if conversion jumps between 30m and 2h, the 30m
     window is cutting real journeys; if 1d ≈ 2h, the funnel has
-    converged and the window is safe. Reuses temporal.funnel_rates
-    per window (the declarable analysis), labeled and unioned.
+    converged and the window is safe. Rides temporal.funnel_rates_multi
+    (r12): every window's qualifying flags are window functions over
+    the SAME (user, ts) spec, so all three windows stack over ONE
+    Exchange+Sort of the events table — the per-window loop used to
+    re-shuffle and re-sort the corpus 3× to change a comparison
+    constant. Output rows identical (operator-level equivalence test).
 
-    Scale: three funnel passes — each ONE user-keyed window shuffle
-    (the knob changes a comparison constant, not the plan); the union
-    is 9 literal rows."""
+    Scale: one user-keyed window shuffle total; the union is 9 literal
+    rows."""
     from metadata_driven_etl_spark.operators import temporal as temporal_ops
 
     ev = _t(spark, sf_dir, "events")
-    out = None
-    for lbl, win, _ in _FUNNEL_WINDOWS:
-        r = temporal_ops.funnel_rates(
-            ev, ["view", "click", "purchase"], window=win
-        ).select(
-            F.lit(lbl).alias("win"),
-            "step", "step_name", "n_reached", "step_rate", "cum_rate",
-        )
-        out = r if out is None else out.unionByName(r)
-    return out
+    return temporal_ops.funnel_rates_multi(
+        ev,
+        ["view", "click", "purchase"],
+        [(lbl, win) for lbl, win, _ in _FUNNEL_WINDOWS],
+    )
 
 
 @workload(

@@ -2268,3 +2268,46 @@ def test_second_session_workload_invariants(spark, sf_dir):
     )
     want_pairs = sum(n * (n - 1) // 2 for n in label_sizes.values())
     assert sum(r.n_pairs for r in sh) == want_pairs
+
+
+def test_funnel_rates_multi_equals_per_window(spark, sf_dir):
+    """funnel_rates_multi (one event pass, all windows stacked over one
+    Exchange+Sort — the r12 optimization) must be ROW-IDENTICAL to
+    running funnel_rates once per window and labeling the union."""
+    from pyspark.sql import functions as F
+
+    from metadata_driven_etl_spark.catalog import load_table
+    from metadata_driven_etl_spark.operators import temporal as temporal_ops
+
+    ev = load_table(spark, sf_dir, "events")
+    steps = ["view", "click", "purchase"]
+    windows = [("30m", "30 minutes"), ("2h", "2 hours"), ("1d", "1 day")]
+    multi = sorted(
+        tuple(r)
+        for r in temporal_ops.funnel_rates_multi(ev, steps, windows)
+        .collect()
+    )
+    single = []
+    for lbl, win in windows:
+        single += [
+            tuple(r)
+            for r in temporal_ops.funnel_rates(ev, steps, window=win)
+            .select(
+                F.lit(lbl).alias("win"), "step", "step_name",
+                "n_reached", "step_rate", "cum_rate",
+            )
+            .collect()
+        ]
+    assert multi == sorted(single)
+    # and the one-pass plan carries exactly ONE events shuffle: a single
+    # hashpartitioning exchange on the user column feeds every window
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        temporal_ops.funnel_rates_multi(ev, steps, windows).explain(
+            "formatted"
+        )
+    plan = buf.getvalue()
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1

@@ -319,15 +319,30 @@ def test_outlier_mad_group_broadcasts_stats(spark, sf_dir):
 
 
 def test_bounded_sketch_contracts_single_aggregation(spark, sf_dir):
-    """The sketch-vs-exact containment checks must stay ONE aggregation
-    over the fact table (sketch and exact buffers merge in the same
-    pass) — no self-join of two scans, no window."""
-    for name in (
-        "approx_count_distinct_bounded", "agg_approx_percentile_bounded"
-    ):
-        plan = _plan(workloads.QUERIES[name](spark, sf_dir))
-        assert "Join" not in plan, name
-        assert "Window" not in plan, name
+    """agg_approx_percentile_bounded: sketch and exact percentile buffers
+    merge in ONE aggregation pass — no join of two scans, no window.
+
+    approx_count_distinct_bounded is DELIBERATELY the opposite since r12:
+    a combined aggregation plans the exact distincts via Expand and then
+    buffers an HLL sketch once per (gid, distinct value) partial-agg
+    entry (measured 27.8s vs 1.7s split at sf0.1) — so it must stay TWO
+    aggregations recombined on the tiny group key, with no Expand
+    touching the sketch agg and still no window."""
+    plan = _plan(
+        workloads.QUERIES["agg_approx_percentile_bounded"](spark, sf_dir)
+    )
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+    acd = _plan(
+        workloads.QUERIES["approx_count_distinct_bounded"](spark, sf_dir)
+    )
+    assert "Window" not in acd
+    assert "CartesianProduct" not in acd
+    assert "BroadcastNestedLoopJoin" not in acd
+    # split shape: the expand (exact multi-distinct) exists exactly once,
+    # on the exact side only — the sketch agg is expand-free
+    assert acd.count("Expand") == 1
 
 
 def test_join_asof_tolerance_same_single_shuffle_plan(spark, sf_dir):

@@ -789,7 +789,13 @@ def test_gold_delta_bucketed_snapshot(spark, tmp_path):
         keys=["id"],
     )
     plan = diff._jdf.queryExecution().executedPlan().toString()
-    assert "SortMergeJoin" in plan and "FullOuter" in plan, plan
+    # SMJ before r12; ShuffledHashJoin since preferSortMergeJoin=false
+    # (same single-shuffle property, no sorts). The pinned INVARIANTS are
+    # below: full-outer (never broadcastable), exactly one hash Exchange
+    # (the un-bucketed incoming side), bucketed maintained-side read.
+    assert (
+        "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    ) and "FullOuter" in plan, plan
     n_exchange = sum(
         1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     )

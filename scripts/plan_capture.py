@@ -76,12 +76,17 @@ def main() -> None:
         fn = workloads.QUERIES[name]
         spark.sparkContext.setJobDescription(f"plan_capture: {name}")
         secs = []
+        df = None
         for _ in range(max(1, args.runs if args.time else 1)):
             t0 = time.perf_counter()
             df = fn(spark, args.sf_dir)
             df.write.format("noop").mode("overwrite").save()
             secs.append(round(time.perf_counter() - t0, 3))
-        plan = formatted_plan(fn(spark, args.sf_dir))
+        # Explain the SAME DataFrame that was executed (ADVICE r12): with
+        # AQE, explain on an executed df shows the FINAL re-optimized plan
+        # (isFinalPlan=true, AQEShuffleRead nodes, runtime join strategy);
+        # a freshly rebuilt df would show only the initial plan.
+        plan = formatted_plan(df)
         if args.out:
             with open(
                 os.path.join(args.out, f"{name}_{args.suffix}.txt"), "w"

@@ -1604,8 +1604,14 @@ def similarity_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
+    # max_iter=2/init_steps=1: at n_probe = n_cells EVERY cell is probed
+    # and every vector scored once, so the output is PROVABLY identical
+    # for any centroid placement — the cheapest fit that still exercises
+    # the quantizer machinery is the right one (r13; fit was the
+    # dominant cost of this query at ~20 scheduling-bound jobs).
     assigned, centroids = sim_ops.ivf_build_index(
-        emb, n_cells=16, seed=42, fit_fraction=0.1
+        emb, n_cells=16, seed=42, fit_fraction=0.1, max_iter=2,
+        init_steps=1,
     )
     return sim_ops.ivf_probe(
         assigned, centroids, queries, k=5, n_probe=16

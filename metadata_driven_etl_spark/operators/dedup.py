@@ -979,6 +979,16 @@ def keep_best_per_cluster(
     scale. ``checkpoint_dir=None`` (local default) uses localCheckpoint;
     pass a durable path on a real cluster (same seam as
     ``connected_components``).
+
+    ``checkpoint_dir`` semantics (ADVICE r12): BOTH settings run the
+    materialization Spark job eagerly at DataFrame-CONSTRUCTION time —
+    the local default with ``localCheckpoint(eager=True)`` (blocks in
+    executor memory, non-durable; measured r12: the lazy form let the
+    two union branches race and compute the upstream twice), the durable
+    path with persist → reliable ``checkpoint()``. Composing this
+    operator into a plan that might be discarded pays the full upstream
+    materialization up front; callers that only want to COMPOSE plans
+    lazily should stack the window/filter primitives directly instead.
     """
     from metadata_driven_etl_spark.operators.windows import topk_per_group
 

@@ -957,6 +957,52 @@ def funnel_rates_multi(
     which at 100 TB is the entire cost of the sweep. Step-1 flags and
     anchors are window-independent and computed once.
     """
+    c = funnel_rates_multi_scalar(
+        events, steps, windows, user_col=user_col, type_col=type_col,
+        ts_col=ts_col, order_col=order_col, mode=mode,
+    ).localCheckpoint(eager=False)
+    dbl = lambda name: F.col(name).cast("double")  # noqa: E731
+    out = None
+    for i, (label, _) in enumerate(windows):
+        for k, name in enumerate(steps, start=1):
+            rk = "_r1" if k == 1 else f"_r{k}_{i}"
+            prev = (
+                "n_users"
+                if k == 1
+                else ("_r1" if k == 2 else f"_r{k - 1}_{i}")
+            )
+            part = c.select(
+                F.lit(label).alias("win"),
+                F.lit(k).cast("int").alias("step"),
+                F.lit(name).alias("step_name"),
+                F.col(rk).alias("n_reached"),
+                F.when(F.col(prev) > 0, dbl(rk) / dbl(prev)).alias(
+                    "step_rate"
+                ),
+                F.when(
+                    F.col("n_users") > 0, dbl(rk) / dbl("n_users")
+                ).alias("cum_rate"),
+            )
+            out = part if out is None else out.unionByName(part)
+    return out
+
+
+def funnel_rates_multi_scalar(
+    events: DataFrame,
+    steps: Sequence[str],
+    windows: Sequence[tuple[str, str]],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    mode: str = "per_step",
+) -> DataFrame:
+    """The ONE-ROW scalar aggregate behind :func:`funnel_rates_multi`
+    (n_users plus every window's per-level reached-counts), BEFORE the
+    lineage-truncating localCheckpoint. Split out (ADVICE r12) so the
+    single-Exchange plan claim is assertable: explaining the checkpointed
+    frame shows only ``Scan ExistingRDD``, which made the one-shuffle
+    test pin vacuous — tests explain THIS frame instead."""
     if mode not in ("per_step", "from_first"):
         raise ValueError(
             f"funnel_rates_multi mode must be 'per_step' or "
@@ -1007,31 +1053,7 @@ def funnel_rates_multi(
         for k in range(2, len(steps) + 1):
             prod = prod * F.col(f"_s{k}_{i}")
             aggs.append(F.sum(prod).alias(f"_r{k}_{i}"))
-    c = per_user.agg(*aggs).localCheckpoint(eager=False)
-    dbl = lambda name: F.col(name).cast("double")  # noqa: E731
-    out = None
-    for i, (label, _) in enumerate(windows):
-        for k, name in enumerate(steps, start=1):
-            rk = "_r1" if k == 1 else f"_r{k}_{i}"
-            prev = (
-                "n_users"
-                if k == 1
-                else ("_r1" if k == 2 else f"_r{k - 1}_{i}")
-            )
-            part = c.select(
-                F.lit(label).alias("win"),
-                F.lit(k).cast("int").alias("step"),
-                F.lit(name).alias("step_name"),
-                F.col(rk).alias("n_reached"),
-                F.when(F.col(prev) > 0, dbl(rk) / dbl(prev)).alias(
-                    "step_rate"
-                ),
-                F.when(
-                    F.col("n_users") > 0, dbl(rk) / dbl("n_users")
-                ).alias("cum_rate"),
-            )
-            out = part if out is None else out.unionByName(part)
-    return out
+    return per_user.agg(*aggs)
 
 
 def stickiness_daily(

@@ -664,7 +664,17 @@ def doc_cosine_pairs(
             "_kept_term"
         )
     tf = tf.localCheckpoint(eager=False)
-    norms = tf.groupBy(id_col).agg(F.sum(F.col("tf") * F.col("tf")).alias("norm_sq"))
+    # Materialize the norms ONCE (guide §2.4, r13): the two rename-only
+    # consumers below (na/nb join sides) are separate subtrees to Spark,
+    # so without this the |corpus|-row norm aggregation (HashAggregate +
+    # Exchange over the full postings frame) executed twice — once per
+    # side — in the r12 plan. The materialized frame is |docs| rows of
+    # (id, bigint).
+    norms = (
+        tf.groupBy(id_col)
+        .agg(F.sum(F.col("tf") * F.col("tf")).alias("norm_sq"))
+        .localCheckpoint(eager=False)
+    )
     a = tf.select(
         F.col("term").alias("_term_a"),
         F.col(id_col).alias("doc_a"),

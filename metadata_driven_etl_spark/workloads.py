@@ -5418,9 +5418,20 @@ def collocation_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _docs(spark, sf_dir).select(
         text_ops.tokens("text").alias("t")
     ).localCheckpoint(eager=False)
-    uni = toks.select(F.explode("t").alias("w")).localCheckpoint(eager=False)
-    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    tot = uni.agg(F.count(F.lit(1)).alias("n"))
+    # Aggregate the token stream ONCE (guide §2.3, r13): the unigram
+    # counts previously re-aggregated per consumer — the u1 join side,
+    # the u2 join side, and the corpus total each ran their own explode+
+    # HashAggregate over the FULL |tokens| stream (3 passes in the r12
+    # plan). ucnt is materialized once (|vocab| rows) and the total is
+    # its exact integer rollup: n = Σ_w c(w), the same BIGINT the direct
+    # count produced.
+    ucnt = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = ucnt.agg(F.sum("c").alias("n"))
     pairs = toks.select(
         F.explode(
             F.when(

@@ -2300,14 +2300,22 @@ def test_funnel_rates_multi_equals_per_window(spark, sf_dir):
         ]
     assert multi == sorted(single)
     # and the one-pass plan carries exactly ONE events shuffle: a single
-    # hashpartitioning exchange on the user column feeds every window
+    # hashpartitioning exchange on the user column feeds every window.
+    # Explained on the PRE-checkpoint scalar aggregate (ADVICE r12): the
+    # public function's localCheckpoint truncates its explained plan to
+    # `Scan ExistingRDD`, which made a <=1 assertion on it vacuous.
     import io
     from contextlib import redirect_stdout
 
     buf = io.StringIO()
     with redirect_stdout(buf):
-        temporal_ops.funnel_rates_multi(ev, steps, windows).explain(
+        temporal_ops.funnel_rates_multi_scalar(ev, steps, windows).explain(
             "formatted"
         )
     plan = buf.getvalue()
-    assert plan.count("Exchange hashpartitioning(user_id") <= 1
+    # formatted explain puts the node ("(n) Exchange") and its
+    # "Arguments: hashpartitioning(user_id..." on separate lines, so the
+    # old single-string pattern could never match anything — count the
+    # partitioning argument itself: exactly one user-keyed exchange (the
+    # other Exchange is the final single-partition scalar gather).
+    assert plan.count("hashpartitioning(user_id") == 1, plan

@@ -119,9 +119,17 @@ def _pair_counts_with_item_sizes(
     )
     if min_baskets > 1:
         pairs = pairs.filter(F.col("n_baskets") >= min_baskets)
-    items = baskets.select(F.explode("_items").alias("_it")).groupBy(
-        "_it"
-    ).agg(F.count(F.lit(1)).alias("_n"))
+    # Materialized once (guide §2.4, r13): ia/ib are rename-only views,
+    # but Spark shares no subtree between them — without this the
+    # explode + per-item count over the FULL basket frame executed once
+    # per join side (verified in the r12 copurchase_item_cf plan). The
+    # frame is |items| narrow rows.
+    items = (
+        baskets.select(F.explode("_items").alias("_it"))
+        .groupBy("_it")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=False)
+    )
     ia = items.select(F.col("_it").alias("_it_a"), F.col("_n").alias("_n_a"))
     ib = items.select(F.col("_it").alias("_it_b"), F.col("_n").alias("_n_b"))
     return (
@@ -400,10 +408,13 @@ def assoc_rules(
             "n_ab",
         )
     )
+    # Materialized once — ia/ib rename-only consumers, same rationale
+    # (and r12 plan evidence) as _pair_counts_with_item_sizes.
     items = (
         baskets.select(F.explode("_items").alias("_it"))
         .groupBy("_it")
         .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=False)
     )
     ia = items.select(F.col("_it").alias("_ant"), F.col("_n").alias("_n_a"))
     ib = items.select(F.col("_it").alias("_con"), F.col("_n").alias("_n_b"))

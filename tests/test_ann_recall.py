@@ -49,6 +49,7 @@ def _recall(approx_rows, exact: set) -> float:
     return len(got & exact) / len(exact)
 
 
+@pytest.mark.slow
 def test_lsh_multitable_multiprobe_recall(ground_truth):
     emb, queries, exact = ground_truth
     rows = sim.lsh_topk(
@@ -58,6 +59,7 @@ def test_lsh_multitable_multiprobe_recall(ground_truth):
     assert recall >= 0.9, f"LSH recall@{K} = {recall}"
 
 
+@pytest.mark.slow
 def test_lsh_more_tables_monotone(ground_truth):
     """Adding hash tables must not lose recall (the space/recall trade)."""
     emb, queries, exact = ground_truth

@@ -51,6 +51,7 @@ def _write_config(tmp_path, body: str) -> str:
     return str(p)
 
 
+@pytest.mark.slow
 def test_full_pipeline_matches_direct_composition(ctx, tmp_path):
     cfg = load_corpus_config(
         _write_config(
@@ -162,6 +163,7 @@ def test_shipped_example_config_loads_and_validates():
     assert exact.stages[1].jaccard_threshold == 0.7
 
 
+@pytest.mark.slow
 def test_shipped_exact_budget_pipeline_matches_composition(ctx):
     """VERDICT r10 item 5: the SHIPPED clean_exact_budget_v1 pipeline
     (quality floor → EXACT prefix-filter near-dup keep-best → token
@@ -338,6 +340,7 @@ def test_error_isolation_between_pipelines(ctx, tmp_path):
     assert ctx.spark.table("corpus.t_iso_ok").count() > 0
 
 
+@pytest.mark.slow
 def test_cli_runs_corpus_layer(spark, tmp_path):
     """`--layers corpus` drives corpus_config.yaml through the same
     orchestration entry as the ETL layers."""
@@ -413,6 +416,7 @@ def test_top_fraction_rejected_outside_quality_filter():
         )
 
 
+@pytest.mark.slow
 def test_near_dedup_keep_first_and_table_input(ctx, tmp_path):
     """keep: first retains the lowest-id member per near-dup cluster, and
     input_table (vs input_path) resolves through the catalog."""
@@ -450,6 +454,7 @@ def test_near_dedup_keep_first_and_table_input(ctx, tmp_path):
     assert got == want and 0 < len(got) <= docs.count()
 
 
+@pytest.mark.slow
 def test_near_dedup_max_bucket_size_knob(ctx, tmp_path):
     """The LSH bucket cap is configurable per near_dedup stage: 0 =
     uncapped, omitted = operator default. On the organic test corpus the
@@ -615,6 +620,7 @@ def test_token_budget_validation():
         )
 
 
+@pytest.mark.slow
 def test_decontaminate_bloom_prefilter_knob(ctx, tmp_path):
     """prefilter: bloom must parse through to the stage and produce
     EXACTLY the survivors of the plain broadcast path (the Bloom bitmap
@@ -886,6 +892,7 @@ def test_semantic_dedup_validation(tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_near_dedup_method_prefix(ctx, tmp_path):
     """method: prefix swaps the LSH candidate generator for the EXACT
     prefix-filter join — YAML output ≡ composing jaccard_prefix_pairs +

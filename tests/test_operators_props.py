@@ -23,6 +23,7 @@ _SETTINGS = dict(
 
 @given(target=ROWS, source=ROWS)
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_upsert_idempotent_and_key_unique(spark_global, target, source):
     """merge twice ≡ merge once; source wins on matched keys."""
     spark = spark_global
@@ -209,6 +210,7 @@ def test_asof_join_equals_theta_join(spark, sf_dir):
     assert want.exceptAll(got).count() == 0
 
 
+@pytest.mark.slow
 def test_scd2_idempotent_and_one_live_row_per_key(spark):
     """Re-applying the same updates at the same effective date is a no-op
     (live rows already carry the new attrs), and every key has exactly one
@@ -509,6 +511,7 @@ def test_lsh_bucket_cap_subset_and_default_parity(spark, sf_dir):
     assert cl_base == cl_dflt
 
 
+@pytest.mark.slow
 def test_lsh_pairs_durable_checkpoint_seam(spark, sf_dir, tmp_path):
     """The bands/shingle-set materializations accept the same durable
     checkpoint_dir seam as connected_components: results must be
@@ -1025,6 +1028,7 @@ def test_blocked_levenshtein_durable_checkpoint_seam(spark, tmp_path):
         unique_by=lambda t: t[0],
     ),
 )
+@pytest.mark.slow
 def test_incremental_agg_equals_full_recompute(spark_global, rows, ops):
     """Retraction-based maintenance reproduces a full groupBy of the new
     snapshot exactly — including groups that empty out (deleted keys),
@@ -1204,6 +1208,7 @@ _DOCSET = st.lists(_WORDS, min_size=2, max_size=10)
 
 @given(docs=_DOCSET, threshold=st.sampled_from([0.2, 0.4, 0.7]))
 @settings(**_SETTINGS)
+@pytest.mark.slow
 def test_jaccard_prefix_filter_matches_brute_force(
     spark_global, docs, threshold
 ):

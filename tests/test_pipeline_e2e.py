@@ -125,6 +125,7 @@ def test_metadata_plane(spark, pipeline_run):
     assert dictionary.filter("table_name = 'gold.daily_sales_by_flag'").count() > 0
 
 
+@pytest.mark.slow
 def test_rerun_idempotent(spark, pipeline_run):
     """Second full run must not duplicate silver/gold rows (overwrite +
     merge semantics), and incremental gold MERGE keeps PK uniqueness."""
@@ -141,6 +142,7 @@ def test_rerun_idempotent(spark, pipeline_run):
     assert pks.filter("count > 1").count() == 0
 
 
+@pytest.mark.slow
 def test_audit_error_isolation(spark, tmp_path):
     """A failing unit logs ERROR and doesn't kill the pipeline (M10)."""
     import textwrap
@@ -170,6 +172,7 @@ def test_audit_error_isolation(spark, tmp_path):
     assert spark.table("silver.works").count() == 1
 
 
+@pytest.mark.slow
 def test_cli_main_runs(spark, monkeypatch, pipeline_run):
     """M11: the argparse CLI drives the same run_pipeline path and returns 0
     on success (re-run over already-built tables is idempotent)."""
@@ -183,6 +186,7 @@ def test_cli_main_runs(spark, monkeypatch, pipeline_run):
     assert rc == 0
 
 
+@pytest.mark.slow
 def test_parallel_units_match_sequential(spark, pipeline_run):
     """max_parallel_units: concurrent cross-target units produce the same
     tables/metadata as sequential execution (shared-target units grouped)."""
@@ -258,6 +262,7 @@ def test_config_sql_join_hints_pass_through(spark, pipeline_run):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+@pytest.mark.slow
 def test_backfill_idempotent_replay(spark, pipeline_run):
     """run_backfill over two dates: every unit succeeds on both dates and
     replaying does not lose or duplicate silver/gold rows (incremental
@@ -284,6 +289,7 @@ def test_backfill_idempotent_replay(spark, pipeline_run):
     assert summary.count() == before  # static inputs → no new keys
 
 
+@pytest.mark.slow
 def test_backfill_bronze_counts_stable(spark, pipeline_run, tmp_path):
     """Full-strategy bronze sources must OVERWRITE the snapshot: a
     backfill replay used to re-append the whole extract once per date,
@@ -302,6 +308,7 @@ def test_backfill_bronze_counts_stable(spark, pipeline_run, tmp_path):
     assert after == before, "bronze inflated across backfill replay"
 
 
+@pytest.mark.slow
 def test_incremental_bronze_upper_bound(spark, tmp_path):
     """Incremental extracts are bounded on both sides: rows dated after
     the run date must NOT be ingested early (they'd be re-ingested by a
@@ -358,6 +365,7 @@ def test_incremental_bronze_upper_bound(spark, tmp_path):
     assert len(rows) == 4, "backfill replay duplicated rows"
 
 
+@pytest.mark.slow
 def test_cli_corpus_layer_e2e(spark, monkeypatch, capsys):
     """VERDICT r3 item 6: the corpus layer driven through the CLI gets the
     same e2e treatment as bronze/silver/gold — tables written, audit and
@@ -463,6 +471,7 @@ def _asof_silver_cfg(tmp_path):
     return str(tmp_path)
 
 
+@pytest.mark.slow
 def test_silver_asof_enrichment_e2e(spark, tmp_path):
     """Declarable as-of enrichment (VERDICT r6 item 5): a YAML silver
     transform with an ``enrichments: [type: asof]`` entry writes exactly
@@ -642,6 +651,7 @@ def _target_rows(spark):
     )
 
 
+@pytest.mark.slow
 def test_gold_delta_refresh_e2e(spark, tmp_path):
     """refresh_type: delta — a YAML-declared gold model maintained from
     snapshot diffs hash-equals a full rebuild after updates, deletes,
@@ -713,6 +723,7 @@ def test_gold_delta_refresh_e2e(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+@pytest.mark.slow
 def test_gold_delta_bucketed_snapshot(spark, tmp_path):
     """snapshot_buckets: the maintained snapshot is written as a BUCKETED
     table on snapshot_keys, and the steady-state diff join consumes it
@@ -831,6 +842,7 @@ def _scd2_gold_cfg(tmp_path):
     return str(tmp_path)
 
 
+@pytest.mark.slow
 def test_gold_scd2_refresh_e2e(spark, tmp_path):
     """refresh_type: scd2 — a YAML-declared Type-2 dimension: first run
     initializes live rows; a later run closes changed rows at the run
@@ -1212,6 +1224,7 @@ def _rows_of(spark, table, drop=("gold_insert_timestamp",)):
     return sorted(tuple(r) for r in df.collect()), sorted(df.columns)
 
 
+@pytest.mark.slow
 def test_gold_event_models_e2e(spark, tmp_path):
     """model_type: event — YAML-declared funnel / last-touch / time-decay
     / session models produce EXACTLY the frames the operators compose
@@ -1661,6 +1674,7 @@ def test_gold_event_config_validation():
         )
 
 
+@pytest.mark.slow
 def test_gold_event_transitions_and_cohorts_e2e(spark, tmp_path):
     """analysis: transitions / cohorts — the remaining event-model
     dispatches, YAML ≡ direct operator composition."""
@@ -1749,6 +1763,7 @@ def test_gold_event_window_validated_at_load():
 # --- DQ rule_type: k_anonymity as declarable YAML (VERDICT r8 item 4) -------
 
 
+@pytest.mark.slow
 def test_silver_k_anonymity_rule_yaml_e2e(spark, tmp_path):
     """A YAML silver transform with a k_anonymity rule + action filter
     suppresses every row whose quasi-identifier group fails the k/l
@@ -1811,6 +1826,7 @@ def test_silver_k_anonymity_rule_yaml_e2e(spark, tmp_path):
 # --- DQ rule_type: freshness as declarable YAML ------------------------------
 
 
+@pytest.mark.slow
 def test_silver_freshness_rule_yaml_e2e(spark, tmp_path):
     """A YAML silver transform with a freshness rule (action reject)
     fails the unit when the feed is stale relative to the run's bound

@@ -66,6 +66,7 @@ def test_session_window_stream(spark, events_dir):
     assert bad.count() == 0
 
 
+@pytest.mark.slow
 def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path_factory):
     """applyInPandasWithState sessions == batch lag/cumsum sessions.
 
@@ -145,6 +146,7 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path_factory):
         assert abs(v_got - v_want) < 1e-6
 
 
+@pytest.mark.slow
 def test_merge_stream_upsert_equals_batch_agg(spark, events_dir, tmp_path):
     """foreachBatch streaming merge: after draining the stream, the managed
     table equals the batch aggregate (latest value per key), even though it
@@ -246,6 +248,7 @@ def test_dedup_within_watermark(spark, sf_dir, tmp_path_factory):
     assert got == want > 0
 
 
+@pytest.mark.slow
 def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path_factory):
     """Watermarked stream⋈stream join with a ±15min proximity bound equals
     the same join over the static tables."""
@@ -300,6 +303,7 @@ def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path_factory):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_merge_stream_resumes_from_checkpoint_across_restarts(
     spark, sf_dir, tmp_path
 ):
@@ -373,6 +377,7 @@ def test_merge_stream_resumes_from_checkpoint_across_restarts(
     spark.sql("DROP DATABASE IF EXISTS stream_sink")
 
 
+@pytest.mark.slow
 def test_streaming_near_dedup_equals_sequential_batches(
     spark, sf_dir, tmp_path
 ):
@@ -441,6 +446,7 @@ def test_streaming_near_dedup_equals_sequential_batches(
     spark.sql("DROP DATABASE IF EXISTS stream_sink")
 
 @pytest.mark.parametrize("crash_mode", ["between_appends", "after_both"])
+@pytest.mark.slow
 def test_streaming_dedup_replay_guard_survives_mid_batch_crash(
     spark, sf_dir, tmp_path, crash_mode
 ):
@@ -536,6 +542,7 @@ def test_streaming_dedup_replay_guard_survives_mid_batch_crash(
     spark.sql("DROP DATABASE IF EXISTS stream_sink")
 
 
+@pytest.mark.slow
 def test_streaming_dedup_legacy_unstamped_output_table(spark, sf_dir, tmp_path):
     """Tables created before the per-table replay guard lack _batch_id.
     The sink must keep working against them: appends match the legacy
@@ -850,6 +857,7 @@ def test_ohlc_stream_equals_batch(spark, events_dir):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_stateful_cusum_matches_batch(spark, sf_dir, tmp_path_factory):
     """applyInPandasWithState CUSUM alerts == the batch clamp-identity
     workload, on chronologically sliced micro-batches with a far-future
@@ -928,6 +936,7 @@ def test_stateful_cusum_matches_batch(spark, sf_dir, tmp_path_factory):
     assert got == want and len(want) > 0
 
 
+@pytest.mark.slow
 def test_stateful_rolling_zscore_matches_batch(
     spark, sf_dir, tmp_path_factory
 ):
@@ -1018,6 +1027,7 @@ def test_stateful_rolling_zscore_matches_batch(
     assert got == want and len(want) > 0
 
 
+@pytest.mark.slow
 def test_stateful_drawdown_matches_batch(spark, sf_dir, tmp_path_factory):
     """applyInPandasWithState new-max-drawdown alerts == the batch
     prefix-sum/running-max identity, on chronologically sliced
@@ -1111,6 +1121,7 @@ def test_stateful_drawdown_matches_batch(spark, sf_dir, tmp_path_factory):
     assert got == want and len(want) > 0
 
 
+@pytest.mark.slow
 def test_stateful_gap_record_matches_batch(spark, sf_dir, tmp_path_factory):
     """applyInPandasWithState record-silence alerts == the batch
     lag + strictly-earlier running-max identity (the
@@ -1200,6 +1211,7 @@ def test_stateful_gap_record_matches_batch(spark, sf_dir, tmp_path_factory):
     assert got == want and len(want) > 0
 
 
+@pytest.mark.slow
 def test_stateful_lateness_monitor_matches_batch(
     spark, sf_dir, tmp_path_factory
 ):

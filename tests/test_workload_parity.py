@@ -13,14 +13,15 @@ ORACLE_NAMES = sorted(workloads.ORACLES)
 ROWS_ONLY = sorted(set(workloads.QUERIES) - set(workloads.ORACLES))
 
 # Fast tier (driver test gate, VERDICT r12 item 1): the keys the driver
-# itself will sample next — its current 50-query prefix plus the pinned
-# next-round queue — and every query whose plan an optimization round
-# touched (extend TOUCHED_BY_OPTIMIZATION when touching one). The full
-# 361-key sweep below stays in-tree as the slow tier (`-m slow` /
-# `-m ""`), zero tests deleted; the default run completes inside the
-# driver's pytest window.
+# itself samples this round (its current 50-query prefix) and every
+# query an optimization round touched or A/B-examined (extend
+# TOUCHED_BY_OPTIMIZATION when touching one). The full 361-key sweep
+# stays in-tree as the slow tier (`-m slow` / `-m ""`), zero tests
+# deleted; the default run completes inside the driver's pytest window.
 TOUCHED_BY_OPTIMIZATION = [
     # r13 optimization round — every query whose physical plan changed
+    # OR that was A/B-examined for a change (extra parity coverage on
+    # exactly the families the round measured; see OPTIMIZATION_r13.md)
     "dedup_cluster_cc", "split_by_dedup_cluster", "dedup_keep_best",
     "semantic_dedup", "corpus_clean_pipeline", "dedup_cluster_sizes",
     "multimodal_phash_dedup", "multimodal_frame_sample",
@@ -38,13 +39,7 @@ TOUCHED_BY_OPTIMIZATION = [
 
 
 def _fast_tier() -> list[str]:
-    from tests.test_registry_order import R13_QUEUE
-
-    names = (
-        set(workloads.DRIVER_PRIORITY)
-        | set(R13_QUEUE)
-        | set(TOUCHED_BY_OPTIMIZATION)
-    )
+    names = set(workloads.DRIVER_PRIORITY) | set(TOUCHED_BY_OPTIMIZATION)
     return sorted(names & set(workloads.ORACLES))
 
 
@@ -60,8 +55,8 @@ def test_touched_list_is_registered():
 
 @pytest.mark.parametrize("name", FAST_NAMES)
 def test_oracle_parity_fast(spark, sf_dir, name):
-    """Driver-window tier: the keys the driver checks next (current
-    prefix + pinned R13 queue) plus every optimization-touched query."""
+    """Driver-window tier: the driver's current 50-key prefix plus
+    every optimization-touched/examined query."""
     df = workloads.QUERIES[name](spark, sf_dir)
     ok, msg = compare(df, workloads.ORACLES[name], sf_dir, name)
     assert ok, msg
@@ -116,6 +111,7 @@ def test_gate_rejects_float_oracle(spark, sf_dir):
     assert not ok and "FLOAT" in msg
 
 
+@pytest.mark.slow
 def test_all_oracles_float_free(sf_dir):
     """Fast DuckDB-only sweep (no Spark): no registered oracle may carry
     a FLOAT (float32) result column — closes the r10 red-row class at
@@ -294,10 +290,26 @@ PYTHON_OK = {
 }
 
 
-@pytest.mark.parametrize("name", sorted(set(workloads.QUERIES) - PYTHON_OK))
+@pytest.mark.parametrize(
+    "name", sorted(set(FAST_NAMES) - PYTHON_OK)
+)
+def test_plan_stays_jvm_side_fast(spark, sf_dir, name):
+    """SCALE.md §3 (fast tier — same partition as the parity split):
+    no Python evaluation nodes outside the pinned multimodal keys."""
+    df = workloads.QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, name
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "name", sorted(set(workloads.QUERIES) - PYTHON_OK - set(FAST_NAMES))
+)
 def test_plan_stays_jvm_side(spark, sf_dir, name):
     """SCALE.md §3: every workload except the multimodal pair must compile
-    to a plan with NO Python evaluation nodes (whole-stage codegen path)."""
+    to a plan with NO Python evaluation nodes (whole-stage codegen path).
+    Slow-tier remainder of the fast/slow partition above — together the
+    two cover the full registry, nothing checked less."""
     df = workloads.QUERIES[name](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "MapInPandas" not in plan, name
